@@ -1,0 +1,45 @@
+"""Space (namespace) configuration.
+
+Mirrors the reference's per-space config surface
+(/root/reference/conf/orestes-config.json:11-15,
+ /root/reference/lib/orestes-utils.js:49-53): each space has its own
+``table_granularity_days`` controlling the time-bucket size. In the
+Spark engine a bucket is a parquet partition value instead of a
+Cassandra table / ES index, so granularity controls partition layout
+(and therefore pruning + retention-delete granularity) rather than
+table naming.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+MS_IN_DAY = 86_400_000
+
+
+@dataclass(frozen=True)
+class SpaceConfig:
+    """Per-space settings. ``granularity_days`` must be >= 1."""
+
+    granularity_days: int = 1
+
+    def __post_init__(self) -> None:
+        if self.granularity_days < 1:
+            raise ValueError("granularity_days must be >= 1")
+
+
+@dataclass
+class EngineConfig:
+    """Engine-wide settings.
+
+    ``warehouse`` is the root path; each space lives at
+    ``<warehouse>/<space>/{points,series}``. Unknown spaces fall back to
+    ``default_space_config`` (reference default: granularity 1 day).
+    """
+
+    warehouse: str
+    spaces: dict[str, SpaceConfig] = field(default_factory=dict)
+    default_space_config: SpaceConfig = field(default_factory=SpaceConfig)
+
+    def space(self, name: str) -> SpaceConfig:
+        return self.spaces.get(name, self.default_space_config)

@@ -1,0 +1,373 @@
+"""The Orestes engine, Spark-first.
+
+Storage layout (replaces Cassandra wide rows + ES metadata indices,
+SURVEY.md §1.4-1.5):
+
+    <warehouse>/<space>/points/bucket=<N>/*.parquet
+        time_ms LONG, value DOUBLE, tags MAP<STRING,STRING>, series_id STRING
+        — written sorted by (series_id, time_ms) within partitions so
+        parquet row-group min/max stats give per-series skipping, the
+        Spark analogue of one-Cassandra-partition-per-(series,bucket)
+        (/root/reference/lib/orestes-settings.js:8-14).
+    <warehouse>/<space>/series/bucket=<N>/*.parquet
+        series_id STRING, tags MAP — the metadata table, the analogue of
+        the per-bucket ES index metadata-<space>@<day>
+        (/root/reference/lib/orestes-utils.js:124-126).
+
+Query semantics preserved from the reference:
+  - time range is [start, end) — inclusive start, exclusive end
+    (/root/reference/README.md:54, lib/orestes-query.js:70-83);
+  - bucket pruning: only buckets overlapping the range are scanned; an
+    explicit predicate on the ``bucket`` partition column makes Catalyst
+    prune partition directories, replacing per-bucket table routing
+    (/root/reference/lib/orestes-query.js:133-146);
+  - cross-bucket series dedup on reads (D1,
+    /root/reference/lib/orestes-query.js:300-311);
+  - only-first-write-creates-metadata dedup on writes (D2, Bubo cache →
+    here an anti-join against the existing series table,
+    /root/reference/lib/orestes-inserter.js:98-116);
+  - retention delete drops whole buckets, never rows (S9,
+    /root/reference/lib/orestes-remover.js:16-53).
+
+Scale notes (100 TB): the points table is the big one — all reads hit it
+with (a) a partition-pruning bucket predicate, (b) a parquet-pushable
+time predicate, and (c) either a direct tag predicate or a broadcast
+semi-join against the (tiny) filtered series table. groupBy(series_id)
+aggregations shuffle only matching series. The grouped (array-of-points)
+read shape is an API-layer convenience; the flat shape is the one to use
+at scale.
+"""
+
+from __future__ import annotations
+
+import shutil
+import time as _time
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orestes_spark import esdsl, schema, validation
+from orestes_spark.config import MS_IN_DAY, EngineConfig, SpaceConfig
+
+
+class OrestesEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        spaces: dict[str, SpaceConfig] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.config = EngineConfig(warehouse=warehouse, spaces=spaces or {})
+
+    # ---------- paths ----------
+
+    def _points_path(self, space: str) -> Path:
+        return Path(self.config.warehouse) / space / "points"
+
+    def _series_path(self, space: str) -> Path:
+        return Path(self.config.warehouse) / space / "series"
+
+    def _granularity(self, space: str) -> int:
+        return self.config.space(space).granularity_days
+
+    # ---------- write path (S1-S5, D2) ----------
+
+    def write(self, points: Any, space: str = "default") -> list[dict[str, Any]]:
+        """Ingest points; returns the per-point error list (empty on full
+        success), mirroring POST /write (/root/reference/lib/orestes.js:69-80).
+
+        ``points`` may be a list of reference-style dicts
+        (``{time, value, ...tags}``), a canonical DataFrame
+        (time_ms, value, tags), or a wide DataFrame (time/value + one
+        column per tag).
+        """
+        errors: list[dict[str, Any]] = []
+        if isinstance(points, list):
+            valid_rows, errors = validation.validate_raw_rows(points)
+            if not valid_rows:
+                return errors
+            df = self.spark.createDataFrame(
+                [(r["time"], r["value"], r["tags"]) for r in valid_rows],
+                "time STRING, value DOUBLE, tags MAP<STRING,STRING>",
+            ).select(
+                schema.normalize_time_col(F.col("time")).alias("time_ms"),
+                F.col("value"),
+                F.col("tags"),
+            )
+        elif isinstance(points, DataFrame):
+            df = points
+            if "tags" not in df.columns:
+                df = schema.points_from_wide(df)
+            elif "time_ms" not in df.columns:
+                df = df.select(
+                    schema.normalize_time_col(F.col("time")).alias("time_ms"),
+                    F.col("value").cast("double").alias("value"),
+                    F.col("tags"),
+                )
+        else:
+            raise TypeError(f"unsupported points input: {type(points).__name__}")
+
+        valid, err_df = validation.split_valid(df.select("time_ms", "value", "tags"))
+        # Per-point error reporting, never batch abort (S4). Collecting
+        # the (tiny) error side-output is an extra job; callers on the
+        # hot path can pre-validate and use _append directly.
+        for row in err_df.collect():
+            errors.append({"point": row.asDict(recursive=True), "error": row["error"]})
+
+        self._append(valid, space)
+        return errors
+
+    def _append(self, valid: DataFrame, space: str) -> None:
+        g = self._granularity(space)
+        stored = schema.with_derived(valid, g)
+        points_path, series_path = self._points_path(space), self._series_path(space)
+
+        # Series-clustered layout: repartition by series so each parquet
+        # file holds few series, sorted by (series_id, time) — row-group
+        # stats then prune non-matching series at read time.
+        (
+            stored.repartition(F.col("bucket"), F.col("series_id"))
+            .sortWithinPartitions("bucket", "series_id", "time_ms")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(str(points_path))
+        )
+
+        # Metadata upsert with write-time dedup (D2): distinct new
+        # (bucket, series) anti-joined against what's already known.
+        new_series = stored.select("bucket", "series_id", "tags").dropDuplicates(["bucket", "series_id"])
+        existing = self._read_series(space)
+        if existing is not None:
+            new_series = new_series.join(
+                existing.select("bucket", "series_id"), ["bucket", "series_id"], "left_anti"
+            )
+        new_series.write.mode("append").partitionBy("bucket").parquet(str(series_path))
+
+    # ---------- raw readers ----------
+
+    def _read_points(self, space: str) -> DataFrame | None:
+        p = self._points_path(space)
+        # After a full retention sweep the directory exists but has no
+        # bucket=* partitions left — treat as empty, not a schema error.
+        if not p.exists() or not any(p.glob("bucket=*")):
+            return None
+        return self.spark.read.parquet(str(p))
+
+    def _read_series(self, space: str) -> DataFrame | None:
+        p = self._series_path(space)
+        if not p.exists() or not any(p.glob("bucket=*")):
+            return None
+        return self.spark.read.parquet(str(p))
+
+    def _empty(self, ddl: str) -> DataFrame:
+        return self.spark.createDataFrame([], ddl)
+
+    # ---------- time/bucket predicates (F2, F3) ----------
+
+    def _time_pred(self, start_ms: int, end_ms: int, granularity: int) -> F.Column:
+        """[start, end) + explicit bucket-range predicate for partition
+        pruning. end-exclusive means the bucket of (end-1) is the last
+        bucket — when end falls exactly on a bucket boundary that bucket
+        is not scanned (/root/reference/lib/orestes-query.js:137-141)."""
+        g = granularity
+        start_bucket = (start_ms // MS_IN_DAY) // g * g
+        end_bucket = ((end_ms - 1) // MS_IN_DAY) // g * g
+        return (
+            (F.col("bucket") >= start_bucket)
+            & (F.col("bucket") <= end_bucket)
+            & (F.col("time_ms") >= start_ms)
+            & (F.col("time_ms") < end_ms)
+        )
+
+    # ---------- read path (3.1) ----------
+
+    def matching_points(
+        self,
+        es_filter: dict | None = None,
+        space: str = "default",
+        start_ms: int = 0,
+        end_ms: int | None = None,
+        use_metadata: bool = True,
+    ) -> DataFrame:
+        """Flat points matching an ES-DSL tag filter and [start, end).
+
+        This is the scalable read shape: bucket pruning + pushed time
+        predicate + (metadata route) a broadcast semi-join on series_id,
+        the Spark analogue of 'ES finds the series, Cassandra serves the
+        points'. With ``use_metadata=False`` the tag predicate is applied
+        directly to the points table instead (one scan, no join) — better
+        when the filter is unselective.
+        """
+        if end_ms is None:
+            end_ms = int(_time.time() * 1000)
+        pred = esdsl.translate(es_filter)  # validate the DSL even if space is empty
+        points = self._read_points(space)
+        if points is None:
+            return self._empty(
+                "time_ms LONG, value DOUBLE, tags MAP<STRING,STRING>, series_id STRING, bucket INT"
+            )
+        g = self._granularity(space)
+        points = points.where(self._time_pred(start_ms, end_ms, g))
+        if not use_metadata or es_filter in (None, {}) or es_filter == {"match_all": {}}:
+            return points.where(pred)
+
+        series = self._read_series(space)
+        assert series is not None
+        matching = (
+            series.where(self._bucket_range_pred(start_ms, end_ms, g))
+            .where(pred)
+            .select("series_id")
+            .distinct()  # D1: a series exists once per bucket
+        )
+        return points.join(F.broadcast(matching), "series_id", "left_semi")
+
+    def _bucket_range_pred(self, start_ms: int, end_ms: int, g: int) -> F.Column:
+        start_bucket = (start_ms // MS_IN_DAY) // g * g
+        end_bucket = ((end_ms - 1) // MS_IN_DAY) // g * g
+        return (F.col("bucket") >= start_bucket) & (F.col("bucket") <= end_bucket)
+
+    def read(
+        self,
+        es_filter: dict | None = None,
+        space: str = "default",
+        start_ms: int = 0,
+        end_ms: int | None = None,
+        grouped: bool = True,
+    ) -> DataFrame:
+        """POST /read equivalent. Grouped shape: one row per series —
+        (tags, points ARRAY<STRUCT<time_ms,value>>), points
+        time-ascending (Cassandra clustering-order parity,
+        /root/reference/lib/orestes-settings.js:14)."""
+        pts = self.matching_points(es_filter, space, start_ms, end_ms)
+        if not grouped:
+            return pts.select("series_id", "tags", "time_ms", "value")
+        return (
+            pts.groupBy("series_id")
+            .agg(
+                F.first("tags").alias("tags"),
+                F.array_sort(F.collect_list(F.struct("time_ms", "value"))).alias("points"),
+            )
+            .drop("series_id")
+        )
+
+    def count_points(
+        self,
+        es_filter: dict | None = None,
+        space: str = "default",
+        start_ms: int = 0,
+        end_ms: int | None = None,
+    ) -> DataFrame:
+        """/read with aggregations:[{type:'count'}] (A1): per-series point
+        count. Partial aggregation per partition + final merge is
+        Catalyst's hash aggregate — the analogue of per-bucket COUNT(*)
+        summed client-side (/root/reference/lib/orestes.js:120-139)."""
+        pts = self.matching_points(es_filter, space, start_ms, end_ms)
+        return (
+            pts.groupBy("series_id")
+            .agg(F.first("tags").alias("tags"), F.count(F.lit(1)).alias("count"))
+            .drop("series_id")
+        )
+
+    def aggregate_points(
+        self,
+        aggs: list[str],
+        es_filter: dict | None = None,
+        space: str = "default",
+        start_ms: int = 0,
+        end_ms: int | None = None,
+    ) -> DataFrame:
+        """Generalized per-series aggregation (A4 made real): the
+        reference's ES client had machinery for avg/min/max/sum/stdev
+        metric aggs that nothing invoked
+        (/root/reference/lib/elasticsearch/aggregation.js:76-100); here
+        they are first-class. ``aggs`` ⊆ {count, avg, min, max, sum,
+        stdev}."""
+        fns = {
+            "count": F.count(F.lit(1)),
+            "avg": F.avg("value"),
+            "min": F.min("value"),
+            "max": F.max("value"),
+            "sum": F.sum("value"),
+            "stdev": F.stddev_samp("value"),
+        }
+        unknown = [a for a in aggs if a not in fns]
+        if unknown:
+            # 400-equivalent (/root/reference/lib/orestes.js:143-150).
+            raise ValueError(f"unsupported aggregations: {unknown}")
+        pts = self.matching_points(es_filter, space, start_ms, end_ms)
+        return (
+            pts.groupBy("series_id")
+            .agg(F.first("tags").alias("tags"), *[fns[a].alias(a) for a in aggs])
+            .drop("series_id")
+        )
+
+    # ---------- metadata queries (D3, A2, A3) ----------
+
+    def get_stream_list(
+        self,
+        es_filter: dict | None = None,
+        space: str = "default",
+        start_ms: int = 0,
+        end_ms: int | None = None,
+    ) -> DataFrame:
+        """POST /series: distinct tag-sets matching the filter — scans
+        only the series table, never the points
+        (/root/reference/lib/orestes-query.js:250-271)."""
+        if end_ms is None:
+            end_ms = int(_time.time() * 1000)
+        series = self._read_series(space)
+        if series is None:
+            return self._empty("tags MAP<STRING,STRING>")
+        g = self._granularity(space)
+        return (
+            series.where(self._bucket_range_pred(start_ms, end_ms, g))
+            .where(esdsl.translate(es_filter))
+            .dropDuplicates(["series_id"])
+            .select("tags")
+        )
+
+    def select_distinct(
+        self,
+        keys: list[str],
+        es_filter: dict | None = None,
+        space: str = "default",
+    ) -> DataFrame:
+        """POST /select_distinct: distinct value-combinations of ``keys``
+        across matching series (/root/reference/lib/orestes.js:198-210).
+        A key absent from every series yields NULL for that column rather
+        than an error — the reference's remove-field-and-retry semantics
+        (A3, /root/reference/lib/elasticsearch/aggregation.js:36-68)."""
+        series = self._read_series(space)
+        if series is None:
+            return self._empty(", ".join(f"`{k}` STRING" for k in keys))
+        return (
+            series.where(esdsl.translate(es_filter))
+            .select(*[F.col("tags").getItem(k).alias(k) for k in keys])
+            .distinct()
+        )
+
+    # ---------- retention (S9) ----------
+
+    def remove(self, space: str = "default", keep_days: int = 0) -> list[int]:
+        """Drop every bucket whose last day is ≤ today - keep_days
+        (/root/reference/lib/orestes-remover.js:29-39: bucket_end =
+        min(bucket + granularity - 1, today)). Partition-directory drop —
+        never a row-level delete; on a lakehouse table this is the
+        metadata-only `DELETE WHERE bucket <= cutoff`. Returns the list
+        of dropped buckets."""
+        g = self._granularity(space)
+        today = int(_time.time() * 1000) // MS_IN_DAY
+        dropped: list[int] = []
+        for root in (self._points_path(space), self._series_path(space)):
+            if not root.exists():
+                continue
+            for part in sorted(root.glob("bucket=*")):
+                bucket = int(part.name.split("=", 1)[1])
+                if min(bucket + g - 1, today) <= today - keep_days:
+                    shutil.rmtree(part)
+                    if bucket not in dropped:
+                        dropped.append(bucket)
+        return dropped

@@ -1,0 +1,56 @@
+"""Loaders for the driver's synthetic parquet tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings, one parquet per table under /root/testdata/sf*/.
+
+The only wrinkle: ``events.ts`` is physically TIMESTAMP(NANOS); with
+``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) Spark
+reads it as LONG nanoseconds, and ``load_table`` converts it back to a
+micros-precision TIMESTAMP — the same value DuckDB sees after
+``CAST(ts AS TIMESTAMP)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    for name in tables or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def events_as_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → canonical Orestes points: time_ms/value plus tags
+    {event_type, user_id}. The natural carrier for the reference's
+    fixture shapes at scale (FIXTURES.md §4)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.unix_millis(F.col("ts")).alias("time_ms"),
+        F.col("value").cast("double").alias("value"),
+        F.map_from_arrays(
+            F.array(F.lit("event_type"), F.lit("user_id")),
+            F.array(F.col("event_type"), F.col("user_id").cast("string")),
+        ).alias("tags"),
+    )

@@ -1,0 +1,198 @@
+"""Model-based engine tests — the reference's own test strategy
+(SURVEY.md §5): generate synthetic points, compute expected answers with
+a plain-Python model, write via the engine, assert reads match."""
+
+from __future__ import annotations
+
+import random
+from collections import defaultdict
+
+MS_IN_DAY = 86_400_000
+START = 1_700_000_000_000  # fixed epoch-ms base → deterministic buckets
+
+
+def generate_points(count, start=START, interval=1, tag_values=None):
+    """Port of the reference generator semantics
+    (/root/reference/test/orestes-test-utils.js:26-53): tag k of point i
+    = values[i % len(values)], value = randint(0,100)."""
+    tag_values = tag_values or {"name": ["test"]}
+    rng = random.Random(42)
+    pts = []
+    for i in range(count):
+        pt = {"time": start + i * interval, "value": float(rng.randint(0, 100))}
+        for k, vals in tag_values.items():
+            pt[k] = vals[i % len(vals)]
+        pts.append(pt)
+    return pts
+
+
+def series_id(tags):
+    return ",".join(f"{k}={v}" for k, v in sorted(tags.items()))
+
+
+def model_series(points, pred=lambda t: True, start=0, end=None):
+    """Expected read output: series_id -> (tags, [(ms, value)...])."""
+    out = defaultdict(list)
+    tag_of = {}
+    for p in points:
+        tags = {k: str(v) for k, v in p.items() if k not in ("time", "value")}
+        if not pred(tags):
+            continue
+        if p["time"] < start or (end is not None and p["time"] >= end):
+            continue
+        sid = series_id(tags)
+        tag_of[sid] = tags
+        out[sid].append((p["time"], p["value"]))
+    return {sid: (tag_of[sid], sorted(pts)) for sid, pts in out.items()}
+
+
+def read_as_model(engine, es_filter=None, space="default", start=0, end=None):
+    rows = engine.read(es_filter, space, start, end if end is not None else START + 10**10).collect()
+    return {
+        series_id(r["tags"]): (dict(r["tags"]), [(p["time_ms"], p["value"]) for p in r["points"]])
+        for r in rows
+    }
+
+
+THREE_TAGS = {"host": ["a", "b", "c"], "pop": ["d", "e", "f", "g"], "bananas": ["one", "two", "three", "four", "five"]}
+
+
+def test_single_point_roundtrip(engine):
+    errors = engine.write([{"time": START, "value": 1.0, "name": "test"}])
+    assert errors == []
+    got = read_as_model(engine)
+    assert got == {"name=test": ({"name": "test"}, [(START, 1.0)])}
+
+
+def test_multi_series_roundtrip(engine):
+    pts = generate_points(120, tag_values=THREE_TAGS)
+    assert engine.write(pts) == []
+    assert read_as_model(engine) == model_series(pts)
+    # 3*4*5 = 60 distinct series
+    assert engine.get_stream_list().count() == 60
+
+
+def test_filtered_read(engine):
+    pts = generate_points(100, tag_values=THREE_TAGS)
+    engine.write(pts)
+    got = read_as_model(engine, {"term": {"host": "a"}})
+    assert got == model_series(pts, pred=lambda t: t.get("host") == "a")
+
+
+def test_time_range_inclusive_exclusive(engine):
+    pts = generate_points(10, interval=1000)
+    engine.write(pts)
+    # [start+2s, start+5s) → points 2,3,4
+    got = read_as_model(engine, start=START + 2000, end=START + 5000)
+    exp = model_series(pts, start=START + 2000, end=START + 5000)
+    assert got == exp
+    assert len(next(iter(got.values()))[1]) == 3
+
+
+def test_multi_day_bucketing_and_dedup(engine):
+    # 100 points over 10 days → series span many buckets; read must
+    # return each series exactly once (D1).
+    pts = generate_points(100, start=START - 10 * MS_IN_DAY, interval=MS_IN_DAY // 10, tag_values={"host": ["a", "b", "c"]})
+    engine.write(pts)
+    got = read_as_model(engine)
+    assert got == model_series(pts)
+    assert len(got) == 3
+
+
+def test_count_aggregation(engine):
+    pts = generate_points(1000, tag_values=THREE_TAGS)
+    engine.write(pts)
+    exp = {sid: len(p) for sid, (_, p) in model_series(pts).items()}
+    got = {series_id(r["tags"]): r["count"] for r in engine.count_points().collect()}
+    assert got == exp
+    # filtered count
+    exp_f = {sid: len(p) for sid, (_, p) in model_series(pts, pred=lambda t: t.get("host") == "a").items()}
+    got_f = {series_id(r["tags"]): r["count"] for r in engine.count_points({"term": {"host": "a"}}).collect()}
+    assert got_f == exp_f
+
+
+def test_generalized_aggregations(engine):
+    import statistics
+
+    pts = generate_points(200, tag_values={"host": ["a", "b"]})
+    engine.write(pts)
+    rows = engine.aggregate_points(["count", "avg", "min", "max", "sum", "stdev"]).collect()
+    model = model_series(pts)
+    for r in rows:
+        sid = series_id(r["tags"])
+        vals = [v for _, v in model[sid][1]]
+        assert r["count"] == len(vals)
+        assert abs(r["avg"] - sum(vals) / len(vals)) < 1e-9
+        assert r["min"] == min(vals) and r["max"] == max(vals)
+        assert abs(r["sum"] - sum(vals)) < 1e-9
+        assert abs(r["stdev"] - statistics.stdev(vals)) < 1e-9
+    import pytest
+
+    with pytest.raises(ValueError):
+        engine.aggregate_points(["median"])
+
+
+def test_series_and_select_distinct(engine):
+    pts = generate_points(100, tag_values=THREE_TAGS)
+    engine.write(pts)
+    series = engine.get_stream_list()
+    assert sorted(tuple(sorted(r["tags"].items())) for r in series.collect()) == sorted(
+        tuple(sorted(t.items())) for t, _ in model_series(pts).values()
+    )
+    hosts = {r["host"] for r in engine.select_distinct(["host"]).collect()}
+    assert hosts == {"a", "b", "c"}
+    combos = {(r["host"], r["pop"]) for r in engine.select_distinct(["host", "pop"]).collect()}
+    assert combos == {(t["host"], t["pop"]) for t, _ in model_series(pts).values()}
+    # missing key → NULL column, not an error (A3)
+    rows = engine.select_distinct(["host", "nope"]).collect()
+    assert {r["nope"] for r in rows} == {None}
+    assert {r["host"] for r in rows} == {"a", "b", "c"}
+
+
+def test_write_validation_errors(engine):
+    errs = engine.write(
+        [
+            {"value": 1, "name": "dave"},
+            {"time": 1, "name": "dave"},
+            {"time": 1, "value": 1},
+            {"time": 1, "value": float("nan"), "name": "x"},
+            {"time": 1, "value": 1, "name": {"nested": True}},
+            {"time": START, "value": 2.0, "name": "ok"},
+        ]
+    )
+    msgs = [e["error"] for e in errs]
+    assert msgs == [
+        'missing required keys: ["time"]',
+        "invalid value None",
+        "metrics must have at least one tag",
+        "invalid value nan",
+        "invalid tag - value is an object or array",
+    ]
+    assert engine.read().count() == 1  # the good point landed
+
+
+def test_space_isolation_and_granularity(engine):
+    # space 'other' has granularity 7 (conftest); data 100 days back
+    pts_default = generate_points(50, tag_values={"host": ["a"]})
+    pts_other = generate_points(100, start=START - 100 * MS_IN_DAY, interval=MS_IN_DAY // 10, tag_values={"pop": ["x", "y"]})
+    engine.write(pts_default, "default")
+    engine.write(pts_other, "other")
+    assert read_as_model(engine, space="default") == model_series(pts_default)
+    assert read_as_model(engine, space="other") == model_series(pts_other)
+    # granularity-7 buckets are multiples of 7
+    buckets = [int(p.name.split("=")[1]) for p in (engine._points_path("other")).glob("bucket=*")]
+    assert buckets and all(b % 7 == 0 for b in buckets)
+
+
+def test_remove_retention(engine):
+    import time as _t
+
+    now = int(_t.time() * 1000)
+    old = generate_points(10, start=now - 50 * MS_IN_DAY, tag_values={"host": ["a"]})
+    new = generate_points(10, start=now - 1000, tag_values={"host": ["a"]})
+    engine.write(old + new)
+    dropped = engine.remove("default", keep_days=10)
+    assert dropped  # the 50-day-old bucket went away
+    got = read_as_model(engine, end=now + MS_IN_DAY)
+    (tags, pts), = got.values()
+    assert pts == sorted((p["time"], p["value"]) for p in new)
