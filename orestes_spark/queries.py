@@ -1,0 +1,424 @@
+"""Named query registry backing __spark_entry__.py.
+
+Each entry pairs a Spark builder ``(spark, sf_dir) -> DataFrame`` with an
+equivalent DuckDB oracle SQL string over the driver's parquet views
+(region nation customer supplier part orders lineitem events documents
+embeddings). Naming rule: every computed column is aliased identically
+on both sides — the driver's comparator sorts columns by name and
+hashes values.
+
+Sections:
+  - os_*:   Orestes-parity operators (SURVEY.md §2) over the events
+            table viewed as points (tags = event_type, user_id)
+  - tpch_*: generalized analytics (joins/windows) — the capabilities a
+            Spark-backed Orestes gains for free and our bench headliners
+  - doc_*:  text-analysis / dedup extensions over documents
+
+Float discipline: every float aggregate is rounded (4-6 dp) on BOTH
+sides so partial-aggregation order can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from orestes_spark import esdsl
+from orestes_spark.sources.testdata import load_table
+
+# [2024-01-05, 2024-01-20) — inside the events table's January span.
+T0 = 1_704_412_800_000
+T1 = 1_705_708_800_000
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, SparkQuery] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events viewed as Orestes points with flat tag columns
+    (event_type, user_id) — the wide-table twin of the MAP form."""
+    return load_table(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.col("user_id").cast("string").alias("user_id"),
+        F.unix_millis("ts").alias("time_ms"),
+        F.col("value"),
+    )
+
+
+def _flt(df: DataFrame, query: dict | None, start: int | None = None, end: int | None = None) -> DataFrame:
+    pred = esdsl.translate(query, esdsl.flat_resolver(["event_type", "user_id"]))
+    if start is not None:
+        pred = pred & (F.col("time_ms") >= start) & (F.col("time_ms") < end)
+    return df.where(pred)
+
+
+# ---------------------------------------------------------------- os_* ---
+
+_EV_MS = "epoch_ms(CAST(ts AS TIMESTAMP))"
+
+
+@register(
+    "os_read_term",
+    f"""SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, {_EV_MS} AS time_ms, value
+        FROM events
+        WHERE event_type = 'click' AND {_EV_MS} >= {T0} AND {_EV_MS} < {T1}""",
+)
+def os_read_term(spark, sf_dir):
+    """S6/S7/F1/F2: term-filtered time-range point read, flat shape
+    (/root/reference/test/http-api.spec.js:78-97 scenario)."""
+    return _flt(events_points(spark, sf_dir), {"term": {"event_type": "click"}}, T0, T1)
+
+
+@register(
+    "os_read_bool",
+    """SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS time_ms, value
+       FROM events
+       WHERE event_type = 'view'
+         AND CAST(user_id AS VARCHAR) NOT IN ('1', '2', '3')
+         AND CAST(user_id AS VARCHAR) LIKE '1%'""",
+)
+def os_read_bool(spark, sf_dir):
+    """F1 bool combinators: must + must_not + prefix."""
+    q = {
+        "bool": {
+            "must": [{"term": {"event_type": "view"}}, {"prefix": {"user_id": "1"}}],
+            "must_not": [{"terms": {"user_id": ["1", "2", "3"]}}],
+        }
+    }
+    return _flt(events_points(spark, sf_dir), q)
+
+
+@register(
+    "os_count_points",
+    f"""SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, count(*) AS count
+        FROM events
+        WHERE event_type = 'purchase' AND {_EV_MS} >= {T0} AND {_EV_MS} < {T1}
+        GROUP BY 1, 2""",
+)
+def os_count_points(spark, sf_dir):
+    """A1: the reference's only aggregation — per-series count."""
+    pts = _flt(events_points(spark, sf_dir), {"term": {"event_type": "purchase"}}, T0, T1)
+    return pts.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("count"))
+
+
+@register(
+    "os_series_list",
+    """SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS user_id
+       FROM events WHERE event_type IN ('click', 'error')""",
+)
+def os_series_list(spark, sf_dir):
+    """D3: /series — distinct tag-sets matching a terms filter."""
+    pts = _flt(events_points(spark, sf_dir), {"terms": {"event_type": ["click", "error"]}})
+    return pts.select("event_type", "user_id").distinct()
+
+
+@register(
+    "os_select_distinct",
+    """SELECT DISTINCT event_type, CAST(NULL AS VARCHAR) AS missing_key FROM events""",
+)
+def os_select_distinct(spark, sf_dir):
+    """A2+A3: /select_distinct with a key absent from every series →
+    NULL column, not an error."""
+    return (
+        events_points(spark, sf_dir)
+        .select("event_type", F.lit(None).cast("string").alias("missing_key"))
+        .distinct()
+    )
+
+
+@register(
+    "os_agg_series",
+    """SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+              count(*) AS count,
+              round(avg(value), 6) AS avg_value,
+              min(value) AS min_value,
+              max(value) AS max_value,
+              round(sum(value), 4) AS sum_value,
+              round(stddev_samp(value), 6) AS stdev_value
+       FROM events GROUP BY 1, 2""",
+)
+def os_agg_series(spark, sf_dir):
+    """A4 generalized per-series metric aggregations."""
+    return (
+        events_points(spark, sf_dir)
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.stddev_samp("value"), 6).alias("stdev_value"),
+        )
+    )
+
+
+@register(
+    "os_day_rollup",
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+              count(*) AS n, round(sum(value), 4) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def os_day_rollup(spark, sf_dir):
+    """F3 shape: time-bucketed rollup — the query pattern bucket
+    partition pruning serves at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.to_date("ts").cast("string").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+# -------------------------------------------------------------- tpch_* ---
+
+
+# Money math note: the driver's fact tables store 2-dp money as DOUBLE.
+# Summing doubles is partial-aggregation-order dependent, so a
+# round(sum(..), 2) can flip at a .xx5 boundary between Spark and the
+# oracle. Both sides therefore cast to DECIMAL first — sums become
+# exact and engine-independent (and, at 100 TB, overflow-safe: Spark
+# widens decimal precision on aggregate).
+_DEC_PRICE = "CAST(l_extendedprice AS DECIMAL(18,2))"
+_DEC_DISC = "CAST(l_discount AS DECIMAL(18,2))"
+_DEC_TAX = "CAST(l_tax AS DECIMAL(18,2))"
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+@register(
+    "tpch_q1",
+    f"""SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum({_DEC_PRICE}) AS DOUBLE) AS sum_base_price,
+              CAST(round(sum({_DEC_PRICE} * (1 - {_DEC_DISC})), 2) AS DOUBLE) AS sum_disc_price,
+              CAST(round(sum({_DEC_PRICE} * (1 - {_DEC_DISC}) * (1 + {_DEC_TAX})), 2) AS DOUBLE) AS sum_charge,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+              round(CAST(sum({_DEC_PRICE}) AS DOUBLE) / count(*), 4) AS avg_price,
+              round(CAST(sum({_DEC_DISC}) AS DOUBLE) / count(*), 6) AS avg_disc,
+              count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY 1, 2""",
+)
+def tpch_q1(spark, sf_dir):
+    """Pricing summary: the canonical wide-agg scan; exercises partial
+    (map-side) aggregation — the Catalyst analogue of the reference's
+    per-bucket partial counts summed client-side (A1 at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty, price, disc, tax = _dec("l_quantity"), _dec("l_extendedprice"), _dec("l_discount"), _dec("l_tax")
+    disc_price = price * (1 - disc)
+    n = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + tax)), 2).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / n, 4).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / n, 4).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3",
+    """SELECT l.l_orderkey AS l_orderkey,
+              CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+              CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+              o.o_orderpriority AS o_orderpriority
+       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+         AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+       GROUP BY 1, 3, 4""",
+)
+def tpch_q3(spark, sf_dir):
+    """Shipping priority: selective dim filter broadcast into two fact
+    joins. customer(BUILDING) is small → broadcast hash join, no
+    shuffle of lineitem on the customer side."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q5",
+    """SELECT n.n_name AS n_name,
+              CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name = 'ASIA'
+         AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY 1""",
+)
+def tpch_q5(spark, sf_dir):
+    """Local-supplier volume: star join with three broadcast dims
+    (supplier/nation/region) and one shuffle join (orders⋈lineitem)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dim = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(dim.select("s_suppkey", "n_name")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "window_top3_orders",
+    """SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+         SELECT c.c_mktsegment AS c_mktsegment, o.o_orderkey AS o_orderkey,
+                o.o_totalprice AS o_totalprice,
+                row_number() OVER (PARTITION BY c.c_mktsegment
+                                   ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       ) WHERE rn <= 3""",
+)
+def window_top3_orders(spark, sf_dir):
+    """Top-K per group via window — deterministic tiebreak on orderkey."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+
+
+# --------------------------------------------------------------- doc_* ---
+
+
+@register(
+    "doc_token_count",
+    r"""SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               length(text) AS n_chars_actual
+        FROM documents""",
+)
+def doc_token_count(spark, sf_dir):
+    """Whitespace token counting — the basic unit of text-pipeline cost
+    accounting. Pure built-ins, fully codegen'd."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "doc_quality",
+    r"""SELECT doc_id,
+               round(length(replace(text, ' ', '')) * 1.0
+                     / len(string_split_regex(trim(text), '\s+')), 6) AS avg_token_len,
+               round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                     x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) * 1.0
+                     / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio
+        FROM documents""",
+)
+def doc_quality(spark, sf_dir):
+    """Quality scoring: avg token length + stopword ratio (the
+    heuristics LLM-data pipelines gate on)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop = F.array([F.lit(s) for s in ["the", "a", "and", "of", "to", "in"]])
+    return d.select(
+        "doc_id",
+        F.round(F.length(F.regexp_replace("text", " ", "")) * 1.0 / F.size(toks), 6).alias("avg_token_len"),
+        F.round(
+            F.size(F.filter(toks, lambda x: F.array_contains(stop, x))) * 1.0 / F.size(toks), 6
+        ).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "doc_dedup_exact",
+    """SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS n_copies
+       FROM documents GROUP BY 1""",
+)
+def doc_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash: one shuffle on the fingerprint,
+    min(doc_id) elects the canonical copy. At 100 TB the fingerprint is
+    computed in the scan and the shuffle carries (hash, id) only."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text").cast("binary")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "doc_lang_profile",
+    """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+              count(DISTINCT source) AS n_sources
+       FROM documents GROUP BY 1""",
+)
+def doc_lang_profile(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
