@@ -1,0 +1,229 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  - brute-force cosine top-k: exact baseline; one broadcast of the
+    query set, one pass over the corpus, per-query top-k via window.
+  - LSH (random-hyperplane) bucketed search: the scale path — vectors
+    hash to sign-pattern buckets; queries only score their bucket.
+
+Determinism: with ``quantize`` set, vectors are first scaled to
+integers (round(x * quantize)) so dot products and norms are exact
+integer arithmetic — bit-identical across engines, which is what lets
+the DuckDB oracle hash-match the result. ``quantize=None`` keeps full
+float precision (production mode; same plan shape).
+
+Hyperplanes are derived from md5 parities (seeded, data-independent),
+so the Spark side and any oracle can regenerate the exact same planes
+without shipping state.
+
+Scale notes: the corpus scan is embarrassingly parallel; the top-k
+window partitions by query id (bounded by |queries| × k rows after
+the aggregate); LSH bucket ids are computed in the scan and the
+bucket join is an equi-join. All arithmetic is built-in higher-order
+functions (zip_with/aggregate) — JVM-side, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hyperplanes(num_planes: int, dims: int, seed: str = "orestes") -> list[list[int]]:
+    """Deterministic ±1 hyperplanes: component (p, d) is +1 iff the
+    first hex digit of md5('<seed>:<p>:<d>') is odd."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dims):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 1 else -1)
+        planes.append(row)
+    return planes
+
+
+def quantized(col: F.Column, quantize: int | None) -> F.Column:
+    if quantize is None:
+        return F.transform(col, lambda x: x.cast("double"))
+    return F.transform(col, lambda x: F.round(x.cast("double") * quantize).cast("long"))
+
+
+def _dot(a: F.Column, b: F.Column, as_long: bool) -> F.Column:
+    zero = F.lit(0).cast("long" if as_long else "double")
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, v: acc + v)
+
+
+def with_norm(df: DataFrame, vec_col: str, as_long: bool) -> DataFrame:
+    return df.withColumn("_norm2", _dot(F.col(vec_col), F.col(vec_col), as_long))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+    Output: (query_id, neighbor_id, cosine, rank). Self-matches are
+    excluded. The query side is broadcast — the corpus never shuffles
+    until the (tiny) per-query aggregation."""
+    as_long = quantize is not None
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("cid"), quantized(F.col(vec_col), quantize).alias("cvec")),
+        "cvec",
+        as_long,
+    ).withColumnRenamed("_norm2", "cn2")
+    q = with_norm(
+        queries.select(F.col(id_col).alias("qid"), quantized(F.col(vec_col), quantize).alias("qvec")),
+        "qvec",
+        as_long,
+    ).withColumnRenamed("_norm2", "qn2")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                _dot(F.col("qvec"), F.col("cvec"), as_long)
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double")))
+            ).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            F.round("_cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def lsh_bucket(vec_col: F.Column, planes: list[list[int]], as_long: bool = False) -> F.Column:
+    """Sign-pattern bucket id: bit p set iff dot(vec, plane_p) >= 0.
+
+    ``vec_col`` must already be quantized/cast (the same representation
+    the scoring uses) — bucketing a different representation than you
+    score risks borderline sign flips versus an oracle."""
+    elem = "long" if as_long else "double"
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(c) for c in plane]).cast(f"array<{elem}>"),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast(elem),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 8,
+    quantize: int | None = None,
+    seed: str = "orestes",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH
+    bucket. Recall < 1 by design; same output schema as cosine_topk."""
+    dims = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(num_planes, dims, seed)
+    as_long = quantize is not None
+    c = with_norm(
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            quantized(F.col(vec_col), quantize).alias("cvec"),
+            lsh_bucket(quantized(F.col(vec_col), quantize), planes, as_long).alias("bucket"),
+        ),
+        "cvec",
+        as_long,
+    ).withColumnRenamed("_norm2", "cn2")
+    q = with_norm(
+        queries.select(
+            F.col(id_col).alias("qid"),
+            quantized(F.col(vec_col), quantize).alias("qvec"),
+            lsh_bucket(quantized(F.col(vec_col), quantize), planes, as_long).alias("bucket"),
+        ),
+        "qvec",
+        as_long,
+    ).withColumnRenamed("_norm2", "qn2")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                _dot(F.col("qvec"), F.col("cvec"), as_long)
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double")))
+            ).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            F.round("_cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    num_planes: int = 8,
+    quantize: int | None = None,
+    seed: str = "orestes",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH bucket candidates →
+    exact cosine verify ≥ threshold. Output (id_a, id_b, cosine)."""
+    dims = len(vectors.select(vec_col).first()[0])
+    planes = hyperplanes(num_planes, dims, seed)
+    as_long = quantize is not None
+    v = with_norm(
+        vectors.select(
+            F.col(id_col).alias("_id"),
+            quantized(F.col(vec_col), quantize).alias("vec"),
+            lsh_bucket(quantized(F.col(vec_col), quantize), planes, as_long).alias("bucket"),
+        ),
+        "vec",
+        as_long,
+    )
+    a = v.toDF("id_a", "vec_a", "bucket", "n2_a")
+    b = v.toDF("id_b", "vec_b", "bucket", "n2_b")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("vec_a"), F.col("vec_b"), as_long)
+                / (F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double"))),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,322 @@
+"""Generated DuckDB oracle SQL for the dedup / similarity / text
+operators. Each builder mirrors the corresponding Spark operator's
+exact deterministic computation (portable md5 hashing, integer-exact
+quantized vector arithmetic), so results hash-match across engines.
+"""
+
+from __future__ import annotations
+
+from orestes_spark.operators.similarity import hyperplanes
+from orestes_spark.operators.text import LANG_MARKERS
+
+# Shared CTE: distinct 3-token shingles per document.
+TOKEN_SHINGLES = r"""
+toks AS (
+  SELECT doc_id, u.tok AS tok, u.pos AS pos FROM documents,
+  (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+          generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos) u
+),
+shingles AS (
+  SELECT DISTINCT doc_id AS _id, concat_ws(' ', tok,
+      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+      lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS sh
+  FROM toks
+  QUALIFY lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+)"""
+
+
+def minhash_neardup_sql(num_hashes: int = 8, rows_per_band: int = 2, threshold: float = 0.5) -> str:
+    sig_cols = ",\n         ".join(
+        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(num_hashes)
+    )
+    bands = num_hashes // rows_per_band
+    band_selects = " UNION ALL ".join(
+        "SELECT _id, {b} AS band, concat({cols}) AS bval FROM sig".format(
+            b=b,
+            cols=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {TOKEN_SHINGLES},
+sig AS (
+  SELECT _id, {sig_cols}
+  FROM shingles GROUP BY _id
+),
+banded AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT a._id AS id_a, b._id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bval = b.bval AND a._id < b._id
+),
+sizes AS (SELECT _id, count(*) AS n FROM shingles GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cands c
+  JOIN shingles sa ON sa._id = c.id_a
+  JOIN shingles sb ON sb._id = c.id_b AND sb.sh = sa.sh
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i * 1.0 / (na.n + nb.n - i), 6) AS jaccard
+FROM inter JOIN sizes na ON na._id = id_a JOIN sizes nb ON nb._id = id_b
+WHERE round(i * 1.0 / (na.n + nb.n - i), 6) >= {threshold}
+"""
+
+
+def simhash_sql(bits: int = 32) -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN instr('13579bdf', substr(md5('sh:' || tok), {i + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN v{i} >= 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END" for i in range(bits))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, u.tok AS tok FROM documents,
+  (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok) u
+),
+votes AS (
+  SELECT doc_id, {votes}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, {sig} AS simhash FROM votes
+"""
+
+
+def simhash_pairs_sql(bits: int = 32, band_bits: int = 8, max_hamming: int = 3) -> str:
+    bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"CAST((simhash // {1 << (b * band_bits)}) % {mask + 1} AS BIGINT) AS bval FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH base AS ({simhash_sql(bits)}),
+sig AS (SELECT doc_id, simhash FROM base),
+banded AS ({band_selects}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+def ngram_jaccard_sql(
+    n: int = 5, threshold: float = 0.7, max_df: int | None = 100, min_grams: int = 1
+) -> str:
+    size_filter = (
+        f"WHERE _id IN (SELECT _id FROM grams_raw GROUP BY _id HAVING count(*) >= {min_grams})"
+        if min_grams > 1
+        else ""
+    )
+    if max_df is not None:
+        cands = f"""
+rare AS (SELECT sh FROM grams GROUP BY sh HAVING count(*) <= {max_df}),
+grams_rare AS (SELECT _id, sh FROM grams WHERE sh IN (SELECT sh FROM rare)),
+cands AS (
+  SELECT DISTINCT a._id AS id_a, b._id AS id_b
+  FROM grams_rare a JOIN grams_rare b ON a.sh = b.sh AND a._id < b._id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cands c
+  JOIN grams ga ON ga._id = c.id_a
+  JOIN grams gb ON gb._id = c.id_b AND gb.sh = ga.sh
+  GROUP BY 1, 2
+)"""
+    else:
+        cands = """
+inter AS (
+  SELECT a._id AS id_a, b._id AS id_b, count(*) AS i
+  FROM grams a JOIN grams b ON a.sh = b.sh AND a._id < b._id
+  GROUP BY 1, 2
+)"""
+    return f"""
+WITH d AS (SELECT doc_id, trim(lower(text)) AS norm FROM documents),
+grams_raw AS (
+  SELECT DISTINCT doc_id AS _id, substr(norm, u.i, {n}) AS sh FROM d,
+  (SELECT UNNEST(generate_series(1, greatest(length(norm) - {n - 1}, 1))) AS i) u
+),
+grams AS (SELECT _id, sh FROM grams_raw {size_filter}),
+sizes AS (SELECT _id, count(*) AS nn FROM grams GROUP BY 1),
+{cands}
+SELECT id_a, id_b, round(i * 1.0 / (na.nn + nb.nn - i), 6) AS jaccard
+FROM inter JOIN sizes na ON na._id = id_a JOIN sizes nb ON nb._id = id_b
+WHERE round(i * 1.0 / (na.nn + nb.nn - i), 6) >= {threshold}
+"""
+
+
+def lang_id_sql() -> str:
+    selects = []
+    for lang, markers in LANG_MARKERS.items():
+        in_list = ", ".join(f"'{m}'" for m in markers)
+        selects.append(
+            rf"""SELECT doc_id, '{lang}' AS lang,
+       len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ({in_list}))) AS score
+       FROM documents"""
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH scores AS ({union}),
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+  FROM scores
+)
+SELECT doc_id, lang AS pred_lang, score FROM ranked WHERE rn = 1
+"""
+
+
+def fingerprint_sql() -> str:
+    return r"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm FROM documents
+),
+toks AS (
+  SELECT doc_id, u.tok AS tok, u.pos AS pos FROM d,
+  (SELECT UNNEST(string_split(norm, ' ')) AS tok,
+          generate_subscripts(string_split(norm, ' '), 1) AS pos) u
+),
+shingles AS (
+  SELECT doc_id, md5(concat_ws(' ', tok,
+      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+      lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos))) AS shash
+  FROM toks
+  QUALIFY lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+)
+SELECT d.doc_id, md5(d.norm) AS fingerprint, s.mf AS shingle_fingerprint
+FROM d JOIN (SELECT doc_id, min(shash) AS mf FROM shingles GROUP BY 1) s USING (doc_id)
+"""
+
+
+_QUANT_VECS = """
+q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings),
+u AS (SELECT vec_id, UNNEST(v) AS x, generate_subscripts(v, 1) AS i FROM q),
+norms AS (SELECT vec_id, sum(x * x) AS n2 FROM u GROUP BY 1)"""
+
+
+def emb_topk_sql(k: int = 5, num_queries: int = 10) -> str:
+    return f"""
+WITH {_QUANT_VECS},
+dots AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x * b.x) AS dot
+  FROM u a JOIN u b ON a.i = b.i AND a.vec_id != b.vec_id
+  WHERE a.vec_id < {num_queries}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, cid, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS c
+  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid
+),
+ranked AS (
+  SELECT qid, cid, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid AS query_id, cid AS neighbor_id, round(c, 6) AS cosine, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _planes_values(num_planes: int, dims: int, seed: str = "orestes") -> str:
+    planes = hyperplanes(num_planes, dims, seed)
+    rows = [f"({p}, {d}, {planes[p][d]})" for p in range(num_planes) for d in range(dims)]
+    return "planes(p, d, s) AS (SELECT * FROM (VALUES " + ", ".join(rows) + "))"
+
+
+def _bucketed_vecs(num_planes: int, dims: int) -> str:
+    bucket_sum = " + ".join(
+        f"CASE WHEN pr{p} >= 0 THEN CAST({2**p} AS BIGINT) ELSE 0 END" for p in range(num_planes)
+    )
+    proj_cols = ",\n    ".join(
+        f"sum(CASE WHEN pl.p = {p} THEN u.x * pl.s ELSE 0 END) AS pr{p}" for p in range(num_planes)
+    )
+    return f"""
+{_planes_values(num_planes, dims)},
+projs AS (
+  SELECT u.vec_id,
+    {proj_cols}
+  FROM u JOIN planes pl ON pl.d = u.i - 1
+  GROUP BY u.vec_id
+),
+buckets AS (SELECT vec_id, {bucket_sum} AS bucket FROM projs)"""
+
+
+def emb_topk_lsh_sql(k: int = 5, num_queries: int = 10, num_planes: int = 8, dims: int = 64) -> str:
+    return f"""
+WITH {_QUANT_VECS},
+{_bucketed_vecs(num_planes, dims)},
+dots AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x * b.x) AS dot
+  FROM u a
+  JOIN buckets ba ON ba.vec_id = a.vec_id
+  JOIN buckets bb ON bb.bucket = ba.bucket AND bb.vec_id != a.vec_id
+  JOIN u b ON b.vec_id = bb.vec_id AND b.i = a.i
+  WHERE a.vec_id < {num_queries}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, cid, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS c
+  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid
+),
+ranked AS (
+  SELECT qid, cid, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid AS query_id, cid AS neighbor_id, round(c, 6) AS cosine, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def emb_highsim_pairs_sql(threshold: float = 0.3, num_planes: int = 8, dims: int = 64) -> str:
+    return f"""
+WITH {_QUANT_VECS},
+{_bucketed_vecs(num_planes, dims)},
+cands AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.id_a, c.id_b, sum(ua.x * ub.x) AS dot
+  FROM cands c JOIN u ua ON ua.vec_id = c.id_a JOIN u ub ON ub.vec_id = c.id_b AND ub.i = ua.i
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= {threshold}
+"""
+
+
+def _hex4(off: int) -> str:
+    """SQL for int(md5_hex[off:off+4], 16), 1-indexed, over column h."""
+    digits = [
+        f"(strpos('0123456789abcdef', substr(h, {off + j}, 1)) - 1)" for j in range(4)
+    ]
+    return f"({digits[0]} * 4096 + {digits[1]} * 256 + {digits[2]} * 16 + {digits[3]})"
+
+
+def multimodal_meta_sql() -> str:
+    return f"""
+WITH m AS (SELECT doc_id, text, md5(text) AS h FROM documents)
+SELECT doc_id AS media_id,
+       'image' AS modality,
+       'application/octet-stream' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       h AS checksum,
+       CAST({_hex4(1)} % 1024 AS INTEGER) AS width,
+       CAST({_hex4(5)} % 1024 AS INTEGER) AS height,
+       CAST({_hex4(9)} AS BIGINT) AS duration_ms
+FROM m
+"""
+
+
+def frame_sample_sql(every_ms: int = 1000) -> str:
+    return f"""
+WITH m AS (SELECT doc_id, CAST({_hex4(9)} AS BIGINT) AS duration_ms
+           FROM (SELECT doc_id, md5(text) AS h FROM documents))
+SELECT doc_id AS media_id,
+       CAST(u.i AS INTEGER) AS frame_idx,
+       CAST(u.i * {every_ms} AS BIGINT) AS frame_ts_ms
+FROM m, (SELECT UNNEST(generate_series(0, duration_ms // {every_ms})) AS i) u
+"""

@@ -422,3 +422,102 @@ def doc_lang_profile(spark, sf_dir):
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+# ------------------------------------------------- dedup / sim / text ---
+# Spark implementations live in orestes_spark.operators.*; the DuckDB
+# twins are generated by orestes_spark.oracles so both engines run the
+# exact same deterministic computation (portable md5 hashing,
+# integer-exact quantized vector math).
+
+from orestes_spark import oracles  # noqa: E402
+from orestes_spark.operators import dedup, similarity, text  # noqa: E402
+
+
+@register("doc_minhash_neardup", oracles.minhash_neardup_sql())
+def doc_minhash_neardup(spark, sf_dir):
+    """MinHash → LSH bands → exact-Jaccard verify (threshold 0.5)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(d, "doc_id", "text")
+
+
+@register("doc_simhash", oracles.simhash_sql())
+def doc_simhash(spark, sf_dir):
+    """32-bit SimHash signature per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_signatures(d, "doc_id", "text").withColumnRenamed("_id", "doc_id")
+
+
+@register("doc_simhash_pairs", oracles.simhash_pairs_sql())
+def doc_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: band-LSH candidates + Hamming ≤ 3."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.simhash_signatures(d, "doc_id", "text")
+    return dedup.simhash_near_pairs(sig)
+
+
+@register("doc_ngram_jaccard", oracles.ngram_jaccard_sql())
+def doc_ngram_jaccard(spark, sf_dir):
+    """Character-5-gram Jaccard ≥ 0.7: candidates from rare grams
+    (df ≤ 100 bounds the inverted-index fan-out), exact Jaccard over
+    full gram sets on the candidates."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_dedup(d, "doc_id", "text", ngram=5, threshold=0.7, max_df=100)
+
+
+@register("doc_lang_id", oracles.lang_id_sql())
+def doc_lang_id(spark, sf_dir):
+    """Marker-stopword language ID with deterministic argmax."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.lang_id(d, "doc_id", "text")
+
+
+@register("doc_fingerprint", oracles.fingerprint_sql())
+def doc_fingerprint(spark, sf_dir):
+    """md5 + min-shingle content fingerprints."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.fingerprints(d, "doc_id", "text")
+
+
+@register("emb_topk_cosine", oracles.emb_topk_sql())
+def emb_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors vec_id<10
+    (integer-quantized for cross-engine determinism)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(e, e.where(F.col("vec_id") < 10), k=5, quantize=1000)
+
+
+@register("emb_topk_lsh", oracles.emb_topk_lsh_sql())
+def emb_topk_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-5 (8 random hyperplanes) — the
+    scale path; oracle mirrors the same deterministic planes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_lsh(e, e.where(F.col("vec_id") < 10), k=5, quantize=1000)
+
+
+@register("emb_highsim_pairs", oracles.emb_highsim_pairs_sql())
+def emb_highsim_pairs(spark, sf_dir):
+    """Embedding near-dup pairs: LSH candidates + cosine ≥ 0.3."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(e, threshold=0.3, quantize=1000)
+
+
+from orestes_spark.operators import multimodal  # noqa: E402
+
+
+@register("multimodal_meta", oracles.multimodal_meta_sql())
+def multimodal_meta(spark, sf_dir):
+    """Binary media column → typed metadata via Arrow-batched
+    mapInPandas (decode stubbed deterministically — no codecs in the
+    container; the plumbing is real)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_binary(d, "doc_id", "text")
+    return multimodal.extract_metadata(media)
+
+
+@register("multimodal_frame_sample", oracles.frame_sample_sql())
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling shape: one row per sampled frame timestamp."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_binary(d, "doc_id", "text")
+    return multimodal.frame_sample(media, every_ms=1000)

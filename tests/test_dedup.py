@@ -1,0 +1,72 @@
+"""Dedup operator tests with planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+
+from orestes_spark.operators import dedup
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy cat again and again today"
+OTHER = "completely different content about spark query engines and shuffles here"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),          # exact dup of 1
+        (3, NEAR),          # near dup of 1 (one token changed)
+        (4, OTHER),
+        (5, "tiny doc"),    # < 3 tokens: no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_exact_dedup(docs):
+    rows = {r["keeper_id"]: r["n_copies"] for r in dedup.exact_dedup(docs, "doc_id", "text").collect()}
+    assert rows[1] == 2  # docs 1+2 collapse
+    assert rows[3] == 1 and rows[4] == 1
+
+
+def test_minhash_lsh_finds_planted_pair(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup always survives LSH
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_ngram_jaccard_finds_planted_pair(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_dedup(docs, "doc_id", "text", threshold=0.7).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+    assert all(4 not in p for p in pairs)
+
+
+def test_ngram_max_df_drops_stop_shingles(spark):
+    # every doc shares 'aaaaa'; with max_df=1 that shingle can't join
+    rows = [(i, "aaaaa unique%d" % i) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = dedup.ngram_jaccard_dedup(docs, "doc_id", "text", threshold=0.1, max_df=1)
+    assert out.count() == 0
+
+
+def test_simhash_exact_dup_distance_zero(docs):
+    sig = dedup.simhash_signatures(docs, "doc_id", "text")
+    sigs = {r["_id"]: r["simhash"] for r in sig.collect()}
+    assert sigs[1] == sigs[2]
+    assert 0 <= sigs[1] < 2**32
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_near_pairs(sig).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+
+
+def test_shingles_skip_short_docs(docs):
+    sh = dedup.token_shingles(docs, "doc_id", "text")
+    assert sh.where("_id = 5").count() == 0

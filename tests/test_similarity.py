@@ -1,0 +1,81 @@
+"""Similarity search tests vs a numpy brute-force model."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from orestes_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=(40, 16)).astype("float32")
+    data[1] = data[0]  # planted exact duplicate
+    data[2] = data[0] + rng.normal(scale=0.01, size=16).astype("float32")  # near dup
+    rows = [(i, [float(x) for x in data[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    return df, data
+
+
+def model_topk(data, qid, k):
+    norms = np.linalg.norm(data, axis=1)
+    cos = data @ data[qid] / (norms * norms[qid])
+    order = sorted(range(len(data)), key=lambda i: (-cos[i], i))
+    return [(i, cos[i]) for i in order if i != qid][:k]
+
+
+def test_cosine_topk_matches_numpy(vecs):
+    df, data = vecs
+    out = similarity.cosine_topk(df, df.where("vec_id = 0"), k=5)
+    got = [(r["neighbor_id"], r["cosine"]) for r in out.orderBy("rank").collect()]
+    exp = model_topk(data, 0, 5)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert abs(g[1] - e[1]) < 1e-5
+    assert got[0][0] == 1 and got[0][1] == 1.0  # the planted dup, cosine 1
+
+
+def test_cosine_topk_quantized(vecs):
+    df, data = vecs
+    out = similarity.cosine_topk(df, df.where("vec_id = 0"), k=3, quantize=1000)
+    got = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert got[:2] == [1, 2]
+
+
+def test_lsh_finds_identical_vector(vecs):
+    df, data = vecs
+    out = similarity.cosine_topk_lsh(df, df.where("vec_id = 0"), k=5)
+    rows = out.orderBy("rank").collect()
+    assert rows, "identical vector must land in the same bucket"
+    assert rows[0]["neighbor_id"] == 1 and rows[0]["cosine"] == 1.0
+
+
+def test_lsh_subset_of_exact_scores(vecs):
+    df, data = vecs
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.cosine_topk(df, df, k=40).collect()
+    }
+    for r in similarity.cosine_topk_lsh(df, df, k=5).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact and abs(exact[key] - r["cosine"]) < 1e-9
+
+
+def test_embedding_near_dups(vecs):
+    df, data = vecs
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.embedding_near_dups(df, threshold=0.98).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs or (1, 2) in pairs  # the near dup
+
+
+def test_hyperplanes_deterministic():
+    a = similarity.hyperplanes(4, 8)
+    b = similarity.hyperplanes(4, 8)
+    assert a == b
+    assert all(v in (-1, 1) for row in a for v in row)
+    assert similarity.hyperplanes(4, 8, seed="x") != a
