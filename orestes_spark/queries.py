@@ -521,3 +521,63 @@ def multimodal_frame_sample(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_fake_binary(d, "doc_id", "text")
     return multimodal.frame_sample(media, every_ms=1000)
+
+
+# ------------------------------------------------------ engine path ---
+
+import tempfile  # noqa: E402
+
+from orestes_spark.engine import OrestesEngine  # noqa: E402
+from orestes_spark.sources.testdata import events_as_points  # noqa: E402
+
+_WAREHOUSES: dict[str, OrestesEngine] = {}
+
+
+def _engine_for(spark, sf_dir: str) -> OrestesEngine:
+    """Materialize the events table into a real engine warehouse once
+    per process — so the oracle gate exercises the actual storage
+    layout (bucket partitions, series metadata, semi-join read path),
+    not just expression translation."""
+    eng = _WAREHOUSES.get(sf_dir)
+    if eng is None:
+        eng = OrestesEngine(spark, tempfile.mkdtemp(prefix="orestes_wh_"))
+        eng._append(events_as_points(spark, sf_dir), "default")
+        _WAREHOUSES[sf_dir] = eng
+    return eng
+
+
+@register(
+    "os_engine_roundtrip",
+    f"""SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, {_EV_MS} AS time_ms, value
+        FROM events
+        WHERE event_type = 'error' AND {_EV_MS} >= {T0} AND {_EV_MS} < {T1}""",
+)
+def os_engine_roundtrip(spark, sf_dir):
+    """Full write→read through the engine warehouse: bucket-partitioned
+    parquet, series metadata table, broadcast semi-join read (3.1
+    lifecycle) — oracle-checked against plain SQL over the source."""
+    eng = _engine_for(spark, sf_dir)
+    flat = eng.read({"term": {"event_type": "error"}}, "default", T0, T1, grouped=False)
+    return flat.select(
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").alias("user_id"),
+        "time_ms",
+        "value",
+    )
+
+
+@register(
+    "os_engine_count",
+    f"""SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, count(*) AS count
+        FROM events WHERE {_EV_MS} >= {T0} AND {_EV_MS} < {T1}
+        GROUP BY 1, 2""",
+)
+def os_engine_count(spark, sf_dir):
+    """count_points through the engine warehouse (A1 on real layout)."""
+    eng = _engine_for(spark, sf_dir)
+    counts = eng.count_points(None, "default", T0, T1)
+    return counts.select(
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").alias("user_id"),
+        "count",
+    )

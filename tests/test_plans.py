@@ -1,0 +1,92 @@
+"""Plan-quality guardrails: assert partition pruning, predicate
+pushdown, column pruning, and broadcast strategy survive refactors.
+These are the properties that make the operators viable at 100 TB —
+a regression here is as much a bug as a wrong result."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def loaded_engine(spark, tmp_path_factory):
+    from orestes_spark.engine import OrestesEngine
+    from orestes_spark.sources.testdata import events_as_points
+
+    eng = OrestesEngine(spark, str(tmp_path_factory.mktemp("wh")))
+    eng._append(events_as_points(spark, "/root/testdata/sf0.001"), "default")
+    return eng
+
+
+T0 = 1_704_412_800_000
+T1 = 1_705_708_800_000
+
+
+def test_read_prunes_partitions_and_pushes_time(loaded_engine):
+    plan = plan_of(loaded_engine.read({"term": {"event_type": "error"}}, "default", T0, T1, grouped=False))
+    # bucket partition pruning with [start, end) derived bounds
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+    assert "(bucket" in plan and ">= 19727" in plan and "<= 19741" in plan
+    # time predicate reaches the parquet scan
+    assert "GreaterThanOrEqual(time_ms,1704412800000)" in plan
+    assert "LessThan(time_ms,1705708800000)" in plan
+    # metadata route: broadcast semi-join, not a shuffle join
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_end_on_bucket_boundary_excludes_bucket(loaded_engine):
+    # end exactly on a bucket boundary → that bucket must not be scanned
+    end = 19741 * 86_400_000
+    plan = plan_of(loaded_engine.read(None, "default", T0, end, grouped=False))
+    assert "<= 19740" in plan
+
+
+def test_series_queries_never_scan_points(loaded_engine):
+    plan = plan_of(loaded_engine.get_stream_list(None, "default", 0, T1))
+    assert "points" not in plan
+    plan = plan_of(loaded_engine.select_distinct(["event_type"], None, "default"))
+    assert "points" not in plan
+
+
+def test_tpch_q3_broadcasts_dimension(spark):
+    from orestes_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["tpch_q3"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    # date filters pushed into the fact scans
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+
+
+def test_column_pruning_reads_only_needed_columns(spark):
+    from orestes_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["doc_token_count"](spark, "/root/testdata/sf0.001"))
+    # documents has 5 columns; this query must read only doc_id + text
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_direct_mode_filters_points_without_join(loaded_engine):
+    plan = plan_of(
+        loaded_engine.matching_points(
+            {"term": {"event_type": "error"}}, "default", T0, T1, use_metadata=False
+        )
+    )
+    assert "BroadcastHashJoin" not in plan
+    assert "tags" in plan and "= error" in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    from orestes_spark.queries import QUERIES
+
+    import re
+
+    df = QUERIES["tpch_q1"](spark, "/root/testdata/sf0.001")
+    df.collect()  # AQE only materializes codegen spans in the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # whole-stage codegen shows as "*(n)" stage markers in the final plan
+    assert re.search(r"\*\(\d+\) HashAggregate", plan), plan[:500]

@@ -1,0 +1,100 @@
+"""Structured Streaming ingest tests: stream two micro-batches through
+start_ingest and assert the warehouse state equals a batch write of the
+same points; plus watermark/rollup semantics."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from orestes_spark.streaming import start_ingest, streaming_rollup
+from orestes_spark.streaming.ingest import RAW_DDL
+
+START = 1_700_000_000_000
+
+
+def _raw_rows(n, offset=0, tag="a"):
+    return [
+        (str(START + (offset + i) * 1000), float(i), {"host": tag, "idx": str(i % 3)})
+        for i in range(n)
+    ]
+
+
+def test_streaming_ingest_matches_batch(spark, engine, tmp_path):
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    errors_path = str(tmp_path / "errors")
+
+    # batch 1 on disk before the query starts; batch 2 appended after.
+    spark.createDataFrame(_raw_rows(20), RAW_DDL).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(RAW_DDL).parquet(str(src))
+    q = start_ingest(
+        engine, stream, checkpoint=str(tmp_path / "ckpt"), errors_path=errors_path
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(
+        _raw_rows(20, offset=20, tag="b") + [("not-a-time", 1.0, {"host": "x"})], RAW_DDL
+    ).write.mode("append").parquet(str(src))
+    q.processAllAvailable()
+    q.stop()
+
+    flat = engine.read(None, "default", 0, START + 10**9, grouped=False)
+    assert flat.count() == 40
+    # series metadata deduped across micro-batches (D2)
+    series = engine.get_stream_list(None, "default", 0, START + 10**9)
+    assert series.count() == 6  # 2 hosts x 3 idx
+    # the bad point landed in the errors sink with the reference string
+    errs = spark.read.parquet(errors_path)
+    assert errs.count() == 1
+    assert errs.first()["error"] == 'missing required keys: ["time"]'
+
+
+def test_streaming_series_dedup_no_duplicate_metadata(spark, engine, tmp_path):
+    src = tmp_path / "s2"
+    src.mkdir()
+    # same series in both batches → series table must hold it once per bucket
+    spark.createDataFrame(_raw_rows(5), RAW_DDL).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(RAW_DDL).parquet(str(src))
+    q = start_ingest(engine, stream, checkpoint=str(tmp_path / "ckpt2"))
+    q.processAllAvailable()
+    spark.createDataFrame(_raw_rows(5), RAW_DDL).write.mode("append").parquet(str(src))
+    q.processAllAvailable()
+    q.stop()
+    series_raw = engine._read_series("default")
+    assert (
+        series_raw.groupBy("bucket", "series_id").count().where(F.col("count") > 1).count() == 0
+    )
+
+
+def test_streaming_rollup_watermark(spark, tmp_path):
+    src = tmp_path / "s3"
+    rows = [
+        (1, "2024-01-01 00:01:00", 1.0),
+        (2, "2024-01-01 00:02:00", 2.0),
+        (3, "2024-01-01 00:07:00", 3.0),
+        (4, "2024-01-01 01:00:00", 4.0),  # advances watermark far past the others
+    ]
+    ddl = "id LONG, ts_s STRING, value DOUBLE"
+    spark.createDataFrame(rows, ddl).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(ddl)
+        .parquet(str(src))
+        .withColumn("ts", F.to_timestamp("ts_s"))
+    )
+    agg = streaming_rollup(stream, window="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rollup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = {
+        (r["window"]["start"].isoformat(), r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM rollup_out").collect()
+    }
+    # windows sealed by the watermark: [00:00,00:05) n=2 sum=3, [00:05,00:10) n=1 sum=3
+    assert ("2024-01-01T00:00:00", 2, 3.0) in out
+    assert ("2024-01-01T00:05:00", 1, 3.0) in out
