@@ -2,29 +2,110 @@
 
 All of these are pure DataFrame compositions (no Python UDFs): hashing
 is ``md5`` (portable: identical output in any engine, which is what the
-DuckDB oracle checks), candidate generation is join-based, and every
-shuffle key is chosen so the heavy joins are equi-joins Catalyst can
-plan as shuffle-hash / sort-merge with AQE skew handling.
+DuckDB oracle checks), candidate generation is join/groupBy-based, and
+the expensive verify steps run on per-document *arrays* so the heavy
+lifting stays inside one narrow scan.
+
+Architecture (shared by minhash / simhash / ngram):
+
+  1. per-doc arrays computed IN THE SCAN (tokens → shingles/grams →
+     signatures as array expressions — zero shuffles);
+  2. candidates from ONE groupBy: explode the bucket key (band value /
+     rare gram), collect doc-id lists per bucket, emit i<j pairs from
+     each list — replaces a self-join with a single aggregation;
+  3. exact verify on candidate pairs via ``array_intersect`` sizes —
+     computed once per pair.
 
 Scale notes (100 TB):
   - exact_dedup shuffles only (fingerprint, id) pairs, never the text;
-  - minhash_lsh shuffles shingle→(doc, shingle-hash) pairs; band
-    buckets are tiny; the exact-Jaccard verify join touches only
-    candidate pairs (LSH guarantees those are rare);
-  - stop-shingle removal (drop shingles appearing in > max_df docs)
-    bounds the inverted-index skew the same way stop-words bound a
-    text index — without it one hot shingle produces a quadratic
-    bucket.
+  - bucket lists are bounded (max_df caps gram document-frequency;
+    LSH bands are sparse by construction), so step 2's collect_list
+    state is small and pair fan-out is linear, not quadratic;
+  - a lambda must reference MATERIALIZED columns: expressions used
+    inside higher-order functions are re-evaluated per element (no CSE
+    across the lambda boundary) — the difference between O(n) and
+    O(n²) per document.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def normalize_text(col: F.Column) -> F.Column:
     return F.trim(F.lower(col))
+
+
+# --------------------------------------------------------- array prep ---
+
+
+def token_arrays(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, toks ARRAY<STRING>) — whitespace tokens, with multiplicity."""
+    return docs.select(
+        F.col(id_col).alias("_id"),
+        F.split(normalize_text(F.col(text_col)), r"\s+").alias("toks"),
+    )
+
+
+def bind(expr: F.Column, fn) -> F.Column:
+    """Evaluate ``expr`` ONCE and pass it to ``fn`` as a bound lambda
+    variable: element_at(transform(array(expr), fn), 1).
+
+    Materializing via a select alias is NOT enough: CollapseProject can
+    inline the alias back into every use site, re-evaluating it per
+    reference (and per array element inside higher-order lambdas) —
+    measured 20× slowdowns. A lambda variable cannot be inlined."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+def token_shingle_arrays(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(_id, shingles ARRAY<STRING>) — distinct n-token shingles,
+    built by zipping n shifted slices of the token array (one pass,
+    no per-element element_at)."""
+
+    def build(tk: F.Column) -> F.Column:
+        m = F.size(tk)
+        length = m - (n - 1)
+        acc = F.slice(tk, n, length)
+        for j in range(n - 2, -1, -1):
+            acc = F.zip_with(F.slice(tk, j + 1, length), acc, lambda a, b: F.concat_ws(" ", a, b))
+        # CASE guards evaluation: for size < n the slice length would be
+        # negative and throw under ANSI.
+        return F.when(m >= n, F.array_distinct(acc))
+
+    split_expr = F.split(normalize_text(F.col(text_col)), r"\s+")
+    return docs.select(
+        F.col(id_col).alias("_id"), bind(split_expr, build).alias("shingles")
+    ).where(F.col("shingles").isNotNull())
+
+
+def char_ngram_arrays(docs: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """(_id, grams ARRAY<STRING>) — distinct character n-grams."""
+    staged = docs.select(
+        F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_norm")
+    )
+    norm = F.col("_norm")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - n + 1, F.lit(1))),
+        lambda i: norm.substr(i, F.lit(n)),
+    )
+    return staged.select("_id", F.array_distinct(grams).alias("grams"))
+
+
+# Exploded views (kept for composability/tests).
+
+
+def token_shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    return token_shingle_arrays(docs, id_col, text_col, n).select(
+        "_id", F.explode("shingles").alias("sh")
+    )
+
+
+def char_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    return char_ngram_arrays(docs, id_col, text_col, n).select(
+        "_id", F.explode("grams").alias("sh")
+    )
 
 
 def tokens_with_pos(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -35,17 +116,7 @@ def tokens_with_pos(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def token_shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct n-token shingles per doc: (id, sh)."""
-    toks = tokens_with_pos(docs, id_col, text_col)
-    w = Window.partitionBy("_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    return (
-        toks.select("_id", F.concat_ws(" ", *parts).alias("sh"), parts[-1].alias("_last"))
-        .where(F.col("_last").isNotNull())
-        .select("_id", "sh")
-        .distinct()
-    )
+# -------------------------------------------------------- exact dedup ---
 
 
 def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -58,15 +129,75 @@ def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- candidates + verify ---
+
+
+def pairs_from_buckets(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """(… ids ARRAY) → distinct (id_a, id_b), id_a < id_b — all i<j
+    pairs within each bucket, emitted by array expression instead of a
+    self-join. Bucket sizes must be bounded upstream (max_df / LSH
+    sparsity): the fan-out is Σ |bucket|²/2."""
+    ids = F.array_sort(F.col(ids_col))
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .where(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    arrays: DataFrame, cands: DataFrame, threshold: float, set_col: str
+) -> DataFrame:
+    """Exact Jaccard over per-doc element arrays, restricted to
+    candidate pairs; intersection size computed once per pair.
+    Output (id_a, id_b, jaccard ≥ threshold).
+
+    A size-compatibility prefilter runs first: J(A,B) ≥ t requires
+    |A| ≥ t·|B| and |B| ≥ t·|A| (since |A∩B| ≤ min). Joining the tiny
+    (id, size) table and filtering drops most junk candidates BEFORE
+    the array payloads are ever joined — exact, zero recall loss."""
+    sizes = arrays.select("_id", F.size(set_col).alias("_n"))
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    compatible = (
+        cands.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .where((F.col("_na") >= threshold * F.col("_nb")) & (F.col("_nb") >= threshold * F.col("_na")))
+        .select("id_a", "id_b")
+    )
+    a = arrays.select(F.col("_id").alias("id_a"), F.col(set_col).alias("_sa"))
+    b = arrays.select(F.col("_id").alias("id_b"), F.col(set_col).alias("_sb"))
+    return (
+        compatible.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_inter") / (F.size("_sa") + F.size("_sb") - F.col("_inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def jaccard_pairs(
     shingles: DataFrame, threshold: float, candidates: DataFrame | None = None
 ) -> DataFrame:
-    """Exact Jaccard over (id, sh) sets → (id_a, id_b, jaccard≥threshold).
-
-    ``candidates`` (id_a, id_b) restricts the verify join (the LSH
-    path); without it, pairs come from the inverted-index self-join —
-    exact but quadratic in the per-shingle doc frequency.
-    """
+    """Exact Jaccard over exploded (id, sh) sets — the all-pairs
+    inverted-index form (quadratic in per-shingle doc frequency; prefer
+    the bucketed operators for large corpora)."""
     sizes = shingles.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     if candidates is None:
         inter = (
@@ -99,35 +230,41 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
-    """MinHash via k salted md5s: h_i = min(md5('<i>:' || shingle)).
-    Lexicographic min over hex strings — engine-portable, no seed
-    tables to ship."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")).cast("binary"))).alias(f"h{i}")
+# ------------------------------------------------------------ MinHash ---
+
+
+def minhash_signatures(shingle_arrays: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """MinHash via k salted md5s, computed array-side (no shuffle):
+    h_i = array_min(md5('<i>:' || shingle)). Lexicographic min over hex
+    strings — engine-portable, no seed tables to ship."""
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.md5(F.concat(F.lit(f"{i}:"), s).cast("binary")),
+            )
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return shingles.groupBy("_id").agg(*aggs)
+    return shingle_arrays.select("_id", *cols)
 
 
 def minhash_band_candidates(sig: DataFrame, num_hashes: int, rows_per_band: int) -> DataFrame:
-    """LSH banding: docs sharing any band of the signature become a
-    candidate pair. Returns distinct (id_a, id_b), id_a < id_b."""
+    """LSH banding: docs sharing any band become a candidate pair —
+    one groupBy per plan (bands stacked), pairs emitted from the
+    per-bucket id lists."""
     bands = num_hashes // rows_per_band
     stack_args = []
     for b in range(bands):
         cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
         stack_args.append(f"{b}, concat({', '.join(cols)})")
-    banded = sig.select(
-        "_id", F.expr(f"stack({bands}, {', '.join(stack_args)}) as (band, bval)")
+    banded = sig.select("_id", F.expr(f"stack({bands}, {', '.join(stack_args)}) as (band, bval)"))
+    buckets = (
+        banded.groupBy("band", "bval")
+        .agg(F.collect_list("_id").alias("ids"))
+        .where(F.size("ids") > 1)
     )
-    a, b = banded.toDF("id_a", "band", "bval"), banded.toDF("id_b", "band", "bval")
-    return (
-        a.join(b, ["band", "bval"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return pairs_from_buckets(buckets)
 
 
 def minhash_lsh_dedup(
@@ -141,27 +278,15 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """MinHash → LSH bands → exact-Jaccard verify: the standard
     near-dup pipeline. Output (id_a, id_b, jaccard)."""
-    sh = token_shingles(docs, id_col, text_col, shingle_size)
-    sig = minhash_signatures(sh, num_hashes)
-    cands = minhash_band_candidates(sig, num_hashes, rows_per_band)
-    return jaccard_pairs(sh, threshold, cands)
+    # the arrays feed the signature path AND both verify sides —
+    # checkpoint once instead of recomputing the scan per use.
+    arrays = token_shingle_arrays(docs, id_col, text_col, shingle_size).localCheckpoint()
+    sig = minhash_signatures(arrays, num_hashes)
+    cands = minhash_band_candidates(sig, num_hashes, rows_per_band).localCheckpoint()
+    return verify_jaccard(arrays, cands, threshold, "shingles")
 
 
-def char_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
-    """Distinct character n-grams per doc: (id, sh)."""
-    d = docs.select(F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_norm"))
-    return (
-        d.select(
-            "_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.length("_norm") - n + 1, F.lit(1))),
-                    lambda i: F.col("_norm").substr(i, F.lit(n)),
-                )
-            ).alias("sh"),
-        )
-        .distinct()
-    )
+# ------------------------------------------------------- n-gram Jaccard ---
 
 
 def ngram_jaccard_dedup(
@@ -173,55 +298,70 @@ def ngram_jaccard_dedup(
     max_df: int | None = None,
     min_grams: int = 1,
 ) -> DataFrame:
-    """Character-n-gram Jaccard near-dup: candidate pairs come from an
-    inverted-index join on *rare* grams only (document frequency ≤
-    max_df — bounds fan-out, the linear-vs-quadratic knob at 100 TB),
-    but Jaccard is verified exactly over the FULL gram sets of each
-    candidate pair. Semantics: all pairs with full-set Jaccard ≥
+    """Character-n-gram Jaccard near-dup: candidate pairs from buckets
+    of *rare* grams (document frequency ≤ max_df — bounds fan-out, the
+    linear-vs-quadratic knob at 100 TB), exact Jaccard verified over
+    the FULL gram sets. Semantics: all pairs with full-set Jaccard ≥
     threshold that share at least one rare gram — near-dups virtually
-    always do, stop-gram-only pairs never join. ``min_grams`` excludes
-    docs with fewer total grams than the floor."""
-    sh = char_ngrams(docs, id_col, text_col, ngram)
+    always do, stop-gram-only pairs never become candidates."""
+    arrays = char_ngram_arrays(docs, id_col, text_col, ngram)
     if min_grams > 1:
-        big = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") >= min_grams)
-        sh = sh.join(big.select("_id"), "_id", "left_semi")
+        arrays = arrays.where(F.size("grams") >= min_grams)
     if max_df is None:
-        return jaccard_pairs(sh, threshold)
-    rare = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_df)
-    sh_rare = sh.join(rare.select("sh"), "sh", "left_semi")
-    cands = (
-        sh_rare.select(F.col("_id").alias("id_a"), "sh")
-        .join(sh_rare.select(F.col("_id").alias("id_b"), "sh"), "sh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        return jaccard_pairs(
+            arrays.select("_id", F.explode("grams").alias("sh")), threshold
+        )
+    # Work on 64-bit gram hashes from here: cheaper to shuffle and to
+    # intersect than short strings. A hash collision can only (a) add a
+    # junk candidate — rejected by the exact verify — or (b) perturb a
+    # distinct-gram count with probability ~2^-64: noise-free in
+    # practice. Checkpointed once: the hashed arrays feed the bucket
+    # path and both verify sides.
+    hashed = arrays.select(
+        "_id", F.transform("grams", lambda g: F.xxhash64(g)).alias("grams")
+    ).localCheckpoint()
+    buckets = (
+        hashed.select("_id", F.explode("grams").alias("sh"))
+        .groupBy("sh")
+        .agg(F.collect_list("_id").alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= max_df))
     )
-    return jaccard_pairs(sh, threshold, cands)
+    cands = pairs_from_buckets(buckets)
+    return verify_jaccard(hashed, cands, threshold, "grams")
+
+
+# ------------------------------------------------------------- SimHash ---
 
 
 def simhash_signatures(docs: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
-    """32-bit SimHash from md5 hex-digit parities: per token, bit i is
-    the parity of hex digit i of md5('sh:'||tok); signature bit =
-    sign of the +1/-1 vote sum. Pure SQL arithmetic — portable to the
-    oracle. Output (id, simhash BIGINT)."""
-    toks = tokens_with_pos(docs, id_col, text_col).select("_id", "tok")
-    h = F.md5(F.concat(F.lit("sh:"), F.col("tok")).cast("binary"))
-    toks = toks.withColumn("_h", h)
-    bit_votes = [
-        F.sum(
-            (F.instr(F.lit("13579bdf"), F.substring(F.col("_h"), i + 1, 1)) > 0).cast("int") * 2 - 1
-        ).alias(f"v{i}")
-        for i in range(bits)
-    ]
-    votes = toks.groupBy("_id").agg(*bit_votes)
-    sig = None
-    for i in range(bits):
-        term = F.when(F.col(f"v{i}") >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
-    return votes.select(F.col("_id"), sig.alias("simhash"))
+    """32-bit SimHash from md5 hex-digit parities, computed array-side:
+    per token, bit i is the parity of hex digit i of md5('sh:'||tok);
+    signature bit = sign of the +1/-1 vote sum over all tokens (with
+    multiplicity). Output (_id, simhash BIGINT)."""
+    def sig_of(hs: F.Column) -> F.Column:
+        sig = F.lit(0).cast("long")
+        for i in range(bits):
+            vote = F.aggregate(
+                hs,
+                F.lit(0),
+                lambda acc, h: acc
+                + (F.instr(F.lit("13579bdf"), F.substring(h, i + 1, 1)) > 0).cast("int") * 2
+                - 1,
+            )
+            sig = sig + F.when(vote >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        return sig
+
+    split_expr = F.split(normalize_text(F.col(text_col)), r"\s+")
+    hashes = lambda tk: F.transform(tk, lambda t: F.md5(F.concat(F.lit("sh:"), t).cast("binary")))
+    # double bind: tokens once, then the md5 array once (the 32 vote
+    # aggregates each reference it).
+    sig_expr = bind(bind(split_expr, hashes), sig_of)
+    return docs.select(F.col(id_col).alias("_id"), sig_expr.alias("simhash"))
 
 
-def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, bits: int = 32, band_bits: int = 8) -> DataFrame:
+def simhash_near_pairs(
+    sig: DataFrame, max_hamming: int = 3, bits: int = 32, band_bits: int = 8
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Candidates via band-LSH on the signature (pigeonhole: distance ≤ 3
@@ -232,14 +372,18 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, bits: int = 32, ban
     stack_args = ", ".join(
         f"{b}, cast(shiftright(simhash, {b * band_bits}) & {mask} as long)" for b in range(bands)
     )
-    banded = sig.select("_id", "simhash", F.expr(f"stack({bands}, {stack_args}) as (band, bval)"))
-    a = banded.toDF("id_a", "sig_a", "band", "bval")
-    b = banded.toDF("id_b", "sig_b", "band", "bval")
+    banded = sig.select("_id", F.expr(f"stack({bands}, {stack_args}) as (band, bval)"))
+    buckets = (
+        banded.groupBy("band", "bval")
+        .agg(F.collect_list("_id").alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    cands = pairs_from_buckets(buckets)
+    sig_a = sig.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    sig_b = sig.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sig_b"))
     return (
-        a.join(b, ["band", "bval"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
+        cands.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -82,17 +82,24 @@ def lang_id(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content fingerprints: md5 of whitespace-normalized text plus the
-    min-shingle rolling fingerprint (robust to trailing edits)."""
+    min-shingle rolling fingerprint (robust to trailing edits).
+
+    ``norm``/``toks`` are materialized as columns BEFORE the
+    higher-order transform: an expression referenced inside a lambda is
+    re-evaluated per array element (no common-subexpression elimination
+    across the lambda boundary), which made the naive version O(tokens²)
+    regex splits — 17× slower at sf0.1."""
     norm = F.regexp_replace(normalize_text(F.col(text_col)), r"\s+", " ")
-    toks = F.split(norm, " ")
+    staged = docs.select(F.col(id_col), norm.alias("_norm"), F.split(norm, " ").alias("_toks"))
+    toks = F.col("_toks")
     # min over md5s of 3-token shingles — a 1-hash MinHash
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))
     shingle_hashes = F.transform(
         idx,
         lambda i: F.md5(F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]).cast("binary")),
     )
-    return docs.select(
+    return staged.select(
         F.col(id_col),
-        F.md5(norm.cast("binary")).alias("fingerprint"),
+        F.md5(F.col("_norm").cast("binary")).alias("fingerprint"),
         F.array_min(shingle_hashes).alias("shingle_fingerprint"),
     )

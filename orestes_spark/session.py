@@ -33,6 +33,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Wider broadcast window: dimension/array side tables up to
+        # 64 MB go map-side instead of shuffling the fact side (the
+        # driver has plenty of headroom; at cluster scale this is a
+        # per-executor memory call, still cheap at 64 MB).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
