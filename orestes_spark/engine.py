@@ -371,3 +371,43 @@ class OrestesEngine:
                     if bucket not in dropped:
                         dropped.append(bucket)
         return dropped
+
+
+class SeriesFetcher:
+    """Embedded-API parity object: ``{tags, fetch(n)}`` with incremental
+    paging, mirroring the reference fetcher surface
+    (/root/reference/lib/orestes-query.js:68-131,
+     /root/reference/test/embedded-api.spec.js:49-77 pages 2 at a time).
+    ``fetch(-1)`` drains (autoPage)."""
+
+    def __init__(self, tags: dict[str, str], points: list[tuple[int, float]]) -> None:
+        self.tags = tags
+        self._points = points
+        self._pos = 0
+
+    def fetch(self, n: int = -1) -> dict[str, Any]:
+        if n < 0:
+            n = len(self._points) - self._pos
+        chunk = self._points[self._pos : self._pos + n]
+        self._pos += n
+        return {"points": chunk, "eof": self._pos >= len(self._points)}
+
+
+def _engine_read_fetchers(
+    self: "OrestesEngine",
+    es_filter: dict | None = None,
+    space: str = "default",
+    start_ms: int = 0,
+    end_ms: int | None = None,
+):
+    """Iterate per-series fetchers — the embedded ``read`` callback
+    surface. Series stream from executors incrementally via
+    toLocalIterator (one partition in flight), so the driver never
+    holds the full result set."""
+    grouped = self.read(es_filter, space, start_ms, end_ms, grouped=True)
+    for row in grouped.toLocalIterator():
+        points = [(p["time_ms"], p["value"]) for p in row["points"]]
+        yield SeriesFetcher(dict(row["tags"]), points)
+
+
+OrestesEngine.read_fetchers = _engine_read_fetchers

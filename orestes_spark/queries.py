@@ -581,3 +581,108 @@ def os_engine_count(spark, sf_dir):
         F.col("tags").getItem("user_id").alias("user_id"),
         "count",
     )
+
+
+# ----------------------------------------------- broader analytics ---
+
+
+@register(
+    "events_props_json",
+    """SELECT event_type, count(*) AS n,
+              round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+       FROM events GROUP BY 1""",
+)
+def events_props_json(spark, sf_dir):
+    """JSON scalar extraction from the props column — the schemaless
+    tag escape hatch (get_json_object stays JVM-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.get_json_object("props", "$.k").cast("long")), 6).alias("avg_k"),
+    )
+
+
+@register(
+    "events_sessionization",
+    """WITH gaps AS (
+         SELECT user_id, ts,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+         FROM events
+       ),
+       sessions AS (
+         SELECT user_id,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM gaps
+       )
+       SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events
+       FROM sessions GROUP BY 1, 2""",
+)
+def events_sessionization(spark, sf_dir):
+    """Sessionization via lag + gap cumsum — the classic streaming-ish
+    pattern done batch-side with windows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1
+    ).otherwise(0)
+    wc = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.withColumn("new_session", gap)
+        .withColumn("session_id", F.sum("new_session").over(wc).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "events_rollup_day_type",
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, count(*) AS n
+       FROM events GROUP BY ROLLUP(1, 2)""",
+)
+def events_rollup_day_type(spark, sf_dir):
+    """ROLLUP grouping sets (day, event_type) → subtotals + grand total."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.rollup(F.to_date("ts").cast("string").alias("day"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "orders_set_ops",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_totalprice > 200000""",
+)
+def orders_set_ops(spark, sf_dir):
+    """Set operation surface (INTERSECT distinct semantics)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .intersect(o.where(F.col("o_totalprice") > 200000).select("o_custkey"))
+    )
+
+
+@register(
+    "os_read_exists_range",
+    """SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+              epoch_ms(CAST(ts AS TIMESTAMP)) AS time_ms, value
+       FROM events
+       WHERE CAST(user_id AS VARCHAR) IS NOT NULL
+         AND CAST(user_id AS VARCHAR) >= '140'
+         AND event_type < 'f'""",
+)
+def os_read_exists_range(spark, sf_dir):
+    """F1: exists + range (lexicographic on tag strings, like ES)."""
+    q = {
+        "bool": {
+            "must": [
+                {"exists": {"field": "user_id"}},
+                {"range": {"user_id": {"gte": "140"}}},
+                {"range": {"event_type": {"lt": "f"}}},
+            ]
+        }
+    }
+    return _flt(events_points(spark, sf_dir), q)

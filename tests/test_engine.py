@@ -196,3 +196,25 @@ def test_remove_retention(engine):
     got = read_as_model(engine, end=now + MS_IN_DAY)
     (tags, pts), = got.values()
     assert pts == sorted((p["time"], p["value"]) for p in new)
+
+
+def test_embedded_fetcher_paging(engine):
+    # embedded-api.spec parity: page 2 points at a time; concatenation
+    # must equal the full read.
+    pts = generate_points(20, tag_values={"host": ["a", "b"]})
+    engine.write(pts)
+    model = model_series(pts)
+    seen = {}
+    for fetcher in engine.read_fetchers(None, "default", 0, START + 10**9):
+        acc, eof = [], False
+        while not eof:
+            page = fetcher.fetch(2)
+            assert len(page["points"]) <= 2
+            acc.extend(page["points"])
+            eof = page["eof"]
+        seen[series_id(fetcher.tags)] = acc
+    assert seen == {sid: pts_ for sid, (_, pts_) in model.items()}
+    # fetch(-1) drains in one call
+    f = next(engine.read_fetchers({"term": {"host": "a"}}, "default", 0, START + 10**9))
+    page = f.fetch(-1)
+    assert page["eof"] and page["points"] == model["host=a"][1]

@@ -98,3 +98,33 @@ def test_streaming_rollup_watermark(spark, tmp_path):
     # windows sealed by the watermark: [00:00,00:05) n=2 sum=3, [00:05,00:10) n=1 sum=3
     assert ("2024-01-01T00:00:00", 2, 3.0) in out
     assert ("2024-01-01T00:05:00", 1, 3.0) in out
+
+
+def test_stateful_series_stats(spark, tmp_path):
+    from orestes_spark.streaming.stateful import series_stats_stream
+
+    src = tmp_path / "s4"
+    ddl = "series_id STRING, time_ms LONG, value DOUBLE"
+    spark.createDataFrame(
+        [("a", 1000, 1.0), ("a", 2000, 3.0), ("b", 1000, 5.0)], ddl
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema(ddl).parquet(str(src))
+    q = (
+        series_stats_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stats_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    # second micro-batch must ACCUMULATE into existing state
+    spark.createDataFrame([("a", 5000, 10.0)], ddl).write.mode("append").parquet(str(src))
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY series_id ORDER BY last_time_ms DESC) rn FROM stats_out) WHERE rn = 1"
+    ).collect()
+    stats = {r["series_id"]: (r["count"], r["sum"], r["min"], r["max"], r["last_time_ms"]) for r in rows}
+    assert stats["a"] == (3, 14.0, 1.0, 10.0, 5000)
+    assert stats["b"] == (1, 5.0, 5.0, 5.0, 1000)
