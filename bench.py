@@ -39,6 +39,23 @@ def main() -> None:
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # BASELINE.md comparison: engine write/read throughput at the same
+    # batch size shape as the reference's perf-test (match-all read).
+    import tempfile
+
+    from orestes_spark.engine import OrestesEngine
+    from orestes_spark.sources.testdata import events_as_points
+
+    pts = events_as_points(spark, sf_dir).localCheckpoint()
+    n_pts = pts.count()
+    eng = OrestesEngine(spark, tempfile.mkdtemp(prefix="orestes_bench_wh_"))
+    t0 = time.perf_counter()
+    eng._append(pts, "default")
+    write_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_read = eng.read(None, "default", 0, 2_000_000_000_000, grouped=False).count()
+    read_s = time.perf_counter() - t0
+
     print(
         json.dumps(
             {
@@ -47,6 +64,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "write_pts_per_sec": round(n_pts / write_s),
+                "read_pts_per_sec": round(n_read / read_s),
             }
         )
     )

@@ -125,11 +125,13 @@ class OrestesEngine:
         stored = schema.with_derived(valid, g)
         points_path, series_path = self._points_path(space), self._series_path(space)
 
-        # Series-clustered layout: repartition by series so each parquet
-        # file holds few series, sorted by (series_id, time) — row-group
-        # stats then prune non-matching series at read time.
+        # Series-clustered layout: RANGE-partition by (bucket, series_id)
+        # so series stay contiguous (row-group min/max stats prune
+        # non-matching series at read time) while a hot bucket can still
+        # split across tasks — hash partitioning by (bucket, series)
+        # interleaves series across files and tripled write time.
         (
-            stored.repartition(F.col("bucket"), F.col("series_id"))
+            stored.repartitionByRange(F.col("bucket"), F.col("series_id"))
             .sortWithinPartitions("bucket", "series_id", "time_ms")
             .write.mode("append")
             .partitionBy("bucket")
