@@ -388,3 +388,13 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_keep_list(docs: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Resolve near-dup pairs to a keep-list: for every pair, the
+    larger id is dropped (ids are pre-sorted id_a < id_b in all pair
+    producers, so the minimum id of each duplicate cluster survives via
+    transitivity of the greedy rule). One anti-join — no iterative
+    connected components needed for the keep/drop decision."""
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(drops, id_col, "left_anti")

@@ -227,3 +227,94 @@ def embedding_near_dups(
         .where(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+def label_centroid_sums(
+    vectors: DataFrame, id_col: str, vec_col: str, label_col: str, quantize: int | None
+) -> DataFrame:
+    """(label, csum ARRAY) — component-wise sums of the (quantized)
+    vectors per label. The UNNORMALIZED sum works as the centroid for
+    cosine assignment (the 1/count factor cancels in the cosine), which
+    keeps the math exact-integer under quantization."""
+    q = vectors.select(F.col(label_col).alias("label"), quantized(F.col(vec_col), quantize).alias("v"))
+    exploded = q.select("label", F.posexplode("v").alias("i", "x"))
+    return (
+        exploded.groupBy("label", "i")
+        .agg(F.sum("x").alias("s"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "s"))).alias("entries"))
+        .select("label", F.transform("entries", lambda e: e["s"]).alias("csum"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    quantize: int | None = None,
+) -> DataFrame:
+    """IVF-style ANN: ``label`` is the coarse partition (in a real IVF
+    it's a k-means cell; here the precomputed label column). A query is
+    assigned to the centroid with the highest cosine (tie → smaller
+    label) and scored ONLY against that partition — the inverted-file
+    scale path: each query touches 1/|labels| of the corpus.
+    Output (query_id, neighbor_id, cosine, rank)."""
+    as_long = quantize is not None
+    cents = label_centroid_sums(corpus, id_col, vec_col, label_col, quantize)
+    q = with_norm(
+        queries.select(F.col(id_col).alias("qid"), quantized(F.col(vec_col), quantize).alias("qvec")),
+        "qvec",
+        as_long,
+    ).withColumnRenamed("_norm2", "qn2")
+    # assign each query to its best centroid (tiny cross join: |q| × |labels|)
+    scored_cents = q.crossJoin(F.broadcast(cents)).select(
+        "qid",
+        "qvec",
+        "qn2",
+        "label",
+        (
+            _dot(F.col("qvec"), F.col("csum").cast("array<double>"), False)
+            / F.sqrt(_dot(F.col("csum").cast("array<double>"), F.col("csum").cast("array<double>"), False))
+        ).alias("_cscore"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("_cscore").desc(), F.col("label"))
+    assigned = (
+        scored_cents.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") == 1)
+        .select("qid", "qvec", "qn2", "label")
+    )
+    c = with_norm(
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            quantized(F.col(vec_col), quantize).alias("cvec"),
+            F.col(label_col).alias("label"),
+        ),
+        "cvec",
+        as_long,
+    ).withColumnRenamed("_norm2", "cn2")
+    scored = (
+        c.join(F.broadcast(assigned), "label")
+        .where(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                _dot(F.col("qvec"), F.col("cvec"), as_long)
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double")))
+            ).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            F.round("_cos", 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -320,3 +320,43 @@ SELECT doc_id AS media_id,
        CAST(u.i * {every_ms} AS BIGINT) AS frame_ts_ms
 FROM m, (SELECT UNNEST(generate_series(0, duration_ms // {every_ms})) AS i) u
 """
+
+
+def emb_ivf_topk_sql(k: int = 5, num_queries: int = 10) -> str:
+    return f"""
+WITH {_QUANT_VECS},
+labeled AS (SELECT vec_id, label FROM embeddings),
+ul AS (SELECT u.vec_id, l.label, u.x, u.i FROM u JOIN labeled l ON l.vec_id = u.vec_id),
+csums AS (SELECT label, i, sum(x) AS s FROM ul GROUP BY 1, 2),
+cnorm AS (SELECT label, sqrt(sum(s * s)) AS cn FROM csums GROUP BY 1),
+qassign AS (
+  SELECT qid, label FROM (
+    SELECT a.vec_id AS qid, c.label,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY sum(a.x * c.s) / any_value(cn.cn) DESC, c.label
+           ) AS rn
+    FROM u a JOIN csums c ON c.i = a.i JOIN cnorm cn ON cn.label = c.label
+    WHERE a.vec_id < {num_queries}
+    GROUP BY a.vec_id, c.label
+  ) WHERE rn = 1
+),
+dots AS (
+  SELECT qa.qid, b.vec_id AS cid, sum(a.x * b.x) AS dot
+  FROM qassign qa
+  JOIN u a ON a.vec_id = qa.qid
+  JOIN labeled lb ON lb.label = qa.label AND lb.vec_id != qa.qid
+  JOIN u b ON b.vec_id = lb.vec_id AND b.i = a.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, cid, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS c
+  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid
+),
+ranked AS (
+  SELECT qid, cid, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid AS query_id, cid AS neighbor_id, round(c, 6) AS cosine, rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -686,3 +686,36 @@ def os_read_exists_range(spark, sf_dir):
         }
     }
     return _flt(events_points(spark, sf_dir), q)
+
+
+@register(
+    "doc_dedup_keep_list",
+    f"""WITH pairs AS ({oracles.minhash_neardup_sql()})
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM pairs)""",
+)
+def doc_dedup_keep_list(spark, sf_dir):
+    """End-to-end corpus dedup: MinHash-LSH pairs → greedy keep-list
+    (smaller id of each pair survives) → anti-join filter."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(d, "doc_id", "text")
+    return dedup.dedup_keep_list(d, "doc_id", pairs).select("doc_id", "lang", "source")
+
+
+def _grouped_read(spark, sf_dir):
+    """Reference /read output shape: one row per series with the
+    time-sorted points array — rows-only check (array-valued columns
+    don't hash portably across engines)."""
+    eng = _engine_for(spark, sf_dir)
+    return eng.read({"terms": {"event_type": ["click", "view"]}}, "default", T0, T1)
+
+
+QUERIES["os_read_grouped"] = _grouped_read
+
+
+@register("emb_ivf_topk", oracles.emb_ivf_topk_sql())
+def emb_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: label partitions as the coarse quantizer; queries
+    score only their assigned partition (exact-integer centroid math)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, e.where(F.col("vec_id") < 10), k=5, quantize=1000)

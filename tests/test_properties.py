@@ -1,0 +1,160 @@
+"""Property-based tests (hypothesis): the ES-DSL translator against a
+pure-Python evaluation model, validation totality, and series-id
+canonicalization invariants. Strategies are kept small (data-light) —
+each case builds predicates, not DataFrames, except a final batched
+DataFrame check."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from orestes_spark import esdsl
+
+KEYS = ["host", "pop", "extra"]
+VALUES = ["a", "b", "c", "d", ""]
+
+tag_sets = st.dictionaries(st.sampled_from(KEYS), st.sampled_from(VALUES), max_size=3)
+
+
+def leaf_queries():
+    return st.one_of(
+        st.just({"match_all": {}}),
+        st.builds(lambda k, v: {"term": {k: v}}, st.sampled_from(KEYS), st.sampled_from(VALUES)),
+        st.builds(
+            lambda k, vs: {"terms": {k: vs}},
+            st.sampled_from(KEYS),
+            st.lists(st.sampled_from(VALUES), min_size=1, max_size=3),
+        ),
+        st.builds(lambda k: {"exists": {"field": k}}, st.sampled_from(KEYS)),
+        st.builds(lambda k: {"missing": {"field": k}}, st.sampled_from(KEYS)),
+        st.builds(lambda k, v: {"prefix": {k: v}}, st.sampled_from(KEYS), st.sampled_from(["a", "b", ""])),
+        st.builds(
+            lambda k, lo, hi: {"range": {k: {"gte": lo, "lt": hi}}},
+            st.sampled_from(KEYS),
+            st.sampled_from(VALUES),
+            st.sampled_from(VALUES),
+        ),
+    )
+
+
+queries = st.recursive(
+    leaf_queries(),
+    lambda children: st.one_of(
+        st.builds(lambda qs: {"bool": {"must": qs}}, st.lists(children, min_size=1, max_size=3)),
+        st.builds(lambda qs: {"bool": {"should": qs}}, st.lists(children, min_size=1, max_size=3)),
+        st.builds(lambda q: {"bool": {"must_not": [q]}}, children),
+        st.builds(lambda q: {"not": q}, children),
+        st.builds(lambda qs: {"and": qs}, st.lists(children, min_size=1, max_size=3)),
+        st.builds(lambda qs: {"or": qs}, st.lists(children, min_size=1, max_size=3)),
+        st.builds(lambda q: {"filtered": {"filter": q}}, children),
+    ),
+    max_leaves=6,
+)
+
+
+def model_eval(query, tags: dict) -> bool:
+    """Pure-Python ES-filter-context semantics over a tag dict."""
+    if query is None or query == {}:
+        return True
+    (kind, body), = query.items() if len(query) == 1 else [(None, None)]
+    if kind is None:
+        return all(model_eval({k: v}, tags) for k, v in query.items())
+    if kind == "match_all":
+        return True
+    if kind == "filtered":
+        return all(model_eval(body[k], tags) for k in ("filter", "query") if k in body)
+    if kind == "term":
+        (k, v), = body.items()
+        return tags.get(k) == str(v)
+    if kind == "terms":
+        (k, vs), = body.items()
+        return tags.get(k) in [str(x) for x in vs]
+    if kind == "exists":
+        return tags.get(body["field"]) is not None
+    if kind == "missing":
+        return tags.get(body["field"]) is None
+    if kind == "prefix":
+        (k, v), = body.items()
+        return tags.get(k) is not None and tags[k].startswith(v)
+    if kind == "range":
+        (k, spec), = body.items()
+        val = tags.get(k)
+        if val is None:
+            return False
+        ok = True
+        for op, bound in spec.items():
+            b = str(bound)
+            ok &= {"gt": val > b, "gte": val >= b, "lt": val < b, "lte": val <= b}[op]
+        return ok
+    if kind == "bool":
+        ok = True
+        for clause in ("must", "filter"):
+            if clause in body:
+                qs = body[clause] if isinstance(body[clause], list) else [body[clause]]
+                ok &= all(model_eval(q, tags) for q in qs)
+        if "should" in body:
+            qs = body["should"] if isinstance(body["should"], list) else [body["should"]]
+            ok &= any(model_eval(q, tags) for q in qs)
+        if "must_not" in body:
+            qs = body["must_not"] if isinstance(body["must_not"], list) else [body["must_not"]]
+            ok &= not any(model_eval(q, tags) for q in qs)
+        return ok
+    if kind == "not":
+        inner = body.get("filter", body) if isinstance(body, dict) and "filter" in body else body
+        return not model_eval(inner, tags)
+    if kind in ("and", "or"):
+        qs = body["filters"] if isinstance(body, dict) and "filters" in body else body
+        results = [model_eval(q, tags) for q in qs]
+        return all(results) if kind == "and" else any(results)
+    raise AssertionError(kind)
+
+
+@pytest.fixture(scope="module")
+def prop_rows(spark):
+    rows = [
+        {"host": h, "pop": p} | e
+        for h in VALUES
+        for p in VALUES
+        for e in ({}, {"extra": "a"})
+    ]
+    df = spark.createDataFrame([(t,) for t in rows], "tags MAP<STRING,STRING>")
+    return df.localCheckpoint(), rows
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=queries)
+def test_translator_matches_model(prop_rows, q):
+    df, rows = prop_rows
+    got = df.where(esdsl.translate(q)).count()
+    exp = sum(1 for t in rows if model_eval(q, t))
+    assert got == exp, f"query {q}: spark={got} model={exp}"
+
+
+@given(tag_sets)
+@settings(max_examples=50, deadline=None)
+def test_validate_raw_rows_total(tags):
+    from orestes_spark.validation import validate_raw_rows
+
+    pt = {"time": 1000, "value": 1.0, **tags}
+    valid, errors = validate_raw_rows([pt])
+    assert len(valid) + len(errors) == 1
+    if tags:
+        assert valid and valid[0]["tags"] == {k: str(v) for k, v in tags.items()}
+    else:
+        assert errors and errors[0]["error"] == "metrics must have at least one tag"
+
+
+@given(tag_sets.filter(lambda t: len(t) > 0))
+@settings(max_examples=30, deadline=None)
+def test_series_id_canonical_order_insensitive(spark, tags):
+    from orestes_spark.schema import series_id_col
+    from pyspark.sql import functions as F
+
+    items = list(tags.items())
+    reversed_tags = dict(reversed(items))
+    df = spark.createDataFrame([(tags,), (reversed_tags,)], "tags MAP<STRING,STRING>")
+    ids = [r[0] for r in df.select(series_id_col(F.col("tags"))).collect()]
+    assert ids[0] == ids[1]
+    assert ids[0] == ",".join(f"{k}={v}" for k, v in sorted(tags.items()))

@@ -79,3 +79,23 @@ def test_hyperplanes_deterministic():
     assert a == b
     assert all(v in (-1, 1) for row in a for v in row)
     assert similarity.hyperplanes(4, 8, seed="x") != a
+
+
+def test_ivf_topk_assigned_partition_only(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # two well-separated clusters as labels
+    c0, c1 = rng.normal(0, 1, 8), rng.normal(0, 1, 8)
+    rows = []
+    for i in range(20):
+        base = c0 if i % 2 == 0 else c1
+        v = base + rng.normal(scale=0.05, size=8)
+        rows.append((i, [float(x) for x in v], i % 2))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    out = similarity.ivf_topk(df, df.where("vec_id = 0"), k=3)
+    got = out.orderBy("rank").collect()
+    assert len(got) == 3
+    # neighbors must come from the same (assigned) cluster: even ids
+    assert all(r["neighbor_id"] % 2 == 0 for r in got)
+    assert all(r["cosine"] > 0.9 for r in got)
