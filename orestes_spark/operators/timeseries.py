@@ -1,0 +1,141 @@
+"""Time-series analytics operators beyond the reference's surface:
+as-of join, resampling (downsampling), and gap-filling — the queries a
+time-series store is actually asked for once it has more than `count`.
+
+All are single-shuffle window/groupBy compositions:
+
+  - asof_join: the classic "latest right row at or before each left
+    row" — implemented as union + last(ignorenulls) over one
+    (key, time)-sorted window, NOT a range join: one shuffle, no
+    per-row range probe, skew-safe under AQE. This is the scalable
+    formulation for a 100 TB fact stream against a quote/state stream.
+  - resample: floor(time / step) bucketing per series with standard
+    reducers (avg/min/max/sum/count/first/last) — map-side partial
+    aggregation, one shuffle on (series, bucket).
+  - gap_fill: dense per-series time grid via sequence+explode, left
+    join of the resampled frame, optional forward fill
+    (last ignorenulls window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str = "time_ms",
+    right_time: str = "time_ms",
+    value_cols: list[str] | None = None,
+    tolerance_ms: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_time <= left_time`` for the same ``on`` key (inclusive, ties
+    take the right row — DuckDB/pandas ASOF semantics). ``tolerance_ms``
+    drops matches older than the window. Right rows must be unique per
+    (key, time); pre-aggregate if not.
+
+    Output: left columns + the right ``value_cols`` (NULL if no match).
+    """
+    value_cols = value_cols or [c for c in right.columns if c not in (on, right_time)]
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_lrow"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_v_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tagged.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    # right rows sort before left rows at equal time → inclusive <=.
+    # Carried values (and the matched right timestamp, for tolerance)
+    # MUST be computed over the union — filtering to left rows first
+    # would remove the very rows the window carries values from.
+    w = Window.partitionBy("_k").orderBy("_t", "_side").rowsBetween(Window.unboundedPreceding, 0)
+    carried = unioned.select(
+        "_side",
+        "_t",
+        "_lrow",
+        F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True).over(w).alias("_rt"),
+        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols],
+    ).where(F.col("_side") == 1)
+    cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    if tolerance_ms is not None:
+        in_window = F.col("_t") - F.col("_rt") <= tolerance_ms
+        return carried.select(
+            *cols, *[F.when(in_window, F.col(c)).alias(c) for c in value_cols]
+        )
+    return carried.select(*cols, *[F.col(c) for c in value_cols])
+
+
+def resample(
+    points: DataFrame,
+    step_ms: int,
+    key_cols: list[str],
+    time_col: str = "time_ms",
+    value_col: str = "value",
+    aggs: list[str] = ("avg", "min", "max", "count"),
+) -> DataFrame:
+    """Downsample to fixed ``step_ms`` buckets per key:
+    (key_cols..., bucket_ms, <aggs>). ``first``/``last`` are
+    time-ordered (min_by/max_by on the timestamp)."""
+    fns = {
+        "avg": F.avg(value_col).alias("avg_value"),
+        "min": F.min(value_col).alias("min_value"),
+        "max": F.max(value_col).alias("max_value"),
+        "sum": F.sum(value_col).alias("sum_value"),
+        "count": F.count(F.lit(1)).alias("n"),
+        "first": F.min_by(value_col, time_col).alias("first_value"),
+        "last": F.max_by(value_col, time_col).alias("last_value"),
+        # decimal-exact average: engine-order-independent (see queries.py
+        # float discipline note)
+        "dec_avg": F.round(
+            F.sum(F.col(value_col).cast("decimal(28,10)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_value"),
+    }
+    unknown = [a for a in aggs if a not in fns]
+    if unknown:
+        raise ValueError(f"unsupported resample aggs: {unknown}")
+    bucket = (F.floor(F.col(time_col) / step_ms) * step_ms).cast("long").alias("bucket_ms")
+    return points.groupBy(*key_cols, bucket).agg(*[fns[a] for a in aggs])
+
+
+def gap_fill(
+    resampled: DataFrame,
+    step_ms: int,
+    key_cols: list[str],
+    bucket_col: str = "bucket_ms",
+    fill_cols: list[str] | None = None,
+    forward_fill: bool = False,
+) -> DataFrame:
+    """Densify the per-key bucket grid from each key's min to max
+    bucket; missing buckets appear with NULLs (or the previous value
+    when ``forward_fill``). Grid generation is per-key sequence+explode
+    — no driver-side loop, no cross join."""
+    fill_cols = fill_cols or [c for c in resampled.columns if c not in (*key_cols, bucket_col)]
+    grid = (
+        resampled.groupBy(*key_cols)
+        .agg(F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi"))
+        .select(
+            *key_cols,
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step_ms))).alias(bucket_col),
+        )
+    )
+    out = grid.join(resampled, [*key_cols, bucket_col], "left")
+    if forward_fill:
+        w = Window.partitionBy(*key_cols).orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, 0)
+        out = out.select(
+            *key_cols,
+            bucket_col,
+            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols],
+        )
+    return out

@@ -144,10 +144,10 @@ def os_select_distinct(spark, sf_dir):
     "os_agg_series",
     """SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
               count(*) AS count,
-              round(avg(value), 6) AS avg_value,
+              round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_value,
               min(value) AS min_value,
               max(value) AS max_value,
-              round(sum(value), 4) AS sum_value,
+              CAST(round(sum(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_value,
               round(stddev_samp(value), 6) AS stdev_value
        FROM events GROUP BY 1, 2""",
 )
@@ -158,10 +158,12 @@ def os_agg_series(spark, sf_dir):
         .groupBy("event_type", "user_id")
         .agg(
             F.count(F.lit(1)).alias("count"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(28,10)")), 4).cast("double").alias("sum_value"),
             F.round(F.stddev_samp("value"), 6).alias("stdev_value"),
         )
     )
@@ -170,7 +172,7 @@ def os_agg_series(spark, sf_dir):
 @register(
     "os_day_rollup",
     """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
-              count(*) AS n, round(sum(value), 4) AS sum_value
+              count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_value
        FROM events GROUP BY 1, 2""",
 )
 def os_day_rollup(spark, sf_dir):
@@ -179,7 +181,7 @@ def os_day_rollup(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
         F.to_date("ts").cast("string").alias("day"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("value").cast("decimal(28,10)")), 4).cast("double").alias("sum_value"))
 
 
 # -------------------------------------------------------------- tpch_* ---
@@ -719,3 +721,89 @@ def emb_ivf_topk(spark, sf_dir):
     score only their assigned partition (exact-integer centroid math)."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(e, e.where(F.col("vec_id") < 10), k=5, quantize=1000)
+
+
+# --------------------------------------------------- time-series ops ---
+
+from orestes_spark.operators import timeseries  # noqa: E402
+
+_HOUR = 3_600_000
+
+
+@register(
+    "ts_asof_join",
+    f"""WITH ev AS (SELECT event_id, user_id, event_type, {_EV_MS} AS time_ms, value FROM events),
+        clicks AS (SELECT event_id, user_id, time_ms FROM ev WHERE event_type = 'click'),
+        purchases AS (
+          SELECT user_id, time_ms, max(value) AS purchase_value
+          FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2
+        )
+        SELECT c.event_id, c.user_id, c.time_ms, p.purchase_value
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.time_ms >= p.time_ms""",
+)
+def ts_asof_join(spark, sf_dir):
+    """As-of join: each click gets the user's most recent purchase value
+    at or before it — union + last(ignorenulls) window, one shuffle, no
+    range-join explosion."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_millis("ts").alias("time_ms"), "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "time_ms")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "time_ms")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return timeseries.asof_join(clicks, purchases, on="user_id")
+
+
+@register(
+    "ts_resample_hourly",
+    f"""SELECT event_type,
+               CAST(floor({_EV_MS} / {_HOUR}) * {_HOUR} AS BIGINT) AS bucket_ms,
+               round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_value,
+               min(value) AS min_value,
+               max(value) AS max_value,
+               count(*) AS n,
+               max_by(value, {_EV_MS}) AS last_value
+        FROM events GROUP BY 1, 2""",
+)
+def ts_resample_hourly(spark, sf_dir):
+    """Downsample: hourly OHLC-style rollup per event_type."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_millis("ts").alias("time_ms"), "value"
+    )
+    out = timeseries.resample(
+        ev, _HOUR, ["event_type"], aggs=["min", "max", "count", "last", "dec_avg"]
+    )
+    return out
+
+
+@register(
+    "ts_gap_fill_hourly",
+    f"""WITH res AS (
+          SELECT event_type,
+                 CAST(floor({_EV_MS} / {_HOUR}) * {_HOUR} AS BIGINT) AS bucket_ms,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT event_type, min(bucket_ms) AS lo, max(bucket_ms) AS hi FROM res GROUP BY 1),
+        grid AS (
+          SELECT b.event_type, CAST(u.t AS BIGINT) AS bucket_ms
+          FROM bounds b, (SELECT UNNEST(generate_series(lo, hi, {_HOUR})) AS t) u
+        )
+        SELECT g.event_type, g.bucket_ms,
+               last_value(r.n IGNORE NULLS) OVER (
+                 PARTITION BY g.event_type ORDER BY g.bucket_ms ROWS UNBOUNDED PRECEDING
+               ) AS n
+        FROM grid g LEFT JOIN res r ON r.event_type = g.event_type AND r.bucket_ms = g.bucket_ms""",
+)
+def ts_gap_fill_hourly(spark, sf_dir):
+    """Gap-filled hourly counts per event_type with forward fill —
+    dense per-key grid via sequence+explode, no driver loop."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_millis("ts").alias("time_ms"), "value"
+    )
+    res = timeseries.resample(ev, _HOUR, ["event_type"], aggs=["count"])
+    return timeseries.gap_fill(res, _HOUR, ["event_type"], forward_fill=True)

@@ -1,0 +1,67 @@
+"""As-of join / resample / gap-fill unit tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from orestes_spark.operators import timeseries
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 4), (4, "b", 15), (5, "c", 7)],
+        "event_id LONG, k STRING, time_ms LONG",
+    )
+    right = spark.createDataFrame(
+        [("a", 5, 1.0), ("a", 20, 2.0), ("a", 25, 9.9), ("b", 1, 3.0)],
+        "k STRING, time_ms LONG, v DOUBLE",
+    )
+    return left, right
+
+
+def test_asof_semantics(frames):
+    left, right = frames
+    out = {
+        r["event_id"]: r["v"]
+        for r in timeseries.asof_join(left, right, on="k").collect()
+    }
+    assert out[1] == 1.0   # latest at-or-before 10 is t=5
+    assert out[2] == 2.0   # tie: t=20 row included (inclusive <=)
+    assert out[3] is None  # t=4 predates all right rows
+    assert out[4] == 3.0
+    assert out[5] is None  # key with no right rows at all
+
+
+def test_asof_tolerance(frames):
+    left, right = frames
+    out = {
+        r["event_id"]: r["v"]
+        for r in timeseries.asof_join(left, right, on="k", tolerance_ms=6).collect()
+    }
+    assert out[1] == 1.0   # 10-5=5 within tolerance
+    assert out[2] == 2.0   # exact match
+    assert out[4] is None  # 15-1=14 too old
+
+
+def test_resample_and_gap_fill(spark):
+    pts = spark.createDataFrame(
+        [("s1", 0, 1.0), ("s1", 500, 3.0), ("s1", 2500, 5.0)],
+        "sid STRING, time_ms LONG, value DOUBLE",
+    )
+    res = timeseries.resample(pts, 1000, ["sid"], aggs=["avg", "count", "last"])
+    rows = {r["bucket_ms"]: r for r in res.collect()}
+    assert rows[0]["avg_value"] == 2.0 and rows[0]["n"] == 2 and rows[0]["last_value"] == 3.0
+    assert rows[2000]["n"] == 1
+    assert 1000 not in rows  # gap
+
+    filled = timeseries.gap_fill(res, 1000, ["sid"])
+    frows = {r["bucket_ms"]: r for r in filled.collect()}
+    assert frows[1000]["n"] is None  # densified, not filled
+
+    ffilled = timeseries.gap_fill(res, 1000, ["sid"], forward_fill=True)
+    ffrows = {r["bucket_ms"]: r for r in ffilled.collect()}
+    assert ffrows[1000]["n"] == 2  # carried forward from bucket 0
+
+    with pytest.raises(ValueError):
+        timeseries.resample(pts, 1000, ["sid"], aggs=["median"])
