@@ -413,3 +413,36 @@ def _engine_read_fetchers(
 
 
 OrestesEngine.read_fetchers = _engine_read_fetchers
+
+
+def _engine_compact(self: "OrestesEngine", space: str = "default") -> dict[int, int]:
+    """Compact each bucket partition to its target file count —
+    streaming ingest appends a file (or more) per micro-batch, and at
+    scale the small-files problem is the first thing that kills scan
+    throughput. Rewrites each bucket's points sorted by
+    (series_id, time_ms) (restoring the series-clustered layout across
+    the whole bucket) and the series partition to a single file.
+    Returns {bucket: files_before}."""
+    before: dict[int, int] = {}
+    for root, sort_cols in (
+        (self._points_path(space), ["series_id", "time_ms"]),
+        (self._series_path(space), ["series_id"]),
+    ):
+        if not root.exists():
+            continue
+        for part in sorted(root.glob("bucket=*")):
+            bucket = int(part.name.split("=", 1)[1])
+            files = list(part.glob("*.parquet"))
+            if len(files) <= 1:
+                continue
+            if root == self._points_path(space):
+                before[bucket] = len(files)
+            df = self.spark.read.parquet(str(part)).sort(*sort_cols).coalesce(1)
+            tmp = part.parent / f".compact_{part.name}"
+            df.write.mode("overwrite").parquet(str(tmp))
+            shutil.rmtree(part)
+            tmp.rename(part)
+    return before
+
+
+OrestesEngine.compact = _engine_compact

@@ -218,3 +218,15 @@ def test_embedded_fetcher_paging(engine):
     f = next(engine.read_fetchers({"term": {"host": "a"}}, "default", 0, START + 10**9))
     page = f.fetch(-1)
     assert page["eof"] and page["points"] == model["host=a"][1]
+
+
+def test_compact_preserves_data(engine, spark):
+    # three separate writes → multiple files per bucket
+    for i in range(3):
+        engine.write(generate_points(30, start=START + i, tag_values={"host": ["a", "b"]}))
+    pre = read_as_model(engine)
+    compacted = engine.compact("default")
+    assert compacted and all(n > 1 for n in compacted.values())
+    assert read_as_model(engine) == pre
+    files = list((engine._points_path("default")).glob("bucket=*/*.parquet"))
+    assert len(files) == len(list((engine._points_path("default")).glob("bucket=*")))

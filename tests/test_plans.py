@@ -90,3 +90,43 @@ def test_whole_stage_codegen_on_hot_path(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # whole-stage codegen shows as "*(n)" stage markers in the final plan
     assert re.search(r"\*\(\d+\) HashAggregate", plan), plan[:500]
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from orestes_spark.plans import salted_aggregate
+    from orestes_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    plain = {
+        (r["event_type"],): (r["count"], r["sum_value"], r["min_value"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["event_type"],): (r["count"], r["sum_value"], r["min_value"])
+        for r in salted_aggregate(ev, ["event_type"], "value", ["count", "sum", "min"]).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k][0] == salted[k][0]
+        assert abs(plain[k][1] - salted[k][1]) < 1e-6
+        assert plain[k][2] == salted[k][2]
+
+
+def test_salted_join_matches_plain(spark):
+    from orestes_spark.plans import salted_join
+
+    left = spark.createDataFrame([(i, i % 3) for i in range(100)], "id LONG, k LONG")
+    right = spark.createDataFrame([(0, "x"), (1, "y"), (2, "z"), (3, "w")], "k LONG, v STRING")
+    plain = sorted((r["id"], r["v"]) for r in left.join(right, "k").collect())
+    salted = sorted((r["id"], r["v"]) for r in salted_join(left, right, "k").collect())
+    assert plain == salted
+    # left join keeps unmatched rows
+    left2 = left.union(spark.createDataFrame([(999, 99)], "id LONG, k LONG"))
+    out = salted_join(left2, right, "k", how="left")
+    assert out.where("id = 999").first()["v"] is None
