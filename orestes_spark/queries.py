@@ -807,3 +807,54 @@ def ts_gap_fill_hourly(spark, sf_dir):
     )
     res = timeseries.resample(ev, _HOUR, ["event_type"], aggs=["count"])
     return timeseries.gap_fill(res, _HOUR, ["event_type"], forward_fill=True)
+
+
+@register(
+    "doc_clean_corpus",
+    rf"""WITH pairs AS ({oracles.minhash_neardup_sql()}),
+        tok AS (SELECT doc_id,
+                       len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+                FROM documents)
+        SELECT d.doc_id, d.lang, t.n_tokens
+        FROM documents d JOIN tok t USING (doc_id)
+        WHERE t.n_tokens >= 20
+          AND d.doc_id NOT IN (SELECT id_b FROM pairs)""",
+)
+def doc_clean_corpus(spark, sf_dir):
+    """The composed LLM-data cleaning pipeline: token-count quality gate
+    → MinHash-LSH near-dup removal → surviving corpus. One expression
+    tree; Catalyst fuses the gates into the scans."""
+    d = load_table(spark, sf_dir, "documents")
+    quality = text.token_count(d, "doc_id", "text").where(F.col("n_tokens") >= 20)
+    pairs = dedup.minhash_lsh_dedup(d, "doc_id", "text")
+    kept = dedup.dedup_keep_list(d, "doc_id", pairs)
+    return kept.join(quality.select("doc_id", "n_tokens"), "doc_id").select(
+        "doc_id", "lang", "n_tokens"
+    )
+
+
+@register(
+    "os_engine_weekly",
+    f"""SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, count(*) AS count
+        FROM events WHERE event_type IN ('view', 'signup') AND {_EV_MS} >= {T0} AND {_EV_MS} < {T1}
+        GROUP BY 1, 2""",
+)
+def os_engine_weekly(spark, sf_dir):
+    """Engine path at table_granularity_days=7 (multi-space parity:
+    weekly buckets → different partition layout, same answers)."""
+    from orestes_spark.config import SpaceConfig
+
+    key = sf_dir + "@weekly"
+    eng = _WAREHOUSES.get(key)
+    if eng is None:
+        eng = OrestesEngine(
+            spark, tempfile.mkdtemp(prefix="orestes_whw_"), spaces={"weekly": SpaceConfig(7)}
+        )
+        eng._append(events_as_points(spark, sf_dir), "weekly")
+        _WAREHOUSES[key] = eng
+    counts = eng.count_points({"terms": {"event_type": ["view", "signup"]}}, "weekly", T0, T1)
+    return counts.select(
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").alias("user_id"),
+        "count",
+    )
