@@ -369,6 +369,10 @@ def simhash_near_pairs(
     bit_count verify — never an all-pairs scan."""
     bands = bits // band_bits
     mask = (1 << band_bits) - 1
+    # sig feeds the banding plus both verify sides — materialize once
+    # instead of recomputing the 32-vote signature per DAG use (2×
+    # faster at sf0.1).
+    sig = sig.localCheckpoint()
     stack_args = ", ".join(
         f"{b}, cast(shiftright(simhash, {b * band_bits}) & {mask} as long)" for b in range(bands)
     )

@@ -858,3 +858,35 @@ def os_engine_weekly(spark, sf_dir):
         F.col("tags").getItem("user_id").alias("user_id"),
         "count",
     )
+
+
+@register(
+    "os_series_cardinality",
+    """SELECT event_type, count(DISTINCT CAST(user_id AS VARCHAR)) AS n_series
+       FROM events GROUP BY 1""",
+)
+def os_series_cardinality(spark, sf_dir):
+    """Series-cardinality profiling per tag value — exact here for the
+    oracle; at 100 TB swap count_distinct for approx_count_distinct
+    (HLL) with no plan-shape change."""
+    return (
+        events_points(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_series"))
+    )
+
+
+@register(
+    "events_median_value",
+    """SELECT event_type, round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS median_value
+       FROM events GROUP BY 1""",
+)
+def events_median_value(spark, sf_dir):
+    """Exact median per group (linear interpolation — Spark percentile
+    and DuckDB quantile_cont agree at p=0.5; tail quantiles use
+    different interpolation conventions, and the scale path is
+    percentile_approx anyway)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value")
+    )

@@ -96,3 +96,22 @@ def streaming_rollup(
         .groupBy(F.window(F.col(time_col), window), *group_cols)
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
     )
+
+
+def streaming_sessionize(
+    points: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    time_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Event-time sessionization with ``session_window``: sessions close
+    when no event arrives within ``gap``; late events beyond the
+    watermark are dropped. Output: (session_window, *key_cols, n_events,
+    sum_value) — the streaming twin of the batch lag+cumsum
+    sessionization query."""
+    return (
+        points.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(F.col(time_col), gap), *key_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )

@@ -128,3 +128,37 @@ def test_stateful_series_stats(spark, tmp_path):
     stats = {r["series_id"]: (r["count"], r["sum"], r["min"], r["max"], r["last_time_ms"]) for r in rows}
     assert stats["a"] == (3, 14.0, 1.0, 10.0, 5000)
     assert stats["b"] == (1, 5.0, 5.0, 5.0, 1000)
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    from orestes_spark.streaming.ingest import streaming_sessionize
+
+    src = tmp_path / "s5"
+    ddl = "user_id LONG, ts_s STRING, value DOUBLE"
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 2.0),   # same session (gap 30m)
+        (1, "2024-01-01 01:00:00", 3.0),   # new session
+        (2, "2024-01-01 00:00:00", 5.0),
+        (1, "2024-01-01 06:00:00", 9.0),   # advances watermark, seals all
+    ]
+    spark.createDataFrame(rows, ddl).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(ddl).parquet(str(src)).withColumn("ts", F.to_timestamp("ts_s"))
+    )
+    q = (
+        streaming_sessionize(stream, gap="30 minutes", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["session_window"]["start"].isoformat()): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    assert got[(1, "2024-01-01T00:00:00")] == (2, 3.0)
+    assert got[(1, "2024-01-01T01:00:00")] == (1, 3.0)
+    assert got[(2, "2024-01-01T00:00:00")] == (1, 5.0)
