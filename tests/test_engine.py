@@ -230,3 +230,25 @@ def test_compact_preserves_data(engine, spark):
     assert read_as_model(engine) == pre
     files = list((engine._points_path("default")).glob("bucket=*/*.parquet"))
     assert len(files) == len(list((engine._points_path("default")).glob("bucket=*")))
+
+
+def test_json_and_csv_sources(engine, spark, tmp_path):
+    from orestes_spark.sources.points_files import read_points_csv, read_points_json
+
+    jdir, cdir = tmp_path / "pj", tmp_path / "pc"
+    jdir.mkdir(), cdir.mkdir()
+    (jdir / "points.json").write_text(
+        '{"time": "1700000000000", "value": 1.5, "tags": {"host": "a"}}\n'
+        '{"time": "2023-11-14T22:13:20Z", "value": 2.5, "tags": {"host": "b"}}\n'
+        '{"value": 3.0, "tags": {"host": "c"}}\n'  # missing time → error path
+    )
+    (cdir / "points.csv").write_text("time,value,host\n1700000000000,9.5,a\n1700000001000,8.5,b\n")
+
+    jdf = read_points_json(spark, str(jdir))
+    assert engine.write(jdf, "default") != []  # the timeless point is reported
+    cdf = read_points_csv(spark, str(cdir))
+    assert engine.write(cdf, "default") == []
+    got = read_as_model(engine, end=1700000002000)
+    assert got["host=a"][1] == [(1700000000000, 1.5), (1700000000000, 9.5)]
+    assert got["host=b"][1] == [(1700000000000, 2.5), (1700000001000, 8.5)]
+    assert "host=c" not in got
