@@ -30,6 +30,12 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # Defensive: the conf is baked into get_spark's sessions, but the
+        # driver harness calls queries() with its OWN SparkSession — set
+        # it at runtime (it is a session-settable SQL conf) so the nanos
+        # column never hard-fails the scan.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # Integer division: `/` would go through double and lose
