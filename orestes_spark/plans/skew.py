@@ -22,12 +22,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# (partial aggregate, merge aggregate) pairs per supported reducer
+# (partial-aggregate builder, merge function) per supported reducer.
+# Builders are lazy: constructing a Column requires an active
+# SparkContext, which must not be an import-time requirement.
 _MERGEABLE = {
-    "count": (F.count(F.lit(1)), F.sum),
-    "sum": (None, F.sum),  # partial filled per value column
-    "min": (None, F.min),
-    "max": (None, F.max),
+    "count": (lambda v: F.count(F.lit(1)), F.sum),
+    "sum": (lambda v: F.sum(v), F.sum),
+    "min": (lambda v: F.min(v), F.min),
+    "max": (lambda v: F.max(v), F.max),
 }
 
 
@@ -47,12 +49,7 @@ def salted_aggregate(
         raise ValueError(f"non-mergeable aggs for salting: {unknown}")
     salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int"))
     partials = salted.groupBy(*keys, "_salt").agg(
-        *[
-            (_MERGEABLE[a][0] if _MERGEABLE[a][0] is not None else _MERGEABLE[a][1](value_col)).alias(
-                f"_p_{a}"
-            )
-            for a in aggs
-        ]
+        *[_MERGEABLE[a][0](value_col).alias(f"_p_{a}") for a in aggs]
     )
     merged = partials.groupBy(*keys).agg(
         *[
