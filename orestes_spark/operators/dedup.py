@@ -320,11 +320,22 @@ def ngram_jaccard_dedup(
     hashed = arrays.select(
         "_id", F.transform("grams", lambda g: F.xxhash64(g)).alias("grams")
     ).localCheckpoint()
+    exploded = hashed.select("_id", F.explode("grams").alias("sh"))
+    # Count-first document frequencies, THEN collect ids only for rare
+    # grams: collect_list state is bounded by max_df by construction —
+    # collecting every gram's id list first would hold an unbounded
+    # array per stop gram (an OOM at corpus scale) just to throw it
+    # away. The count aggregate is map-side partial; the join and the
+    # collect reuse the same hash partitioning on sh.
+    rare = (
+        exploded.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") > 1) & (F.col("df") <= max_df))
+    )
     buckets = (
-        hashed.select("_id", F.explode("grams").alias("sh"))
+        exploded.join(rare.select("sh"), "sh", "left_semi")
         .groupBy("sh")
         .agg(F.collect_list("_id").alias("ids"))
-        .where((F.size("ids") > 1) & (F.size("ids") <= max_df))
     )
     cands = pairs_from_buckets(buckets)
     return verify_jaccard(hashed, cands, threshold, "grams")
