@@ -890,3 +890,69 @@ def events_median_value(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value")
     )
+
+
+@register(
+    "ts_rate_of_change",
+    f"""WITH pts AS (
+          SELECT event_id, event_type, CAST(user_id AS VARCHAR) AS user_id,
+                 {_EV_MS} AS time_ms, value
+          FROM events
+        ),
+        lagged AS (
+          SELECT event_id, event_type, user_id, time_ms, value,
+                 lag(value) OVER w AS prev_value,
+                 lag(time_ms) OVER w AS prev_time
+          FROM pts
+          WINDOW w AS (PARTITION BY event_type, user_id ORDER BY time_ms, event_id)
+        )
+        SELECT event_id, event_type, user_id, time_ms,
+               round((value - prev_value) / (time_ms - prev_time) * 1000, 6) AS rate_per_sec
+        FROM lagged WHERE prev_time IS NOT NULL AND time_ms > prev_time""",
+)
+def ts_rate_of_change(spark, sf_dir):
+    """Per-series derivative (rate per second) via lag — the PromQL
+    rate()-style operator; one window shuffle per series key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("user_id").cast("string").alias("user_id"),
+        F.unix_millis("ts").alias("time_ms"),
+        "value",
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy("time_ms", "event_id")
+    lagged = ev.withColumn("prev_value", F.lag("value").over(w)).withColumn(
+        "prev_time", F.lag("time_ms").over(w)
+    )
+    return (
+        lagged.where(F.col("prev_time").isNotNull() & (F.col("time_ms") > F.col("prev_time")))
+        .withColumn(
+            "rate_per_sec",
+            F.round((F.col("value") - F.col("prev_value")) / (F.col("time_ms") - F.col("prev_time")) * 1000, 6),
+        )
+        .select("event_id", "event_type", "user_id", "time_ms", "rate_per_sec")
+    )
+
+
+@register(
+    "doc_top_tokens",
+    r"""SELECT tok, n FROM (
+          SELECT tok, count(*) AS n,
+                 row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+          FROM (
+            SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok
+            FROM documents
+          )
+          GROUP BY tok
+        ) WHERE rn <= 20""",
+)
+def doc_top_tokens(spark, sf_dir):
+    """Corpus-level heavy hitters: top-20 tokens by frequency
+    (deterministic tiebreak). At 100 TB this is partial-agg + a
+    single-reducer top-k — the count shuffle carries one row per
+    distinct token, not per occurrence."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    return counts.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 20).select("tok", "n")
