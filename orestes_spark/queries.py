@@ -704,15 +704,47 @@ def doc_dedup_keep_list(spark, sf_dir):
     return dedup.dedup_keep_list(d, "doc_id", pairs).select("doc_id", "lang", "source")
 
 
-def _grouped_read(spark, sf_dir):
+@register(
+    "os_read_grouped",
+    f"""SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+               '[' || string_agg(
+                   '[' || CAST(time_ms AS VARCHAR) || ',' || CAST(v6 AS VARCHAR) || ']',
+                   ',' ORDER BY time_ms, v6
+               ) || ']' AS points_json
+        FROM (
+          SELECT event_type, user_id, {_EV_MS} AS time_ms,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v6
+          FROM events
+          WHERE event_type IN ('click', 'view') AND {_EV_MS} >= {T0} AND {_EV_MS} < {T1}
+        )
+        GROUP BY 1, 2""",
+)
+def os_read_grouped(spark, sf_dir):
     """Reference /read output shape: one row per series with the
-    time-sorted points array — rows-only check (array-valued columns
-    don't hash portably across engines)."""
+    time-sorted points array (/root/reference/lib/orestes.js:88-97,
+    README.md:67-100), built through the real engine warehouse.
+
+    The points array is serialized to a deterministic JSON string so
+    the driver's canonicalizer can hash it: each point becomes
+    [time_ms, value_micros] with the value quantized to DECIMAL(18,6)
+    micros (pure integers — no float-formatting divergence between
+    engines), the pair list sorted lexicographically on both sides."""
     eng = _engine_for(spark, sf_dir)
-    return eng.read({"terms": {"event_type": ["click", "view"]}}, "default", T0, T1)
-
-
-QUERIES["os_read_grouped"] = _grouped_read
+    g = eng.read({"terms": {"event_type": ["click", "view"]}}, "default", T0, T1)
+    pairs = F.array_sort(
+        F.transform(
+            "points",
+            lambda p: F.array(
+                p["time_ms"],
+                (p["value"].cast("decimal(18,6)") * 1000000).cast("long"),
+            ),
+        )
+    )
+    return g.select(
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").alias("user_id"),
+        F.to_json(pairs).alias("points_json"),
+    )
 
 
 @register("emb_ivf_topk", oracles.emb_ivf_topk_sql())
@@ -905,14 +937,31 @@ def events_median_value(spark, sf_dir):
                  lag(time_ms) OVER w AS prev_time
           FROM pts
           WINDOW w AS (PARTITION BY event_type, user_id ORDER BY time_ms, event_id)
+        ),
+        ex AS (
+          SELECT event_id, event_type, user_id, time_ms,
+                 CAST((CAST(value AS DECIMAL(18,6)) - CAST(prev_value AS DECIMAL(18,6)))
+                      * 1000000 AS BIGINT) * 1000 AS num,
+                 time_ms - prev_time AS den
+          FROM lagged WHERE prev_time IS NOT NULL AND time_ms > prev_time
         )
         SELECT event_id, event_type, user_id, time_ms,
-               round((value - prev_value) / (time_ms - prev_time) * 1000, 6) AS rate_per_sec
-        FROM lagged WHERE prev_time IS NOT NULL AND time_ms > prev_time""",
+               (CASE WHEN num < 0 THEN -((abs(num) * 2 + den) // (2 * den))
+                     ELSE (num * 2 + den) // (2 * den) END) / CAST(1000000 AS DOUBLE) AS rate_per_sec
+        FROM ex""",
 )
 def ts_rate_of_change(spark, sf_dir):
     """Per-series derivative (rate per second) via lag — the PromQL
-    rate()-style operator; one window shuffle per series key."""
+    rate()-style operator; one window shuffle per series key.
+
+    Rounding discipline: Spark's round() on DOUBLE goes through the
+    shortest decimal representation while DuckDB rounds the exact
+    binary value, so .xx5-boundary results flip between engines. The
+    6-dp rate is therefore computed in exact integer arithmetic on
+    both sides: value quantized to DECIMAL(18,6), delta scaled to a
+    BIGINT numerator, and round-half-away-from-zero expressed as an
+    integer division — bit-identical across engines by construction.
+    """
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
@@ -927,8 +976,17 @@ def ts_rate_of_change(spark, sf_dir):
     return (
         lagged.where(F.col("prev_time").isNotNull() & (F.col("time_ms") > F.col("prev_time")))
         .withColumn(
+            "num",
+            ((F.col("value").cast("decimal(18,6)") - F.col("prev_value").cast("decimal(18,6)"))
+             * 1000000).cast("long") * 1000,
+        )
+        .withColumn("den", F.col("time_ms") - F.col("prev_time"))
+        .withColumn(
             "rate_per_sec",
-            F.round((F.col("value") - F.col("prev_value")) / (F.col("time_ms") - F.col("prev_time")) * 1000, 6),
+            F.expr(
+                "(CASE WHEN num < 0 THEN -((abs(num) * 2 + den) DIV (2 * den))"
+                "      ELSE (num * 2 + den) DIV (2 * den) END) / CAST(1000000 AS DOUBLE)"
+            ),
         )
         .select("event_id", "event_type", "user_id", "time_ms", "rate_per_sec")
     )
