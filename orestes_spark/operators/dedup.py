@@ -163,15 +163,22 @@ def verify_jaccard(
     Output (id_a, id_b, jaccard ≥ threshold).
 
     A size-compatibility prefilter runs first: J(A,B) ≥ t requires
-    |A| ≥ t·|B| and |B| ≥ t·|A| (since |A∩B| ≤ min). Joining the tiny
-    (id, size) table and filtering drops most junk candidates BEFORE
-    the array payloads are ever joined — exact, zero recall loss."""
+    |A| ≥ t·|B| and |B| ≥ t·|A| (since |A∩B| ≤ min). Joining the
+    (id, size) table — two narrow columns, no array payload — and
+    filtering drops most junk candidates BEFORE the array payloads are
+    ever joined: exact, zero recall loss.
+
+    The sizes table is one row per document, so it is NOT hinted for
+    broadcast: at corpus scale a forced broadcast of a per-document
+    table is an OOM directive the optimizer can't override. The join
+    keys are plain equi-joins; AQE broadcasts while the side is small
+    and falls back to shuffle when it isn't."""
     sizes = arrays.select("_id", F.size(set_col).alias("_n"))
     sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
     sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
     compatible = (
-        cands.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
         .where((F.col("_na") >= threshold * F.col("_nb")) & (F.col("_nb") >= threshold * F.col("_na")))
         .select("id_a", "id_b")
     )

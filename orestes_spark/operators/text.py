@@ -5,12 +5,10 @@ no Python in the loop) and engine-portable for oracle checking.
 
 from __future__ import annotations
 
-from functools import reduce
-
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from orestes_spark.operators.dedup import normalize_text
+from orestes_spark.operators.dedup import bind, normalize_text
 
 # Marker stop-words per language for the n-gram/stop-word language-ID
 # heuristic. Deliberately small and deterministic.
@@ -52,31 +50,56 @@ def quality_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def lang_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, lang, score): marker-word hit count per candidate language."""
-    toks = _tokens(F.col(text_col))
-    frames = []
-    for lang, markers in LANG_MARKERS.items():
-        marker_arr = F.array(*[F.lit(m) for m in markers])
-        frames.append(
-            docs.select(
-                F.col(id_col).alias("_id"),
+def _marker_score(toks: F.Column, markers: list[str]) -> F.Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+
+def _lang_score_structs(toks: F.Column) -> F.Column:
+    """ARRAY<STRUCT<score, nidx, lang>> — one entry per candidate
+    language, all computed from ONE bound token array (one tokenization
+    per row, one scan of the corpus). ``nidx`` is the negated
+    alphabetical index so array_max realizes the (score desc, lang asc)
+    tiebreak."""
+    langs = sorted(LANG_MARKERS)
+    return F.array(
+        *[
+            F.struct(
+                _marker_score(toks, LANG_MARKERS[lang]).alias("score"),
+                F.lit(-i).alias("nidx"),
                 F.lit(lang).alias("lang"),
-                F.size(F.filter(toks, lambda x: F.array_contains(marker_arr, x))).alias("score"),
             )
-        )
-    return reduce(DataFrame.unionAll, frames)
+            for i, lang in enumerate(langs)
+        ]
+    )
+
+
+def lang_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, lang, score): marker-word hit count per candidate language.
+    Single corpus scan: all language scores come out of one bound token
+    array and are exploded to long form (the previous unionAll-of-
+    4-frames formulation scanned — and tokenized — the corpus once per
+    language)."""
+    pairs = bind(_tokens(F.col(text_col)), _lang_score_structs)
+    return (
+        docs.select(F.col(id_col).alias("_id"), F.explode(pairs).alias("_p"))
+        .select("_id", F.col("_p.lang").alias("lang"), F.col("_p.score").alias("score"))
+    )
 
 
 def lang_id(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Argmax language with deterministic tiebreak (score desc, lang
-    asc). Output (id, pred_lang, score)."""
-    scores = lang_scores(docs, id_col, text_col)
-    w = Window.partitionBy("_id").orderBy(F.col("score").desc(), F.col("lang"))
+    asc). Output (id, pred_lang, score).
+
+    Shuffle-free: the argmax is array_max over the per-language score
+    structs computed in the row — no per-document window, no exchange.
+    The single-element explode materializes the struct behind a
+    Generate boundary so its fields are projected without CollapseProject
+    re-inlining (and re-evaluating) the tokenization per field."""
+    best = bind(_tokens(F.col(text_col)), lambda t: F.array_max(_lang_score_structs(t)))
     return (
-        scores.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(F.col("_id").alias(id_col), F.col("lang").alias("pred_lang"), "score")
+        docs.select(F.col(id_col), F.explode(F.array(best)).alias("_b"))
+        .select(F.col(id_col), F.col("_b.lang").alias("pred_lang"), F.col("_b.score").alias("score"))
     )
 
 

@@ -1006,11 +1006,12 @@ def ts_rate_of_change(spark, sf_dir):
 )
 def doc_top_tokens(spark, sf_dir):
     """Corpus-level heavy hitters: top-20 tokens by frequency
-    (deterministic tiebreak). At 100 TB this is partial-agg + a
-    single-reducer top-k — the count shuffle carries one row per
-    distinct token, not per occurrence."""
+    (deterministic tiebreak). orderBy().limit() compiles to
+    TakeOrderedAndProject — each partition keeps its local top-20 and
+    only those reach the driver-side merge, so there is no
+    single-partition global sort. The count shuffle carries one row
+    per distinct token, not per occurrence."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), "tok")
-    return counts.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 20).select("tok", "n")
+    return counts.orderBy(F.col("n").desc(), "tok").limit(20).select("tok", "n")

@@ -92,6 +92,43 @@ def test_whole_stage_codegen_on_hot_path(spark):
     assert re.search(r"\*\(\d+\) HashAggregate", plan), plan[:500]
 
 
+def test_lang_id_single_scan_no_shuffle(spark):
+    """All language scores come from one bound token array: exactly one
+    corpus scan (was 4 via unionAll) and no window/exchange at all."""
+    from orestes_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["doc_lang_id"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Window" not in plan and "Exchange" not in plan, plan
+
+
+def test_top_tokens_uses_partial_topk(spark):
+    """Top-20 must compile to TakeOrderedAndProject (per-partition
+    partial top-k), not a single-partition global window sort."""
+    from orestes_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["doc_top_tokens"](spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_dedup_verify_has_no_forced_broadcast(spark):
+    """verify_jaccard joins per-document (id, size) tables — unbounded
+    by corpus size, so they must NOT carry a broadcast hint (a forced
+    broadcast of a per-document table is an OOM directive at 100 TB).
+    AQE may still *choose* to broadcast while small; what's asserted
+    is the absence of the hint in the analyzed plan."""
+    from orestes_spark.operators import dedup
+    from orestes_spark.sources.testdata import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = dedup.minhash_lsh_dedup(d, "doc_id", "text")
+    analyzed = pairs._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    ngram = dedup.ngram_jaccard_dedup(d, "doc_id", "text")
+    assert "ResolvedHint" not in ngram._jdf.queryExecution().analyzed().toString()
+
+
 def test_salted_aggregate_matches_plain(spark):
     from orestes_spark.plans import salted_aggregate
     from orestes_spark.sources.testdata import load_table
