@@ -22,7 +22,10 @@ the ``count`` aggregation is accepted, anything else is a 400
 
 from __future__ import annotations
 
+import json
+import re
 import time as _time
+from collections.abc import Iterator
 from typing import Any
 
 from orestes_spark.engine import OrestesEngine
@@ -30,10 +33,53 @@ from orestes_spark.esdsl import UnsupportedDslError
 
 
 class ApiError(Exception):
-    def __init__(self, status: int, message: str) -> None:
+    def __init__(self, status: int, message: str, code: str = "INTERNAL", info: dict | None = None) -> None:
         super().__init__(message)
         self.status = status
         self.message = message
+        self.code = code
+        self.info = info or {}
+
+    def to_json(self) -> dict:
+        """Reference error body shape
+        (/root/reference/lib/middleware/error-handler.js:29-35)."""
+        return {"code": self.code, "message": self.message, "info": self.info}
+
+
+# Overload signals that map to 503, the analogue of the reference's
+# Cassandra overload categorization
+# (/root/reference/lib/cassandra/cassandra-errors.js:1-8): the backend
+# is saturated, the client should back off and retry.
+_OVERLOAD_PATTERNS = [
+    re.compile(p)
+    for p in (
+        r"Cannot achieve consistency level",          # reference parity
+        r"All connections on all I/O threads are busy",  # reference parity
+        r"OutOfMemoryError",
+        r"Total size of serialized results .* is bigger than",
+        r"Futures timed out",
+        r"ExecutorLostFailure",
+    )
+]
+
+
+def categorize_error(err: Exception) -> ApiError:
+    """Wrap an arbitrary engine exception in the reference's error
+    contract: overload signatures become 503, everything else 500
+    INTERNAL (/root/reference/lib/middleware/error-handler.js:25-35)."""
+    if isinstance(err, ApiError):
+        return err
+    msg = str(err)
+    status = 503 if any(p.search(msg) for p in _OVERLOAD_PATTERNS) else 500
+    return ApiError(status, msg)
+
+
+def error_response(err: Exception) -> tuple[int, dict]:
+    """(status, body) for any exception — the error-handler middleware
+    equivalent: status from the error when it has one, else 500; body
+    {code, message, info}."""
+    api_err = categorize_error(err)
+    return api_err.status, api_err.to_json()
 
 
 def _read_params(body: dict) -> tuple[dict | None, int, int]:
@@ -41,6 +87,54 @@ def _read_params(body: dict) -> tuple[dict | None, int, int]:
     start = int(body.get("start", 0))
     end = int(body.get("end", _time.time() * 1000))
     return query, start, end
+
+
+def stream_read(
+    engine: OrestesEngine, body: dict, space: str = "default"
+) -> Iterator[dict]:
+    """Yield one series dict at a time — the /read incremental-delivery
+    surface (/root/reference/lib/orestes.js:88-137: each series is
+    written to the response as soon as its fetcher drains; the driver
+    never assembles the full result). Series arrive via
+    ``read_fetchers``'s toLocalIterator, one partition in flight."""
+    query, start, end = _read_params(body)
+    aggregations = body.get("aggregations")
+    if aggregations:
+        if any(a.get("type") != "count" for a in aggregations):
+            raise ApiError(400, "the only supported aggregation type is count")
+        counts = engine.count_points(query, space, start, end)
+        for row in counts.toLocalIterator():
+            yield {"tags": dict(row["tags"]), "count": row["count"]}
+        return
+    for fetcher in engine.read_fetchers(query, space, start, end):
+        points: list = []
+        while True:
+            result = fetcher.fetch(-1)
+            points.extend([list(p) for p in result["points"]])
+            if result["eof"]:
+                break
+        yield {"tags": fetcher.tags, "points": points}
+
+
+def stream_read_response(
+    engine: OrestesEngine, body: dict, space: str = "default"
+) -> Iterator[str]:
+    """JSON text chunks with the reference's exact wire framing
+    (/root/reference/lib/orestes.js:88-97, 159-163): '{"series":[' is
+    written before the first series, each series is a separate chunk,
+    and a mid-stream failure terminates the ALREADY-DELIVERED partial
+    results with '], "error": "..."}' instead of discarding them."""
+    yield '{"series":['
+    first = True
+    try:
+        for series in stream_read(engine, body, space):
+            prefix = "" if first else ","
+            first = False
+            yield prefix + json.dumps(series, separators=(",", ":"))
+    except Exception as err:  # noqa: BLE001 — partial-results contract
+        yield f'], "error": "{categorize_error(err).message}"}}'
+        return
+    yield "]}"
 
 
 def handle_request(engine: OrestesEngine, endpoint: str, body: dict | list, space: str = "default") -> Any:
@@ -53,25 +147,10 @@ def handle_request(engine: OrestesEngine, endpoint: str, body: dict | list, spac
             return {"errors": engine.write(body, space)}
 
         if endpoint == "read":
-            query, start, end = _read_params(body)
-            aggregations = body.get("aggregations")
-            if aggregations:
-                if any(a.get("type") != "count" for a in aggregations):
-                    # only count is supported
-                    # (/root/reference/lib/orestes.js:143-150)
-                    raise ApiError(400, "unsupported aggregation type")
-                rows = engine.count_points(query, space, start, end).collect()
-                return {"series": [{"tags": dict(r["tags"]), "count": r["count"]} for r in rows]}
-            rows = engine.read(query, space, start, end, grouped=True).collect()
-            return {
-                "series": [
-                    {
-                        "tags": dict(r["tags"]),
-                        "points": [[p["time_ms"], p["value"]] for p in r["points"]],
-                    }
-                    for r in rows
-                ]
-            }
+            # Assembled from the same incremental generator the
+            # streaming response uses — series cross the driver one
+            # partition at a time, never as one collect().
+            return {"series": list(stream_read(engine, body, space))}
 
         if endpoint == "series":
             query, start, end = _read_params(body)

@@ -94,8 +94,11 @@ def resample(
         "max": F.max(value_col).alias("max_value"),
         "sum": F.sum(value_col).alias("sum_value"),
         "count": F.count(F.lit(1)).alias("n"),
-        "first": F.min_by(value_col, time_col).alias("first_value"),
-        "last": F.max_by(value_col, time_col).alias("last_value"),
+        # first/last via struct-min/max rather than min_by/max_by: the
+        # struct comparison breaks (time, value) ties on the value, so
+        # duplicate timestamps can't make the result engine-arbitrary.
+        "first": F.min(F.struct(F.col(time_col), F.col(value_col)))[value_col].alias("first_value"),
+        "last": F.max(F.struct(F.col(time_col), F.col(value_col)))[value_col].alias("last_value"),
         # decimal-exact average: engine-order-independent (see queries.py
         # float discipline note)
         "dec_avg": F.round(

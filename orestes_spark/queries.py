@@ -607,14 +607,14 @@ def events_props_json(spark, sf_dir):
 @register(
     "events_sessionization",
     """WITH gaps AS (
-         SELECT user_id, ts,
+         SELECT user_id, ts, event_id,
                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                           > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
          FROM events
        ),
        sessions AS (
          SELECT user_id,
-                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS UNBOUNDED PRECEDING) AS session_id
          FROM gaps
        )
@@ -629,7 +629,14 @@ def events_sessionization(spark, sf_dir):
     gap = F.when(
         F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1
     ).otherwise(0)
-    wc = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    # event_id tiebreak: with duplicate (user_id, ts) rows at a session
+    # boundary, a ts-only ORDER BY leaves the cumsum row order
+    # engine-arbitrary — both sides order by (ts, event_id).
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return (
         ev.withColumn("new_session", gap)
         .withColumn("session_id", F.sum("new_session").over(wc).cast("long"))
@@ -798,7 +805,7 @@ def ts_asof_join(spark, sf_dir):
                min(value) AS min_value,
                max(value) AS max_value,
                count(*) AS n,
-               max_by(value, {_EV_MS}) AS last_value
+               (max({{t: {_EV_MS}, v: value}})).v AS last_value
         FROM events GROUP BY 1, 2""",
 )
 def ts_resample_hourly(spark, sf_dir):

@@ -12,9 +12,16 @@ streaming query:
         append rejected points to an errors sink (per-point error
         strings, never batch abort)
 
-``foreachBatch`` gives exactly-once-per-epoch appends against the same
-layout the batch engine uses, so every read-path operator works on
-streamed data unchanged. The Bubo write-time series-dedup cache
+``foreachBatch`` is at-least-once: after a restart the last epoch is
+re-offered even when its writes landed. The processor therefore records
+each fully-committed epoch as a marker file (Hadoop FileSystem API, so
+it works on any checkpoint-capable store) and skips replayed epochs —
+the standard idempotent-foreachBatch recipe. The remaining window is a
+crash *mid-epoch*: a partially-written epoch has no marker and is
+re-appended in full on retry, so duplicate points are possible within
+that single failure window (documented at-least-once; the read path's
+series dedup is unaffected because metadata upserts anti-join the
+durable series table). The Bubo write-time series-dedup cache
 (/root/reference/lib/orestes-inserter.js:98-116) becomes the anti-join
 in OrestesEngine._append — per micro-batch, against the durable series
 table, instead of an in-memory hash set: restart-safe and shared
@@ -49,6 +56,51 @@ def canonicalize(raw: DataFrame) -> DataFrame:
     )
 
 
+def _fs_and_path(spark, path: str):
+    """Hadoop FileSystem + Path for ``path`` — FS-agnostic (local,
+    HDFS, object store), same API the checkpoint itself uses."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def make_batch_processor(
+    engine: OrestesEngine,
+    space: str = "default",
+    errors_path: str | None = None,
+    epochs_dir: str | None = None,
+):
+    """foreachBatch processor: validate → errors sink → append, with
+    committed-epoch tracking. When ``epochs_dir`` is set, an epoch that
+    already has a commit marker is skipped entirely — a replayed
+    micro-batch (restart re-offering the last committed epoch) becomes
+    a no-op instead of a duplicate append. The marker is written only
+    after every write of the epoch has returned."""
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        fs = marker = None
+        if epochs_dir is not None:
+            fs, d = _fs_and_path(batch_df.sparkSession, epochs_dir)
+            marker = batch_df.sparkSession._jvm.org.apache.hadoop.fs.Path(
+                d, f"epoch-{epoch_id}"
+            )
+            if fs.exists(marker):
+                return
+        valid, errors = validation.split_valid(canonicalize(batch_df))
+        if errors_path is not None:
+            (
+                errors.withColumn("epoch", F.lit(epoch_id))
+                .write.mode("append")
+                .parquet(errors_path)
+            )
+        engine._append(valid, space)
+        if marker is not None:
+            fs.mkdirs(d)
+            fs.create(marker, True).close()
+
+    return process_batch
+
+
 def start_ingest(
     engine: OrestesEngine,
     source: DataFrame,
@@ -60,18 +112,11 @@ def start_ingest(
     """Run a streaming ingest into ``space``. ``source`` is any
     streaming DataFrame with (time, value, tags) — e.g.
     ``spark.readStream.schema(RAW_DDL).parquet(dir)`` or a mapped
-    Kafka source."""
-
-    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        valid, errors = validation.split_valid(canonicalize(batch_df))
-        if errors_path is not None:
-            (
-                errors.withColumn("epoch", F.lit(epoch_id))
-                .write.mode("append")
-                .parquet(errors_path)
-            )
-        engine._append(valid, space)
-
+    Kafka source. With a ``checkpoint``, committed epochs are tracked
+    next to it and replayed epochs are skipped (see module docstring
+    for the exact delivery guarantee)."""
+    epochs_dir = f"{checkpoint}/orestes_committed_epochs" if checkpoint else None
+    process_batch = make_batch_processor(engine, space, errors_path, epochs_dir)
     writer = source.writeStream.foreachBatch(process_batch).outputMode("append")
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)

@@ -1,11 +1,20 @@
 """API-layer tests mirroring the reference's http-api.spec response
-shapes."""
+shapes, including the streaming /read wire framing and the
+error-handler middleware contract."""
 
 from __future__ import annotations
 
+import json
+
 import pytest
 
-from orestes_spark.api import ApiError, handle_request
+from orestes_spark.api import (
+    ApiError,
+    error_response,
+    handle_request,
+    stream_read,
+    stream_read_response,
+)
 
 START = 1_700_000_000_000
 
@@ -47,6 +56,68 @@ def test_series_and_select_distinct_shapes(loaded):
 def test_write_error_shape(engine):
     out = handle_request(engine, "write", [{"value": 1}])
     assert out["errors"][0]["error"] == 'missing required keys: ["time"]'
+
+
+def test_stream_read_yields_once_per_series(loaded):
+    """Incremental-delivery parity
+    (/root/reference/test/http-api.spec.js:316-336: #callback
+    invocations == #series, each with tags and points)."""
+    body = {"start": 0, "end": START + 100}
+    seen = list(stream_read(loaded, body))
+    assert len(seen) == 2
+    for s in seen:
+        assert "tags" in s and "points" in s
+    full = handle_request(loaded, "read", body)
+    assert sorted(json.dumps(s, sort_keys=True) for s in full["series"]) == sorted(
+        json.dumps(s, sort_keys=True) for s in seen
+    )
+
+
+def test_stream_read_response_framing(loaded):
+    """Wire framing: '{\"series\":[' prefix, one chunk per series,
+    ']}' terminator — and the whole stream parses as the batch JSON."""
+    chunks = list(stream_read_response(loaded, {"start": 0, "end": START + 100}))
+    assert chunks[0] == '{"series":['
+    assert chunks[-1] == "]}"
+    assert len(chunks) == 4  # prefix + 2 series + terminator
+    parsed = json.loads("".join(chunks))
+    assert len(parsed["series"]) == 2
+
+
+def test_stream_read_partial_results_then_error(loaded, monkeypatch):
+    """Mid-stream failure keeps already-delivered series and terminates
+    with '], \"error\": ...}' (/root/reference/lib/orestes.js:159-163)."""
+
+    real_read_fetchers = type(loaded).read_fetchers
+
+    def exploding_fetchers(self, query, space, start, end):
+        real = iter(real_read_fetchers(self, query, space, start, end))
+        yield next(real)
+        raise RuntimeError("Cannot achieve consistency level QUORUM")
+
+    monkeypatch.setattr(type(loaded), "read_fetchers", exploding_fetchers)
+    chunks = list(stream_read_response(loaded, {"start": 0, "end": START + 100}))
+    assert chunks[0] == '{"series":['
+    assert chunks[-1] == '], "error": "Cannot achieve consistency level QUORUM"}'
+    assert len(chunks) == 3  # prefix + ONE delivered series + error terminator
+    # the partial stream is still well-formed JSON
+    parsed = json.loads("".join(chunks))
+    assert len(parsed["series"]) == 1 and "error" in parsed
+
+
+def test_error_response_shapes():
+    """Error-handler middleware parity: {code, message, info} body,
+    status from the error, overload signatures mapped to 503
+    (/root/reference/lib/middleware/error-handler.js:10-35,
+    /root/reference/lib/cassandra/cassandra-errors.js:1-8)."""
+    status, body = error_response(ApiError(400, "bad body"))
+    assert status == 400 and body == {"code": "INTERNAL", "message": "bad body", "info": {}}
+    status, body = error_response(RuntimeError("boom"))
+    assert status == 500 and body["code"] == "INTERNAL" and body["message"] == "boom"
+    status, _ = error_response(RuntimeError("Cannot achieve consistency level ONE"))
+    assert status == 503
+    status, _ = error_response(RuntimeError("java.lang.OutOfMemoryError: heap"))
+    assert status == 503
 
 
 def test_delete_and_errors(loaded):

@@ -50,6 +50,23 @@ def test_streaming_ingest_matches_batch(spark, engine, tmp_path):
     assert errs.first()["error"] == 'missing required keys: ["time"]'
 
 
+def test_replayed_epoch_is_skipped(spark, engine, tmp_path):
+    """foreachBatch replay safety: re-offering a committed epoch (the
+    restart case) must be a no-op, not a duplicate append."""
+    from orestes_spark.streaming.ingest import make_batch_processor
+
+    process = make_batch_processor(
+        engine, "default", epochs_dir=str(tmp_path / "epochs")
+    )
+    batch = spark.createDataFrame(_raw_rows(10), RAW_DDL)
+    process(batch, 0)
+    assert engine.read(None, "default", 0, START + 10**9, grouped=False).count() == 10
+    process(batch, 0)  # replay of committed epoch → skipped
+    assert engine.read(None, "default", 0, START + 10**9, grouped=False).count() == 10
+    process(batch, 1)  # a NEW epoch with the same data still appends
+    assert engine.read(None, "default", 0, START + 10**9, grouped=False).count() == 20
+
+
 def test_streaming_series_dedup_no_duplicate_metadata(spark, engine, tmp_path):
     src = tmp_path / "s2"
     src.mkdir()
