@@ -9,10 +9,16 @@ confined to genuinely non-relational kernels (none are needed for the
 reference's own surface).
 """
 
-from orestes_spark.config import SpaceConfig
+from orestes_spark.config import SpaceConfig, engine_config_from_json, load_space_configs
 from orestes_spark.engine import OrestesEngine
 from orestes_spark.session import get_spark
 
-__all__ = ["OrestesEngine", "SpaceConfig", "get_spark"]
+__all__ = [
+    "OrestesEngine",
+    "SpaceConfig",
+    "engine_config_from_json",
+    "get_spark",
+    "load_space_configs",
+]
 
 __version__ = "0.1.0"

@@ -12,7 +12,9 @@ table naming.
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
+from pathlib import Path
 
 MS_IN_DAY = 86_400_000
 
@@ -43,3 +45,24 @@ class EngineConfig:
 
     def space(self, name: str) -> SpaceConfig:
         return self.spaces.get(name, self.default_space_config)
+
+
+def load_space_configs(path: str | Path) -> dict[str, SpaceConfig]:
+    """Parse a reference-format config file's ``spaces`` block
+    (/root/reference/conf/orestes-config.json:11-15): each space maps
+    ``table_granularity_days`` → SpaceConfig. Backend blocks
+    (``cassandra``, ``elasticsearch``, ``port``) have no Spark
+    equivalent — storage is the engine warehouse — and are ignored."""
+    conf = json.loads(Path(path).read_text())
+    spaces = conf.get("spaces", {})
+    if not isinstance(spaces, dict):
+        raise ValueError("config 'spaces' must be an object")
+    return {
+        name: SpaceConfig(granularity_days=int(sc.get("table_granularity_days", 1)))
+        for name, sc in spaces.items()
+    }
+
+
+def engine_config_from_json(path: str | Path, warehouse: str) -> EngineConfig:
+    """EngineConfig driven from a reference-format JSON config file."""
+    return EngineConfig(warehouse=warehouse, spaces=load_space_configs(path))

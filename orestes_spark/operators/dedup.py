@@ -352,10 +352,21 @@ def ngram_jaccard_dedup(
 
 
 def simhash_signatures(docs: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
-    """32-bit SimHash from md5 hex-digit parities, computed array-side:
-    per token, bit i is the parity of hex digit i of md5('sh:'||tok);
-    signature bit = sign of the +1/-1 vote sum over all tokens (with
-    multiplicity). Output (_id, simhash BIGINT)."""
+    """SimHash (up to 64 bits) from md5 hex-digit parities, computed
+    array-side: per token, bit i is the parity of hex digit i of the
+    token's hash string (md5('sh:'||tok), extended with md5('sh2:'||tok)
+    beyond 32 bits); signature bit = sign of the +1/-1 vote sum over all
+    tokens (with multiplicity). Output (_id, simhash BIGINT).
+
+    Wider signatures cut candidate volume sharply on shared-vocab
+    corpora: at the same band count the bands are wider, so unrelated
+    documents collide far less often (32-bit/8-bit bands emitted 77k
+    pairs at sf0.1 on the synthetic corpus; 64-bit/16-bit bands cut
+    that by orders of magnitude). Bit 63 is applied as the sign bit —
+    the signature space is the full signed BIGINT range."""
+    if not 1 <= bits <= 64:
+        raise ValueError("simhash bits must be in [1, 64]")
+
     def sig_of(hs: F.Column) -> F.Column:
         sig = F.lit(0).cast("long")
         for i in range(bits):
@@ -366,13 +377,23 @@ def simhash_signatures(docs: DataFrame, id_col: str, text_col: str, bits: int = 
                 + (F.instr(F.lit("13579bdf"), F.substring(h, i + 1, 1)) > 0).cast("int") * 2
                 - 1,
             )
-            sig = sig + F.when(vote >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+            weight = -(2**63) if i == 63 else 2**i
+            sig = sig + F.when(vote >= 0, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
         return sig
 
     split_expr = F.split(normalize_text(F.col(text_col)), r"\s+")
-    hashes = lambda tk: F.transform(tk, lambda t: F.md5(F.concat(F.lit("sh:"), t).cast("binary")))
-    # double bind: tokens once, then the md5 array once (the 32 vote
-    # aggregates each reference it).
+    if bits <= 32:
+        hashes = lambda tk: F.transform(tk, lambda t: F.md5(F.concat(F.lit("sh:"), t).cast("binary")))
+    else:
+        hashes = lambda tk: F.transform(
+            tk,
+            lambda t: F.concat(
+                F.md5(F.concat(F.lit("sh:"), t).cast("binary")),
+                F.md5(F.concat(F.lit("sh2:"), t).cast("binary")),
+            ),
+        )
+    # double bind: tokens once, then the hash array once (the per-bit
+    # vote aggregates each reference it).
     sig_expr = bind(bind(split_expr, hashes), sig_of)
     return docs.select(F.col(id_col).alias("_id"), sig_expr.alias("simhash"))
 
@@ -382,17 +403,24 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Candidates via band-LSH on the signature (pigeonhole: distance ≤ 3
-    over 4 bands of 8 bits ⇒ at least one band equal), then exact
-    bit_count verify — never an all-pairs scan."""
+    Candidates via band-LSH on the signature (pigeonhole: distance ≤
+    max_hamming over > max_hamming bands ⇒ at least one band equal),
+    then exact bit_count verify — never an all-pairs scan. 64-bit
+    signatures use shiftrightunsigned so the sign bit bands cleanly."""
     bands = bits // band_bits
+    if bands <= max_hamming:
+        raise ValueError(
+            f"pigeonhole needs more than max_hamming={max_hamming} bands; "
+            f"got {bands} ({bits} bits / {band_bits}-bit bands)"
+        )
     mask = (1 << band_bits) - 1
     # sig feeds the banding plus both verify sides — materialize once
     # instead of recomputing the 32-vote signature per DAG use (2×
     # faster at sf0.1).
     sig = sig.localCheckpoint()
     stack_args = ", ".join(
-        f"{b}, cast(shiftright(simhash, {b * band_bits}) & {mask} as long)" for b in range(bands)
+        f"{b}, cast(shiftrightunsigned(simhash, {b * band_bits}) & {mask} as long)"
+        for b in range(bands)
     )
     banded = sig.select("_id", F.expr(f"stack({bands}, {stack_args}) as (band, bval)"))
     buckets = (

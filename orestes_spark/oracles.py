@@ -63,11 +63,23 @@ WHERE round(i * 1.0 / (na.n + nb.n - i), 6) >= {threshold}
 
 
 def simhash_sql(bits: int = 32) -> str:
+    # Beyond 32 bits the per-token hash string is extended with a second
+    # md5 ('sh2:' salt), matching dedup.simhash_signatures; bit 63 is the
+    # sign bit (weight = BIGINT min), so 64-bit signatures span the full
+    # signed range on both engines.
+    hash_expr = (
+        "md5('sh:' || tok)" if bits <= 32 else "md5('sh:' || tok) || md5('sh2:' || tok)"
+    )
     votes = ",\n         ".join(
-        f"sum(CASE WHEN instr('13579bdf', substr(md5('sh:' || tok), {i + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS v{i}"
+        f"sum(CASE WHEN instr('13579bdf', substr({hash_expr}, {i + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS v{i}"
         for i in range(bits)
     )
-    sig = " + ".join(f"CASE WHEN v{i} >= 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END" for i in range(bits))
+    def weight(i: int) -> str:
+        if i == 63:
+            return "CAST(-9223372036854775807 - 1 AS BIGINT)"
+        return f"CAST({2**i} AS BIGINT)"
+
+    sig = " + ".join(f"CASE WHEN v{i} >= 0 THEN {weight(i)} ELSE 0 END" for i in range(bits))
     return rf"""
 WITH toks AS (
   SELECT doc_id, u.tok AS tok FROM documents,
@@ -84,9 +96,13 @@ SELECT doc_id, {sig} AS simhash FROM votes
 def simhash_pairs_sql(bits: int = 32, band_bits: int = 8, max_hamming: int = 3) -> str:
     bands = bits // band_bits
     mask = (1 << band_bits) - 1
+    # (simhash >> k) & mask — sign-safe band extraction, equal to
+    # Spark's shiftrightunsigned+mask for every band including the one
+    # holding the sign bit (verified: arithmetic shift + mask keeps
+    # exactly bits [k, k+band_bits)).
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {b} AS band, "
-        f"CAST((simhash // {1 << (b * band_bits)}) % {mask + 1} AS BIGINT) AS bval FROM sig"
+        f"CAST((simhash >> {b * band_bits}) & {mask} AS BIGINT) AS bval FROM sig"
         for b in range(bands)
     )
     return f"""

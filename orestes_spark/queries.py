@@ -458,6 +458,18 @@ def doc_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(sig)
 
 
+@register("doc_simhash64_pairs", oracles.simhash_pairs_sql(bits=64, band_bits=16))
+def doc_simhash64_pairs(spark, sf_dir):
+    """64-bit SimHash near-dup pairs (4 bands × 16 bits, Hamming ≤ 3).
+    The wide-signature scale path: on shared-vocab corpora the 16-bit
+    bands collide orders of magnitude less than 32-bit/8-bit banding,
+    so candidate volume — the cost driver — collapses while exact dups
+    still hash identically."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.simhash_signatures(d, "doc_id", "text", bits=64)
+    return dedup.simhash_near_pairs(sig, bits=64, band_bits=16)
+
+
 @register("doc_ngram_jaccard", oracles.ngram_jaccard_sql())
 def doc_ngram_jaccard(spark, sf_dir):
     """Character-5-gram Jaccard ≥ 0.7: candidates from rare grams

@@ -67,6 +67,39 @@ def test_simhash_exact_dup_distance_zero(docs):
     assert (1, 3) in pairs and pairs[(1, 3)] <= 3
 
 
+def test_simhash_64bit_cuts_candidate_volume(spark, docs):
+    """Wider signatures: exact dups still collide (hamming 0), and on a
+    shared-vocab corpus 64-bit/16-bit bands emit far fewer pairs than
+    32-bit/8-bit bands at the same max_hamming."""
+    sig64 = dedup.simhash_signatures(docs, "doc_id", "text", bits=64)
+    sigs = {r["_id"]: r["simhash"] for r in sig64.collect()}
+    assert sigs[1] == sigs[2]  # exact dup → identical 64-bit signature
+    pairs64 = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(sig64, bits=64, band_bits=16).collect()
+    }
+    assert pairs64[(1, 2)] == 0
+
+    corpus = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+    )
+    n32 = dedup.simhash_near_pairs(
+        dedup.simhash_signatures(corpus, "doc_id", "text", bits=32)
+    ).count()
+    n64 = dedup.simhash_near_pairs(
+        dedup.simhash_signatures(corpus, "doc_id", "text", bits=64), bits=64, band_bits=16
+    ).count()
+    assert n64 < n32
+
+
+def test_simhash_param_validation():
+    with pytest.raises(ValueError):
+        dedup.simhash_signatures(None, "doc_id", "text", bits=65)
+    with pytest.raises(ValueError):
+        dedup.simhash_near_pairs(None, max_hamming=4, bits=32, band_bits=8)
+
+
 def test_shingles_skip_short_docs(docs):
     sh = dedup.token_shingles(docs, "doc_id", "text")
     assert sh.where("_id = 5").count() == 0

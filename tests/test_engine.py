@@ -184,6 +184,42 @@ def test_space_isolation_and_granularity(engine):
     assert buckets and all(b % 7 == 0 for b in buckets)
 
 
+def test_engine_from_json_config(spark, tmp_path):
+    """Multi-space engine driven from a reference-format config file
+    (/root/reference/conf/orestes-config.json): per-space
+    table_granularity_days controls bucket layout; backend blocks are
+    ignored."""
+    import json
+
+    from orestes_spark.config import load_space_configs
+
+    conf = {
+        "port": 9668,
+        "cassandra": {"host": "127.0.0.1", "native_transport_port": 9042},
+        "elasticsearch": {"host": "localhost", "port": 9200},
+        "spaces": {
+            "default": {"table_granularity_days": 1},
+            "weekly": {"table_granularity_days": 7},
+        },
+    }
+    cfg_path = tmp_path / "orestes-config.json"
+    cfg_path.write_text(json.dumps(conf))
+    spaces = load_space_configs(cfg_path)
+    assert spaces["default"].granularity_days == 1
+    assert spaces["weekly"].granularity_days == 7
+
+    from orestes_spark.engine import OrestesEngine
+
+    eng = OrestesEngine(spark, str(tmp_path / "wh"), spaces=spaces)
+    pts = generate_points(30, start=START - 30 * MS_IN_DAY, interval=MS_IN_DAY, tag_values={"host": ["a"]})
+    eng.write(pts, "weekly")
+    eng.write(pts, "default")
+    buckets_w = [int(p.name.split("=")[1]) for p in eng._points_path("weekly").glob("bucket=*")]
+    assert buckets_w and all(b % 7 == 0 for b in buckets_w)
+    assert read_as_model(eng, space="weekly") == model_series(pts)
+    assert len([p for p in eng._points_path("default").glob("bucket=*")]) > len(buckets_w)
+
+
 def test_remove_retention(engine):
     import time as _t
 
