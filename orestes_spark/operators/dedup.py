@@ -351,47 +351,99 @@ def ngram_jaccard_dedup(
 # ------------------------------------------------------------- SimHash ---
 
 
-def simhash_signatures(docs: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
-    """SimHash (up to 64 bits) from md5 hex-digit parities, computed
-    array-side: per token, bit i is the parity of hex digit i of the
-    token's hash string (md5('sh:'||tok), extended with md5('sh2:'||tok)
-    beyond 32 bits); signature bit = sign of the +1/-1 vote sum over all
-    tokens (with multiplicity). Output (_id, simhash BIGINT).
+def _sig_from_votes(votes: F.Column, bits: int) -> F.Column:
+    """ARRAY<INT> vote sums → BIGINT signature (bit i set when vote i
+    >= 0; bit 63 applied as the sign bit so 64-bit signatures span the
+    full signed range)."""
+    def tosig(vs: F.Column) -> F.Column:
+        sig = F.lit(0).cast("long")
+        for i in range(bits):
+            weight = -(2**63) if i == 63 else 2**i
+            sig = sig + F.when(vs[i] >= 0, F.lit(weight).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return sig
+
+    return bind(votes, tosig)
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, bits: int = 32, hash_fn: str = "md5"
+) -> DataFrame:
+    """SimHash (up to 64 bits): signature bit i = sign of the +1/-1
+    vote sum over all tokens (with multiplicity) of the token-hash's
+    bit i. Output (_id, simhash BIGINT).
+
+    ``hash_fn`` picks the per-token hash:
+
+    - ``"md5"`` (default): bit i is the parity of hex digit i of
+      md5('sh:'||tok) (extended with md5('sh2:'||tok) beyond 32 bits).
+      Engine-portable — the DuckDB oracle reproduces it digit for
+      digit — so every oracle-checked row uses it.
+    - ``"xxhash64"``: bit i of the token's xxhash64 — a single JVM
+      integer hash + bit_get per bit instead of two md5s + 64 hex
+      substrings, measured ~4x faster at sf0.1. Spark-only (no DuckDB
+      twin), so it's the production path, not the oracle path.
 
     Wider signatures cut candidate volume sharply on shared-vocab
     corpora: at the same band count the bands are wider, so unrelated
     documents collide far less often (32-bit/8-bit bands emitted 77k
     pairs at sf0.1 on the synthetic corpus; 64-bit/16-bit bands cut
-    that by orders of magnitude). Bit 63 is applied as the sign bit —
-    the signature space is the full signed BIGINT range."""
+    that to 749)."""
     if not 1 <= bits <= 64:
         raise ValueError("simhash bits must be in [1, 64]")
-
-    def sig_of(hs: F.Column) -> F.Column:
-        sig = F.lit(0).cast("long")
-        for i in range(bits):
-            vote = F.aggregate(
-                hs,
-                F.lit(0),
-                lambda acc, h: acc
-                + (F.instr(F.lit("13579bdf"), F.substring(h, i + 1, 1)) > 0).cast("int") * 2
-                - 1,
-            )
-            weight = -(2**63) if i == 63 else 2**i
-            sig = sig + F.when(vote >= 0, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
-        return sig
-
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown simhash hash_fn {hash_fn!r}")
     split_expr = F.split(normalize_text(F.col(text_col)), r"\s+")
-    if bits <= 32:
-        hashes = lambda tk: F.transform(tk, lambda t: F.md5(F.concat(F.lit("sh:"), t).cast("binary")))
+
+    if hash_fn == "xxhash64":
+        hashes = lambda tk: F.transform(tk, lambda t: F.xxhash64(t))
+
+        def sig_of(hs: F.Column) -> F.Column:
+            votes = F.aggregate(
+                hs,
+                F.array_repeat(F.lit(0), bits),
+                lambda acc, h: F.zip_with(
+                    acc,
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(bits - 1)),
+                        lambda i: F.bit_get(h, i).cast("int") * 2 - 1,
+                    ),
+                    lambda a, b: a + b,
+                ),
+            )
+            return _sig_from_votes(votes, bits)
+
     else:
-        hashes = lambda tk: F.transform(
-            tk,
-            lambda t: F.concat(
-                F.md5(F.concat(F.lit("sh:"), t).cast("binary")),
-                F.md5(F.concat(F.lit("sh2:"), t).cast("binary")),
-            ),
-        )
+        if bits <= 32:
+            hashes = lambda tk: F.transform(
+                tk, lambda t: F.md5(F.concat(F.lit("sh:"), t).cast("binary"))
+            )
+        else:
+            hashes = lambda tk: F.transform(
+                tk,
+                lambda t: F.concat(
+                    F.md5(F.concat(F.lit("sh:"), t).cast("binary")),
+                    F.md5(F.concat(F.lit("sh2:"), t).cast("binary")),
+                ),
+            )
+
+        def sig_of(hs: F.Column) -> F.Column:
+            sig = F.lit(0).cast("long")
+            for i in range(bits):
+                vote = F.aggregate(
+                    hs,
+                    F.lit(0),
+                    lambda acc, h: acc
+                    + (F.instr(F.lit("13579bdf"), F.substring(h, i + 1, 1)) > 0).cast("int") * 2
+                    - 1,
+                )
+                weight = -(2**63) if i == 63 else 2**i
+                sig = sig + F.when(vote >= 0, F.lit(weight).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            return sig
+
     # double bind: tokens once, then the hash array once (the per-bit
     # vote aggregates each reference it).
     sig_expr = bind(bind(split_expr, hashes), sig_of)

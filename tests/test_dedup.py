@@ -97,7 +97,24 @@ def test_simhash_param_validation():
     with pytest.raises(ValueError):
         dedup.simhash_signatures(None, "doc_id", "text", bits=65)
     with pytest.raises(ValueError):
+        dedup.simhash_signatures(None, "doc_id", "text", hash_fn="sha9000")
+    with pytest.raises(ValueError):
         dedup.simhash_near_pairs(None, max_hamming=4, bits=32, band_bits=8)
+
+
+def test_simhash_xxhash_fast_path(docs):
+    """The xxhash64 production path: deterministic, exact dups collide,
+    near dups stay near."""
+    sig = dedup.simhash_signatures(docs, "doc_id", "text", bits=64, hash_fn="xxhash64")
+    sigs = {r["_id"]: r["simhash"] for r in sig.collect()}
+    again = {r["_id"]: r["simhash"] for r in sig.collect()}
+    assert sigs == again
+    assert sigs[1] == sigs[2]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(sig, bits=64, band_bits=16).collect()
+    }
+    assert pairs[(1, 2)] == 0
 
 
 def test_shingles_skip_short_docs(docs):
