@@ -103,6 +103,87 @@ def lang_id(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer classes, restricted to constructs that
+# behave identically in Java regex (Spark) and RE2 (DuckDB): words,
+# digit runs, single non-space symbols.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# PII patterns — same dialect-neutral restriction (no lookaround, no
+# backreferences).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PHONE_PATTERN = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def bpe_ish_token_count(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Sub-word-ish token counting: whitespace tokens plus a BPE-style
+    regex pre-tokenization (words / digit runs / single symbols — the
+    GPT-2 pre-tokenizer shape). The regex count is the better proxy for
+    LLM token budgets: punctuation and numbers tokenize separately.
+    Output (id, n_ws_tokens, n_bpe_tokens)."""
+    return docs.select(
+        F.col(id_col),
+        F.size(_tokens(F.col(text_col))).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0))
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def repetition_metrics(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, §A1.1): the
+    fraction of all word bigrams taken by the single most frequent
+    bigram. Boilerplate and word-salad spam score high; clean prose
+    scores low. Output (id, n_bigrams, top_bigram_frac).
+
+    Shape at scale: explode bigrams → two-level partial aggregation
+    ((id, bigram) then id). The shuffle carries one row per distinct
+    (doc, bigram) — never the corpus cross-product — and the ratio is
+    an exact int/int division (no float-rounding divergence risk).
+    Documents with < 2 tokens report 0 bigrams and NULL fraction."""
+    bigrams = bind(
+        _tokens(F.col(text_col)),
+        lambda t: F.zip_with(
+            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    )
+    exploded = docs.select(F.col(id_col).alias("_id"), F.explode(bigrams).alias("bg"))
+    per_bigram = exploded.groupBy("_id", "bg").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_bigram.groupBy("_id")
+        .agg(F.sum("n").alias("n_bigrams"), F.max("n").alias("_top"))
+        .select(
+            F.col("_id").alias(id_col),
+            "n_bigrams",
+            (F.col("_top") / F.col("n_bigrams")).alias("top_bigram_frac"),
+        )
+    )
+
+
+def pii_scrub(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction pass: count and mask email addresses and
+    phone-number-shaped spans. Output (id, n_emails, n_phones,
+    clean_md5) — the md5 of the scrubbed text stands in for the
+    (potentially huge) scrubbed body so the result is hashable and the
+    scrub itself is oracle-verifiable byte for byte."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_PATTERN, "<EMAIL>"),
+        PHONE_PATTERN,
+        "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_PATTERN), F.lit(0))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(PHONE_PATTERN), F.lit(0))
+        ).alias("n_phones"),
+        F.md5(scrubbed.cast("binary")).alias("clean_md5"),
+    )
+
+
 def fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content fingerprints: md5 of whitespace-normalized text plus the
     min-shingle rolling fingerprint (robust to trailing edits).

@@ -479,6 +479,59 @@ def doc_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_dedup(d, "doc_id", "text", ngram=5, threshold=0.7, max_df=100)
 
 
+@register(
+    "doc_bpe_tokens",
+    r"""SELECT doc_id,
+           len(string_split_regex(trim(lower(text)), '\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        FROM documents""",
+)
+def doc_bpe_tokens(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts — the LLM token-budget
+    proxy (punctuation and digit runs count separately)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.bpe_ish_token_count(d, "doc_id", "text")
+
+
+@register(
+    "doc_repetition",
+    r"""WITH d AS (SELECT doc_id, trim(lower(text)) AS norm FROM documents),
+        toks AS (
+          SELECT doc_id, u.tok AS tok, u.pos AS pos FROM d,
+          (SELECT UNNEST(string_split_regex(norm, '\s+')) AS tok,
+                  generate_subscripts(string_split_regex(norm, '\s+'), 1) AS pos) u
+        ),
+        bigrams AS (
+          SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+          FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        ),
+        counts AS (SELECT doc_id, bg, count(*) AS n FROM bigrams GROUP BY 1, 2)
+        SELECT doc_id, sum(n) AS n_bigrams,
+               max(n) / CAST(sum(n) AS DOUBLE) AS top_bigram_frac
+        FROM counts GROUP BY 1""",
+)
+def doc_repetition(spark, sf_dir):
+    """Gopher-style repetition filter: top-bigram fraction per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.repetition_metrics(d, "doc_id", "text")
+
+
+@register(
+    "doc_pii_scrub",
+    rf"""SELECT doc_id,
+           len(regexp_extract_all(text, '{text.EMAIL_PATTERN}')) AS n_emails,
+           len(regexp_extract_all(text, '{text.PHONE_PATTERN}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{text.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                              '{text.PHONE_PATTERN}', '<PHONE>', 'g')) AS clean_md5
+        FROM documents""",
+)
+def doc_pii_scrub(spark, sf_dir):
+    """PII redaction: email/phone counts + md5 of the scrubbed text
+    (byte-for-byte oracle-verified scrub)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.pii_scrub(d, "doc_id", "text")
+
+
 @register("doc_lang_id", oracles.lang_id_sql())
 def doc_lang_id(spark, sf_dir):
     """Marker-stopword language ID with deterministic argmax."""

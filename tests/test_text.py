@@ -36,6 +36,62 @@ def test_quality_scores(docs):
     assert r1["avg_token_len"] == pytest.approx(3.0)
 
 
+def test_bpe_ish_token_count(spark):
+    d = spark.createDataFrame(
+        [(1, "don't panic, agent 007!"), (2, "plain words only here")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in text.bpe_ish_token_count(d, "doc_id", "text").collect()}
+    # don | ' | t | panic | , | agent | 007 | !  → 8 BPE-ish tokens
+    assert rows[1]["n_ws_tokens"] == 4 and rows[1]["n_bpe_tokens"] == 8
+    assert rows[2]["n_ws_tokens"] == 4 and rows[2]["n_bpe_tokens"] == 4
+
+
+def test_repetition_metrics(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),   # bigram "buy now" dominates
+            (2, "all words here are fully distinct"),
+            (3, "solo"),                               # < 2 tokens → no row
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_metrics(d, "doc_id", "text").collect()}
+    assert 3 not in rows
+    assert rows[1]["n_bigrams"] == 7 and rows[1]["top_bigram_frac"] == pytest.approx(4 / 7)
+    assert rows[2]["top_bigram_frac"] == pytest.approx(1 / 5)
+
+
+def test_pii_scrub_matches_duckdb_dialect(spark):
+    """Dialect guard: Java regex (Spark) and RE2 (DuckDB) must agree on
+    the PII patterns — counts and the scrubbed text byte for byte."""
+    import duckdb
+
+    rows = [
+        (1, "contact me at alice.smith+spam@example.co.uk or bob@x.io today"),
+        (2, "call +1 (555) 123-4567 or 020 7946 0958 now"),
+        (3, "no pii in this one at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in text.pii_scrub(d, "doc_id", "text").collect()}
+    assert got[1]["n_emails"] == 2 and got[1]["n_phones"] == 0
+    assert got[2]["n_phones"] >= 1 and got[2]["n_emails"] == 0
+    assert got[3]["n_emails"] == 0 and got[3]["n_phones"] == 0
+
+    con = duckdb.connect()
+    for doc_id, txt in rows:
+        n_em, n_ph, md = con.execute(
+            f"""SELECT len(regexp_extract_all(?, '{text.EMAIL_PATTERN}')),
+                       len(regexp_extract_all(?, '{text.PHONE_PATTERN}')),
+                       md5(regexp_replace(regexp_replace(?, '{text.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                                          '{text.PHONE_PATTERN}', '<PHONE>', 'g'))""",
+            [txt, txt, txt],
+        ).fetchone()
+        assert got[doc_id]["n_emails"] == n_em
+        assert got[doc_id]["n_phones"] == n_ph
+        assert got[doc_id]["clean_md5"] == md
+
+
 def test_fingerprints_whitespace_invariant(spark):
     a = spark.createDataFrame(
         [(1, "hello world foo bar baz"), (2, "hello   world\tfoo bar baz")],
