@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from orestes_spark.plans.parallelism import ensure_min_parallelism
+
 
 def normalize_text(col: F.Column) -> F.Column:
     return F.trim(F.lower(col))
@@ -75,22 +77,30 @@ def token_shingle_arrays(docs: DataFrame, id_col: str, text_col: str, n: int = 3
         return F.when(m >= n, F.array_distinct(acc))
 
     split_expr = F.split(normalize_text(F.col(text_col)), r"\s+")
-    return docs.select(
+    return ensure_min_parallelism(docs).select(
         F.col(id_col).alias("_id"), bind(split_expr, build).alias("shingles")
     ).where(F.col("shingles").isNotNull())
 
 
 def char_ngram_arrays(docs: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
-    """(_id, grams ARRAY<STRING>) — distinct character n-grams."""
-    staged = docs.select(
-        F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_norm")
+    """(_id, grams ARRAY<STRING>) — distinct character n-grams.
+
+    The normalized text is bound as a lambda variable, not a select
+    alias: CollapseProject inlines aliases into the per-element
+    substring lambda, re-running trim(lower(text)) once per gram —
+    the O(len²) trap (measured ~10x on this function at sf0.1)."""
+
+    def build(norm: F.Column) -> F.Column:
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(norm) - n + 1, F.lit(1))),
+                lambda i: norm.substr(i, F.lit(n)),
+            )
+        )
+
+    return ensure_min_parallelism(docs).select(
+        F.col(id_col).alias("_id"), bind(normalize_text(F.col(text_col)), build).alias("grams")
     )
-    norm = F.col("_norm")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - n + 1, F.lit(1))),
-        lambda i: norm.substr(i, F.lit(n)),
-    )
-    return staged.select("_id", F.array_distinct(grams).alias("grams"))
 
 
 # Exploded views (kept for composability/tests).
@@ -132,11 +142,21 @@ def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ------------------------------------------------- candidates + verify ---
 
 
-def pairs_from_buckets(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
+def pairs_from_buckets(
+    buckets: DataFrame, ids_col: str = "ids", min_cooccur: int = 1
+) -> DataFrame:
     """(… ids ARRAY) → distinct (id_a, id_b), id_a < id_b — all i<j
     pairs within each bucket, emitted by array expression instead of a
     self-join. Bucket sizes must be bounded upstream (max_df / LSH
-    sparsity): the fan-out is Σ |bucket|²/2."""
+    sparsity): the fan-out is Σ |bucket|²/2.
+
+    ``min_cooccur`` > 1 keeps only pairs that fall in at least that
+    many buckets (i.e. share ≥ min_cooccur rare grams / bands). This is
+    the co-occurrence candidate-pruning knob: junk pairs typically
+    share exactly one bucket, real near-dups share hundreds, so
+    min_cooccur=2 collapses candidate volume with negligible recall
+    cost — same aggregate shape as the distinct (one shuffle on the
+    pair key) but far fewer survivors reach the verify join."""
     ids = F.array_sort(F.col(ids_col))
     pair_structs = F.flatten(
         F.transform(
@@ -147,11 +167,18 @@ def pairs_from_buckets(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
             ),
         )
     )
-    return (
+    pairs = (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select("p.id_a", "p.id_b")
         .where(F.col("id_a") != F.col("id_b"))
-        .distinct()
+    )
+    if min_cooccur <= 1:
+        return pairs.distinct()
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_cooccur)
+        .select("id_a", "id_b")
     )
 
 
@@ -304,13 +331,17 @@ def ngram_jaccard_dedup(
     threshold: float = 0.7,
     max_df: int | None = None,
     min_grams: int = 1,
+    min_cooccur: int = 1,
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dup: candidate pairs from buckets
     of *rare* grams (document frequency ≤ max_df — bounds fan-out, the
     linear-vs-quadratic knob at 100 TB), exact Jaccard verified over
     the FULL gram sets. Semantics: all pairs with full-set Jaccard ≥
-    threshold that share at least one rare gram — near-dups virtually
-    always do, stop-gram-only pairs never become candidates."""
+    threshold that share at least ``min_cooccur`` rare grams —
+    near-dups at any useful threshold share hundreds, stop-gram-only
+    pairs never become candidates. ``min_cooccur=2`` cuts candidate
+    volume ~100x on shared-vocab corpora (junk pairs mostly share
+    exactly one rare gram) and is mirrored verbatim in the oracle."""
     arrays = char_ngram_arrays(docs, id_col, text_col, ngram)
     if min_grams > 1:
         arrays = arrays.where(F.size("grams") >= min_grams)
@@ -344,7 +375,7 @@ def ngram_jaccard_dedup(
         .groupBy("sh")
         .agg(F.collect_list("_id").alias("ids"))
     )
-    cands = pairs_from_buckets(buckets)
+    cands = pairs_from_buckets(buckets, min_cooccur=min_cooccur)
     return verify_jaccard(hashed, cands, threshold, "grams")
 
 
@@ -447,7 +478,7 @@ def simhash_signatures(
     # double bind: tokens once, then the hash array once (the per-bit
     # vote aggregates each reference it).
     sig_expr = bind(bind(split_expr, hashes), sig_of)
-    return docs.select(F.col(id_col).alias("_id"), sig_expr.alias("simhash"))
+    return ensure_min_parallelism(docs).select(F.col(id_col).alias("_id"), sig_expr.alias("simhash"))
 
 
 def simhash_near_pairs(

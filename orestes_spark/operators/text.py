@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from orestes_spark.operators.dedup import bind, normalize_text
+from orestes_spark.plans.parallelism import ensure_min_parallelism
 
 # Marker stop-words per language for the n-gram/stop-word language-ID
 # heuristic. Deliberately small and deterministic.
@@ -27,7 +28,7 @@ def _tokens(text_col: F.Column) -> F.Column:
 
 
 def token_count(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return docs.select(
+    return ensure_min_parallelism(docs).select(
         F.col(id_col),
         F.size(_tokens(F.col(text_col))).alias("n_tokens"),
         F.length(text_col).alias("n_chars"),
@@ -40,7 +41,7 @@ def quality_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = _tokens(F.col(text_col))
     n_tokens = F.size(toks)
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
-    return docs.select(
+    return ensure_min_parallelism(docs).select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         F.round(F.length(F.regexp_replace(text_col, " ", "")) * 1.0 / n_tokens, 6).alias("avg_token_len"),
@@ -82,7 +83,7 @@ def lang_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     language)."""
     pairs = bind(_tokens(F.col(text_col)), _lang_score_structs)
     return (
-        docs.select(F.col(id_col).alias("_id"), F.explode(pairs).alias("_p"))
+        ensure_min_parallelism(docs).select(F.col(id_col).alias("_id"), F.explode(pairs).alias("_p"))
         .select("_id", F.col("_p.lang").alias("lang"), F.col("_p.score").alias("score"))
     )
 
@@ -98,7 +99,7 @@ def lang_id(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     re-inlining (and re-evaluating) the tokenization per field."""
     best = bind(_tokens(F.col(text_col)), lambda t: F.array_max(_lang_score_structs(t)))
     return (
-        docs.select(F.col(id_col), F.explode(F.array(best)).alias("_b"))
+        ensure_min_parallelism(docs).select(F.col(id_col), F.explode(F.array(best)).alias("_b"))
         .select(F.col(id_col), F.col("_b.lang").alias("pred_lang"), F.col("_b.score").alias("score"))
     )
 
@@ -120,7 +121,7 @@ def bpe_ish_token_count(docs: DataFrame, id_col: str, text_col: str) -> DataFram
     GPT-2 pre-tokenizer shape). The regex count is the better proxy for
     LLM token budgets: punctuation and numbers tokenize separately.
     Output (id, n_ws_tokens, n_bpe_tokens)."""
-    return docs.select(
+    return ensure_min_parallelism(docs).select(
         F.col(id_col),
         F.size(_tokens(F.col(text_col))).alias("n_ws_tokens"),
         F.size(
@@ -139,7 +140,7 @@ def repetition_metrics(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     ((id, bigram) then id). The shuffle carries one row per distinct
     (doc, bigram) — never the corpus cross-product — and the ratio is
     an exact int/int division (no float-rounding divergence risk).
-    Documents with < 2 tokens report 0 bigrams and NULL fraction."""
+    Documents with < 2 tokens have no bigrams and produce no row."""
     bigrams = bind(
         _tokens(F.col(text_col)),
         lambda t: F.zip_with(
@@ -148,7 +149,7 @@ def repetition_metrics(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
             lambda a, b: F.concat_ws(" ", a, b),
         ),
     )
-    exploded = docs.select(F.col(id_col).alias("_id"), F.explode(bigrams).alias("bg"))
+    exploded = ensure_min_parallelism(docs).select(F.col(id_col).alias("_id"), F.explode(bigrams).alias("bg"))
     per_bigram = exploded.groupBy("_id", "bg").agg(F.count(F.lit(1)).alias("n"))
     return (
         per_bigram.groupBy("_id")
@@ -172,7 +173,7 @@ def pii_scrub(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         PHONE_PATTERN,
         "<PHONE>",
     )
-    return docs.select(
+    return ensure_min_parallelism(docs).select(
         F.col(id_col),
         F.size(
             F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_PATTERN), F.lit(0))
@@ -194,7 +195,7 @@ def fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     across the lambda boundary), which made the naive version O(tokens²)
     regex splits — 17× slower at sf0.1."""
     norm = F.regexp_replace(normalize_text(F.col(text_col)), r"\s+", " ")
-    staged = docs.select(F.col(id_col), norm.alias("_norm"), F.split(norm, " ").alias("_toks"))
+    staged = ensure_min_parallelism(docs).select(F.col(id_col), norm.alias("_norm"), F.split(norm, " ").alias("_toks"))
     toks = F.col("_toks")
     # min over md5s of 3-token shingles — a 1-hash MinHash
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))

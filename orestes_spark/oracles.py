@@ -119,20 +119,30 @@ FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 
 
 def ngram_jaccard_sql(
-    n: int = 5, threshold: float = 0.7, max_df: int | None = 100, min_grams: int = 1
+    n: int = 5,
+    threshold: float = 0.7,
+    max_df: int | None = 100,
+    min_grams: int = 1,
+    min_cooccur: int = 1,
 ) -> str:
     size_filter = (
         f"WHERE _id IN (SELECT _id FROM grams_raw GROUP BY _id HAVING count(*) >= {min_grams})"
         if min_grams > 1
         else ""
     )
+    cand_select = (
+        "SELECT DISTINCT a._id AS id_a, b._id AS id_b"
+        if min_cooccur <= 1
+        else "SELECT a._id AS id_a, b._id AS id_b"
+    )
+    cand_having = "" if min_cooccur <= 1 else f" GROUP BY 1, 2 HAVING count(*) >= {min_cooccur}"
     if max_df is not None:
         cands = f"""
 rare AS (SELECT sh FROM grams GROUP BY sh HAVING count(*) <= {max_df}),
 grams_rare AS (SELECT _id, sh FROM grams WHERE sh IN (SELECT sh FROM rare)),
 cands AS (
-  SELECT DISTINCT a._id AS id_a, b._id AS id_b
-  FROM grams_rare a JOIN grams_rare b ON a.sh = b.sh AND a._id < b._id
+  {cand_select}
+  FROM grams_rare a JOIN grams_rare b ON a.sh = b.sh AND a._id < b._id{cand_having}
 ),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS i

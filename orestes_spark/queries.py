@@ -470,13 +470,17 @@ def doc_simhash64_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(sig, bits=64, band_bits=16)
 
 
-@register("doc_ngram_jaccard", oracles.ngram_jaccard_sql())
+@register("doc_ngram_jaccard", oracles.ngram_jaccard_sql(min_cooccur=2))
 def doc_ngram_jaccard(spark, sf_dir):
     """Character-5-gram Jaccard ≥ 0.7: candidates from rare grams
-    (df ≤ 100 bounds the inverted-index fan-out), exact Jaccard over
-    full gram sets on the candidates."""
+    (df ≤ 100 bounds the inverted-index fan-out) that co-occur in ≥ 2
+    rare-gram buckets (junk pairs mostly share exactly one — ~100x
+    fewer candidates reach the verify join), exact Jaccard over full
+    gram sets on the candidates."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_dedup(d, "doc_id", "text", ngram=5, threshold=0.7, max_df=100)
+    return dedup.ngram_jaccard_dedup(
+        d, "doc_id", "text", ngram=5, threshold=0.7, max_df=100, min_cooccur=2
+    )
 
 
 @register(

@@ -94,12 +94,19 @@ def test_whole_stage_codegen_on_hot_path(spark):
 
 def test_lang_id_single_scan_no_shuffle(spark):
     """All language scores come from one bound token array: exactly one
-    corpus scan (was 4 via unionAll) and no window/exchange at all."""
+    corpus scan (was 4 via unionAll) and no window or key shuffle. The
+    only allowed Exchange is the round-robin input-balancing one
+    (ensure_min_parallelism on a single-row-group file) — never a
+    hash/range repartition."""
+    import re
+
     from orestes_spark.queries import QUERIES
 
     plan = plan_of(QUERIES["doc_lang_id"](spark, "/root/testdata/sf0.001"))
     assert plan.count("Scan parquet") == 1, plan
-    assert "Window" not in plan and "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "RoundRobinPartitioning" for e in exchanges), plan
 
 
 def test_top_tokens_uses_partial_topk(spark):
