@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition ``df`` up to ``min_partitions`` (default:
     the cluster's defaultParallelism) when — and only when — its plan
-    currently yields fewer partitions. Plan-level check, no job runs."""
+    currently yields fewer partitions.
+
+    Intended for scan-stage inputs (that is where row-group packing can
+    starve parallelism): the partition probe is free on a shuffle-less
+    plan. On a plan that already contains exchanges, ``df.rdd`` may
+    materialize upstream stages under AQE — apply this helper before
+    shuffling operators, not after."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
