@@ -327,6 +327,196 @@ def tpch_q5(spark, sf_dir):
 
 
 @register(
+    "tpch_q6",
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+              count(*) AS n_lines
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+def tpch_q6(spark, sf_dir):
+    """Forecast revenue change: the pure pushdown showcase — every
+    predicate reaches the parquet scan (PushedFilters on shipdate /
+    discount / quantity), no join, no shuffle beyond the final
+    single-row partial-agg exchange. At 100 TB this is the query shape
+    where scan pruning IS the runtime."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q4",
+    """SELECT o.o_orderpriority AS o_orderpriority, count(*) AS order_count
+       FROM orders o
+       WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+       GROUP BY 1""",
+)
+def tpch_q4(spark, sf_dir):
+    """Order-priority checking, adapted: the synthetic lineitem has no
+    commit/receipt dates, so the EXISTS predicate is "has a returned
+    line" (l_returnflag = 'R') — same plan shape as published Q4: a
+    LEFT SEMI join that dedups the fact side before the agg, never
+    materializing the multiplicity of matching lines."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q10",
+    """SELECT * FROM (
+         SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+                CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+                CAST(round(CAST(c.c_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE) AS c_acctbal,
+                n.n_name AS n_name
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+           AND l.l_returnflag = 'R'
+         GROUP BY 1, 2, 4, 5
+       ) ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def tpch_q10(spark, sf_dir):
+    """Returned-item reporting: fact⋈fact shuffle join + two broadcast
+    dims, then global top-20 via orderBy().limit() — compiles to
+    TakeOrderedAndProject (parallel partial top-k per partition, no
+    single-partition sort). Deterministic under ties via c_custkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.round(_dec("c_acctbal"), 2).cast("double").alias("c_acctbal"), "n_name")
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14",
+    """SELECT CAST(round(100.00 * sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END)
+                   / sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 4) AS DOUBLE) AS promo_revenue
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+         AND l.l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""",
+)
+def tpch_q14(spark, sf_dir):
+    """Promotion effect: conditional aggregation over a broadcast join
+    (part is the small dim). The month filter prunes the lineitem scan;
+    the CASE folds into one pass — no second scan for the numerator."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(zero))
+                / F.sum(disc_price),
+                4,
+            )
+            .cast("double")
+            .alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q18",
+    """SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+              o.o_orderkey AS o_orderkey,
+              CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+              CAST(round(CAST(o.o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS o_totalprice,
+              CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+       GROUP BY 1, 2, 3, 4, 5""",
+)
+def tpch_q18(spark, sf_dir):
+    """Large-volume customers: self-referencing HAVING subquery as a
+    LEFT SEMI join against a pre-aggregated keys frame. The heavy
+    lineitem agg happens once, keyed on l_orderkey — the same shuffle
+    partitioning the outer join reuses, so AQE can pipeline them."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .where(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "big_key"), li.l_orderkey == F.col("big_key"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            F.round(_dec("o_totalprice"), 2).cast("double").alias("o_totalprice"),
+        )
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+    )
+
+
+@register(
     "window_top3_orders",
     """SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
          SELECT c.c_mktsegment AS c_mktsegment, o.o_orderkey AS o_orderkey,

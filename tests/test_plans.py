@@ -174,3 +174,53 @@ def test_salted_join_matches_plain(spark):
     left2 = left.union(spark.createDataFrame([(999, 99)], "id LONG, k LONG"))
     out = salted_join(left2, right, "k", how="left")
     assert out.where("id = 999").first()["v"] is None
+
+
+def test_tpch_q6_full_pushdown_no_join(spark):
+    """Q6 is the pure-pushdown query: every predicate must reach the
+    parquet scan and the plan must contain no join at all. Uses the
+    formatted explain — the compact plan string truncates PushedFilters."""
+    import contextlib
+    import io
+
+    from orestes_spark.queries import QUERIES
+
+    df = QUERIES["tpch_q6"](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan, plan
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in plan, f"{pushed} not pushed:\n{plan}"
+    # column pruning: only the 4 referenced columns are read
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp" in plan
+    ), plan
+
+
+def test_tpch_q10_partial_topk_and_broadcast_dims(spark):
+    """Top-20 must be TakeOrderedAndProject (never a global sort or a
+    single-partition window); customer/nation dims must broadcast."""
+    from orestes_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["tpch_q10"](spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+def test_tpch_q4_semi_join(spark):
+    """The EXISTS predicate must stay a LEFT SEMI join — matching-line
+    multiplicity must never inflate the orders side."""
+    from orestes_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["tpch_q4"](spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan, plan
