@@ -120,33 +120,72 @@ class OrestesEngine:
         self._append(valid, space)
         return errors
 
+    def _write_partitions(self, df: DataFrame) -> int:
+        """Size-based shuffle width for the points write: one range
+        partition per ~128 MB of input (the healthy parquet-file size),
+        floored at a quarter of the cluster's core count so small
+        batches still parallelize, and falling back to the session's
+        shuffle-partition default when Catalyst has no size estimate
+        (the unknown-size sentinel is ~Long.Max). At 100 TB the
+        bytes/128 MB term dominates and yields ~800k write tasks; on a
+        small batch it stops 32 near-empty parquet files per bucket."""
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        sc = df.sparkSession.sparkContext
+        floor = max(1, sc.defaultParallelism // 4)
+        if size <= 0 or size >= (1 << 60):  # stat unavailable/unknown
+            return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        return max(floor, -(-size // (128 << 20)))
+
     def _append(self, valid: DataFrame, space: str) -> None:
         g = self._granularity(space)
         stored = schema.with_derived(valid, g)
         points_path, series_path = self._points_path(space), self._series_path(space)
 
-        # Series-clustered layout: RANGE-partition by (bucket, series_id)
-        # so series stay contiguous (row-group min/max stats prune
-        # non-matching series at read time) while a hot bucket can still
-        # split across tasks — hash partitioning by (bucket, series)
-        # interleaves series across files and tripled write time.
-        (
-            stored.repartitionByRange(F.col("bucket"), F.col("series_id"))
-            .sortWithinPartitions("bucket", "series_id", "time_ms")
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(str(points_path))
-        )
-
-        # Metadata upsert with write-time dedup (D2): distinct new
-        # (bucket, series) anti-joined against what's already known.
-        new_series = stored.select("bucket", "series_id", "tags").dropDuplicates(["bucket", "series_id"])
-        existing = self._read_series(space)
-        if existing is not None:
-            new_series = new_series.join(
-                existing.select("bucket", "series_id"), ["bucket", "series_id"], "left_anti"
+        def write_points() -> None:
+            # Series-clustered layout: RANGE-partition by (bucket,
+            # series_id) so series stay contiguous (row-group min/max
+            # stats prune non-matching series at read time) while a hot
+            # bucket can still split across tasks — hash partitioning by
+            # (bucket, series) interleaves series across files and
+            # tripled write time.
+            (
+                stored.repartitionByRange(
+                    self._write_partitions(stored), F.col("bucket"), F.col("series_id")
+                )
+                .sortWithinPartitions("bucket", "series_id", "time_ms")
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(str(points_path))
             )
-        new_series.write.mode("append").partitionBy("bucket").parquet(str(series_path))
+
+        def write_series() -> None:
+            # Metadata upsert with write-time dedup (D2): distinct new
+            # (bucket, series) anti-joined against what's already known.
+            new_series = stored.select("bucket", "series_id", "tags").dropDuplicates(
+                ["bucket", "series_id"]
+            )
+            existing = self._read_series(space)
+            if existing is not None:
+                new_series = new_series.join(
+                    existing.select("bucket", "series_id"), ["bucket", "series_id"], "left_anti"
+                )
+            new_series.write.mode("append").partitionBy("bucket").parquet(str(series_path))
+
+        # The two sinks are independent reads of the same input; submit
+        # both jobs concurrently so their stages interleave across the
+        # cluster (Spark's scheduler handles multi-threaded submission).
+        # Atomicity caveat, same as the reference's paired
+        # Cassandra-points + ES-metadata writes (lib/orestes-inserter.js):
+        # if one side fails the other may have committed — a surviving
+        # points-only write is invisible to metadata-routed reads; a
+        # surviving series-only write lists a series whose read returns
+        # no points until a retry lands.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futures = [pool.submit(write_points), pool.submit(write_series)]
+            for f in futures:
+                f.result()
 
     # ---------- raw readers ----------
 
