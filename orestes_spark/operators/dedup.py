@@ -446,34 +446,50 @@ def simhash_signatures(
             return _sig_from_votes(votes, bits)
 
     else:
+        # Hex-digit parity, vectorized: translate() rewrites the 32 hex
+        # digits of the md5 to a '0'/'1' parity string, conv(_, 2, 10)
+        # packs it into one LONG mask per md5 — digit i's parity lands
+        # at bit (31 - i). One translate+conv per token replaces 32
+        # substring+instr calls; the vote fold then runs on integer
+        # bit_get like the xxhash64 path. Semantics are unchanged
+        # (same parity-of-hex-digit definition), so the DuckDB oracle
+        # needs no update.
+        def _parity_mask(h: F.Column) -> F.Column:
+            return F.conv(F.translate(h, "13579bdf02468ace", "1111111100000000"), 2, 10).cast(
+                "long"
+            )
+
         if bits <= 32:
             hashes = lambda tk: F.transform(
-                tk, lambda t: F.md5(F.concat(F.lit("sh:"), t).cast("binary"))
+                tk, lambda t: _parity_mask(F.md5(F.concat(F.lit("sh:"), t).cast("binary")))
             )
+            bit_of = lambda mask, i: F.bit_get(mask, 31 - i)
         else:
             hashes = lambda tk: F.transform(
                 tk,
-                lambda t: F.concat(
-                    F.md5(F.concat(F.lit("sh:"), t).cast("binary")),
-                    F.md5(F.concat(F.lit("sh2:"), t).cast("binary")),
+                lambda t: F.array(
+                    _parity_mask(F.md5(F.concat(F.lit("sh:"), t).cast("binary"))),
+                    _parity_mask(F.md5(F.concat(F.lit("sh2:"), t).cast("binary"))),
                 ),
+            )
+            bit_of = lambda masks, i: F.bit_get(
+                F.element_at(masks, (i / 32).cast("int") + 1), 31 - i % 32
             )
 
         def sig_of(hs: F.Column) -> F.Column:
-            sig = F.lit(0).cast("long")
-            for i in range(bits):
-                vote = F.aggregate(
-                    hs,
-                    F.lit(0),
-                    lambda acc, h: acc
-                    + (F.instr(F.lit("13579bdf"), F.substring(h, i + 1, 1)) > 0).cast("int") * 2
-                    - 1,
-                )
-                weight = -(2**63) if i == 63 else 2**i
-                sig = sig + F.when(vote >= 0, F.lit(weight).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            return sig
+            votes = F.aggregate(
+                hs,
+                F.array_repeat(F.lit(0), bits),
+                lambda acc, m: F.zip_with(
+                    acc,
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(bits - 1)),
+                        lambda i: bit_of(m, i).cast("int") * 2 - 1,
+                    ),
+                    lambda a, b: a + b,
+                ),
+            )
+            return _sig_from_votes(votes, bits)
 
     # double bind: tokens once, then the hash array once (the per-bit
     # vote aggregates each reference it).
