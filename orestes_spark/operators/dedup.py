@@ -539,6 +539,41 @@ def simhash_near_pairs(
     )
 
 
+def benchmark_overlap(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_ids: DataFrame,
+    n: int = 4,
+) -> DataFrame:
+    """Decontamination: flag corpus documents sharing any n-token
+    shingle with a benchmark/eval set — the published training-data
+    hygiene step (eval-overlap n-gram matching). ``bench_ids`` is a
+    one-column (_id) frame naming the benchmark documents; output is
+    (doc_id, n_overlap) for every non-benchmark document with ≥ 1
+    overlapping shingle.
+
+    Scale shape: the benchmark shingle set is bounded by the eval
+    corpus (small in practice), the corpus side streams through one
+    equi-join keyed on the shingle — no all-pairs anything. The join
+    carries no hint: AQE broadcasts the benchmark side while it is
+    small and degrades to shuffle if someone feeds a corpus-sized
+    'benchmark'."""
+    arrays = token_shingle_arrays(docs, id_col, text_col, n)
+    bench = bench_ids.select(F.col(bench_ids.columns[0]).alias("_id"))
+    bench_grams = (
+        arrays.join(bench, "_id", "left_semi").select(F.explode("shingles").alias("sh")).distinct()
+    )
+    corpus = arrays.join(bench, "_id", "left_anti").select(
+        "_id", F.explode("shingles").alias("sh")
+    )
+    return (
+        corpus.join(bench_grams, "sh")
+        .groupBy(F.col("_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
 def dedup_keep_list(docs: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Resolve near-dup pairs to a keep-list: for every pair, the
     larger id is dropped (ids are pre-sorted id_a < id_b in all pair

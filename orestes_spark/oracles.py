@@ -62,6 +62,37 @@ WHERE round(i * 1.0 / (na.n + nb.n - i), 6) >= {threshold}
 """
 
 
+def token_shingles_cte(n: int) -> str:
+    """Parameterized twin of TOKEN_SHINGLES for n-token shingles."""
+    leads = ", ".join(
+        f"lead(tok, {i}) OVER (PARTITION BY doc_id ORDER BY pos)" for i in range(1, n)
+    )
+    return rf"""
+toks AS (
+  SELECT doc_id, u.tok AS tok, u.pos AS pos FROM documents,
+  (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+          generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos) u
+),
+shingles AS (
+  SELECT DISTINCT doc_id AS _id, concat_ws(' ', tok, {leads}) AS sh
+  FROM toks
+  QUALIFY lead(tok, {n - 1}) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+)"""
+
+
+def decontaminate_sql(n: int = 4, mod: int = 20) -> str:
+    """Docs sharing ≥1 n-token shingle with the doc_id % mod == 0
+    holdout 'benchmark'."""
+    return f"""
+WITH {token_shingles_cte(n)},
+bench AS (SELECT DISTINCT sh FROM shingles WHERE _id % {mod} = 0)
+SELECT s._id AS doc_id, count(*) AS n_overlap
+FROM shingles s JOIN bench b USING (sh)
+WHERE s._id % {mod} <> 0
+GROUP BY 1
+"""
+
+
 def simhash_sql(bits: int = 32) -> str:
     # Beyond 32 bits the per-token hash string is extended with a second
     # md5 ('sh2:' salt), matching dedup.simhash_signatures; bit 63 is the

@@ -633,6 +633,18 @@ def doc_minhash_neardup(spark, sf_dir):
     return dedup.minhash_lsh_dedup(d, "doc_id", "text")
 
 
+@register("doc_decontaminate", oracles.decontaminate_sql())
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing any 4-token
+    shingle with the doc_id % 20 == 0 holdout standing in for an eval
+    set (published pipelines use ~13-grams on natural text; 4 is the
+    calibrated equivalent on this synthetic shared-vocab corpus).
+    Output (doc_id, n_overlap)."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 0).select("doc_id")
+    return dedup.benchmark_overlap(d, "doc_id", "text", bench, n=4)
+
+
 @register("doc_simhash", oracles.simhash_sql())
 def doc_simhash(spark, sf_dir):
     """32-bit SimHash signature per document."""
@@ -901,6 +913,41 @@ def events_sessionization(spark, sf_dir):
         .withColumn("session_id", F.sum("new_session").over(wc).cast("long"))
         .groupBy("user_id", "session_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "events_funnel",
+    """WITH s AS (SELECT user_id, min(ts) AS ts_s FROM events WHERE event_type = 'signup' GROUP BY 1),
+       c AS (SELECT e.user_id, min(e.ts) AS ts_c FROM events e JOIN s ON e.user_id = s.user_id
+             WHERE e.event_type = 'click' AND e.ts >= s.ts_s GROUP BY 1),
+       p AS (SELECT e.user_id, min(e.ts) AS ts_p FROM events e JOIN c ON e.user_id = c.user_id
+             WHERE e.event_type = 'purchase' AND e.ts >= c.ts_c GROUP BY 1)
+       SELECT (SELECT count(*) FROM s) AS n_signup,
+              (SELECT count(*) FROM c) AS n_click_after,
+              (SELECT count(*) FROM p) AS n_purchase_after""",
+)
+def events_funnel(spark, sf_dir):
+    """Ordered funnel signup → click → purchase: each stage keeps users
+    whose first stage-N event is at/after their first stage-(N-1)
+    event. Every stage is a user-keyed agg + join on a set that only
+    shrinks — AQE broadcasts the later stages as the funnel narrows;
+    nothing here is quadratic in events."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(etype, prev, prev_ts):
+        e = ev.where(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev, "user_id").where(F.col("ts") >= F.col(prev_ts))
+        return e.groupBy("user_id").agg(F.min("ts").alias(f"ts_{etype[0]}"))
+
+    s = first_after("signup", None, None)
+    c = first_after("click", s, "ts_s")
+    p = first_after("purchase", c, "ts_c")
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
     )
 
 

@@ -120,3 +120,17 @@ def test_simhash_xxhash_fast_path(docs):
 def test_shingles_skip_short_docs(docs):
     sh = dedup.token_shingles(docs, "doc_id", "text")
     assert sh.where("_id = 5").count() == 0
+
+
+def test_benchmark_overlap_flags_contaminated(spark, docs):
+    """Doc 1 is the 'benchmark'; its exact dup (2) and near dup (3)
+    share 4-grams with it and must be flagged; OTHER (4) must not."""
+    bench = spark.createDataFrame([(1,)], "doc_id LONG")
+    hits = {
+        r["doc_id"]: r["n_overlap"]
+        for r in dedup.benchmark_overlap(docs, "doc_id", "text", bench, n=4).collect()
+    }
+    assert 2 in hits and hits[2] > 0
+    assert 3 in hits and hits[3] > 0  # shares the unchanged prefix 4-grams
+    assert 4 not in hits
+    assert 1 not in hits  # the benchmark itself is excluded
