@@ -633,6 +633,48 @@ def doc_minhash_neardup(spark, sf_dir):
     return dedup.minhash_lsh_dedup(d, "doc_id", "text")
 
 
+@register(
+    "doc_sample_stratified",
+    """SELECT doc_id, lang FROM documents
+       WHERE CAST('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             % 10000
+             < CASE WHEN lang = 'en' THEN 5000 ELSE 10000 END""",
+)
+def doc_sample_stratified(spark, sf_dir):
+    """Deterministic stratified downsampling (en → 50%, rest kept):
+    md5-hash-of-id thresholding — a pure map-side filter, reproducible
+    under any partitioning/retry, unlike RNG-based df.sample."""
+    from orestes_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.deterministic_stratified_sample(
+        d, "doc_id", "lang", {"en": 0.5}
+    ).select("doc_id", "lang")
+
+
+@register(
+    "doc_mixture_plan",
+    r"""WITH per AS (
+         SELECT lang AS stratum, count(*) AS n_docs,
+                sum(len(string_split_regex(trim(text), '\s+'))) AS n_tokens
+         FROM documents GROUP BY 1
+       ), tot AS (SELECT sum(n_tokens) AS _total FROM per)
+       SELECT stratum, n_docs, n_tokens,
+              coalesce(round(least(1.0, 0.2 * _total / n_tokens), 6), 0.0) AS sample_rate
+       FROM per, tot""",
+)
+def doc_mixture_plan(spark, sf_dir):
+    """Data-mixing plan: per-language token counts + the sampling rate
+    that moves the corpus toward an equal (0.2 each) token share —
+    the domain-reweighting step of training-data pipelines."""
+    from orestes_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    shares = {lang: 0.2 for lang in ("de", "en", "es", "fr", "zh")}
+    return sampling.mixture_plan(d, "lang", toks, shares)
+
+
 @register("doc_decontaminate", oracles.decontaminate_sql())
 def doc_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag corpus docs sharing any 4-token

@@ -1,0 +1,50 @@
+"""Deterministic sampling / mixture planning tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from orestes_spark.operators import sampling
+
+
+def test_stratified_sample_deterministic_and_calibrated(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)], "doc_id LONG, lang STRING"
+    )
+    out = sampling.deterministic_stratified_sample(df, "doc_id", "lang", {"en": 0.5})
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in out.collect())
+    assert a == b  # reproducible, not RNG
+    kept_en = out.where("lang = 'en'").count()
+    assert 400 <= kept_en <= 600  # ~50% of 1000, hash-uniform
+    assert out.where("lang = 'de'").count() == 1000  # default rate 1.0
+
+
+def test_stratified_sample_is_map_side_only(spark):
+    """The sample must be a pure filter: no Exchange in the plan."""
+    df = spark.createDataFrame([(1, "en")], "doc_id LONG, lang STRING")
+    plan = (
+        sampling.deterministic_stratified_sample(df, "doc_id", "lang", {"en": 0.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_mixture_plan_rates(spark):
+    # 'a' has 10x the tokens of 'b': equal target shares must
+    # downsample 'a' and leave 'b' uncapped (rate 1.0).
+    rows = [(i, "a", "tok " * 100) for i in range(10)] + [(100 + i, "b", "tok " * 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, text STRING")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    plan = {
+        r["stratum"]: r
+        for r in sampling.mixture_plan(df, "lang", toks, {"a": 0.5, "b": 0.5}).collect()
+    }
+    assert plan["a"]["n_docs"] == 10 and plan["b"]["n_docs"] == 10
+    assert plan["a"]["sample_rate"] < 1.0
+    assert plan["b"]["sample_rate"] == 1.0
+    # unknown stratum (no target share) → rate 0.0
+    plan2 = sampling.mixture_plan(df, "lang", toks, {"a": 1.0}).collect()
+    assert {r["stratum"]: r["sample_rate"] for r in plan2}["b"] == 0.0
