@@ -125,6 +125,32 @@ def start_ingest(
     return writer.start()
 
 
+def streaming_dedup(
+    docs: DataFrame,
+    key_cols: tuple[str, ...] = ("fingerprint",),
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+    fingerprint_col: str | None = "text",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key wins;
+    re-arrivals inside the watermark horizon are dropped.
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state to the
+    watermark window — the property that makes continuous corpus
+    ingest viable (an unbounded dropDuplicates grows state forever at
+    100 TB/day). When ``fingerprint_col`` is set, a content md5 is
+    added first so the state stores 16-byte hashes, never document
+    text. Cross-horizon duplicates are handled downstream by the batch
+    exact_dedup pass — the standard streaming+batch split."""
+    out = docs
+    if fingerprint_col is not None:
+        out = out.withColumn(
+            "fingerprint", F.md5(F.col(fingerprint_col).cast("binary"))
+        )
+    return out.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def streaming_rollup(
     points: DataFrame,
     window: str = "5 minutes",

@@ -179,3 +179,36 @@ def test_streaming_sessionize(spark, tmp_path):
     assert got[(1, "2024-01-01T00:00:00")] == (2, 3.0)
     assert got[(1, "2024-01-01T01:00:00")] == (1, 3.0)
     assert got[(2, "2024-01-01T00:00:00")] == (1, 5.0)
+
+
+def test_streaming_dedup_drops_rearrivals(spark, tmp_path):
+    from orestes_spark.streaming.ingest import streaming_dedup
+
+    src = tmp_path / "s_dedup"
+    rows = [
+        (1, "2024-01-01 00:01:00", "same content"),
+        (2, "2024-01-01 00:02:00", "same content"),     # dup within horizon
+        (3, "2024-01-01 00:03:00", "other content"),
+        (4, "2024-01-01 01:00:00", "late unique"),
+    ]
+    ddl = "doc_id LONG, ts_s STRING, text STRING"
+    spark.createDataFrame(rows, ddl).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(ddl)
+        .parquet(str(src))
+        .withColumn("ts", F.to_timestamp("ts_s"))
+    )
+    out = streaming_dedup(stream, watermark="30 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    kept = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_out").collect())
+    # doc 2 (re-arrival of doc 1's content) dropped; the rest survive
+    assert kept == [1, 3, 4]
+    # state stores hashes: output carries the md5 fingerprint column
+    assert "fingerprint" in spark.table("dedup_out").columns
