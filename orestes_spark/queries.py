@@ -972,24 +972,40 @@ def events_sessionization(spark, sf_dir):
 def events_funnel(spark, sf_dir):
     """Ordered funnel signup → click → purchase: each stage keeps users
     whose first stage-N event is at/after their first stage-(N-1)
-    event. Every stage is a user-keyed agg + join on a set that only
-    shrinks — AQE broadcasts the later stages as the funnel narrows;
-    nothing here is quadratic in events."""
-    ev = load_table(spark, sf_dir, "events")
-
-    def first_after(etype, prev, prev_ts):
-        e = ev.where(F.col("event_type") == etype)
-        if prev is not None:
-            e = e.join(prev, "user_id").where(F.col("ts") >= F.col(prev_ts))
-        return e.groupBy("user_id").agg(F.min("ts").alias(f"ts_{etype[0]}"))
-
-    s = first_after("signup", None, None)
-    c = first_after("click", s, "ts_s")
-    p = first_after("purchase", c, "ts_c")
-    return (
-        s.agg(F.count(F.lit(1)).alias("n_signup"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    event. One shuffle total: three unbounded window mins over the
+    same user partitioning (no ORDER BY → no sort), then a per-user
+    dedup that reuses the exchange and a single-row global count —
+    versus the naive 3×(agg+join) chain (13 shuffles)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "click", "purchase")
+    )
+    w = Window.partitionBy("user_id")
+    stage1 = ev.withColumn(
+        "ts_s", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    )
+    stage2 = stage1.withColumn(
+        "ts_c",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") >= F.col("ts_s")), F.col("ts")
+            )
+        ).over(w),
+    )
+    stage3 = stage2.withColumn(
+        "ts_p",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("ts_c")), F.col("ts")
+            )
+        ).over(w),
+    )
+    per_user = stage3.groupBy("user_id").agg(
+        F.first("ts_s").alias("ts_s"), F.first("ts_c").alias("ts_c"), F.first("ts_p").alias("ts_p")
+    )
+    return per_user.agg(
+        F.count("ts_s").alias("n_signup"),
+        F.count("ts_c").alias("n_click_after"),
+        F.count("ts_p").alias("n_purchase_after"),
     )
 
 
