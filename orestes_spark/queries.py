@@ -1364,6 +1364,62 @@ def ts_rate_of_change(spark, sf_dir):
 
 
 @register(
+    "ts_moving_avg",
+    f"""WITH pts AS (
+          SELECT event_id, event_type, CAST(user_id AS VARCHAR) AS user_id,
+                 {_EV_MS} AS time_ms, value
+          FROM events
+        ),
+        win AS (
+          SELECT event_id, event_type, user_id, time_ms,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w5 * 1000000 AS BIGINT) AS num,
+                 count(*) OVER w5 AS n
+          FROM pts
+          WINDOW w5 AS (PARTITION BY event_type, user_id ORDER BY time_ms, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, event_type, user_id, time_ms,
+               (CASE WHEN num < 0 THEN -((abs(num) * 2 + n) // (2 * n))
+                     ELSE (num * 2 + n) // (2 * n) END) / CAST(1000000 AS DOUBLE) AS ma5
+        FROM win""",
+)
+def ts_moving_avg(spark, sf_dir):
+    """Per-series 5-row moving average — the rolling smoothing
+    operator; a single window shuffle on the series key, rows-based
+    frame so no range scan. Same exact-integer rounding discipline as
+    ts_rate_of_change: exact decimal window sum scaled to BIGINT
+    micro-units, half-away-from-zero integer division — bit-identical
+    across engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("user_id").cast("string").alias("user_id"),
+        F.unix_millis("ts").alias("time_ms"),
+        "value",
+    )
+    w5 = (
+        Window.partitionBy("event_type", "user_id")
+        .orderBy("time_ms", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return (
+        ev.withColumn(
+            "num",
+            (F.sum(F.col("value").cast("decimal(18,6)")).over(w5) * 1000000).cast("long"),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(w5))
+        .withColumn(
+            "ma5",
+            F.expr(
+                "(CASE WHEN num < 0 THEN -((abs(num) * 2 + n) DIV (2 * n))"
+                "      ELSE (num * 2 + n) DIV (2 * n) END) / CAST(1000000 AS DOUBLE)"
+            ),
+        )
+        .select("event_id", "event_type", "user_id", "time_ms", "ma5")
+    )
+
+
+@register(
     "doc_top_tokens",
     r"""SELECT tok, n FROM (
           SELECT tok, count(*) AS n,
