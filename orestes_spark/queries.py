@@ -517,6 +517,50 @@ def tpch_q18(spark, sf_dir):
 
 
 @register(
+    "tpch_q19",
+    """SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+              count(*) AS n_lines
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+              AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+          OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+              AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+          OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+              AND l.l_quantity >= 20 AND l.l_quantity <= 30)""",
+)
+def tpch_q19(spark, sf_dir):
+    """Discounted revenue, adapted to the synthetic part schema
+    (brand/size/quantity stand in for brand/container/quantity): the
+    OR-of-ANDs predicate spans BOTH join sides, so it can't be pushed
+    below the join — the planner keeps it as the join filter while
+    still pushing the per-side implied constraints; part stays the
+    broadcast side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branch = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.where(branch).agg(
+        F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
     "window_top3_orders",
     """SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
          SELECT c.c_mktsegment AS c_mktsegment, o.o_orderkey AS o_orderkey,
