@@ -560,6 +560,667 @@ def tpch_q19(spark, sf_dir):
     )
 
 
+_VOLUME_SQL = """CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))"""
+
+
+@register(
+    "tpch_q7",
+    f"""SELECT supp_nation, cust_nation, l_year,
+               CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+                 {_VOLUME_SQL} AS volume
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        ) GROUP BY 1, 2, 3""",
+)
+def tpch_q7(spark, sf_dir):
+    """Volume shipping between two nations. Scale shape: supplier and
+    customer are each pre-restricted to the two nations *before*
+    touching facts, so the broadcast sides are 2/25ths of the dims and
+    lineitem is semi-filtered by supplier nation ahead of the
+    orders⋈lineitem shuffle (~12× less shuffle volume than filtering
+    after). The cross-side nation-pair OR runs post-join, like q19."""
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    sn = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("sk"),
+    ).select("s_suppkey", "supp_nation")
+    cn = c.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))),
+        c.c_nationkey == F.col("ck"),
+    ).select("c_custkey", "cust_nation")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q8",
+    f"""SELECT o_year,
+               round(CAST(sum(CASE WHEN nation = 'NATION_12' THEN volume
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                     / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+        FROM (
+          SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                 {_VOLUME_SQL} AS volume,
+                 n2.n_name AS nation
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+          JOIN region r ON n1.n_regionkey = r.r_regionkey
+          JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+          WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+            AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        ) GROUP BY 1""",
+)
+def tpch_q8(spark, sf_dir):
+    """National market share (adapted: p_type 'ECONOMY' stands in for
+    'ECONOMY ANODIZED STEEL'; NATION_12 is an ASIA nation). The p_type
+    filter broadcast-prunes lineitem first (1/6th), the region filter
+    restricts customers to 1/5th before their broadcast; the only
+    shuffle is orders⋈lineitem. Share division happens after exact
+    decimal sums, so the double division is deterministic."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cr = c.join(
+        F.broadcast(
+            n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+                F.col("n_nationkey").alias("ck")
+            )
+        ),
+        c.c_nationkey == F.col("ck"),
+    ).select("c_custkey")
+    sn = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("nation"))),
+        s.s_nationkey == F.col("sk"),
+    ).select("s_suppkey", "nation")
+    vol = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cr), o.o_custkey == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_12", vol).otherwise(zero)).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q9",
+    """SELECT nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+       FROM (
+         SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))
+                  * CAST(0.1 AS DECIMAL(2,1)) AS amount
+         FROM part p
+         JOIN lineitem l ON p.p_partkey = l.l_partkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         WHERE p.p_name LIKE '%widget%'
+       ) GROUP BY 1, 2""",
+)
+def tpch_q9(spark, sf_dir):
+    """Product-type profit (adapted: the synthetic schema has no
+    partsupp, so supply cost is modeled as 10% of p_retailprice per
+    unit — the join/agg shape of published Q9 is unchanged). The
+    p_name filter broadcast-prunes lineitem before the orders shuffle;
+    supplier+nation is the second broadcast."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    sn = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("nation"))),
+        s.s_nationkey == F.col("sk"),
+    ).select("s_suppkey", "nation")
+    amount = _dec("l_extendedprice") * (1 - _dec("l_discount")) - _dec("p_retailprice") * _dec(
+        "l_quantity"
+    ) * F.lit(0.1).cast("decimal(2,1)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q12",
+    """SELECT l.l_linestatus AS l_linestatus,
+              sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+              sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS low_line_count
+       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+         AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY 1""",
+)
+def tpch_q12(spark, sf_dir):
+    """Shipping-mode priority (adapted: no commit/receipt dates or
+    shipmode in the synthetic schema — "late" is ship ≥60 days after
+    order, grouped by linestatus). The cross-side lateness predicate
+    runs as the join filter; the year filter still prunes the lineitem
+    scan. Conditional-count agg in one pass, as in published Q12."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q13",
+    """SELECT c_count, count(*) AS custdist
+       FROM (
+         SELECT c.c_custkey AS c_custkey, count(o.o_orderkey) AS c_count
+         FROM customer c LEFT OUTER JOIN orders o
+           ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+         GROUP BY 1
+       ) GROUP BY 1""",
+)
+def tpch_q13(spark, sf_dir):
+    """Customer order-count distribution (adapted: the o_comment NOT
+    LIKE filter becomes a priority exclusion — same left-outer +
+    double-aggregation shape). Customers with zero qualifying orders
+    stay in the histogram via the outer join; the second agg rides the
+    first's tiny output, so there is one real shuffle on custkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q15",
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+         GROUP BY 1
+       )
+       SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+              CAST(round(r.total_rev, 2) AS DOUBLE) AS total_revenue
+       FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+       WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)""",
+)
+def tpch_q15(spark, sf_dir):
+    """Top supplier by quarterly revenue. The revenue view (one row per
+    supplier) is checkpointed and reused for both the max scalar and
+    the equality filter — one lineitem scan, not two. The max arrives
+    as a broadcast single-row cross join, never a global sort; exact
+    decimal sums make the equality engine-portable (ties, if any,
+    return all tied suppliers on both engines)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("total_rev"))
+        .localCheckpoint()
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.round("total_rev", 2).cast("double").alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q17",
+    """WITH pq AS (
+         SELECT l_partkey, count(*) AS cnt,
+                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+         FROM lineitem GROUP BY 1
+       )
+       SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+                  AS avg_yearly,
+              count(*) AS n_lines
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       JOIN pq ON pq.l_partkey = l.l_partkey
+       WHERE p.p_brand = 'Brand#23'
+         AND 5 * CAST(l.l_quantity AS DECIMAL(18,2)) * pq.cnt < pq.sq""",
+)
+def tpch_q17(spark, sf_dir):
+    """Small-quantity-order revenue (adapted: p_brand filter only — no
+    p_container in the synthetic schema). The correlated avg-quantity
+    subquery becomes a per-part pre-aggregation joined back on partkey;
+    the threshold test is cross-multiplied (5·qty·n < Σqty) so it is
+    exact decimal arithmetic — no float-average boundary flips between
+    engines. Both the agg input and the probe side are pre-pruned by
+    the broadcast brand filter, so the partkey shuffle carries only
+    that brand's lines."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(_dec("l_quantity")).alias("sq")
+    )
+    return (
+        li.join(pq, F.col("l_partkey") == F.col("pk"))
+        .where(F.lit(5) * _dec("l_quantity") * F.col("cnt") < F.col("sq"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q22",
+    """WITH stats AS (
+         SELECT count(*) AS n_pos, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s_pos
+         FROM customer
+         WHERE c_nationkey IN (0, 3, 7, 11, 15, 19, 23) AND c_acctbal > 0.0
+       )
+       SELECT cntrycode, count(*) AS numcust,
+              CAST(round(sum(bal), 2) AS DOUBLE) AS totacctbal
+       FROM (
+         SELECT c.c_nationkey AS cntrycode, CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal
+         FROM customer c, stats
+         WHERE c.c_nationkey IN (0, 3, 7, 11, 15, 19, 23)
+           AND CAST(c.c_acctbal AS DECIMAL(18,2)) * stats.n_pos > stats.s_pos
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+       ) GROUP BY 1""",
+)
+def tpch_q22(spark, sf_dir):
+    """Global sales opportunity (adapted: phone country codes become
+    nation keys — same shape: scalar avg subquery + NOT EXISTS
+    anti-join). The above-average test is cross-multiplied
+    (bal·n > Σbal) over exact decimals; the single-row stats frame is
+    a broadcast cross join; orders arrives as a LEFT ANTI join on
+    custkey — never a per-customer subquery probe. (The "has no
+    orders" predicate is time-scoped to lapsed customers — in this
+    synthetic data every customer has *some* order.)"""
+    nations = [0, 3, 7, 11, 15, 19, 23]
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_nationkey").isin(nations))
+    stats = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.count(F.lit(1)).alias("n_pos"), F.sum(_dec("c_acctbal")).alias("s_pos")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(stats))
+        .where(_dec("c_acctbal") * F.col("n_pos") > F.col("s_pos"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# The synthetic schema has no partsupp table, so the partsupp-family
+# queries (q2/q11/q16/q20/q21) derive one from lineitem: a supplier
+# "supplies" a part if any lineitem pairs them; availqty = total
+# quantity shipped, supplycost = min extended price seen. Both are
+# exact decimals — no float derivation — so the downstream min/compare
+# logic is engine-portable. The derivation is one groupBy on
+# (partkey, suppkey): at 100 TB that's a single well-keyed shuffle
+# producing a dimension-sized frame, computed once per query.
+_PARTSUPP_SQL = """SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                          sum(CAST(l_quantity AS DECIMAL(18,2))) AS ps_availqty,
+                          min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+                   FROM lineitem GROUP BY 1, 2"""
+
+
+def _partsupp(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.sum(_dec("l_quantity")).alias("ps_availqty"),
+        F.min(_dec("l_extendedprice")).alias("ps_supplycost"),
+    )
+
+
+@register(
+    "tpch_q2",
+    f"""WITH ps AS ({_PARTSUPP_SQL}),
+        eu AS (
+          SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+          FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'EUROPE'
+        ),
+        cost AS (
+          SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+                 eu.s_name, eu.s_acctbal, eu.n_name
+          FROM ps JOIN eu ON ps.ps_suppkey = eu.s_suppkey
+        ),
+        mn AS (SELECT ps_partkey, min(ps_supplycost) AS mc FROM cost GROUP BY 1)
+        SELECT * FROM (
+          SELECT CAST(round(CAST(c.s_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE) AS s_acctbal,
+                 c.s_name AS s_name, c.n_name AS n_name,
+                 p.p_partkey AS p_partkey, p.p_type AS p_type,
+                 CAST(c.ps_supplycost AS DOUBLE) AS supplycost,
+                 c.ps_suppkey AS s_suppkey
+          FROM part p
+          JOIN cost c ON c.ps_partkey = p.p_partkey
+          JOIN mn ON mn.ps_partkey = p.p_partkey AND c.ps_supplycost = mn.mc
+          WHERE p.p_type = 'LARGE'
+        ) ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey LIMIT 100""",
+)
+def tpch_q2(spark, sf_dir):
+    """Minimum-cost supplier (adapted to the derived partsupp; region
+    EUROPE, p_type filter for the part class). The correlated min
+    subquery becomes a per-part min frame joined back on
+    (partkey, cost) — the decorrelated plan Catalyst would want. The
+    European supplier dim broadcast-prunes partsupp before the min;
+    top-100 is TakeOrderedAndProject with a full deterministic
+    tiebreak chain."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "LARGE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = _partsupp(spark, sf_dir).join(F.broadcast(eu), F.col("ps_suppkey") == eu.s_suppkey)
+    mn = cost.groupBy(F.col("ps_partkey").alias("mk")).agg(F.min("ps_supplycost").alias("mc"))
+    return (
+        cost.join(F.broadcast(p), cost.ps_partkey == p.p_partkey)
+        .join(mn, (F.col("ps_partkey") == F.col("mk")) & (F.col("ps_supplycost") == F.col("mc")))
+        .select(
+            F.round(_dec("s_acctbal"), 2).cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+            F.col("ps_suppkey").alias("s_suppkey"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11",
+    f"""WITH ps AS ({_PARTSUPP_SQL}),
+        sn AS (
+          SELECT s_suppkey FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+          WHERE n.n_name IN ('NATION_7', 'NATION_8')
+        ),
+        val AS (
+          SELECT ps.ps_partkey, sum(ps.ps_supplycost * ps.ps_availqty) AS v
+          FROM ps JOIN sn ON ps.ps_suppkey = sn.s_suppkey
+          GROUP BY 1
+        ),
+        tot AS (SELECT sum(v) AS t FROM val)
+        SELECT ps_partkey, CAST(round(v, 2) AS DOUBLE) AS value
+        FROM val, tot WHERE v * 5000 > t""",
+)
+def tpch_q11(spark, sf_dir):
+    """Important stock identification (adapted: derived partsupp,
+    nation pair instead of GERMANY, threshold 1/5000 of total value —
+    chosen to stay selective-but-nonempty across test SFs, standing in
+    for the spec's SF-scaled 0.0001/SF fraction).
+    The scalar total is a broadcast single-row cross join against the
+    per-part value frame — the HAVING-with-subquery shape without a
+    second partsupp pass; v·500 > t is exact decimal arithmetic."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name").isin("NATION_7", "NATION_8"))
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    val = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(sn), F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("ps_partkey")
+        .agg(F.sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
+        .localCheckpoint()
+    )
+    tot = val.agg(F.sum("v").alias("t"))
+    return (
+        val.join(F.broadcast(tot))
+        .where(F.col("v") * 5000 > F.col("t"))
+        .select("ps_partkey", F.round("v", 2).cast("double").alias("value"))
+    )
+
+
+@register(
+    "tpch_q16",
+    f"""WITH ps AS ({_PARTSUPP_SQL})
+        SELECT p.p_brand AS p_brand, p.p_type AS p_type, p.p_size AS p_size,
+               count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+        FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+        WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3""",
+)
+def tpch_q16(spark, sf_dir):
+    """Parts/supplier relationship count (adapted: the "customer
+    complaints" exclusion becomes negative-acctbal suppliers). The
+    exclusion list is a broadcast LEFT ANTI join (s_suppkey is
+    non-null, so NOT IN ≡ anti-join); the distinct-supplier count
+    shuffles only (brand, type, size, suppkey) pairs."""
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20",
+    f"""WITH ps AS ({_PARTSUPP_SQL}),
+        shipped AS (
+          SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q97
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY 1, 2
+        ),
+        cand AS (
+          SELECT DISTINCT ps.ps_suppkey
+          FROM ps
+          JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%') pp
+            ON ps.ps_partkey = pp.p_partkey
+          LEFT JOIN shipped sh
+            ON sh.l_partkey = ps.ps_partkey AND sh.l_suppkey = ps.ps_suppkey
+          WHERE ps.ps_availqty > 2 * coalesce(sh.q97, CAST(0 AS DECIMAL(18,2)))
+        )
+        SELECT s.s_name AS s_name, n.n_name AS n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN cand ON cand.ps_suppkey = s.s_suppkey
+        WHERE n.n_name IN ('NATION_2', 'NATION_3', 'NATION_4')""",
+)
+def tpch_q20(spark, sf_dir):
+    """Excess-stock suppliers (adapted: derived partsupp; "excess" =
+    total supplied quantity more than 2× what shipped in 1997 for a
+    'blue%' part; nation triple instead of CANADA). The nested-IN
+    chain becomes semi-join composition: part prefix filter broadcast
+    into partsupp, the 1997 shipped frame joined on the same
+    (partkey, suppkey) key partitioning, and the candidate supplier
+    set deduped before the dim join — all exact decimal comparisons."""
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q97"))
+    )
+    pp = load_table(spark, sf_dir, "part").where(F.col("p_name").like("blue%")).select("p_partkey")
+    zero = F.lit(0).cast("decimal(18,2)")
+    cand = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(pp), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == shipped.l_partkey)
+            & (F.col("ps_suppkey") == shipped.l_suppkey),
+            "left_outer",
+        )
+        .where(F.col("ps_availqty") > 2 * F.coalesce(F.col("q97"), zero))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_2", "NATION_3", "NATION_4")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(cand), s.s_suppkey == F.col("ps_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+    )
+
+
+@register(
+    "tpch_q21",
+    """WITH late AS (
+         SELECT l.l_orderkey, l.l_suppkey
+         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE o.o_orderstatus = 'F'
+           AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+         GROUP BY 1, 2
+       ),
+       allsup AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns FROM lineitem GROUP BY 1),
+       latecnt AS (SELECT l_orderkey, count(*) AS nl FROM late GROUP BY 1)
+       SELECT s.s_name AS s_name, count(*) AS numwait
+       FROM late
+       JOIN latecnt ON latecnt.l_orderkey = late.l_orderkey AND latecnt.nl = 1
+       JOIN allsup ON allsup.l_orderkey = late.l_orderkey AND allsup.ns >= 2
+       JOIN supplier s ON s.s_suppkey = late.l_suppkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       WHERE n.n_name = 'NATION_5'
+       GROUP BY 1""",
+)
+def tpch_q21(spark, sf_dir):
+    """Suppliers who kept orders waiting (adapted: "late" = shipped
+    ≥60 days after order date on a finished order — no receipt/commit
+    dates in the synthetic schema). Published Q21's EXISTS(other
+    supplier) + NOT EXISTS(other late supplier) pair is algebraized to
+    per-order counts: exactly one late supplier AND ≥2 distinct
+    suppliers — two aggregations on the orderkey partitioning the
+    late frame already has, instead of two correlated lineitem
+    self-probes. Same result, ~one shuffle of lineitem instead of
+    three."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+        .localCheckpoint()
+    )
+    latecnt = late.groupBy(F.col("l_orderkey").alias("lk")).agg(F.count(F.lit(1)).alias("nl"))
+    allsup = li.groupBy(F.col("l_orderkey").alias("ak")).agg(
+        F.countDistinct("l_suppkey").alias("ns")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    return (
+        late.join(latecnt, (late.l_orderkey == F.col("lk")) & (F.col("nl") == 1))
+        .join(allsup, (late.l_orderkey == F.col("ak")) & (F.col("ns") >= 2))
+        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 @register(
     "window_top3_orders",
     """SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
