@@ -16,7 +16,7 @@ feeds the sampler's per-stratum rates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Hash granularity for sample thresholds: rates are quantized to
@@ -83,4 +83,73 @@ def mixture_plan(
         F.round(
             F.least(F.lit(1.0), share * F.col("_total") / F.col("n_tokens")), 6
         ).alias("sample_rate"),
+    )
+
+
+def _shard_of(id_col: Column, salt: str, n_shards: int) -> Column:
+    """Deterministic shard from the salted-md5 of the id (same portable
+    parse as _hash_bucket, modulo the shard count)."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), id_col.cast("string")).cast("binary"))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).alias("shard")
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, n_shards: int = 64, salt: str = "shuf"
+) -> DataFrame:
+    """Reproducible global shuffle for training-example ordering:
+    every row gets a (shard, pos) — shard from the salted id hash,
+    pos by hash order within the shard. Changing the salt is a fresh
+    epoch permutation; the same salt replays identically on any
+    engine, partitioning, or retry.
+
+    Scale shape: the only movement is one hash-partitioned exchange
+    into n_shards groups; within-shard ordering is a per-partition
+    sort, never a global one. Pick n_shards ≈ cluster cores × k so
+    each shard's row_number window is one bounded task (at 100 TB:
+    tens of thousands of shards, not 64)."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")).cast("binary"))
+    out = df.select(
+        F.col(id_col), _shard_of(F.col(id_col), salt, n_shards), h.alias("_h")
+    )
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return out.select(id_col, "shard", F.row_number().over(w).alias("pos"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count: Column,
+    budget: int,
+    n_shards: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: assign each document to the
+    training batch (bin) in which its tokens *start*, packing id-order
+    runs of documents into fixed token budgets. bin_id =
+    (tokens-before-this-doc) div budget over the shard-local id order
+    — the standard approximation for building fixed-length training
+    examples without splitting the stream across workers.
+
+    Packing is shard-local by construction (a cumulative sum never
+    crosses shards), so the window is a bounded per-partition pass —
+    no global ordering exists anywhere in the plan. All arithmetic is
+    integer (token counts, integer div), hence engine-exact."""
+    out = df.select(
+        F.col(id_col),
+        _shard_of(F.col(id_col), salt, n_shards),
+        token_count.cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return out.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        cum_before.alias("_cum"),
+    ).select(
+        id_col, "shard", "n_tokens", F.expr(f"_cum div {budget}").alias("bin_id")
     )

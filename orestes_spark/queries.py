@@ -1358,6 +1358,54 @@ def doc_sample_stratified(spark, sf_dir):
 
 
 @register(
+    "doc_shuffle_shards",
+    """SELECT doc_id, shard,
+              row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+       FROM (
+         SELECT doc_id,
+                CAST('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                    % 64 AS shard,
+                md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h
+         FROM documents
+       )""",
+)
+def doc_shuffle_shards(spark, sf_dir):
+    """Reproducible training-order shuffle: salted-hash shard + stable
+    within-shard position. One exchange into shard groups, bounded
+    per-shard sorts — the epoch-permutation primitive of a training
+    pipeline, with no RNG and no global sort."""
+    from orestes_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.deterministic_shuffle(d, "doc_id", n_shards=64)
+
+
+@register(
+    "doc_pack_sequences",
+    r"""SELECT doc_id, shard, n_tokens,
+               (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS bin_id
+        FROM (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                     % 64 AS shard,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents
+        )""",
+)
+def doc_pack_sequences(spark, sf_dir):
+    """Sequence packing into 2048-token training bins, shard-local:
+    each document lands in the bin where its tokens start. Integer
+    cumulative sums only — engine-exact — and every window is a
+    bounded per-shard pass."""
+    from orestes_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return sampling.pack_sequences(d, "doc_id", toks, budget=2048, n_shards=64)
+
+
+@register(
     "doc_mixture_plan",
     r"""WITH per AS (
          SELECT lang AS stratum, count(*) AS n_docs,

@@ -32,6 +32,42 @@ def test_stratified_sample_is_map_side_only(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_deterministic_shuffle_is_permutation(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id LONG")
+    out = sampling.deterministic_shuffle(df, "doc_id", n_shards=8).collect()
+    assert len(out) == 500
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # same salt replays identically; a different salt reorders
+    again = sampling.deterministic_shuffle(df, "doc_id", n_shards=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = sampling.deterministic_shuffle(df, "doc_id", n_shards=8, salt="epoch2").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_pack_sequences_bins_match_cumsum(spark):
+    rows = [(i, "tok " * (10 + i % 50)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    out = sampling.pack_sequences(df, "doc_id", toks, budget=100, n_shards=4).collect()
+    assert len(out) == 300
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in docs:
+            assert r["bin_id"] == cum // 100, (shard, r)
+            cum += r["n_tokens"]
+        # bins are contiguous from 0 within the shard
+        bins = sorted({r["bin_id"] for r in docs})
+        assert bins[0] == 0 and bins == list(range(len(bins)))
+
+
 def test_mixture_plan_rates(spark):
     # 'a' has 10x the tokens of 'b': equal target shares must
     # downsample 'a' and leave 'b' uncapped (rate 1.0).
