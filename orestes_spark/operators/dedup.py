@@ -398,12 +398,11 @@ def _sig_from_votes(votes: F.Column, bits: int) -> F.Column:
     return bind(votes, tosig)
 
 
-def simhash_signatures(
-    docs: DataFrame, id_col: str, text_col: str, bits: int = 32, hash_fn: str = "md5"
-) -> DataFrame:
-    """SimHash (up to 64 bits): signature bit i = sign of the +1/-1
-    vote sum over all tokens (with multiplicity) of the token-hash's
-    bit i. Output (_id, simhash BIGINT).
+def simhash_column(text_col: F.Column, bits: int = 32, hash_fn: str = "md5") -> F.Column:
+    """The SimHash signature as a column expression over ``text_col`` —
+    usable on batch AND streaming frames (no shuffle, no state).
+    Signature bit i = sign of the +1/-1 vote sum over all tokens (with
+    multiplicity) of the token-hash's bit i; result is a BIGINT.
 
     ``hash_fn`` picks the per-token hash:
 
@@ -425,7 +424,7 @@ def simhash_signatures(
         raise ValueError("simhash bits must be in [1, 64]")
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"unknown simhash hash_fn {hash_fn!r}")
-    split_expr = F.split(normalize_text(F.col(text_col)), r"\s+")
+    split_expr = F.split(normalize_text(text_col), r"\s+")
 
     if hash_fn == "xxhash64":
         hashes = lambda tk: F.transform(tk, lambda t: F.xxhash64(t))
@@ -493,8 +492,21 @@ def simhash_signatures(
 
     # double bind: tokens once, then the hash array once (the per-bit
     # vote aggregates each reference it).
-    sig_expr = bind(bind(split_expr, hashes), sig_of)
-    return ensure_min_parallelism(docs).select(F.col(id_col).alias("_id"), sig_expr.alias("simhash"))
+    return bind(bind(split_expr, hashes), sig_of)
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, bits: int = 32, hash_fn: str = "md5"
+) -> DataFrame:
+    """SimHash (up to 64 bits): signature bit i = sign of the +1/-1
+    vote sum over all tokens (with multiplicity) of the token-hash's
+    bit i. Output (_id, simhash BIGINT).
+
+    ``hash_fn``: "md5" (engine-portable, the oracle path) or
+    "xxhash64" (single JVM hash per token, ~4x faster — the
+    production path). See simhash_column."""
+    sig = simhash_column(F.col(text_col), bits, hash_fn)  # validates args first
+    return ensure_min_parallelism(docs).select(F.col(id_col).alias("_id"), sig.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -151,6 +151,34 @@ def streaming_dedup(
     )
 
 
+def streaming_near_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+    bits: int = 64,
+) -> DataFrame:
+    """Streaming NEAR-dup suppression: drop documents whose 64-bit
+    SimHash collides with one already seen inside the watermark
+    horizon. The signature is a pure column expression (no shuffle,
+    no Python), so the only state is dropDuplicatesWithinWatermark's
+    bounded (signature, window) store — 8 bytes per doc, never text.
+
+    Signature equality ≈ Hamming distance 0: it catches boilerplate
+    re-crawls and token-reordered copies, not paraphrases — the cheap
+    first gate in front of the batch MinHash/verify pass (the standard
+    streaming+batch near-dup split). xxhash64 path: production speed,
+    no oracle twin (batch simhash_signatures has the md5 oracle)."""
+    from orestes_spark.operators.dedup import simhash_column
+
+    sig = simhash_column(F.col(text_col), bits=bits, hash_fn="xxhash64")
+    return (
+        docs.withColumn("simhash", sig)
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["simhash"])
+    )
+
+
 def streaming_rollup(
     points: DataFrame,
     window: str = "5 minutes",

@@ -212,3 +212,37 @@ def test_streaming_dedup_drops_rearrivals(spark, tmp_path):
     assert kept == [1, 3, 4]
     # state stores hashes: output carries the md5 fingerprint column
     assert "fingerprint" in spark.table("dedup_out").columns
+
+
+def test_streaming_near_dedup_drops_reordered_copy(spark, tmp_path):
+    """SimHash streaming gate: a token-permuted copy (identical
+    signature — simhash is order-insensitive) is dropped; a genuinely
+    different document survives."""
+    from orestes_spark.streaming.ingest import streaming_near_dedup
+
+    src = tmp_path / "s_neardup"
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    reordered = "again and again the lazy dog jumps over the quick brown fox"
+    rows = [
+        (1, "2024-01-01 00:01:00", base),
+        (2, "2024-01-01 00:02:00", reordered),  # same bag of tokens
+        (3, "2024-01-01 00:03:00", "completely unrelated text about spark plans"),
+    ]
+    ddl = "doc_id LONG, ts_s STRING, text STRING"
+    spark.createDataFrame(rows, ddl).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(ddl)
+        .parquet(str(src))
+        .withColumn("ts", F.to_timestamp("ts_s"))
+    )
+    q = (
+        streaming_near_dedup(stream, watermark="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    kept = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM neardup_out").collect())
+    assert kept == [1, 3]
