@@ -32,6 +32,33 @@ def read_points_json(spark: SparkSession, path: str, streaming: bool = False) ->
     )
 
 
+def read_points_orc(
+    spark: SparkSession,
+    path: str,
+    time_col: str = "time",
+    value_col: str = "value",
+    streaming: bool = False,
+) -> DataFrame:
+    """ORC point files (columnar twin of the parquet layout): either
+    the canonical shape (tags MAP present) or a wide/flat shape where
+    every extra column becomes a tag. The schema comes from the ORC
+    footer; for streams (which require an explicit schema) it is
+    probed once from the existing files at start."""
+    if streaming:
+        raw = spark.readStream.schema(spark.read.orc(path).schema).orc(path)
+    else:
+        raw = spark.read.orc(path)
+    if "tags" in raw.columns:
+        from pyspark.sql import functions as F
+
+        return raw.select(
+            schema.normalize_time_col(F.col(time_col)).alias("time_ms"),
+            F.col(value_col).cast("double").alias("value"),
+            F.coalesce(F.col("tags"), F.create_map()).alias("tags"),
+        )
+    return schema.points_from_wide(raw, time_col, value_col)
+
+
 def read_points_csv(
     spark: SparkSession,
     path: str,

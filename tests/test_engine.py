@@ -288,3 +288,25 @@ def test_json_and_csv_sources(engine, spark, tmp_path):
     assert got["host=a"][1] == [(1700000000000, 1.5), (1700000000000, 9.5)]
     assert got["host=b"][1] == [(1700000000000, 2.5), (1700000001000, 8.5)]
     assert "host=c" not in got
+
+
+def test_orc_source_wide_and_canonical(engine, spark, tmp_path):
+    from orestes_spark.sources.points_files import read_points_orc
+
+    wide, canon = str(tmp_path / "po_w"), str(tmp_path / "po_c")
+    spark.createDataFrame(
+        [("1700000000000", 4.5, "a"), ("1700000001000", 5.5, "b")],
+        "time STRING, value DOUBLE, host STRING",
+    ).write.orc(wide)
+    spark.sql(
+        "SELECT '1700000002000' AS time, 6.5 AS value, map('host', 'a') AS tags"
+    ).write.orc(canon)
+
+    assert engine.write(read_points_orc(spark, wide), "default") == []
+    assert engine.write(read_points_orc(spark, canon), "default") == []
+    got = read_as_model(engine, end=1700000003000)
+    assert got["host=a"][1] == [(1700000000000, 4.5), (1700000002000, 6.5)]
+    assert got["host=b"][1] == [(1700000001000, 5.5)]
+    # streaming read shares the same adapter (schema probed from footer)
+    sdf = read_points_orc(spark, wide, streaming=True)
+    assert sdf.isStreaming and set(sdf.columns) == {"time_ms", "value", "tags"}
