@@ -1770,6 +1770,66 @@ def events_funnel(spark, sf_dir):
 
 
 @register(
+    "events_pivot_daily",
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+              sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+              sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+              sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+       FROM events GROUP BY 1""",
+)
+def events_pivot_daily(spark, sf_dir):
+    """PIVOT: daily counts, one column per event type. With explicit
+    pivot values Spark plans ONE pass (conditional partial aggs) — no
+    distinct-values pre-query, no per-column scan; same single-shuffle
+    shape as a plain groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select("day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types])
+
+
+@register(
+    "customer_value_quartiles",
+    """SELECT quartile, count(*) AS n_customers,
+              CAST(round(sum(total), 2) AS DOUBLE) AS quartile_total
+       FROM (
+         SELECT ntile(4) OVER (ORDER BY total DESC, c_custkey) AS quartile,
+                total, c_custkey
+         FROM (
+           SELECT o_custkey AS c_custkey,
+                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+           FROM orders GROUP BY 1
+         )
+       ) GROUP BY 1""",
+)
+def customer_value_quartiles(spark, sf_dir):
+    """ntile quartiles over per-customer lifetime value. The global
+    window runs on the PRE-AGGREGATED per-customer frame (one row per
+    customer) — ntile needs a total order by definition, so the input
+    is shrunk first; deterministic tiebreak on custkey keeps both
+    engines' quartile boundaries identical."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(_dec("o_totalprice")).alias("total")
+    )
+    w = Window.orderBy(F.col("total").desc(), "c_custkey")
+    return (
+        per.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("total"), 2).cast("double").alias("quartile_total"),
+        )
+    )
+
+
+@register(
     "events_rollup_day_type",
     """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, count(*) AS n
        FROM events GROUP BY ROLLUP(1, 2)""",
