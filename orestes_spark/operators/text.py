@@ -208,3 +208,31 @@ def fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(F.col("_norm").cast("binary")).alias("fingerprint"),
         F.array_min(shingle_hashes).alias("shingle_fingerprint"),
     )
+
+
+def rarity_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Vocabulary-rarity quality signal: each document's average
+    document-frequency over its distinct tokens (low = rare/specialist
+    vocabulary, high = boilerplate). The corpus-statistics twin of a
+    unigram-LM perplexity filter, in exact integer arithmetic — df
+    counts are integers and the only division is the final rounded
+    average, so the oracle matches at every boundary.
+
+    Scale shape: one (token) aggregation for the df table, one join
+    that reuses the token partitioning, one (doc) aggregation. Stop
+    tokens are huge df groups but tiny rows (token, count) — the
+    exploded probe side is skewed on them, which AQE skew-join
+    handles; document text itself never shuffles."""
+    toks = ensure_min_parallelism(docs).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok"),
+    )
+    dfs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        toks.join(dfs, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(F.sum("df").cast("double") / F.count(F.lit(1)), 6).alias("avg_token_df"),
+        )
+    )

@@ -1413,6 +1413,27 @@ def doc_pack_sequences(spark, sf_dir):
 
 
 @register(
+    "doc_rarity",
+    r"""WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS tok
+          FROM documents
+        ),
+        dfs AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1)
+        SELECT doc_id, count(*) AS n_distinct,
+               round(CAST(sum(df) AS DOUBLE) / count(*), 6) AS avg_token_df
+        FROM toks JOIN dfs USING (tok)
+        GROUP BY 1""",
+)
+def doc_rarity(spark, sf_dir):
+    """Vocabulary-rarity quality signal (avg document frequency of a
+    doc's distinct tokens) — the corpus-statistics stand-in for a
+    unigram-perplexity filter, in exact integer arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.rarity_scores(d, "doc_id", "text")
+
+
+@register(
     "doc_mixture_plan",
     r"""WITH per AS (
          SELECT lang AS stratum, count(*) AS n_docs,

@@ -100,3 +100,16 @@ def test_fingerprints_whitespace_invariant(spark):
     rows = text.fingerprints(a, "doc_id", "text").collect()
     fps = {r["doc_id"]: (r["fingerprint"], r["shingle_fingerprint"]) for r in rows}
     assert fps[1] == fps[2]
+
+
+def test_rarity_scores_separate_common_from_rare(spark):
+    from orestes_spark.operators import text
+
+    rows = [(1, "common words here"), (2, "common words here"), (3, "common words here"),
+            (4, "zyx qwv unique")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in text.rarity_scores(df, "doc_id", "text").collect()}
+    # docs 1-3 share every token (df=3 each); doc 4 is all-unique (df=1)
+    assert out[1]["avg_token_df"] == 3.0
+    assert out[4]["avg_token_df"] == 1.0
+    assert out[4]["n_distinct"] == 3
