@@ -236,3 +236,37 @@ def rarity_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(F.sum("df").cast("double") / F.count(F.lit(1)), 6).alias("avg_token_df"),
         )
     )
+
+
+def top_terms(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """TF-IDF-style per-document term extraction, engine-exact: score =
+    tf · (N·10⁶ div df) — term frequency times a linearized inverse
+    document frequency. Log-idf would rank near-identically but ln()
+    is not bit-portable across engines; the integer form is, so the
+    oracle can pin exact ranks (ties broken by token).
+
+    Scale shape: (doc, token) tf agg → token df agg → join back on the
+    token partitioning → per-doc top-k window (bounded by document
+    vocabulary). The corpus size N arrives as a broadcast single-row
+    cross join, not a collected literal."""
+    from pyspark.sql import Window
+
+    toks = ensure_min_parallelism(docs).select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfs = toks.select(id_col, "tok").distinct().groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfs, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.expr("tf * ((n_docs * 1000000) div df)"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(id_col, "tok", "tf", "df", "score", "rn")
+    )

@@ -1434,6 +1434,31 @@ def doc_rarity(spark, sf_dir):
 
 
 @register(
+    "doc_top_terms",
+    r"""WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfs AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, tok, tf, df, score, rn FROM (
+          SELECT tf.doc_id AS doc_id, tf.tok AS tok, tf.tf AS tf, dfs.df AS df,
+                 tf.tf * ((n.n_docs * 1000000) // dfs.df) AS score,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY tf.tf * ((n.n_docs * 1000000) // dfs.df) DESC,
+                                             tf.tok) AS rn
+          FROM tf JOIN dfs ON tf.tok = dfs.tok, n
+        ) WHERE rn <= 3""",
+)
+def doc_top_terms(spark, sf_dir):
+    """TF-IDF-style top-3 terms per document (integer-exact linear
+    idf — see text.top_terms for why not ln)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.top_terms(d, "doc_id", "text", k=3)
+
+
+@register(
     "doc_mixture_plan",
     r"""WITH per AS (
          SELECT lang AS stratum, count(*) AS n_docs,

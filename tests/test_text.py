@@ -113,3 +113,19 @@ def test_rarity_scores_separate_common_from_rare(spark):
     assert out[1]["avg_token_df"] == 3.0
     assert out[4]["avg_token_df"] == 1.0
     assert out[4]["n_distinct"] == 3
+
+
+def test_top_terms_prefers_distinctive_repeated_tokens(spark):
+    from orestes_spark.operators import text
+
+    rows = [
+        (1, "shared shared shared special special special special"),
+        (2, "shared filler words"),
+        (3, "shared filler words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = text.top_terms(df, "doc_id", "text", k=1).collect()
+    top = {r["doc_id"]: r["tok"] for r in out}
+    # 'special' is doc-1-only (df=1) and repeated → beats 'shared' (df=3)
+    assert top[1] == "special"
+    assert all(r["rn"] == 1 for r in out)
