@@ -84,3 +84,36 @@ def test_mixture_plan_rates(spark):
     # unknown stratum (no target share) → rate 0.0
     plan2 = sampling.mixture_plan(df, "lang", toks, {"a": 1.0}).collect()
     assert {r["stratum"]: r["sample_rate"] for r in plan2}["b"] == 0.0
+
+
+def test_pack_sequences_property_matches_python_model(spark):
+    """Hypothesis: random token counts (incl. zero and over-budget
+    docs) — bin assignment must equal the pure-Python cumsum model,
+    with shards recomputed from the same md5 derivation."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        toks=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=40),
+        nsh=st.integers(min_value=2, max_value=4),
+    )
+    def check(toks, nsh):
+        rows = [(i, t) for i, t in enumerate(toks)]
+        df = spark.createDataFrame(rows, "doc_id LONG, nt LONG")
+        out = sampling.pack_sequences(df, "doc_id", F.col("nt"), budget=100, n_shards=nsh)
+        got = {r["doc_id"]: (r["shard"], r["bin_id"]) for r in out.collect()}
+
+        def shard_of(i):
+            return int(hashlib.md5(f"pack:{i}".encode()).hexdigest()[:8], 16) % nsh
+
+        cum: dict[int, int] = {}
+        for i, t in rows:  # doc_id order == id order within shard
+            s = shard_of(i)
+            before = cum.get(s, 0)
+            assert got[i] == (s, before // 100), (i, t, got[i], s, before)
+            cum[s] = before + t
+
+    check()
