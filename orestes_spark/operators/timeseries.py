@@ -142,3 +142,49 @@ def gap_fill(
             *[F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols],
         )
     return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | None = None,
+    point_time: str = "time_ms",
+    start_col: str = "start_ms",
+    end_col: str = "end_ms",
+    bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """Interval (range) join: each point row joins every interval row
+    with ``start <= t < end`` (and equal ``on`` key, if given) —
+    WITHOUT the cross-product a naive theta-join plans.
+
+    Both sides are bucketized to ``bucket_ms``: a point belongs to one
+    bucket; an interval explodes to every bucket it overlaps. The join
+    is then a plain equi-join on (key, bucket) + the exact range
+    filter. Each qualifying (point, interval) pair meets in exactly
+    one bucket — the point's — so no dedup is needed.
+
+    Scale shape: one hash shuffle per side on (key, bucket); interval
+    fan-out is ceil(length/bucket_ms)+1 rows, so pick bucket_ms near
+    the typical interval length (fan-out ~2). Skewed buckets (hot
+    hours) are ordinary AQE skew-join territory, not a cross join.
+    """
+    pb = points.withColumn("_b", (F.col(point_time) / bucket_ms).cast("long"))
+    ib = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / bucket_ms).cast("long"),
+                # end is exclusive: a zero-length or bucket-aligned end
+                # must not spill into the next bucket.
+                (
+                    F.greatest(F.col(end_col) - 1, F.col(start_col)) / bucket_ms
+                ).cast("long"),
+            )
+        ),
+    )
+    keys = ["_b"] + ([on] if on else [])
+    return (
+        pb.join(ib, keys)
+        .where((F.col(point_time) >= F.col(start_col)) & (F.col(point_time) < F.col(end_col)))
+        .drop("_b")
+    )

@@ -2027,6 +2027,42 @@ def ts_asof_join(spark, sf_dir):
     return timeseries.asof_join(clicks, purchases, on="user_id")
 
 
+_DAY = 86_400_000
+
+
+@register(
+    "ts_range_join",
+    f"""WITH s AS (
+          SELECT event_id AS signup_id, user_id, {_EV_MS} AS start_ms,
+                 {_EV_MS} + {_DAY} AS end_ms
+          FROM events WHERE event_type = 'signup'
+        ),
+        c AS (SELECT user_id, {_EV_MS} AS time_ms FROM events WHERE event_type = 'click')
+        SELECT s.signup_id AS signup_id, count(*) AS n_clicks
+        FROM s JOIN c ON c.user_id = s.user_id
+                     AND c.time_ms >= s.start_ms AND c.time_ms < s.end_ms
+        GROUP BY 1""",
+)
+def ts_range_join(spark, sf_dir):
+    """Range (interval) join: clicks landing inside each signup's 24h
+    attribution window, per user — via bucketized equi-join
+    (timeseries.range_join), never a theta-join cross product."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_millis("ts").alias("time_ms")
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("time_ms").alias("start_ms"),
+        (F.col("time_ms") + _DAY).alias("end_ms"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "time_ms")
+    joined = timeseries.range_join(
+        clicks, signups, on="user_id", bucket_ms=_DAY
+    )
+    return joined.groupBy("signup_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
 @register(
     "ts_resample_hourly",
     f"""SELECT event_type,

@@ -65,3 +65,40 @@ def test_resample_and_gap_fill(spark):
 
     with pytest.raises(ValueError):
         timeseries.resample(pts, 1000, ["sid"], aggs=["median"])
+
+
+def test_range_join_matches_naive_theta_join(spark):
+    from orestes_spark.operators import timeseries
+
+    pts = spark.createDataFrame(
+        [(u, t) for u in (1, 2) for t in (0, 50, 99, 100, 150, 999, 1000)],
+        "user_id LONG, time_ms LONG",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (1, 0, 100, "a"),      # [0,100): catches 0,50,99 not 100
+            (1, 100, 100, "zero"), # empty interval: catches nothing
+            (1, 900, 2000, "b"),   # spans several buckets
+            (2, 100, 200, "c"),    # other key
+        ],
+        "user_id LONG, start_ms LONG, end_ms LONG, label STRING",
+    )
+    got = sorted(
+        (r["user_id"], r["time_ms"], r["label"])
+        for r in timeseries.range_join(pts, ivs, on="user_id", bucket_ms=100).collect()
+    )
+    naive = sorted(
+        (r["user_id"], r["time_ms"], r["label"])
+        for r in pts.join(
+            ivs,
+            (pts.user_id == ivs.user_id)
+            & (pts.time_ms >= ivs.start_ms)
+            & (pts.time_ms < ivs.end_ms),
+        )
+        .select(pts.user_id, pts.time_ms, ivs.label)
+        .collect()
+    )
+    assert got == naive
+    assert (1, 0, "a") in got and (1, 100, "a") not in got  # end exclusive
+    assert (1, 999, "b") in got and (1, 1000, "b") in got
+    assert all(lbl != "zero" for _, _, lbl in got)
