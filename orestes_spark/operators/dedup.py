@@ -594,3 +594,68 @@ def dedup_keep_list(docs: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame
     connected components needed for the keep/drop decision."""
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(drops, id_col, "left_anti")
+
+
+# ------------------------------------------- duplicate-cluster closure ---
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Exact duplicate CLUSTERS from the near-dup pair graph:
+    (doc_id, component) where component = the minimum doc id reachable
+    through any chain of pairs. The pairwise keep-list
+    (dedup_keep_list) is the cheap one-join policy; this is the
+    transitive-closure policy for when a~b, b~c must land in ONE
+    group (keeper = component min) even though a and c never paired.
+
+    Min-label propagation: each iteration every node takes the min of
+    its own label and its neighbors' labels — one equi-join + one
+    groupBy per iteration, all distributed. The driver loop only
+    checks a scalar convergence count (no row data ever reaches the
+    driver); iterations needed = the pair graph's diameter, which for
+    near-dup clusters is tiny (near-dup similarity is
+    near-transitive). Frames are localCheckpoint()ed per iteration so
+    lineage stays flat. Raises if the cap is hit without convergence
+    rather than returning silently-partial clusters."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.src, "left_outer")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("node"), F.col("label").alias("component"))
+    raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")

@@ -1346,6 +1346,39 @@ def doc_minhash_neardup(spark, sf_dir):
 
 
 @register(
+    "doc_dedup_clusters",
+    f"""WITH RECURSIVE pairs AS ({oracles.minhash_neardup_sql()}),
+        nodes AS (
+          SELECT DISTINCT id FROM (
+            SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+          )
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, label) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.src, r.label FROM reach r JOIN edges e ON r.node = e.dst
+        )
+        SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY 1""",
+)
+def doc_dedup_clusters(spark, sf_dir):
+    """Transitive duplicate clusters over the MinHash near-dup pair
+    graph: (doc_id, component = min reachable id). The cluster-exact
+    companion to the greedy pairwise keep-list — a~b, b~c land in one
+    group even though a and c never paired. Distributed min-label
+    propagation (dedup.connected_components) vs the oracle's recursive
+    CTE transitive closure."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(d, "doc_id", "text")
+    return dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+@register(
     "doc_sample_stratified",
     """SELECT doc_id, lang FROM documents
        WHERE CAST('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)

@@ -134,3 +134,26 @@ def test_benchmark_overlap_flags_contaminated(spark, docs):
     assert 3 in hits and hits[3] > 0  # shares the unchanged prefix 4-grams
     assert 4 not in hits
     assert 1 not in hits  # the benchmark itself is excluded
+
+
+def test_connected_components_chains_transitively(spark):
+    from orestes_spark.operators import dedup
+
+    # a-b, b-c chain + isolated pair (x, y): c must join a's component
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a LONG, id_b LONG"
+    )
+    got = {r["node"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_path_and_cap(spark):
+    from orestes_spark.operators import dedup
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(8)], "id_a LONG, id_b LONG")
+    got = {r["node"]: r["component"] for r in dedup.connected_components(path).collect()}
+    assert set(got.values()) == {0} and len(got) == 9
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(path, max_iterations=2)
