@@ -318,3 +318,31 @@ def ivf_topk(
             "rank",
         )
     )
+
+
+def label_centroids(
+    vectors: DataFrame, vec_col: str, label_col: str, quantize: int | None = 1000
+) -> DataFrame:
+    """(label, dim, centroid) — per-label mean embedding, the IVF
+    coarse-quantizer "training" step exposed as a queryable frame.
+    Exact under quantization: integer component sums, one final
+    rounded division. dim is 1-based (matches SQL subscripts).
+
+    Scale shape: one shuffle on (label, dim) with map-side partial
+    sums — components spread across the cluster, never a per-label
+    collect; the tiny per-label count joins back broadcast-size."""
+    q = vectors.select(
+        F.col(label_col).alias("label"), quantized(F.col(vec_col), quantize).alias("v")
+    )
+    cnt = q.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    exploded = q.select("label", F.posexplode("v").alias("i", "x"))
+    return (
+        exploded.groupBy("label", (F.col("i") + 1).cast("int").alias("dim"))
+        .agg(F.sum("x").alias("sx"))
+        .join(F.broadcast(cnt), "label")
+        .select(
+            "label",
+            "dim",
+            F.round(F.col("sx").cast("double") / F.col("n"), 6).alias("centroid"),
+        )
+    )

@@ -1922,6 +1922,21 @@ def events_rollup_day_type(spark, sf_dir):
 
 
 @register(
+    "events_cube_day_type",
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, count(*) AS n
+       FROM events GROUP BY CUBE(1, 2)""",
+)
+def events_cube_day_type(spark, sf_dir):
+    """CUBE grouping sets: all four (day, event_type) marginal
+    combinations in one pass — Spark expands the grouping sets inside
+    a single aggregation, not four scans."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.cube(F.to_date("ts").cast("string").alias("day"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
     "orders_set_ops",
     """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
        INTERSECT
@@ -2015,6 +2030,27 @@ def os_read_grouped(spark, sf_dir):
         F.col("tags").getItem("user_id").alias("user_id"),
         F.to_json(pairs).alias("points_json"),
     )
+
+
+@register(
+    "emb_label_centroids",
+    """WITH q AS (
+         SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         FROM embeddings
+       ),
+       cnt AS (SELECT label, count(*) AS n FROM q GROUP BY 1),
+       u AS (SELECT label, UNNEST(v) AS x, generate_subscripts(v, 1) AS i FROM q)
+       SELECT u.label AS label, CAST(u.i AS INTEGER) AS dim,
+              round(CAST(sum(u.x) AS DOUBLE) / any_value(cnt.n), 6) AS centroid
+       FROM u JOIN cnt ON cnt.label = u.label
+       GROUP BY 1, 2""",
+)
+def emb_label_centroids(spark, sf_dir):
+    """Per-label mean embedding (the IVF coarse-quantizer training
+    step): integer-quantized component sums, one rounded division."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(e, "embedding", "label", quantize=1000)
 
 
 @register("emb_ivf_topk", oracles.emb_ivf_topk_sql())

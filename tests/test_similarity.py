@@ -99,3 +99,24 @@ def test_ivf_topk_assigned_partition_only(spark):
     # neighbors must come from the same (assigned) cluster: even ids
     assert all(r["neighbor_id"] % 2 == 0 for r in got)
     assert all(r["cosine"] > 0.9 for r in got)
+
+
+def test_label_centroids_match_numpy(spark):
+    import numpy as np
+
+    from orestes_spark.operators import similarity
+
+    rng = [([float(i + j) / 7 for j in range(4)], i % 2) for i in range(10)]
+    df = spark.createDataFrame(
+        [(i, v, lbl) for i, (v, lbl) in enumerate(rng)],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    )
+    got = {
+        (r["label"], r["dim"]): r["centroid"]
+        for r in similarity.label_centroids(df, "embedding", "label", quantize=1000).collect()
+    }
+    for lbl in (0, 1):
+        vecs = np.array([np.round(np.array(v, dtype=np.float64) * 1000) for v, l in rng if l == lbl])
+        mean = vecs.sum(axis=0) / len(vecs)
+        for d in range(4):
+            assert got[(lbl, d + 1)] == round(float(mean[d]), 6)
