@@ -21,13 +21,21 @@ MS_IN_DAY = 86_400_000
 
 @dataclass(frozen=True)
 class SpaceConfig:
-    """Per-space settings. ``granularity_days`` must be >= 1."""
+    """Per-space settings. ``granularity_days`` must be >= 1.
+
+    ``rollup_step_ms`` (engine extension, no reference equivalent)
+    enables the continuous aggregate: every write also appends
+    per-(series, slot) partial stats at this step, served by
+    ``engine.read_rollup`` without touching raw points."""
 
     granularity_days: int = 1
+    rollup_step_ms: int | None = None
 
     def __post_init__(self) -> None:
         if self.granularity_days < 1:
             raise ValueError("granularity_days must be >= 1")
+        if self.rollup_step_ms is not None and self.rollup_step_ms < 1:
+            raise ValueError("rollup_step_ms must be >= 1 when set")
 
 
 @dataclass
@@ -58,7 +66,12 @@ def load_space_configs(path: str | Path) -> dict[str, SpaceConfig]:
     if not isinstance(spaces, dict):
         raise ValueError("config 'spaces' must be an object")
     return {
-        name: SpaceConfig(granularity_days=int(sc.get("table_granularity_days", 1)))
+        name: SpaceConfig(
+            granularity_days=int(sc.get("table_granularity_days", 1)),
+            rollup_step_ms=(
+                int(sc["rollup_step_ms"]) if sc.get("rollup_step_ms") is not None else None
+            ),
+        )
         for name, sc in spaces.items()
     }
 

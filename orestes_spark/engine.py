@@ -70,8 +70,14 @@ class OrestesEngine:
     def _series_path(self, space: str) -> Path:
         return Path(self.config.warehouse) / space / "series"
 
+    def _rollup_path(self, space: str) -> Path:
+        return Path(self.config.warehouse) / space / "rollup"
+
     def _granularity(self, space: str) -> int:
         return self.config.space(space).granularity_days
+
+    def _rollup_step(self, space: str) -> int | None:
+        return self.config.space(space).rollup_step_ms
 
     # ---------- write path (S1-S5, D2) ----------
 
@@ -171,8 +177,33 @@ class OrestesEngine:
                 )
             new_series.write.mode("append").partitionBy("bucket").parquet(str(series_path))
 
-        # The two sinks are independent reads of the same input; submit
-        # both jobs concurrently so their stages interleave across the
+        step = self._rollup_step(space)
+
+        def write_rollup() -> None:
+            # Continuous aggregate (hypertable-rollup analogue): each
+            # batch appends its PARTIAL per-(series, slot) stats —
+            # append-only, no upsert — and read_rollup merges partials
+            # (sums add, min/max fold). The batch-local groupBy is one
+            # small shuffle of the batch, never a read-modify-write of
+            # the rollup table.
+            slot = (F.floor(F.col("time_ms") / step) * step).cast("long")
+            # sums are DECIMAL: partials merge associatively with NO
+            # float drift, so any merge order (appends, compaction,
+            # read groupings) yields the identical value — the same
+            # exactness discipline the query oracles rely on.
+            partial = stored.groupBy("bucket", "series_id", slot.alias("slot_ms")).agg(
+                F.first("tags").alias("tags"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            partial.write.mode("append").partitionBy("bucket").parquet(
+                str(self._rollup_path(space))
+            )
+
+        # The sinks are independent reads of the same input; submit
+        # all jobs concurrently so their stages interleave across the
         # cluster (Spark's scheduler handles multi-threaded submission).
         # Atomicity caveat, same as the reference's paired
         # Cassandra-points + ES-metadata writes (lib/orestes-inserter.js):
@@ -182,8 +213,9 @@ class OrestesEngine:
         # no points until a retry lands.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            futures = [pool.submit(write_points), pool.submit(write_series)]
+        sinks = [write_points, write_series] + ([write_rollup] if step else [])
+        with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
+            futures = [pool.submit(s) for s in sinks]
             for f in futures:
                 f.result()
 
@@ -294,6 +326,54 @@ class OrestesEngine:
             .drop("series_id")
         )
 
+    def read_rollup(
+        self,
+        es_filter: dict | None = None,
+        space: str = "default",
+        start_ms: int = 0,
+        end_ms: int | None = None,
+    ) -> DataFrame:
+        """Continuous-aggregate read: (tags, slot_ms, n, sum_value,
+        min_value, max_value) per series per slot, served from the
+        incrementally-maintained rollup table — raw points are never
+        touched, so cost scales with #slots, not #points (the
+        hypertable-rollup read path). Append partials merge here
+        (sums add, min/max fold); start/end must be slot-aligned, the
+        continuous-aggregate contract (a partially-covered slot cannot
+        be served from pre-aggregated state)."""
+        step = self._rollup_step(space)
+        if step is None:
+            raise ValueError(f"space {space!r} has no rollup_step_ms configured")
+        if end_ms is None:
+            end_ms = int(_time.time() * 1000) // step * step
+        if start_ms % step or end_ms % step:
+            raise ValueError(f"start/end must be multiples of rollup_step_ms={step}")
+        pred = esdsl.translate(es_filter)
+        rp = self._rollup_path(space)
+        if not rp.exists() or not any(rp.glob("bucket=*")):
+            return self._empty(
+                "tags MAP<STRING,STRING>, slot_ms LONG, n LONG,"
+                " sum_value DECIMAL(38,10), min_value DOUBLE, max_value DOUBLE"
+            )
+        g = self._granularity(space)
+        rl = (
+            self.spark.read.parquet(str(rp))
+            .where(self._bucket_range_pred(start_ms, end_ms, g))
+            .where((F.col("slot_ms") >= start_ms) & (F.col("slot_ms") < end_ms))
+            .where(pred)
+        )
+        return (
+            rl.groupBy("series_id", "slot_ms")
+            .agg(
+                F.first("tags").alias("tags"),
+                F.sum("n").alias("n"),
+                F.sum("sum_value").alias("sum_value"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+            .select("tags", "slot_ms", "n", "sum_value", "min_value", "max_value")
+        )
+
     def count_points(
         self,
         es_filter: dict | None = None,
@@ -402,7 +482,11 @@ class OrestesEngine:
         g = self._granularity(space)
         today = int(_time.time() * 1000) // MS_IN_DAY
         dropped: list[int] = []
-        for root in (self._points_path(space), self._series_path(space)):
+        for root in (
+            self._points_path(space),
+            self._series_path(space),
+            self._rollup_path(space),
+        ):
             if not root.exists():
                 continue
             for part in sorted(root.glob("bucket=*")):
@@ -477,6 +561,31 @@ def _engine_compact(self: "OrestesEngine", space: str = "default") -> dict[int, 
             if root == self._points_path(space):
                 before[bucket] = len(files)
             df = self.spark.read.parquet(str(part)).sort(*sort_cols).coalesce(1)
+            tmp = part.parent / f".compact_{part.name}"
+            df.write.mode("overwrite").parquet(str(tmp))
+            shutil.rmtree(part)
+            tmp.rename(part)
+    # rollup partitions: compaction also MERGES the append partials
+    # (one row per (series, slot) afterwards) — the continuous
+    # aggregate's state stays bounded regardless of micro-batch count.
+    rroot = self._rollup_path(space)
+    if rroot.exists():
+        for part in sorted(rroot.glob("bucket=*")):
+            if len(list(part.glob("*.parquet"))) <= 1:
+                continue
+            df = (
+                self.spark.read.parquet(str(part))
+                .groupBy("series_id", "slot_ms")
+                .agg(
+                    F.first("tags").alias("tags"),
+                    F.sum("n").alias("n"),
+                    F.sum("sum_value").alias("sum_value"),
+                    F.min("min_value").alias("min_value"),
+                    F.max("max_value").alias("max_value"),
+                )
+                .sort("series_id", "slot_ms")
+                .coalesce(1)
+            )
             tmp = part.parent / f".compact_{part.name}"
             df.write.mode("overwrite").parquet(str(tmp))
             shutil.rmtree(part)

@@ -1694,7 +1694,16 @@ def _engine_for(spark, sf_dir: str) -> OrestesEngine:
     not just expression translation."""
     eng = _WAREHOUSES.get(sf_dir)
     if eng is None:
-        eng = OrestesEngine(spark, tempfile.mkdtemp(prefix="orestes_wh_"))
+        from orestes_spark.config import SpaceConfig
+
+        # rollup-enabled default space: the continuous aggregate is
+        # maintained during the same append the other engine queries
+        # share, and os_engine_rollup reads it back.
+        eng = OrestesEngine(
+            spark,
+            tempfile.mkdtemp(prefix="orestes_wh_"),
+            spaces={"default": SpaceConfig(1, rollup_step_ms=_HOUR)},
+        )
         eng._append(events_as_points(spark, sf_dir), "default")
         _WAREHOUSES[sf_dir] = eng
     return eng
@@ -1734,6 +1743,35 @@ def os_engine_count(spark, sf_dir):
         F.col("tags").getItem("event_type").alias("event_type"),
         F.col("tags").getItem("user_id").alias("user_id"),
         "count",
+    )
+
+
+@register(
+    "os_engine_rollup",
+    f"""SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+               CAST(floor({_EV_MS} / 3600000) * 3600000 AS BIGINT) AS slot_ms,
+               count(*) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_value,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events WHERE {_EV_MS} >= {T0} AND {_EV_MS} < {T1}
+        GROUP BY 1, 2, 3""",
+)
+def os_engine_rollup(spark, sf_dir):
+    """Continuous aggregate through the real warehouse: hourly
+    per-series stats served from the rollup table maintained at write
+    time (engine.read_rollup) — raw points never scanned — checked
+    against direct SQL aggregation of the source. Decimal partial sums
+    make the answer independent of append/merge order."""
+    eng = _engine_for(spark, sf_dir)
+    roll = eng.read_rollup(None, "default", T0, T1)
+    return roll.select(
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").alias("user_id"),
+        "slot_ms",
+        "n",
+        F.round("sum_value", 4).cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
     )
 
 

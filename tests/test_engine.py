@@ -310,3 +310,76 @@ def test_orc_source_wide_and_canonical(engine, spark, tmp_path):
     # streaming read shares the same adapter (schema probed from footer)
     sdf = read_points_orc(spark, wide, streaming=True)
     assert sdf.isStreaming and set(sdf.columns) == {"time_ms", "value", "tags"}
+
+
+def test_continuous_rollup_matches_direct_aggregation(spark, tmp_path):
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine
+
+    HOUR = 3_600_000
+    eng = OrestesEngine(
+        spark,
+        str(tmp_path / "wh_rollup"),
+        spaces={"default": SpaceConfig(1, rollup_step_ms=HOUR)},
+    )
+    t0 = 1_700_000_400_000  # NOT hour-aligned: slots snap to the grid
+    batch1 = [
+        {"time": t0 + i * 600_000, "value": float(i), "host": "a"} for i in range(12)
+    ]
+    batch2 = [
+        {"time": t0 + i * 600_000, "value": 100.0 + i, "host": "b"} for i in range(12)
+    ] + [{"time": t0, "value": -5.0, "host": "a"}]  # second partial, same slot
+    assert eng.write(batch1, "default") == []
+    assert eng.write(batch2, "default") == []
+
+    lo = t0 // HOUR * HOUR
+    hi = lo + 4 * HOUR
+    got = {
+        (r["tags"]["host"], r["slot_ms"]): (r["n"], r["sum_value"], r["min_value"], r["max_value"])
+        for r in eng.read_rollup(None, "default", lo, hi).collect()
+    }
+    # direct aggregation of raw points at the same step
+    from pyspark.sql import functions as F
+
+    direct = {
+        (r["host"], r["slot_ms"]): (r["n"], r["s"], r["mn"], r["mx"])
+        for r in eng.matching_points(None, "default", lo, hi)
+        .groupBy(
+            F.col("tags").getItem("host").alias("host"),
+            (F.floor(F.col("time_ms") / HOUR) * HOUR).cast("long").alias("slot_ms"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == direct and got  # partials merged, multi-append correct
+
+    # tag-filtered rollup read
+    only_a = eng.read_rollup({"term": {"host": "a"}}, "default", lo, hi).collect()
+    assert {r["tags"]["host"] for r in only_a} == {"a"}
+
+    # slot alignment is contractual
+    import pytest
+
+    with pytest.raises(ValueError, match="multiples of rollup_step_ms"):
+        eng.read_rollup(None, "default", lo + 1, hi)
+
+    # compaction merges partials to one row per (series, slot) and the
+    # read result is unchanged
+    eng.compact("default")
+    rollup_rows = spark.read.parquet(str(eng._rollup_path("default"))).collect()
+    keys = [(r["series_id"], r["slot_ms"]) for r in rollup_rows]
+    assert len(keys) == len(set(keys))
+    got2 = {
+        (r["tags"]["host"], r["slot_ms"]): (r["n"], r["sum_value"], r["min_value"], r["max_value"])
+        for r in eng.read_rollup(None, "default", lo, hi).collect()
+    }
+    assert got2 == direct
+
+    # retention drops rollup buckets alongside points/series
+    eng.remove("default", keep_days=0)
+    assert not any(eng._rollup_path("default").glob("bucket=*"))
