@@ -374,6 +374,53 @@ class OrestesEngine:
             .select("tags", "slot_ms", "n", "sum_value", "min_value", "max_value")
         )
 
+    def read_rollup_with_tail(
+        self,
+        es_filter: dict | None = None,
+        space: str = "default",
+        start_ms: int = 0,
+        end_ms: int | None = None,
+    ) -> DataFrame:
+        """Real-time continuous aggregate: slots up to the last
+        completed boundary come from the rollup table; the un-rolled
+        tail ([aligned_end, end)) is aggregated from raw points at the
+        same step and unioned in — the TimescaleDB real-time-aggregate
+        shape. end may be un-aligned; start must be aligned (history
+        is always served pre-aggregated). The raw scan is bounded to
+        the tail window by the usual bucket pruning + pushed time
+        predicate, so its cost is one step's worth of points, not the
+        history."""
+        step = self._rollup_step(space)
+        if step is None:
+            raise ValueError(f"space {space!r} has no rollup_step_ms configured")
+        if end_ms is None:
+            end_ms = int(_time.time() * 1000)
+        aligned_end = end_ms // step * step
+        rolled = self.read_rollup(es_filter, space, start_ms, min(aligned_end, end_ms))
+        if aligned_end >= end_ms:
+            return rolled
+        tail = (
+            self.matching_points(es_filter, space, max(start_ms, aligned_end), end_ms)
+            .groupBy(
+                "series_id",
+                (F.floor(F.col("time_ms") / step) * step).cast("long").alias("slot_ms"),
+            )
+            .agg(
+                F.first("tags").alias("tags"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .select("tags", "slot_ms", "n", "sum_value", "min_value", "max_value")
+        )
+        # sum_value precisions differ (merged partials widen) — align
+        # before the union so the schema is stable.
+        dec = "decimal(38,10)"
+        return rolled.withColumn("sum_value", F.col("sum_value").cast(dec)).unionByName(
+            tail.withColumn("sum_value", F.col("sum_value").cast(dec))
+        )
+
     def count_points(
         self,
         es_filter: dict | None = None,

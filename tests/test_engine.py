@@ -383,3 +383,43 @@ def test_continuous_rollup_matches_direct_aggregation(spark, tmp_path):
     # retention drops rollup buckets alongside points/series
     eng.remove("default", keep_days=0)
     assert not any(eng._rollup_path("default").glob("bucket=*"))
+
+
+def test_rollup_with_tail_serves_unaligned_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine
+
+    HOUR = 3_600_000
+    eng = OrestesEngine(
+        spark,
+        str(tmp_path / "wh_tail"),
+        spaces={"default": SpaceConfig(1, rollup_step_ms=HOUR)},
+    )
+    t0 = 1_700_000_000_000 // HOUR * HOUR
+    pts = [
+        {"time": t0 + i * 15 * 60_000, "value": float(i), "host": "a"} for i in range(12)
+    ]  # 3 hours of quarter-hourly points
+    assert eng.write(pts, "default") == []
+
+    end = t0 + 2 * HOUR + 30 * 60_000  # mid-slot end: tail needed
+    got = {
+        r["slot_ms"]: (r["n"], float(r["sum_value"]), r["min_value"], r["max_value"])
+        for r in eng.read_rollup_with_tail(None, "default", t0, end).collect()
+    }
+    exp = {}
+    for p in pts:
+        if p["time"] >= end:
+            continue
+        slot = p["time"] // HOUR * HOUR
+        n, s, mn, mx = exp.get(slot, (0, 0.0, float("inf"), float("-inf")))
+        exp[slot] = (n + 1, s + p["value"], min(mn, p["value"]), max(mx, p["value"]))
+    assert got == exp
+    # the tail slot is partial: only 2 of 4 quarter-hours present
+    assert got[t0 + 2 * HOUR][0] == 2
+    # aligned end → pure rollup path, same rows minus the tail slot
+    aligned = {
+        r["slot_ms"] for r in eng.read_rollup_with_tail(None, "default", t0, t0 + 2 * HOUR).collect()
+    }
+    assert aligned == {t0, t0 + HOUR}

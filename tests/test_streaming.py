@@ -246,3 +246,31 @@ def test_streaming_near_dedup_drops_reordered_copy(spark, tmp_path):
     q.stop()
     kept = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM neardup_out").collect())
     assert kept == [1, 3]
+
+
+def test_streaming_ingest_maintains_rollup(spark, tmp_path):
+    """The continuous rollup is maintained by the same _append the
+    streaming sink uses: after a streamed ingest into a rollup-enabled
+    space, read_rollup serves the aggregate without touching points."""
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine
+
+    HOUR = 3_600_000
+    eng = OrestesEngine(
+        spark,
+        str(tmp_path / "wh_stream_rollup"),
+        spaces={"default": SpaceConfig(1, rollup_step_ms=HOUR)},
+    )
+    src = tmp_path / "stream_in_r"
+    src.mkdir()
+    spark.createDataFrame(_raw_rows(20), RAW_DDL).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(RAW_DDL).parquet(str(src))
+    q = start_ingest(eng, stream, checkpoint=str(tmp_path / "ckpt_r"))
+    q.processAllAvailable()
+    q.stop()
+
+    lo = START // HOUR * HOUR
+    roll = eng.read_rollup(None, "default", lo, lo + 24 * HOUR)
+    assert roll.agg({"n": "sum"}).first()[0] == 20
+    direct = eng.matching_points(None, "default", lo, lo + 24 * HOUR).count()
+    assert direct == 20
