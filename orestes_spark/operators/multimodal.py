@@ -112,3 +112,73 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_idx", "frame_ts_ms"),
     )
+
+
+def fake_resize(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a resize kernel: md5-chained pseudo
+    pixels seeded by (content, target size), capped at 4 KiB so tests
+    stay light. A real kernel drops in behind the same signature."""
+    block = hashlib.md5(content + f":{width}x{height}".encode()).digest()
+    n = min(width * height * 3, 4096)
+    out = bytearray()
+    while len(out) < n:
+        block = hashlib.md5(block).digest()
+        out.extend(block)
+    return bytes(out[:n])
+
+
+def resize(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Batch resize via mapInPandas: content is replaced by the resized
+    payload (decode stubbed — fake_resize), target dims become columns.
+    Per-row independent → no shuffle; payloads stream through bounded
+    Arrow batches exactly like extract_metadata."""
+    schema = (
+        "media_id LONG, modality STRING, mime STRING, width INT, height INT, content BINARY"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "mime": pdf["mime"],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "content": pdf["content"].map(lambda b: fake_resize(b, width, height)),
+                }
+            )
+
+    return media.mapInPandas(batches, schema)
+
+
+def fake_feature_vec(content: bytes, dims: int = 16) -> list[int]:
+    """Deterministic md5-derived feature vector (one byte per dim,
+    dims ≤ 16) — the oracle-expressible stand-in for an image/audio
+    embedding model."""
+    if not 1 <= dims <= 16:
+        raise ValueError("dims must be in [1, 16]")
+    h = hashlib.md5(content).hexdigest()
+    return [int(h[2 * i : 2 * i + 2], 16) for i in range(dims)]
+
+
+def feature_extract(media: DataFrame, dims: int = 16) -> DataFrame:
+    """Feature extraction via mapInPandas: (media_id, dim, feature) —
+    exploded so downstream joins/aggregates (and the driver's
+    canonicalizer) never handle array cells. The model call is stubbed
+    (fake_feature_vec); the Arrow batch shape, schema, and explode are
+    the real pipeline."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vecs = pdf["content"].map(lambda b: fake_feature_vec(b, dims))
+            flat = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].repeat(dims).reset_index(drop=True),
+                    "dim": list(range(1, dims + 1)) * len(pdf),
+                    "feature": [x for v in vecs for x in v],
+                }
+            )
+            yield flat.astype({"media_id": "int64", "dim": "int32", "feature": "int32"})
+
+    return media.mapInPandas(batches, "media_id LONG, dim INT, feature INT")

@@ -1677,6 +1677,22 @@ def multimodal_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(media, every_ms=1000)
 
 
+@register(
+    "multimodal_features",
+    """WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+       SELECT doc_id AS media_id, CAST(d.i AS INTEGER) AS dim,
+              CAST(CAST('0x' || substr(m.h, 2 * d.i - 1, 2) AS BIGINT) AS INTEGER) AS feature
+       FROM m, (SELECT UNNEST(generate_series(1, 16)) AS i) d""",
+)
+def multimodal_features(spark, sf_dir):
+    """Feature extraction over binary media (the embedding-model stage,
+    model stubbed deterministically): Arrow-batched mapInPandas
+    emitting exploded (media_id, dim, feature) rows."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_binary(d, "doc_id", "text")
+    return multimodal.feature_extract(media, dims=16)
+
+
 # ------------------------------------------------------ engine path ---
 
 import tempfile  # noqa: E402

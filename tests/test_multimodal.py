@@ -54,3 +54,30 @@ def test_real_decode_is_gated():
         pass
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_resize_replaces_content_deterministically(spark):
+    from orestes_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(1, "hello"), (2, "world")], "doc_id LONG, text STRING")
+    media = multimodal.attach_fake_binary(docs, "doc_id", "text")
+    out = {r["media_id"]: r for r in multimodal.resize(media, 32, 24).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert (r["width"], r["height"]) == (32, 24)
+        assert len(bytes(r["content"])) == 32 * 24 * 3
+    again = {r["media_id"]: bytes(r["content"]) for r in multimodal.resize(media, 32, 24).collect()}
+    assert {k: bytes(v["content"]) for k, v in out.items()} == again  # reproducible
+    other = {r["media_id"]: bytes(r["content"]) for r in multimodal.resize(media, 8, 8).collect()}
+    assert other[1] != again[1]  # size participates in the derivation
+
+
+def test_feature_extract_matches_python_kernel(spark):
+    from orestes_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(7, "some text")], "doc_id LONG, text STRING")
+    media = multimodal.attach_fake_binary(docs, "doc_id", "text")
+    rows = multimodal.feature_extract(media, dims=16).collect()
+    assert len(rows) == 16
+    got = [r["feature"] for r in sorted(rows, key=lambda r: r["dim"])]
+    assert got == multimodal.fake_feature_vec("some text".encode(), 16)
