@@ -132,8 +132,11 @@ def streaming_dedup(
     watermark: str = "1 hour",
     fingerprint_col: str | None = "text",
 ) -> DataFrame:
-    """Streaming exact dedup: first occurrence of each key wins;
-    re-arrivals inside the watermark horizon are dropped.
+    """Streaming exact dedup: the first PROCESSED occurrence of each
+    key wins; re-arrivals inside the watermark horizon are dropped.
+    Within a single micro-batch the winner among equal keys is
+    engine-arbitrary (processing order, not event-time order) — pick
+    by event time downstream if the distinction matters.
     ``dropDuplicatesWithinWatermark`` bounds the dedup state to the
     watermark window — the property that makes continuous corpus
     ingest viable (an unbounded dropDuplicates grows state forever at

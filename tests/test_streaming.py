@@ -208,8 +208,11 @@ def test_streaming_dedup_drops_rearrivals(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     kept = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_out").collect())
-    # doc 2 (re-arrival of doc 1's content) dropped; the rest survive
-    assert kept == [1, 3, 4]
+    # exactly one of the identical docs 1/2 survives (within one
+    # micro-batch the winner among equal keys is engine-arbitrary —
+    # dropDuplicatesWithinWatermark keeps the first PROCESSED, not the
+    # first by event time); 3 and 4 always survive.
+    assert len(kept) == 3 and kept[0] in (1, 2) and kept[1:] == [3, 4]
     # state stores hashes: output carries the md5 fingerprint column
     assert "fingerprint" in spark.table("dedup_out").columns
 
@@ -245,7 +248,9 @@ def test_streaming_near_dedup_drops_reordered_copy(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     kept = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM neardup_out").collect())
-    assert kept == [1, 3]
+    # one of the signature-equal docs 1/2 survives (winner arbitrary
+    # within a micro-batch); the unrelated doc always does.
+    assert len(kept) == 2 and kept[0] in (1, 2) and kept[1] == 3
 
 
 def test_streaming_ingest_maintains_rollup(spark, tmp_path):
