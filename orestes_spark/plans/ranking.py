@@ -1,0 +1,83 @@
+"""Distributed exact global ranking — row_number/ntile over a total
+order WITHOUT the single-partition window sort (`Exchange
+SinglePartition`) that a bare ``Window.orderBy`` plans, which at scale
+is one straggler task sorting the world.
+
+The classic two-phase shape:
+
+  1. range-partition by the order (parallel range sort — the same
+     machinery as ``df.orderBy``),
+  2. rank locally per partition (a PARTITIONED window → parallel),
+  3. add per-partition row-count offsets.
+
+The only driver-side data is one row count per partition — bounded by
+the partition count, never by the data — which is also what makes the
+result exact rather than sampled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """(df + rank_col, total_rows): exact 1-based global row_number in
+    the ``order_cols`` total order. The order must be total (add a
+    unique tiebreak) for the rank to be deterministic.
+
+    Range-partition boundaries come from Spark's reservoir sampling —
+    WHERE the partition cuts land varies run to run, but local-rank +
+    exact offsets make the global rank identical regardless."""
+    p = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    tagged = df.repartitionByRange(p, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = tagged.withColumn("_lrn", F.row_number().over(w)).localCheckpoint()
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], acc))
+        acc += r["_n"]
+    if not offsets:
+        return df.withColumn(rank_col, F.lit(None).cast("long")), 0
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid INT, _off LONG")
+    out = (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+    return out, acc
+
+
+def with_global_ntile(
+    df: DataFrame,
+    k: int,
+    order_cols: list[Column],
+    tile_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """SQL-ntile(k) semantics over the distributed rank: the first
+    (n mod k) tiles get ceil(n/k) rows, the rest floor(n/k) — exactly
+    what ``ntile(k) OVER (ORDER BY ...)`` returns, minus the
+    single-partition sort."""
+    ranked, n = with_global_rank(df, order_cols, rank_col="_grank", num_partitions=num_partitions)
+    if n == 0:
+        return ranked.withColumnRenamed("_grank", tile_col)
+    q, r = divmod(n, k)
+    boundary = r * (q + 1)
+    rank0 = F.col("_grank") - 1
+    if q == 0:  # fewer rows than tiles: each row is its own tile
+        tile = F.col("_grank")
+    else:
+        tile = (
+            F.when(F.col("_grank") <= boundary, F.floor(rank0 / (q + 1)) + 1)
+            .otherwise(r + F.floor((rank0 - boundary) / q) + 1)
+        )
+    return ranked.withColumn(tile_col, tile.cast("int")).drop("_grank")

@@ -1942,23 +1942,25 @@ def events_pivot_daily(spark, sf_dir):
        ) GROUP BY 1""",
 )
 def customer_value_quartiles(spark, sf_dir):
-    """ntile quartiles over per-customer lifetime value. The global
-    window runs on the PRE-AGGREGATED per-customer frame (one row per
-    customer) — ntile needs a total order by definition, so the input
-    is shrunk first; deterministic tiebreak on custkey keeps both
-    engines' quartile boundaries identical."""
+    """ntile quartiles over per-customer lifetime value — computed by
+    the distributed exact-rank path (plans.ranking.with_global_ntile:
+    range-partition + partitioned local ranks + per-partition offsets)
+    instead of `ntile() OVER (ORDER BY ...)`, whose plan is a
+    single-partition global sort. Same answer as the oracle's ntile;
+    no `Exchange SinglePartition` anywhere (plan-asserted).
+    Deterministic via the custkey tiebreak."""
+    from orestes_spark.plans.ranking import with_global_ntile
+
     o = load_table(spark, sf_dir, "orders")
     per = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.sum(_dec("o_totalprice")).alias("total")
     )
-    w = Window.orderBy(F.col("total").desc(), "c_custkey")
-    return (
-        per.withColumn("quartile", F.ntile(4).over(w))
-        .groupBy("quartile")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("total"), 2).cast("double").alias("quartile_total"),
-        )
+    tiled = with_global_ntile(
+        per, 4, [F.col("total").desc(), F.col("c_custkey")], tile_col="quartile"
+    )
+    return tiled.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("total"), 2).cast("double").alias("quartile_total"),
     )
 
 

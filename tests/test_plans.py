@@ -304,3 +304,44 @@ def test_bucketed_join_eliminates_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_global_rank_and_ntile_match_window_functions(spark):
+    """The distributed two-phase rank must equal Spark's own
+    row_number/ntile over a global window, for several sizes including
+    n < k and exact-multiple n."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from orestes_spark.plans.ranking import with_global_ntile, with_global_rank
+
+    for n, k in ((1, 4), (3, 4), (8, 4), (10, 4), (100, 7)):
+        df = spark.createDataFrame(
+            [(i, float((i * 37) % 19)) for i in range(n)], "id LONG, v DOUBLE"
+        )
+        order = [F.col("v").desc(), F.col("id")]
+        w = Window.orderBy(*order)
+        exp = {
+            r["id"]: (r["rn"], r["nt"])
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .withColumn("nt", F.ntile(k).over(w))
+            .collect()
+        }
+        ranked, total = with_global_rank(df, order, num_partitions=4)
+        assert total == n
+        got_rank = {r["id"]: r["rank"] for r in ranked.collect()}
+        tiled = with_global_ntile(df, k, order, num_partitions=4)
+        got_tile = {r["id"]: r["tile"] for r in tiled.collect()}
+        for i in exp:
+            assert got_rank[i] == exp[i][0], (n, k, i)
+            assert got_tile[i] == exp[i][1], (n, k, i)
+
+
+def test_quartiles_plan_has_no_single_partition_exchange(spark):
+    """customer_value_quartiles must never plan a global
+    single-partition sort — the distributed rank path keeps every
+    stage parallel."""
+    from orestes_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["customer_value_quartiles"](spark, "/root/testdata/sf0.001"))
+    assert "Exchange SinglePartition" not in plan, plan
