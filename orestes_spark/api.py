@@ -100,7 +100,11 @@ def stream_read(
     query, start, end = _read_params(body)
     aggregations = body.get("aggregations")
     if aggregations:
-        if any(a.get("type") != "count" for a in aggregations):
+        # Reference contract: exactly ONE aggregation, of type count —
+        # two count aggs is a 400 too
+        # (/root/reference/lib/orestes.js:143-150 requires
+        # aggregations.length === 1 && type === 'count').
+        if len(aggregations) != 1 or aggregations[0].get("type") != "count":
             raise ApiError(400, "the only supported aggregation type is count")
         counts = engine.count_points(query, space, start, end)
         for row in counts.toLocalIterator():
@@ -132,7 +136,11 @@ def stream_read_response(
             first = False
             yield prefix + json.dumps(series, separators=(",", ":"))
     except Exception as err:  # noqa: BLE001 — partial-results contract
-        yield f'], "error": "{categorize_error(err).message}"}}'
+        # json.dumps, not f-string interpolation: Spark/Py4J error
+        # messages routinely carry quotes, backslashes, and multi-line
+        # stack traces, and a raw splice would make the terminator —
+        # and the already-delivered partial results — unparseable.
+        yield '], "error": ' + json.dumps(categorize_error(err).message) + "}"
         return
     yield "]}"
 

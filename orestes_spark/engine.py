@@ -81,7 +81,9 @@ class OrestesEngine:
 
     # ---------- write path (S1-S5, D2) ----------
 
-    def write(self, points: Any, space: str = "default") -> list[dict[str, Any]]:
+    def write(
+        self, points: Any, space: str = "default", max_errors: int = 10_000
+    ) -> list[dict[str, Any]]:
         """Ingest points; returns the per-point error list (empty on full
         success), mirroring POST /write (/root/reference/lib/orestes.js:69-80).
 
@@ -89,6 +91,12 @@ class OrestesEngine:
         (``{time, value, ...tags}``), a canonical DataFrame
         (time_ms, value, tags), or a wide DataFrame (time/value + one
         column per tag).
+
+        The collected error list is capped at ``max_errors`` rows: the
+        reference returns every error, but a poisoned 100-TB batch
+        would otherwise collect millions of rows to the driver. When
+        truncated, a final summary entry (``point: None``) carries the
+        TOTAL invalid count so callers still see the full damage.
         """
         errors: list[dict[str, Any]] = []
         if isinstance(points, list):
@@ -118,10 +126,22 @@ class OrestesEngine:
 
         valid, err_df = validation.split_valid(df.select("time_ms", "value", "tags"))
         # Per-point error reporting, never batch abort (S4). Collecting
-        # the (tiny) error side-output is an extra job; callers on the
-        # hot path can pre-validate and use _append directly.
-        for row in err_df.collect():
+        # the error side-output is an extra job; callers on the hot
+        # path can pre-validate and use _append directly. The collect
+        # is bounded (limit + count), never an unbounded driver pull.
+        err_rows = err_df.limit(max_errors).collect()
+        for row in err_rows:
             errors.append({"point": row.asDict(recursive=True), "error": row["error"]})
+        if len(err_rows) == max_errors:
+            total = err_df.count()
+            if total > max_errors:
+                errors.append(
+                    {
+                        "point": None,
+                        "error": f"error list truncated: {total} invalid points total,"
+                        f" first {max_errors} returned",
+                    }
+                )
 
         self._append(valid, space)
         return errors
@@ -585,16 +605,35 @@ def _engine_read_fetchers(
 OrestesEngine.read_fetchers = _engine_read_fetchers
 
 
-def _engine_compact(self: "OrestesEngine", space: str = "default") -> dict[int, int]:
-    """Compact each bucket partition to its target file count —
+_COMPACT_TARGET_BYTES = 128 << 20  # healthy parquet file size
+
+
+def _compact_width(files: list[Path], target_bytes: int = _COMPACT_TARGET_BYTES) -> int:
+    """Output-file count for a bucket rewrite: one range partition per
+    ~target on-disk bytes. Compressed input size is the best available
+    predictor of compressed output size, so a TB-scale bucket rewrites
+    as thousands of parallel size-targeted tasks — never the one-task
+    `.coalesce(1)` straggler/OOM a naive compaction would be."""
+    total = sum(f.stat().st_size for f in files)
+    return max(1, -(-total // target_bytes))
+
+
+def _engine_compact(
+    self: "OrestesEngine",
+    space: str = "default",
+    target_bytes: int = _COMPACT_TARGET_BYTES,
+) -> dict[int, int]:
+    """Compact each bucket partition to its size-targeted file count —
     streaming ingest appends a file (or more) per micro-batch, and at
     scale the small-files problem is the first thing that kills scan
-    throughput. Rewrites each bucket's points sorted by
-    (series_id, time_ms) (restoring the series-clustered layout across
-    the whole bucket) and the series partition to a single file.
+    throughput. Each bucket's points are rewritten range-partitioned
+    and sorted by (series_id, time_ms) — the same series-clustered
+    layout ``_append`` writes, restored across the whole bucket, in
+    ~128 MB files (N > 1 when the bucket outgrows the target; at 100 TB
+    a bucket is TBs and the rewrite stays a wide parallel job).
     Returns {bucket: files_before}."""
     before: dict[int, int] = {}
-    for root, sort_cols in (
+    for root, range_cols in (
         (self._points_path(space), ["series_id", "time_ms"]),
         (self._series_path(space), ["series_id"]),
     ):
@@ -607,7 +646,12 @@ def _engine_compact(self: "OrestesEngine", space: str = "default") -> dict[int, 
                 continue
             if root == self._points_path(space):
                 before[bucket] = len(files)
-            df = self.spark.read.parquet(str(part)).sort(*sort_cols).coalesce(1)
+            n = _compact_width(files, target_bytes)
+            df = (
+                self.spark.read.parquet(str(part))
+                .repartitionByRange(n, *[F.col(c) for c in range_cols])
+                .sortWithinPartitions(*range_cols)
+            )
             tmp = part.parent / f".compact_{part.name}"
             df.write.mode("overwrite").parquet(str(tmp))
             shutil.rmtree(part)
@@ -618,7 +662,8 @@ def _engine_compact(self: "OrestesEngine", space: str = "default") -> dict[int, 
     rroot = self._rollup_path(space)
     if rroot.exists():
         for part in sorted(rroot.glob("bucket=*")):
-            if len(list(part.glob("*.parquet"))) <= 1:
+            files = list(part.glob("*.parquet"))
+            if len(files) <= 1:
                 continue
             df = (
                 self.spark.read.parquet(str(part))
@@ -630,8 +675,10 @@ def _engine_compact(self: "OrestesEngine", space: str = "default") -> dict[int, 
                     F.min("min_value").alias("min_value"),
                     F.max("max_value").alias("max_value"),
                 )
-                .sort("series_id", "slot_ms")
-                .coalesce(1)
+                .repartitionByRange(
+                    _compact_width(files, target_bytes), F.col("series_id"), F.col("slot_ms")
+                )
+                .sortWithinPartitions("series_id", "slot_ms")
             )
             tmp = part.parent / f".compact_{part.name}"
             df.write.mode("overwrite").parquet(str(tmp))
@@ -641,3 +688,50 @@ def _engine_compact(self: "OrestesEngine", space: str = "default") -> dict[int, 
 
 
 OrestesEngine.compact = _engine_compact
+
+
+def _engine_rebuild_rollup(
+    self: "OrestesEngine", space: str = "default", buckets: list[int] | None = None
+) -> list[int]:
+    """Recompute rollup partitions from the points table — the repair
+    path for the ingest's at-least-once window (a mid-epoch crash can
+    replay already-committed rollup partials, and replayed partials
+    merge into inflated n/sum; see streaming/ingest.py). Rebuilding a
+    bucket from raw points restores the exact aggregate. ``buckets``
+    limits the rebuild to the affected partitions (default: all).
+    Returns the buckets rebuilt."""
+    step = self._rollup_step(space)
+    if step is None:
+        raise ValueError(f"space {space!r} has no rollup_step_ms configured")
+    proot = self._points_path(space)
+    if not proot.exists():
+        return []
+    rebuilt: list[int] = []
+    for part in sorted(proot.glob("bucket=*")):
+        bucket = int(part.name.split("=", 1)[1])
+        if buckets is not None and bucket not in buckets:
+            continue
+        slot = (F.floor(F.col("time_ms") / step) * step).cast("long")
+        df = (
+            self.spark.read.parquet(str(part))
+            .groupBy("series_id", slot.alias("slot_ms"))
+            .agg(
+                F.first("tags").alias("tags"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .sortWithinPartitions("series_id", "slot_ms")
+        )
+        target = self._rollup_path(space) / part.name
+        tmp = self._rollup_path(space) / f".rebuild_{part.name}"
+        df.write.mode("overwrite").parquet(str(tmp))
+        if target.exists():
+            shutil.rmtree(target)
+        tmp.rename(target)
+        rebuilt.append(bucket)
+    return rebuilt
+
+
+OrestesEngine.rebuild_rollup = _engine_rebuild_rollup

@@ -510,14 +510,31 @@ def simhash_signatures(
 
 
 def simhash_near_pairs(
-    sig: DataFrame, max_hamming: int = 3, bits: int = 32, band_bits: int = 8
+    sig: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    band_bits: int = 8,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Candidates via band-LSH on the signature (pigeonhole: distance ≤
     max_hamming over > max_hamming bands ⇒ at least one band equal),
     then exact bit_count verify — never an all-pairs scan. 64-bit
-    signatures use shiftrightunsigned so the sign bit bands cleanly."""
+    signatures use shiftrightunsigned so the sign bit bands cleanly.
+
+    ``max_bucket`` bounds band-bucket size — the same upstream bound
+    the ngram path gets from max_df (see pairs_from_buckets: fan-out
+    is Σ|bucket|²/2). On a boilerplate-heavy shard one degenerate band
+    value can collect millions of ids; buckets over the cap are
+    DROPPED (collect_list state stays bounded too, since the size is
+    counted before any list is built) and the drop count is logged.
+    Recall caveat: a true near-pair is only missed if EVERY band it
+    matches on is over the cap — at the default cap that means ~10k
+    mutually-near docs, a degenerate cluster better handled by exact
+    dedup on the boilerplate. Set max_bucket=None to disable (the
+    oracle-exact configuration; the default never triggers at test
+    scale)."""
     bands = bits // band_bits
     if bands <= max_hamming:
         raise ValueError(
@@ -534,11 +551,33 @@ def simhash_near_pairs(
         for b in range(bands)
     )
     banded = sig.select("_id", F.expr(f"stack({bands}, {stack_args}) as (band, bval)"))
-    buckets = (
-        banded.groupBy("band", "bval")
-        .agg(F.collect_list("_id").alias("ids"))
-        .where(F.size("ids") > 1)
-    )
+    if max_bucket is not None:
+        # Size first (a count shuffle of (band,bval) keys, no lists),
+        # then build id-lists only for surviving buckets: the
+        # collect_list state is bounded by construction.
+        sizes = banded.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("_bn"))
+        hot = sizes.where(F.col("_bn") > max_bucket)
+        hot_rows = hot.orderBy(F.col("_bn").desc()).limit(5).collect()
+        if hot_rows:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash_near_pairs: dropping band buckets over max_bucket=%d "
+                "(largest: %s) — near-pairs confined to dropped buckets are missed",
+                max_bucket,
+                [(r["band"], r["_bn"]) for r in hot_rows],
+            )
+        keep = sizes.where((F.col("_bn") > 1) & (F.col("_bn") <= max_bucket)).select(
+            "band", "bval"
+        )
+        banded = banded.join(keep, ["band", "bval"], "left_semi")
+        buckets = banded.groupBy("band", "bval").agg(F.collect_list("_id").alias("ids"))
+    else:
+        buckets = (
+            banded.groupBy("band", "bval")
+            .agg(F.collect_list("_id").alias("ids"))
+            .where(F.size("ids") > 1)
+        )
     cands = pairs_from_buckets(buckets)
     sig_a = sig.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sig_a"))
     sig_b = sig.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sig_b"))

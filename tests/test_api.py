@@ -129,3 +129,31 @@ def test_delete_and_errors(loaded):
     with pytest.raises(ApiError) as e:
         handle_request(loaded, "nope", {})
     assert e.value.status == 404
+
+
+def test_stream_read_error_terminator_stays_valid_json(loaded, monkeypatch):
+    import json
+
+    from orestes_spark import api
+
+    def boom(*a, **k):
+        raise RuntimeError('Py4J says: "quoted"\nand a\\second line')
+        yield  # pragma: no cover
+
+    monkeypatch.setattr(api, "stream_read", boom)
+    chunks = list(api.stream_read_response(loaded, {}, "default"))
+    doc = json.loads("".join(chunks))  # must parse despite quotes/newlines
+    assert doc["series"] == []
+    assert "quoted" in doc["error"] and "second line" in doc["error"]
+
+
+def test_multiple_count_aggregations_rejected(loaded):
+    import pytest
+
+    from orestes_spark.api import ApiError, handle_request
+
+    with pytest.raises(ApiError) as exc:
+        handle_request(
+            loaded, "read", {"aggregations": [{"type": "count"}, {"type": "count"}]}
+        )
+    assert exc.value.status == 400

@@ -157,3 +157,24 @@ def test_connected_components_long_path_and_cap(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(path, max_iterations=2)
+
+
+def test_simhash_hot_bucket_cap_bounds_pair_fanout(spark):
+    from pyspark.sql import functions as F
+
+    from orestes_spark.operators.dedup import simhash_near_pairs
+
+    # 200 identical signatures: every band bucket is pathological-hot.
+    sig = spark.range(200).select(
+        F.col("id").cast("string").alias("_id"), F.lit(12345).cast("long").alias("simhash")
+    )
+    capped = simhash_near_pairs(sig, max_hamming=3, bits=32, band_bits=8, max_bucket=50)
+    assert capped.count() == 0  # hot buckets dropped, no O(n^2) fan-out
+    uncapped = simhash_near_pairs(sig, max_hamming=3, bits=32, band_bits=8, max_bucket=None)
+    assert uncapped.count() == 200 * 199 // 2  # oracle-exact configuration
+
+    # a normal-sized bucket still yields its pairs under the cap
+    small = spark.range(5).select(
+        F.col("id").cast("string").alias("_id"), F.lit(777).cast("long").alias("simhash")
+    )
+    assert simhash_near_pairs(small, max_bucket=50).count() == 5 * 4 // 2

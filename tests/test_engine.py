@@ -423,3 +423,90 @@ def test_rollup_with_tail_serves_unaligned_end(spark, tmp_path):
         r["slot_ms"] for r in eng.read_rollup_with_tail(None, "default", t0, t0 + 2 * HOUR).collect()
     }
     assert aligned == {t0, t0 + HOUR}
+
+
+def test_compact_size_targeted_splits_large_bucket(engine, spark):
+    # enough data that a tiny byte target forces >1 output file
+    for i in range(3):
+        engine.write(
+            generate_points(2000, start=START + i * 7, tag_values={"host": ["a", "b", "c", "d"]})
+        )
+    pre = read_as_model(engine)
+    engine.compact("default", target_bytes=4096)
+    parts = sorted(engine._points_path("default").glob("bucket=*"))
+    assert parts
+    for part in parts:
+        files = list(part.glob("*.parquet"))
+        assert len(files) > 1  # size-targeted, never a coalesce(1) rewrite
+        # layout: every file individually sorted by (series_id, time_ms),
+        # and files cover disjoint (series_id, time_ms) ranges (range
+        # partitioning), so the bucket as a whole stays series-clustered
+        spans = []
+        for f in sorted(files):
+            rows = spark.read.parquet(str(f)).select("series_id", "time_ms").collect()
+            keys = [(r["series_id"], r["time_ms"]) for r in rows]
+            assert keys == sorted(keys)
+            if keys:
+                spans.append((keys[0], keys[-1]))
+        spans.sort()
+        for (_, hi), (lo, _) in zip(spans, spans[1:]):
+            assert hi <= lo
+    assert read_as_model(engine) == pre
+
+
+def test_write_error_list_is_capped(engine, spark):
+    from pyspark.sql import functions as F
+
+    n_bad = 37
+    bad = spark.range(n_bad).select(
+        F.lit(None).cast("long").alias("time_ms"),  # missing time → invalid
+        (F.col("id") * 1.0).alias("value"),
+        F.create_map(F.lit("host"), F.col("id").cast("string")).alias("tags"),
+    )
+    errors = engine.write(bad, "default", max_errors=10)
+    # 10 real entries + 1 truncation summary carrying the total
+    assert len(errors) == 11
+    assert errors[-1]["point"] is None
+    assert f"{n_bad} invalid points total" in errors[-1]["error"]
+    # under the cap: full list, no summary entry
+    errors_full = engine.write(bad, "default", max_errors=1000)
+    assert len(errors_full) == n_bad
+    assert all(e["point"] is not None for e in errors_full)
+
+
+def test_rebuild_rollup_repairs_inflated_partials(spark, tmp_path):
+    import shutil as _sh
+
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine
+
+    HOUR = 3_600_000
+    eng = OrestesEngine(
+        spark,
+        str(tmp_path / "wh_repair"),
+        spaces={"default": SpaceConfig(1, rollup_step_ms=HOUR)},
+    )
+    t0 = 1_700_000_000_000 // HOUR * HOUR
+    pts = [{"time": t0 + i * 60_000, "value": float(i), "host": "a"} for i in range(60)]
+    assert eng.write(pts, "default") == []
+    lo, hi = t0, t0 + 2 * HOUR
+    clean = {
+        (r["tags"]["host"], r["slot_ms"]): (r["n"], r["sum_value"])
+        for r in eng.read_rollup(None, "default", lo, hi).collect()
+    }
+    # simulate a replayed mid-epoch rollup append: duplicate the partial files
+    part = next(eng._rollup_path("default").glob("bucket=*"))
+    for f in list(part.glob("*.parquet")):
+        _sh.copy(f, f.with_name("replayed-" + f.name))
+    inflated = {
+        (r["tags"]["host"], r["slot_ms"]): (r["n"], r["sum_value"])
+        for r in eng.read_rollup(None, "default", lo, hi).collect()
+    }
+    assert all(inflated[k][0] == 2 * clean[k][0] for k in clean)  # corrupted
+    rebuilt = eng.rebuild_rollup("default")
+    assert rebuilt == [int(part.name.split("=")[1])]
+    repaired = {
+        (r["tags"]["host"], r["slot_ms"]): (r["n"], r["sum_value"])
+        for r in eng.read_rollup(None, "default", lo, hi).collect()
+    }
+    assert repaired == clean

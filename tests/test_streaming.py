@@ -279,3 +279,11 @@ def test_streaming_ingest_maintains_rollup(spark, tmp_path):
     assert roll.agg({"n": "sum"}).first()[0] == 20
     direct = eng.matching_points(None, "default", lo, lo + 24 * HOUR).count()
     assert direct == 20
+
+
+def test_ensure_min_parallelism_passes_streaming_through(spark, tmp_path):
+    from orestes_spark.plans.parallelism import ensure_min_parallelism
+
+    stream = spark.readStream.format("rate").load()
+    out = ensure_min_parallelism(stream)
+    assert out is stream  # untouched: df.rdd would raise on streaming
