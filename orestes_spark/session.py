@@ -45,6 +45,10 @@ def get_spark(
         # Spark refuses by default; read it as LONG nanoseconds and let
         # sources.testdata convert (micros precision, matching DuckDB).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive parquet timestamps (no tz metadata) read as LTZ UTC
+        # instants, not TIMESTAMP_NTZ — unix_millis() rejects NTZ and the
+        # DuckDB oracle treats the same stored int64 as a UTC epoch.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -30,6 +30,12 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Naive (no-tz) parquet timestamps must load as LTZ UTC instants, not
+    # TIMESTAMP_NTZ: unix_millis() rejects NTZ, and LTZ matches DuckDB's
+    # epoch_ms() interpretation of the same stored int64 regardless of the
+    # session time zone. Set at runtime (session-settable SQL conf) because
+    # the driver harness calls queries() with its OWN SparkSession.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         # Defensive: the conf is baked into get_spark's sessions, but the
         # driver harness calls queries() with its OWN SparkSession — set
