@@ -554,8 +554,18 @@ def simhash_near_pairs(
     if max_bucket is not None:
         # Size first (a count shuffle of (band,bval) keys, no lists),
         # then build id-lists only for surviving buckets: the
-        # collect_list state is bounded by construction.
-        sizes = banded.groupBy("band", "bval").agg(F.count(F.lit(1)).alias("_bn"))
+        # collect_list state is bounded by construction. The size
+        # histogram is materialized ONCE (one row per occupied band
+        # bucket — already an aggregate, far smaller than the corpus)
+        # and reused by both the drop-log probe and the semi-join;
+        # recomputing it per consumer would double the banding shuffle
+        # (measured +1.5-2s per call at sf0.1, and at 100 TB the
+        # second pass is a full extra scan of the banded corpus).
+        sizes = (
+            banded.groupBy("band", "bval")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .localCheckpoint()
+        )
         hot = sizes.where(F.col("_bn") > max_bucket)
         hot_rows = hot.orderBy(F.col("_bn").desc()).limit(5).collect()
         if hot_rows:
