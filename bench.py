@@ -68,9 +68,27 @@ def main() -> None:
         cold[name] = round(time.perf_counter() - t0, 3)
     warmup_s = round(time.perf_counter() - t_warm0, 3)
 
-    # Pass 2 (measured): steady-state latencies.
+    # Flush pass-1 garbage OUTSIDE the measured window: dropping the
+    # last references to pass 1's DataFrames triggers ContextCleaner
+    # unpersist/broadcast-cleanup floods at the next driver GC, which
+    # otherwise lands mid-pass-2 and stalls a contiguous block of
+    # queries by 2-4x (observed on the events_* family). Forcing both
+    # GCs plus a short settle absorbs the burst here.
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(5)
+
+    # Pass 2 (measured): steady-state latencies. GC between queries
+    # (never inside a timed region) every few queries: accumulated
+    # dead DataFrames otherwise trigger the ContextCleaner burst mid-
+    # query and charge one arbitrary victim 2-4x its real latency.
     timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    for i, (name, fn) in enumerate(QUERIES.items()):
+        if i % 10 == 0:
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -524,11 +524,11 @@ def simhash_near_pairs(
     signatures use shiftrightunsigned so the sign bit bands cleanly.
 
     ``max_bucket`` bounds band-bucket size — the same upstream bound
-    the ngram path gets from max_df (see pairs_from_buckets: fan-out
-    is Σ|bucket|²/2). On a boilerplate-heavy shard one degenerate band
-    value can collect millions of ids; buckets over the cap are
-    DROPPED (collect_list state stays bounded too, since the size is
-    counted before any list is built) and the drop count is logged.
+    the ngram path gets from max_df (self-join fan-out is
+    Σ|bucket|²/2). On a boilerplate-heavy shard one degenerate band
+    value can hold millions of ids; buckets over the cap are DROPPED
+    (before the join, so the quadratic blowup never materializes) and
+    the drop count is logged.
     Recall caveat: a true near-pair is only missed if EVERY band it
     matches on is over the cap — at the default cap that means ~10k
     mutually-near docs, a degenerate cluster better handled by exact
@@ -542,15 +542,20 @@ def simhash_near_pairs(
             f"got {bands} ({bits} bits / {band_bits}-bit bands)"
         )
     mask = (1 << band_bits) - 1
-    # sig feeds the banding plus both verify sides — materialize once
-    # instead of recomputing the 32-vote signature per DAG use (2×
-    # faster at sf0.1).
+    # sig feeds the banding once (uncapped) or twice (size histogram +
+    # join input, capped) — materialize so the 32-vote signature
+    # expression never recomputes.
     sig = sig.localCheckpoint()
     stack_args = ", ".join(
         f"{b}, cast(shiftrightunsigned(simhash, {b * band_bits}) & {mask} as long)"
         for b in range(bands)
     )
-    banded = sig.select("_id", F.expr(f"stack({bands}, {stack_args}) as (band, bval)"))
+    # The signature rides along (8 bytes/row): the Hamming verify then
+    # happens inline in the join output — no join-back to a signature
+    # table.
+    banded = sig.select(
+        "_id", "simhash", F.expr(f"stack({bands}, {stack_args}) as (band, bval)")
+    )
     if max_bucket is not None:
         # Size first (a count shuffle of (band,bval) keys, no lists),
         # then build id-lists only for surviving buckets: the
@@ -581,22 +586,28 @@ def simhash_near_pairs(
             "band", "bval"
         )
         banded = banded.join(keep, ["band", "bval"], "left_semi")
-        buckets = banded.groupBy("band", "bval").agg(F.collect_list("_id").alias("ids"))
-    else:
-        buckets = (
-            banded.groupBy("band", "bval")
-            .agg(F.collect_list("_id").alias("ids"))
-            .where(F.size("ids") > 1)
-        )
-    cands = pairs_from_buckets(buckets)
-    sig_a = sig.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sig_a"))
-    sig_b = sig.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    # Candidate pairs as an equi-SELF-JOIN on the band key, not
+    # collect_list + array fan-out: higher-order array functions run
+    # on Catalyst's interpreted path (no whole-stage codegen), which
+    # made the 2M-candidate emission at sf0.1 ~6x slower than the
+    # join that produces the identical rows fully codegen'd. The self
+    # join also keeps a hot bucket as many ROWS (AQE skew-split
+    # handles a degenerate band) instead of one giant array row, and
+    # ReuseExchange reads the banding shuffle once for both sides.
+    # id_a < id_b orders each pair; the Hamming verify runs inline on
+    # the carried signatures BEFORE the distinct, so the only
+    # post-join exchange carries true near-pairs, not candidates.
+    a, b = banded.alias("a"), banded.alias("b")
     return (
-        cands.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        a.join(b, ["band", "bval"])
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
