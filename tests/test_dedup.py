@@ -178,3 +178,17 @@ def test_simhash_hot_bucket_cap_bounds_pair_fanout(spark):
         F.col("id").cast("string").alias("_id"), F.lit(777).cast("long").alias("simhash")
     )
     assert simhash_near_pairs(small, max_bucket=50).count() == 5 * 4 // 2
+
+
+def test_candidate_pairs_min_cooccur(spark):
+    # (1,2) share two buckets, (1,3) share one: min_cooccur=2 keeps
+    # only the repeat co-occurrence, the pruning knob the ngram path
+    # relies on.
+    banded = spark.createDataFrame(
+        [("b1", 1), ("b1", 2), ("b2", 1), ("b2", 2), ("b3", 1), ("b3", 3)],
+        "bval STRING, _id INT",
+    )
+    all_pairs = dedup.candidate_pairs(banded, ["bval"])
+    assert {(r.id_a, r.id_b) for r in all_pairs.collect()} == {(1, 2), (1, 3)}
+    co2 = dedup.candidate_pairs(banded, ["bval"], min_cooccur=2)
+    assert {(r.id_a, r.id_b) for r in co2.collect()} == {(1, 2)}
