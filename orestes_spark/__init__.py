@@ -11,6 +11,7 @@ reference's own surface).
 
 from orestes_spark.config import SpaceConfig, engine_config_from_json, load_space_configs
 from orestes_spark.engine import OrestesEngine
+from orestes_spark.server import serve
 from orestes_spark.session import get_spark
 
 __all__ = [
@@ -19,6 +20,7 @@ __all__ = [
     "engine_config_from_json",
     "get_spark",
     "load_space_configs",
+    "serve",
 ]
 
 __version__ = "0.1.0"

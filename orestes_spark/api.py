@@ -89,6 +89,18 @@ def _read_params(body: dict) -> tuple[dict | None, int, int]:
     return query, start, end
 
 
+def validate_read_aggregations(body: dict) -> None:
+    """Reference contract: when present, exactly ONE aggregation, of
+    type count — two count aggs is a 400 too
+    (/root/reference/lib/orestes.js:143-150 requires
+    aggregations.length === 1 && type === 'count'). Request-shape
+    validation, so HTTP callers can fail with a real 400 status BEFORE
+    the streaming response commits 200."""
+    aggregations = body.get("aggregations")
+    if aggregations and (len(aggregations) != 1 or aggregations[0].get("type") != "count"):
+        raise ApiError(400, "the only supported aggregation type is count")
+
+
 def stream_read(
     engine: OrestesEngine, body: dict, space: str = "default"
 ) -> Iterator[dict]:
@@ -98,14 +110,9 @@ def stream_read(
     never assembles the full result). Series arrive via
     ``read_fetchers``'s toLocalIterator, one partition in flight."""
     query, start, end = _read_params(body)
+    validate_read_aggregations(body)
     aggregations = body.get("aggregations")
     if aggregations:
-        # Reference contract: exactly ONE aggregation, of type count —
-        # two count aggs is a 400 too
-        # (/root/reference/lib/orestes.js:143-150 requires
-        # aggregations.length === 1 && type === 'count').
-        if len(aggregations) != 1 or aggregations[0].get("type") != "count":
-            raise ApiError(400, "the only supported aggregation type is count")
         counts = engine.count_points(query, space, start, end)
         for row in counts.toLocalIterator():
             yield {"tags": dict(row["tags"]), "count": row["count"]}
