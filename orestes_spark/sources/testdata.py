@@ -3,11 +3,14 @@
 Tables: region nation customer supplier part orders lineitem events
 documents embeddings, one parquet per table under /root/testdata/sf*/.
 
-The only wrinkle: ``events.ts`` is physically TIMESTAMP(NANOS); with
-``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) Spark
-reads it as LONG nanoseconds, and ``load_table`` converts it back to a
-micros-precision TIMESTAMP — the same value DuckDB sees after
-``CAST(ts AS TIMESTAMP)``.
+The only wrinkle is ``events.ts``'s physical type, which has differed
+across driver testdata generations — TIMESTAMP(NANOS) in early rounds,
+naive timestamp[us] since round 3 — so ``load_table`` defends both:
+``spark.sql.legacy.parquet.nanosAsLong=true`` reads a NANOS column as
+LONG and converts it back to a micros TIMESTAMP, and
+``spark.sql.parquet.inferTimestampNTZ.enabled=false`` reads a naive
+column as an LTZ UTC instant (``unix_millis`` rejects NTZ). Either way
+the value matches DuckDB's ``epoch_ms(ts)`` on the same file.
 """
 
 from __future__ import annotations
