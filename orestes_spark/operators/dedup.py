@@ -280,17 +280,22 @@ def minhash_signatures(shingle_arrays: DataFrame, num_hashes: int = 8) -> DataFr
     return shingle_arrays.select("_id", *cols)
 
 
-def minhash_band_candidates(sig: DataFrame, num_hashes: int, rows_per_band: int) -> DataFrame:
-    """LSH banding: docs sharing any band become a candidate pair —
-    bands stacked into rows, pairs from the band-key self-join
-    (see candidate_pairs)."""
+def minhash_band_rows(sig: DataFrame, num_hashes: int, rows_per_band: int) -> DataFrame:
+    """(_id, band, bval) rows from a minhash signature table — the
+    unit the LSH index stores and candidate joins run on."""
     bands = num_hashes // rows_per_band
     stack_args = []
     for b in range(bands):
         cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
         stack_args.append(f"{b}, concat({', '.join(cols)})")
-    banded = sig.select("_id", F.expr(f"stack({bands}, {', '.join(stack_args)}) as (band, bval)"))
-    return candidate_pairs(banded, ["band", "bval"])
+    return sig.select("_id", F.expr(f"stack({bands}, {', '.join(stack_args)}) as (band, bval)"))
+
+
+def minhash_band_candidates(sig: DataFrame, num_hashes: int, rows_per_band: int) -> DataFrame:
+    """LSH banding: docs sharing any band become a candidate pair —
+    bands stacked into rows, pairs from the band-key self-join
+    (see candidate_pairs)."""
+    return candidate_pairs(minhash_band_rows(sig, num_hashes, rows_per_band), ["band", "bval"])
 
 
 def minhash_lsh_dedup(
@@ -310,6 +315,70 @@ def minhash_lsh_dedup(
     sig = minhash_signatures(arrays, num_hashes)
     cands = minhash_band_candidates(sig, num_hashes, rows_per_band).localCheckpoint()
     return verify_jaccard(arrays, cands, threshold, "shingles")
+
+
+def minhash_band_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """The persisted LSH index of a corpus: (band, bval, _id) rows.
+    Built once per corpus (or maintained per ingest batch) and written
+    to parquet; ``incremental_neardup`` then dedups every NEW batch
+    against it with cost ∝ batch + candidates — the only corpus-sized
+    artifact incremental dedup ever touches is this index, never the
+    text. At 100 TB that is the difference between re-shingling the
+    corpus per batch and an equi-join against a prebuilt table."""
+    arrays = token_shingle_arrays(docs, id_col, text_col, shingle_size)
+    return minhash_band_rows(minhash_signatures(arrays, num_hashes), num_hashes, rows_per_band)
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dups of a NEW batch against an indexed corpus:
+    (id_new, id_corpus, jaccard ≥ threshold).
+
+    ``index`` is ``minhash_band_index(corpus_docs, ...)`` — typically
+    read back from parquet, NOT recomputed. The corpus is touched only
+    through (a) that index, in one equi-join on (band, bval), and
+    (b) shingling of the candidate docs alone (the semi-join keeps the
+    scan to the handful of corpus rows that banded with the batch), so
+    per-batch cost is independent of corpus size. Id spaces must be
+    disjoint across the two sides; within-batch duplicates are
+    ``minhash_lsh_dedup(new_docs)``'s job, not this operator's."""
+    new_arrays = token_shingle_arrays(new_docs, id_col, text_col, shingle_size).localCheckpoint()
+    new_banded = minhash_band_rows(
+        minhash_signatures(new_arrays, num_hashes), num_hashes, rows_per_band
+    )
+    cands = (
+        new_banded.alias("n")
+        .join(index.alias("i"), ["band", "bval"])
+        .where(F.col("n._id") != F.col("i._id"))
+        .select(F.col("n._id").alias("id_a"), F.col("i._id").alias("id_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cand_ids = cands.select(F.col("id_b").alias(id_col)).distinct()
+    corpus_arrays = token_shingle_arrays(
+        corpus_docs.join(cand_ids, id_col, "left_semi"), id_col, text_col, shingle_size
+    )
+    arrays = new_arrays.unionByName(corpus_arrays)
+    out = verify_jaccard(arrays, cands, threshold, "shingles")
+    return out.select(
+        F.col("id_a").alias("id_new"), F.col("id_b").alias("id_corpus"), "jaccard"
+    )
 
 
 # ------------------------------------------------------- n-gram Jaccard ---

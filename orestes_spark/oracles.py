@@ -62,6 +62,53 @@ WHERE round(i * 1.0 / (na.n + nb.n - i), 6) >= {threshold}
 """
 
 
+def incremental_neardup_sql(
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    new_mod: int = 5,
+) -> str:
+    """Twin of dedup.incremental_neardup over the documents table with
+    the corpus/new split `doc_id % new_mod` (== 0 → new batch,
+    != 0 → indexed corpus): same md5 minhash, banding, and exact
+    Jaccard as minhash_neardup_sql, pairs restricted to new × corpus."""
+    sig_cols = ",\n         ".join(
+        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(num_hashes)
+    )
+    bands = num_hashes // rows_per_band
+    band_selects = " UNION ALL ".join(
+        "SELECT _id, {b} AS band, concat({cols}) AS bval FROM sig".format(
+            b=b,
+            cols=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {TOKEN_SHINGLES},
+sig AS (
+  SELECT _id, {sig_cols}
+  FROM shingles GROUP BY _id
+),
+banded AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT a._id AS id_new, b._id AS id_corpus
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bval = b.bval
+  WHERE a._id % {new_mod} = 0 AND b._id % {new_mod} != 0
+),
+sizes AS (SELECT _id, count(*) AS n FROM shingles GROUP BY 1),
+inter AS (
+  SELECT c.id_new, c.id_corpus, count(*) AS i
+  FROM cands c
+  JOIN shingles sa ON sa._id = c.id_new
+  JOIN shingles sb ON sb._id = c.id_corpus AND sb.sh = sa.sh
+  GROUP BY 1, 2
+)
+SELECT id_new, id_corpus, round(i * 1.0 / (na.n + nb.n - i), 6) AS jaccard
+FROM inter JOIN sizes na ON na._id = id_new JOIN sizes nb ON nb._id = id_corpus
+WHERE round(i * 1.0 / (na.n + nb.n - i), 6) >= {threshold}
+"""
+
+
 def token_shingles_cte(n: int) -> str:
     """Parameterized twin of TOKEN_SHINGLES for n-token shingles."""
     leads = ", ".join(

@@ -192,3 +192,23 @@ def test_candidate_pairs_min_cooccur(spark):
     assert {(r.id_a, r.id_b) for r in all_pairs.collect()} == {(1, 2), (1, 3)}
     co2 = dedup.candidate_pairs(banded, ["bval"], min_cooccur=2)
     assert {(r.id_a, r.id_b) for r in co2.collect()} == {(1, 2)}
+
+
+def test_incremental_neardup_against_persisted_index(spark, docs, tmp_path):
+    # corpus = {1 BASE, 4 OTHER, 5 tiny}; new batch = {2 exact dup of
+    # 1, 3 near dup of 1}. Both new docs must match corpus doc 1;
+    # the in-batch pair (2,3) must NOT be reported.
+    corpus = docs.where("doc_id in (1, 4, 5)")
+    new = docs.where("doc_id in (2, 3)")
+    path = str(tmp_path / "bands")
+    dedup.minhash_band_index(corpus, "doc_id", "text").write.parquet(path)
+    index = spark.read.parquet(path)
+    out = {
+        (r.id_new, r.id_corpus): r.jaccard
+        for r in dedup.incremental_neardup(
+            new, corpus, index, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert out[(2, 1)] == 1.0
+    assert (3, 1) in out and 0.5 <= out[(3, 1)] < 1.0
+    assert all(corpus_id == 1 for _, corpus_id in out)
