@@ -210,6 +210,73 @@ def streaming_rollup(
     )
 
 
+def start_corpus_ingest(
+    docs_stream: DataFrame,
+    store: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    checkpoint: str | None = None,
+):
+    """Continuous corpus construction with CROSS-BATCH near-dedup.
+
+    Each micro-batch is near-deduped (a) within itself
+    (minhash_lsh_dedup, greedy keep-min — the dedup_keep_list policy)
+    and (b) against everything accepted so far via
+    ``incremental_neardup`` on the persisted band index; survivors
+    append to ``<store>/docs`` and their band rows to
+    ``<store>/bands``. Unlike the watermark gates above — whose
+    in-memory state is bounded by forgetting old keys — this gate's
+    state is the durable index itself: restart-safe, horizon-free,
+    shared with the batch pipeline (it is exactly the
+    ``minhash_band_index`` artifact), and per-batch cost stays ∝
+    batch + candidates regardless of corpus size.
+
+    Epoch-keyed subdirectories written with mode("overwrite") make
+    replays idempotent: a re-offered epoch overwrites its own output
+    instead of appending duplicates (no marker file needed — the
+    partition path IS the marker)."""
+    from orestes_spark.operators import dedup as _d
+
+    docs_path = f"{store}/docs"
+    bands_path = f"{store}/bands"
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.select(id_col, text_col).dropDuplicates([id_col]).localCheckpoint()
+        pairs_in = _d.minhash_lsh_dedup(
+            batch, id_col, text_col, shingle_size, num_hashes, rows_per_band, threshold
+        )
+        kept = batch.join(
+            pairs_in.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_anti"
+        )
+        fs, base = _fs_and_path(spark, bands_path)
+        if fs.exists(base):
+            index = spark.read.parquet(bands_path).select("band", "bval", "_id")
+            corpus = spark.read.parquet(docs_path).select(id_col, text_col)
+            pairs = _d.incremental_neardup(
+                kept, corpus, index, id_col, text_col,
+                shingle_size, num_hashes, rows_per_band, threshold,
+            )
+            kept = kept.join(
+                pairs.select(F.col("id_new").alias(id_col)).distinct(), id_col, "left_anti"
+            )
+        kept = kept.localCheckpoint()  # one compute, two sinks
+        kept.write.mode("overwrite").parquet(f"{docs_path}/epoch={epoch_id}")
+        _d.minhash_band_index(
+            kept, id_col, text_col, shingle_size, num_hashes, rows_per_band
+        ).write.mode("overwrite").parquet(f"{bands_path}/epoch={epoch_id}")
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint or f"{store}/_checkpoint")
+        .start()
+    )
+
+
 def streaming_sessionize(
     points: DataFrame,
     gap: str = "30 minutes",

@@ -287,3 +287,44 @@ def test_ensure_min_parallelism_passes_streaming_through(spark, tmp_path):
     stream = spark.readStream.format("rate").load()
     out = ensure_min_parallelism(stream)
     assert out is stream  # untouched: df.rdd would raise on streaming
+
+
+def test_corpus_ingest_cross_batch_neardedup(spark, tmp_path):
+    """Index-backed cross-batch near-dedup: batch 2's near-copy of a
+    batch-1 doc is rejected by the persisted band index (no watermark
+    horizon), while its genuinely new doc is accepted; a within-batch
+    near-pair keeps only the min id."""
+    from orestes_spark.streaming.ingest import start_corpus_ingest
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    other = "completely different content about spark query engines and shuffles"
+    third = "yet another unrelated document mentioning parquet row group statistics"
+
+    src = tmp_path / "corpus_src"
+    store = str(tmp_path / "corpus_store")
+    ddl = "doc_id LONG, text STRING"
+    src.mkdir()
+    # batch 1: base + exact dup (within-batch: keep min id 1) + other
+    spark.createDataFrame([(1, base), (2, base), (10, other)], ddl).write.parquet(
+        str(src / "b1")
+    )
+    stream = spark.readStream.schema(ddl).parquet(str(src / "*"))
+    q = start_corpus_ingest(stream, store, checkpoint=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        # batch 2: near-dup of doc 1 (reject via index) + new doc (accept)
+        spark.createDataFrame([(20, near), (30, third)], ddl).write.parquet(
+            str(src / "b2")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    accepted = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{store}/docs").select("doc_id").collect()
+    )
+    assert accepted == [1, 10, 30]
+    # the index covers exactly the accepted docs
+    idx_ids = {r["_id"] for r in spark.read.parquet(f"{store}/bands").select("_id").collect()}
+    assert idx_ids == {1, 10, 30}
