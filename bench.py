@@ -102,16 +102,22 @@ def main() -> None:
     from orestes_spark.engine import OrestesEngine
     from orestes_spark.sources.testdata import events_as_points
 
+    import shutil
+
     pts = events_as_points(spark, sf_dir).localCheckpoint()
     n_pts = pts.count()
     for _pass in range(2):
-        eng = OrestesEngine(spark, tempfile.mkdtemp(prefix="orestes_bench_wh_"))
+        wh = tempfile.mkdtemp(prefix="orestes_bench_wh_")
+        eng = OrestesEngine(spark, wh)
         t0 = time.perf_counter()
         eng._append(pts, "default")
         write_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         n_read = eng.read(None, "default", 0, 2_000_000_000_000, grouped=False).count()
         read_s = time.perf_counter() - t0
+        # each warehouse holds a full copy of the dataset — don't let
+        # repeated bench runs accumulate them in /tmp
+        shutil.rmtree(wh, ignore_errors=True)
 
     # Per-query detail: separate stdout line + file, NOT the final line
     # (a single giant line overflows the driver's output-tail capture).

@@ -95,9 +95,18 @@ def validate_read_aggregations(body: dict) -> None:
     (/root/reference/lib/orestes.js:143-150 requires
     aggregations.length === 1 && type === 'count'). Request-shape
     validation, so HTTP callers can fail with a real 400 status BEFORE
-    the streaming response commits 200."""
+    the streaming response commits 200. Malformed shapes (non-list,
+    non-dict entries, empty list — [] is truthy in the reference's JS,
+    so it 400s there too) are contract violations, not crashes."""
     aggregations = body.get("aggregations")
-    if aggregations and (len(aggregations) != 1 or aggregations[0].get("type") != "count"):
+    if aggregations is None:
+        return
+    if (
+        not isinstance(aggregations, list)
+        or len(aggregations) != 1
+        or not isinstance(aggregations[0], dict)
+        or aggregations[0].get("type") != "count"
+    ):
         raise ApiError(400, "the only supported aggregation type is count")
 
 

@@ -675,10 +675,15 @@ def _engine_compact(
                     F.min("min_value").alias("min_value"),
                     F.max("max_value").alias("max_value"),
                 )
-                .repartitionByRange(
-                    _compact_width(files, target_bytes), F.col("series_id"), F.col("slot_ms")
-                )
-                .sortWithinPartitions("series_id", "slot_ms")
+                # orderBy, not a fixed repartitionByRange width: the
+                # groupBy MERGES partials, so pre-merge input bytes
+                # (_compact_width's predictor) overestimate the output
+                # by the replay factor and would fragment the rewrite
+                # into many tiny files. A global sort keeps the
+                # (series_id, slot_ms) clustering and lets AQE size
+                # the range partitions from the actual post-merge
+                # bytes.
+                .orderBy("series_id", "slot_ms")
             )
             tmp = part.parent / f".compact_{part.name}"
             df.write.mode("overwrite").parquet(str(tmp))
@@ -722,7 +727,13 @@ def _engine_rebuild_rollup(
                 F.min("value").alias("min_value"),
                 F.max("value").alias("max_value"),
             )
-            .sortWithinPartitions("series_id", "slot_ms")
+            # Global sort, not sortWithinPartitions: the groupBy
+            # output is hash-partitioned, which would write
+            # shuffle-partitions-many unclustered files; the repair
+            # must restore the same (series_id, slot_ms)
+            # range-clustered layout _append and compact() maintain,
+            # with AQE sizing partitions from the merged bytes.
+            .orderBy("series_id", "slot_ms")
         )
         target = self._rollup_path(space) / part.name
         tmp = self._rollup_path(space) / f".rebuild_{part.name}"

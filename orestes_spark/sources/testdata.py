@@ -39,6 +39,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session time zone. Set at runtime (session-settable SQL conf) because
     # the driver harness calls queries() with its OWN SparkSession.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Day/year boundaries of the LTZ timestamps (CAST(ts AS DATE),
+    # year(l_shipdate), ...) resolve through the session time zone;
+    # the DuckDB oracle's naive casts are UTC-fixed, so a foreign
+    # session on a non-UTC JVM would shift them. unix_millis itself is
+    # tz-independent, but the calendar functions are not.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # Defensive: the conf is baked into get_spark's sessions, but the
         # driver harness calls queries() with its OWN SparkSession — set

@@ -257,6 +257,14 @@ def start_corpus_ingest(
         if fs.exists(base):
             index = spark.read.parquet(bands_path).select("band", "bval", "_id")
             corpus = spark.read.parquet(docs_path).select(id_col, text_col)
+            # Same-ID re-delivery first (at-least-once upstream
+            # sources re-send accepted docs): incremental_neardup
+            # requires disjoint id spaces — it drops same-id pairs as
+            # self-matches — so an already-accepted id must be
+            # filtered here or it would silently re-append.
+            kept = kept.join(
+                index.select(F.col("_id").alias(id_col)).distinct(), id_col, "left_anti"
+            )
             pairs = _d.incremental_neardup(
                 kept, corpus, index, id_col, text_col,
                 shingle_size, num_hashes, rows_per_band, threshold,

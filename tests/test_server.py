@@ -131,3 +131,13 @@ def test_http_delete_requires_keep_days(port):
     status, out = _post(port, "/delete", {"space": "other", "keep_days": 10000})
     assert status == 200
     assert out["ok"] is True
+
+
+def test_http_malformed_aggregations_are_400(port):
+    # dict instead of list, list of non-dicts, and the reference's
+    # []-is-truthy 400 — all contract violations, none may crash the
+    # handler or bypass validation.
+    for aggs in ({"type": "count"}, ["count"], [], 5):
+        status, out = _post(port, "/read", {"aggregations": aggs, "end": START + 100})
+        assert status == 400, aggs
+        assert "count" in out["message"]

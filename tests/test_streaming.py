@@ -318,6 +318,11 @@ def test_corpus_ingest_cross_batch_neardedup(spark, tmp_path):
             str(src / "b2")
         )
         q.processAllAvailable()
+        # batch 3: at-least-once upstream re-sends an accepted doc with
+        # the SAME id — must not re-append (same-id pairs are excluded
+        # from the near-dup join, so this needs the explicit id gate)
+        spark.createDataFrame([(1, base)], ddl).write.parquet(str(src / "b3"))
+        q.processAllAvailable()
     finally:
         q.stop()
 
