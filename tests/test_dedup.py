@@ -212,3 +212,31 @@ def test_incremental_neardup_against_persisted_index(spark, docs, tmp_path):
     assert out[(2, 1)] == 1.0
     assert (3, 1) in out and 0.5 <= out[(3, 1)] < 1.0
     assert all(corpus_id == 1 for _, corpus_id in out)
+
+
+def test_incremental_neardup_matches_full_dedup_cross_pairs(spark):
+    """Equivalence pin: dedup of the new slice against the indexed
+    corpus must find exactly the full-corpus LSH pairs that cross the
+    corpus/new boundary (same bands, same verify, same threshold)."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    corpus = docs.where("doc_id % 5 != 0")
+    new = docs.where("doc_id % 5 = 0")
+    index = dedup.minhash_band_index(corpus, "doc_id", "text")
+    got = {
+        (r.id_new, r.id_corpus): r.jaccard
+        for r in dedup.incremental_neardup(
+            new, corpus, index, "doc_id", "text"
+        ).collect()
+    }
+    full = dedup.minhash_lsh_dedup(docs, "doc_id", "text").collect()
+    want = {}
+    for r in full:
+        a, b = r.id_a, r.id_b
+        if a % 5 == 0 and b % 5 != 0:
+            want[(a, b)] = r.jaccard
+        elif b % 5 == 0 and a % 5 != 0:
+            want[(b, a)] = r.jaccard
+    assert got == want and len(want) > 0
