@@ -107,6 +107,72 @@ def cosine_topk(
     )
 
 
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    batch_local_k: int | None = None,
+) -> DataFrame:
+    """Production fast path for brute-force top-k: one numpy matmul
+    per Arrow batch via ``mapInPandas`` instead of per-element
+    ``zip_with``/``aggregate`` expressions (higher-order lambdas run
+    on Catalyst's interpreted path; a BLAS batch×queries GEMM is
+    orders of magnitude faster per row at real dimensions). The
+    normalized query matrix ships once as a broadcast; each corpus
+    partition emits only its LOCAL top-k rows per query, so the final
+    per-query window sees ≤ partitions × k rows per query — never the
+    corpus. Same output shape and tie-break (score desc, neighbor id)
+    as ``cosine_topk``; float arithmetic, so no DuckDB oracle twin —
+    oracle parity is ``cosine_topk``'s job, mirroring the
+    md5-oracle / xxhash64-production split in dedup."""
+    import numpy as np
+
+    k_local = batch_local_k or k
+    qrows = queries.select(F.col(id_col).cast("long"), F.col(vec_col)).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-300)
+    b = corpus.sparkSession.sparkContext.broadcast((qids, qmat))
+
+    def score(batches):
+        import pandas as pd
+
+        bq_ids, bq = b.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300)
+            scores = cmat @ bq.T  # (batch, queries)
+            scores[cids[:, None] == bq_ids[None, :]] = -np.inf  # self-match
+            top = min(k_local, scores.shape[0])
+            idx = np.argpartition(-scores, top - 1, axis=0)[:top]  # (top, queries)
+            picked = np.take_along_axis(scores, idx, axis=0)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(bq_ids[None, :], top, axis=0).ravel(),
+                    "neighbor_id": cids[idx].ravel(),
+                    "cosine": picked.ravel(),
+                }
+            )
+            # -inf rows appear when a batch holds fewer than `top`
+            # non-self vectors for some query
+            yield out[np.isfinite(out["cosine"].to_numpy())]
+
+    local = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def lsh_bucket(vec_col: F.Column, planes: list[list[int]], as_long: bool = False) -> F.Column:
     """Sign-pattern bucket id: bit p set iff dot(vec, plane_p) >= 0.
 

@@ -120,3 +120,26 @@ def test_label_centroids_match_numpy(spark):
         mean = vecs.sum(axis=0) / len(vecs)
         for d in range(4):
             assert got[(lbl, d + 1)] == round(float(mean[d]), 6)
+
+
+def test_cosine_topk_arrow_matches_exact_path(spark):
+    """The Arrow/BLAS production kernel returns the same neighbors and
+    ranks as the expression-based exact path (float tie-break order is
+    identical: score desc, neighbor id)."""
+    from orestes_spark.operators.similarity import cosine_topk, cosine_topk_arrow
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(10)
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    fast = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk_arrow(emb, queries, k=5).collect()
+    }
+    assert set(exact) == set(fast)
+    for key, (nid, cos) in exact.items():
+        fnid, fcos = fast[key]
+        assert fnid == nid, (key, nid, fnid)
+        assert abs(fcos - cos) < 1e-6
