@@ -19,8 +19,11 @@ without shipping state.
 Scale notes: the corpus scan is embarrassingly parallel; the top-k
 window partitions by query id (bounded by |queries| × k rows after
 the aggregate); LSH bucket ids are computed in the scan and the
-bucket join is an equi-join. All arithmetic is built-in higher-order
-functions (zip_with/aggregate) — JVM-side, no Python in the loop.
+bucket join is an equi-join. Oracle-path arithmetic is built-in
+higher-order functions (zip_with/aggregate) — JVM-side, no Python in
+the loop, but interpreted per element (Catalyst does not codegen HOF
+lambdas); ``cosine_topk_arrow`` is the production kernel — one BLAS
+GEMM per Arrow batch via mapInPandas, local top-k per partition.
 """
 
 from __future__ import annotations
