@@ -141,3 +141,21 @@ def test_http_malformed_aggregations_are_400(port):
         status, out = _post(port, "/read", {"aggregations": aggs, "end": START + 100})
         assert status == 400, aggs
         assert "count" in out["message"]
+
+
+def test_http_concurrent_reads(port):
+    # ThreadingHTTPServer + Spark driver thread-safety: parallel
+    # requests all complete with correct, independent results.
+    import concurrent.futures
+
+    def one(host):
+        return _post(
+            port, "/read", {"query": {"term": {"host": host}}, "end": START + 100}
+        )
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(one, ["a", "b", "a", "b"]))
+    for (status, out), host in zip(results, ["a", "b", "a", "b"]):
+        assert status == 200
+        (s,) = out["series"]
+        assert s["tags"] == {"host": host} and len(s["points"]) == 5
