@@ -158,3 +158,43 @@ def test_series_id_canonical_order_insensitive(spark, tags):
     ids = [r[0] for r in df.select(series_id_col(F.col("tags"))).collect()]
     assert ids[0] == ids[1]
     assert ids[0] == ",".join(f"{k}={v}" for k, v in sorted(tags.items()))
+
+
+# --------------------------- candidate_pairs vs brute-force model ---
+
+bucket_assignments = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 9)),  # (bucket_key, doc_id)
+    min_size=0,
+    max_size=25,
+    unique=True,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=bucket_assignments, min_cooccur=st.integers(1, 3))
+def test_candidate_pairs_matches_bruteforce_model(spark, rows, min_cooccur):
+    """The self-join candidate generator equals the brute-force model:
+    distinct (a, b), a < b, co-bucketed in >= min_cooccur buckets."""
+    from collections import defaultdict
+
+    from orestes_spark.operators.dedup import candidate_pairs
+
+    members = defaultdict(set)
+    for key, _id in rows:
+        members[key].add(_id)
+    counts = defaultdict(int)
+    for ids in members.values():
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    counts[(a, b)] += 1
+    want = {p for p, n in counts.items() if n >= min_cooccur}
+
+    banded = spark.createDataFrame(rows or [(0, 0)], "bval INT, _id INT")
+    if not rows:
+        banded = banded.where("1 = 0")
+    got = {
+        (r.id_a, r.id_b)
+        for r in candidate_pairs(banded, ["bval"], min_cooccur=min_cooccur).collect()
+    }
+    assert got == want
