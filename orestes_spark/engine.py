@@ -746,3 +746,33 @@ def _engine_rebuild_rollup(
 
 
 OrestesEngine.rebuild_rollup = _engine_rebuild_rollup
+
+
+def _engine_stats(self: "OrestesEngine", space: str = "default") -> dict[str, dict[int, dict]]:
+    """Operational table stats: per-bucket file count and on-disk bytes
+    for the points / series / rollup tables — the numbers that drive
+    compaction scheduling (many small files → compact()) and retention
+    review (bytes per bucket over time). Pure filesystem metadata, no
+    Spark job, no data scan; at cluster scale the same walk runs
+    against the object store listing. Shape:
+    {"points": {bucket: {"files": n, "bytes": b}}, "series": {...},
+    "rollup": {...}} (tables absent from the warehouse are empty)."""
+    out: dict[str, dict[int, dict]] = {}
+    for name, root in (
+        ("points", self._points_path(space)),
+        ("series", self._series_path(space)),
+        ("rollup", self._rollup_path(space)),
+    ):
+        table: dict[int, dict] = {}
+        if root.exists():
+            for part in sorted(root.glob("bucket=*")):
+                files = list(part.glob("*.parquet"))
+                table[int(part.name.split("=", 1)[1])] = {
+                    "files": len(files),
+                    "bytes": sum(f.stat().st_size for f in files),
+                }
+        out[name] = table
+    return out
+
+
+OrestesEngine.stats = _engine_stats

@@ -510,3 +510,27 @@ def test_rebuild_rollup_repairs_inflated_partials(spark, tmp_path):
         for r in eng.read_rollup(None, "default", lo, hi).collect()
     }
     assert repaired == clean
+
+
+def test_stats_reports_buckets_and_tracks_compaction(engine, spark):
+    import pyspark.sql.functions as F
+
+    day = 86_400_000
+    pts = spark.createDataFrame(
+        [(float(i), i % 2 * day + i) for i in range(40)], "value DOUBLE, time_ms LONG"
+    ).select(
+        "time_ms", "value", F.create_map(F.lit("h"), F.lit("x")).alias("tags")
+    )
+    # two separate appends → multiple files per bucket
+    engine._append(pts, "default")
+    engine._append(pts, "default")
+    st = engine.stats()
+    assert sorted(st["points"]) == [0, 1]
+    assert all(v["files"] >= 2 and v["bytes"] > 0 for v in st["points"].values())
+    assert sorted(st["series"]) == [0, 1]
+    assert st["rollup"] == {}  # default space has no rollup configured
+
+    engine.compact()
+    st2 = engine.stats()
+    assert all(v["files"] == 1 for v in st2["points"].values())
+    assert all(v["bytes"] > 0 for v in st2["points"].values())
