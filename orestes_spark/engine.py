@@ -288,11 +288,19 @@ class OrestesEngine:
         """Flat points matching an ES-DSL tag filter and [start, end).
 
         This is the scalable read shape: bucket pruning + pushed time
-        predicate + (metadata route) a broadcast semi-join on series_id,
-        the Spark analogue of 'ES finds the series, Cassandra serves the
-        points'. With ``use_metadata=False`` the tag predicate is applied
-        directly to the points table instead (one scan, no join) — better
-        when the filter is unselective.
+        predicate + (metadata route) a semi-join on series_id, the
+        Spark analogue of 'ES finds the series, Cassandra serves the
+        points'. The join strategy is deliberately UNHINTED: a forced
+        broadcast of the matching-series list is an OOM directive AQE
+        cannot override once a low-selectivity filter meets a
+        high-cardinality space (10M+ series at 100 TB). Unhinted,
+        the static planner broadcasts when the size estimate is small
+        and AQE upgrades SMJ→BHJ at runtime from the *actual*
+        post-filter size — broadcast for selective filters, shuffle
+        semi-join for unselective ones, decided per query from data.
+        With ``use_metadata=False`` the tag predicate is applied
+        directly to the points table instead (one scan, no join) —
+        better when the filter is unselective.
         """
         if end_ms is None:
             end_ms = int(_time.time() * 1000)
@@ -315,7 +323,7 @@ class OrestesEngine:
             .select("series_id")
             .distinct()  # D1: a series exists once per bucket
         )
-        return points.join(F.broadcast(matching), "series_id", "left_semi")
+        return points.join(matching, "series_id", "left_semi")
 
     def _bucket_range_pred(self, start_ms: int, end_ms: int, g: int) -> F.Column:
         start_bucket = (start_ms // MS_IN_DAY) // g * g

@@ -210,8 +210,7 @@ def streaming_rollup(
     )
 
 
-def start_corpus_ingest(
-    docs_stream: DataFrame,
+def make_corpus_batch_processor(
     store: str,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -219,9 +218,10 @@ def start_corpus_ingest(
     shingle_size: int = 3,
     num_hashes: int = 8,
     rows_per_band: int = 2,
-    checkpoint: str | None = None,
 ):
-    """Continuous corpus construction with CROSS-BATCH near-dedup.
+    """foreachBatch processor for continuous corpus construction with
+    CROSS-BATCH near-dedup (exposed as a factory so replay semantics
+    are directly testable — see start_corpus_ingest for the contract).
 
     Each micro-batch is near-deduped (a) within itself
     (minhash_lsh_dedup, greedy keep-min — the dedup_keep_list policy)
@@ -255,8 +255,26 @@ def start_corpus_ingest(
         )
         fs, base = _fs_and_path(spark, bands_path)
         if fs.exists(base):
-            index = spark.read.parquet(bands_path).select("band", "bval", "_id")
-            corpus = spark.read.parquet(docs_path).select(id_col, text_col)
+            # Exclude THIS epoch's own partition from the index/corpus
+            # reads: a replayed epoch may have written epoch=N before
+            # the checkpoint committed, and dedup against its own
+            # half-written output would empty `kept` and then
+            # overwrite the epoch with nothing — silent data loss.
+            # Replay must dedup against PRIOR epochs only and
+            # regenerate its own partition from scratch. The epoch=N
+            # directory name is a partition column under the root
+            # read, so the filter prunes those files entirely.
+            not_self = F.col("epoch") != epoch_id
+            index = (
+                spark.read.parquet(bands_path)
+                .filter(not_self)
+                .select("band", "bval", "_id")
+            )
+            corpus = (
+                spark.read.parquet(docs_path)
+                .filter(not_self)
+                .select(id_col, text_col)
+            )
             # Same-ID re-delivery first (at-least-once upstream
             # sources re-send accepted docs): incremental_neardup
             # requires disjoint id spaces — it drops same-id pairs as
@@ -278,6 +296,34 @@ def start_corpus_ingest(
             kept, id_col, text_col, shingle_size, num_hashes, rows_per_band
         ).write.mode("overwrite").parquet(f"{bands_path}/epoch={epoch_id}")
 
+    return process
+
+
+def start_corpus_ingest(
+    docs_stream: DataFrame,
+    store: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    checkpoint: str | None = None,
+):
+    """Continuous corpus construction with CROSS-BATCH near-dedup —
+    see make_corpus_batch_processor for the per-batch algorithm.
+
+    Delivery contract: epoch-keyed subdirectories written with
+    mode("overwrite") make replays idempotent — a re-offered epoch
+    overwrites its own output instead of appending duplicates (no
+    marker file needed, the partition path IS the marker), and the
+    index/corpus reads exclude the replaying epoch's own partition so
+    a crash between the parquet writes and the checkpoint commit can
+    never make the replay dedup the epoch against its own
+    half-written output (which would silently empty it)."""
+    process = make_corpus_batch_processor(
+        store, id_col, text_col, threshold, shingle_size, num_hashes, rows_per_band
+    )
     return (
         docs_stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint or f"{store}/_checkpoint")

@@ -35,8 +35,28 @@ def test_read_prunes_partitions_and_pushes_time(loaded_engine):
     # time predicate reaches the parquet scan
     assert "GreaterThanOrEqual(time_ms,1704412800000)" in plan
     assert "LessThan(time_ms,1705708800000)" in plan
-    # metadata route: broadcast semi-join, not a shuffle join
+    # metadata route: broadcast semi-join CHOSEN by the planner (small
+    # series list) — not forced by a hint
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_read_semi_join_is_not_hint_forced(loaded_engine):
+    """The series-list semi-join must carry NO broadcast hint: a forced
+    broadcast of the matching-series list is an OOM directive at 10M+
+    series that AQE cannot override. The selective case above shows the
+    planner still *chooses* BHJ from size; here the analyzed plan must
+    be hint-free so an unselective filter can fall back to a shuffle
+    semi-join at scale."""
+    df = loaded_engine.matching_points(
+        {"term": {"event_type": "error"}}, "default", T0, T1
+    )
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    # unselective regime (exists: matches every series): still hint-free
+    df2 = loaded_engine.matching_points(
+        {"exists": {"field": "event_type"}}, "default", T0, T1
+    )
+    assert "ResolvedHint" not in df2._jdf.queryExecution().analyzed().toString()
 
 
 def test_end_on_bucket_boundary_excludes_bucket(loaded_engine):

@@ -333,3 +333,41 @@ def test_corpus_ingest_cross_batch_neardedup(spark, tmp_path):
     # the index covers exactly the accepted docs
     idx_ids = {r["_id"] for r in spark.read.parquet(f"{store}/bands").select("_id").collect()}
     assert idx_ids == {1, 10, 30}
+
+
+def test_corpus_ingest_epoch_replay_keeps_data(spark, tmp_path):
+    """Crash-replay safety: an epoch whose parquet writes landed but
+    whose checkpoint never committed is re-offered on restart. The
+    replay must NOT dedup the epoch against its own half-written
+    output (that would empty `kept` via the same-id gate and then
+    overwrite the epoch with nothing) — it regenerates its own
+    partition and dedups only against PRIOR epochs."""
+    from orestes_spark.streaming.ingest import make_corpus_batch_processor
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    other = "completely different content about spark query engines and shuffles"
+    store = str(tmp_path / "replay_store")
+    ddl = "doc_id LONG, text STRING"
+    process = make_corpus_batch_processor(store)
+
+    b0 = spark.createDataFrame([(1, base), (10, other)], ddl)
+    process(b0, 0)
+    # crash after epoch 0's writes, before checkpoint commit → replay
+    process(b0, 0)
+    accepted = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{store}/docs").select("doc_id").collect()
+    )
+    assert accepted == [1, 10], "replayed epoch must keep its own docs"
+
+    # a later epoch still dedups against epoch 0 (near-dup rejected),
+    # and replaying IT leaves both epochs intact
+    b1 = spark.createDataFrame([(20, near)], ddl)
+    process(b1, 1)
+    process(b1, 1)
+    accepted = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{store}/docs").select("doc_id").collect()
+    )
+    assert accepted == [1, 10]
+    idx_ids = {r["_id"] for r in spark.read.parquet(f"{store}/bands").select("_id").collect()}
+    assert idx_ids == {1, 10}
