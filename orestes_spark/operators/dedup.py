@@ -684,18 +684,25 @@ def benchmark_overlap(
 
     Scale shape: the benchmark shingle set is bounded by the eval
     corpus (small in practice), the corpus side streams through one
-    equi-join keyed on the shingle — no all-pairs anything. The join
-    carries no hint: AQE broadcasts the benchmark side while it is
-    small and degrades to shuffle if someone feeds a corpus-sized
-    'benchmark'."""
-    arrays = token_shingle_arrays(docs, id_col, text_col, n)
+    equi-join keyed on the shingle — no all-pairs anything. The
+    bench/corpus split happens on the RAW docs (semi/anti on id)
+    BEFORE shingling, so each document is tokenized+shingled exactly
+    once on exactly one side — a shared full-corpus shingle frame
+    referenced by both branches would be recomputed per branch (two
+    full tokenization passes; the r3 bench measured that shape at
+    1.5× the steady-state cost). The join carries no hint: AQE
+    broadcasts the benchmark side while it is small and degrades to
+    shuffle if someone feeds a corpus-sized 'benchmark'."""
     bench = bench_ids.select(F.col(bench_ids.columns[0]).alias("_id"))
+    ids = docs.select(F.col(id_col).alias("_id"), F.col(text_col))
     bench_grams = (
-        arrays.join(bench, "_id", "left_semi").select(F.explode("shingles").alias("sh")).distinct()
+        token_shingle_arrays(ids.join(bench, "_id", "left_semi"), "_id", text_col, n)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
     )
-    corpus = arrays.join(bench, "_id", "left_anti").select(
-        "_id", F.explode("shingles").alias("sh")
-    )
+    corpus = token_shingle_arrays(
+        ids.join(bench, "_id", "left_anti"), "_id", text_col, n
+    ).select("_id", F.explode("shingles").alias("sh"))
     return (
         corpus.join(bench_grams, "sh")
         .groupBy(F.col("_id").alias("doc_id"))

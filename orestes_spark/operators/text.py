@@ -245,19 +245,26 @@ def top_terms(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFr
     is not bit-portable across engines; the integer form is, so the
     oracle can pin exact ranks (ties broken by token).
 
-    Scale shape: (doc, token) tf agg → token df agg → join back on the
-    token partitioning → per-doc top-k window (bounded by document
-    vocabulary). The corpus size N arrives as a broadcast single-row
-    cross join, not a collected literal."""
+    Scale shape: ONE corpus tokenization → (doc, token) tf agg,
+    localCheckpointed because it feeds two consumers — the df
+    aggregation (df = #rows per token in tf, no separate distinct
+    pass) and the score join — which would otherwise each recompute
+    the explode+shuffle from the raw text (the r3 bench showed that
+    double scan as a 2× steady-state regression). Then join back on
+    the token partitioning → per-doc top-k window (bounded by
+    document vocabulary). The corpus size N arrives as a broadcast
+    single-row cross join, not a collected literal."""
     from pyspark.sql import Window
 
     toks = ensure_min_parallelism(docs).select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
     )
-    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfs = toks.select(id_col, "tok").distinct().groupBy("tok").agg(
-        F.count(F.lit(1)).alias("df")
+    tf = (
+        toks.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
+    dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(dfs, "tok")
