@@ -61,6 +61,9 @@ class OrestesEngine:
     ) -> None:
         self.spark = spark
         self.config = EngineConfig(warehouse=warehouse, spaces=spaces or {})
+        # Per-sink wall times from the most recent _append (sinks run
+        # concurrently — max is the critical path, not the sum).
+        self.last_append_timings: dict[str, float] = {}
 
     # ---------- paths ----------
 
@@ -162,7 +165,19 @@ class OrestesEngine:
             return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
         return max(floor, -(-size // (128 << 20)))
 
-    def _append(self, valid: DataFrame, space: str) -> None:
+    def _append(
+        self, valid: DataFrame, space: str, epoch_id: int | None = None
+    ) -> None:
+        """Commit one batch to the points / series / rollup sinks.
+
+        ``epoch_id`` is the streaming-replay idempotency key: rollup
+        partials land under ``bucket=*/epoch=<id>`` and a replayed
+        epoch DYNAMICALLY OVERWRITES exactly its own (bucket, epoch)
+        partitions — a mid-epoch crash therefore can never inflate
+        the continuous aggregate's n/sum, with no repair call needed.
+        Batch (non-streaming) appends use the constant epoch=-1
+        partition in append mode: two identical batch writes are two
+        legitimately distinct deliveries and must both count."""
         g = self._granularity(space)
         stored = schema.with_derived(valid, g)
         points_path, series_path = self._points_path(space), self._series_path(space)
@@ -217,10 +232,18 @@ class OrestesEngine:
                 F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_value"),
                 F.min("value").alias("min_value"),
                 F.max("value").alias("max_value"),
-            )
-            partial.write.mode("append").partitionBy("bucket").parquet(
-                str(self._rollup_path(space))
-            )
+            ).withColumn("epoch", F.lit(-1 if epoch_id is None else epoch_id))
+            writer = partial.write.partitionBy("bucket", "epoch")
+            if epoch_id is None:
+                writer.mode("append").parquet(str(self._rollup_path(space)))
+            else:
+                # Replay-idempotent: dynamic overwrite replaces ONLY
+                # the (bucket, epoch) partitions present in this batch
+                # — a re-offered epoch rewrites its own partials
+                # instead of appending a second copy.
+                writer.mode("overwrite").option(
+                    "partitionOverwriteMode", "dynamic"
+                ).parquet(str(self._rollup_path(space)))
 
         # The sinks are independent reads of the same input; submit
         # all jobs concurrently so their stages interleave across the
@@ -234,8 +257,23 @@ class OrestesEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         sinks = [write_points, write_series] + ([write_rollup] if step else [])
+
+        def timed(fn):
+            def run() -> None:
+                t0 = _time.perf_counter()
+                fn()
+                self.last_append_timings[fn.__name__] = round(
+                    _time.perf_counter() - t0, 3
+                )
+
+            return run
+
+        # Per-sink wall times from the last _append, for throughput
+        # attribution (the sinks run concurrently, so these overlap —
+        # the max is the critical path, not the sum).
+        self.last_append_timings = {}
         with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
-            futures = [pool.submit(s) for s in sinks]
+            futures = [pool.submit(timed(s)) for s in sinks]
             for f in futures:
                 f.result()
 
@@ -630,6 +668,7 @@ def _engine_compact(
     self: "OrestesEngine",
     space: str = "default",
     target_bytes: int = _COMPACT_TARGET_BYTES,
+    buckets: list[int] | None = None,
 ) -> dict[int, int]:
     """Compact each bucket partition to its size-targeted file count —
     streaming ingest appends a file (or more) per micro-batch, and at
@@ -639,7 +678,8 @@ def _engine_compact(
     layout ``_append`` writes, restored across the whole bucket, in
     ~128 MB files (N > 1 when the bucket outgrows the target; at 100 TB
     a bucket is TBs and the rewrite stays a wide parallel job).
-    Returns {bucket: files_before}."""
+    ``buckets`` limits the rewrite to the named partitions (the
+    compact_if policy path). Returns {bucket: files_before}."""
     before: dict[int, int] = {}
     for root, range_cols in (
         (self._points_path(space), ["series_id", "time_ms"]),
@@ -649,6 +689,8 @@ def _engine_compact(
             continue
         for part in sorted(root.glob("bucket=*")):
             bucket = int(part.name.split("=", 1)[1])
+            if buckets is not None and bucket not in buckets:
+                continue
             files = list(part.glob("*.parquet"))
             if len(files) <= 1:
                 continue
@@ -667,11 +709,23 @@ def _engine_compact(
     # rollup partitions: compaction also MERGES the append partials
     # (one row per (series, slot) afterwards) — the continuous
     # aggregate's state stays bounded regardless of micro-batch count.
+    # Partials live under bucket=*/epoch=* (the streaming-replay
+    # idempotency key); the merge collapses every epoch into the
+    # canonical epoch=-1 partition. Run compaction only when no
+    # streaming epoch is in flight for the space (single-writer
+    # maintenance, same caveat as any lakehouse OPTIMIZE): compacting
+    # an epoch whose replay is still pending would let the replay
+    # re-add partials the merge already folded in.
     rroot = self._rollup_path(space)
     if rroot.exists():
         for part in sorted(rroot.glob("bucket=*")):
-            files = list(part.glob("*.parquet"))
-            if len(files) <= 1:
+            if buckets is not None and int(part.name.split("=", 1)[1]) not in buckets:
+                continue
+            files = list(part.rglob("*.parquet"))
+            epochs = sorted(d.name for d in part.glob("epoch=*"))
+            # skip only the already-canonical shape: ≤1 file, all of it
+            # under the merged epoch=-1 partition (or legacy flat)
+            if len(files) <= 1 and epochs in ([], ["epoch=-1"]):
                 continue
             df = (
                 self.spark.read.parquet(str(part))
@@ -692,9 +746,14 @@ def _engine_compact(
                 # the range partitions from the actual post-merge
                 # bytes.
                 .orderBy("series_id", "slot_ms")
+                # merged partials land in the canonical epoch=-1
+                # partition (constant column → one subdir, clustering
+                # preserved), keeping the bucket=*/epoch=* depth
+                # uniform across the table
+                .withColumn("epoch", F.lit(-1))
             )
             tmp = part.parent / f".compact_{part.name}"
-            df.write.mode("overwrite").parquet(str(tmp))
+            df.write.mode("overwrite").partitionBy("epoch").parquet(str(tmp))
             shutil.rmtree(part)
             tmp.rename(part)
     return before
@@ -703,16 +762,49 @@ def _engine_compact(
 OrestesEngine.compact = _engine_compact
 
 
+def _engine_compact_if(
+    self: "OrestesEngine",
+    space: str = "default",
+    max_files: int = 16,
+    target_bytes: int = _COMPACT_TARGET_BYTES,
+) -> dict[int, int]:
+    """Auto-compaction policy: rewrite only the buckets whose file
+    count (any of points/series/rollup) exceeds ``max_files`` —
+    stats() is pure listing metadata, so the common no-op case costs
+    one directory walk and zero Spark jobs. This is the hook streaming
+    ingest calls after each committed epoch so the small-files problem
+    self-heals instead of waiting on a manual maintenance window.
+    Returns compact()'s {bucket: files_before} for the rewritten
+    buckets ({} when nothing crossed the threshold)."""
+    st = self.stats(space)
+    offenders = sorted(
+        {
+            b
+            for table in st.values()
+            for b, info in table.items()
+            if info["files"] > max_files
+        }
+    )
+    if not offenders:
+        return {}
+    return self.compact(space, target_bytes, buckets=offenders)
+
+
+OrestesEngine.compact_if = _engine_compact_if
+
+
 def _engine_rebuild_rollup(
     self: "OrestesEngine", space: str = "default", buckets: list[int] | None = None
 ) -> list[int]:
-    """Recompute rollup partitions from the points table — the repair
-    path for the ingest's at-least-once window (a mid-epoch crash can
-    replay already-committed rollup partials, and replayed partials
-    merge into inflated n/sum; see streaming/ingest.py). Rebuilding a
-    bucket from raw points restores the exact aggregate. ``buckets``
-    limits the rebuild to the affected partitions (default: all).
-    Returns the buckets rebuilt."""
+    """Recompute rollup partitions from the points table. Streaming
+    replays are already idempotent (epoch-keyed partials, see
+    ``_append``), so this is no longer required for crash repair; it
+    remains the bootstrap/repair path for enabling rollup on a space
+    with pre-existing points, recovering from manual file surgery, or
+    reconciling after the documented points-duplication window (the
+    rebuilt aggregate always equals the points table exactly).
+    ``buckets`` limits the rebuild to the affected partitions
+    (default: all). Returns the buckets rebuilt."""
     step = self._rollup_step(space)
     if step is None:
         raise ValueError(f"space {space!r} has no rollup_step_ms configured")
@@ -742,10 +834,11 @@ def _engine_rebuild_rollup(
             # range-clustered layout _append and compact() maintain,
             # with AQE sizing partitions from the merged bytes.
             .orderBy("series_id", "slot_ms")
+            .withColumn("epoch", F.lit(-1))  # canonical rebuilt partition
         )
         target = self._rollup_path(space) / part.name
         tmp = self._rollup_path(space) / f".rebuild_{part.name}"
-        df.write.mode("overwrite").parquet(str(tmp))
+        df.write.mode("overwrite").partitionBy("epoch").parquet(str(tmp))
         if target.exists():
             shutil.rmtree(target)
         tmp.rename(target)
@@ -774,7 +867,8 @@ def _engine_stats(self: "OrestesEngine", space: str = "default") -> dict[str, di
         table: dict[int, dict] = {}
         if root.exists():
             for part in sorted(root.glob("bucket=*")):
-                files = list(part.glob("*.parquet"))
+                # rglob: rollup files nest under epoch=* subpartitions
+                files = list(part.rglob("*.parquet"))
                 table[int(part.name.split("=", 1)[1])] = {
                     "files": len(files),
                     "bytes": sum(f.stat().st_size for f in files),

@@ -21,17 +21,15 @@ crash *mid-epoch*: a partially-written epoch has no marker and is
 re-appended in full on retry, so duplicate points are possible within
 that single failure window (documented at-least-once; the read path's
 series dedup is unaffected because metadata upserts anti-join the
-durable series table). The SAME at-least-once window applies to the
-ROLLUP sink: ``_append`` commits points/series/rollup concurrently and
-the marker lands only after all three return, so a mid-epoch crash can
-replay rollup partials that already committed — and replayed partials
-are MERGED by compaction/read_rollup into inflated ``n``/``sum``, not
-deduplicated. A consumer needing exact continuous aggregates after a
-mid-epoch crash runs ``engine.rebuild_rollup(space, buckets)`` — it
-recomputes the affected buckets' rollups from the points table,
-restoring the exact aggregate; the default trades that explicit
-repair for sink concurrency, exactly like the duplicate points it
-already documents. The Bubo write-time series-dedup cache
+durable series table). The ROLLUP sink is stronger: partials are
+keyed by epoch (``bucket=*/epoch=<id>``) and a replayed epoch
+dynamically OVERWRITES exactly its own partitions (see
+``OrestesEngine._append``), so the continuous aggregate is
+exactly-once per epoch — a mid-epoch crash can never inflate
+``n``/``sum`` and no repair call is needed.
+``engine.rebuild_rollup`` remains available to reconcile the rollup
+with the points table after the (points-side) duplication window.
+The Bubo write-time series-dedup cache
 (/root/reference/lib/orestes-inserter.js:98-116) becomes the anti-join
 in OrestesEngine._append — per micro-batch, against the durable series
 table, instead of an in-memory hash set: restart-safe and shared
@@ -79,13 +77,21 @@ def make_batch_processor(
     space: str = "default",
     errors_path: str | None = None,
     epochs_dir: str | None = None,
+    auto_compact_files: int | None = None,
 ):
     """foreachBatch processor: validate → errors sink → append, with
     committed-epoch tracking. When ``epochs_dir`` is set, an epoch that
     already has a commit marker is skipped entirely — a replayed
     micro-batch (restart re-offering the last committed epoch) becomes
     a no-op instead of a duplicate append. The marker is written only
-    after every write of the epoch has returned."""
+    after every write of the epoch has returned.
+
+    ``auto_compact_files`` arms the self-healing small-files policy:
+    after the epoch COMMITS (marker written — so a crash mid-compact
+    can never cause the epoch's sinks to replay), any bucket whose
+    file count exceeds the threshold is rewritten via
+    engine.compact_if. The policy check itself is a directory listing,
+    no Spark job, so idle epochs pay ~nothing."""
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         fs = marker = None
@@ -103,10 +109,12 @@ def make_batch_processor(
                 .write.mode("append")
                 .parquet(errors_path)
             )
-        engine._append(valid, space)
+        engine._append(valid, space, epoch_id=epoch_id)
         if marker is not None:
             fs.mkdirs(d)
             fs.create(marker, True).close()
+        if auto_compact_files is not None:
+            engine.compact_if(space, max_files=auto_compact_files)
 
     return process_batch
 
@@ -118,15 +126,21 @@ def start_ingest(
     checkpoint: str | None = None,
     errors_path: str | None = None,
     trigger_once: bool = False,
+    auto_compact_files: int | None = None,
 ) -> StreamingQuery:
     """Run a streaming ingest into ``space``. ``source`` is any
     streaming DataFrame with (time, value, tags) — e.g.
     ``spark.readStream.schema(RAW_DDL).parquet(dir)`` or a mapped
     Kafka source. With a ``checkpoint``, committed epochs are tracked
     next to it and replayed epochs are skipped (see module docstring
-    for the exact delivery guarantee)."""
+    for the exact delivery guarantee). ``auto_compact_files`` arms
+    post-commit auto-compaction of any bucket that accumulates more
+    than that many files (micro-batch appends create a file or more
+    per epoch; without a compaction policy scan throughput decays)."""
     epochs_dir = f"{checkpoint}/orestes_committed_epochs" if checkpoint else None
-    process_batch = make_batch_processor(engine, space, errors_path, epochs_dir)
+    process_batch = make_batch_processor(
+        engine, space, errors_path, epochs_dir, auto_compact_files
+    )
     writer = source.writeStream.foreachBatch(process_batch).outputMode("append")
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)

@@ -494,9 +494,11 @@ def test_rebuild_rollup_repairs_inflated_partials(spark, tmp_path):
         (r["tags"]["host"], r["slot_ms"]): (r["n"], r["sum_value"])
         for r in eng.read_rollup(None, "default", lo, hi).collect()
     }
-    # simulate a replayed mid-epoch rollup append: duplicate the partial files
+    # simulate corrupted/duplicated partials (e.g. manual file surgery
+    # or a pre-epoch-keyed warehouse): duplicate the partial files
+    # in-place (partials nest under bucket=*/epoch=*)
     part = next(eng._rollup_path("default").glob("bucket=*"))
-    for f in list(part.glob("*.parquet")):
+    for f in list(part.rglob("*.parquet")):
         _sh.copy(f, f.with_name("replayed-" + f.name))
     inflated = {
         (r["tags"]["host"], r["slot_ms"]): (r["n"], r["sum_value"])

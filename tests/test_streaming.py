@@ -67,6 +67,85 @@ def test_replayed_epoch_is_skipped(spark, engine, tmp_path):
     assert engine.read(None, "default", 0, START + 10**9, grouped=False).count() == 20
 
 
+def test_rollup_replay_cannot_inflate(spark, tmp_path):
+    """Mid-epoch-crash replay safety for the continuous aggregate: the
+    first attempt's sinks all land but the commit marker does not
+    (crash window), and the epoch is re-offered. The replay overwrites
+    its own epoch-keyed rollup partials instead of appending a second
+    copy, so read_rollup equals the batch oracle with NO rebuild_rollup
+    call — the exactly-once-per-epoch rollup contract."""
+    from orestes_spark import validation
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine
+    from orestes_spark.streaming.ingest import canonicalize, make_batch_processor
+
+    HOUR = 3_600_000
+    eng = OrestesEngine(
+        spark,
+        str(tmp_path / "wh_roll"),
+        spaces={"default": SpaceConfig(1, rollup_step_ms=HOUR)},
+    )
+    process = make_batch_processor(
+        eng, "default", epochs_dir=str(tmp_path / "epochs")
+    )
+    batch = spark.createDataFrame(_raw_rows(20), RAW_DDL)
+    # first attempt: all three sinks commit, marker never written
+    valid, _ = validation.split_valid(canonicalize(batch))
+    eng._append(valid, "default", epoch_id=7)
+    # restart → foreachBatch re-offers epoch 7; no marker → full rerun
+    process(batch, 7)
+
+    lo = START // HOUR * HOUR
+    roll = eng.read_rollup(None, "default", lo, lo + 24 * HOUR)
+    agg = roll.agg(F.sum("n").alias("n"), F.sum("sum_value").alias("s")).first()
+    # batch oracle: 20 points, sum of values 0..19 = 190 — NOT doubled
+    assert agg["n"] == 20
+    assert float(agg["s"]) == 190.0
+    # the points side remains documented at-least-once in this window
+    assert eng.read(None, "default", 0, START + 10**9, grouped=False).count() == 40
+    # a committed-epoch replay stays a full no-op
+    process(batch, 7)
+    roll2 = eng.read_rollup(None, "default", lo, lo + 24 * HOUR)
+    assert roll2.agg(F.sum("n")).first()[0] == 20
+
+
+def test_auto_compaction_policy_self_heals_small_files(spark, tmp_path):
+    """auto_compact_files wires stats()→compact_if into the ingest
+    loop: micro-batch appends fragment the bucket past the threshold,
+    the post-commit policy rewrites it, and the data is identical.
+    Below the threshold the policy is a no-op (returns {})."""
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine
+    from orestes_spark.streaming.ingest import make_batch_processor
+
+    eng = OrestesEngine(
+        spark, str(tmp_path / "wh_ac"), spaces={"default": SpaceConfig(1)}
+    )
+    threshold = 4
+    process = make_batch_processor(
+        eng,
+        "default",
+        epochs_dir=str(tmp_path / "epochs_ac"),
+        auto_compact_files=threshold,
+    )
+    # every batch lands in the same day-bucket → files accumulate there
+    n_batches, per_batch = 6, 5
+    for e in range(n_batches):
+        process(
+            spark.createDataFrame(_raw_rows(per_batch, offset=e * per_batch), RAW_DDL),
+            e,
+        )
+    st = eng.stats("default")
+    assert len(st["points"]) == 1  # single bucket by construction
+    (bucket_stats,) = st["points"].values()
+    assert bucket_stats["files"] <= threshold, st
+    flat = eng.read(None, "default", 0, START + 10**9, grouped=False)
+    assert flat.count() == n_batches * per_batch
+    assert flat.agg(F.countDistinct("time_ms")).first()[0] == n_batches * per_batch
+    # healthy warehouse → policy is a pure-listing no-op
+    assert eng.compact_if("default", max_files=threshold) == {}
+
+
 def test_streaming_series_dedup_no_duplicate_metadata(spark, engine, tmp_path):
     src = tmp_path / "s2"
     src.mkdir()
