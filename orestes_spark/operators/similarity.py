@@ -152,7 +152,18 @@ def cosine_topk_arrow(
             scores = cmat @ bq.T  # (batch, queries)
             scores[cids[:, None] == bq_ids[None, :]] = -np.inf  # self-match
             top = min(k_local, scores.shape[0])
-            idx = np.argpartition(-scores, top - 1, axis=0)[:top]  # (top, queries)
+            # The batch-local cut must apply the SAME (score desc,
+            # neighbor_id asc) tie-break as the global window: a bare
+            # argpartition cuts score ties arbitrarily, so with >= top
+            # rows tied at the boundary (duplicate embeddings all at
+            # cosine 1.0) it could drop the lower-id neighbor the
+            # exact path would rank. Stable two-pass sort: order rows
+            # by neighbor id, then stable-sort by score — equal
+            # scores keep id order, making the local top-k a true
+            # prefix of the global ranking.
+            base = np.argsort(cids, kind="stable")
+            sel = np.argsort(-scores[base], axis=0, kind="stable")[:top]
+            idx = base[sel]  # (top, queries)
             picked = np.take_along_axis(scores, idx, axis=0)
             out = pd.DataFrame(
                 {

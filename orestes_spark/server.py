@@ -73,7 +73,15 @@ class _Handler(BaseHTTPRequestHandler):
         # that point use the in-body '], "error": ...}' terminator —
         # stream_read_response handles those itself.
         try:
-            validate_read_aggregations(body if isinstance(body, dict) else {})
+            if not isinstance(body, dict):
+                # A JSON array/scalar body is a shape violation like
+                # any other: reject before the 200 commits — coercing
+                # it past validation only to die mid-stream via the
+                # in-body error terminator is the wrong failure mode.
+                raise ApiError(
+                    400, "/read body must be a JSON object", "BAD_REQUEST"
+                )
+            validate_read_aggregations(body)
         except ApiError as e:
             self._send(e.status, e.to_json())
             return

@@ -33,6 +33,21 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, pinning oracle-parity session confs.
+
+    SIDE EFFECT — part of the public contract, not an accident: this
+    call sets ``spark.sql.session.timeZone=UTC`` and
+    ``spark.sql.parquet.inferTimestampNTZ.enabled=false`` (plus
+    ``nanosAsLong`` for events) on the CALLER'S session, and the
+    settings persist after the call. They cannot be scoped
+    set/restore around the read: DataFrames are lazy, so the confs
+    must still hold when the query EXECUTES (timeZone drives calendar
+    functions at run time, and a restored conf would silently shift
+    day/year boundaries). A session that shares queries with this
+    loader therefore runs on UTC calendar semantics throughout —
+    callers needing a different session zone should use a separate
+    SparkSession (``SparkSession.newSession()`` shares the JVM but
+    not session confs)."""
     # Naive (no-tz) parquet timestamps must load as LTZ UTC instants, not
     # TIMESTAMP_NTZ: unix_millis() rejects NTZ, and LTZ matches DuckDB's
     # epoch_ms() interpretation of the same stored int64 regardless of the

@@ -143,6 +143,18 @@ def test_http_malformed_aggregations_are_400(port):
         assert "count" in out["message"]
 
 
+def test_http_non_dict_read_body_is_400_before_commit(port):
+    # A JSON array/scalar /read body is a shape violation: it must be
+    # a REAL 400 before the 200 commits, never a mid-stream in-body
+    # error terminator (the pre-r4 behavior: coerced to {} for
+    # validation, then body.get on a list died after the 200).
+    for body in ([1, 2], "q", 7):
+        status, out = _post(port, "/read", body)
+        assert status == 400, body
+        assert out["code"] == "BAD_REQUEST"
+        assert "JSON object" in out["message"]
+
+
 def test_http_concurrent_reads(port):
     # ThreadingHTTPServer + Spark driver thread-safety: parallel
     # requests all complete with correct, independent results.

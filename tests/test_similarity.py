@@ -143,3 +143,26 @@ def test_cosine_topk_arrow_matches_exact_path(spark):
         fnid, fcos = fast[key]
         assert fnid == nid, (key, nid, fnid)
         assert abs(fcos - cos) < 1e-6
+
+
+def test_cosine_topk_arrow_tie_break_at_local_cut(spark):
+    """Adversarial tie case: one Arrow batch holds MORE than k
+    identical vectors (all tied at cosine 1.0), so the batch-local
+    top-k cut itself must apply the (score desc, neighbor_id asc)
+    tie-break — an arbitrary cut would drop low-id neighbors the
+    exact path ranks."""
+    from orestes_spark.operators.similarity import cosine_topk_arrow
+
+    vec = [1.0, 0.0, 0.0, 1.0]
+    rows = [(i, vec) for i in range(12)] + [(100, [0.0, 1.0, 0.0, 0.0])]
+    corpus = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+    ).coalesce(1)
+    queries = spark.createDataFrame([(99, vec)], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = [
+        (r.rank, r.neighbor_id, r.cosine)
+        for r in cosine_topk_arrow(corpus, queries, k=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(i + 1, i, 1.0) for i in range(5)], got
