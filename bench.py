@@ -95,8 +95,19 @@ def main() -> None:
 
     # BASELINE.md comparison: engine write/read throughput at the same
     # batch size shape as the reference's perf-test (match-all read).
-    # First append/read is the warmup (fresh warehouse each time);
-    # the second pair is the reported steady-state number.
+    #
+    # Variance protocol (round 4): one write pass is ~1.1 s wall on
+    # this workload, so a single stray GC pause / writeback burst adds
+    # 0.5 s and reads as a 40% "regression" — exactly the r3 driver's
+    # 90k→55.9k drop, which a controlled experiment (fresh vs
+    # after-172-queries vs after-GC, 2 passes each) reproduced as
+    # run-to-run noise: fresh-session steady state 72k, after the full
+    # query suite 93k (JIT fully warm — the query pass HELPS), after
+    # GC settle 83–89k. Defense: GC + settle before the window (flush
+    # the 172-query ContextCleaner backlog outside it), then one
+    # warmup pass + THREE measured passes, report the MEDIAN; all
+    # passes and per-sink critical paths go to bench_queries.json.
+    import statistics
     import tempfile
 
     from orestes_spark.engine import OrestesEngine
@@ -104,9 +115,14 @@ def main() -> None:
 
     import shutil
 
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(5)
+
     pts = events_as_points(spark, sf_dir).localCheckpoint()
     n_pts = pts.count()
-    for _pass in range(2):
+    write_passes: list[dict] = []
+    for _pass in range(4):  # pass 0 = warmup, 1-3 measured
         wh = tempfile.mkdtemp(prefix="orestes_bench_wh_")
         eng = OrestesEngine(spark, wh)
         t0 = time.perf_counter()
@@ -115,16 +131,31 @@ def main() -> None:
         t0 = time.perf_counter()
         n_read = eng.read(None, "default", 0, 2_000_000_000_000, grouped=False).count()
         read_s = time.perf_counter() - t0
+        write_passes.append(
+            {
+                "write_s": round(write_s, 3),
+                "read_s": round(read_s, 3),
+                "sinks": dict(eng.last_append_timings),
+            }
+        )
         # each warehouse holds a full copy of the dataset — don't let
         # repeated bench runs accumulate them in /tmp
         shutil.rmtree(wh, ignore_errors=True)
+    write_s = statistics.median(p["write_s"] for p in write_passes[1:])
+    read_s = statistics.median(p["read_s"] for p in write_passes[1:])
 
     # Per-query detail: separate stdout line + file, NOT the final line
     # (a single giant line overflows the driver's output-tail capture).
     detail_path = Path(__file__).resolve().parent / "bench_queries.json"
     detail_path.write_text(
         json.dumps(
-            {"sf": sf, "queries": timings, "cold_pass": cold, "warmup_s": warmup_s},
+            {
+                "sf": sf,
+                "queries": timings,
+                "cold_pass": cold,
+                "warmup_s": warmup_s,
+                "write_passes": write_passes,
+            },
             indent=1,
         )
     )
