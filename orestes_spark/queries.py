@@ -1671,6 +1671,20 @@ def emb_topk_cosine(spark, sf_dir):
     return similarity.cosine_topk(e, e.where(F.col("vec_id") < 10), k=5, quantize=1000)
 
 
+@register("emb_topk_arrow")  # rows-only: float path, no bit-exact oracle
+def emb_topk_arrow(spark, sf_dir):
+    """The PRODUCTION brute-force top-k kernel: Arrow mapInPandas +
+    one BLAS GEMM per batch, partition-local top-k, broadcast query
+    matrix (similarity.cosine_topk_arrow). Same neighbors/ranks as
+    emb_topk_cosine's expression path (pinned by
+    test_cosine_topk_arrow_matches_exact_path incl. the tie-break);
+    registered rows-only because its float cosine has no bit-exact
+    DuckDB twin — the md5-oracle/xxhash64-production split, applied
+    to ANN."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_arrow(e, e.where(F.col("vec_id") < 10), k=5)
+
+
 @register("emb_topk_lsh", oracles.emb_topk_lsh_sql())
 def emb_topk_lsh(spark, sf_dir):
     """LSH-bucketed approximate top-5 (8 random hyperplanes) — the
@@ -2503,68 +2517,69 @@ def doc_top_tokens(spark, sf_dir):
 
 # ------------------------------------------------------- driver ordering ---
 # The driver's correctness gate checks the FIRST 50 registered queries
-# (registration order = dict insertion order). Rounds 1-2 proved the
-# os_* parity core and the TPC-H block green; round 2 left 35 queries
-# past the window with no driver evidence. Put those 35 first, then
-# the four hash-fixed queries (HUGEINT oracle casts, VERDICT.md r2
-# "What's wrong" #1), then the flagship parity core, so every query
-# that NEEDS fresh driver proof sits inside the window. Queries past
-# the window all carry green driver rows from r1/r2.
+# (registration order = dict insertion order). Round-4 rotation
+# (VERDICT r3 "Next round" #4): the 36 queries whose only driver
+# evidence is r2 (the TPC-H block + the doc-text block — r3's window
+# held the engine/ts/emb/events/multimodal families) lead, so every
+# family's evidence is at most one round old. The back 14 are this
+# round's CHANGED code paths, which need fresh rows regardless:
+# matching_points lost its forced series-list broadcast (all os_read_*
+# + the aggregations over it), _append's rollup sink moved to
+# epoch-keyed partials (the os_engine_* family), top_terms/
+# benchmark_overlap were restructured (in the 36), and
+# emb_topk_arrow is new (first driver row, rows-only).
 _DRIVER_PRIORITY = [
-    # 35 driver-unchecked in r2 (registration positions 51-85 then)
+    # 36 with only r2-vintage driver rows
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q4",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q22",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
+    "window_top3_orders",
+    "doc_token_count",
+    "doc_quality",
+    "doc_pii_scrub",
+    "doc_lang_profile",
+    "doc_dedup_clusters",
+    "doc_sample_stratified",
+    "doc_shuffle_shards",
+    "doc_rarity",
+    "doc_top_terms",
+    "doc_decontaminate",
+    "doc_simhash",
+    "doc_simhash64_pairs",
+    "doc_ngram_jaccard",
+    "doc_bpe_tokens",
+    # 14 r4-changed/new code paths
+    "emb_topk_arrow",
+    "os_read_term",
+    "os_read_bool",
     "os_read_grouped",
-    "ts_rate_of_change",
+    "os_read_exists_range",
+    "os_count_points",
+    "os_agg_series",
+    "os_series_list",
     "os_engine_roundtrip",
     "os_engine_count",
     "os_engine_rollup",
     "os_engine_weekly",
-    "os_read_exists_range",
-    "os_series_cardinality",
-    "doc_lang_id",
-    "doc_fingerprint",
-    "doc_dedup_keep_list",
-    "doc_clean_corpus",
-    "doc_top_tokens",
-    "emb_topk_cosine",
-    "emb_topk_lsh",
-    "emb_highsim_pairs",
-    "emb_label_centroids",
-    "emb_ivf_topk",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "multimodal_features",
-    "events_props_json",
-    "events_sessionization",
-    "events_funnel",
-    "events_pivot_daily",
-    "events_rollup_day_type",
-    "events_cube_day_type",
-    "events_median_value",
-    "orders_set_ops",
-    "customer_value_quartiles",
-    "ts_asof_join",
-    "ts_range_join",
-    "ts_resample_hourly",
-    "ts_gap_fill_hourly",
-    "ts_moving_avg",
-    # 4 r2 hash failures, oracle casts fixed this round
-    "tpch_q12",
-    "doc_pack_sequences",
-    "doc_mixture_plan",
-    "doc_repetition",
-    # flagship parity core (always keep in-window)
-    "os_read_term",
-    "os_read_bool",
-    "os_count_points",
-    "os_series_list",
-    "os_select_distinct",
-    "os_agg_series",
-    "os_day_rollup",
-    "doc_dedup_exact",
     "doc_minhash_neardup",
-    "doc_simhash_pairs",
-    # new in r3 (needs its first driver row); window_top3_orders
-    # rotated out — driver-green in both r1 and r2.
     "doc_incremental_neardup",
 ]
 assert len(_DRIVER_PRIORITY) == 50 and len(set(_DRIVER_PRIORITY)) == 50
