@@ -62,10 +62,16 @@ def bind(expr: F.Column, fn) -> F.Column:
     return F.element_at(F.transform(F.array(expr), fn), 1)
 
 
-def token_shingle_arrays(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def token_shingle_arrays(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, guard: bool = True
+) -> DataFrame:
     """(_id, shingles ARRAY<STRING>) — distinct n-token shingles,
     built by zipping n shifted slices of the token array (one pass,
-    no per-element element_at)."""
+    no per-element element_at). ``guard=False`` skips the
+    input-parallelism repartition — pass it when the caller already
+    guarded upstream: the guard's partition probe (df.rdd) on a plan
+    that contains a join/exchange makes AQE materialize that stage as
+    an extra job, so it belongs on the scan, not the join output."""
 
     def build(tk: F.Column) -> F.Column:
         m = F.size(tk)
@@ -78,7 +84,8 @@ def token_shingle_arrays(docs: DataFrame, id_col: str, text_col: str, n: int = 3
         return F.when(m >= n, F.array_distinct(acc))
 
     split_expr = F.split(normalize_text(F.col(text_col)), r"\s+")
-    return ensure_min_parallelism(docs).select(
+    src = ensure_min_parallelism(docs) if guard else docs
+    return src.select(
         F.col(id_col).alias("_id"), bind(split_expr, build).alias("shingles")
     ).where(F.col("shingles").isNotNull())
 
@@ -693,15 +700,28 @@ def benchmark_overlap(
     1.5× the steady-state cost). The join carries no hint: AQE
     broadcasts the benchmark side while it is small and degrades to
     shuffle if someone feeds a corpus-sized 'benchmark'."""
-    bench = bench_ids.select(F.col(bench_ids.columns[0]).alias("_id"))
-    ids = docs.select(F.col(id_col).alias("_id"), F.col(text_col))
+    # The bench id list feeds FOUR plan subtrees (semi probe, anti
+    # probe, and each join's broadcast build); un-materialized it is
+    # recomputed per consumer — when bench_ids derives from the corpus
+    # (the common "doc_id % k" eval split) that re-scans the corpus
+    # once per consumer. It is small by contract (an eval set), so one
+    # localCheckpoint caps that at a single id-only pass.
+    bench = bench_ids.select(F.col(bench_ids.columns[0]).alias("_id")).localCheckpoint()
+    # parallelism-guard ONCE on the scan: guarding inside the shingle
+    # call would probe partitions on the join output and make AQE
+    # materialize the join as an extra job per side
+    ids = ensure_min_parallelism(docs).select(
+        F.col(id_col).alias("_id"), F.col(text_col)
+    )
     bench_grams = (
-        token_shingle_arrays(ids.join(bench, "_id", "left_semi"), "_id", text_col, n)
+        token_shingle_arrays(
+            ids.join(bench, "_id", "left_semi"), "_id", text_col, n, guard=False
+        )
         .select(F.explode("shingles").alias("sh"))
         .distinct()
     )
     corpus = token_shingle_arrays(
-        ids.join(bench, "_id", "left_anti"), "_id", text_col, n
+        ids.join(bench, "_id", "left_anti"), "_id", text_col, n, guard=False
     ).select("_id", F.explode("shingles").alias("sh"))
     return (
         corpus.join(bench_grams, "sh")
