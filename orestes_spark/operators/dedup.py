@@ -30,7 +30,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from orestes_spark.plans.parallelism import ensure_min_parallelism
@@ -144,6 +144,64 @@ def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         docs.select(F.md5(F.col(text_col).cast("binary")).alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def chunk_dedup(
+    docs: DataFrame, id_col: str, text_col: str, chunk_words: int = 10
+) -> DataFrame:
+    """C4-style duplicate-span removal at chunk granularity: split each
+    document into consecutive ``chunk_words``-token chunks, drop every
+    chunk whose exact text already occurred earlier in the corpus
+    (first occurrence by (doc_id, chunk_idx) wins), and reassemble the
+    surviving chunks in order. C4 (Raffel et al., arXiv:1910.10683
+    §2.2) removes repeated three-sentence spans; the synthetic corpus
+    has no sentence boundaries, so fixed token windows stand in for
+    sentences — the dedup semantics (corpus-global exact span dedup,
+    keep-first) are the same.
+
+    Output: (doc_id, n_chunks, kept_chunks, clean_text).
+
+    Scale shape: chunks shuffle once on their hash for the keep-first
+    window (bounded groups — |copies of one chunk|), then once on
+    doc_id for reassembly. No self-join, no pairwise comparison: cost
+    is linear in corpus tokens, the property that makes span-level
+    dedup feasible at 100 TB where document-pair methods need LSH."""
+    words = F.split(normalize_text(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(F.size(words) / chunk_words).cast("int")
+    chunks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(words, i * chunk_words + 1, chunk_words), " "),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("_id", "chunk_idx")
+    kept = chunks.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return (
+        docs.select(F.col(id_col).alias("_id"), n_chunks.alias("n_chunks"))
+        .join(
+            kept.groupBy("_id").agg(
+                F.count(F.lit(1)).alias("kept_chunks"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                        lambda s: s["chunk"],
+                    ),
+                    " ",
+                ).alias("clean_text"),
+            ),
+            "_id",
+            "left",
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_chunks",
+            F.coalesce("kept_chunks", F.lit(0)).alias("kept_chunks"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
     )
 
 

@@ -400,6 +400,185 @@ def ivf_topk(
     )
 
 
+def assign_clusters(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quantize: int | None = None,
+) -> DataFrame:
+    """(id, cluster) — every vector assigned to the label centroid with
+    the highest cosine (tie → smaller label). This is the coarse
+    k-means "assign" step shared by IVF search and SemDeDup-style
+    semantic dedup; the label column stands in for trained cell ids.
+
+    Scale shape: centroid sums are one (label, dim) shuffle; the
+    centroid table is k×d values and broadcasts; assignment is then a
+    map-side cross score of each row against k centroids — no shuffle
+    of the corpus itself beyond the per-id argmax window, which is
+    bounded by |corpus| × k rows pre-aggregation."""
+    as_long = quantize is not None
+    cents = label_centroid_sums(vectors, id_col, vec_col, label_col, quantize)
+    v = vectors.select(F.col(id_col).alias("_id"), quantized(F.col(vec_col), quantize).alias("vec"))
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "_id",
+        "label",
+        (
+            _dot(F.col("vec"), F.col("csum").cast("array<double>"), False)
+            / F.sqrt(_dot(F.col("csum").cast("array<double>"), F.col("csum").cast("array<double>"), False))
+        ).alias("_cscore"),
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_cscore").desc(), F.col("label"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("_id").alias(id_col), F.col("label").alias("cluster"))
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    threshold: float = 0.35,
+    quantize: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al.,
+    arXiv:2303.09540): cluster the corpus with a coarse quantizer,
+    then compare embeddings ONLY within their cluster and drop every
+    vector that has a cosine ≥ threshold pair with a lower-id vector
+    (greedy keep-lowest — deterministic, order-free). Output one row
+    per input vector: (id, cluster, kept).
+
+    The cluster structure is the entire scale story — identical to the
+    paper's: pairwise work is Σ|cluster|² not |corpus|², so k clusters
+    cut the quadratic term by ~k on balanced data. Pair generation is
+    a bucketed self-equi-join (AQE-skew-splittable), never a cross
+    join; the verify runs on candidate pairs only. For pathological
+    cluster skew the same max-bucket capping used in
+    ``dedup.simhash_near_pairs`` applies upstream (pick a finer
+    quantizer); reference has no similarity surface — this extends it
+    per the builder brief."""
+    as_long = quantize is not None
+    assigned = assign_clusters(vectors, id_col, vec_col, label_col, quantize)
+    v = with_norm(
+        vectors.select(F.col(id_col).alias("_id"), quantized(F.col(vec_col), quantize).alias("vec")),
+        "vec",
+        as_long,
+    ).join(assigned.withColumnRenamed(id_col, "_id"), "_id")
+    a = v.toDF("id_a", "vec_a", "n2_a", "cluster")
+    b = v.toDF("id_b", "vec_b", "n2_b", "cluster")
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(
+                _dot(F.col("vec_a"), F.col("vec_b"), as_long)
+                / (F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double"))),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias("_id"))
+        .distinct()
+    )
+    return (
+        assigned.withColumnRenamed(id_col, "_id")
+        .join(dropped.withColumn("_drop", F.lit(True)), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def prototype_rank(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    top: int = 10,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Prototypicality ranking (the SSL-prototypes pruning metric of
+    Sorscher et al., arXiv:2206.14486): cosine of each vector to its
+    own cluster's centroid, ranked within the cluster (most
+    prototypical first, tie → smaller id); emit the top ``top`` per
+    cluster. Data-pruning pipelines drop the most prototypical (easy)
+    examples at high data volume — this frame is the pruning signal.
+
+    One (label, dim) shuffle for centroid sums, a broadcast join to
+    score, one window partitioned by label for the rank: the corpus
+    shuffles once, on its cluster key."""
+    as_long = quantize is not None
+    cents = label_centroid_sums(vectors, id_col, vec_col, label_col, quantize)
+    v = with_norm(
+        vectors.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).alias("label"),
+            quantized(F.col(vec_col), quantize).alias("vec"),
+        ),
+        "vec",
+        as_long,
+    )
+    scored = v.join(F.broadcast(cents), "label").select(
+        "label",
+        "_id",
+        (
+            _dot(F.col("vec"), F.col("csum").cast("array<double>"), False)
+            / (
+                F.sqrt(F.col("_norm2").cast("double"))
+                * F.sqrt(_dot(F.col("csum").cast("array<double>"), F.col("csum").cast("array<double>"), False))
+            )
+        ).alias("_cos"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("_cos").desc(), F.col("_id"))
+    return (
+        scored.withColumn("proto_rank", F.row_number().over(w))
+        .where(F.col("proto_rank") <= top)
+        .select(
+            "label",
+            F.col("_id").alias(id_col),
+            "proto_rank",
+            F.round("_cos", 6).alias("cosine"),
+        )
+    )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    quantize: int | None = None,
+) -> DataFrame:
+    """k-NN label prediction: majority vote over the k nearest corpus
+    neighbors by cosine (vote tie → smaller label). Output
+    (query_id, predicted_label, votes). The caller keeps queries out
+    of the corpus for a held-out prediction.
+
+    Built on ``cosine_topk`` so the scale shape is inherited: corpus
+    scans map-side against broadcast queries; everything after the
+    top-k window is |queries| × k rows."""
+    top = cosine_topk(corpus, queries, id_col, vec_col, k, quantize)
+    labels = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nlabel"))
+    votes = (
+        top.join(labels, "neighbor_id")
+        .groupBy("query_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("nlabel"))
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("query_id", F.col("nlabel").alias("predicted_label"), "votes")
+    )
+
+
 def label_centroids(
     vectors: DataFrame, vec_col: str, label_col: str, quantize: int | None = 1000
 ) -> DataFrame:

@@ -144,6 +144,79 @@ def gap_fill(
     return out
 
 
+def ohlc(
+    points: DataFrame,
+    step_ms: int,
+    key_cols: list[str],
+    time_col: str = "time_ms",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Candlestick downsample: per (key, bucket) the open (value at the
+    earliest point), high, low, and close (value at the latest point).
+    ``tiebreak_col`` disambiguates duplicate timestamps — open/close
+    take the value at the smallest/largest (time, tiebreak) pair, so
+    the result is engine-deterministic even with equal-time points.
+
+    Single groupBy — map-side partial min_by/max_by, one shuffle on
+    (key, bucket), no window. The standard TSDB rollup for financial /
+    metric data; the reference's only reducer is count
+    (/root/reference/lib/orestes.js:143-150) — this is the natural
+    generalization alongside engine.aggregate_points."""
+    order = F.col(time_col).cast("long")
+    if tiebreak_col is not None:
+        # composite BIGINT order key: ms * 2^20 + tiebreak (fits while
+        # ms < 2^43 ≈ year 2248 and tiebreak < 2^20; callers with
+        # larger ids pass a pre-built key column instead)
+        order = F.shiftleft(order, 20) + F.col(tiebreak_col).cast("long")
+    bucket = (F.floor(F.col(time_col) / step_ms) * step_ms).cast("long").alias("bucket_ms")
+    return points.groupBy(*key_cols, bucket).agg(
+        F.min_by(F.col(value_col), order).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(F.col(value_col), order).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def interpolate_linear(
+    dense: DataFrame,
+    key_cols: list[str],
+    bucket_col: str = "bucket_ms",
+    value_col: str = "avg_value",
+) -> DataFrame:
+    """Linear interpolation over a dense per-key grid (the output of
+    ``gap_fill`` without forward_fill): every NULL value between two
+    non-NULL anchors becomes the straight-line interpolation
+    v_prev + (v_next − v_prev) · (t − t_prev)/(t_next − t_prev);
+    rows before the first or after the last anchor stay NULL.
+
+    Two windows over the same (key, bucket) sort — Spark executes both
+    in one shuffle (same partitioning/ordering), forward pass for the
+    previous anchor, backward pass for the next. No self-join, no
+    range probe: the scalable formulation for sensor-grade gap repair
+    on billions of rows."""
+    wf = Window.partitionBy(*key_cols).orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, 0)
+    wb = Window.partitionBy(*key_cols).orderBy(bucket_col).rowsBetween(0, Window.unboundedFollowing)
+    t = F.col(bucket_col).cast("double")
+    prev_v = F.last(value_col, ignorenulls=True).over(wf)
+    prev_t = F.last(F.when(F.col(value_col).isNotNull(), t), ignorenulls=True).over(wf)
+    next_v = F.first(value_col, ignorenulls=True).over(wb)
+    next_t = F.first(F.when(F.col(value_col).isNotNull(), t), ignorenulls=True).over(wb)
+    interp = prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+    filled = (
+        F.when(F.col(value_col).isNotNull(), F.col(value_col).cast("double"))
+        .when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return dense.select(
+        *key_cols,
+        bucket_col,
+        F.round(filled, 6).alias("value"),
+        F.col(value_col).isNotNull().alias("observed"),
+    )
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,

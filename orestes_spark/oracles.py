@@ -464,3 +464,146 @@ ranked AS (
 SELECT qid AS query_id, cid AS neighbor_id, round(c, 6) AS cosine, rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+_LABELED_CENTROIDS = """
+csums AS (
+  SELECT e.label, u.i, sum(u.x) AS s
+  FROM u JOIN embeddings e ON e.vec_id = u.vec_id GROUP BY 1, 2),
+cnorm AS (SELECT label, sqrt(sum(s * s)) AS cn FROM csums GROUP BY 1)"""
+
+_ASSIGNED = """
+assigned AS (
+  SELECT vec_id, label AS cluster FROM (
+    SELECT u.vec_id, c.label,
+           row_number() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY sum(u.x * c.s) / any_value(cn.cn) DESC, c.label
+           ) AS rn
+    FROM u JOIN csums c ON c.i = u.i JOIN cnorm cn ON cn.label = c.label
+    GROUP BY u.vec_id, c.label
+  ) WHERE rn = 1)"""
+
+
+def emb_semantic_dedup_sql(threshold: float = 0.35) -> str:
+    """SemDeDup twin: nearest-centroid cluster assignment, then the
+    within-cluster keep-lowest-id rule at ``threshold``."""
+    return f"""
+WITH {_QUANT_VECS},
+{_LABELED_CENTROIDS},
+{_ASSIGNED},
+pairdots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(ua.x * ub.x) AS dot
+  FROM assigned a
+  JOIN assigned b ON b.cluster = a.cluster AND a.vec_id < b.vec_id
+  JOIN u ua ON ua.vec_id = a.vec_id
+  JOIN u ub ON ub.vec_id = b.vec_id AND ub.i = ua.i
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT id_b
+  FROM pairdots
+  JOIN norms na ON na.vec_id = id_a
+  JOIN norms nb ON nb.vec_id = id_b
+  WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= {threshold}
+)
+SELECT a.vec_id, a.cluster, (d.id_b IS NULL) AS kept
+FROM assigned a LEFT JOIN dropped d ON d.id_b = a.vec_id
+"""
+
+
+def emb_prototypes_sql(top: int = 10) -> str:
+    """Prototype-rank twin: cosine of each vector to its OWN label
+    centroid, ranked within the label (desc, tie → smaller id)."""
+    return f"""
+WITH {_QUANT_VECS},
+{_LABELED_CENTROIDS},
+owndots AS (
+  SELECT e.label, u.vec_id, sum(u.x * c.s) AS dot
+  FROM u
+  JOIN embeddings e ON e.vec_id = u.vec_id
+  JOIN csums c ON c.label = e.label AND c.i = u.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT o.label, o.vec_id, o.dot / (sqrt(n.n2) * cn.cn) AS c
+  FROM owndots o
+  JOIN norms n ON n.vec_id = o.vec_id
+  JOIN cnorm cn ON cn.label = o.label
+),
+ranked AS (
+  SELECT label, vec_id, c,
+         row_number() OVER (PARTITION BY label ORDER BY c DESC, vec_id) AS proto_rank
+  FROM scored
+)
+SELECT label, vec_id, proto_rank, round(c, 6) AS cosine
+FROM ranked WHERE proto_rank <= {top}
+"""
+
+
+def emb_knn_classify_sql(k: int = 5, num_queries: int = 10) -> str:
+    """k-NN majority-vote twin: queries are vec_id < num_queries, the
+    corpus is everything else; vote tie → smaller label."""
+    return f"""
+WITH {_QUANT_VECS},
+dots AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x * b.x) AS dot
+  FROM u a JOIN u b ON b.i = a.i AND b.vec_id >= {num_queries}
+  WHERE a.vec_id < {num_queries}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, cid, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS c
+  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid
+),
+ranked AS (
+  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rank
+  FROM scored
+),
+votes AS (
+  SELECT r.qid, e.label, count(*) AS votes
+  FROM ranked r JOIN embeddings e ON e.vec_id = r.cid
+  WHERE r.rank <= {k}
+  GROUP BY 1, 2
+)
+SELECT qid AS query_id, label AS predicted_label, votes FROM (
+  SELECT qid, label, votes,
+         row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS rn
+  FROM votes
+) WHERE rn = 1
+"""
+
+
+def doc_chunk_dedup_sql(chunk_words: int = 10) -> str:
+    """Chunk-dedup twin: fixed token windows, corpus-global keep-first
+    by (doc_id, chunk_idx), in-order reassembly of survivors."""
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+         generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS i
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(floor((i - 1) / {chunk_words}) AS INT) AS chunk_idx,
+         string_agg(w, ' ' ORDER BY i) AS chunk
+  FROM words GROUP BY 1, 2
+),
+kept AS (
+  SELECT doc_id, chunk_idx, chunk FROM (
+    SELECT doc_id, chunk_idx, chunk,
+           row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+    FROM chunks
+  ) WHERE rn = 1
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS kept_chunks,
+         string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+  FROM kept GROUP BY 1
+),
+totals AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY 1)
+SELECT t.doc_id, t.n_chunks,
+       COALESCE(p.kept_chunks, 0) AS kept_chunks,
+       COALESCE(p.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+"""

@@ -240,3 +240,27 @@ def test_incremental_neardup_matches_full_dedup_cross_pairs(spark):
         elif b % 5 == 0 and a % 5 != 0:
             want[(b, a)] = r.jaccard
     assert got == want and len(want) > 0
+
+
+def test_chunk_dedup_removes_cross_doc_spans(spark):
+    from orestes_spark.operators.dedup import chunk_dedup
+
+    w = [f"w{i}" for i in range(30)]
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(w[0:20])),   # chunks [w0..w9], [w10..w19]
+            (1, " ".join(w[10:30])),  # first chunk duplicates doc0's second
+            (2, " ".join(w[0:20])),   # exact copy of doc 0 — nothing survives
+            (3, " ".join(w[0:15])),   # ragged tail: 2 chunks (10 + 5 words)
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(docs, "doc_id", "text", 10).collect()}
+    assert out[0]["n_chunks"] == 2 and out[0]["kept_chunks"] == 2
+    assert out[0]["clean_text"] == " ".join(w[0:20])
+    assert out[1]["n_chunks"] == 2 and out[1]["kept_chunks"] == 1
+    assert out[1]["clean_text"] == " ".join(w[20:30])
+    assert out[2]["kept_chunks"] == 0 and out[2]["clean_text"] == ""
+    # doc 3's 5-word tail chunk "w10 ... w14" ≠ any 10-word chunk
+    assert out[3]["n_chunks"] == 2 and out[3]["kept_chunks"] == 1
+    assert out[3]["clean_text"] == " ".join(w[10:15])

@@ -365,3 +365,22 @@ def test_quartiles_plan_has_no_single_partition_exchange(spark):
 
     plan = plan_of(QUERIES["customer_value_quartiles"](spark, "/root/testdata/sf0.001"))
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_os_top_series_partial_topk(spark):
+    """Global top-k must compile to TakeOrderedAndProject (per-partition
+    local top-k), never a single-partition global sort."""
+    from orestes_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["os_top_series"](spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_semantic_dedup_pair_join_is_cluster_bucketed(spark):
+    """The SemDeDup verify stage must be an equi-join on the cluster
+    key — no cartesian product, no forced broadcast of the corpus."""
+    from orestes_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["emb_semantic_dedup"](spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan

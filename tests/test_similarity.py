@@ -166,3 +166,55 @@ def test_cosine_topk_arrow_tie_break_at_local_cut(spark):
         .collect()
     ]
     assert got == [(i + 1, i, 1.0) for i in range(5)], got
+
+
+@pytest.fixture(scope="module")
+def labeled_vecs(spark):
+    """Three well-separated clusters, labels = cluster ids, one planted
+    within-cluster near-duplicate (vec 10 ≈ vec 4, both label 1)."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(3, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    data = np.array([centers[i % 3] * 3 + rng.normal(scale=0.4, size=16) for i in range(60)])
+    data[10] = data[4] + 0.001
+    rows = [(i, [float(x) for x in data[i]], i % 3) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label LONG")
+    return df, data
+
+
+def test_semantic_dedup_drops_planted_dup_keeps_lower_id(labeled_vecs):
+    df, data = labeled_vecs
+    out = {r["vec_id"]: r for r in similarity.semantic_dedup(df, threshold=0.99).collect()}
+    assert len(out) == 60  # one row per input vector
+    assert out[4]["kept"] is True
+    assert out[10]["kept"] is False  # higher id of the near-dup pair
+    # well-separated clusters: assignment recovers the generating label
+    agree = sum(1 for i in range(60) if out[i]["cluster"] == i % 3)
+    assert agree >= 55
+
+
+def test_prototype_rank_top1_matches_numpy(labeled_vecs):
+    df, data = labeled_vecs
+    out = similarity.prototype_rank(df, top=5).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r)
+    for lab in (0, 1, 2):
+        ids = [i for i in range(60) if i % 3 == lab]
+        cent = data[ids].sum(axis=0)
+        cos = data[ids] @ cent / (np.linalg.norm(data[ids], axis=1) * np.linalg.norm(cent))
+        best = ids[int(np.argmax(cos))]
+        rows = sorted(by_label[lab], key=lambda r: r["proto_rank"])
+        assert [r["proto_rank"] for r in rows] == [1, 2, 3, 4, 5]
+        assert rows[0]["vec_id"] == best
+
+
+def test_knn_classify_recovers_cluster_labels(labeled_vecs):
+    df, data = labeled_vecs
+    queries = df.where("vec_id < 6")
+    corpus = df.where("vec_id >= 6")
+    out = {r["query_id"]: r for r in similarity.knn_classify(corpus, queries, k=5).collect()}
+    assert len(out) == 6
+    for qid in range(6):
+        assert out[qid]["predicted_label"] == qid % 3
+        assert 3 <= out[qid]["votes"] <= 5

@@ -102,3 +102,39 @@ def test_range_join_matches_naive_theta_join(spark):
     assert (1, 0, "a") in got and (1, 100, "a") not in got  # end exclusive
     assert (1, 999, "b") in got and (1, 1000, "b") in got
     assert all(lbl != "zero" for _, _, lbl in got)
+
+
+def test_ohlc_tiebreaks_equal_timestamps_by_id(spark):
+    from orestes_spark.operators.timeseries import ohlc
+
+    pts = spark.createDataFrame(
+        [
+            ("a", 1000, 5.0, 2),
+            ("a", 1000, 1.0, 1),  # same ts as id 2 — open must take id 1
+            ("a", 2000, 9.0, 3),
+            ("b", 1500, 7.0, 4),
+        ],
+        "key STRING, time_ms LONG, value DOUBLE, event_id LONG",
+    )
+    out = {r["key"]: r for r in ohlc(pts, 3600_000, ["key"], tiebreak_col="event_id").collect()}
+    a = out["a"]
+    assert (a["open"], a["high"], a["low"], a["close"], a["n"]) == (1.0, 9.0, 1.0, 9.0, 3)
+    b = out["b"]
+    assert (b["open"], b["close"], b["n"]) == (7.0, 7.0, 1)
+
+
+def test_interpolate_linear_fills_interior_gaps_only(spark):
+    from orestes_spark.operators.timeseries import gap_fill, interpolate_linear
+
+    resampled = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 3000, 4.0), ("b", 1000, 2.0)],
+        "key STRING, bucket_ms LONG, avg_value DOUBLE",
+    )
+    dense = gap_fill(resampled, 1000, ["key"])
+    out = {(r["key"], r["bucket_ms"]): r for r in interpolate_linear(dense, ["key"]).collect()}
+    assert out[("a", 0)]["value"] == 1.0 and out[("a", 0)]["observed"] is True
+    assert out[("a", 1000)]["value"] == 2.0 and out[("a", 1000)]["observed"] is False
+    assert out[("a", 2000)]["value"] == 3.0
+    assert out[("a", 3000)]["value"] == 4.0
+    assert out[("b", 1000)]["value"] == 2.0
+    assert len(out) == 5
