@@ -443,6 +443,7 @@ def semantic_dedup(
     label_col: str = "label",
     threshold: float = 0.35,
     quantize: int | None = None,
+    max_cluster: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al.,
     arXiv:2303.09540): cluster the corpus with a coarse quantizer,
@@ -455,11 +456,16 @@ def semantic_dedup(
     paper's: pairwise work is Σ|cluster|² not |corpus|², so k clusters
     cut the quadratic term by ~k on balanced data. Pair generation is
     a bucketed self-equi-join (AQE-skew-splittable), never a cross
-    join; the verify runs on candidate pairs only. For pathological
-    cluster skew the same max-bucket capping used in
-    ``dedup.simhash_near_pairs`` applies upstream (pick a finer
-    quantizer); reference has no similarity surface — this extends it
-    per the builder brief."""
+    join; the verify runs on candidate pairs only.
+
+    ``max_cluster`` is the degenerate-skew guard (same pattern as
+    ``dedup.simhash_near_pairs``): clusters over the cap are excluded
+    from the pairwise stage BEFORE the self-join (so |cluster|² never
+    materializes) and logged; their members stay kept=True. A cap hit
+    means the coarse quantizer is too coarse for the shard — the fix
+    is more centroids, not a bigger join. None disables (the
+    oracle-exact configuration; the default never triggers below
+    100k-vector clusters)."""
     as_long = quantize is not None
     assigned = assign_clusters(vectors, id_col, vec_col, label_col, quantize)
     v = with_norm(
@@ -467,6 +473,23 @@ def semantic_dedup(
         "vec",
         as_long,
     ).join(assigned.withColumnRenamed(id_col, "_id"), "_id")
+    if max_cluster is not None:
+        sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_cn"))
+        hot = sizes.where(F.col("_cn") > max_cluster)
+        hot_rows = hot.orderBy(F.col("_cn").desc()).limit(5).collect()
+        if hot_rows:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "semantic_dedup: %d cluster(s) over max_cluster=%d excluded from "
+                "pairwise stage (largest: %s); use a finer quantizer",
+                len(hot_rows),
+                max_cluster,
+                [(r["cluster"], r["_cn"]) for r in hot_rows],
+            )
+            v = v.join(F.broadcast(hot.select("cluster")), "cluster", "left_anti").select(
+                "_id", "vec", "_norm2", "cluster"
+            )
     a = v.toDF("id_a", "vec_a", "n2_a", "cluster")
     b = v.toDF("id_b", "vec_b", "n2_b", "cluster")
     dropped = (

@@ -218,3 +218,15 @@ def test_knn_classify_recovers_cluster_labels(labeled_vecs):
     for qid in range(6):
         assert out[qid]["predicted_label"] == qid % 3
         assert 3 <= out[qid]["votes"] <= 5
+
+
+def test_semantic_dedup_cluster_cap_excludes_pairwise_stage(labeled_vecs):
+    df, _ = labeled_vecs
+    # every cluster over the cap → pairwise stage empty → all kept
+    capped = similarity.semantic_dedup(df, threshold=0.99, max_cluster=5).collect()
+    assert len(capped) == 60 and all(r["kept"] for r in capped)
+    # cap far above cluster sizes → identical to uncapped
+    hi = {r["vec_id"]: r["kept"] for r in similarity.semantic_dedup(df, threshold=0.99).collect()}
+    off = {r["vec_id"]: r["kept"] for r in
+           similarity.semantic_dedup(df, threshold=0.99, max_cluster=None).collect()}
+    assert hi == off and hi[10] is False
