@@ -467,7 +467,10 @@ def semantic_dedup(
     oracle-exact configuration; the default never triggers below
     100k-vector clusters)."""
     as_long = quantize is not None
-    assigned = assign_clusters(vectors, id_col, vec_col, label_col, quantize)
+    # assignment feeds three consumers (size probe, pair join, final
+    # output); un-materialized each would recompute the centroid
+    # shuffle + per-id argmax window. One row per vector — cheap to pin.
+    assigned = assign_clusters(vectors, id_col, vec_col, label_col, quantize).localCheckpoint()
     v = with_norm(
         vectors.select(F.col(id_col).alias("_id"), quantized(F.col(vec_col), quantize).alias("vec")),
         "vec",

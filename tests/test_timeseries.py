@@ -138,3 +138,43 @@ def test_interpolate_linear_fills_interior_gaps_only(spark):
     assert out[("a", 3000)]["value"] == 4.0
     assert out[("b", 1000)]["value"] == 2.0
     assert len(out) == 5
+
+
+def test_interpolate_linear_matches_numpy_on_random_series(spark):
+    """Batched model check: 20 random observed/missing patterns, each
+    compared to numpy.interp over the observed anchors (edges NULL)."""
+    import numpy as np
+
+    from orestes_spark.operators.timeseries import interpolate_linear
+
+    rng = np.random.default_rng(5)
+    rows, expected = [], {}
+    for s in range(20):
+        n = int(rng.integers(4, 15))
+        vals = np.round(rng.normal(size=n) * 10, 6)
+        observed = rng.random(n) < 0.6
+        observed[int(rng.integers(0, n))] = True  # at least one anchor
+        key = f"s{s}"
+        for i in range(n):
+            rows.append((key, i * 1000, float(vals[i]) if observed[i] else None))
+        obs_idx = np.flatnonzero(observed)
+        for i in range(n):
+            if observed[i]:
+                expected[(key, i * 1000)] = round(float(vals[i]), 6)
+            elif obs_idx[0] < i < obs_idx[-1]:
+                expected[(key, i * 1000)] = round(
+                    float(np.interp(i, obs_idx, vals[obs_idx])), 6
+                )
+            else:
+                expected[(key, i * 1000)] = None
+    dense = spark.createDataFrame(rows, "key STRING, bucket_ms LONG, avg_value DOUBLE")
+    got = {
+        (r["key"], r["bucket_ms"]): r["value"]
+        for r in interpolate_linear(dense, ["key"]).collect()
+    }
+    assert len(got) == len(expected)
+    for k, e in expected.items():
+        if e is None:
+            assert got[k] is None, k
+        else:
+            assert got[k] == pytest.approx(e, abs=2e-6), k
