@@ -2,14 +2,18 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS].
 
-Two-pass protocol (round 3): pass 1 runs every query once UNTIMED —
-it builds the engine warehouses, spawns the Arrow/Python worker pool,
-fills the codegen and parquet-footer caches, and warms the page
-cache; pass 2 is the measured steady-state run. Round 2's
-single-pass numbers silently charged all of that one-time setup to
-whichever queries happened to run first, so a registration reorder
-alone shifted per-query times by seconds. Cold-start (pass 1) totals
-are still recorded in bench_queries.json for transparency.
+Protocol (round 4): pass 1 runs every query once UNTIMED — it builds
+the engine warehouses, spawns the Arrow/Python worker pool, fills the
+codegen and parquet-footer caches, and warms the page cache; passes
+2-3 are measured steady-state runs and each query reports the MIN of
+the two. Round 2's single-pass numbers silently charged one-time
+setup to whichever queries ran first; round 4 found the second
+confounder — episodic host-level CPU steal on this shared-host VM
+(/proc/stat steal ≈ 20% of user time cumulatively) that can inflate
+one arbitrary query 5-10x in any single pass. Min-of-two is robust
+to that additive noise; per-pass steal ticks are recorded in
+bench_queries.json so a contaminated round is diagnosable after the
+fact. Cold-start (pass 1) totals are recorded there too.
 
 Output contract (learned the hard way in round 2, where one giant
 JSON line outgrew the driver's stdout-tail capture and parsed as
@@ -80,18 +84,39 @@ def main() -> None:
     spark.sparkContext._jvm.System.gc()
     time.sleep(5)
 
-    # Pass 2 (measured): steady-state latencies. GC between queries
-    # (never inside a timed region) every few queries: accumulated
-    # dead DataFrames otherwise trigger the ContextCleaner burst mid-
-    # query and charge one arbitrary victim 2-4x its real latency.
-    timings: dict[str, float] = {}
-    for i, (name, fn) in enumerate(QUERIES.items()):
-        if i % 10 == 0:
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Passes 2-3 (measured): steady-state latencies, per-query MIN of
+    # two passes. GC between queries (never inside a timed region)
+    # every few queries: accumulated dead DataFrames otherwise trigger
+    # the ContextCleaner burst mid-query and charge one arbitrary
+    # victim 2-4x its real latency. Two passes + min because this
+    # environment is a shared-host VM with REAL episodic CPU steal
+    # (/proc/stat shows ~20% of user time stolen cumulatively):
+    # a single pass let one host-level burst inflate one arbitrary
+    # query 5-10x (observed: 2.1s -> 26s on an unchanged plan). The
+    # min of two samples is robust to additive noise; steal ticks are
+    # recorded per pass so a contaminated round is diagnosable.
+    def steal_ticks() -> int:
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except Exception:
+            return -1
+
+    passes: list[dict[str, float]] = []
+    steals: list[int] = []
+    for _pass in range(2):
+        meas: dict[str, float] = {}
+        s0 = steal_ticks()
+        for i, (name, fn) in enumerate(QUERIES.items()):
+            if i % 10 == 0:
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            meas[name] = round(time.perf_counter() - t0, 3)
+        steals.append(steal_ticks() - s0)
+        passes.append(meas)
+    timings = {n: min(p[n] for p in passes) for n in passes[0]}
 
     # BASELINE.md comparison: engine write/read throughput at the same
     # batch size shape as the reference's perf-test (match-all read).
@@ -152,6 +177,8 @@ def main() -> None:
             {
                 "sf": sf,
                 "queries": timings,
+                "measured_passes": passes,
+                "steal_ticks_per_pass": steals,
                 "cold_pass": cold,
                 "warmup_s": warmup_s,
                 "write_passes": write_passes,

@@ -335,13 +335,17 @@ def ivf_topk(
     label_col: str = "label",
     k: int = 5,
     quantize: int | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: ``label`` is the coarse partition (in a real IVF
     it's a k-means cell; here the precomputed label column). A query is
-    assigned to the centroid with the highest cosine (tie → smaller
-    label) and scored ONLY against that partition — the inverted-file
-    scale path: each query touches 1/|labels| of the corpus.
-    Output (query_id, neighbor_id, cosine, rank)."""
+    assigned to its ``nprobe`` highest-cosine centroids (tie → smaller
+    label) and scored ONLY against those partitions — the
+    inverted-file scale path: each query touches nprobe/|labels| of
+    the corpus, and nprobe is the recall/cost dial (a boundary-zone
+    query whose true neighbor sits just across the nearest-cell border
+    is recovered at nprobe ≥ 2). Output (query_id, neighbor_id,
+    cosine, rank)."""
     as_long = quantize is not None
     cents = label_centroid_sums(corpus, id_col, vec_col, label_col, quantize)
     q = with_norm(
@@ -363,7 +367,7 @@ def ivf_topk(
     wq = Window.partitionBy("qid").orderBy(F.col("_cscore").desc(), F.col("label"))
     assigned = (
         scored_cents.withColumn("_rn", F.row_number().over(wq))
-        .where(F.col("_rn") == 1)
+        .where(F.col("_rn") <= nprobe)
         .select("qid", "qvec", "qn2", "label")
     )
     c = with_norm(

@@ -426,7 +426,7 @@ FROM m, (SELECT UNNEST(generate_series(0, duration_ms // {every_ms})) AS i) u
 """
 
 
-def emb_ivf_topk_sql(k: int = 5, num_queries: int = 10) -> str:
+def emb_ivf_topk_sql(k: int = 5, num_queries: int = 10, nprobe: int = 1) -> str:
     return f"""
 WITH {_QUANT_VECS},
 labeled AS (SELECT vec_id, label FROM embeddings),
@@ -443,7 +443,7 @@ qassign AS (
     FROM u a JOIN csums c ON c.i = a.i JOIN cnorm cn ON cn.label = c.label
     WHERE a.vec_id < {num_queries}
     GROUP BY a.vec_id, c.label
-  ) WHERE rn = 1
+  ) WHERE rn <= {nprobe}
 ),
 dots AS (
   SELECT qa.qid, b.vec_id AS cid, sum(a.x * b.x) AS dot

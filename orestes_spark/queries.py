@@ -2161,6 +2161,16 @@ def emb_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(e, e.where(F.col("vec_id") < 10), k=5, quantize=1000)
 
 
+@register("emb_ivf_probe2", oracles.emb_ivf_topk_sql(nprobe=2))
+def emb_ivf_probe2(spark, sf_dir):
+    """IVF ANN at nprobe=2 — the recall/cost dial: each query scores
+    its TWO best centroids' partitions, recovering boundary-zone
+    neighbors the single-probe search misses while still touching only
+    2/|labels| of the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, e.where(F.col("vec_id") < 10), k=5, quantize=1000, nprobe=2)
+
+
 # --------------------------------------------------- time-series ops ---
 
 from orestes_spark.operators import timeseries  # noqa: E402

@@ -224,6 +224,34 @@ def streaming_rollup(
     )
 
 
+def streaming_ohlc(
+    points: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    time_col: str = "ts",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Watermarked tumbling-window OHLC — the continuous twin of
+    ``timeseries.ohlc``: (window, *group_cols, open, high, low, close,
+    n). Open/close resolve through struct-min/max on (time, value), an
+    order-insensitive aggregate, so results are independent of
+    micro-batch arrival order and of how many batches a window's data
+    was split across; equal-time ties break on value, exactly like the
+    batch operator's resample first/last discipline."""
+    tv = F.struct(F.col(time_col), F.col("value"))
+    return (
+        points.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window), *group_cols)
+        .agg(
+            F.min(tv)["value"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(tv)["value"].alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def make_corpus_batch_processor(
     store: str,
     id_col: str = "doc_id",

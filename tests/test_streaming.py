@@ -450,3 +450,40 @@ def test_corpus_ingest_epoch_replay_keeps_data(spark, tmp_path):
     assert accepted == [1, 10]
     idx_ids = {r["_id"] for r in spark.read.parquet(f"{store}/bands").select("_id").collect()}
     assert idx_ids == {1, 10}
+
+
+def test_streaming_ohlc_matches_batch_operator(spark, tmp_path):
+    from orestes_spark.operators.timeseries import ohlc
+    from orestes_spark.streaming.ingest import streaming_ohlc
+
+    src = tmp_path / "s_ohlc"
+    rows = [
+        (1, "2024-01-01 00:01:00", 5.0),
+        (2, "2024-01-01 00:02:00", 1.0),
+        (3, "2024-01-01 00:04:00", 9.0),
+        (4, "2024-01-01 00:01:00", 3.0),  # duplicate minute — tie on time
+        (5, "2024-01-01 01:00:00", 4.0),  # advances watermark, seals window 1
+    ]
+    ddl = "id LONG, ts_s STRING, value DOUBLE"
+    spark.createDataFrame(rows, ddl).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(ddl)
+        .parquet(str(src))
+        .withColumn("ts", F.to_timestamp("ts_s"))
+    )
+    agg = streaming_ohlc(stream, window="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ohlc_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = {
+        r["window"]["start"].isoformat(): (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in spark.sql("SELECT * FROM ohlc_out").collect()
+    }
+    # equal-time tie at 00:01 → open takes the smaller value (3.0),
+    # matching the batch operator's (time, value) struct-min discipline
+    assert out["2024-01-01T00:00:00"] == (3.0, 9.0, 1.0, 9.0, 4)
