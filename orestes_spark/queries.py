@@ -2544,6 +2544,16 @@ def emb_semantic_dedup(spark, sf_dir):
     return similarity.semantic_dedup(e, threshold=0.35, quantize=1000)
 
 
+@register("emb_semantic_arrow")  # rows-only: production GEMM kernel (float path)
+def emb_semantic_arrow(spark, sf_dir):
+    """Production SemDeDup kernel: per-cluster numpy GEMM via
+    applyInPandas. Same clustering and keep-rule as emb_semantic_dedup
+    (whose oracle covers the semantics); equivalence between the two
+    paths is test-pinned — the cosine_topk/cosine_topk_arrow split."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_arrow(e, threshold=0.35, quantize=1000)
+
+
 @register("emb_prototypes", oracles.emb_prototypes_sql())
 def emb_prototypes(spark, sf_dir):
     """Prototypicality ranking (arXiv:2206.14486): top-10 most

@@ -230,3 +230,20 @@ def test_semantic_dedup_cluster_cap_excludes_pairwise_stage(labeled_vecs):
     off = {r["vec_id"]: r["kept"] for r in
            similarity.semantic_dedup(df, threshold=0.99, max_cluster=None).collect()}
     assert hi == off and hi[10] is False
+
+
+def test_semantic_dedup_arrow_equals_expression_path(labeled_vecs, spark):
+    df, _ = labeled_vecs
+    expr = {r["vec_id"]: (r["cluster"], r["kept"])
+            for r in similarity.semantic_dedup(df, threshold=0.99).collect()}
+    arrow = {r["vec_id"]: (r["cluster"], r["kept"])
+             for r in similarity.semantic_dedup_arrow(df, threshold=0.99, quantize=None).collect()}
+    assert expr == arrow
+    # and on the real testdata shape, quantized (the registered config)
+    from orestes_spark.sources.testdata import load_table
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    expr2 = {r["vec_id"]: (r["cluster"], r["kept"])
+             for r in similarity.semantic_dedup(e, threshold=0.35, quantize=1000).collect()}
+    arrow2 = {r["vec_id"]: (r["cluster"], r["kept"])
+              for r in similarity.semantic_dedup_arrow(e, threshold=0.35, quantize=1000).collect()}
+    assert expr2 == arrow2
