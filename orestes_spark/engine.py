@@ -230,6 +230,7 @@ class OrestesEngine:
                 F.first("tags").alias("tags"),
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_value"),
+                F.sum(F.col("value").cast("decimal(18,6)") * F.col("value").cast("decimal(18,6)")).alias("sum_sq"),
                 F.min("value").alias("min_value"),
                 F.max("value").alias("max_value"),
             ).withColumn("epoch", F.lit(-1 if epoch_id is None else epoch_id))
@@ -400,7 +401,7 @@ class OrestesEngine:
         end_ms: int | None = None,
     ) -> DataFrame:
         """Continuous-aggregate read: (tags, slot_ms, n, sum_value,
-        min_value, max_value) per series per slot, served from the
+        sum_sq, min_value, max_value) per series per slot, served from the
         incrementally-maintained rollup table — raw points are never
         touched, so cost scales with #slots, not #points (the
         hypertable-rollup read path). Append partials merge here
@@ -419,7 +420,8 @@ class OrestesEngine:
         if not rp.exists() or not any(rp.glob("bucket=*")):
             return self._empty(
                 "tags MAP<STRING,STRING>, slot_ms LONG, n LONG,"
-                " sum_value DECIMAL(38,10), min_value DOUBLE, max_value DOUBLE"
+                " sum_value DECIMAL(38,10), sum_sq DECIMAL(38,12),"
+                " min_value DOUBLE, max_value DOUBLE"
             )
         g = self._granularity(space)
         rl = (
@@ -434,10 +436,11 @@ class OrestesEngine:
                 F.first("tags").alias("tags"),
                 F.sum("n").alias("n"),
                 F.sum("sum_value").alias("sum_value"),
+                F.sum("sum_sq").alias("sum_sq"),
                 F.min("min_value").alias("min_value"),
                 F.max("max_value").alias("max_value"),
             )
-            .select("tags", "slot_ms", "n", "sum_value", "min_value", "max_value")
+            .select("tags", "slot_ms", "n", "sum_value", "sum_sq", "min_value", "max_value")
         )
 
     def read_rollup_with_tail(
@@ -475,17 +478,22 @@ class OrestesEngine:
                 F.first("tags").alias("tags"),
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_value"),
+                F.sum(F.col("value").cast("decimal(18,6)") * F.col("value").cast("decimal(18,6)")).alias("sum_sq"),
                 F.min("value").alias("min_value"),
                 F.max("value").alias("max_value"),
             )
-            .select("tags", "slot_ms", "n", "sum_value", "min_value", "max_value")
+            .select("tags", "slot_ms", "n", "sum_value", "sum_sq", "min_value", "max_value")
         )
-        # sum_value precisions differ (merged partials widen) — align
-        # before the union so the schema is stable.
-        dec = "decimal(38,10)"
-        return rolled.withColumn("sum_value", F.col("sum_value").cast(dec)).unionByName(
-            tail.withColumn("sum_value", F.col("sum_value").cast(dec))
-        )
+        # sum_value/sum_sq precisions differ (merged partials widen) —
+        # align before the union so the schema is stable.
+        dec, dsq = "decimal(38,10)", "decimal(38,12)"
+
+        def _aligned(df):
+            return df.withColumn("sum_value", F.col("sum_value").cast(dec)).withColumn(
+                "sum_sq", F.col("sum_sq").cast(dsq)
+            )
+
+        return _aligned(rolled).unionByName(_aligned(tail))
 
     def count_points(
         self,
@@ -734,6 +742,7 @@ def _engine_compact(
                     F.first("tags").alias("tags"),
                     F.sum("n").alias("n"),
                     F.sum("sum_value").alias("sum_value"),
+                    F.sum("sum_sq").alias("sum_sq"),
                     F.min("min_value").alias("min_value"),
                     F.max("max_value").alias("max_value"),
                 )
@@ -824,6 +833,7 @@ def _engine_rebuild_rollup(
                 F.first("tags").alias("tags"),
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_value"),
+                F.sum(F.col("value").cast("decimal(18,6)") * F.col("value").cast("decimal(18,6)")).alias("sum_sq"),
                 F.min("value").alias("min_value"),
                 F.max("value").alias("max_value"),
             )

@@ -1835,6 +1835,41 @@ def os_engine_rollup(spark, sf_dir):
     )
 
 
+@register(
+    "os_engine_stddev",
+    f"""SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+               CAST(floor({_EV_MS} / 3600000) * 3600000 AS BIGINT) AS slot_ms,
+               count(*) AS n,
+               round(sqrt(greatest((CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                           - CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                             * CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*))
+                          / (count(*) - 1), 0)), 6) AS stddev
+        FROM events WHERE {_EV_MS} >= {T0} AND {_EV_MS} < {T1}
+        GROUP BY 1, 2, 3 HAVING count(*) > 1""",
+)
+def os_engine_stddev(spark, sf_dir):
+    """Variance from the continuous aggregate: per-series hourly sample
+    stddev computed from (n, sum, sum_sq) rollup partials — raw points
+    never scanned. Exactness discipline: both sums are exact decimals
+    (values quantized to 6 dp before squaring, identically in the
+    oracle), the double math is one fixed expression shape, so the
+    result is bit-identical across engines. This is what sum_sq in the
+    rollup sink buys: any moment-derivable statistic becomes servable
+    from pre-aggregated state at slot cost, not point cost."""
+    eng = _engine_for(spark, sf_dir)
+    roll = eng.read_rollup(None, "default", T0, T1)
+    s = F.col("sum_value").cast("double")
+    ss = F.col("sum_sq").cast("double")
+    n = F.col("n")
+    return roll.where(n > 1).select(
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").alias("user_id"),
+        "slot_ms",
+        "n",
+        F.round(F.sqrt(F.greatest((ss - s * s / n) / (n - 1), F.lit(0.0))), 6).alias("stddev"),
+    )
+
+
 # ----------------------------------------------- broader analytics ---
 
 
