@@ -2838,6 +2838,131 @@ def os_top_series(spark, sf_dir):
     )
 
 
+@register(
+    "ts_histogram_quantile",
+    f"""WITH binned AS (
+          SELECT event_type,
+                 CAST(least(floor(value / 25), 19) AS BIGINT) AS bin
+          FROM events
+        ),
+        counts AS (SELECT event_type, bin, count(*) AS cnt FROM binned GROUP BY 1, 2),
+        cum AS (
+          SELECT event_type, bin, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM counts
+        ),
+        tot AS (SELECT event_type, sum(cnt) AS n FROM counts GROUP BY 1),
+        cand AS (
+          SELECT c.event_type, c.bin, c.cnt, c.cum, t.n, q.q
+          FROM cum c JOIN tot t ON t.event_type = c.event_type,
+               (SELECT UNNEST([50, 95, 99]) AS q) q
+          WHERE 100 * c.cum >= q.q * t.n
+        ),
+        hit AS (
+          SELECT event_type, q, bin, cnt, cum, n,
+                 row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
+          FROM cand
+        )
+        SELECT event_type, CAST(q AS INT) AS quantile,
+               round(CAST(bin * 25 AS DOUBLE)
+                     + ((CAST(q * n AS DOUBLE) / 100 - CAST(cum - cnt AS DOUBLE))
+                        / CAST(cnt AS DOUBLE)) * 25, 6) AS value
+        FROM hit WHERE rn = 1""",
+)
+def ts_histogram_quantile(spark, sf_dir):
+    """PromQL-style histogram_quantile: p50/p95/p99 per event_type from
+    fixed-width value buckets (20 × 25 over [0, 500), top bin clamps)
+    with linear interpolation inside the target bucket — the mergeable
+    sketch shape (bucket counts are associative partials, exactly what
+    a rollup sink would store). Bucket choice is pure integer
+    arithmetic (100·cum ≥ q·n), interpolation one fixed double
+    expression — bit-identical across engines. One shuffle over
+    events; everything after the bucket counts is ≤ |types|×|bins|
+    rows."""
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 25), F.lit(19)).cast("long").alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.withColumn("cum", F.sum("cnt").over(wc))
+    tot = counts.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    cand = (
+        cum.join(tot, "event_type")
+        .select("event_type", "bin", "cnt", "cum", "n", F.explode(F.array(F.lit(50), F.lit(95), F.lit(99))).alias("q"))
+        .where(100 * F.col("cum") >= F.col("q") * F.col("n"))
+    )
+    wq = Window.partitionBy("event_type", "q").orderBy("bin")
+    return (
+        cand.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("q").cast("int").alias("quantile"),
+            F.round(
+                (F.col("bin") * 25).cast("double")
+                + (
+                    ((F.col("q") * F.col("n")).cast("double") / 100 - (F.col("cum") - F.col("cnt")).cast("double"))
+                    / F.col("cnt").cast("double")
+                )
+                * 25,
+                6,
+            ).alias("value"),
+        )
+    )
+
+
+@register(
+    "ts_rolling_median",
+    f"""WITH pts AS (
+          SELECT event_id, event_type, CAST(user_id AS VARCHAR) AS user_id,
+                 {_EV_MS} AS time_ms, value
+          FROM events
+        ),
+        w AS (
+          SELECT event_id, event_type, user_id, time_ms,
+                 median(value) OVER w5 AS median5,
+                 count(*) OVER w5 AS nw
+          FROM pts
+          WINDOW w5 AS (PARTITION BY event_type, user_id ORDER BY time_ms, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, event_type, user_id, time_ms, median5
+        FROM w WHERE nw = 5""",
+)
+def ts_rolling_median(spark, sf_dir):
+    """Per-series 5-point rolling median — robust smoothing (spike
+    rejection) where the moving average smears outliers. Odd window +
+    full-window filter means the median IS a stored value (sorted
+    middle element): a pure passthrough double, no interpolation, no
+    float divergence surface. Same single window shuffle as
+    ts_moving_avg."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("user_id").cast("string").alias("user_id"),
+        F.unix_millis("ts").alias("time_ms"),
+        "value",
+    )
+    w5 = (
+        Window.partitionBy("event_type", "user_id")
+        .orderBy("time_ms", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return (
+        ev.withColumn("median5", F.element_at(F.array_sort(F.collect_list("value").over(w5)), 3))
+        .withColumn("nw", F.count(F.lit(1)).over(w5))
+        .where(F.col("nw") == 5)
+        .select("event_id", "event_type", "user_id", "time_ms", "median5")
+    )
+
+
 # ------------------------------------------------------- driver ordering ---
 # The driver's correctness gate checks the FIRST 50 registered queries
 # (registration order = dict insertion order). Round-4 rotation
