@@ -31,15 +31,20 @@ def asof_join(
     right_time: str = "time_ms",
     value_cols: list[str] | None = None,
     tolerance_ms: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_time <= left_time`` for the same ``on`` key (inclusive, ties
-    take the right row — DuckDB/pandas ASOF semantics). ``tolerance_ms``
-    drops matches older than the window. Right rows must be unique per
-    (key, time); pre-aggregate if not.
+    """For each left row, attach the nearest right row for the same
+    ``on`` key: with ``direction="backward"`` (default) the latest row
+    with ``right_time <= left_time``; with ``"forward"`` the earliest
+    row with ``right_time >= left_time``. Ties (equal times) take the
+    right row in both directions — DuckDB/pandas ASOF semantics.
+    ``tolerance_ms`` drops matches farther than the window. Right rows
+    must be unique per (key, time); pre-aggregate if not.
 
     Output: left columns + the right ``value_cols`` (NULL if no match).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof direction must be backward|forward, got {direction!r}")
     value_cols = value_cols or [c for c in right.columns if c not in (on, right_time)]
     l_tagged = left.select(
         F.col(on).alias("_k"),
@@ -56,23 +61,37 @@ def asof_join(
         *[F.col(c).alias(f"_v_{c}") for c in value_cols],
     )
     unioned = l_tagged.unionByName(r_tagged)
-    # right rows sort before left rows at equal time → inclusive <=.
+    # Backward: right rows (side 0) sort before left rows at equal
+    # time and the preceding-frame last() carries them → inclusive <=.
+    # Forward: order flips the side (left first at equal time) and the
+    # following-frame first() picks the next right row → inclusive >=.
     # Carried values (and the matched right timestamp, for tolerance)
     # MUST be computed over the union — filtering to left rows first
     # would remove the very rows the window carries values from.
-    w = Window.partitionBy("_k").orderBy("_t", "_side").rowsBetween(Window.unboundedPreceding, 0)
+    if direction == "backward":
+        w = Window.partitionBy("_k").orderBy("_t", "_side").rowsBetween(Window.unboundedPreceding, 0)
+        carry = lambda c: F.last(c, ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_t").asc(), F.col("_side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        carry = lambda c: F.first(c, ignorenulls=True).over(w)
     carried = unioned.select(
         "_side",
         "_t",
         "_lrow",
-        F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True).over(w).alias("_rt"),
-        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols],
+        carry(F.when(F.col("_side") == 0, F.col("_t"))).alias("_rt"),
+        *[carry(F.col(f"_v_{c}")).alias(c) for c in value_cols],
     ).where(F.col("_side") == 1)
     cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
     if tolerance_ms is not None:
-        in_window = F.col("_t") - F.col("_rt") <= tolerance_ms
+        gap = (
+            F.col("_t") - F.col("_rt") if direction == "backward" else F.col("_rt") - F.col("_t")
+        )
         return carried.select(
-            *cols, *[F.when(in_window, F.col(c)).alias(c) for c in value_cols]
+            *cols, *[F.when(gap <= tolerance_ms, F.col(c)).alias(c) for c in value_cols]
         )
     return carried.select(*cols, *[F.col(c) for c in value_cols])
 

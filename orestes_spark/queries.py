@@ -2839,6 +2839,79 @@ def os_top_series(spark, sf_dir):
 
 
 @register(
+    "ts_asof_forward",
+    f"""WITH ev AS (SELECT event_id, user_id, event_type, {_EV_MS} AS time_ms, value FROM events),
+        clicks AS (SELECT event_id, user_id, time_ms FROM ev WHERE event_type = 'click'),
+        purchases AS (
+          SELECT user_id, time_ms, max(value) AS purchase_value
+          FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2
+        )
+        SELECT c.event_id, c.user_id, c.time_ms, p.purchase_value
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.time_ms <= p.time_ms""",
+)
+def ts_asof_forward(spark, sf_dir):
+    """Forward as-of join: each click gets the user's NEXT purchase
+    value at or after it — the attribution-window direction (click →
+    eventual conversion). Same union + one-window machinery as the
+    backward join, frame flipped; checked against DuckDB's native
+    forward ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_millis("ts").alias("time_ms"), "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "time_ms")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "time_ms")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return timeseries.asof_join(clicks, purchases, on="user_id", direction="forward")
+
+
+@register(
+    "doc_novelty",
+    f"""WITH {oracles.TOKEN_SHINGLES},
+        firsts AS (SELECT sh, min(_id) AS first_id FROM shingles GROUP BY 1),
+        per_doc AS (
+          SELECT s._id AS doc_id, count(*) AS n_shingles,
+                 CAST(sum(CASE WHEN f.first_id = s._id THEN 1 ELSE 0 END) AS BIGINT) AS novel
+          FROM shingles s JOIN firsts f ON f.sh = s.sh
+          GROUP BY 1
+        )
+        SELECT doc_id, n_shingles, novel,
+               round(CAST(novel AS DOUBLE) / n_shingles, 6) AS novelty
+        FROM per_doc""",
+)
+def doc_novelty(spark, sf_dir):
+    """Corpus-order novelty score: the fraction of a document's
+    distinct 3-token shingles whose FIRST corpus occurrence (min
+    doc_id) is this document — ~1 for fresh text, ~0 for recombined
+    boilerplate. The streaming-friendly quality signal ("how much of
+    this doc is new?") that complements pairwise dedup: linear cost —
+    one shingle shuffle for the min-id, one join back — with no
+    candidate-pair stage at all."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = dedup.token_shingle_arrays(d, "doc_id", "text", 3).select(
+        "_id", F.explode("shingles").alias("sh")
+    )
+    firsts = ex.groupBy("sh").agg(F.min("_id").alias("first_id"))
+    return (
+        ex.join(firsts, "sh")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("first_id") == F.col("_id"), 1).otherwise(0)).alias("novel"),
+        )
+        .select(
+            F.col("_id").alias("doc_id"),
+            "n_shingles",
+            "novel",
+            F.round(F.col("novel").cast("double") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )
+
+
+@register(
     "ts_histogram_quantile",
     f"""WITH binned AS (
           SELECT event_type,

@@ -178,3 +178,25 @@ def test_interpolate_linear_matches_numpy_on_random_series(spark):
             assert got[k] is None, k
         else:
             assert got[k] == pytest.approx(e, abs=2e-6), k
+
+
+def test_asof_join_forward_direction(spark):
+    from orestes_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 250), (3, "a", 600), (4, "b", 50)],
+        "id LONG, k STRING, time_ms LONG",
+    )
+    right = spark.createDataFrame(
+        [("a", 250, 10.0), ("a", 400, 20.0), ("b", 40, 5.0)],
+        "k STRING, time_ms LONG, v DOUBLE",
+    )
+    out = {r["id"]: r["v"] for r in asof_join(left, right, on="k", direction="forward").collect()}
+    assert out[1] == 10.0   # next right at 250
+    assert out[2] == 10.0   # equal time ties take the right row (inclusive >=)
+    assert out[3] is None   # nothing after 600
+    assert out[4] is None   # b's only right row is in the past
+    # tolerance measured forward
+    tol = {r["id"]: r["v"]
+           for r in asof_join(left, right, on="k", direction="forward", tolerance_ms=100).collect()}
+    assert tol[1] is None and tol[2] == 10.0
