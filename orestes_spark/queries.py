@@ -3036,6 +3036,114 @@ def ts_rolling_median(spark, sf_dir):
     )
 
 
+@register(
+    "events_rolling_wau",
+    f"""WITH active AS (
+          SELECT DISTINCT user_id, CAST(floor({_EV_MS} / {_DAY_MS}) AS BIGINT) AS day
+          FROM events
+        ),
+        span AS (SELECT min(day) AS lo, max(day) AS hi FROM active),
+        expanded AS (
+          SELECT DISTINCT user_id, day FROM (
+            SELECT a.user_id, UNNEST(generate_series(a.day, a.day + 6)) AS day
+            FROM active a
+          )
+        )
+        SELECT e.day, count(DISTINCT e.user_id) AS wau
+        FROM expanded e, span s
+        WHERE e.day <= s.hi
+        GROUP BY 1""",
+)
+def events_rolling_wau(spark, sf_dir):
+    """Exact 7-day rolling distinct users (sliding WAU) per day via the
+    expand-dedup-count pattern: each (user, active-day) pair fans out
+    to the 7 window-end days it contributes to, then one distinct +
+    count per day. Sliding COUNT DISTINCT has no direct window-frame
+    form in any engine; this formulation is exact with a bounded ×7
+    fan-out of the (user, day) DISTINCT frame (already ≪ events) — at
+    100 TB that beats both a 7-way self-join and per-day HLL merges
+    when exactness is required. Days past the last active day are
+    clipped (no future window-ends)."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.floor(F.unix_millis("ts") / _DAY_MS).cast("long").alias("day")
+    ).distinct()
+    hi = active.agg(F.max("day").alias("hi"))
+    expanded = active.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day")
+    ).distinct()
+    return (
+        expanded.join(F.broadcast(hi), expanded["day"] <= hi["hi"])
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+@register(
+    "ts_seasonal_baseline",
+    f"""WITH hourly AS (
+          SELECT event_type,
+                 CAST(floor({_EV_MS} / {_HOUR}) AS BIGINT) AS hour,
+                 round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS v
+          FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+          SELECT event_type, hour, v,
+                 lag(v, 24) OVER (PARTITION BY event_type ORDER BY hour) AS v_pred,
+                 lag(hour, 24) OVER (PARTITION BY event_type ORDER BY hour) AS h_pred
+          FROM hourly
+        )
+        SELECT event_type, count(*) AS n_eval,
+               round(CAST(sum(CAST(abs(v - v_pred) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+                 AS mae,
+               round(CAST(max(abs(v - v_pred)) AS DOUBLE), 6) AS max_err
+        FROM lagged
+        WHERE v_pred IS NOT NULL AND h_pred = hour - 24
+        GROUP BY 1""",
+)
+def ts_seasonal_baseline(spark, sf_dir):
+    """Seasonal-naive forecast baseline: predict each hour's average by
+    the value 24 hours earlier, report MAE / max error per series —
+    the standard yardstick every real forecaster must beat. The lag is
+    a 24-ROW offset validated against the expected 24-HOUR offset
+    (h_pred = hour − 24), so gap hours never silently misalign the
+    season. Errors are exact: anchors are rounded decimals, abs-diffs
+    re-enter decimal before the sum, one rounded division at the end.
+    Single window + single agg on the series key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_millis("ts").alias("time_ms"), "value"
+    )
+    hourly = (
+        ev.groupBy("event_type", F.floor(F.col("time_ms") / _HOUR).cast("long").alias("hour"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("v")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lagged = hourly.select(
+        "event_type",
+        "hour",
+        "v",
+        F.lag("v", 24).over(w).alias("v_pred"),
+        F.lag("hour", 24).over(w).alias("h_pred"),
+    )
+    return (
+        lagged.where(F.col("v_pred").isNotNull() & (F.col("h_pred") == F.col("hour") - 24))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.round(
+                F.sum(F.abs(F.col("v") - F.col("v_pred")).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mae"),
+            F.round(F.max(F.abs(F.col("v") - F.col("v_pred"))).cast("double"), 6).alias("max_err"),
+        )
+    )
+
+
 # ------------------------------------------------------- driver ordering ---
 # The driver's correctness gate checks the FIRST 50 registered queries
 # (registration order = dict insertion order). Round-4 rotation
