@@ -3068,7 +3068,10 @@ def events_rolling_wau(spark, sf_dir):
     active = ev.select(
         "user_id", F.floor(F.unix_millis("ts") / _DAY_MS).cast("long").alias("day")
     ).distinct()
-    hi = active.agg(F.max("day").alias("hi"))
+    # single-row scalar frame, checkpointed so the main plan carries a
+    # broadcast value, not a single-partition exchange (tpch_q11 house
+    # style for scalar subqueries)
+    hi = active.agg(F.max("day").alias("hi")).localCheckpoint()
     expanded = active.select(
         "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day")
     ).distinct()
