@@ -52,6 +52,19 @@ from orestes_spark import esdsl, schema, validation
 from orestes_spark.config import MS_IN_DAY, EngineConfig, SpaceConfig
 
 
+
+def _pad_rollup_schema(df):
+    """Schema-adapt a rollup frame written before the sum_sq moment
+    column existed (pre-round-4 warehouses): merging partials with
+    F.sum("sum_sq") would otherwise fail UNRESOLVED_COLUMN. NULL
+    partials sum to NULL, so stddev over a padded legacy slot reads as
+    NULL (unknown) rather than wrong; rebuild_rollup upgrades the
+    table in place."""
+    if "sum_sq" not in df.columns:
+        df = df.withColumn("sum_sq", F.lit(None).cast("decimal(38,12)"))
+    return df
+
+
 class OrestesEngine:
     def __init__(
         self,
@@ -425,7 +438,7 @@ class OrestesEngine:
             )
         g = self._granularity(space)
         rl = (
-            self.spark.read.parquet(str(rp))
+            _pad_rollup_schema(self.spark.read.parquet(str(rp)))
             .where(self._bucket_range_pred(start_ms, end_ms, g))
             .where((F.col("slot_ms") >= start_ms) & (F.col("slot_ms") < end_ms))
             .where(pred)
@@ -736,7 +749,7 @@ def _engine_compact(
             if len(files) <= 1 and epochs in ([], ["epoch=-1"]):
                 continue
             df = (
-                self.spark.read.parquet(str(part))
+                _pad_rollup_schema(self.spark.read.parquet(str(part)))
                 .groupBy("series_id", "slot_ms")
                 .agg(
                     F.first("tags").alias("tags"),

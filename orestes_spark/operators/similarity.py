@@ -440,6 +440,35 @@ def assign_clusters(
     )
 
 
+def _exclude_hot_clusters(
+    v: DataFrame, assigned: DataFrame, max_cluster: int | None, caller: str
+) -> DataFrame:
+    """Shared degenerate-skew guard for both SemDeDup paths: members of
+    clusters over ``max_cluster`` are removed from the pairwise stage
+    BEFORE the self-join/GEMM (so |cluster|² never materializes) and
+    the drop is logged; their rows stay kept=True downstream. Column
+    order of ``v`` is preserved."""
+    if max_cluster is None:
+        return v
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_cn"))
+    hot = sizes.where(F.col("_cn") > max_cluster)
+    hot_rows = hot.orderBy(F.col("_cn").desc()).limit(5).collect()
+    if not hot_rows:
+        return v
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s: %d cluster(s) over max_cluster=%d excluded from pairwise stage "
+        "(largest: %s); use a finer quantizer",
+        caller,
+        len(hot_rows),
+        max_cluster,
+        [(r["cluster"], r["_cn"]) for r in hot_rows],
+    )
+    cols = v.columns
+    return v.join(F.broadcast(hot.select("cluster")), "cluster", "left_anti").select(*cols)
+
+
 def semantic_dedup(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -480,23 +509,7 @@ def semantic_dedup(
         "vec",
         as_long,
     ).join(assigned.withColumnRenamed(id_col, "_id"), "_id")
-    if max_cluster is not None:
-        sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_cn"))
-        hot = sizes.where(F.col("_cn") > max_cluster)
-        hot_rows = hot.orderBy(F.col("_cn").desc()).limit(5).collect()
-        if hot_rows:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "semantic_dedup: %d cluster(s) over max_cluster=%d excluded from "
-                "pairwise stage (largest: %s); use a finer quantizer",
-                len(hot_rows),
-                max_cluster,
-                [(r["cluster"], r["_cn"]) for r in hot_rows],
-            )
-            v = v.join(F.broadcast(hot.select("cluster")), "cluster", "left_anti").select(
-                "_id", "vec", "_norm2", "cluster"
-            )
+    v = _exclude_hot_clusters(v, assigned, max_cluster, "semantic_dedup")
     a = v.toDF("id_a", "vec_a", "n2_a", "cluster")
     b = v.toDF("id_b", "vec_b", "n2_b", "cluster")
     dropped = (
@@ -560,21 +573,7 @@ def semantic_dedup_arrow(
     v = vectors.select(
         F.col(id_col).alias("_id"), quantized(F.col(vec_col), quantize).alias("vec")
     ).join(assigned.withColumnRenamed(id_col, "_id"), "_id")
-    if max_cluster is not None:
-        sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_cn"))
-        hot = sizes.where(F.col("_cn") > max_cluster)
-        hot_rows = hot.orderBy(F.col("_cn").desc()).limit(5).collect()
-        if hot_rows:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "semantic_dedup_arrow: %d cluster(s) over max_cluster=%d excluded "
-                "from pairwise stage (largest: %s); use a finer quantizer",
-                len(hot_rows),
-                max_cluster,
-                [(r["cluster"], r["_cn"]) for r in hot_rows],
-            )
-            v = v.join(F.broadcast(hot.select("cluster")), "cluster", "left_anti")
+    v = _exclude_hot_clusters(v, assigned, max_cluster, "semantic_dedup_arrow")
 
     def find_dropped(pdf):
         import pandas as pd
@@ -588,8 +587,15 @@ def semantic_dedup_arrow(
         with np.errstate(invalid="ignore", divide="ignore"):
             cos = g / np.maximum(norms[:, None] * norms[None, :], 1e-300)
         cos = np.round(cos, 6)
+        # Zero-norm vectors: the expression path computes dot/0 = NaN,
+        # and Spark's ordering treats NaN as greater than any number,
+        # so NaN >= threshold is TRUE there — mirror that here (the
+        # clamped division above yields 0, which would silently KEEP
+        # such pairs and break the test-pinned path equivalence).
+        zero = norms == 0
+        over = (cos >= threshold) | zero[:, None] | zero[None, :]
         # row i dropped iff any earlier (lower-id) row j has cos >= τ
-        hit = np.triu(cos >= threshold, k=1)  # j < i pairs at [j, i]
+        hit = np.triu(over, k=1)  # j < i pairs at [j, i]
         dropped = ids[hit.any(axis=0)]
         return pd.DataFrame({"_id": dropped})
 

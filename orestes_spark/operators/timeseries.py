@@ -78,22 +78,29 @@ def asof_join(
             .rowsBetween(0, Window.unboundedFollowing)
         )
         carry = lambda c: F.first(c, ignorenulls=True).over(w)
-    carried = unioned.select(
-        "_side",
-        "_t",
-        "_lrow",
-        carry(F.when(F.col("_side") == 0, F.col("_t"))).alias("_rt"),
-        *[carry(F.col(f"_v_{c}")).alias(c) for c in value_cols],
-    ).where(F.col("_side") == 1)
+    # The matched right row is carried as ONE struct (time + all value
+    # columns), never as independently-carried columns: per-column
+    # last/first(ignorenulls) would skip a NULL field back to an OLDER
+    # right row, splicing values from different rows together and
+    # desynchronizing the tolerance timestamp from the values.
+    rrow = F.when(
+        F.col("_side") == 0,
+        F.struct(F.col("_t").alias("_rt"), *[F.col(f"_v_{c}").alias(c) for c in value_cols]),
+    )
+    carried = unioned.select("_side", "_t", "_lrow", carry(rrow).alias("_r")).where(
+        F.col("_side") == 1
+    )
     cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
     if tolerance_ms is not None:
         gap = (
-            F.col("_t") - F.col("_rt") if direction == "backward" else F.col("_rt") - F.col("_t")
+            F.col("_t") - F.col("_r._rt")
+            if direction == "backward"
+            else F.col("_r._rt") - F.col("_t")
         )
         return carried.select(
-            *cols, *[F.when(gap <= tolerance_ms, F.col(c)).alias(c) for c in value_cols]
+            *cols, *[F.when(gap <= tolerance_ms, F.col(f"_r.{c}")).alias(c) for c in value_cols]
         )
-    return carried.select(*cols, *[F.col(c) for c in value_cols])
+    return carried.select(*cols, *[F.col(f"_r.{c}").alias(c) for c in value_cols])
 
 
 def resample(

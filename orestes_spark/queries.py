@@ -3028,8 +3028,14 @@ def ts_rolling_median(spark, sf_dir):
         .orderBy("time_ms", "event_id")
         .rowsBetween(-4, 0)
     )
+    # try_element_at, not element_at: ANSI mode is on, and the first
+    # rows of every partition have <3-element windows — the query must
+    # not depend on the nw==5 filter being pushed below this projection
+    # (an optimizer detail) to avoid INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
     return (
-        ev.withColumn("median5", F.element_at(F.array_sort(F.collect_list("value").over(w5)), 3))
+        ev.withColumn(
+            "median5", F.try_element_at(F.array_sort(F.collect_list("value").over(w5)), F.lit(3))
+        )
         .withColumn("nw", F.count(F.lit(1)).over(w5))
         .where(F.col("nw") == 5)
         .select("event_id", "event_type", "user_id", "time_ms", "median5")

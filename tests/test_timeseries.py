@@ -200,3 +200,25 @@ def test_asof_join_forward_direction(spark):
     tol = {r["id"]: r["v"]
            for r in asof_join(left, right, on="k", direction="forward", tolerance_ms=100).collect()}
     assert tol[1] is None and tol[2] == 10.0
+
+
+def test_asof_join_null_value_does_not_splice_rows(spark):
+    """A NULL field in the matched right row must come through as NULL,
+    not be back-filled from an older right row; the tolerance gap must
+    be measured against the matched row's own timestamp."""
+    from orestes_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame([(1, "k", 300)], "id LONG, k STRING, time_ms LONG")
+    right = spark.createDataFrame(
+        [("k", 100, 1.0, 5.0), ("k", 200, None, 9.0)],
+        "k STRING, time_ms LONG, v1 DOUBLE, v2 DOUBLE",
+    )
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row["v1"] is None and row["v2"] == 9.0  # the t=200 row, atomically
+    # tolerance 150: matched row (t=200) is 100ms away → both fields kept
+    row = asof_join(left, right, on="k", tolerance_ms=150).collect()[0]
+    assert row["v1"] is None and row["v2"] == 9.0
+    # forward direction, same atomicity
+    fwd_left = spark.createDataFrame([(2, "k", 50)], "id LONG, k STRING, time_ms LONG")
+    row = asof_join(fwd_left, right, on="k", direction="forward").collect()[0]
+    assert row["v1"] == 1.0 and row["v2"] == 5.0  # the t=100 row

@@ -47,8 +47,11 @@ def synth_points(spark, n_points: int, n_tags: int, n_values: int):
 
 
 def run_config(spark, n_points: int, n_tags: int, n_values: int) -> tuple[float, float, int]:
+    import shutil
+
     pts = synth_points(spark, n_points, n_tags, n_values).localCheckpoint()
-    eng = OrestesEngine(spark, tempfile.mkdtemp(prefix="scaling_"))
+    wh = tempfile.mkdtemp(prefix="scaling_")
+    eng = OrestesEngine(spark, wh)
     t0 = time.perf_counter()
     eng._append(pts, "default")
     write_s = time.perf_counter() - t0
@@ -65,6 +68,9 @@ def run_config(spark, n_points: int, n_tags: int, n_values: int) -> tuple[float,
 
     gc.collect()
     spark.sparkContext._jvm.System.gc()
+    # each warehouse is a full copy of the config's data (the 10M row
+    # is ~GB-scale) — never leave them accumulating in /tmp
+    shutil.rmtree(wh, ignore_errors=True)
     return write_s, read_s, n_series
 
 
