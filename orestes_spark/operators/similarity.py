@@ -722,3 +722,180 @@ def label_centroids(
             F.round(F.col("sx").cast("double") / F.col("n"), 6).alias("centroid"),
         )
     )
+
+
+# ------------------------------------------------- product quantization ---
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ks: int = 16,
+    seed: str = "orestes-pq",
+):
+    """Train PQ codebooks from a deterministic corpus sample (the ks
+    vectors with the smallest xxhash64(id, seed) — a data-independent
+    reservoir, so retraining on the same corpus is bit-identical and
+    no RNG state ships to executors). Each vector is split into ``m``
+    contiguous subvectors; codebook j holds the ks sample subvectors
+    for subspace j.
+
+    Returns (codebooks, dims): codebooks is a float64 ndarray of shape
+    (m, ks, dims // m). Driver cost is collecting ks vectors — bounded
+    by the codebook size, never the corpus. A Lloyd refinement pass is
+    deliberately omitted: sampled codebooks keep training deterministic
+    and one-pass; recall is tunable via m/ks instead.
+    """
+    import numpy as np
+
+    sample = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col))
+        .limit(ks)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("pq_codebooks: empty corpus")
+    mat = np.array([r[1] for r in sample], dtype=np.float64)  # (ks, dims)
+    dims = mat.shape[1]
+    if dims % m:
+        raise ValueError(f"pq_codebooks: dims={dims} not divisible by m={m}")
+    sub = dims // m
+    # (m, ks, sub): codebook j = column block j of the sample matrix
+    books = np.stack([mat[:, j * sub : (j + 1) * sub] for j in range(m)])
+    return books, dims
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` one-byte-ish centroid indices
+    (argmin squared-L2 per subspace, ties to the lower code). Output
+    (id, codes ARRAY<INT>) — a 32× compression at dims=64/m=8 float32,
+    which is what makes billion-vector ANN RAM-resident at 100 TB.
+
+    Arrow kernel: per batch, one (batch, ks) distance matrix per
+    subspace via the ||x||² − 2x·c + ||c||² expansion — three BLAS
+    calls per subspace, no Python-per-row work. Codebooks ship once as
+    a broadcast."""
+    import numpy as np
+
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ks, sub = books.shape
+    b = corpus.sparkSession.sparkContext.broadcast(books)
+
+    def encode(batches):
+        import pandas as pd
+
+        bb = b.value
+        cnorm = (bb**2).sum(axis=2)  # (m, ks)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (B, dims)
+            codes = np.empty((mat.shape[0], m), dtype=np.int32)
+            for j in range(m):
+                x = mat[:, j * sub : (j + 1) * sub]  # (B, sub)
+                # argmin ||x - c||^2 = argmin (||c||^2 - 2 x.c); ties -> lower code (argmin is first-hit)
+                d = cnorm[j][None, :] - 2.0 * (x @ bb[j].T)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame({id_col: ids, "codes": list(codes)})
+
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        encode, f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 4,
+    ks: int = 16,
+    seed: str = "orestes-pq",
+    codes: DataFrame | None = None,
+    codebooks=None,
+) -> DataFrame:
+    """Approximate top-k nearest neighbors by squared L2 over PQ codes
+    with asymmetric distance computation (ADC): each query builds an
+    (m, ks) lookup table of exact subvector→centroid distances once,
+    and every corpus vector scores as m table lookups + adds — no
+    per-pair float math at all. Output (query_id, neighbor_id,
+    adc_dist, rank), rank 1 = nearest, ties broken by neighbor id;
+    self-matches excluded.
+
+    Scale shape — the production ANN path for corpora too big even for
+    IVF posting lists: the corpus is touched once to encode (or reuse a
+    persisted ``codes`` frame, the steady-state mode), the scan over
+    codes is embarrassingly parallel with each partition emitting only
+    its local top-k per query, and the final window sees ≤ partitions×k
+    rows per query. Float path (like cosine_topk_arrow) — oracle parity
+    at the exact-math tier is cosine_topk's job.
+    """
+    import numpy as np
+
+    if codebooks is None:
+        codebooks, _ = pq_codebooks(corpus, id_col, vec_col, m, ks, seed)
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ks, sub = books.shape
+    if codes is None:
+        codes = pq_encode(corpus, books, id_col, vec_col)
+
+    qrows = queries.select(F.col(id_col).cast("long"), F.col(vec_col)).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # (Q, dims)
+    # LUT[q, j, c] = ||q_j - books[j, c]||^2, exact per subspace
+    luts = np.stack(
+        [
+            ((qmat[:, j * sub : (j + 1) * sub][:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            for j in range(m)
+        ],
+        axis=1,
+    )  # (Q, m, ks)
+    b = corpus.sparkSession.sparkContext.broadcast((qids, luts))
+
+    def score(batches):
+        import pandas as pd
+
+        bq_ids, blut = b.value
+        nq = len(bq_ids)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (B, m)
+            dists = np.zeros((nq, cm.shape[0]))
+            for j in range(m):
+                dists += blut[:, j, cm[:, j]]  # (Q, B) gather
+            dists[bq_ids[:, None] == cids[None, :]] = np.inf  # self-match
+            top = min(k, cm.shape[0])
+            # same stable (dist asc, neighbor_id asc) prefix rule as
+            # cosine_topk_arrow's local cut
+            base = np.argsort(cids, kind="stable")
+            sel = np.argsort(dists[:, base], axis=1, kind="stable")[:, :top]
+            idx = base[sel]  # (Q, top)
+            picked = np.take_along_axis(dists, idx, axis=1)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(bq_ids[:, None], top, axis=1).ravel(),
+                    "neighbor_id": cids[idx].ravel(),
+                    "adc_dist": picked.ravel(),
+                }
+            )
+            yield out[np.isfinite(out["adc_dist"].to_numpy())]
+
+    local = codes.mapInPandas(score, "query_id long, neighbor_id long, adc_dist double")
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank")
+    )

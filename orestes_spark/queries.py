@@ -1299,6 +1299,45 @@ def doc_quality(spark, sf_dir):
 
 
 @register(
+    "doc_quality_adaptive",
+    r"""WITH scored AS (
+          SELECT doc_id, source,
+                 len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens
+          FROM documents
+        ),
+        ranked AS (
+          SELECT doc_id, source, n_tokens,
+                 cume_dist() OVER (PARTITION BY source ORDER BY n_tokens) AS cd
+          FROM scored
+        )
+        SELECT doc_id, source, n_tokens, round(cd, 6) AS qtile
+        FROM ranked WHERE cd >= 0.5""",
+)
+def doc_quality_adaptive(spark, sf_dir):
+    """Adaptive per-domain quality gate: keep each source's top half
+    by token count, where the threshold is a per-source QUANTILE
+    (cume_dist), not a global constant. The real-pipeline shape —
+    quality-score distributions differ wildly per domain (code vs
+    forums vs news), so fixed thresholds over- or under-prune entire
+    sources; ranking within the domain self-calibrates.
+
+    Scale shape: one select computes the score in the scan, then a
+    single window shuffle on source. cume_dist depends only on the
+    score ordering (ties share a value), so the gate is deterministic
+    with no id tiebreak needed; the quantile is exact small-integer
+    division — bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    scored = d.select("doc_id", "source", F.size(toks).alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("n_tokens")
+    return (
+        scored.withColumn("cd", F.cume_dist().over(w))
+        .where(F.col("cd") >= 0.5)
+        .select("doc_id", "source", "n_tokens", F.round("cd", 6).alias("qtile"))
+    )
+
+
+@register(
     "doc_dedup_exact",
     """SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS n_copies
        FROM documents GROUP BY 1""",
@@ -1683,6 +1722,20 @@ def emb_topk_arrow(spark, sf_dir):
     to ANN."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_arrow(e, e.where(F.col("vec_id") < 10), k=5)
+
+
+@register("emb_pq_topk")  # rows-only: float path (ADC), no bit-exact oracle
+def emb_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (similarity.pq_topk): corpus encoded
+    to m=4 one-byte centroid codes per vector (deterministic sampled
+    codebooks, ks=16), queries score via asymmetric-distance lookup
+    tables — m table gathers + adds per corpus vector, zero per-pair
+    float math. The billion-vector RAM-resident ANN path: 32×
+    compression of the scan side at dims=64/m=8. Rows-only like
+    emb_topk_arrow (float distances have no bit-exact DuckDB twin);
+    recall/determinism pinned by test_similarity's PQ tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(e, e.where(F.col("vec_id") < 10), k=5, m=4, ks=16)
 
 
 @register("emb_topk_lsh", oracles.emb_topk_lsh_sql())
@@ -2476,6 +2529,60 @@ def ts_rate_of_change(spark, sf_dir):
             ),
         )
         .select("event_id", "event_type", "user_id", "time_ms", "rate_per_sec")
+    )
+
+
+@register(
+    "ts_increase_counter",
+    """WITH v AS (
+          SELECT event_type, event_id, ts,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS cv
+          FROM events
+        ),
+        lagged AS (
+          SELECT event_type, cv,
+                 lag(cv) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pv
+          FROM v
+        )
+        SELECT event_type,
+               CAST(sum(CASE WHEN pv IS NULL THEN 0
+                             WHEN cv >= pv THEN cv - pv
+                             ELSE cv END) AS BIGINT) AS increase_scaled,
+               count(*) AS n_samples
+        FROM lagged GROUP BY event_type""",
+)
+def ts_increase_counter(spark, sf_dir):
+    """PromQL-style increase() with counter-reset handling: a sample
+    below its predecessor means the counter restarted, so the sample's
+    own value (not the negative delta) is the contribution. The
+    operator rate() can't replace: monotone counters that reset on
+    process restart are the dominant metric shape in production TSDBs.
+
+    Exactness: values quantized to ×1e6 BIGINT via DECIMAL(18,6) (the
+    ts_rate_of_change discipline), so the conditional sum is pure
+    integer math — bit-identical across engines; the DuckDB sum is
+    cast back from HUGEINT to BIGINT to match Spark's LONG.
+
+    Scale shape: one lag window per series key, then a partial-agg
+    groupBy on the same key — the window's shuffle partitioning is
+    reused by the aggregation, so a single exchange total."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        (F.col("value").cast("decimal(18,6)") * 1000000).cast("long").alias("cv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.withColumn("pv", F.lag("cv").over(w))
+    return lagged.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("pv").isNull(), F.lit(0))
+            .when(F.col("cv") >= F.col("pv"), F.col("cv") - F.col("pv"))
+            .otherwise(F.col("cv"))
+        )
+        .cast("long")
+        .alias("increase_scaled"),
+        F.count(F.lit(1)).alias("n_samples"),
     )
 
 

@@ -247,3 +247,66 @@ def test_semantic_dedup_arrow_equals_expression_path(labeled_vecs, spark):
     arrow2 = {r["vec_id"]: (r["cluster"], r["kept"])
               for r in similarity.semantic_dedup_arrow(e, threshold=0.35, quantize=1000).collect()}
     assert expr2 == arrow2
+
+
+# ------------------------------------------------- product quantization ---
+
+
+@pytest.fixture(scope="module")
+def clustered_vecs(spark):
+    """4 well-separated clusters of 12 vectors each in 16 dims."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(scale=10.0, size=(4, 16))
+    data = np.concatenate(
+        [centers[c] + rng.normal(scale=0.5, size=(12, 16)) for c in range(4)]
+    ).astype("float64")
+    rows = [(i, [float(x) for x in data[i]]) for i in range(len(data))]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    return df, data
+
+
+def test_pq_codebooks_deterministic_shape(clustered_vecs):
+    df, _ = clustered_vecs
+    b1, dims = similarity.pq_codebooks(df, m=4, ks=8)
+    b2, _ = similarity.pq_codebooks(df, m=4, ks=8)
+    assert dims == 16 and b1.shape == (4, 8, 4)
+    assert (b1 == b2).all(), "sampled codebooks must be bit-identical across runs"
+
+
+def test_pq_encode_codes_in_range_and_deterministic(clustered_vecs):
+    df, _ = clustered_vecs
+    books, _ = similarity.pq_codebooks(df, m=4, ks=8)
+    c1 = {r["vec_id"]: r["codes"] for r in similarity.pq_encode(df, books).collect()}
+    c2 = {r["vec_id"]: r["codes"] for r in similarity.pq_encode(df, books).collect()}
+    assert c1 == c2
+    assert len(c1) == 48
+    for codes in c1.values():
+        assert len(codes) == 4 and all(0 <= c < 8 for c in codes)
+
+
+def test_pq_topk_exact_when_vector_is_a_centroid_concat(spark):
+    """A corpus vector whose subvectors all sit exactly on codebook
+    centroids has ADC distance == true squared L2 — so with the query
+    also on centroids, PQ must rank it first at distance 0."""
+    rows = [(i, [float(i)] * 8) for i in range(16)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    # ks=16 -> every vector is sampled into the codebook, so every
+    # subvector is a centroid and ADC is exact squared L2.
+    out = similarity.pq_topk(df, df.where("vec_id = 7"), k=3, m=2, ks=16)
+    got = [(r["neighbor_id"], r["adc_dist"]) for r in out.orderBy("rank").collect()]
+    assert [g[0] for g in got] == [6, 8, 5]  # |i-7| order, tie 6<8 broken by dist=8 each? no: dist 8*1=8 both -> id asc
+    assert got[0][1] == 8.0 and got[1][1] == 8.0 and got[2][1] == 32.0
+
+
+def test_pq_topk_recall_on_separated_clusters(clustered_vecs):
+    """With well-separated clusters, PQ top-1 must stay in the query's
+    cluster (the coarse structure survives 4x16 quantization)."""
+    df, data = clustered_vecs
+    out = similarity.pq_topk(df, df.where("vec_id IN (0, 13, 27, 40)"), k=3, m=4, ks=16)
+    rows = out.where("rank = 1").collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["query_id"] // 12 == r["neighbor_id"] // 12, (
+            f"top-1 for {r['query_id']} left its cluster: {r['neighbor_id']}"
+        )
+        assert r["neighbor_id"] != r["query_id"]
