@@ -4,7 +4,10 @@ Storage layout (replaces Cassandra wide rows + ES metadata indices,
 SURVEY.md §1.4-1.5):
 
     <warehouse>/<space>/points/bucket=<N>/*.parquet
-        time_ms LONG, value DOUBLE, tags MAP<STRING,STRING>, series_id STRING
+        time_ms LONG, value DOUBLE, tags MAP<STRING,STRING>, series_id STRING,
+        _seq LONG (delivery stamp — Cassandra write-timestamp analogue:
+        re-delivered (series, time) keys merge last-wins at read and
+        collapse at compaction, gated by the _deliveries.json marker)
         — written sorted by (series_id, time_ms) within partitions so
         parquet row-group min/max stats give per-series skipping, the
         Spark analogue of one-Cassandra-partition-per-(series,bucket)
@@ -77,6 +80,9 @@ class OrestesEngine:
         # Per-sink wall times from the most recent _append (sinks run
         # concurrently — max is the critical path, not the sum).
         self.last_append_timings: dict[str, float] = {}
+        # Monotonic delivery stamp for last-write-wins merge (see
+        # _append); guards against wall-clock ties across fast appends.
+        self._last_seq = 0
 
     # ---------- paths ----------
 
@@ -91,6 +97,43 @@ class OrestesEngine:
 
     def _granularity(self, space: str) -> int:
         return self.config.space(space).granularity_days
+
+    # ---------- delivery marker (upsert merge gate) ----------
+    #
+    # The reference's points table is a Cassandra PRIMARY KEY
+    # (attrs, offset) (/root/reference/lib/orestes-settings.js:9-24):
+    # re-writing a (series, time) is an UPSERT — the last write wins
+    # and a read returns one point. Parquet appends keep every
+    # delivery, so reads must merge — the LSM/Cassandra read-repair
+    # shape. The marker below is the tiny driver-side txn-log that
+    # lets the common case skip the merge: a space that has seen ≤1
+    # delivery since its last compaction cannot hold cross-delivery
+    # duplicates, so reads keep their merge-free plans. (In a
+    # lakehouse deployment this bit comes free from table-format
+    # metadata; single-writer assumption, same as compact().)
+
+    def _deliveries_path(self, space: str) -> Path:
+        return Path(self.config.warehouse) / space / "_deliveries.json"
+
+    def _delivery_count(self, space: str) -> int:
+        import json
+
+        p = self._deliveries_path(space)
+        if p.exists():
+            return int(json.loads(p.read_text()).get("appends", 0))
+        # Legacy warehouse (pre-marker) with data: unknown history —
+        # assume merge is needed (safe, never wrong).
+        return 2 if self._points_path(space).exists() else 0
+
+    def _record_deliveries(self, space: str, count: int) -> None:
+        import json
+
+        p = self._deliveries_path(space)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(json.dumps({"appends": count}))
+
+    def _merge_needed(self, space: str) -> bool:
+        return self._delivery_count(space) > 1
 
     def _rollup_step(self, space: str) -> int | None:
         return self.config.space(space).rollup_step_ms
@@ -119,6 +162,23 @@ class OrestesEngine:
             valid_rows, errors = validation.validate_raw_rows(points)
             if not valid_rows:
                 return errors
+            # In-batch upsert: the reference's Cassandra batch writes
+            # the same (series, time) twice as one row (last wins; at
+            # equal write-timestamps the greater value, which is the
+            # deterministic rule used here and by the read-side merge).
+            # Driver-side for list input — the reference's only write
+            # surface — so a single delivery is always duplicate-free
+            # and the merge gate can stay off. DataFrame bulk loads
+            # (our extension surface) expect in-batch-unique rows;
+            # cross-delivery upserts are handled for both by the
+            # read-side merge + compaction.
+            merged_rows: dict[tuple, dict[str, Any]] = {}
+            for r in valid_rows:
+                k = (r["time"], tuple(sorted(r["tags"].items())))
+                prev = merged_rows.get(k)
+                if prev is None or r["value"] > prev["value"]:
+                    merged_rows[k] = r
+            valid_rows = list(merged_rows.values())
             df = self.spark.createDataFrame(
                 [(r["time"], r["value"], r["tags"]) for r in valid_rows],
                 "time STRING, value DOUBLE, tags MAP<STRING,STRING>",
@@ -189,10 +249,24 @@ class OrestesEngine:
         partitions — a mid-epoch crash therefore can never inflate
         the continuous aggregate's n/sum, with no repair call needed.
         Batch (non-streaming) appends use the constant epoch=-1
-        partition in append mode: two identical batch writes are two
-        legitimately distinct deliveries and must both count."""
+        partition in append mode.
+
+        Re-delivering an existing (series, time) in a LATER append is
+        an UPSERT at the points layer (reads merge on the ``_seq``
+        delivery stamp; compaction collapses physically — Cassandra
+        PRIMARY KEY parity), but the rollup's append-only partials
+        count every delivery: after a cross-delivery overwrite the
+        continuous aggregate over-counts until ``rebuild_rollup``
+        reconciles it (the documented divergence window)."""
         g = self._granularity(space)
-        stored = schema.with_derived(valid, g)
+        # Delivery stamp for Cassandra-parity upsert semantics: a later
+        # delivery of the same (series, time) wins at read/compaction
+        # time (the analogue of Cassandra's write timestamp). Within
+        # one delivery every row shares the stamp, and ties resolve to
+        # the greater value — Cassandra's own same-timestamp rule.
+        seq = max(int(_time.time() * 1000), self._last_seq + 1)
+        self._last_seq = seq
+        stored = schema.with_derived(valid, g).withColumn("_seq", F.lit(seq).cast("long"))
         points_path, series_path = self._points_path(space), self._series_path(space)
 
         def write_points() -> None:
@@ -286,10 +360,15 @@ class OrestesEngine:
         # attribution (the sinks run concurrently, so these overlap —
         # the max is the critical path, not the sum).
         self.last_append_timings = {}
+        # Snapshot BEFORE the sinks run: once points exist on disk the
+        # missing-marker fallback would misread a fresh space's very
+        # first append as unknown legacy history.
+        prior_deliveries = self._delivery_count(space)
         with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
             futures = [pool.submit(timed(s)) for s in sinks]
             for f in futures:
                 f.result()
+        self._record_deliveries(space, prior_deliveries + 1)
 
     # ---------- raw readers ----------
 
@@ -299,7 +378,10 @@ class OrestesEngine:
         # bucket=* partitions left — treat as empty, not a schema error.
         if not p.exists() or not any(p.glob("bucket=*")):
             return None
-        return self.spark.read.parquet(str(p))
+        df = self.spark.read.parquet(str(p))
+        if "_seq" not in df.columns:  # pre-upsert warehouse: one epoch
+            df = df.withColumn("_seq", F.lit(0).cast("long"))
+        return df
 
     def _read_series(self, space: str) -> DataFrame | None:
         p = self._series_path(space)
@@ -377,6 +459,37 @@ class OrestesEngine:
         )
         return points.join(matching, "series_id", "left_semi")
 
+    def _merged_points(
+        self,
+        es_filter: dict | None = None,
+        space: str = "default",
+        start_ms: int = 0,
+        end_ms: int | None = None,
+    ) -> DataFrame:
+        """matching_points with last-write-wins merge: one row per
+        (series, time), the later delivery (greater ``_seq``) winning —
+        Cassandra PRIMARY KEY (attrs, offset) upsert parity
+        (/root/reference/lib/orestes-settings.js:9-24). Equal-stamp
+        ties (duplicates within one delivery) resolve to the greater
+        value, Cassandra's own same-timestamp rule.
+
+        The merge is GATED on the delivery marker: a space with ≤1
+        delivery since its last compaction cannot hold duplicates, so
+        the common case keeps the merge-free scan plan (zero extra
+        exchange); after multiple deliveries the merge is one
+        aggregation keyed (series, bucket, time) — partial-combinable
+        map-side because the file layout is series-time sorted — and
+        compact() collapses duplicates physically, restoring the
+        merge-free path (the LSM read-repair / compaction cycle)."""
+        pts = self.matching_points(es_filter, space, start_ms, end_ms)
+        if not self._merge_needed(space):
+            return pts.select("series_id", "tags", "time_ms", "value")
+        return (
+            pts.groupBy("series_id", "bucket", "time_ms")
+            .agg(F.max_by(F.struct("value", "tags"), F.struct("_seq", "value")).alias("_m"))
+            .select("series_id", F.col("_m.tags").alias("tags"), "time_ms", F.col("_m.value").alias("value"))
+        )
+
     def _bucket_range_pred(self, start_ms: int, end_ms: int, g: int) -> F.Column:
         start_bucket = (start_ms // MS_IN_DAY) // g * g
         end_bucket = ((end_ms - 1) // MS_IN_DAY) // g * g
@@ -394,15 +507,40 @@ class OrestesEngine:
         (tags, points ARRAY<STRUCT<time_ms,value>>), points
         time-ascending (Cassandra clustering-order parity,
         /root/reference/lib/orestes-settings.js:14)."""
-        pts = self.matching_points(es_filter, space, start_ms, end_ms)
         if not grouped:
-            return pts.select("series_id", "tags", "time_ms", "value")
+            return self._merged_points(es_filter, space, start_ms, end_ms)
+        pts = self.matching_points(es_filter, space, start_ms, end_ms)
+        if not self._merge_needed(space):
+            return (
+                pts.groupBy("series_id")
+                .agg(
+                    F.first("tags").alias("tags"),
+                    F.array_sort(F.collect_list(F.struct("time_ms", "value"))).alias("points"),
+                )
+                .drop("series_id")
+            )
+        # Upsert merge inside the SAME per-series aggregation (zero
+        # extra exchange): collect (time, _seq, value), sort ascending,
+        # keep the LAST entry per time — later delivery wins, equal
+        # stamps fall to the greater value (see _merged_points).
+        raw = F.array_sort(F.collect_list(F.struct("time_ms", "_seq", "value")))
+        merged = F.element_at(
+            F.transform(
+                F.array(raw),
+                lambda a: F.transform(
+                    F.filter(
+                        a,
+                        lambda x, i: (i == F.size(a) - 1)
+                        | (F.element_at(a, i + 2)["time_ms"] != x["time_ms"]),
+                    ),
+                    lambda s: F.struct(s["time_ms"].alias("time_ms"), s["value"].alias("value")),
+                ),
+            ),
+            1,
+        )
         return (
             pts.groupBy("series_id")
-            .agg(
-                F.first("tags").alias("tags"),
-                F.array_sort(F.collect_list(F.struct("time_ms", "value"))).alias("points"),
-            )
+            .agg(F.first("tags").alias("tags"), merged.alias("points"))
             .drop("series_id")
         )
 
@@ -482,7 +620,7 @@ class OrestesEngine:
         if aligned_end >= end_ms:
             return rolled
         tail = (
-            self.matching_points(es_filter, space, max(start_ms, aligned_end), end_ms)
+            self._merged_points(es_filter, space, max(start_ms, aligned_end), end_ms)
             .groupBy(
                 "series_id",
                 (F.floor(F.col("time_ms") / step) * step).cast("long").alias("slot_ms"),
@@ -520,9 +658,18 @@ class OrestesEngine:
         Catalyst's hash aggregate — the analogue of per-bucket COUNT(*)
         summed client-side (/root/reference/lib/orestes.js:120-139)."""
         pts = self.matching_points(es_filter, space, start_ms, end_ms)
+        # Upsert parity: duplicate (series, time) deliveries count once
+        # (Cassandra rows, not writes). count_distinct keeps the single
+        # series_id exchange — the map-side partial dedups (series,
+        # time) against the series-time-sorted file layout.
+        counter = (
+            F.count_distinct(F.col("time_ms"))
+            if self._merge_needed(space)
+            else F.count(F.lit(1))
+        )
         return (
             pts.groupBy("series_id")
-            .agg(F.first("tags").alias("tags"), F.count(F.lit(1)).alias("count"))
+            .agg(F.first("tags").alias("tags"), counter.alias("count"))
             .drop("series_id")
         )
 
@@ -552,7 +699,10 @@ class OrestesEngine:
         if unknown:
             # 400-equivalent (/root/reference/lib/orestes.js:143-150).
             raise ValueError(f"unsupported aggregations: {unknown}")
-        pts = self.matching_points(es_filter, space, start_ms, end_ms)
+        # Upsert parity: aggregate over merged rows, not deliveries —
+        # _merged_points gates the dedup stage on the delivery marker,
+        # so the single-delivery case keeps today's one-exchange plan.
+        pts = self._merged_points(es_filter, space, start_ms, end_ms)
         return (
             pts.groupBy("series_id")
             .agg(F.first("tags").alias("tags"), *[fns[a].alias(a) for a in aggs])
@@ -606,21 +756,31 @@ class OrestesEngine:
 
     # ---------- retention (S9) ----------
 
-    def remove(self, space: str = "default", keep_days: int = 0) -> list[int]:
+    def remove(
+        self, space: str = "default", keep_days: int = 0, keep_rollup: bool = False
+    ) -> list[int]:
         """Drop every bucket whose last day is ≤ today - keep_days
         (/root/reference/lib/orestes-remover.js:29-39: bucket_end =
         min(bucket + granularity - 1, today)). Partition-directory drop —
         never a row-level delete; on a lakehouse table this is the
         metadata-only `DELETE WHERE bucket <= cutoff`. Returns the list
-        of dropped buckets."""
+        of dropped buckets.
+
+        ``keep_rollup=True`` is TIERED retention (the hypertable
+        downsample-then-drop pattern): raw points and series metadata
+        beyond the horizon are dropped but the continuous-rollup
+        partials for those buckets survive, so slot-granularity
+        aggregates (``read_rollup`` — count/avg/min/max/sum/stddev)
+        stay queryable over history whose raw data is gone. At 100 TB
+        this is the difference between retaining ~bytes-per-slot and
+        ~bytes-per-point for cold history."""
         g = self._granularity(space)
         today = int(_time.time() * 1000) // MS_IN_DAY
         dropped: list[int] = []
-        for root in (
-            self._points_path(space),
-            self._series_path(space),
-            self._rollup_path(space),
-        ):
+        roots = [self._points_path(space), self._series_path(space)]
+        if not keep_rollup:
+            roots.append(self._rollup_path(space))
+        for root in roots:
             if not root.exists():
                 continue
             for part in sorted(root.glob("bucket=*")):
@@ -718,10 +878,31 @@ def _engine_compact(
             if root == self._points_path(space):
                 before[bucket] = len(files)
             n = _compact_width(files, target_bytes)
-            df = (
-                self.spark.read.parquet(str(part))
-                .repartitionByRange(n, *[F.col(c) for c in range_cols])
-                .sortWithinPartitions(*range_cols)
+            df = self.spark.read.parquet(str(part))
+            if root == self._points_path(space):
+                # Collapse cross-delivery upserts physically (last
+                # delivery wins, ties to the greater value — the same
+                # rule reads apply), so post-compaction reads take the
+                # merge-free plan again: the LSM compaction half of
+                # the merge-on-read cycle (see _merged_points).
+                if "_seq" not in df.columns:
+                    df = df.withColumn("_seq", F.lit(0).cast("long"))
+                df = (
+                    df.groupBy("series_id", "time_ms")
+                    .agg(
+                        F.max_by(F.struct("value", "tags"), F.struct("_seq", "value")).alias("_m"),
+                        F.max("_seq").alias("_seq"),
+                    )
+                    .select(
+                        "series_id",
+                        "time_ms",
+                        F.col("_m.value").alias("value"),
+                        F.col("_m.tags").alias("tags"),
+                        "_seq",
+                    )
+                )
+            df = df.repartitionByRange(n, *[F.col(c) for c in range_cols]).sortWithinPartitions(
+                *range_cols
             )
             tmp = part.parent / f".compact_{part.name}"
             df.write.mode("overwrite").parquet(str(tmp))
@@ -778,6 +959,12 @@ def _engine_compact(
             df.write.mode("overwrite").partitionBy("epoch").parquet(str(tmp))
             shutil.rmtree(part)
             tmp.rename(part)
+    # A FULL points compaction leaves at most one (deduped) file's
+    # worth of history per delivery-overlap, so the merge gate can
+    # drop back to the fast path. Partial (bucket-scoped) compactions
+    # keep the marker: other buckets may still hold duplicates.
+    if buckets is None and self._points_path(space).exists():
+        self._record_deliveries(space, 1)
     return before
 
 
@@ -839,8 +1026,22 @@ def _engine_rebuild_rollup(
         if buckets is not None and bucket not in buckets:
             continue
         slot = (F.floor(F.col("time_ms") / step) * step).cast("long")
+        raw = self.spark.read.parquet(str(part))
+        if "_seq" not in raw.columns:
+            raw = raw.withColumn("_seq", F.lit(0).cast("long"))
+        # Rebuild from MERGED rows (last delivery wins), not deliveries:
+        # the continuous aggregate's append-only partials count every
+        # delivery, so after a cross-delivery overwrite the rollup
+        # over-counts until this rebuild (or a compaction + rebuild)
+        # reconciles it — the documented repair path for the upsert
+        # corner the incremental partials cannot express.
+        merged = (
+            raw.groupBy("series_id", "time_ms")
+            .agg(F.max_by(F.struct("value", "tags"), F.struct("_seq", "value")).alias("_m"))
+            .select("series_id", "time_ms", F.col("_m.value").alias("value"), F.col("_m.tags").alias("tags"))
+        )
         df = (
-            self.spark.read.parquet(str(part))
+            merged
             .groupBy("series_id", slot.alias("slot_ms"))
             .agg(
                 F.first("tags").alias("tags"),

@@ -285,7 +285,9 @@ def test_json_and_csv_sources(engine, spark, tmp_path):
     cdf = read_points_csv(spark, str(cdir))
     assert engine.write(cdf, "default") == []
     got = read_as_model(engine, end=1700000002000)
-    assert got["host=a"][1] == [(1700000000000, 1.5), (1700000000000, 9.5)]
+    # host=a was written at the same timestamp by both deliveries: the
+    # later (CSV) delivery wins — upsert semantics, not double rows.
+    assert got["host=a"][1] == [(1700000000000, 9.5)]
     assert got["host=b"][1] == [(1700000000000, 2.5), (1700000001000, 8.5)]
     assert "host=c" not in got
 
@@ -536,3 +538,88 @@ def test_stats_reports_buckets_and_tracks_compaction(engine, spark):
     st2 = engine.stats()
     assert all(v["files"] == 1 for v in st2["points"].values())
     assert all(v["bytes"] > 0 for v in st2["points"].values())
+
+def test_tiered_retention_keeps_rollup_drops_raw(spark, tmp_path):
+    """remove(keep_rollup=True): raw points past the horizon are gone,
+    but the continuous rollup still serves slot aggregates over the
+    dropped history (hypertable downsample-then-drop)."""
+    import time as _t
+
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import MS_IN_DAY, OrestesEngine
+
+    HOUR = 3_600_000
+    eng = OrestesEngine(
+        spark,
+        str(tmp_path / "wh_tier"),
+        spaces={"default": SpaceConfig(1, rollup_step_ms=HOUR)},
+    )
+    now = int(_t.time() * 1000)
+    old_day = (now - 50 * MS_IN_DAY) // HOUR * HOUR
+    old = [{"time": old_day + i * 60_000, "value": float(i), "host": "a"} for i in range(10)]
+    new = [{"time": now - 1000, "value": 7.0, "host": "a"}]
+    assert eng.write(old, "default") == []
+    assert eng.write(new, "default") == []
+
+    dropped = eng.remove("default", keep_days=10, keep_rollup=True)
+    assert dropped  # the 50-day-old bucket's raw data went away
+    # raw read over the old window: empty
+    assert eng.read(None, "default", old_day, old_day + MS_IN_DAY).count() == 0
+    # rollup read over the same window: still serves the aggregates
+    slots = eng.read_rollup(None, "default", old_day, old_day + HOUR).collect()
+    assert len(slots) == 1
+    r = slots[0]
+    assert r["n"] == 10 and r["sum_value"] == sum(float(i) for i in range(10))
+    assert r["min_value"] == 0.0 and r["max_value"] == 9.0
+    # full remove (default) also clears the rollup partition
+    eng.remove("default", keep_days=10)
+    assert eng.read_rollup(None, "default", old_day, old_day + HOUR).count() == 0
+
+def test_overwrite_last_write_wins(engine):
+    """Cassandra PRIMARY KEY (attrs, offset) parity: re-writing a
+    (series, time) in a later delivery replaces the point everywhere
+    — grouped read, flat read, count, and aggregates."""
+    t = START
+    engine.write([{"time": t, "value": 1.0, "host": "a"},
+                  {"time": t + 1000, "value": 5.0, "host": "a"}])
+    engine.write([{"time": t, "value": 2.0, "host": "a"}])  # upsert
+    got = read_as_model(engine)
+    assert got == {"host=a": ({"host": "a"}, [(t, 2.0), (t + 1000, 5.0)])}
+    flat = engine.read(None, "default", 0, START + 10**9, grouped=False).collect()
+    assert sorted((r["time_ms"], r["value"]) for r in flat) == [(t, 2.0), (t + 1000, 5.0)]
+    assert engine.count_points().collect()[0]["count"] == 2
+    aggs = engine.aggregate_points(["count", "sum", "max"]).collect()[0]
+    assert aggs["count"] == 2 and aggs["sum"] == 7.0 and aggs["max"] == 5.0
+
+
+def test_in_batch_duplicate_resolves_to_greater_value(engine):
+    """Within one delivery (equal write stamps) duplicates resolve to
+    the greater value — Cassandra's same-timestamp cell rule — at the
+    driver adapter, so a single delivery is stored duplicate-free."""
+    t = START
+    engine.write([
+        {"time": t, "value": 3.0, "host": "a"},
+        {"time": t, "value": 9.0, "host": "a"},
+        {"time": t, "value": 4.0, "host": "a"},
+    ])
+    assert not engine._merge_needed("default")  # one clean delivery
+    got = read_as_model(engine)
+    assert got == {"host=a": ({"host": "a"}, [(t, 9.0)])}
+    assert engine.count_points().collect()[0]["count"] == 1
+    assert engine._read_points("default").count() == 1  # stored once
+
+
+def test_compaction_collapses_upserts_and_restores_fast_path(engine):
+    t = START
+    engine.write([{"time": t, "value": 1.0, "host": "a"}])
+    engine.write([{"time": t, "value": 2.0, "host": "a"}])
+    assert engine._merge_needed("default")  # two deliveries overlap
+    engine.compact("default")
+    assert not engine._merge_needed("default")  # physically collapsed
+    assert engine._read_points("default").count() == 1
+    got = read_as_model(engine)
+    assert got == {"host=a": ({"host": "a"}, [(t, 2.0)])}
+    # a fresh delivery after compaction re-arms the merge gate
+    engine.write([{"time": t, "value": 7.0, "host": "a"}])
+    assert engine._merge_needed("default")
+    assert read_as_model(engine) == {"host=a": ({"host": "a"}, [(t, 7.0)])}

@@ -63,8 +63,11 @@ def test_replayed_epoch_is_skipped(spark, engine, tmp_path):
     assert engine.read(None, "default", 0, START + 10**9, grouped=False).count() == 10
     process(batch, 0)  # replay of committed epoch → skipped
     assert engine.read(None, "default", 0, START + 10**9, grouped=False).count() == 10
-    process(batch, 1)  # a NEW epoch with the same data still appends
-    assert engine.read(None, "default", 0, START + 10**9, grouped=False).count() == 20
+    process(batch, 1)  # a NEW epoch with the same data still appends...
+    # ...as a second DELIVERY (both stored), but the read merges the
+    # re-delivered (series, time) keys — upsert semantics, one row each.
+    assert engine._read_points("default").count() == 20
+    assert engine.read(None, "default", 0, START + 10**9, grouped=False).count() == 10
 
 
 def test_rollup_replay_cannot_inflate(spark, tmp_path):
@@ -101,8 +104,11 @@ def test_rollup_replay_cannot_inflate(spark, tmp_path):
     # batch oracle: 20 points, sum of values 0..19 = 190 — NOT doubled
     assert agg["n"] == 20
     assert float(agg["s"]) == 190.0
-    # the points side remains documented at-least-once in this window
-    assert eng.read(None, "default", 0, START + 10**9, grouped=False).count() == 40
+    # the points side stores both deliveries (at-least-once transport)
+    # but the upsert merge makes the READ effectively exactly-once: the
+    # replayed (series, time) keys collapse to one row each.
+    assert eng._read_points("default").count() == 40
+    assert eng.read(None, "default", 0, START + 10**9, grouped=False).count() == 20
     # a committed-epoch replay stays a full no-op
     process(batch, 7)
     roll2 = eng.read_rollup(None, "default", lo, lo + 24 * HOUR)
