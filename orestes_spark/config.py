@@ -26,10 +26,19 @@ class SpaceConfig:
     ``rollup_step_ms`` (engine extension, no reference equivalent)
     enables the continuous aggregate: every write also appends
     per-(series, slot) partial stats at this step, served by
-    ``engine.read_rollup`` without touching raw points."""
+    ``engine.read_rollup`` without touching raw points.
+
+    ``append_only`` (engine extension) declares the workload contract
+    that no delivery ever re-writes an existing (series, time) key —
+    true for most streaming metric pipelines, where every sample has a
+    fresh timestamp. The engine then keeps the merge-free read plans
+    regardless of delivery count (the upsert merge gate stays off),
+    trading the Cassandra-parity overwrite semantics for zero
+    merge-on-read cost. Leave False when clients may re-send points."""
 
     granularity_days: int = 1
     rollup_step_ms: int | None = None
+    append_only: bool = False
 
     def __post_init__(self) -> None:
         if self.granularity_days < 1:
@@ -71,6 +80,7 @@ def load_space_configs(path: str | Path) -> dict[str, SpaceConfig]:
             rollup_step_ms=(
                 int(sc["rollup_step_ms"]) if sc.get("rollup_step_ms") is not None else None
             ),
+            append_only=bool(sc.get("append_only", False)),
         )
         for name, sc in spaces.items()
     }

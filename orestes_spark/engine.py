@@ -133,6 +133,8 @@ class OrestesEngine:
         p.write_text(json.dumps({"appends": count}))
 
     def _merge_needed(self, space: str) -> bool:
+        if self.config.space(space).append_only:
+            return False  # declared workload contract: keys never re-written
         return self._delivery_count(space) > 1
 
     def _rollup_step(self, space: str) -> int | None:

@@ -623,3 +623,20 @@ def test_compaction_collapses_upserts_and_restores_fast_path(engine):
     engine.write([{"time": t, "value": 7.0, "host": "a"}])
     assert engine._merge_needed("default")
     assert read_as_model(engine) == {"host=a": ({"host": "a"}, [(t, 7.0)])}
+
+def test_append_only_contract_keeps_merge_free_plans(spark, tmp_path):
+    """A space declared append_only never pays the upsert merge: after
+    multiple deliveries the merge gate stays off (the caller contracts
+    that keys are never re-written, e.g. streaming metric samples)."""
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine
+
+    eng = OrestesEngine(
+        spark, str(tmp_path / "wh_ao"), spaces={"default": SpaceConfig(1, append_only=True)}
+    )
+    eng.write([{"time": START, "value": 1.0, "host": "a"}])
+    eng.write([{"time": START + 1000, "value": 2.0, "host": "a"}])
+    assert eng._delivery_count("default") == 2
+    assert not eng._merge_needed("default")
+    got = read_as_model(eng)
+    assert got == {"host=a": ({"host": "a"}, [(START, 1.0), (START + 1000, 2.0)])}
