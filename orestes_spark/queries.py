@@ -2259,6 +2259,18 @@ def emb_ivf_probe2(spark, sf_dir):
     return similarity.ivf_topk(e, e.where(F.col("vec_id") < 10), k=5, quantize=1000, nprobe=2)
 
 
+@register("emb_ivfpq_topk")  # rows-only: float residual-ADC path
+def emb_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (similarity.ivf_pq_topk) — the FAISS IVFPQ
+    production composition: coarse label-cell routing (scan
+    nprobe/|cells| of the corpus) + PQ codes over residuals (32× fewer
+    bytes per scanned vector) scored via per-(query, cell) ADC lookup
+    tables. Rows-only like the other float ANN kernels; recall and
+    determinism pinned by test_similarity's IVF-PQ tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(e, e.where(F.col("vec_id") < 10), k=5, m=4, ks=16, nprobe=2)
+
+
 # --------------------------------------------------- time-series ops ---
 
 from orestes_spark.operators import timeseries  # noqa: E402

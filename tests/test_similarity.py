@@ -310,3 +310,27 @@ def test_pq_topk_recall_on_separated_clusters(clustered_vecs):
             f"top-1 for {r['query_id']} left its cluster: {r['neighbor_id']}"
         )
         assert r["neighbor_id"] != r["query_id"]
+
+
+def test_ivf_pq_topk_recovers_planted_near_dup(labeled_vecs):
+    """IVF-PQ with the query's own cell probed must put the planted
+    near-duplicate (vec 10 ≈ vec 4) at rank 1 for query 4 — residual
+    quantization error is far smaller than the inter-point spacing."""
+    df, _ = labeled_vecs
+    out = similarity.ivf_pq_topk(df, df.where("vec_id = 4"), k=3, m=4, ks=16, nprobe=1)
+    rows = out.orderBy("rank").collect()
+    assert rows and rows[0]["neighbor_id"] == 10
+    assert rows[0]["adc_dist"] < rows[-1]["adc_dist"] or len(rows) == 1
+
+
+def test_ivf_pq_topk_deterministic_and_probe_bounded(labeled_vecs):
+    df, _ = labeled_vecs
+    q = df.where("vec_id IN (0, 1, 2)")
+    a = [(r["query_id"], r["rank"], r["neighbor_id"])
+         for r in similarity.ivf_pq_topk(df, q, k=5, nprobe=1).orderBy("query_id", "rank").collect()]
+    b = [(r["query_id"], r["rank"], r["neighbor_id"])
+         for r in similarity.ivf_pq_topk(df, q, k=5, nprobe=1).orderBy("query_id", "rank").collect()]
+    assert a == b and len(a) == 15
+    # nprobe=1 restricts candidates to the query's own cell (label = id%3)
+    for qid, _, nid in a:
+        assert nid % 3 == qid % 3
