@@ -1859,6 +1859,61 @@ def os_engine_count(spark, sf_dir):
     )
 
 
+def _tiered_engine_for(spark, sf_dir: str) -> OrestesEngine:
+    """A separate warehouse that has been through the tiered-retention
+    lifecycle: write → remove(keep_rollup=True). The raw 2024 buckets
+    (all older than keep_days=0 against today's clock) are gone; only
+    the continuous-rollup partials remain to serve history."""
+    key = f"{sf_dir}::tiered"
+    eng = _WAREHOUSES.get(key)
+    if eng is None:
+        from orestes_spark.config import SpaceConfig
+
+        eng = OrestesEngine(
+            spark,
+            tempfile.mkdtemp(prefix="orestes_wh_tier_"),
+            spaces={"default": SpaceConfig(1, rollup_step_ms=_HOUR)},
+        )
+        eng._append(events_as_points(spark, sf_dir), "default")
+        dropped = eng.remove("default", keep_days=0, keep_rollup=True)
+        assert dropped and eng._read_points("default") is None, (
+            "tiered retention must drop every raw bucket"
+        )
+        _WAREHOUSES[key] = eng
+    return eng
+
+
+@register(
+    "os_engine_tiered",
+    f"""SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+               CAST(floor({_EV_MS} / 3600000) * 3600000 AS BIGINT) AS slot_ms,
+               count(*) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_value,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events WHERE {_EV_MS} >= {T0} AND {_EV_MS} < {T1}
+        GROUP BY 1, 2, 3""",
+)
+def os_engine_tiered(spark, sf_dir):
+    """Tiered retention made queryable: the warehouse behind this
+    query has had EVERY raw points bucket dropped
+    (remove(keep_rollup=True) — hypertable downsample-then-drop), yet
+    the hourly aggregates still hash-match direct SQL over the
+    source, served entirely from the surviving rollup partials. At
+    100 TB this is cold-history cost ~bytes-per-slot instead of
+    bytes-per-point."""
+    eng = _tiered_engine_for(spark, sf_dir)
+    roll = eng.read_rollup(None, "default", T0, T1)
+    return roll.select(
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").alias("user_id"),
+        "slot_ms",
+        "n",
+        F.round("sum_value", 4).cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
 @register(
     "os_engine_rollup",
     f"""SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
