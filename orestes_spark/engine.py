@@ -593,7 +593,7 @@ class OrestesEngine:
                 F.min("min_value").alias("min_value"),
                 F.max("max_value").alias("max_value"),
             )
-            .select("tags", "slot_ms", "n", "sum_value", "sum_sq", "min_value", "max_value")
+            .select("series_id", "tags", "slot_ms", "n", "sum_value", "sum_sq", "min_value", "max_value")
         )
 
     def read_rollup_with_tail(
@@ -635,7 +635,7 @@ class OrestesEngine:
                 F.min("value").alias("min_value"),
                 F.max("value").alias("max_value"),
             )
-            .select("tags", "slot_ms", "n", "sum_value", "sum_sq", "min_value", "max_value")
+            .select("series_id", "tags", "slot_ms", "n", "sum_value", "sum_sq", "min_value", "max_value")
         )
         # sum_value/sum_sq precisions differ (merged partials widen) —
         # align before the union so the schema is stable.
@@ -755,6 +755,42 @@ class OrestesEngine:
             .select(*[F.col("tags").getItem(k).alias(k) for k in keys])
             .distinct()
         )
+
+    def register_views(self, space: str = "default", prefix: str = "orestes") -> list[str]:
+        """Expose the space to Spark SQL as temp views, so the whole
+        engine surface composes with ad-hoc ``spark.sql`` analytics:
+
+          <prefix>_points  — upsert-MERGED points (series_id, tags,
+                             time_ms, value): the queryable truth, with
+                             last-write-wins already applied (gated, so
+                             single-delivery spaces pay nothing);
+          <prefix>_series  — one row per series (series_id, tags);
+          <prefix>_rollup  — merged continuous-aggregate slots (only
+                             when the space has rollup_step_ms).
+
+        Views are lazy plans over the warehouse — registering costs no
+        Spark job, and every SQL query over them inherits the same
+        bucket pruning / predicate pushdown as the engine's own reads.
+        Returns the registered view names."""
+        names: list[str] = []
+        end = (1 << 62)
+        pts = self._merged_points(None, space, 0, end)
+        pts.createOrReplaceTempView(f"{prefix}_points")
+        names.append(f"{prefix}_points")
+        series = self._read_series(space)
+        if series is None:
+            sview = self._empty("series_id STRING, tags MAP<STRING,STRING>")
+        else:
+            sview = series.dropDuplicates(["series_id"]).select("series_id", "tags")
+        sview.createOrReplaceTempView(f"{prefix}_series")
+        names.append(f"{prefix}_series")
+        step = self._rollup_step(space)
+        if step is not None:
+            self.read_rollup(None, space, 0, end // step * step).createOrReplaceTempView(
+                f"{prefix}_rollup"
+            )
+            names.append(f"{prefix}_rollup")
+        return names
 
     # ---------- retention (S9) ----------
 

@@ -640,3 +640,32 @@ def test_append_only_contract_keeps_merge_free_plans(spark, tmp_path):
     assert not eng._merge_needed("default")
     got = read_as_model(eng)
     assert got == {"host=a": ({"host": "a"}, [(START, 1.0), (START + 1000, 2.0)])}
+
+def test_register_views_sql_surface(spark, tmp_path):
+    """register_views exposes upsert-consistent SQL views: points are
+    merged (overwrite visible once), series deduped, rollup servable."""
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine
+
+    HOUR = 3_600_000
+    eng = OrestesEngine(
+        spark, str(tmp_path / "wh_views"),
+        spaces={"default": SpaceConfig(1, rollup_step_ms=HOUR)},
+    )
+    eng.write([{"time": START, "value": 1.0, "host": "a"},
+               {"time": START + 1000, "value": 2.0, "host": "b"}])
+    eng.write([{"time": START, "value": 5.0, "host": "a"}])  # upsert
+    names = eng.register_views()
+    assert names == ["orestes_points", "orestes_series", "orestes_rollup"]
+    rows = spark.sql(
+        "SELECT tags['host'] h, time_ms, value FROM orestes_points ORDER BY h, time_ms"
+    ).collect()
+    assert [(r["h"], r["time_ms"], r["value"]) for r in rows] == [
+        ("a", START, 5.0), ("b", START + 1000, 2.0)]
+    assert spark.sql("SELECT count(*) c FROM orestes_series").first()["c"] == 2
+    # rollup joins against series via SQL on series_id
+    j = spark.sql(
+        "SELECT s.tags['host'] h, r.n FROM orestes_rollup r "
+        "JOIN orestes_series s ON s.series_id = r.series_id ORDER BY h"
+    ).collect()
+    assert [(r["h"], r["n"]) for r in j] == [("a", 2), ("b", 1)]
