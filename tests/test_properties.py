@@ -198,3 +198,54 @@ def test_candidate_pairs_matches_bruteforce_model(spark, rows, min_cooccur):
         for r in candidate_pairs(banded, ["bval"], min_cooccur=min_cooccur).collect()
     }
     assert got == want
+
+
+# ----------------------------------------------------- upsert model ---
+
+_UPSERT_START = 1_700_000_000_000
+
+write_batches = st.lists(  # batches of (time_slot, value_int, host)
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=-50, max_value=50),
+            st.sampled_from(["a", "b"]),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(batches=write_batches)
+def test_upsert_merge_matches_python_model(spark, tmp_path_factory, batches):
+    """Random write sequences with overlapping (series, time) keys:
+    the engine's merged read must equal the pure-Python model —
+    per key, the LAST batch containing it wins; within a batch the
+    max value wins."""
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine
+
+    eng = OrestesEngine(
+        spark,
+        str(tmp_path_factory.mktemp("wh_prop")),
+        spaces={"default": SpaceConfig(1)},
+    )
+    model: dict[tuple[str, int], float] = {}
+    for batch in batches:
+        pts = []
+        in_batch: dict[tuple[str, int], float] = {}
+        for slot, v, host in batch:
+            t = _UPSERT_START + slot * 60_000
+            pts.append({"time": t, "value": float(v), "host": host})
+            k = (host, t)
+            in_batch[k] = max(in_batch.get(k, float("-inf")), float(v))
+        assert eng.write(pts) == []
+        model.update(in_batch)
+    got = {}
+    for r in eng.read(None, "default", 0, _UPSERT_START + 10**9, grouped=False).collect():
+        got[(r["tags"]["host"], r["time_ms"])] = r["value"]
+    assert got == model
