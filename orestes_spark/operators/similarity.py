@@ -1066,3 +1066,71 @@ def ivf_pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank")
     )
+
+
+def pq_index_write(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ks: int = 16,
+    seed: str = "orestes-pq",
+) -> None:
+    """Persist a PQ index: codes parquet (one row per vector — m
+    small ints instead of d floats, the ~32× compressed scan side)
+    plus the codebooks as a tiny parquet. The steady-state ANN mode
+    at 100 TB: the corpus is touched ONCE to encode; every later
+    ``pq_index_topk`` reads only the code table (and re-encoding an
+    append-only corpus is incremental by construction — encode just
+    the new partition and append)."""
+    import numpy as np
+
+    books, _ = pq_codebooks(corpus, id_col, vec_col, m, ks, seed)
+    spark = corpus.sparkSession
+    rows = [
+        (j, c, [float(x) for x in books[j, c]])
+        for j in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(rows, "j INT, c INT, vec ARRAY<DOUBLE>").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codebooks")
+    pq_encode(corpus, books, id_col, vec_col).write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def pq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Search a persisted PQ index (``pq_index_write``) — the corpus
+    itself is never opened: the scan side is the code table, the
+    codebooks reconstruct the ADC lookup tables. Same output contract
+    as ``pq_topk``."""
+    import numpy as np
+
+    crows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["j"] for r in crows)
+    ks = 1 + max(r["c"] for r in crows)
+    sub = len(crows[0]["vec"])
+    books = np.zeros((m, ks, sub))
+    for r in crows:
+        books[r["j"], r["c"]] = r["vec"]
+    codes = spark.read.parquet(f"{path}/codes")
+    # corpus arg is only used for session/broadcast plumbing: pass the
+    # codes frame (its rows are never re-encoded because codes= is given)
+    return pq_topk(
+        codes,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        m=m,
+        ks=ks,
+        codes=codes,
+        codebooks=books,
+    )

@@ -334,3 +334,22 @@ def test_ivf_pq_topk_deterministic_and_probe_bounded(labeled_vecs):
     # nprobe=1 restricts candidates to the query's own cell (label = id%3)
     for qid, _, nid in a:
         assert nid % 3 == qid % 3
+
+
+def test_pq_index_persist_and_search_matches_direct(clustered_vecs, spark, tmp_path):
+    """pq_index_write → pq_index_topk must reproduce pq_topk exactly:
+    the persisted code table + codebooks carry the whole search state,
+    so steady-state queries never reopen the corpus."""
+    df, _ = clustered_vecs
+    path = str(tmp_path / "pq_index")
+    similarity.pq_index_write(df, path, m=4, ks=8)
+    q = df.where("vec_id IN (0, 25)")
+    direct = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["adc_dist"])
+        for r in similarity.pq_topk(df, q, k=4, m=4, ks=8).collect()
+    )
+    from_index = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["adc_dist"])
+        for r in similarity.pq_index_topk(spark, path, q, k=4).collect()
+    )
+    assert direct == from_index and len(direct) == 8
