@@ -829,6 +829,59 @@ class OrestesEngine:
                         dropped.append(bucket)
         return dropped
 
+    def delete_series(self, es_filter: dict, space: str = "default") -> int:
+        """Targeted series erasure (the GDPR delete the reference
+        cannot express — its remover only drops whole time buckets):
+        remove every point, metadata row, and rollup slot belonging to
+        series matching ``es_filter``, by rewriting ONLY the bucket
+        partitions where those series exist (located via the tiny
+        series table — the points table is never scanned outside the
+        affected buckets). The lakehouse `DELETE WHERE` shape: read
+        partition → anti-join on series_id → atomic swap; the rewrite
+        preserves the (series_id, time_ms) sorted layout. Returns the
+        number of series removed. Requires a selective filter —
+        time-based expiry belongs to ``remove()``."""
+        if es_filter in (None, {}, {"match_all": {}}):
+            raise ValueError(
+                "delete_series requires a selective filter; use remove() for time-based expiry"
+            )
+        series = self._read_series(space)
+        if series is None:
+            return 0
+        doomed = series.where(esdsl.translate(es_filter)).select("bucket", "series_id")
+        buckets = sorted(r["bucket"] for r in doomed.select("bucket").distinct().collect())
+        if not buckets:
+            return 0
+        # Materialize the doomed-id set BEFORE any rewrite: the lazy
+        # plan reads the series files the loop below replaces.
+        doomed_ids = doomed.select("series_id").distinct().localCheckpoint(eager=True)
+        n_removed = doomed_ids.count()
+        for root, range_cols, part_cols in (
+            (self._points_path(space), ["series_id", "time_ms"], []),
+            (self._series_path(space), ["series_id"], []),
+            (self._rollup_path(space), ["series_id", "slot_ms"], ["epoch"]),
+        ):
+            if not root.exists():
+                continue
+            for bucket in buckets:
+                part = root / f"bucket={bucket}"
+                if not part.exists():
+                    continue
+                kept = (
+                    self.spark.read.parquet(str(part))
+                    .join(doomed_ids, "series_id", "left_anti")
+                    .repartitionByRange(*[F.col(c) for c in range_cols])
+                    .sortWithinPartitions(*range_cols)
+                )
+                tmp = part.parent / f".delete_{part.name}"
+                writer = kept.write.mode("overwrite")
+                if part_cols:
+                    writer = writer.partitionBy(*part_cols)
+                writer.parquet(str(tmp))
+                shutil.rmtree(part)
+                tmp.rename(part)
+        return n_removed
+
 
 class SeriesFetcher:
     """Embedded-API parity object: ``{tags, fetch(n)}`` with incremental

@@ -2090,6 +2090,76 @@ def events_funnel(spark, sf_dir):
 
 
 @register(
+    "events_time_to_convert",
+    """WITH firsts AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'click' THEN epoch_ms(CAST(ts AS TIMESTAMP)) END) AS c_ms,
+                 min(CASE WHEN event_type = 'purchase' THEN epoch_ms(CAST(ts AS TIMESTAMP)) END) AS p_ms
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY 1
+        ),
+        conv AS (
+          SELECT user_id,
+                 CAST(CAST(to_timestamp(c_ms / 1000.0) AS DATE) AS VARCHAR) AS cohort_day,
+                 p_ms - c_ms AS delta_ms
+          FROM firsts WHERE c_ms IS NOT NULL AND p_ms IS NOT NULL AND p_ms >= c_ms
+        ),
+        ranked AS (
+          SELECT cohort_day, delta_ms,
+                 row_number() OVER (PARTITION BY cohort_day ORDER BY delta_ms, user_id) AS rn,
+                 count(*) OVER (PARTITION BY cohort_day) AS n,
+                 CAST(sum(delta_ms) OVER (PARTITION BY cohort_day) AS BIGINT) AS total_ms
+          FROM conv
+        )
+        SELECT cohort_day, n AS n_converters,
+               delta_ms AS median_ms,
+               CAST(round(total_ms * 1.0 / n, 3) AS DOUBLE) AS avg_ms
+        FROM ranked WHERE rn = (n + 1) // 2""",
+)
+def events_time_to_convert(spark, sf_dir):
+    """Funnel latency: per first-click cohort day, the exact LOWER
+    MEDIAN and mean of (first purchase − first click) over converting
+    users. The median is computed distributed-exactly with NO global
+    sort: a row_number/count window pair PARTITIONED BY cohort day
+    picks row ⌈n/2⌉ per group (deterministic tiebreak on user_id), so
+    every cohort's median is one partition-local sort — the
+    single-partition quantile trap never appears. Two shuffles total:
+    the per-user firsts aggregation, then the cohort-day window
+    (which also yields the sum for the exact integer-ratio mean)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    ms = F.unix_millis("ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", ms)).alias("c_ms"),
+        F.min(F.when(F.col("event_type") == "purchase", ms)).alias("p_ms"),
+    )
+    conv = (
+        firsts.where(F.col("c_ms").isNotNull() & F.col("p_ms").isNotNull()
+                     & (F.col("p_ms") >= F.col("c_ms")))
+        .select(
+            "user_id",
+            F.date_format(F.timestamp_millis(F.col("c_ms")), "yyyy-MM-dd").alias("cohort_day"),
+            (F.col("p_ms") - F.col("c_ms")).alias("delta_ms"),
+        )
+    )
+    wd = Window.partitionBy("cohort_day")
+    ranked = conv.select(
+        "cohort_day",
+        "delta_ms",
+        F.row_number().over(wd.orderBy("delta_ms", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(wd).alias("n"),
+        F.sum("delta_ms").over(wd).alias("total_ms"),
+    )
+    return ranked.where(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "cohort_day",
+        F.col("n").alias("n_converters"),
+        F.col("delta_ms").alias("median_ms"),
+        F.round(F.col("total_ms") * 1.0 / F.col("n"), 3).cast("double").alias("avg_ms"),
+    )
+
+
+@register(
     "events_pivot_daily",
     """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

@@ -669,3 +669,33 @@ def test_register_views_sql_surface(spark, tmp_path):
         "JOIN orestes_series s ON s.series_id = r.series_id ORDER BY h"
     ).collect()
     assert [(r["h"], r["n"]) for r in j] == [("a", 2), ("b", 1)]
+
+def test_delete_series_erases_everywhere(spark, tmp_path):
+    """GDPR-style targeted erasure: matching series vanish from
+    points, series metadata, and the rollup; other series untouched."""
+    import pytest
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine
+
+    HOUR = 3_600_000
+    eng = OrestesEngine(
+        spark, str(tmp_path / "wh_del"),
+        spaces={"default": SpaceConfig(1, rollup_step_ms=HOUR)},
+    )
+    pts = [{"time": START + i * 60_000, "value": float(i), "host": h, "user": u}
+           for i, (h, u) in enumerate([("a", "u1"), ("a", "u2"), ("b", "u1"), ("b", "u2")] * 5)]
+    assert eng.write(pts) == []
+    with pytest.raises(ValueError, match="selective"):
+        eng.delete_series({"match_all": {}})
+    n = eng.delete_series({"term": {"user": "u1"}})
+    assert n == 2  # (a,u1) and (b,u1)
+    got = read_as_model(eng)
+    assert set(got) == {"host=a,user=u2", "host=b,user=u2"}
+    assert got == model_series([p for p in pts if p["user"] == "u2"])
+    # metadata gone too
+    assert {r["tags"]["user"] for r in eng.get_stream_list().collect()} == {"u2"}
+    # rollup slots for the erased series gone; survivors intact
+    lo = START // HOUR * HOUR
+    roll = eng.read_rollup(None, "default", lo, lo + 24 * HOUR).collect()
+    assert roll and all(r["tags"]["user"] == "u2" for r in roll)
+    assert sum(r["n"] for r in roll) == 10
