@@ -190,9 +190,23 @@ def handle_request(engine: OrestesEngine, endpoint: str, body: dict | list, spac
             return [r.asDict() for r in rows]
 
         if endpoint == "delete":
+            # Two delete modes: time-based expiry (keep_days, the
+            # reference's remover contract, optionally tiered with
+            # keep_rollup) or targeted series erasure (series_filter,
+            # engine extension — GDPR delete).
+            if "series_filter" in body:
+                try:
+                    n = engine.delete_series(body["series_filter"], body.get("space", space))
+                except ValueError as e:  # unselective filter → contract 400
+                    raise ApiError(400, str(e)) from e
+                return {"ok": True, "series_removed": n}
             if "keep_days" not in body:
-                raise ApiError(400, "delete requires keep_days")
-            dropped = engine.remove(body.get("space", space), int(body["keep_days"]))
+                raise ApiError(400, "delete requires keep_days or series_filter")
+            dropped = engine.remove(
+                body.get("space", space),
+                int(body["keep_days"]),
+                keep_rollup=bool(body.get("keep_rollup", False)),
+            )
             return {"ok": True, "dropped_buckets": dropped}
 
         raise ApiError(404, f"unknown endpoint {endpoint!r}")

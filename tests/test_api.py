@@ -157,3 +157,14 @@ def test_multiple_count_aggregations_rejected(loaded):
             loaded, "read", {"aggregations": [{"type": "count"}, {"type": "count"}]}
         )
     assert exc.value.status == 400
+
+
+def test_delete_series_filter_endpoint(loaded):
+    out = handle_request(loaded, "delete", {"series_filter": {"term": {"host": "a"}}})
+    assert out == {"ok": True, "series_removed": 1}
+    read = handle_request(loaded, "read", {"start": 0, "end": START + 100})
+    assert [s["tags"] for s in read["series"]] == [{"host": "b"}]
+    # unselective filter is a contract 400, not a 500
+    with pytest.raises(ApiError) as e:
+        handle_request(loaded, "delete", {"series_filter": {"match_all": {}}})
+    assert e.value.status == 400
