@@ -176,7 +176,13 @@ class OrestesEngine:
             # read-side merge + compaction.
             merged_rows: dict[tuple, dict[str, Any]] = {}
             for r in valid_rows:
-                k = (r["time"], tuple(sorted(r["tags"].items())))
+                # Key on NORMALIZED epoch-ms (validation.time_key_ms),
+                # not the raw representation: 1700000000000 and its
+                # ISO form are the same Cassandra row. Unparseable
+                # times keep a raw-tagged key and flow to the Spark
+                # validation error path untouched.
+                tk = validation.time_key_ms(r["time"])
+                k = (tk if tk is not None else ("raw", str(r["time"])), tuple(sorted(r["tags"].items())))
                 prev = merged_rows.get(k)
                 if prev is None or r["value"] > prev["value"]:
                     merged_rows[k] = r
@@ -362,15 +368,20 @@ class OrestesEngine:
         # attribution (the sinks run concurrently, so these overlap —
         # the max is the critical path, not the sum).
         self.last_append_timings = {}
-        # Snapshot BEFORE the sinks run: once points exist on disk the
-        # missing-marker fallback would misread a fresh space's very
-        # first append as unknown legacy history.
-        prior_deliveries = self._delivery_count(space)
+        # Bump the delivery marker BEFORE the sinks run (reading it
+        # first: once points exist on disk the missing-marker fallback
+        # would misread a fresh space's very first append as unknown
+        # legacy history). Pre-bumping fails SAFE: if a sink dies
+        # mid-append with some files committed, the gate is already ON
+        # and reads merge — a post-sink bump would leave the gate off
+        # with cross-delivery duplicates visible. The false-positive
+        # cost of a bumped-but-failed append is one unnecessary merge
+        # until the next full compaction, never a wrong result.
+        self._record_deliveries(space, self._delivery_count(space) + 1)
         with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
             futures = [pool.submit(timed(s)) for s in sinks]
             for f in futures:
                 f.result()
-        self._record_deliveries(space, prior_deliveries + 1)
 
     # ---------- raw readers ----------
 
@@ -768,10 +779,15 @@ class OrestesEngine:
           <prefix>_rollup  — merged continuous-aggregate slots (only
                              when the space has rollup_step_ms).
 
-        Views are lazy plans over the warehouse — registering costs no
-        Spark job, and every SQL query over them inherits the same
-        bucket pruning / predicate pushdown as the engine's own reads.
-        Returns the registered view names."""
+        Registering costs no Spark job, and every SQL query over the
+        views inherits the same bucket pruning / predicate pushdown as
+        the engine's own reads. The views are a POINT-IN-TIME SNAPSHOT:
+        the parquet file listing and the upsert-merge decision are
+        fixed at registration (Spark caches the file index in the
+        plan), so data written afterwards — and a space that was empty
+        at registration — is not visible until ``register_views`` is
+        called again. Re-register after ingest; it is free. Returns
+        the registered view names."""
         names: list[str] = []
         end = (1 << 62)
         pts = self._merged_points(None, space, 0, end)
@@ -867,10 +883,15 @@ class OrestesEngine:
                 part = root / f"bucket={bucket}"
                 if not part.exists():
                     continue
+                # Size the rewrite from the input bytes (same policy
+                # as compact) — a default-parallelism range shuffle
+                # would fragment a 128 MB-targeted bucket into dozens
+                # of tiny files on every erasure.
+                width = _compact_width(list(part.rglob("*.parquet")))
                 kept = (
                     self.spark.read.parquet(str(part))
                     .join(doomed_ids, "series_id", "left_anti")
-                    .repartitionByRange(*[F.col(c) for c in range_cols])
+                    .repartitionByRange(width, *[F.col(c) for c in range_cols])
                     .sortWithinPartitions(*range_cols)
                 )
                 tmp = part.parent / f".delete_{part.name}"
@@ -953,6 +974,9 @@ def _engine_compact(
     ``buckets`` limits the rewrite to the named partitions (the
     compact_if policy path). Returns {bucket: files_before}."""
     before: dict[int, int] = {}
+    # Decide ONCE, before the marker is reset below: collapse upserts
+    # only when reads would merge them too.
+    collapse_upserts = self._merge_needed(space)
     for root, range_cols in (
         (self._points_path(space), ["series_id", "time_ms"]),
         (self._series_path(space), ["series_id"]),
@@ -970,12 +994,17 @@ def _engine_compact(
                 before[bucket] = len(files)
             n = _compact_width(files, target_bytes)
             df = self.spark.read.parquet(str(part))
-            if root == self._points_path(space):
+            if root == self._points_path(space) and collapse_upserts:
                 # Collapse cross-delivery upserts physically (last
                 # delivery wins, ties to the greater value — the same
                 # rule reads apply), so post-compaction reads take the
                 # merge-free plan again: the LSM compaction half of
                 # the merge-on-read cycle (see _merged_points).
+                # GATED on the same merge decision reads use: when the
+                # gate is off (single delivery, or a declared
+                # append_only space) reads preserve every stored row,
+                # and a maintenance call must never change what a
+                # query returns.
                 if "_seq" not in df.columns:
                     df = df.withColumn("_seq", F.lit(0).cast("long"))
                 df = (
@@ -1050,11 +1079,12 @@ def _engine_compact(
             df.write.mode("overwrite").partitionBy("epoch").parquet(str(tmp))
             shutil.rmtree(part)
             tmp.rename(part)
-    # A FULL points compaction leaves at most one (deduped) file's
-    # worth of history per delivery-overlap, so the merge gate can
-    # drop back to the fast path. Partial (bucket-scoped) compactions
-    # keep the marker: other buckets may still hold duplicates.
-    if buckets is None and self._points_path(space).exists():
+    # A FULL points compaction that actually collapsed upserts lets
+    # the merge gate drop back to the fast path. Partial
+    # (bucket-scoped) compactions keep the marker — other buckets may
+    # still hold duplicates — and a gate-off compaction (append_only
+    # space) must not rewrite history the marker describes.
+    if buckets is None and collapse_upserts and self._points_path(space).exists():
         self._record_deliveries(space, 1)
     return before
 
@@ -1118,21 +1148,25 @@ def _engine_rebuild_rollup(
             continue
         slot = (F.floor(F.col("time_ms") / step) * step).cast("long")
         raw = self.spark.read.parquet(str(part))
-        if "_seq" not in raw.columns:
-            raw = raw.withColumn("_seq", F.lit(0).cast("long"))
-        # Rebuild from MERGED rows (last delivery wins), not deliveries:
-        # the continuous aggregate's append-only partials count every
-        # delivery, so after a cross-delivery overwrite the rollup
-        # over-counts until this rebuild (or a compaction + rebuild)
-        # reconciles it — the documented repair path for the upsert
-        # corner the incremental partials cannot express.
-        merged = (
-            raw.groupBy("series_id", "time_ms")
-            .agg(F.max_by(F.struct("value", "tags"), F.struct("_seq", "value")).alias("_m"))
-            .select("series_id", "time_ms", F.col("_m.value").alias("value"), F.col("_m.tags").alias("tags"))
-        )
+        if self._merge_needed(space):
+            # Rebuild from MERGED rows (last delivery wins), not
+            # deliveries: the continuous aggregate's append-only
+            # partials count every delivery, so after a cross-delivery
+            # overwrite the rollup over-counts until this rebuild (or
+            # a compaction + rebuild) reconciles it — the documented
+            # repair path for the upsert corner the incremental
+            # partials cannot express. Gated exactly like reads: when
+            # the merge gate is off the rollup must keep matching the
+            # unmerged rows reads serve.
+            if "_seq" not in raw.columns:
+                raw = raw.withColumn("_seq", F.lit(0).cast("long"))
+            raw = (
+                raw.groupBy("series_id", "time_ms")
+                .agg(F.max_by(F.struct("value", "tags"), F.struct("_seq", "value")).alias("_m"))
+                .select("series_id", "time_ms", F.col("_m.value").alias("value"), F.col("_m.tags").alias("tags"))
+            )
         df = (
-            merged
+            raw
             .groupBy("series_id", slot.alias("slot_ms"))
             .agg(
                 F.first("tags").alias("tags"),

@@ -901,6 +901,27 @@ def pq_topk(
     )
 
 
+def label_centroid_stats(
+    vectors: DataFrame, id_col: str, vec_col: str, label_col: str
+) -> DataFrame:
+    """(label, csum ARRAY<DOUBLE>, n) — component-wise sums AND vector
+    counts per label in ONE corpus aggregation (the per-(label, dim)
+    count is the vector count, so no second corpus scan is needed to
+    turn sums into mean centroids)."""
+    q = vectors.select(F.col(label_col).alias("label"), F.col(vec_col).alias("v"))
+    exploded = q.select("label", F.posexplode("v").alias("i", "x"))
+    return (
+        exploded.groupBy("label", "i")
+        .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("i", "s"))).alias("entries"),
+            F.max("cnt").alias("n"),
+        )
+        .select("label", F.transform("entries", lambda e: e["s"]).alias("csum"), "n")
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -944,14 +965,15 @@ def ivf_pq_topk(
     full scan cost is acceptable."""
     import numpy as np
 
-    # ---- coarse quantizer: per-label MEAN centroids (k×d collect) ----
-    sums = {r["label"]: np.array(r["csum"], dtype=np.float64)
-            for r in label_centroid_sums(corpus, id_col, vec_col, label_col, None).collect()}
-    counts = {r["label"]: r["n"]
-              for r in corpus.groupBy(F.col(label_col).alias("label"))
-              .agg(F.count(F.lit(1)).alias("n")).collect()}
-    labels = sorted(sums)
-    cents = {lb: sums[lb] / counts[lb] for lb in labels}
+    # ---- coarse quantizer: per-label MEAN centroids (k×d collect,
+    # sums + counts in ONE corpus aggregation) ----
+    stats = {r["label"]: (np.array(r["csum"], dtype=np.float64), r["n"])
+             for r in label_centroid_stats(corpus, id_col, vec_col, label_col).collect()}
+    labels = sorted(stats)
+    cents = {lb: s / n for lb, (s, n) in stats.items()}
+    # Dense cell indices decouple the Arrow schemas from the label
+    # type: string/int/any label works (same contract as ivf_topk).
+    lab2idx = {lb: i for i, lb in enumerate(labels)}
 
     # ---- residual PQ codebooks from a deterministic corpus sample ----
     sample = (
@@ -969,47 +991,45 @@ def ivf_pq_topk(
     sub = dims // m
     books = np.stack([res[:, j * sub : (j + 1) * sub] for j in range(m)])  # (m, ks, sub)
 
+    cent_mat = np.stack([cents[lb] for lb in labels])  # (L, d), row = cell idx
     sc = corpus.sparkSession.sparkContext
-    b_enc = sc.broadcast((books, {lb: cents[lb] for lb in labels}))
+    b_enc = sc.broadcast((books, cent_mat, lab2idx))
 
     def encode(batches):
         import pandas as pd
 
-        bb, bc = b_enc.value
+        bb, bc_mat, b_idx = b_enc.value
         cnorm = (bb**2).sum(axis=2)  # (m, ks)
         for pdf in batches:
             if pdf.empty:
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            lbs = pdf[label_col].to_numpy()
+            cells = pdf[label_col].map(b_idx).to_numpy(dtype=np.int64)
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            cmat = np.stack([bc[lb] for lb in lbs])
-            r = mat - cmat  # residuals
+            r = mat - bc_mat[cells]  # residuals vs own-cell centroid
             codes = np.empty((r.shape[0], m), dtype=np.int32)
             for j in range(m):
                 x = r[:, j * sub : (j + 1) * sub]
                 d = cnorm[j][None, :] - 2.0 * (x @ bb[j].T)
                 codes[:, j] = d.argmin(axis=1)
-            yield pd.DataFrame({id_col: ids, "label": lbs, "codes": list(codes)})
+            yield pd.DataFrame({id_col: ids, "cell": cells, "codes": list(codes)})
 
     codes = corpus.select(F.col(id_col), F.col(vec_col), F.col(label_col)).mapInPandas(
-        encode, f"{id_col} long, label long, codes array<int>"
+        encode, f"{id_col} long, cell int, codes array<int>"
     )
 
     # ---- query-side: probe assignment + per-(q, cell) residual LUTs ----
     qrows = queries.select(F.col(id_col).cast("long"), F.col(vec_col)).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
-    cent_mat = np.stack([cents[lb] for lb in labels])  # (L, d)
     l2 = ((qmat[:, None, :] - cent_mat[None, :, :]) ** 2).sum(axis=2)  # (Q, L)
     order = np.argsort(l2, axis=1, kind="stable")[:, : min(nprobe, len(labels))]
-    probes = {}  # qid -> {label: LUT (m, ks)}
+    probes = {}  # qid -> {cell idx: LUT (m, ks)}
     for qi, qid in enumerate(qids):
         per = {}
         for li in order[qi]:
-            lb = labels[li]
-            qres = qmat[qi] - cents[lb]
-            per[lb] = np.stack(
+            qres = qmat[qi] - cent_mat[li]
+            per[int(li)] = np.stack(
                 [((qres[j * sub : (j + 1) * sub][None, :] - books[j]) ** 2).sum(axis=1)
                  for j in range(m)]
             )
@@ -1024,7 +1044,7 @@ def ivf_pq_topk(
             if pdf.empty:
                 continue
             cids = pdf[id_col].to_numpy(dtype=np.int64)
-            lbs = pdf["label"].to_numpy()
+            lbs = pdf["cell"].to_numpy(dtype=np.int64)
             cm = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
             out_q, out_n, out_d = [], [], []
             for qid, per in bp.items():

@@ -86,3 +86,29 @@ def validate_raw_rows(rows: list[dict[str, Any]]) -> tuple[list[dict[str, Any]],
             continue
         valid.append({"time": pt["time"], "value": float(v), "tags": {k: str(val) for k, val in tags.items()}})
     return valid, errors
+
+
+def time_key_ms(t: Any) -> int | None:
+    """Best-effort driver-side epoch-ms, mirroring
+    ``schema.normalize_time_col`` (numeric → epoch ms with the same
+    double→long truncation; ISO-8601 string → UTC instant; otherwise
+    None). Used for in-batch upsert dedup keys so the same instant in
+    two representations (1700000000000 vs its ISO form) is ONE key —
+    without it, a single delivery could store duplicate (series, time)
+    rows that gated reads would return twice."""
+    import datetime
+    import re
+
+    s = str(t)
+    if re.fullmatch(r"-?\d+(\.\d+)?", s):
+        try:
+            return int(float(s))
+        except (ValueError, OverflowError):
+            return None
+    try:
+        dt = datetime.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    return int(dt.timestamp() * 1000)

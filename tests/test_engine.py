@@ -699,3 +699,60 @@ def test_delete_series_erases_everywhere(spark, tmp_path):
     roll = eng.read_rollup(None, "default", lo, lo + 24 * HOUR).collect()
     assert roll and all(r["tags"]["user"] == "u2" for r in roll)
     assert sum(r["n"] for r in roll) == 10
+
+def test_in_batch_duplicate_across_time_representations(engine):
+    """The same instant written as epoch-ms and as its ISO form within
+    one delivery is ONE Cassandra row — the in-batch dedup keys on
+    normalized time, not the raw representation."""
+    engine.write([
+        {"time": 1700000000000, "value": 1.0, "host": "a"},
+        {"time": "2023-11-14T22:13:20Z", "value": 2.0, "host": "a"},
+    ])
+    got = read_as_model(engine, end=1700000001000)
+    assert got == {"host=a": ({"host": "a"}, [(1700000000000, 2.0)])}
+    assert engine._read_points("default").count() == 1
+
+
+def test_marker_bumps_before_sinks_fail_safe(engine, monkeypatch):
+    """A partially-failed append must leave the merge gate ON (the
+    delivery marker is bumped before the sinks run), so duplicates a
+    half-committed delivery left behind are still merged at read."""
+    engine.write([{"time": START, "value": 1.0, "host": "a"}])
+    # Sabotage the series sink: second append raises mid-commit.
+    import orestes_spark.engine as eng_mod
+
+    orig = eng_mod.OrestesEngine._read_series
+
+    def boom(self, space):
+        raise RuntimeError("transient metadata-store failure")
+
+    monkeypatch.setattr(eng_mod.OrestesEngine, "_read_series", boom)
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        engine.write([{"time": START, "value": 9.0, "host": "a"}])
+    monkeypatch.setattr(eng_mod.OrestesEngine, "_read_series", orig)
+    # gate is ON even though the append failed
+    assert engine._merge_needed("default")
+    # the points sink may have committed before the series sink died:
+    # whatever landed, the read must show ONE row per (series, time)
+    rows = engine.read(None, "default", 0, START + 10**9, grouped=False).collect()
+    assert len(rows) == 1 and rows[0]["time_ms"] == START
+
+
+def test_append_only_compaction_preserves_rows(spark, tmp_path):
+    """compact() must not collapse rows reads preserve: in an
+    append_only space (merge gate off by contract) every stored row
+    survives compaction byte-for-byte."""
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine
+
+    eng = OrestesEngine(
+        spark, str(tmp_path / "wh_ao2"), spaces={"default": SpaceConfig(1, append_only=True)}
+    )
+    # contract violation on purpose: same (series, time) twice
+    eng.write([{"time": START, "value": 1.0, "host": "a"}])
+    eng.write([{"time": START, "value": 2.0, "host": "a"}])
+    assert eng._read_points("default").count() == 2
+    eng.compact("default")
+    assert eng._read_points("default").count() == 2  # nothing destroyed

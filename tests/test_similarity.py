@@ -353,3 +353,21 @@ def test_pq_index_persist_and_search_matches_direct(clustered_vecs, spark, tmp_p
         for r in similarity.pq_index_topk(spark, path, q, k=4).collect()
     )
     assert direct == from_index and len(direct) == 8
+
+
+def test_ivf_pq_topk_string_labels(spark):
+    """Arbitrary label types route through dense cell indices — string
+    cells work exactly like ints (parity with ivf_topk's contract)."""
+    rng = np.random.default_rng(5)
+    centers = {"red": rng.normal(scale=8.0, size=8), "blue": rng.normal(scale=8.0, size=8)}
+    rows = []
+    for i in range(24):
+        lab = "red" if i % 2 == 0 else "blue"
+        v = centers[lab] + rng.normal(scale=0.3, size=8)
+        rows.append((i, [float(x) for x in v], lab))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label STRING")
+    out = similarity.ivf_pq_topk(df, df.where("vec_id IN (0, 1)"), k=3, m=2, ks=8, nprobe=1)
+    got = out.collect()
+    assert len(got) == 6
+    for r in got:
+        assert r["neighbor_id"] % 2 == r["query_id"] % 2  # stayed in its cell
