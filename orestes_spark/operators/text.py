@@ -277,3 +277,50 @@ def top_terms(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFr
         .where(F.col("rn") <= k)
         .select(id_col, "tok", "tf", "df", "score", "rn")
     )
+
+
+def rag_chunks(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """RAG-prep chunking: split each document into overlapping
+    ``window``-token chunks every ``stride`` tokens (overlap =
+    window − stride), emitting (id, chunk_idx, start_token, n_tokens,
+    chunk_md5). The retrieval-corpus build step: deterministic offsets
+    let chunk embeddings be joined back to source spans, and the md5
+    gives chunk-level exact dedup across documents for free.
+
+    Shuffle-free: tokenization + window slicing are per-row array ops
+    (one corpus scan, no exchange at all); the explode fans out to
+    ~n_tokens/stride rows per doc. Tokens here are whitespace tokens —
+    swap in bpe_ish counting upstream when budgeting by subwords."""
+    toks = F.col("_toks")
+    staged = ensure_min_parallelism(docs).select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    # chunk start offsets: 0, stride, 2·stride, … while start < n_tokens
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)),
+        lambda s: s < F.size(toks),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            s.alias("start_token"),
+            F.least(F.size(toks) - s, F.lit(window)).alias("n_tokens"),
+            F.md5(F.array_join(F.slice(toks, s + 1, window), " ").cast("binary")).alias(
+                "chunk_md5"
+            ),
+        ),
+    )
+    return staged.select(F.col(id_col), F.explode(chunks).alias("_c")).select(
+        F.col(id_col),
+        F.col("_c.chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("_c.start_token").cast("int").alias("start_token"),
+        F.col("_c.n_tokens").cast("int").alias("n_tokens"),
+        F.col("_c.chunk_md5").alias("chunk_md5"),
+    )

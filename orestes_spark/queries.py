@@ -1583,6 +1583,34 @@ def doc_mixture_plan(spark, sf_dir):
     return sampling.mixture_plan(d, "lang", toks, shares)
 
 
+@register(
+    "doc_rag_chunks",
+    r"""WITH t AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 UNNEST(range(0, greatest(len(toks), 1), 48)) AS start
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(start // 48 AS INT) AS chunk_idx,
+               CAST(start AS INT) AS start_token,
+               CAST(least(n - start, 64) AS INT) AS n_tokens,
+               md5(array_to_string(list_slice(toks, start + 1, least(n, start + 64)), ' ')) AS chunk_md5
+        FROM s""",
+)
+def doc_rag_chunks(spark, sf_dir):
+    """RAG retrieval-corpus build: overlapping 64-token chunks every 48
+    tokens (text.rag_chunks) with deterministic offsets and an md5 per
+    chunk — the splitting stage ahead of chunk embedding, with
+    chunk-level exact dedup available on the hash. Shuffle-free: all
+    slicing is per-row array math in one corpus scan."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.rag_chunks(d, "doc_id", "text", window=64, stride=48)
+
+
 @register("doc_decontaminate", oracles.decontaminate_sql())
 def doc_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag corpus docs sharing any 4-token

@@ -129,3 +129,21 @@ def test_top_terms_prefers_distinctive_repeated_tokens(spark):
     # 'special' is doc-1-only (df=1) and repeated → beats 'shared' (df=3)
     assert top[1] == "special"
     assert all(r["rn"] == 1 for r in out)
+
+
+def test_rag_chunks_offsets_overlap_and_dedup_hash(spark):
+    from orestes_spark.operators import text
+
+    doc = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, doc), (2, doc)], "doc_id LONG, text STRING")
+    out = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_token"], r["n_tokens"], r["chunk_md5"])
+        for r in text.rag_chunks(df, "doc_id", "text", window=4, stride=3).collect()
+    )
+    per_doc = [(c, s, n) for (d, c, s, n, _) in out if d == 1]
+    assert per_doc == [(0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1)]
+    # identical source docs produce identical chunk hashes (cross-doc
+    # chunk dedup on chunk_md5 is exact)
+    h1 = [h for (d, _, _, _, h) in out if d == 1]
+    h2 = [h for (d, _, _, _, h) in out if d == 2]
+    assert h1 == h2 and len(set(h1)) == 4
