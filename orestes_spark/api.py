@@ -82,10 +82,27 @@ def error_response(err: Exception) -> tuple[int, dict]:
     return api_err.status, api_err.to_json()
 
 
+def _time_param(v, default_ms: float, name: str) -> int:
+    """Reference parity (/root/reference/lib/orestes.js:85-86):
+    ``new Date(req.body.start)`` accepts epoch numbers AND ISO-8601
+    strings. Divergence, documented: where JS yields NaN for garbage
+    (silently emptying the read), this returns a real 400."""
+    if v is None:
+        return int(default_ms)
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return int(v)
+    from orestes_spark.validation import time_key_ms
+
+    ms = time_key_ms(v)
+    if ms is None:
+        raise ApiError(400, f"unparseable {name} time: {v!r}")
+    return ms
+
+
 def _read_params(body: dict) -> tuple[dict | None, int, int]:
     query = body.get("query") or {"match_all": {}}
-    start = int(body.get("start", 0))
-    end = int(body.get("end", _time.time() * 1000))
+    start = _time_param(body.get("start"), 0, "start")
+    end = _time_param(body.get("end"), _time.time() * 1000, "end")
     return query, start, end
 
 

@@ -6,8 +6,11 @@ proceeds, returning ``{errors: [{point, error}]}``
  /root/reference/lib/orestes-inserter.js:51-60). Error strings are kept
 identical so clients can match on them:
 
-  - ``missing required keys: ["time"]``
-  - ``invalid value <v>``          (missing / non-numeric / NaN value)
+  - ``missing required keys: ["time"]`` / ``["value"]`` (absent keys,
+    with the reference's truthiness quirk: a falsy present key counts
+    as missing once validateHasAll runs)
+  - ``invalid value <v>``          (present but non-numeric / NaN /
+    null value; JS spelling — null, NaN, true)
   - ``metrics must have at least one tag``
   - ``invalid tag - value is an object or array``
 
@@ -20,6 +23,7 @@ column cannot hold an object/array; the list-of-dicts adapter checks).
 
 from __future__ import annotations
 
+import json
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -30,8 +34,42 @@ ERR_NO_TAGS = "metrics must have at least one tag"
 ERR_NESTED_TAG = "invalid tag - value is an object or array"
 
 
+def _js_str(v: "Any") -> str:
+    """String(value) as JS would render it, for error-message parity."""
+    if isinstance(v, dict):
+        return "[object Object]"
+    if isinstance(v, (list, tuple)):
+        return ",".join(_js_str(x) for x in v)
+    if v is None:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    return str(v)
+
+
+def err_nested_tag(key: "Any", value: "Any") -> str:
+    """Reference spelling (/root/reference/lib/orestes-utils.js:176):
+    'invalid tag - value is an object or array ' + key + ' : ' + value."""
+    return f"{ERR_NESTED_TAG} {key} : {_js_str(value)}"
+
+
 def err_invalid_value(v: Any) -> str:
-    return f"invalid value {v}"
+    """Reference spelling (/root/reference/lib/orestes-utils.js:170-171
+    'invalid value ' + value under JS stringification): null/true/
+    false/NaN, not Python's None/True/False/nan."""
+    if v is None:
+        s = "null"
+    elif v is True:
+        s = "true"
+    elif v is False:
+        s = "false"
+    elif isinstance(v, float) and v != v:
+        s = "NaN"
+    else:
+        s = str(v)
+    return f"invalid value {s}"
 
 
 def classify(points: DataFrame) -> DataFrame:
@@ -42,7 +80,11 @@ def classify(points: DataFrame) -> DataFrame:
         F.when(F.col("time_ms").isNull(), F.lit(ERR_MISSING_TIME))
         .when(
             F.col("value").isNull() | F.isnan(F.col("value")),
-            F.concat(F.lit("invalid value "), F.coalesce(F.col("value").cast("string"), F.lit("undefined"))),
+            F.concat(
+                F.lit("invalid value "),
+                # JS spelling: a NULL value reads as null, NaN as NaN
+                F.when(F.col("value").isNull(), F.lit("null")).otherwise(F.lit("NaN")),
+            ),
         )
         .when(F.size(F.map_keys(F.col("tags"))) == 0, F.lit(ERR_NO_TAGS))
     )
@@ -70,8 +112,19 @@ def validate_raw_rows(rows: list[dict[str, Any]]) -> tuple[list[dict[str, Any]],
     valid: list[dict[str, Any]] = []
     errors: list[dict[str, Any]] = []
     for pt in rows:
-        if not isinstance(pt, dict) or "time" not in pt:
+        if not isinstance(pt, dict):
             errors.append({"point": pt, "error": ERR_MISSING_TIME})
+            continue
+        if "time" not in pt or "value" not in pt:
+            # Reference parity, including the falsiness quirk: when a
+            # required key is absent, validateHasAll re-checks BOTH by
+            # truthiness (cassandra/utils.js:37-47), so {time: 0, ...}
+            # with no value reports BOTH keys missing.
+            missing = [k for k in ("time", "value") if not pt.get(k)]
+            errors.append({
+                "point": pt,
+                "error": "missing required keys: " + json.dumps(missing, separators=(",", ":")),
+            })
             continue
         v = pt.get("value")
         if not isinstance(v, (int, float)) or isinstance(v, bool) or v != v:
@@ -81,8 +134,9 @@ def validate_raw_rows(rows: list[dict[str, Any]]) -> tuple[list[dict[str, Any]],
         if not tags:
             errors.append({"point": pt, "error": ERR_NO_TAGS})
             continue
-        if any(isinstance(val, (dict, list, tuple)) for val in tags.values()):
-            errors.append({"point": pt, "error": ERR_NESTED_TAG})
+        bad = next(((k, val) for k, val in tags.items() if isinstance(val, (dict, list, tuple))), None)
+        if bad is not None:
+            errors.append({"point": pt, "error": err_nested_tag(*bad)})
             continue
         valid.append({"time": pt["time"], "value": float(v), "tags": {k: str(val) for k, val in tags.items()}})
     return valid, errors

@@ -168,3 +168,15 @@ def test_delete_series_filter_endpoint(loaded):
     with pytest.raises(ApiError) as e:
         handle_request(loaded, "delete", {"series_filter": {"match_all": {}}})
     assert e.value.status == 400
+
+
+def test_read_accepts_iso_time_params(loaded):
+    """Reference parity: start/end may be ISO-8601 strings
+    (new Date(...) semantics), not just epoch numbers."""
+    iso = handle_request(loaded, "read", {
+        "start": "2023-11-14T22:13:20Z", "end": START + 100})
+    ms = handle_request(loaded, "read", {"start": START, "end": START + 100})
+    assert iso == ms and iso["series"]
+    with pytest.raises(ApiError) as e:
+        handle_request(loaded, "read", {"start": "not-a-time"})
+    assert e.value.status == 400

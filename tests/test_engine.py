@@ -163,10 +163,10 @@ def test_write_validation_errors(engine):
     msgs = [e["error"] for e in errs]
     assert msgs == [
         'missing required keys: ["time"]',
-        "invalid value None",
+        'missing required keys: ["value"]',  # absent value = missing key, not invalid value
         "metrics must have at least one tag",
-        "invalid value nan",
-        "invalid tag - value is an object or array",
+        "invalid value NaN",  # JS spelling
+        "invalid tag - value is an object or array name : [object Object]",
     ]
     assert engine.read().count() == 1  # the good point landed
 
