@@ -1887,6 +1887,59 @@ def os_engine_count(spark, sf_dir):
     )
 
 
+def _upsert_engine_for(spark, sf_dir: str) -> OrestesEngine:
+    """A warehouse that has seen a CROSS-DELIVERY OVERWRITE: delivery 1
+    is every event point; delivery 2 re-writes the error-type points
+    with value+1000. The merge gate is ON (two deliveries), so every
+    read through this engine exercises the last-write-wins path."""
+    key = f"{sf_dir}::upsert"
+    eng = _WAREHOUSES.get(key)
+    if eng is None:
+        from orestes_spark.config import SpaceConfig
+
+        eng = OrestesEngine(
+            spark,
+            tempfile.mkdtemp(prefix="orestes_wh_up_"),
+            spaces={"default": SpaceConfig(1)},
+        )
+        pts = events_as_points(spark, sf_dir)
+        eng._append(pts, "default")
+        eng._append(
+            pts.where(F.col("tags")["event_type"] == "error").withColumn(
+                "value", F.col("value") + 1000.0
+            ),
+            "default",
+        )
+        assert eng._merge_needed("default")
+        _WAREHOUSES[key] = eng
+    return eng
+
+
+@register(
+    "os_engine_upsert",
+    f"""SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, {_EV_MS} AS time_ms,
+               CASE WHEN event_type = 'error' THEN value + 1000.0 ELSE value END AS value
+        FROM events WHERE {_EV_MS} >= {T0} AND {_EV_MS} < {T1}""",
+)
+def os_engine_upsert(spark, sf_dir):
+    """Cassandra-parity upserts, driver-checked end-to-end: after a
+    second delivery re-writes every error-series point with
+    value+1000, the merged read must hash-match SQL's last-write-wins
+    expectation — same row COUNT as the raw source (re-delivered keys
+    collapse), overwritten values for exactly the re-delivered series.
+    Exercises the gated merge path (delivery marker ON), which the
+    other os_engine_* queries — single-delivery warehouses on the
+    merge-free fast path — deliberately do not."""
+    eng = _upsert_engine_for(spark, sf_dir)
+    flat = eng.read(None, "default", T0, T1, grouped=False)
+    return flat.select(
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").alias("user_id"),
+        "time_ms",
+        "value",
+    )
+
+
 def _tiered_engine_for(spark, sf_dir: str) -> OrestesEngine:
     """A separate warehouse that has been through the tiered-retention
     lifecycle: write → remove(keep_rollup=True). The raw 2024 buckets
@@ -3451,7 +3504,6 @@ _DRIVER_PRIORITY = [
     "tpch_q6",
     "tpch_q4",
     "tpch_q10",
-    "tpch_q14",
     "tpch_q18",
     "tpch_q19",
     "tpch_q13",
@@ -3502,6 +3554,9 @@ _DRIVER_PRIORITY = [
     "doc_quality_adaptive",
     "ts_increase_counter",
     "emb_pq_topk",
+    # the round's headline semantic change, driver-checked on the
+    # MERGED read path (tpch_q14 waits with its q7/q8/q9/q17 siblings)
+    "os_engine_upsert",
 ]
 assert len(_DRIVER_PRIORITY) == 50 and len(set(_DRIVER_PRIORITY)) == 50
 assert set(_DRIVER_PRIORITY) <= set(QUERIES), sorted(set(_DRIVER_PRIORITY) - set(QUERIES))
