@@ -84,12 +84,16 @@ def error_response(err: Exception) -> tuple[int, dict]:
 
 def _time_param(v, default_ms: float, name: str) -> int:
     """Reference parity (/root/reference/lib/orestes.js:85-86):
-    ``new Date(req.body.start)`` accepts epoch numbers AND ISO-8601
-    strings. Divergence, documented: where JS yields NaN for garbage
+    ``new Date(req.body.start || 0).getTime()`` — so ANY falsy value
+    (absent, null, 0, "", false) takes the default, numbers pass as
+    epoch ms, true coerces to 1, and ISO-8601 strings parse.
+    Divergence, documented: where JS yields NaN for garbage strings
     (silently emptying the read), this returns a real 400."""
-    if v is None:
+    if not v:  # JS || fallback: absent/null/0/""/false → default
         return int(default_ms)
-    if isinstance(v, (int, float)) and not isinstance(v, bool):
+    if isinstance(v, bool):  # new Date(true) → 1 ms
+        return int(v)
+    if isinstance(v, (int, float)):
         return int(v)
     from orestes_spark.validation import time_key_ms
 

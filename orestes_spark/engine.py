@@ -208,7 +208,17 @@ class OrestesEngine:
         else:
             raise TypeError(f"unsupported points input: {type(points).__name__}")
 
-        valid, err_df = validation.split_valid(df.select("time_ms", "value", "tags"))
+        # List input: the adapter already guaranteed the time KEY, so a
+        # NULL time_ms is present-but-unparseable — the reference's
+        # distinct 'invalid timestamp' error, not missing-keys.
+        null_time_err = (
+            validation.ERR_INVALID_TIMESTAMP
+            if isinstance(points, list)
+            else validation.ERR_MISSING_TIME
+        )
+        valid, err_df = validation.split_valid(
+            df.select("time_ms", "value", "tags"), null_time_err
+        )
         # Per-point error reporting, never batch abort (S4). Collecting
         # the error side-output is an extra job; callers on the hot
         # path can pre-validate and use _append directly. The collect

@@ -299,7 +299,7 @@ def rag_chunks(
     swap in bpe_ish counting upstream when budgeting by subwords."""
     toks = F.col("_toks")
     staged = ensure_min_parallelism(docs).select(
-        F.col(id_col), F.split(normalize_text(F.col(text_col)), r"\s+").alias("_toks")
+        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
     )
     # chunk start offsets: 0, stride, 2·stride, … while start < n_tokens
     starts = F.filter(

@@ -72,12 +72,19 @@ def err_invalid_value(v: Any) -> str:
     return f"invalid value {s}"
 
 
-def classify(points: DataFrame) -> DataFrame:
+def classify(points: DataFrame, null_time_error: str = ERR_MISSING_TIME) -> DataFrame:
     """Add an ``error`` STRING column (NULL ⇒ valid) to a canonical
     (time_ms, value, tags) frame. time_ms NULL means unparseable/missing
-    time; value NULL/NaN is invalid; empty tags map is invalid."""
+    time; value NULL/NaN is invalid; empty tags map is invalid.
+
+    ``null_time_error``: for list-input writes the adapter has already
+    guaranteed the time KEY was present, so a NULL time_ms there means
+    present-but-unparseable — the reference's distinct 'invalid
+    timestamp' error (orestes-utils.js:81-88), not missing-keys.
+    DataFrame inputs keep the missing-keys default (a NULL cell is the
+    closest analogue of an absent key)."""
     error = (
-        F.when(F.col("time_ms").isNull(), F.lit(ERR_MISSING_TIME))
+        F.when(F.col("time_ms").isNull(), F.lit(null_time_error))
         .when(
             F.col("value").isNull() | F.isnan(F.col("value")),
             F.concat(
@@ -91,10 +98,15 @@ def classify(points: DataFrame) -> DataFrame:
     return points.withColumn("error", error)
 
 
-def split_valid(points: DataFrame) -> tuple[DataFrame, DataFrame]:
+ERR_INVALID_TIMESTAMP = "invalid timestamp"
+
+
+def split_valid(
+    points: DataFrame, null_time_error: str = ERR_MISSING_TIME
+) -> tuple[DataFrame, DataFrame]:
     """Return (valid_points, errors). ``errors`` has (time_ms, value,
     tags, error)."""
-    classified = classify(points)
+    classified = classify(points, null_time_error)
     valid = classified.where(F.col("error").isNull()).drop("error")
     errors = classified.where(F.col("error").isNotNull())
     return valid, errors
@@ -112,34 +124,40 @@ def validate_raw_rows(rows: list[dict[str, Any]]) -> tuple[list[dict[str, Any]],
     valid: list[dict[str, Any]] = []
     errors: list[dict[str, Any]] = []
     for pt in rows:
-        if not isinstance(pt, dict):
-            errors.append({"point": pt, "error": ERR_MISSING_TIME})
+        err = _classify_raw_point(pt)
+        if err is not None:
+            errors.append({"point": pt, "error": err})
             continue
-        if "time" not in pt or "value" not in pt:
-            # Reference parity, including the falsiness quirk: when a
-            # required key is absent, validateHasAll re-checks BOTH by
-            # truthiness (cassandra/utils.js:37-47), so {time: 0, ...}
-            # with no value reports BOTH keys missing.
-            missing = [k for k in ("time", "value") if not pt.get(k)]
-            errors.append({
-                "point": pt,
-                "error": "missing required keys: " + json.dumps(missing, separators=(",", ":")),
-            })
-            continue
-        v = pt.get("value")
-        if not isinstance(v, (int, float)) or isinstance(v, bool) or v != v:
-            errors.append({"point": pt, "error": err_invalid_value(v)})
-            continue
+        v = pt["value"]
         tags = {k: val for k, val in pt.items() if k not in ("time", "value")}
-        if not tags:
-            errors.append({"point": pt, "error": ERR_NO_TAGS})
-            continue
-        bad = next(((k, val) for k, val in tags.items() if isinstance(val, (dict, list, tuple))), None)
-        if bad is not None:
-            errors.append({"point": pt, "error": err_nested_tag(*bad)})
-            continue
         valid.append({"time": pt["time"], "value": float(v), "tags": {k: str(val) for k, val in tags.items()}})
     return valid, errors
+
+
+def _classify_raw_point(pt: Any) -> str | None:
+    """Reference check ORDER, exactly (orestes-utils.js:158-181):
+    missing keys → no-tags → then a per-key walk in insertion order
+    where the 'value' key gets the number check and every other key
+    the nested-structure check. The order is observable — a tagless
+    point with a bogus value reports no-tags, not invalid-value."""
+    if not isinstance(pt, dict):
+        # JS: hasOwnProperty fails → validateHasAll finds BOTH keys
+        # undefined (cassandra/utils.js:37-47)
+        return 'missing required keys: ["time","value"]'
+    if "time" not in pt or "value" not in pt:
+        # validateHasAll re-checks BOTH by truthiness, so {time: 0}
+        # with no value reports both keys missing.
+        missing = [k for k in ("time", "value") if not pt.get(k)]
+        return "missing required keys: " + json.dumps(missing, separators=(",", ":"))
+    if not any(k not in ("time", "value") for k in pt):
+        return ERR_NO_TAGS
+    for k, val in pt.items():
+        if k == "value":
+            if not isinstance(val, (int, float)) or isinstance(val, bool) or val != val:
+                return err_invalid_value(val)
+        elif k != "time" and isinstance(val, (dict, list, tuple)):
+            return err_nested_tag(k, val)
+    return None
 
 
 def time_key_ms(t: Any) -> int | None:

@@ -180,3 +180,15 @@ def test_read_accepts_iso_time_params(loaded):
     with pytest.raises(ApiError) as e:
         handle_request(loaded, "read", {"start": "not-a-time"})
     assert e.value.status == 400
+
+
+def test_time_params_js_falsy_fallbacks(loaded):
+    """new Date(body.end || Date.now()) parity: falsy end (0, '',
+    null) falls back to 'now'; falsy start falls back to 0; true → 1."""
+    full = handle_request(loaded, "read", {"start": 0, "end": START + 100})
+    for falsy in (0, "", None, False):
+        got = handle_request(loaded, "read", {"start": falsy})  # end absent → now
+        assert got == full
+    got = handle_request(loaded, "read", {"end": 0})  # falsy end → now, not epoch 0
+    assert got == full
+    assert handle_request(loaded, "read", {"start": True, "end": START + 100}) == full

@@ -756,3 +756,21 @@ def test_append_only_compaction_preserves_rows(spark, tmp_path):
     assert eng._read_points("default").count() == 2
     eng.compact("default")
     assert eng._read_points("default").count() == 2  # nothing destroyed
+
+def test_validation_reference_order_and_spellings(engine):
+    """Exact reference semantics for the subtle cases: error check
+    ORDER (no-tags before invalid-value), non-dict points report both
+    keys missing, unparseable-but-present time is 'invalid timestamp'
+    (distinct from missing-keys)."""
+    errs = engine.write([
+        {"time": 1, "value": "bogus"},                    # tagless + bad value → no-tags wins
+        "not-a-point",                                    # non-dict → both keys
+        {"time": "garbage-time", "value": 1.0, "h": "a"}, # present, unparseable
+        {"time": START, "value": 1.0, "h": "ok"},
+    ])
+    assert [e["error"] for e in errs] == [
+        "metrics must have at least one tag",
+        'missing required keys: ["time","value"]',
+        "invalid timestamp",
+    ]
+    assert engine.read().count() == 1
