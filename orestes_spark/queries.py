@@ -1887,6 +1887,63 @@ def os_engine_count(spark, sf_dir):
     )
 
 
+@register(
+    "os_engine_direct",
+    f"""SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, {_EV_MS} AS time_ms, value
+        FROM events
+        WHERE event_type = 'error' AND {_EV_MS} >= {T0} AND {_EV_MS} < {T1}""",
+)
+def os_engine_direct(spark, sf_dir):
+    """The use_metadata=False read route through the real warehouse:
+    the tag predicate is applied directly to the points scan (one
+    pass, no series semi-join) — the right plan when the filter is
+    unselective and the metadata route's join would not prune. Same
+    oracle as os_engine_roundtrip: both routes must return identical
+    rows; only the plan differs (no-join shape is plan-asserted in
+    test_plans)."""
+    eng = _engine_for(spark, sf_dir)
+    pts = eng.matching_points(
+        {"term": {"event_type": "error"}}, "default", T0, T1, use_metadata=False
+    )
+    return pts.select(
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").alias("user_id"),
+        "time_ms",
+        "value",
+    )
+
+
+@register(
+    "os_engine_realtime",
+    f"""SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+               CAST(floor({_EV_MS} / 3600000) * 3600000 AS BIGINT) AS slot_ms,
+               count(*) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_value,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events WHERE {_EV_MS} >= {T0} AND {_EV_MS} < {T1} + 1800000
+        GROUP BY 1, 2, 3""",
+)
+def os_engine_realtime(spark, sf_dir):
+    """Real-time continuous aggregate (read_rollup_with_tail): history
+    up to the last completed hour is served from rollup partials, the
+    trailing half-open half-hour [T1, T1+30min) is aggregated from raw
+    points and unioned in — the TimescaleDB real-time-aggregate shape,
+    hash-checked against one plain SQL aggregation spanning both
+    regions. The raw scan is bucket-pruned to the tail window, so its
+    cost is one slot's worth of points regardless of history size."""
+    eng = _engine_for(spark, sf_dir)
+    roll = eng.read_rollup_with_tail(None, "default", T0, T1 + 1_800_000)
+    return roll.select(
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").alias("user_id"),
+        "slot_ms",
+        "n",
+        F.round("sum_value", 4).cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
 def _upsert_engine_for(spark, sf_dir: str) -> OrestesEngine:
     """A warehouse that has seen a CROSS-DELIVERY OVERWRITE: delivery 1
     is every event point; delivery 2 re-writes the error-type points
