@@ -7,7 +7,8 @@ SURVEY.md §1.4-1.5):
         time_ms LONG, value DOUBLE, tags MAP<STRING,STRING>, series_id STRING,
         _seq LONG (delivery stamp — Cassandra write-timestamp analogue:
         re-delivered (series, time) keys merge last-wins at read and
-        collapse at compaction, gated by the _deliveries.json marker)
+        collapse at compaction, gated by the _deliveries/ marker files
+        — one atomically-created file per delivery)
         — written sorted by (series_id, time_ms) within partitions so
         parquet row-group min/max stats give per-series skipping, the
         Spark analogue of one-Cassandra-partition-per-(series,bucket)
@@ -113,24 +114,36 @@ class OrestesEngine:
     # metadata; single-writer assumption, same as compact().)
 
     def _deliveries_path(self, space: str) -> Path:
-        return Path(self.config.warehouse) / space / "_deliveries.json"
+        return Path(self.config.warehouse) / space / "_deliveries"
 
     def _delivery_count(self, space: str) -> int:
-        import json
-
         p = self._deliveries_path(space)
         if p.exists():
-            return int(json.loads(p.read_text()).get("appends", 0))
+            return sum(1 for _ in p.iterdir())
         # Legacy warehouse (pre-marker) with data: unknown history —
         # assume merge is needed (safe, never wrong).
         return 2 if self._points_path(space).exists() else 0
 
-    def _record_deliveries(self, space: str, count: int) -> None:
-        import json
+    def _mark_delivery(self, space: str) -> None:
+        """Append ONE marker file per delivery. File creation is
+        atomic, so concurrent writers each leave their own marker —
+        a read-modify-write counter would lose updates under
+        concurrency and could leave the merge gate off with two
+        overlapping deliveries on disk."""
+        import uuid
 
         p = self._deliveries_path(space)
-        p.parent.mkdir(parents=True, exist_ok=True)
-        p.write_text(json.dumps({"appends": count}))
+        p.mkdir(parents=True, exist_ok=True)
+        (p / f"{self._last_seq}-{uuid.uuid4().hex}").touch()
+
+    def _reset_deliveries(self, space: str) -> None:
+        """Post-full-compaction: collapse the marker set to one (the
+        compacted state is a single logical delivery). Single-writer
+        maintenance, same caveat as compact() itself."""
+        p = self._deliveries_path(space)
+        if p.exists():
+            shutil.rmtree(p)
+        self._mark_delivery(space)
 
     def _merge_needed(self, space: str) -> bool:
         if self.config.space(space).append_only:
@@ -387,7 +400,7 @@ class OrestesEngine:
         # with cross-delivery duplicates visible. The false-positive
         # cost of a bumped-but-failed append is one unnecessary merge
         # until the next full compaction, never a wrong result.
-        self._record_deliveries(space, self._delivery_count(space) + 1)
+        self._mark_delivery(space)
         with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
             futures = [pool.submit(timed(s)) for s in sinks]
             for f in futures:
@@ -1095,7 +1108,7 @@ def _engine_compact(
     # still hold duplicates — and a gate-off compaction (append_only
     # space) must not rewrite history the marker describes.
     if buckets is None and collapse_upserts and self._points_path(space).exists():
-        self._record_deliveries(space, 1)
+        self._reset_deliveries(space)
     return before
 
 

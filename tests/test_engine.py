@@ -774,3 +774,29 @@ def test_validation_reference_order_and_spellings(engine):
         "invalid timestamp",
     ]
     assert engine.read().count() == 1
+
+def test_concurrent_writers_both_arm_merge_gate(spark, tmp_path):
+    """Two engine instances appending to the same space concurrently:
+    the per-delivery marker FILES (atomic creates, no read-modify-
+    write counter) mean neither writer can lose the other's delivery —
+    the merge gate must be ON afterwards and the overwrite merged."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine
+
+    wh = str(tmp_path / "wh_conc")
+    a = OrestesEngine(spark, wh, spaces={"default": SpaceConfig(1)})
+    b = OrestesEngine(spark, wh, spaces={"default": SpaceConfig(1)})
+    with ThreadPoolExecutor(2) as pool:
+        fa = pool.submit(a.write, [{"time": START, "value": 1.0, "host": "a"}])
+        fb = pool.submit(b.write, [{"time": START, "value": 2.0, "host": "a"}])
+        assert fa.result() == [] and fb.result() == []
+    assert a._delivery_count("default") == 2
+    assert a._merge_needed("default") and b._merge_needed("default")
+    got = read_as_model(a)
+    # last-write-wins is decided by the _seq stamps; with two racing
+    # writers either may be later — but the read returns exactly ONE
+    # merged row, with one of the two written values
+    (tags, pts), = got.values()
+    assert len(pts) == 1 and pts[0][0] == START and pts[0][1] in (1.0, 2.0)
