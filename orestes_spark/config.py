@@ -39,12 +39,26 @@ class SpaceConfig:
     granularity_days: int = 1
     rollup_step_ms: int | None = None
     append_only: bool = False
+    # (bin_width, nbins): adds fixed-width value-histogram partials to
+    # the continuous rollup, so QUANTILES become servable from
+    # pre-aggregated state (engine.read_rollup_quantile) — the
+    # statistic family the moment partials (sum/sum_sq) cannot
+    # express. Requires rollup_step_ms. Values clamp into
+    # [0, bin_width·nbins); counts are associative partials, so every
+    # merge order (appends, replays, compaction) is exact.
+    rollup_hist: tuple[float, int] | None = None
 
     def __post_init__(self) -> None:
         if self.granularity_days < 1:
             raise ValueError("granularity_days must be >= 1")
         if self.rollup_step_ms is not None and self.rollup_step_ms < 1:
             raise ValueError("rollup_step_ms must be >= 1 when set")
+        if self.rollup_hist is not None:
+            w, n = self.rollup_hist
+            if self.rollup_step_ms is None:
+                raise ValueError("rollup_hist requires rollup_step_ms")
+            if w <= 0 or n < 2:
+                raise ValueError("rollup_hist needs bin_width > 0 and nbins >= 2")
 
 
 @dataclass
@@ -81,6 +95,11 @@ def load_space_configs(path: str | Path) -> dict[str, SpaceConfig]:
                 int(sc["rollup_step_ms"]) if sc.get("rollup_step_ms") is not None else None
             ),
             append_only=bool(sc.get("append_only", False)),
+            rollup_hist=(
+                (float(sc["rollup_hist"][0]), int(sc["rollup_hist"][1]))
+                if sc.get("rollup_hist") is not None
+                else None
+            ),
         )
         for name, sc in spaces.items()
     }

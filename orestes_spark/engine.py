@@ -49,7 +49,7 @@ import time as _time
 from pathlib import Path
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from orestes_spark import esdsl, schema, validation
@@ -95,6 +95,9 @@ class OrestesEngine:
 
     def _rollup_path(self, space: str) -> Path:
         return Path(self.config.warehouse) / space / "rollup"
+
+    def _hist_path(self, space: str) -> Path:
+        return Path(self.config.warehouse) / space / "rollup_hist"
 
     def _granularity(self, space: str) -> int:
         return self.config.space(space).granularity_days
@@ -364,6 +367,33 @@ class OrestesEngine:
                     "partitionOverwriteMode", "dynamic"
                 ).parquet(str(self._rollup_path(space)))
 
+        hist = self.config.space(space).rollup_hist
+
+        def write_hist() -> None:
+            # Histogram partials: per-(series, slot, bin) counts at
+            # fixed value bins — the mergeable sketch that makes
+            # QUANTILES servable from pre-aggregated state
+            # (read_rollup_quantile). Counts are associative, so every
+            # merge order (appends, replays, compaction) is exact; the
+            # same epoch-keyed replay idempotency as the main rollup.
+            width, nbins = hist
+            slot = (F.floor(F.col("time_ms") / step) * step).cast("long")
+            b = F.least(
+                F.greatest(F.floor(F.col("value") / width), F.lit(0)), F.lit(nbins - 1)
+            ).cast("int")
+            partial = (
+                stored.groupBy("bucket", "series_id", slot.alias("slot_ms"), b.alias("bin"))
+                .agg(F.first("tags").alias("tags"), F.count(F.lit(1)).alias("cnt"))
+                .withColumn("epoch", F.lit(-1 if epoch_id is None else epoch_id))
+            )
+            writer = partial.write.partitionBy("bucket", "epoch")
+            if epoch_id is None:
+                writer.mode("append").parquet(str(self._hist_path(space)))
+            else:
+                writer.mode("overwrite").option(
+                    "partitionOverwriteMode", "dynamic"
+                ).parquet(str(self._hist_path(space)))
+
         # The sinks are independent reads of the same input; submit
         # all jobs concurrently so their stages interleave across the
         # cluster (Spark's scheduler handles multi-threaded submission).
@@ -375,7 +405,11 @@ class OrestesEngine:
         # no points until a retry lands.
         from concurrent.futures import ThreadPoolExecutor
 
-        sinks = [write_points, write_series] + ([write_rollup] if step else [])
+        sinks = (
+            [write_points, write_series]
+            + ([write_rollup] if step else [])
+            + ([write_hist] if step and hist else [])
+        )
 
         def timed(fn):
             def run() -> None:
@@ -630,6 +664,83 @@ class OrestesEngine:
             .select("series_id", "tags", "slot_ms", "n", "sum_value", "sum_sq", "min_value", "max_value")
         )
 
+    def read_rollup_quantile(
+        self,
+        es_filter: dict | None = None,
+        space: str = "default",
+        start_ms: int = 0,
+        end_ms: int | None = None,
+        qs: tuple[int, ...] = (50, 95, 99),
+    ) -> DataFrame:
+        """Quantiles from pre-aggregated state: per-series p-th
+        percentiles over [start, end) served from the histogram
+        partials the write path maintains (``rollup_hist``) — raw
+        points are never touched, so cost scales with
+        #series × #bins, not #points. PromQL histogram_quantile
+        semantics: the target bin is picked by exact integer
+        arithmetic (100·cum ≥ q·n) and the value interpolated linearly
+        inside it; counts are associative partials, so any append /
+        replay / compaction history yields the identical answer.
+        Output (series_id, tags, quantile, n, value)."""
+        step = self._rollup_step(space)
+        hist = self.config.space(space).rollup_hist
+        if step is None or hist is None:
+            raise ValueError(f"space {space!r} has no rollup_hist configured")
+        width, nbins = hist
+        if end_ms is None:
+            end_ms = int(_time.time() * 1000) // step * step
+        if start_ms % step or end_ms % step:
+            raise ValueError(f"start/end must be multiples of rollup_step_ms={step}")
+        pred = esdsl.translate(es_filter)
+        hp = self._hist_path(space)
+        if not hp.exists() or not any(hp.glob("bucket=*")):
+            return self._empty(
+                "series_id STRING, tags MAP<STRING,STRING>, quantile INT, n LONG, value DOUBLE"
+            )
+        g = self._granularity(space)
+        counts = (
+            self.spark.read.parquet(str(hp))
+            .where(self._bucket_range_pred(start_ms, end_ms, g))
+            .where((F.col("slot_ms") >= start_ms) & (F.col("slot_ms") < end_ms))
+            .where(pred)
+            .groupBy("series_id", "bin")
+            .agg(F.first("tags").alias("tags"), F.sum("cnt").alias("cnt"))
+        )
+        wc = (
+            Window.partitionBy("series_id")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wt = Window.partitionBy("series_id")
+        cum = counts.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+            "n", F.sum("cnt").over(wt)
+        )
+        cand = cum.select(
+            "series_id", "tags", "bin", "cnt", "cum", "n",
+            F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q"),
+        ).where(100 * F.col("cum") >= F.col("q") * F.col("n"))
+        wq = Window.partitionBy("series_id", "q").orderBy("bin")
+        return (
+            cand.withColumn("_rn", F.row_number().over(wq))
+            .where(F.col("_rn") == 1)
+            .select(
+                "series_id",
+                "tags",
+                F.col("q").cast("int").alias("quantile"),
+                "n",
+                F.round(
+                    (F.col("bin") * width).cast("double")
+                    + (
+                        ((F.col("q") * F.col("n")).cast("double") / 100
+                         - (F.col("cum") - F.col("cnt")).cast("double"))
+                        / F.col("cnt").cast("double")
+                    )
+                    * width,
+                    6,
+                ).alias("value"),
+            )
+        )
+
     def read_rollup_with_tail(
         self,
         es_filter: dict | None = None,
@@ -857,6 +968,7 @@ class OrestesEngine:
         roots = [self._points_path(space), self._series_path(space)]
         if not keep_rollup:
             roots.append(self._rollup_path(space))
+            roots.append(self._hist_path(space))
         for root in roots:
             if not root.exists():
                 continue
@@ -899,6 +1011,7 @@ class OrestesEngine:
             (self._points_path(space), ["series_id", "time_ms"], []),
             (self._series_path(space), ["series_id"], []),
             (self._rollup_path(space), ["series_id", "slot_ms"], ["epoch"]),
+            (self._hist_path(space), ["series_id", "slot_ms"], ["epoch"]),
         ):
             if not root.exists():
                 continue
@@ -1102,6 +1215,27 @@ def _engine_compact(
             df.write.mode("overwrite").partitionBy("epoch").parquet(str(tmp))
             shutil.rmtree(part)
             tmp.rename(part)
+    # histogram partials: same epoch-collapse merge, counts sum
+    hroot = self._hist_path(space)
+    if hroot.exists():
+        for part in sorted(hroot.glob("bucket=*")):
+            if buckets is not None and int(part.name.split("=", 1)[1]) not in buckets:
+                continue
+            files = list(part.rglob("*.parquet"))
+            epochs = sorted(d.name for d in part.glob("epoch=*"))
+            if len(files) <= 1 and epochs in ([], ["epoch=-1"]):
+                continue
+            df = (
+                self.spark.read.parquet(str(part))
+                .groupBy("series_id", "slot_ms", "bin")
+                .agg(F.first("tags").alias("tags"), F.sum("cnt").alias("cnt"))
+                .orderBy("series_id", "slot_ms", "bin")
+                .withColumn("epoch", F.lit(-1))
+            )
+            tmp = part.parent / f".compact_{part.name}"
+            df.write.mode("overwrite").partitionBy("epoch").parquet(str(tmp))
+            shutil.rmtree(part)
+            tmp.rename(part)
     # A FULL points compaction that actually collapsed upserts lets
     # the merge gate drop back to the fast path. Partial
     # (bucket-scoped) compactions keep the marker — other buckets may
@@ -1235,6 +1369,7 @@ def _engine_stats(self: "OrestesEngine", space: str = "default") -> dict[str, di
         ("points", self._points_path(space)),
         ("series", self._series_path(space)),
         ("rollup", self._rollup_path(space)),
+        ("rollup_hist", self._hist_path(space)),
     ):
         table: dict[int, dict] = {}
         if root.exists():

@@ -1837,13 +1837,14 @@ def _engine_for(spark, sf_dir: str) -> OrestesEngine:
     if eng is None:
         from orestes_spark.config import SpaceConfig
 
-        # rollup-enabled default space: the continuous aggregate is
-        # maintained during the same append the other engine queries
-        # share, and os_engine_rollup reads it back.
+        # rollup-enabled default space (with histogram partials): the
+        # continuous aggregate is maintained during the same append the
+        # other engine queries share; os_engine_rollup reads the moment
+        # partials back and os_engine_quantile the histogram partials.
         eng = OrestesEngine(
             spark,
             tempfile.mkdtemp(prefix="orestes_wh_"),
-            spaces={"default": SpaceConfig(1, rollup_step_ms=_HOUR)},
+            spaces={"default": SpaceConfig(1, rollup_step_ms=_HOUR, rollup_hist=(25.0, 20))},
         )
         eng._append(events_as_points(spark, sf_dir), "default")
         _WAREHOUSES[sf_dir] = eng
@@ -1941,6 +1942,56 @@ def os_engine_realtime(spark, sf_dir):
         F.round("sum_value", 4).cast("double").alias("sum_value"),
         "min_value",
         "max_value",
+    )
+
+
+@register(
+    "os_engine_quantile",
+    f"""WITH binned AS (
+          SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+                 CAST(least(greatest(floor(value / 25), 0), 19) AS BIGINT) AS bin
+          FROM events WHERE {_EV_MS} >= {T0} AND {_EV_MS} < {T1}
+        ),
+        counts AS (SELECT event_type, user_id, bin, count(*) AS cnt FROM binned GROUP BY 1, 2, 3),
+        cum AS (
+          SELECT event_type, user_id, bin, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type, user_id ORDER BY bin
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type, user_id) AS n
+          FROM counts
+        ),
+        cand AS (
+          SELECT *, q.q FROM cum, (SELECT UNNEST([50, 95, 99]) AS q) q
+          WHERE 100 * cum >= q.q * n
+        ),
+        hit AS (
+          SELECT event_type, user_id, q, bin, cnt, cum, n,
+                 row_number() OVER (PARTITION BY event_type, user_id, q ORDER BY bin) AS rn
+          FROM cand
+        )
+        SELECT event_type, user_id, CAST(q AS INT) AS quantile, CAST(n AS BIGINT) AS n,
+               round(CAST(bin * 25.0 AS DOUBLE)
+                     + ((CAST(q * n AS DOUBLE) / 100 - CAST(cum - cnt AS DOUBLE))
+                        / CAST(cnt AS DOUBLE)) * 25.0, 6) AS value
+        FROM hit WHERE rn = 1""",
+)
+def os_engine_quantile(spark, sf_dir):
+    """Quantiles from the continuous aggregate's HISTOGRAM partials
+    (engine.read_rollup_quantile): per-series p50/p95/p99 served
+    entirely from pre-aggregated (series, slot, bin) counts the write
+    path maintains — raw points never scanned, cost ∝ series × bins.
+    Completes the rollup's statistic families: count/avg/min/max/sum
+    (moment partials), stddev (sum_sq), and now order statistics
+    (fixed-bin histogram sketch) — hash-checked against one plain SQL
+    binned-quantile aggregation over the source."""
+    eng = _engine_for(spark, sf_dir)
+    roll = eng.read_rollup_quantile(None, "default", T0, T1)
+    return roll.select(
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").alias("user_id"),
+        "quantile",
+        "n",
+        "value",
     )
 
 

@@ -800,3 +800,49 @@ def test_concurrent_writers_both_arm_merge_gate(spark, tmp_path):
     # merged row, with one of the two written values
     (tags, pts), = got.values()
     assert len(pts) == 1 and pts[0][0] == START and pts[0][1] in (1.0, 2.0)
+
+def test_rollup_quantile_from_histogram_partials(spark, tmp_path):
+    """Quantiles served from pre-aggregated histogram partials match a
+    Python model of the fixed-bin interpolation — across multiple
+    appends, after compaction, and after tiered raw-data removal."""
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine
+
+    HOUR = 3_600_000
+    eng = OrestesEngine(
+        spark, str(tmp_path / "wh_hq"),
+        spaces={"default": SpaceConfig(1, rollup_step_ms=HOUR, rollup_hist=(10.0, 10))},
+    )
+    t0 = 1_700_000_400_000
+    vals1 = [float(v) for v in range(0, 60)]
+    vals2 = [float(v) for v in range(40, 99)]  # overlap + clamp into top bin
+    eng.write([{"time": t0 + i, "value": v, "host": "a"} for i, v in enumerate(vals1)])
+    eng.write([{"time": t0 + 1000 + i, "value": v, "host": "a"} for i, v in enumerate(vals2)])
+
+    def model(vals, q, width=10.0, nbins=10):
+        from collections import Counter
+        bins = Counter(min(int(v // width), nbins - 1) for v in vals)
+        n = len(vals)
+        cum = 0
+        for b in sorted(bins):
+            cnt = bins[b]
+            cum += cnt
+            if 100 * cum >= q * n:
+                return round(b * width + ((q * n / 100 - (cum - cnt)) / cnt) * width, 6)
+
+    lo = t0 // HOUR * HOUR
+    all_vals = vals1 + vals2
+
+    def got():
+        rows = eng.read_rollup_quantile(None, "default", lo, lo + HOUR).collect()
+        assert all(r["tags"]["host"] == "a" and r["n"] == len(all_vals) for r in rows)
+        return {r["quantile"]: r["value"] for r in rows}
+
+    expected = {q: model(all_vals, q) for q in (50, 95, 99)}
+    assert got() == expected
+    eng.compact("default")  # partials collapse to epoch=-1, answer identical
+    assert got() == expected
+    # tiered retention: raw points gone, quantiles still served
+    eng.remove("default", keep_days=0, keep_rollup=True)
+    assert eng._read_points("default") is None
+    assert got() == expected
