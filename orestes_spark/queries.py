@@ -3639,7 +3639,6 @@ _DRIVER_PRIORITY = [
     "doc_bpe_tokens",
     # 5 r4-changed code paths
     "os_read_term",
-    "os_read_bool",
     "os_engine_roundtrip",
     "os_engine_count",
     "os_engine_rollup",
@@ -3665,6 +3664,10 @@ _DRIVER_PRIORITY = [
     # the round's headline semantic change, driver-checked on the
     # MERGED read path (tpch_q14 waits with its q7/q8/q9/q17 siblings)
     "os_engine_upsert",
+    # quantiles-from-partials: brand-new rollup statistic family
+    # (os_read_bool yields its slot — the merge-gated read path it
+    # shares with os_read_term/os_engine_roundtrip stays covered)
+    "os_engine_quantile",
 ]
 assert len(_DRIVER_PRIORITY) == 50 and len(set(_DRIVER_PRIORITY)) == 50
 assert set(_DRIVER_PRIORITY) <= set(QUERIES), sorted(set(_DRIVER_PRIORITY) - set(QUERIES))
