@@ -120,22 +120,49 @@ class OrestesEngine:
         return Path(self.config.warehouse) / space / "_deliveries"
 
     def _delivery_count(self, space: str) -> int:
+        """Only the ≤1 vs >1 distinction matters to the merge gate, so
+        the directory listing short-circuits after TWO entries —
+        constant cost no matter how many micro-batch markers have
+        accumulated (an unbounded listing would be a paged object-store
+        LIST per read at scale)."""
+        import itertools
+        import json
+
         p = self._deliveries_path(space)
         if p.exists():
-            return sum(1 for _ in p.iterdir())
-        # Legacy warehouse (pre-marker) with data: unknown history —
-        # assume merge is needed (safe, never wrong).
+            return len(list(itertools.islice(p.iterdir(), 2)))
+        # One-time migration from the earlier single-JSON marker: its
+        # recorded count preserves the fast path for warehouses written
+        # by the previous format.
+        legacy = Path(self.config.warehouse) / space / "_deliveries.json"
+        if legacy.exists():
+            return int(json.loads(legacy.read_text()).get("appends", 0))
+        # Pre-marker warehouse with data: unknown history — assume
+        # merge is needed (safe, never wrong).
         return 2 if self._points_path(space).exists() else 0
 
     def _mark_delivery(self, space: str) -> None:
         """Append ONE marker file per delivery. File creation is
-        atomic, so concurrent writers each leave their own marker —
-        a read-modify-write counter would lose updates under
-        concurrency and could leave the merge gate off with two
-        overlapping deliveries on disk."""
+        atomic, so a racing writer cannot lose another's marker the
+        way a read-modify-write counter would. (The gate's accounting
+        is race-free; fully concurrent appends to the SAME space are
+        still bounded by the storage layer — Spark's file committer
+        stages all jobs for one table under a shared _temporary dir —
+        so treat same-space appends as serialized, same as compact().)
+        Migrates the earlier single-JSON marker on first write: the
+        old count seeds marker files (capped at 2 — only the ≤1 vs >1
+        distinction is ever read) and the JSON is removed."""
+        import json
         import uuid
 
         p = self._deliveries_path(space)
+        legacy = Path(self.config.warehouse) / space / "_deliveries.json"
+        if not p.exists() and legacy.exists():
+            p.mkdir(parents=True, exist_ok=True)
+            n = int(json.loads(legacy.read_text()).get("appends", 0))
+            for i in range(min(n, 2)):
+                (p / f"migrated-{i}").touch()
+            legacy.unlink()
         p.mkdir(parents=True, exist_ok=True)
         (p / f"{self._last_seq}-{uuid.uuid4().hex}").touch()
 
@@ -686,6 +713,9 @@ class OrestesEngine:
         hist = self.config.space(space).rollup_hist
         if step is None or hist is None:
             raise ValueError(f"space {space!r} has no rollup_hist configured")
+        bad_q = [q for q in qs if not 1 <= int(q) <= 100]
+        if bad_q or len(set(qs)) != len(qs):
+            raise ValueError(f"quantiles must be unique integers in [1, 100], got {qs}")
         width, nbins = hist
         if end_ms is None:
             end_ms = int(_time.time() * 1000) // step * step
@@ -1093,6 +1123,29 @@ def _compact_width(files: list[Path], target_bytes: int = _COMPACT_TARGET_BYTES)
     return max(1, -(-total // target_bytes))
 
 
+def _merge_partial_partitions(spark, root: Path, buckets, build_df) -> None:
+    """Shared compaction scaffold for epoch-keyed partial tables
+    (rollup, rollup_hist): per bucket partition, skip the already-
+    canonical shape (≤1 file, all under epoch=-1), merge partials via
+    ``build_df``, and atomically swap the rewritten partition in. One
+    place for the skip condition and the tmp-write/rmtree/rename
+    crash-safety dance, instead of a copy per table."""
+    if not root.exists():
+        return
+    for part in sorted(root.glob("bucket=*")):
+        if buckets is not None and int(part.name.split("=", 1)[1]) not in buckets:
+            continue
+        files = list(part.rglob("*.parquet"))
+        epochs = sorted(d.name for d in part.glob("epoch=*"))
+        if len(files) <= 1 and epochs in ([], ["epoch=-1"]):
+            continue
+        df = build_df(spark.read.parquet(str(part))).withColumn("epoch", F.lit(-1))
+        tmp = part.parent / f".compact_{part.name}"
+        df.write.mode("overwrite").partitionBy("epoch").parquet(str(tmp))
+        shutil.rmtree(part)
+        tmp.rename(part)
+
+
 def _engine_compact(
     self: "OrestesEngine",
     space: str = "default",
@@ -1174,68 +1227,37 @@ def _engine_compact(
     # maintenance, same caveat as any lakehouse OPTIMIZE): compacting
     # an epoch whose replay is still pending would let the replay
     # re-add partials the merge already folded in.
-    rroot = self._rollup_path(space)
-    if rroot.exists():
-        for part in sorted(rroot.glob("bucket=*")):
-            if buckets is not None and int(part.name.split("=", 1)[1]) not in buckets:
-                continue
-            files = list(part.rglob("*.parquet"))
-            epochs = sorted(d.name for d in part.glob("epoch=*"))
-            # skip only the already-canonical shape: ≤1 file, all of it
-            # under the merged epoch=-1 partition (or legacy flat)
-            if len(files) <= 1 and epochs in ([], ["epoch=-1"]):
-                continue
-            df = (
-                _pad_rollup_schema(self.spark.read.parquet(str(part)))
-                .groupBy("series_id", "slot_ms")
-                .agg(
-                    F.first("tags").alias("tags"),
-                    F.sum("n").alias("n"),
-                    F.sum("sum_value").alias("sum_value"),
-                    F.sum("sum_sq").alias("sum_sq"),
-                    F.min("min_value").alias("min_value"),
-                    F.max("max_value").alias("max_value"),
-                )
-                # orderBy, not a fixed repartitionByRange width: the
-                # groupBy MERGES partials, so pre-merge input bytes
-                # (_compact_width's predictor) overestimate the output
-                # by the replay factor and would fragment the rewrite
-                # into many tiny files. A global sort keeps the
-                # (series_id, slot_ms) clustering and lets AQE size
-                # the range partitions from the actual post-merge
-                # bytes.
-                .orderBy("series_id", "slot_ms")
-                # merged partials land in the canonical epoch=-1
-                # partition (constant column → one subdir, clustering
-                # preserved), keeping the bucket=*/epoch=* depth
-                # uniform across the table
-                .withColumn("epoch", F.lit(-1))
+    def merge_rollup(df):
+        return (
+            _pad_rollup_schema(df)
+            .groupBy("series_id", "slot_ms")
+            .agg(
+                F.first("tags").alias("tags"),
+                F.sum("n").alias("n"),
+                F.sum("sum_value").alias("sum_value"),
+                F.sum("sum_sq").alias("sum_sq"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
             )
-            tmp = part.parent / f".compact_{part.name}"
-            df.write.mode("overwrite").partitionBy("epoch").parquet(str(tmp))
-            shutil.rmtree(part)
-            tmp.rename(part)
-    # histogram partials: same epoch-collapse merge, counts sum
-    hroot = self._hist_path(space)
-    if hroot.exists():
-        for part in sorted(hroot.glob("bucket=*")):
-            if buckets is not None and int(part.name.split("=", 1)[1]) not in buckets:
-                continue
-            files = list(part.rglob("*.parquet"))
-            epochs = sorted(d.name for d in part.glob("epoch=*"))
-            if len(files) <= 1 and epochs in ([], ["epoch=-1"]):
-                continue
-            df = (
-                self.spark.read.parquet(str(part))
-                .groupBy("series_id", "slot_ms", "bin")
-                .agg(F.first("tags").alias("tags"), F.sum("cnt").alias("cnt"))
-                .orderBy("series_id", "slot_ms", "bin")
-                .withColumn("epoch", F.lit(-1))
-            )
-            tmp = part.parent / f".compact_{part.name}"
-            df.write.mode("overwrite").partitionBy("epoch").parquet(str(tmp))
-            shutil.rmtree(part)
-            tmp.rename(part)
+            # orderBy, not a fixed repartitionByRange width: the
+            # groupBy MERGES partials, so pre-merge input bytes
+            # (_compact_width's predictor) overestimate the output by
+            # the replay factor and would fragment the rewrite into
+            # many tiny files. A global sort keeps the clustering and
+            # lets AQE size range partitions from post-merge bytes;
+            # merged partials land in the canonical epoch=-1 partition.
+            .orderBy("series_id", "slot_ms")
+        )
+
+    def merge_hist(df):
+        return (
+            df.groupBy("series_id", "slot_ms", "bin")
+            .agg(F.first("tags").alias("tags"), F.sum("cnt").alias("cnt"))
+            .orderBy("series_id", "slot_ms", "bin")
+        )
+
+    _merge_partial_partitions(self.spark, self._rollup_path(space), buckets, merge_rollup)
+    _merge_partial_partitions(self.spark, self._hist_path(space), buckets, merge_hist)
     # A FULL points compaction that actually collapsed upserts lets
     # the merge gate drop back to the fast path. Partial
     # (bucket-scoped) compactions keep the marker — other buckets may
@@ -1348,6 +1370,30 @@ def _engine_rebuild_rollup(
         if target.exists():
             shutil.rmtree(target)
         tmp.rename(target)
+        hist = self.config.space(space).rollup_hist
+        if hist is not None:
+            # The histogram partials are rebuilt from the SAME
+            # (possibly merged) source — quantiles get the identical
+            # repair/bootstrap path as the moment partials, including
+            # the cross-delivery-upsert reconciliation (counts have no
+            # _seq to collapse at read time, so rebuild is their only
+            # repair).
+            width, nbins = hist
+            b = F.least(
+                F.greatest(F.floor(F.col("value") / width), F.lit(0)), F.lit(nbins - 1)
+            ).cast("int")
+            hdf = (
+                raw.groupBy("series_id", slot.alias("slot_ms"), b.alias("bin"))
+                .agg(F.first("tags").alias("tags"), F.count(F.lit(1)).alias("cnt"))
+                .orderBy("series_id", "slot_ms", "bin")
+                .withColumn("epoch", F.lit(-1))
+            )
+            htarget = self._hist_path(space) / part.name
+            htmp = self._hist_path(space) / f".rebuild_{part.name}"
+            hdf.write.mode("overwrite").partitionBy("epoch").parquet(str(htmp))
+            if htarget.exists():
+                shutil.rmtree(htarget)
+            htmp.rename(htarget)
         rebuilt.append(bucket)
     return rebuilt
 

@@ -775,11 +775,15 @@ def test_validation_reference_order_and_spellings(engine):
     ]
     assert engine.read().count() == 1
 
-def test_concurrent_writers_both_arm_merge_gate(spark, tmp_path):
-    """Two engine instances appending to the same space concurrently:
-    the per-delivery marker FILES (atomic creates, no read-modify-
-    write counter) mean neither writer can lose the other's delivery —
-    the merge gate must be ON afterwards and the overwrite merged."""
+def test_two_writer_instances_arm_merge_gate(spark, tmp_path):
+    """Two engine INSTANCES appending to the same space: the
+    per-delivery marker files mean neither instance can lose the
+    other's delivery record (atomic file creates, no read-modify-write
+    counter — exercised concurrently below), so the merge gate is ON
+    and the overwrite merges. The parquet appends themselves are
+    serialized: Spark's file committer stages every job for one table
+    under a shared _temporary dir, so same-space data writes are
+    single-writer by contract (documented in _mark_delivery)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from orestes_spark.config import SpaceConfig
@@ -788,18 +792,46 @@ def test_concurrent_writers_both_arm_merge_gate(spark, tmp_path):
     wh = str(tmp_path / "wh_conc")
     a = OrestesEngine(spark, wh, spaces={"default": SpaceConfig(1)})
     b = OrestesEngine(spark, wh, spaces={"default": SpaceConfig(1)})
-    with ThreadPoolExecutor(2) as pool:
-        fa = pool.submit(a.write, [{"time": START, "value": 1.0, "host": "a"}])
-        fb = pool.submit(b.write, [{"time": START, "value": 2.0, "host": "a"}])
-        assert fa.result() == [] and fb.result() == []
-    assert a._delivery_count("default") == 2
+    assert a.write([{"time": START, "value": 1.0, "host": "a"}]) == []
+    assert b.write([{"time": START, "value": 2.0, "host": "a"}]) == []
+    assert a._delivery_count("default") == 2  # capped listing: reads as >1
     assert a._merge_needed("default") and b._merge_needed("default")
     got = read_as_model(a)
-    # last-write-wins is decided by the _seq stamps; with two racing
-    # writers either may be later — but the read returns exactly ONE
-    # merged row, with one of the two written values
     (tags, pts), = got.values()
-    assert len(pts) == 1 and pts[0][0] == START and pts[0][1] in (1.0, 2.0)
+    assert pts == [(START, 2.0)]  # b's later delivery wins
+    # the marker mechanism itself is race-free: concurrent marks from
+    # both instances all land (atomic creates cannot clobber)
+    with ThreadPoolExecutor(4) as pool:
+        for f in [pool.submit(e._mark_delivery, "default") for e in (a, b, a, b)]:
+            f.result()
+    assert sum(1 for _ in a._deliveries_path("default").iterdir()) == 6
+
+
+def test_legacy_json_marker_migrates(spark, tmp_path):
+    """A warehouse written by the earlier single-JSON marker format
+    keeps its recorded fast-path state: appends=1 must NOT flip the
+    merge gate on after upgrade, and the next write migrates the file
+    into marker files."""
+    import json
+
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine
+
+    eng = OrestesEngine(spark, str(tmp_path / "wh_mig"), spaces={"default": SpaceConfig(1)})
+    eng.write([{"time": START, "value": 1.0, "host": "a"}])
+    # rewrite the marker into the legacy single-JSON format
+    import shutil as _sh
+
+    _sh.rmtree(eng._deliveries_path("default"))
+    legacy = eng._deliveries_path("default").parent / "_deliveries.json"
+    legacy.write_text(json.dumps({"appends": 1}))
+    assert eng._delivery_count("default") == 1
+    assert not eng._merge_needed("default")  # fast path preserved
+    eng.write([{"time": START + 1000, "value": 2.0, "host": "a"}])
+    assert not legacy.exists()  # migrated away
+    assert eng._delivery_count("default") == 2
+    assert eng._merge_needed("default")
+
 
 def test_rollup_quantile_from_histogram_partials(spark, tmp_path):
     """Quantiles served from pre-aggregated histogram partials match a
