@@ -1766,6 +1766,41 @@ def emb_pq_topk(spark, sf_dir):
     return similarity.pq_topk(e, e.where(F.col("vec_id") < 10), k=5, m=4, ks=16)
 
 
+@register("emb_pq_recall")  # rows-only: measures the float ANN path
+def emb_pq_recall(spark, sf_dir):
+    """ANN quality instrumentation: recall@5 of the PQ/ADC kernel
+    against the exact cosine ranking for the same 10 queries — one row
+    (k, n_queries, hits, recall). The number an operator watches when
+    turning the m/ks dial (the PQ docstring's honesty note about
+    near-isotropic corpora, quantified per run). Both sides are
+    distributed scans; the comparison is a tiny join over ≤ Q×k
+    rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(e, q, k=5, quantize=1000).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.pq_topk(e, q, k=5, m=4, ks=16).select(
+        "query_id", F.col("neighbor_id").alias("pq_neighbor")
+    )
+    hits = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["pq_neighbor"]),
+        "left_semi",
+    )
+    return (
+        exact.agg(F.count(F.lit(1)).alias("total"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("hits")))
+        .select(
+            F.lit(5).alias("k"),
+            (F.col("total") / 5).cast("long").alias("n_queries"),
+            "hits",
+            F.round(F.col("hits") / F.col("total"), 4).alias("recall"),
+        )
+    )
+
+
 @register("emb_topk_lsh", oracles.emb_topk_lsh_sql())
 def emb_topk_lsh(spark, sf_dir):
     """LSH-bucketed approximate top-5 (8 random hyperplanes) — the
