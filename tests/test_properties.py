@@ -249,3 +249,38 @@ def test_upsert_merge_matches_python_model(spark, tmp_path_factory, batches):
     for r in eng.read(None, "default", 0, _UPSERT_START + 10**9, grouped=False).collect():
         got[(r["tags"]["host"], r["time_ms"])] = r["value"]
     assert got == model
+
+
+# ------------------------------------------------- rag-chunk model ---
+
+_WORDS = ["alpha", "Beta", "g", "δ", "12"]
+
+rag_texts = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=17).map(" ".join),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(texts=rag_texts, window=st.integers(2, 6), stride=st.integers(1, 5))
+def test_rag_chunks_matches_python_model(spark, texts, window, stride):
+    """rag_chunks vs a pure-Python model of the same windowing: chunk
+    offsets, lengths, and md5s for arbitrary texts/window/stride."""
+    import hashlib
+    import re
+
+    from orestes_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_token"], r["n_tokens"], r["chunk_md5"])
+        for r in text_ops.rag_chunks(df, "doc_id", "text", window=window, stride=stride).collect()
+    )
+    exp = []
+    for i, t in enumerate(texts):
+        toks = re.split(r"\s+", t.strip().lower())
+        for ci, s in enumerate(range(0, len(toks), stride)):
+            sl = toks[s : s + window]
+            exp.append((i, ci, s, len(sl), hashlib.md5(" ".join(sl).encode()).hexdigest()))
+    assert got == sorted(exp)

@@ -493,3 +493,42 @@ def test_streaming_ohlc_matches_batch_operator(spark, tmp_path):
     # equal-time tie at 00:01 → open takes the smaller value (3.0),
     # matching the batch operator's (time, value) struct-min discipline
     assert out["2024-01-01T00:00:00"] == (3.0, 9.0, 1.0, 9.0, 4)
+
+
+def test_hist_partials_replay_cannot_inflate_quantiles(spark, tmp_path):
+    """The histogram partials inherit the rollup's exactly-once-per-
+    epoch contract: a crash-window replay overwrites its own epoch's
+    (series, slot, bin) counts, so read_rollup_quantile equals the
+    batch answer with no repair call."""
+    from orestes_spark import validation
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine
+    from orestes_spark.streaming.ingest import canonicalize, make_batch_processor
+
+    HOUR = 3_600_000
+    eng = OrestesEngine(
+        spark,
+        str(tmp_path / "wh_hq_stream"),
+        spaces={"default": SpaceConfig(1, rollup_step_ms=HOUR, rollup_hist=(10.0, 10))},
+    )
+    process = make_batch_processor(eng, "default", epochs_dir=str(tmp_path / "epochs"))
+    batch = spark.createDataFrame(_raw_rows(20), RAW_DDL)
+    # crash window: sinks commit, marker doesn't; epoch re-offered
+    valid, _ = validation.split_valid(canonicalize(batch))
+    eng._append(valid, "default", epoch_id=3)
+    process(batch, 3)
+
+    lo = START // HOUR * HOUR
+    rows = eng.read_rollup_quantile(None, "default", lo, lo + 24 * HOUR).collect()
+    # _raw_rows(20) → 3 series (idx 0/1/2) with 7/7/6 points; the
+    # replay must NOT double any count
+    per_q_total = {}
+    for r in rows:
+        per_q_total[r["quantile"]] = per_q_total.get(r["quantile"], 0) + r["n"]
+    assert per_q_total == {50: 20, 95: 20, 99: 20}
+    # idx=0 series: values {0,3,..,18} → bins w=10: b0 has 4, b1 has 3;
+    # p50 = 0 + ((0.5·7 − 0)/4)·10 = 8.75 (model-exact, not doubled)
+    p50_idx0 = {r["series_id"]: r["value"] for r in rows if r["quantile"] == 50}[
+        "host=a,idx=0"
+    ]
+    assert p50_idx0 == 8.75
