@@ -86,6 +86,35 @@ def mixture_plan(
     )
 
 
+def mixture_sample(
+    docs: DataFrame,
+    id_col: str,
+    strata_col: str,
+    token_count: Column,
+    target_shares: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Execute a mixture plan: compute per-stratum rates from the
+    corpus (mixture_plan) and APPLY them as deterministic id-hash
+    thresholds in the same pass — the complete domain-reweighting
+    step, from measured token distribution to a reproducible sampled
+    corpus. Returns the kept rows with ``sample_rate`` attached.
+
+    Scale shape: one token-count aggregate (tiny result, broadcast
+    back), then a map-side hash filter over the corpus — no shuffle
+    of the corpus itself, reproducible under any partitioning or
+    retry. The data-dependent rate works as an exact threshold
+    because it is quantized to 6 dp identically on both engines
+    before the ×10000 integer comparison."""
+    plan = mixture_plan(docs, strata_col, token_count, target_shares)
+    joined = docs.join(
+        F.broadcast(plan.select("stratum", "sample_rate")),
+        docs[strata_col] == F.col("stratum"),
+    ).drop("stratum")
+    thresh = F.round(F.col("sample_rate") * _BUCKETS).cast("long")
+    return joined.where(_hash_bucket(F.col(id_col), salt) < thresh)
+
+
 def _shard_of(id_col: Column, salt: str, n_shards: int) -> Column:
     """Deterministic shard from the salted-md5 of the id (same portable
     parse as _hash_bucket, modulo the shard count)."""

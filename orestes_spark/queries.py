@@ -1611,6 +1611,50 @@ def doc_rag_chunks(spark, sf_dir):
     return text.rag_chunks(d, "doc_id", "text", window=64, stride=48)
 
 
+@register(
+    "doc_training_mix",
+    r"""WITH per AS (
+          SELECT lang AS stratum, count(*) AS n_docs,
+                 CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1
+        ),
+        tot AS (SELECT sum(n_tokens) AS _total FROM per),
+        rates AS (
+          SELECT stratum,
+                 coalesce(round(least(1.0, 0.2 * _total / n_tokens), 6), 0.0) AS rate
+          FROM per, tot
+        ),
+        kept AS (
+          SELECT d.lang, len(string_split_regex(trim(d.text), '\s+')) AS ntok
+          FROM documents d JOIN rates r ON r.stratum = d.lang
+          WHERE CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                % 10000 < CAST(round(r.rate * 10000) AS BIGINT)
+        )
+        SELECT lang, count(*) AS kept_docs, CAST(sum(ntok) AS BIGINT) AS kept_tokens
+        FROM kept GROUP BY lang""",
+)
+def doc_training_mix(spark, sf_dir):
+    """The COMPLETE domain-reweighting step in one query: measure the
+    per-language token distribution, derive equal-share (0.2 each)
+    sampling rates, and APPLY them as deterministic id-hash thresholds
+    (sampling.mixture_sample) — output per-language kept docs/tokens
+    of the resulting training mix. Unlike doc_mixture_plan (the plan
+    alone) this exercises the data-dependent rate as an exact
+    cross-engine threshold: the 6-dp-quantized rate ×10000 is an
+    integer comparison on both sides. Corpus cost: one token-count
+    aggregate + one map-side hash filter; the corpus never shuffles."""
+    from orestes_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    shares = {lang: 0.2 for lang in ("de", "en", "es", "fr", "zh")}
+    kept = sampling.mixture_sample(d, "doc_id", "lang", toks, shares)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("long").alias("kept_tokens"),
+    )
+
+
 @register("doc_decontaminate", oracles.decontaminate_sql())
 def doc_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag corpus docs sharing any 4-token

@@ -117,3 +117,24 @@ def test_pack_sequences_property_matches_python_model(spark):
             cum[s] = before + t
 
     check()
+
+
+def test_mixture_sample_applies_plan_rates(spark):
+    """mixture_sample keeps over-represented strata at ~their computed
+    rate, keeps starved strata entirely, and is bit-reproducible."""
+    from pyspark.sql import functions as F
+
+    from orestes_spark.operators import sampling
+
+    rows = [(i, "big" if i < 900 else "small", "w " * 10) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, text STRING")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    kept = sampling.mixture_sample(df, "doc_id", "lang", toks, {"big": 0.5, "small": 0.5})
+    out = {r["lang"]: r["cnt"] for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # small is under target (10% of tokens, target 50%) -> rate 1.0, all kept
+    assert out["small"] == 100
+    # big is over target: rate = 0.5*1000/900 ≈ 0.5556 -> roughly half kept
+    assert 450 <= out["big"] <= 560
+    # deterministic: a second run is identical
+    out2 = {r["lang"]: r["cnt"] for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert out == out2
