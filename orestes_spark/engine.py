@@ -138,8 +138,10 @@ class OrestesEngine:
         if legacy.exists():
             return int(json.loads(legacy.read_text()).get("appends", 0))
         # Pre-marker warehouse with data: unknown history — assume
-        # merge is needed (safe, never wrong).
-        return 2 if self._points_path(space).exists() else 0
+        # merge is needed (safe, never wrong). "Has data" means live
+        # bucket partitions, not a leftover empty directory — a space
+        # whose buckets were all expired holds nothing to merge.
+        return 2 if any(self._points_path(space).glob("bucket=*")) else 0
 
     def _mark_delivery(self, space: str) -> None:
         """Append ONE marker file per delivery. File creation is
@@ -165,6 +167,18 @@ class OrestesEngine:
             legacy.unlink()
         p.mkdir(parents=True, exist_ok=True)
         (p / f"{self._last_seq}-{uuid.uuid4().hex}").touch()
+
+    def _clear_deliveries(self, space: str) -> None:
+        """Drop every delivery marker: the space holds no point
+        buckets, so there is nothing left to merge and the gate must
+        disarm (otherwise every read after a full retention sweep
+        would pay the merge aggregation forever)."""
+        p = self._deliveries_path(space)
+        if p.exists():
+            shutil.rmtree(p)
+        legacy = Path(self.config.warehouse) / space / "_deliveries.json"
+        if legacy.exists():
+            legacy.unlink()
 
     def _reset_deliveries(self, space: str) -> None:
         """Post-full-compaction: collapse the marker set to one (the
@@ -469,8 +483,37 @@ class OrestesEngine:
 
     # ---------- raw readers ----------
 
+    @staticmethod
+    def _recover_swaps(root: Path) -> None:
+        """Crash recovery for delete_series' two-phase bucket swap
+        (write tmp → rename live→.old → rename tmp→live → drop .old).
+        Idempotent and one hidden-prefix glob per call; every reader
+        of the root runs it, so an erasure interrupted between the
+        renames can never lose a bucket. Roll FORWARD when the rewrite
+        had committed (tmp complete — the first rename only happens
+        after a successful write — and live renamed away), roll BACK
+        (discard tmp, keep live) otherwise."""
+        if not root.exists():
+            return
+        for old in root.glob(".old_bucket=*"):
+            name = old.name[len(".old_") :]
+            live = root / name
+            tmp = root / f".delete_{name}"
+            if live.exists():
+                shutil.rmtree(old)  # swap completed; drop the backup
+            elif tmp.exists():
+                tmp.rename(live)  # died between the renames: the
+                shutil.rmtree(old)  # rewrite was complete — commit it
+            else:
+                old.rename(live)  # tmp gone: restore the original
+        for tmp in root.glob(".delete_bucket=*"):
+            # Live partition still present ⇒ the rewrite never
+            # committed and may be partial — discard it.
+            shutil.rmtree(tmp)
+
     def _read_points(self, space: str) -> DataFrame | None:
         p = self._points_path(space)
+        self._recover_swaps(p)
         # After a full retention sweep the directory exists but has no
         # bucket=* partitions left — treat as empty, not a schema error.
         if not p.exists() or not any(p.glob("bucket=*")):
@@ -482,6 +525,7 @@ class OrestesEngine:
 
     def _read_series(self, space: str) -> DataFrame | None:
         p = self._series_path(space)
+        self._recover_swaps(p)
         if not p.exists() or not any(p.glob("bucket=*")):
             return None
         return self.spark.read.parquet(str(p))
@@ -538,8 +582,12 @@ class OrestesEngine:
         pred = esdsl.translate(es_filter)  # validate the DSL even if space is empty
         points = self._read_points(space)
         if points is None:
+            # _seq must be present even in the empty frame: when the
+            # merge gate is armed (multi-delivery space whose buckets
+            # were all expired/erased) _merged_points, the grouped
+            # read merge, and compaction still reference it.
             return self._empty(
-                "time_ms LONG, value DOUBLE, tags MAP<STRING,STRING>, series_id STRING, bucket INT"
+                "time_ms LONG, value DOUBLE, tags MAP<STRING,STRING>, series_id STRING, bucket INT, _seq LONG"
             )
         g = self._granularity(space)
         points = points.where(self._time_pred(start_ms, end_ms, g))
@@ -665,6 +713,7 @@ class OrestesEngine:
             raise ValueError(f"start/end must be multiples of rollup_step_ms={step}")
         pred = esdsl.translate(es_filter)
         rp = self._rollup_path(space)
+        self._recover_swaps(rp)
         if not rp.exists() or not any(rp.glob("bucket=*")):
             return self._empty(
                 "tags MAP<STRING,STRING>, slot_ms LONG, n LONG,"
@@ -723,6 +772,7 @@ class OrestesEngine:
             raise ValueError(f"start/end must be multiples of rollup_step_ms={step}")
         pred = esdsl.translate(es_filter)
         hp = self._hist_path(space)
+        self._recover_swaps(hp)
         if not hp.exists() or not any(hp.glob("bucket=*")):
             return self._empty(
                 "series_id STRING, tags MAP<STRING,STRING>, quantile INT, n LONG, value DOUBLE"
@@ -1008,6 +1058,12 @@ class OrestesEngine:
                     shutil.rmtree(part)
                     if bucket not in dropped:
                         dropped.append(bucket)
+        # A sweep that emptied the space leaves nothing to merge —
+        # disarm the gate so subsequent appends start on the
+        # merge-free fast path instead of paying the upsert
+        # aggregation forever (until a full compact()).
+        if not any(self._points_path(space).glob("bucket=*")):
+            self._clear_deliveries(space)
         return dropped
 
     def delete_series(self, es_filter: dict, space: str = "default") -> int:
@@ -1045,6 +1101,7 @@ class OrestesEngine:
         ):
             if not root.exists():
                 continue
+            self._recover_swaps(root)
             for bucket in buckets:
                 part = root / f"bucket={bucket}"
                 if not part.exists():
@@ -1065,8 +1122,15 @@ class OrestesEngine:
                 if part_cols:
                     writer = writer.partitionBy(*part_cols)
                 writer.parquet(str(tmp))
-                shutil.rmtree(part)
+                # Crash-atomic two-phase swap (see _recover_swaps):
+                # after the full tmp write, live→.old, tmp→live, drop
+                # .old. A crash at any point either rolls back (tmp
+                # discarded) or rolls forward (tmp committed) on the
+                # next read — the bucket is never lost.
+                old = part.parent / f".old_{part.name}"
+                part.rename(old)
                 tmp.rename(part)
+                shutil.rmtree(old)
         return n_removed
 
 

@@ -878,3 +878,78 @@ def test_rollup_quantile_from_histogram_partials(spark, tmp_path):
     eng.remove("default", keep_days=0, keep_rollup=True)
     assert eng._read_points("default") is None
     assert got() == expected
+
+
+def test_read_empty_space_with_armed_merge_gate(engine):
+    """An armed merge gate over a space with NO point buckets (e.g.
+    deliveries that died before their sinks committed — _mark_delivery
+    bumps first, fail-safe) must yield EMPTY reads, not an
+    unresolved-_seq AnalysisException: the empty-frame schema carries
+    _seq for the merge paths."""
+    engine._mark_delivery("default")
+    engine._mark_delivery("default")
+    assert engine._merge_needed("default")
+    assert engine.read(None, "default", 0, START + 10**9).collect() == []
+    assert engine.read(None, "default", 0, START + 10**9, grouped=False).collect() == []
+    assert engine.aggregate_points(
+        ["avg", "stdev"], {"term": {"host": "a"}}, "default", 0, START + 10**9
+    ).collect() == []
+    assert engine.count_points(None, "default", 0, START + 10**9).collect() == []
+
+
+def test_full_retention_sweep_disarms_merge_gate(engine):
+    """remove() that drops every points bucket clears the delivery
+    markers: the next append starts back on the merge-free fast path
+    instead of paying the upsert aggregation until a full compact()."""
+    engine.write([{"time": START, "value": 1.0, "host": "a"}])
+    engine.write([{"time": START + 1, "value": 2.0, "host": "a"}])
+    assert engine._merge_needed("default")
+    engine.remove("default", keep_days=0)
+    assert not engine._merge_needed("default")
+    engine.write([{"time": START + 2, "value": 3.0, "host": "a"}])
+    assert not engine._merge_needed("default")  # one delivery since sweep
+    got = read_as_model(engine)
+    assert got == {"host=a": ({"host": "a"}, [(START + 2, 3.0)])}
+
+
+def test_delete_series_swap_is_crash_atomic(spark, tmp_path):
+    """Simulate a crash at the worst point of delete_series' two-phase
+    swap — after live→.old, before tmp→live — and assert the next read
+    rolls FORWARD (tmp was complete) without losing the bucket; also
+    the pure roll-back case (tmp incomplete, live intact)."""
+    import shutil as _sh
+
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine
+
+    eng = OrestesEngine(spark, str(tmp_path / "wh_crash"), spaces={"default": SpaceConfig(1)})
+    pts = [{"time": START + i, "value": float(i), "host": h}
+           for i, h in enumerate(["a", "b"] * 10)]
+    assert eng.write(pts) == []
+    proot = eng._points_path("default")
+    part = next(proot.glob("bucket=*"))
+
+    # Roll-forward crash: a completed rewrite staged at .delete_*, live
+    # renamed away to .old_* — exactly between the two renames.
+    tmp = proot / f".delete_{part.name}"
+    eng.spark.read.parquet(str(part)).where("value >= 0").write.parquet(str(tmp))
+    part.rename(proot / f".old_{part.name}")
+    got = read_as_model(eng)  # read triggers recovery
+    assert got == model_series(pts)
+    assert not list(proot.glob(".old_*")) and not list(proot.glob(".delete_*"))
+
+    # Roll-back crash: live intact, a (possibly partial) tmp left over —
+    # the tmp must be discarded, the live bucket served untouched.
+    part = next(proot.glob("bucket=*"))
+    junk = proot / f".delete_{part.name}"
+    junk.mkdir()
+    (junk / "part-00000.parquet").write_bytes(b"not parquet")
+    got = read_as_model(eng)
+    assert got == model_series(pts)
+    assert not list(proot.glob(".delete_*"))
+
+    # And the real delete still works end-to-end after recoveries.
+    n = eng.delete_series({"term": {"host": "a"}})
+    assert n == 1
+    assert read_as_model(eng) == model_series([p for p in pts if p["host"] == "b"])
+    _sh.rmtree(tmp_path / "wh_crash", ignore_errors=True)
