@@ -901,6 +901,50 @@ def pq_topk(
     )
 
 
+def pq_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 4,
+    ks: int = 16,
+    quantize: int = 1000,
+) -> DataFrame:
+    """Integer-exact PQ/ADC, the oracle-checkable tier of ``pq_topk``:
+    embeddings are quantized to ``round(x·quantize)`` longs, the
+    codebook sample is the ``ks`` corpus vectors with the smallest
+    ``(md5(cast(id as string)), id)`` — md5 exists verbatim in DuckDB,
+    the same oracle/production hash split the LSH path uses — and every
+    distance is an exact integer sum of squared differences (bounded by
+    dims·(2·quantize·max|x|)² ≪ 2⁵³, so the float64 kernels below stay
+    exact). Codes are the sample-order index (rank by the md5 sort), so
+    a SQL twin reproduces encoding, LUT, and ranking bit-for-bit.
+    Output (query_id, neighbor_id, adc_dist BIGINT, rank); same
+    distributed shape as pq_topk (encode scan + local top-k per
+    partition + final ≤ partitions×k window)."""
+    import numpy as np
+
+    qc = corpus.select(F.col(id_col), quantized(F.col(vec_col), quantize).alias(vec_col))
+    qq = queries.select(F.col(id_col), quantized(F.col(vec_col), quantize).alias(vec_col))
+    sample = (
+        qc.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)).limit(ks).collect()
+    )
+    if not sample:
+        raise ValueError("pq_topk_quantized: empty corpus")
+    mat = np.array([r[1] for r in sample], dtype=np.float64)  # (ks', dims), integer-valued
+    dims = mat.shape[1]
+    if dims % m:
+        raise ValueError(f"pq_topk_quantized: dims={dims} not divisible by m={m}")
+    sub = dims // m
+    books = np.stack([mat[:, j * sub : (j + 1) * sub] for j in range(m)])
+    codes = pq_encode(qc, books, id_col, vec_col)
+    res = pq_topk(qc, qq, id_col, vec_col, k=k, m=m, ks=ks, codes=codes, codebooks=books)
+    return res.select(
+        "query_id", "neighbor_id", F.col("adc_dist").cast("long").alias("adc_dist"), "rank"
+    )
+
+
 def label_centroid_stats(
     vectors: DataFrame, id_col: str, vec_col: str, label_col: str
 ) -> DataFrame:

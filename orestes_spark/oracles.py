@@ -373,6 +373,56 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def emb_pq_topk_sql(
+    k: int = 5, num_queries: int = 10, m: int = 4, ks: int = 16, dims: int = 64
+) -> str:
+    """DuckDB twin of similarity.pq_topk_quantized: integer-quantized
+    vectors, codebooks = the ks vectors with the smallest
+    (md5(vec_id), vec_id) — code index is the rank in that order —
+    per-subspace argmin encoding (ties to the lower code), ADC via
+    exact integer lookup sums, rank by (adc asc, neighbor asc). Every
+    intermediate is integer arithmetic, so the match is bit-exact."""
+    sub = dims // m
+    return f"""
+WITH {_QUANT_VECS},
+sample AS (
+  SELECT vec_id AS cb_id,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {ks}
+),
+cb AS (
+  SELECT s.code, (u.i - 1) // {sub} AS j, (u.i - 1) % {sub} AS d, u.x
+  FROM sample s JOIN u ON u.vec_id = s.cb_id
+),
+enc AS (
+  SELECT u.vec_id, cb.j, cb.code, sum((u.x - cb.x) * (u.x - cb.x)) AS dd
+  FROM u JOIN cb ON (u.i - 1) // {sub} = cb.j AND (u.i - 1) % {sub} = cb.d
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code, row_number() OVER (PARTITION BY vec_id, j ORDER BY dd, code) AS rn
+    FROM enc
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS qid, j, code, dd FROM enc WHERE vec_id < {num_queries}
+),
+adc AS (
+  SELECT l.qid, c.vec_id AS cid, sum(l.dd) AS adc
+  FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+  WHERE c.vec_id != l.qid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, cid, adc, row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rank
+  FROM adc
+)
+SELECT qid AS query_id, cid AS neighbor_id, CAST(adc AS BIGINT) AS adc_dist, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def emb_highsim_pairs_sql(threshold: float = 0.3, num_planes: int = 8, dims: int = 64) -> str:
     return f"""
 WITH {_QUANT_VECS},

@@ -1798,18 +1798,19 @@ def emb_topk_arrow(spark, sf_dir):
     return similarity.cosine_topk_arrow(e, e.where(F.col("vec_id") < 10), k=5)
 
 
-@register("emb_pq_topk")  # rows-only: float path (ADC), no bit-exact oracle
+@register("emb_pq_topk", oracles.emb_pq_topk_sql())
 def emb_pq_topk(spark, sf_dir):
-    """Product-quantization ANN (similarity.pq_topk): corpus encoded
-    to m=4 one-byte centroid codes per vector (deterministic sampled
-    codebooks, ks=16), queries score via asymmetric-distance lookup
-    tables — m table gathers + adds per corpus vector, zero per-pair
-    float math. The billion-vector RAM-resident ANN path: 32×
-    compression of the scan side at dims=64/m=8. Rows-only like
-    emb_topk_arrow (float distances have no bit-exact DuckDB twin);
-    recall/determinism pinned by test_similarity's PQ tests."""
+    """Product-quantization ANN (similarity.pq_topk_quantized): corpus
+    encoded to m=4 one-byte centroid codes per vector (deterministic
+    md5-sampled codebooks, ks=16), queries score via asymmetric-distance
+    lookup tables — m table gathers + adds per corpus vector, zero
+    per-pair float math. The billion-vector RAM-resident ANN path: 32×
+    compression of the scan side at dims=64/m=8. Integer-quantized
+    tier, so the DuckDB oracle reproduces encoding, LUT, and ranking
+    bit-for-bit; the float kernel keeps its own coverage via
+    emb_ivfpq_topk + test_similarity's PQ tests."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.pq_topk(e, e.where(F.col("vec_id") < 10), k=5, m=4, ks=16)
+    return similarity.pq_topk_quantized(e, e.where(F.col("vec_id") < 10), k=5, m=4, ks=16)
 
 
 @register("emb_pq_recall")  # rows-only: measures the float ANN path

@@ -388,3 +388,48 @@ def test_emb_pq_recall_arithmetic_and_bounds(spark):
     # deterministic end-to-end: a second run returns the same number
     again = QUERIES["emb_pq_recall"](spark, "/root/testdata/sf0.001").first()
     assert (again["hits"], again["recall"]) == (row["hits"], row["recall"])
+
+
+def test_pq_topk_quantized_matches_integer_model(vecs):
+    """pq_topk_quantized vs a plain-Python replica of the whole
+    integer pipeline (md5-ranked sample -> argmin encode -> ADC LUT
+    sums) — exact equality, the property the DuckDB oracle relies on."""
+    import hashlib
+
+    df, data = vecs
+    m, ks, quantize, k = 4, 8, 1000, 5
+    qmat = np.round(data.astype(np.float64) * quantize)  # F.round half-up vs
+    # numpy half-even differ only at exact .5 — perturb any such value away
+    assert not np.any(np.abs(data.astype(np.float64) * quantize % 1 - 0.5) < 1e-9)
+    n, dims = qmat.shape
+    sub = dims // m
+    order = sorted(range(n), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    books = qmat[order[:ks]]  # (ks, dims), code = rank in md5 order
+
+    def enc(v):
+        return [
+            min(range(len(books)), key=lambda c: (((v - books[c])[j * sub:(j + 1) * sub] ** 2).sum(), c))
+            for j in range(m)
+        ]
+
+    codes = {i: enc(qmat[i]) for i in range(n)}
+    expected = {}
+    for q in range(3):
+        dists = []
+        for cid in range(n):
+            if cid == q:
+                continue
+            d = sum(
+                ((qmat[q] - books[codes[cid][j]])[j * sub:(j + 1) * sub] ** 2).sum()
+                for j in range(m)
+            )
+            dists.append((int(d), cid))
+        expected[q] = sorted(dists)[:k]
+
+    out = similarity.pq_topk_quantized(
+        df, df.where("vec_id < 3"), k=k, m=m, ks=ks, quantize=quantize
+    ).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["adc_dist"], r["neighbor_id"]))
+    assert got == expected
