@@ -10,12 +10,20 @@ reference's own surface).
 """
 
 from orestes_spark.config import SpaceConfig, engine_config_from_json, load_space_configs
-from orestes_spark.engine import OrestesEngine
+from orestes_spark.engine import (
+    ConcurrentWriterError,
+    OrestesEngine,
+    RollupStaleError,
+    RollupStaleWarning,
+)
 from orestes_spark.server import serve
 from orestes_spark.session import get_spark
 
 __all__ = [
+    "ConcurrentWriterError",
     "OrestesEngine",
+    "RollupStaleError",
+    "RollupStaleWarning",
     "SpaceConfig",
     "engine_config_from_json",
     "get_spark",

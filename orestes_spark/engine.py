@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import shutil
 import time as _time
+from contextlib import contextmanager
 from pathlib import Path
 from typing import Any
 
@@ -69,6 +70,21 @@ def _pad_rollup_schema(df):
     return df
 
 
+class ConcurrentWriterError(RuntimeError):
+    """A second writer tried to mutate a space while another live
+    writer holds its lock (single-writer contract, enforced loudly)."""
+
+
+class RollupStaleWarning(UserWarning):
+    """Rollup tables may diverge from point reads until reconciled
+    (cross-delivery overwrites counted per-delivery in the partials)."""
+
+
+class RollupStaleError(RuntimeError):
+    """Raised by rollup reads with on_stale='error' when the space has
+    unreconciled multi-delivery writes."""
+
+
 class OrestesEngine:
     def __init__(
         self,
@@ -84,6 +100,72 @@ class OrestesEngine:
         # Monotonic delivery stamp for last-write-wins merge (see
         # _append); guards against wall-clock ties across fast appends.
         self._last_seq = 0
+        # Spaces whose writer lock THIS engine currently holds —
+        # makes the lock reentrant (compact() calls rebuild_rollup()).
+        self._held_locks: set[str] = set()
+
+    # ---------- single-writer lock ----------
+
+    def _lock_path(self, space: str) -> Path:
+        return Path(self.config.warehouse) / space / "_writer.lock"
+
+    @contextmanager
+    def _writer_lock(self, space: str, op: str):
+        """Per-space single-writer guard: every mutating entry point
+        (write/_append, compact, remove, delete_series, rebuild_rollup)
+        holds this advisory lock, so a second concurrent writer fails
+        LOUDLY (ConcurrentWriterError) instead of corrupting the
+        compaction/upsert markers that assume one writer. Atomic
+        O_CREAT|O_EXCL file create; a lock whose pid is dead is stolen
+        (crash recovery). Driver-side and same-machine by design — in
+        a lakehouse deployment this job is done by the table format's
+        transaction log, same as the delivery markers."""
+        import json as _json
+        import os
+
+        if space in self._held_locks:  # reentrant within this engine
+            yield
+            return
+        path = self._lock_path(space)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        payload = _json.dumps({"pid": os.getpid(), "op": op, "ts_ms": int(_time.time() * 1000)})
+        for attempt in (0, 1):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, payload.encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    holder = _json.loads(path.read_text())
+                    pid = int(holder.get("pid", -1))
+                except (ValueError, OSError):
+                    holder, pid = {}, -1
+                alive = False
+                if pid > 0:
+                    try:
+                        os.kill(pid, 0)
+                        alive = True
+                    except OSError:
+                        alive = False
+                if alive:
+                    raise ConcurrentWriterError(
+                        f"space {space!r} is locked by a live writer"
+                        f" (pid {pid}, op {holder.get('op')!r}): concurrent"
+                        " mutation would corrupt the single-writer markers —"
+                        " retry after it finishes"
+                    )
+                if attempt:  # stolen once already and still losing the race
+                    raise ConcurrentWriterError(
+                        f"space {space!r}: lost the lock race twice to dead-pid locks"
+                    )
+                path.unlink(missing_ok=True)  # dead holder: steal
+        self._held_locks.add(space)
+        try:
+            yield
+        finally:
+            self._held_locks.discard(space)
+            path.unlink(missing_ok=True)
 
     # ---------- paths ----------
 
@@ -194,6 +276,37 @@ class OrestesEngine:
             return False  # declared workload contract: keys never re-written
         return self._delivery_count(space) > 1
 
+    def rollup_stale(self, space: str = "default") -> bool:
+        """True when the continuous-rollup tables MAY disagree with
+        point reads: the merge gate is armed, so a cross-delivery
+        overwrite could exist whose every delivery the rollup partials
+        still count, while read() serves last-write-wins. Conservative
+        (gate armed ≠ overwrites actually happened); False is a
+        guarantee of agreement. compact()/rebuild_rollup reconcile."""
+        return self._merge_needed(space)
+
+    def _check_rollup_fresh(self, space: str, on_stale: str) -> None:
+        """Programmatic surface for the rollup/point divergence window
+        (previously documented only in docstrings): ``on_stale`` is
+        'warn' (default — RollupStaleWarning), 'error' (raise), or
+        'ignore' (caller accepts eventual consistency)."""
+        if on_stale == "ignore" or not self.rollup_stale(space):
+            return
+        msg = (
+            f"space {space!r} has unreconciled multi-delivery writes: rollup reads"
+            " may count every delivery of an overwritten point while read() serves"
+            " last-write-wins — run compact() or rebuild_rollup() to reconcile,"
+            " or pass on_stale='ignore'"
+        )
+        if on_stale == "error":
+            raise RollupStaleError(msg)
+        if on_stale == "warn":
+            import warnings
+
+            warnings.warn(msg, RollupStaleWarning, stacklevel=3)
+        else:
+            raise ValueError(f"on_stale must be 'warn', 'error', or 'ignore': {on_stale!r}")
+
     def _rollup_step(self, space: str) -> int | None:
         return self.config.space(space).rollup_step_ms
 
@@ -232,6 +345,7 @@ class OrestesEngine:
             # cross-delivery upserts are handled for both by the
             # read-side merge + compaction.
             merged_rows: dict[tuple, dict[str, Any]] = {}
+            raw_keyed = False
             for r in valid_rows:
                 # Key on NORMALIZED epoch-ms (validation.time_key_ms),
                 # not the raw representation: 1700000000000 and its
@@ -239,11 +353,22 @@ class OrestesEngine:
                 # times keep a raw-tagged key and flow to the Spark
                 # validation error path untouched.
                 tk = validation.time_key_ms(r["time"])
+                raw_keyed = raw_keyed or tk is None
                 k = (tk if tk is not None else ("raw", str(r["time"])), tuple(sorted(r["tags"].items())))
                 prev = merged_rows.get(k)
                 if prev is None or r["value"] > prev["value"]:
                     merged_rows[k] = r
             valid_rows = list(merged_rows.values())
+            if raw_keyed:
+                # A time the driver parser could not key may still
+                # parse executor-side (schema.normalize_time_col is
+                # the wider parser), so THIS delivery might store
+                # duplicate (series, time) rows the driver dedup
+                # missed. Arm the merge gate up front (extra marker —
+                # _append adds its own): reads merge, upsert parity
+                # holds, and the only cost is merge-priced reads until
+                # the next compaction. Never a duplicate served.
+                self._mark_delivery(space)
             df = self.spark.createDataFrame(
                 [(r["time"], r["value"], r["tags"]) for r in valid_rows],
                 "time STRING, value DOUBLE, tags MAP<STRING,STRING>",
@@ -351,15 +476,36 @@ class OrestesEngine:
             # bucket can still split across tasks — hash partitioning by
             # (bucket, series) interleaves series across files and
             # tripled write time.
-            (
-                stored.repartitionByRange(
-                    self._write_partitions(stored), F.col("bucket"), F.col("series_id")
+            laid_out = stored.repartitionByRange(
+                self._write_partitions(stored), F.col("bucket"), F.col("series_id")
+            ).sortWithinPartitions("bucket", "series_id", "time_ms")
+            if epoch_id is None:
+                laid_out.write.mode("append").partitionBy("bucket").parquet(
+                    str(points_path)
                 )
-                .sortWithinPartitions("bucket", "series_id", "time_ms")
-                .write.mode("append")
-                .partitionBy("bucket")
-                .parquet(str(points_path))
-            )
+                return
+            # Streaming epochs are EXACTLY-ONCE at the points layer
+            # too (the rollup sink always was): stage the epoch under
+            # a dot-dir (invisible to Spark readers), then move each
+            # file into its live bucket under an epoch-tagged name. A
+            # replayed epoch (crash before the processor's commit
+            # marker) first sweeps any files this epoch already moved,
+            # so every crash window — mid-stage, mid-move, pre-marker
+            # — converges to exactly one copy. Local-FS renames here;
+            # on an object store this job belongs to the table
+            # format's commit protocol, same as the other markers.
+            tag = f"epoch{epoch_id}-"
+            if points_path.exists():
+                for leftover in points_path.glob(f"bucket=*/{tag}*"):
+                    leftover.unlink()
+            staging = points_path / f".staging_epoch={epoch_id}"
+            laid_out.write.mode("overwrite").partitionBy("bucket").parquet(str(staging))
+            for bdir in staging.glob("bucket=*"):
+                tgt = points_path / bdir.name
+                tgt.mkdir(parents=True, exist_ok=True)
+                for f in bdir.glob("*.parquet"):
+                    f.rename(tgt / (tag + f.name))
+            shutil.rmtree(staging)
 
         def write_series() -> None:
             # Metadata upsert with write-time dedup (D2): distinct new
@@ -475,11 +621,12 @@ class OrestesEngine:
         # with cross-delivery duplicates visible. The false-positive
         # cost of a bumped-but-failed append is one unnecessary merge
         # until the next full compaction, never a wrong result.
-        self._mark_delivery(space)
-        with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
-            futures = [pool.submit(timed(s)) for s in sinks]
-            for f in futures:
-                f.result()
+        with self._writer_lock(space, "append"):
+            self._mark_delivery(space)
+            with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
+                futures = [pool.submit(timed(s)) for s in sinks]
+                for f in futures:
+                    f.result()
 
     # ---------- raw readers ----------
 
@@ -695,6 +842,7 @@ class OrestesEngine:
         space: str = "default",
         start_ms: int = 0,
         end_ms: int | None = None,
+        on_stale: str = "warn",
     ) -> DataFrame:
         """Continuous-aggregate read: (tags, slot_ms, n, sum_value,
         sum_sq, min_value, max_value) per series per slot, served from the
@@ -703,7 +851,13 @@ class OrestesEngine:
         hypertable-rollup read path). Append partials merge here
         (sums add, min/max fold); start/end must be slot-aligned, the
         continuous-aggregate contract (a partially-covered slot cannot
-        be served from pre-aggregated state)."""
+        be served from pre-aggregated state).
+
+        ``on_stale``: rollup partials count EVERY delivery of an
+        overwritten (series, time) until compact()/rebuild_rollup —
+        'warn' (default), 'error', or 'ignore' when the merge gate says
+        such divergence is possible (see _check_rollup_fresh)."""
+        self._check_rollup_fresh(space, on_stale)
         step = self._rollup_step(space)
         if step is None:
             raise ValueError(f"space {space!r} has no rollup_step_ms configured")
@@ -747,6 +901,7 @@ class OrestesEngine:
         start_ms: int = 0,
         end_ms: int | None = None,
         qs: tuple[int, ...] = (50, 95, 99),
+        on_stale: str = "warn",
     ) -> DataFrame:
         """Quantiles from pre-aggregated state: per-series p-th
         percentiles over [start, end) served from the histogram
@@ -757,7 +912,9 @@ class OrestesEngine:
         arithmetic (100·cum ≥ q·n) and the value interpolated linearly
         inside it; counts are associative partials, so any append /
         replay / compaction history yields the identical answer.
-        Output (series_id, tags, quantile, n, value)."""
+        Output (series_id, tags, quantile, n, value).
+        ``on_stale``: same divergence surface as read_rollup."""
+        self._check_rollup_fresh(space, on_stale)
         step = self._rollup_step(space)
         hist = self.config.space(space).rollup_hist
         if step is None or hist is None:
@@ -827,6 +984,7 @@ class OrestesEngine:
         space: str = "default",
         start_ms: int = 0,
         end_ms: int | None = None,
+        on_stale: str = "warn",
     ) -> DataFrame:
         """Real-time continuous aggregate: slots up to the last
         completed boundary come from the rollup table; the un-rolled
@@ -836,14 +994,19 @@ class OrestesEngine:
         is always served pre-aggregated). The raw scan is bounded to
         the tail window by the usual bucket pruning + pushed time
         predicate, so its cost is one step's worth of points, not the
-        history."""
+        history. ``on_stale``: same divergence surface as read_rollup
+        (the tail side merges upserts; the rolled side can't until
+        reconciliation)."""
+        self._check_rollup_fresh(space, on_stale)
         step = self._rollup_step(space)
         if step is None:
             raise ValueError(f"space {space!r} has no rollup_step_ms configured")
         if end_ms is None:
             end_ms = int(_time.time() * 1000)
         aligned_end = end_ms // step * step
-        rolled = self.read_rollup(es_filter, space, start_ms, min(aligned_end, end_ms))
+        rolled = self.read_rollup(
+            es_filter, space, start_ms, min(aligned_end, end_ms), on_stale="ignore"
+        )
         if aligned_end >= end_ms:
             return rolled
         tail = (
@@ -1049,21 +1212,22 @@ class OrestesEngine:
         if not keep_rollup:
             roots.append(self._rollup_path(space))
             roots.append(self._hist_path(space))
-        for root in roots:
-            if not root.exists():
-                continue
-            for part in sorted(root.glob("bucket=*")):
-                bucket = int(part.name.split("=", 1)[1])
-                if min(bucket + g - 1, today) <= today - keep_days:
-                    shutil.rmtree(part)
-                    if bucket not in dropped:
-                        dropped.append(bucket)
-        # A sweep that emptied the space leaves nothing to merge —
-        # disarm the gate so subsequent appends start on the
-        # merge-free fast path instead of paying the upsert
-        # aggregation forever (until a full compact()).
-        if not any(self._points_path(space).glob("bucket=*")):
-            self._clear_deliveries(space)
+        with self._writer_lock(space, "remove"):
+            for root in roots:
+                if not root.exists():
+                    continue
+                for part in sorted(root.glob("bucket=*")):
+                    bucket = int(part.name.split("=", 1)[1])
+                    if min(bucket + g - 1, today) <= today - keep_days:
+                        shutil.rmtree(part)
+                        if bucket not in dropped:
+                            dropped.append(bucket)
+            # A sweep that emptied the space leaves nothing to merge —
+            # disarm the gate so subsequent appends start on the
+            # merge-free fast path instead of paying the upsert
+            # aggregation forever (until a full compact()).
+            if not any(self._points_path(space).glob("bucket=*")):
+                self._clear_deliveries(space)
         return dropped
 
     def delete_series(self, es_filter: dict, space: str = "default") -> int:
@@ -1093,44 +1257,45 @@ class OrestesEngine:
         # plan reads the series files the loop below replaces.
         doomed_ids = doomed.select("series_id").distinct().localCheckpoint(eager=True)
         n_removed = doomed_ids.count()
-        for root, range_cols, part_cols in (
-            (self._points_path(space), ["series_id", "time_ms"], []),
-            (self._series_path(space), ["series_id"], []),
-            (self._rollup_path(space), ["series_id", "slot_ms"], ["epoch"]),
-            (self._hist_path(space), ["series_id", "slot_ms"], ["epoch"]),
-        ):
-            if not root.exists():
-                continue
-            self._recover_swaps(root)
-            for bucket in buckets:
-                part = root / f"bucket={bucket}"
-                if not part.exists():
+        with self._writer_lock(space, "delete_series"):
+            for root, range_cols, part_cols in (
+                (self._points_path(space), ["series_id", "time_ms"], []),
+                (self._series_path(space), ["series_id"], []),
+                (self._rollup_path(space), ["series_id", "slot_ms"], ["epoch"]),
+                (self._hist_path(space), ["series_id", "slot_ms"], ["epoch"]),
+            ):
+                if not root.exists():
                     continue
-                # Size the rewrite from the input bytes (same policy
-                # as compact) — a default-parallelism range shuffle
-                # would fragment a 128 MB-targeted bucket into dozens
-                # of tiny files on every erasure.
-                width = _compact_width(list(part.rglob("*.parquet")))
-                kept = (
-                    self.spark.read.parquet(str(part))
-                    .join(doomed_ids, "series_id", "left_anti")
-                    .repartitionByRange(width, *[F.col(c) for c in range_cols])
-                    .sortWithinPartitions(*range_cols)
-                )
-                tmp = part.parent / f".delete_{part.name}"
-                writer = kept.write.mode("overwrite")
-                if part_cols:
-                    writer = writer.partitionBy(*part_cols)
-                writer.parquet(str(tmp))
-                # Crash-atomic two-phase swap (see _recover_swaps):
-                # after the full tmp write, live→.old, tmp→live, drop
-                # .old. A crash at any point either rolls back (tmp
-                # discarded) or rolls forward (tmp committed) on the
-                # next read — the bucket is never lost.
-                old = part.parent / f".old_{part.name}"
-                part.rename(old)
-                tmp.rename(part)
-                shutil.rmtree(old)
+                self._recover_swaps(root)
+                for bucket in buckets:
+                    part = root / f"bucket={bucket}"
+                    if not part.exists():
+                        continue
+                    # Size the rewrite from the input bytes (same policy
+                    # as compact) — a default-parallelism range shuffle
+                    # would fragment a 128 MB-targeted bucket into dozens
+                    # of tiny files on every erasure.
+                    width = _compact_width(list(part.rglob("*.parquet")))
+                    kept = (
+                        self.spark.read.parquet(str(part))
+                        .join(doomed_ids, "series_id", "left_anti")
+                        .repartitionByRange(width, *[F.col(c) for c in range_cols])
+                        .sortWithinPartitions(*range_cols)
+                    )
+                    tmp = part.parent / f".delete_{part.name}"
+                    writer = kept.write.mode("overwrite")
+                    if part_cols:
+                        writer = writer.partitionBy(*part_cols)
+                    writer.parquet(str(tmp))
+                    # Crash-atomic two-phase swap (see _recover_swaps):
+                    # after the full tmp write, live→.old, tmp→live, drop
+                    # .old. A crash at any point either rolls back (tmp
+                    # discarded) or rolls forward (tmp committed) on the
+                    # next read — the bucket is never lost.
+                    old = part.parent / f".old_{part.name}"
+                    part.rename(old)
+                    tmp.rename(part)
+                    shutil.rmtree(old)
         return n_removed
 
 
@@ -1329,10 +1494,31 @@ def _engine_compact(
     # space) must not rewrite history the marker describes.
     if buckets is None and collapse_upserts and self._points_path(space).exists():
         self._reset_deliveries(space)
+        # The rollup partials counted EVERY delivery of an overwritten
+        # point; the points are now physically collapsed, so recompute
+        # the rollup from them — compact() is the single reconciliation
+        # call, and a disarmed gate (rollup_stale() False) must
+        # guarantee rollup/point agreement. One extra scan of the
+        # points table, on the maintenance path only.
+        if self._rollup_step(space) is not None:
+            self.rebuild_rollup(space)
     return before
 
 
-OrestesEngine.compact = _engine_compact
+def _locked(fn, op: str):
+    """Wrap a maintenance entry point in the per-space writer lock
+    (reentrant — compact() calls rebuild_rollup() under its own)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, space: str = "default", *args, **kwargs):
+        with self._writer_lock(space, op):
+            return fn(self, space, *args, **kwargs)
+
+    return wrapper
+
+
+OrestesEngine.compact = _locked(_engine_compact, "compact")
 
 
 def _engine_compact_if(
@@ -1462,7 +1648,7 @@ def _engine_rebuild_rollup(
     return rebuilt
 
 
-OrestesEngine.rebuild_rollup = _engine_rebuild_rollup
+OrestesEngine.rebuild_rollup = _locked(_engine_rebuild_rollup, "rebuild_rollup")
 
 
 def _engine_stats(self: "OrestesEngine", space: str = "default") -> dict[str, dict[int, dict]]:

@@ -20,7 +20,13 @@ def physical_plan(df: DataFrame, final: bool = False) -> str:
 
 def scans_of(df: DataFrame) -> list[dict[str, str]]:
     """Parquet scans in the plan: [{location, pushed, partition, schema}]."""
-    plan = physical_plan(df)
+    return scans_of_plan(physical_plan(df))
+
+
+def scans_of_plan(plan: str) -> list[dict[str, str]]:
+    """scans_of over an already-captured plan string (used for the
+    pre-``localCheckpoint`` sub-stage plans, whose DataFrames are gone
+    by the time evidence is assembled)."""
     out = []
     for m in re.finditer(r"FileScan parquet [^\n]*", plan):
         line = m.group(0)

@@ -16,19 +16,25 @@ streaming query:
 re-offered even when its writes landed. The processor therefore records
 each fully-committed epoch as a marker file (Hadoop FileSystem API, so
 it works on any checkpoint-capable store) and skips replayed epochs —
-the standard idempotent-foreachBatch recipe. The remaining window is a
-crash *mid-epoch*: a partially-written epoch has no marker and is
-re-appended in full on retry, so duplicate points are possible within
-that single failure window (documented at-least-once; the read path's
-series dedup is unaffected because metadata upserts anti-join the
-durable series table). The ROLLUP sink is stronger: partials are
-keyed by epoch (``bucket=*/epoch=<id>``) and a replayed epoch
-dynamically OVERWRITES exactly its own partitions (see
-``OrestesEngine._append``), so the continuous aggregate is
-exactly-once per epoch — a mid-epoch crash can never inflate
-``n``/``sum`` and no repair call is needed.
-``engine.rebuild_rollup`` remains available to reconcile the rollup
-with the points table after the (points-side) duplication window.
+the standard idempotent-foreachBatch recipe. Every sink is idempotent
+under mid-epoch replay, so ingest is EXACTLY-ONCE per epoch
+end-to-end:
+
+  - POINTS: the epoch is staged under a dot-dir and its files moved
+    into the live buckets under epoch-tagged names; a replay first
+    sweeps any files the crashed attempt already moved (see
+    ``OrestesEngine._append``). No crash window duplicates a point.
+  - SERIES metadata: the anti-join upsert against the durable series
+    table makes replays no-ops for rows that already landed.
+  - ROLLUP / histogram partials: keyed by epoch
+    (``bucket=*/epoch=<id>``); a replayed epoch dynamically OVERWRITES
+    exactly its own partitions, never appending a second copy.
+  - ERRORS sink: plain append — a replayed epoch can repeat error
+    rows (they carry the epoch column, so exact downstream dedup is
+    one filter); per-point errors are diagnostics, not data.
+
+``engine.rebuild_rollup`` remains available as a repair for manual
+file surgery; it is no longer needed for crash recovery.
 The Bubo write-time series-dedup cache
 (/root/reference/lib/orestes-inserter.js:98-116) becomes the anti-join
 in OrestesEngine._append — per micro-batch, against the durable series

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 ERR_MISSING_TIME = 'missing required keys: ["time"]'
 ERR_NO_TAGS = "metrics must have at least one tag"
 ERR_NESTED_TAG = "invalid tag - value is an object or array"
+ERR_ONE_SCHEMA = "Can only import to one schema per insert"
 
 
 def _js_str(v: "Any") -> str:
@@ -123,7 +124,21 @@ def validate_raw_rows(rows: list[dict[str, Any]]) -> tuple[list[dict[str, Any]],
     """
     valid: list[dict[str, Any]] = []
     errors: list[dict[str, Any]] = []
+    # One-schema-per-insert (/root/reference/lib/orestes-inserter.js:62-66):
+    # the batch's schema latches at the first TRUTHY source_type seen
+    # (JS `this.schema = this.schema || pt.source_type`), after which a
+    # point with a different source_type gets a per-point error — this
+    # check runs BEFORE key/tag validation, matching _push's order.
+    # Points before the latch with falsy source_type pass (the JS
+    # truthiness quirk, preserved: Python `or`/`!=` mirror it).
+    schema: Any = None
     for pt in rows:
+        if isinstance(pt, dict):
+            st = pt.get("source_type")
+            schema = schema or st
+            if schema != st:
+                errors.append({"point": pt, "error": ERR_ONE_SCHEMA})
+                continue
         err = _classify_raw_point(pt)
         if err is not None:
             errors.append({"point": pt, "error": err})
@@ -177,6 +192,13 @@ def time_key_ms(t: Any) -> int | None:
             return int(float(s))
         except (ValueError, OverflowError):
             return None
+    # fromisoformat rejects >6 fractional digits; Spark truncates to
+    # micros — do the same so both sides key the same instant. Any
+    # format that still parses differently (or only Spark-side) is
+    # caught by the caller: a None key arms the merge gate
+    # (engine.write), so a mismatch can cost a merge read, never a
+    # duplicate row served.
+    s = re.sub(r"(\.\d{6})\d+", r"\1", s)
     try:
         dt = datetime.datetime.fromisoformat(s.replace("Z", "+00:00"))
     except ValueError:

@@ -370,8 +370,9 @@ def test_continuous_rollup_matches_direct_aggregation(spark, tmp_path):
     with pytest.raises(ValueError, match="multiples of rollup_step_ms"):
         eng.read_rollup(None, "default", lo + 1, hi)
 
-    # compaction merges partials to one row per (series, slot) and the
-    # read result is unchanged
+    # compaction merges partials to one row per (series, slot) AND
+    # reconciles the cross-delivery overwrite (batch2 re-wrote (a, t0)):
+    # post-compact the rollup agrees with the collapsed points exactly
     eng.compact("default")
     rollup_rows = spark.read.parquet(str(eng._rollup_path("default"))).collect()
     keys = [(r["series_id"], r["slot_ms"]) for r in rollup_rows]
@@ -380,7 +381,24 @@ def test_continuous_rollup_matches_direct_aggregation(spark, tmp_path):
         (r["tags"]["host"], r["slot_ms"]): (r["n"], r["sum_value"], r["min_value"], r["max_value"])
         for r in eng.read_rollup(None, "default", lo, hi).collect()
     }
-    assert got2 == direct
+    direct2 = {
+        (r["host"], r["slot_ms"]): (r["n"], r["s"], r["mn"], r["mx"])
+        for r in eng.matching_points(None, "default", lo, hi)
+        .groupBy(
+            F.col("tags").getItem("host").alias("host"),
+            (F.floor(F.col("time_ms") / HOUR) * HOUR).cast("long").alias("slot_ms"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got2 == direct2 and got2
+    # the overwritten (a, t0) row now counts ONCE (last write, -5.0)
+    assert got2[("a", lo)][0] == direct[("a", lo)][0] - 1
 
     # retention drops rollup buckets alongside points/series
     eng.remove("default", keep_days=0)
@@ -953,3 +971,146 @@ def test_delete_series_swap_is_crash_atomic(spark, tmp_path):
     assert n == 1
     assert read_as_model(eng) == model_series([p for p in pts if p["host"] == "b"])
     _sh.rmtree(tmp_path / "wh_crash", ignore_errors=True)
+
+
+def test_driver_parser_gap_arms_merge_gate(engine):
+    """A time format the driver-side dedup key can't parse but the
+    executor parser can ("yyyy-MM-dd HH:mm:ss" parses via
+    try_to_timestamp; RFC-ish junk doesn't key) must arm the merge
+    gate so a potential in-delivery duplicate is merged at read —
+    upsert parity without the shared-parser requirement."""
+    from orestes_spark import validation
+
+    # micros-truncation parity: >6 fractional digits key identically
+    assert validation.time_key_ms("2023-11-14T22:13:20.1234567Z") == \
+        validation.time_key_ms("2023-11-14T22:13:20.123456Z")
+
+    # leading whitespace: try_to_timestamp trims, fromisoformat rejects —
+    # the SAME instant as the epoch row below, invisible to driver dedup
+    weird = " 2023-11-14T22:13:20Z"
+    assert validation.time_key_ms(weird) is None
+    engine.write([
+        {"time": 1700000000000, "value": 1.0, "host": "a"},
+        {"time": weird, "value": 2.0, "host": "a"},
+    ])
+    assert engine._merge_needed("default")
+    # the in-delivery duplicate merges at read: one row, greater value
+    got = read_as_model(engine, end=1700000001000)
+    assert got == {"host=a": ({"host": "a"}, [(1700000000000, 2.0)])}
+
+
+def test_rollup_staleness_surface(spark, tmp_path):
+    """After a cross-delivery overwrite, rollup reads expose the
+    documented divergence programmatically: rollup_stale() is True,
+    the default read warns (RollupStaleWarning), on_stale='error'
+    raises, and compact() reconciles — after which reads are silent
+    and rollup agrees with read() again."""
+    import warnings
+
+    import pytest
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine, RollupStaleError, RollupStaleWarning
+
+    HOUR = 3_600_000
+    eng = OrestesEngine(
+        spark, str(tmp_path / "wh_stale"),
+        spaces={"default": SpaceConfig(1, rollup_step_ms=HOUR)},
+    )
+    eng.write([{"time": START, "value": 1.0, "host": "a"}])
+    assert not eng.rollup_stale()
+    eng.write([{"time": START, "value": 5.0, "host": "a"}])  # overwrite
+    assert eng.rollup_stale()
+
+    lo = START // HOUR * HOUR
+    with pytest.warns(RollupStaleWarning):
+        rows = eng.read_rollup(None, "default", lo, lo + HOUR).collect()
+    assert rows[0]["n"] == 2  # the divergence itself: both deliveries counted
+    with pytest.raises(RollupStaleError):
+        eng.read_rollup(None, "default", lo, lo + HOUR, on_stale="error")
+    with pytest.raises(RollupStaleError):
+        eng.read_rollup_with_tail(None, "default", lo, START + 1, on_stale="error")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # 'ignore' must be silent
+        eng.read_rollup(None, "default", lo, lo + HOUR, on_stale="ignore")
+
+    eng.compact("default")
+    assert not eng.rollup_stale()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        rows = eng.read_rollup(None, "default", lo, lo + HOUR).collect()
+    assert rows[0]["n"] == 1 and float(rows[0]["sum_value"]) == 5.0
+
+
+def test_source_type_one_schema_per_insert(engine):
+    """Reference parity (/root/reference/lib/orestes-inserter.js:62-66):
+    the batch schema latches at the first truthy source_type; a
+    different one gets a per-point error with the reference string,
+    the rest of the batch proceeds. source_type is otherwise a normal
+    tag (only time/value are stripped, orestes-utils.js:153)."""
+    errs = engine.write([
+        {"time": START, "value": 1.0, "host": "a"},                          # pre-latch, no source_type: ok
+        {"time": START + 1, "value": 2.0, "host": "a", "source_type": "m"},  # latches "m"
+        {"time": START + 2, "value": 3.0, "host": "a", "source_type": "n"},  # mismatch
+        {"time": START + 3, "value": 4.0, "host": "a", "source_type": "m"},  # ok
+        {"time": START + 4, "value": 5.0, "host": "a"},                      # post-latch absent: mismatch
+    ])
+    assert [e["error"] for e in errs] == [
+        "Can only import to one schema per insert",
+        "Can only import to one schema per insert",
+    ]
+    assert {e["point"]["time"] - START for e in errs} == {2, 4}
+    # stored points: 1 (no source_type tag) + 2 with source_type=m as a TAG
+    got = read_as_model(engine)
+    assert set(got) == {"host=a", "host=a,source_type=m"}
+    assert [v for _, v in got["host=a,source_type=m"][1]] == [2.0, 4.0]
+
+
+def test_concurrent_writer_guard(spark, tmp_path):
+    """Single-writer contract enforced loudly: a live foreign lock
+    makes write/compact/remove/delete_series raise
+    ConcurrentWriterError; a dead holder's lock is stolen; the lock is
+    reentrant (compact() calls rebuild_rollup() under its own) and
+    always released."""
+    import json
+    import os
+
+    import pytest
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import ConcurrentWriterError, OrestesEngine
+
+    HOUR = 3_600_000
+    eng = OrestesEngine(
+        spark, str(tmp_path / "wh_lock"),
+        spaces={"default": SpaceConfig(1, rollup_step_ms=HOUR)},
+    )
+    eng.write([{"time": START, "value": 1.0, "host": "a"}])
+    lock = eng._lock_path("default")
+    assert not lock.exists()  # released after the write
+
+    # live foreign writer (our own pid, but not held by this engine)
+    lock.write_text(json.dumps({"pid": os.getpid(), "op": "append", "ts_ms": 0}))
+    with pytest.raises(ConcurrentWriterError, match="live writer"):
+        eng.write([{"time": START + 1, "value": 2.0, "host": "a"}])
+    with pytest.raises(ConcurrentWriterError):
+        eng.compact("default")
+    with pytest.raises(ConcurrentWriterError):
+        eng.remove("default", keep_days=0)
+    with pytest.raises(ConcurrentWriterError):
+        eng.delete_series({"term": {"host": "a"}})
+    assert eng.read(None, "default", 0, 2**50).count() == 1  # reads unaffected
+
+    # dead holder: stolen, operation proceeds, lock released
+    dead = 0x3FFFFFF  # beyond any default pid_max
+    lock.write_text(json.dumps({"pid": dead, "op": "append", "ts_ms": 0}))
+    assert eng.write([{"time": START + 2, "value": 3.0, "host": "a"}]) == []
+    assert not lock.exists()
+
+    # reentrancy: compact reconciles rollup via rebuild_rollup under
+    # the same lock without deadlocking/raising
+    eng.write([{"time": START, "value": 9.0, "host": "a"}])  # arm gate
+    eng.compact("default")
+    assert not lock.exists()
+    # merged points: START (last write 9.0) and START+2
+    rows = eng.read(None, "default", 0, 2**50, grouped=False).collect()
+    assert sorted((r["time_ms"], r["value"]) for r in rows) == [
+        (START, 9.0), (START + 2, 3.0)]

@@ -104,10 +104,10 @@ def test_rollup_replay_cannot_inflate(spark, tmp_path):
     # batch oracle: 20 points, sum of values 0..19 = 190 — NOT doubled
     assert agg["n"] == 20
     assert float(agg["s"]) == 190.0
-    # the points side stores both deliveries (at-least-once transport)
-    # but the upsert merge makes the READ effectively exactly-once: the
-    # replayed (series, time) keys collapse to one row each.
-    assert eng._read_points("default").count() == 40
+    # the points side is ALSO exactly-once now (staged epoch commit):
+    # the replay swept the crashed attempt's files before re-moving,
+    # so the raw store holds one physical copy.
+    assert eng._read_points("default").count() == 20
     assert eng.read(None, "default", 0, START + 10**9, grouped=False).count() == 20
     # a committed-epoch replay stays a full no-op
     process(batch, 7)
@@ -532,3 +532,54 @@ def test_hist_partials_replay_cannot_inflate_quantiles(spark, tmp_path):
         "host=a,idx=0"
     ]
     assert p50_idx0 == 8.75
+
+
+def test_points_epoch_replay_is_exactly_once(spark, engine, tmp_path):
+    """A crashed epoch (writes landed, no commit marker) is replayed
+    in full by foreachBatch; the staged-move points sink must converge
+    to exactly one copy — including the nastiest window, a crash
+    MID-MOVE with some files already renamed into the live buckets."""
+    rows = [
+        (START + i, float(i), {"host": "a", "idx": str(i % 3)}) for i in range(20)
+    ]
+    valid = spark.createDataFrame(
+        rows, "time_ms LONG, value DOUBLE, tags MAP<STRING,STRING>"
+    )
+
+    # epoch 7 lands fully, but the marker was never written → replay
+    engine._append(valid, "default", epoch_id=7)
+    engine._append(valid, "default", epoch_id=7)
+    flat = engine.read(None, "default", 0, START + 10**9, grouped=False)
+    assert flat.count() == 20
+
+    # mid-move crash of epoch 8: simulate by tagging a live file as if
+    # one file had been moved before the crash, then replay epoch 8
+    pp = engine._points_path("default")
+    bucket = next(pp.glob("bucket=*"))
+    victim = next(bucket.glob("*.parquet"))
+    orphan = bucket / f"epoch8-{victim.name}"
+    import shutil as _sh
+
+    _sh.copy(victim, orphan)  # a half-moved duplicate from the "crash"
+    rows8 = [
+        (START + 100 + i, 50.0 + i, {"host": "a", "idx": str(i % 3)}) for i in range(10)
+    ]
+    valid8 = spark.createDataFrame(
+        rows8, "time_ms LONG, value DOUBLE, tags MAP<STRING,STRING>"
+    )
+    engine._append(valid8, "default", epoch_id=8)
+    assert not list(pp.glob("bucket=*/epoch8-*")) or all(
+        f.stat().st_size for f in pp.glob("bucket=*/epoch8-*")
+    )
+    # the orphan was swept before the replay re-moved epoch 8's files:
+    # total = 20 epoch-7 rows + 10 epoch-8 rows, no duplicates — the
+    # orphan (a copy of 20 old rows under an epoch8- name) is gone
+    flat = engine.read(None, "default", 0, START + 10**9, grouped=False)
+    got = sorted((r["time_ms"], r["value"]) for r in flat.collect())
+    assert got == sorted(
+        [(START + i, float(i)) for i in range(20)]
+        + [(START + 100 + i, 50.0 + i) for i in range(10)]
+    )
+    # file-level proof (the merge gate would hide a failed sweep):
+    # the RAW store holds exactly 30 physical rows
+    assert spark.read.parquet(str(pp)).count() == 30
