@@ -734,37 +734,57 @@ def pq_codebooks(
     m: int = 4,
     ks: int = 16,
     seed: str = "orestes-pq",
+    refine: int = 4,
+    train_n: int | None = None,
 ):
-    """Train PQ codebooks from a deterministic corpus sample (the ks
-    vectors with the smallest xxhash64(id, seed) — a data-independent
-    reservoir, so retraining on the same corpus is bit-identical and
-    no RNG state ships to executors). Each vector is split into ``m``
-    contiguous subvectors; codebook j holds the ks sample subvectors
-    for subspace j.
+    """Train PQ codebooks: deterministic hash-sampled init (the ks
+    vectors with the smallest (xxhash64(id, seed), id) — a
+    data-independent reservoir, so retraining on the same corpus is
+    bit-identical and no RNG state ships to executors), then ``refine``
+    Lloyd iterations per subspace on a larger hash-sampled training set
+    (first ``train_n`` vectors in the same hash order; default
+    min(4096, 64·ks)) — the FAISS recipe, made reproducible: fixed
+    sample, fixed row order, argmin ties to the lower code, empty
+    clusters keep their previous centroid, all float64.
 
     Returns (codebooks, dims): codebooks is a float64 ndarray of shape
-    (m, ks, dims // m). Driver cost is collecting ks vectors — bounded
-    by the codebook size, never the corpus. A Lloyd refinement pass is
-    deliberately omitted: sampled codebooks keep training deterministic
-    and one-pass; recall is tunable via m/ks instead.
-    """
+    (m, ks, dims // m). Driver cost is collecting train_n vectors —
+    bounded by the training-set constant, never the corpus.
+    ``refine=0`` gives the raw sampled codebooks (the integer-exact
+    tier ``pq_topk_quantized`` uses so its DuckDB oracle can replay
+    training verbatim)."""
     import numpy as np
 
+    if train_n is None:
+        train_n = min(4096, 64 * ks) if refine else ks
+    train_n = max(train_n, ks)
     sample = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col))
-        .limit(ks)
+        .limit(train_n)
         .collect()
     )
     if not sample:
         raise ValueError("pq_codebooks: empty corpus")
-    mat = np.array([r[1] for r in sample], dtype=np.float64)  # (ks, dims)
+    train = np.array([r[1] for r in sample], dtype=np.float64)  # (n, dims)
+    mat = train[:ks]
     dims = mat.shape[1]
     if dims % m:
         raise ValueError(f"pq_codebooks: dims={dims} not divisible by m={m}")
     sub = dims // m
-    # (m, ks, sub): codebook j = column block j of the sample matrix
-    books = np.stack([mat[:, j * sub : (j + 1) * sub] for j in range(m)])
+    # (m, ks, sub): codebook j initialized from column block j of the
+    # first-ks sample rows
+    books = np.stack([mat[:, j * sub : (j + 1) * sub] for j in range(m)]).copy()
+    for _ in range(refine):
+        for j in range(m):
+            x = train[:, j * sub : (j + 1) * sub]  # (n, sub)
+            c = books[j]  # (ks', sub)
+            d = (c**2).sum(axis=1)[None, :] - 2.0 * (x @ c.T)  # argmin-equivalent
+            assign = d.argmin(axis=1)  # first-hit = lower code on ties
+            for k_ in range(c.shape[0]):
+                members = x[assign == k_]
+                if len(members):
+                    books[j, k_] = members.mean(axis=0)
     return books, dims
 
 
