@@ -3671,86 +3671,72 @@ def ts_seasonal_baseline(spark, sf_dir):
 
 # ------------------------------------------------------- driver ordering ---
 # The driver's correctness gate checks the FIRST 50 registered queries
-# (registration order = dict insertion order). Round-4 rotation
-# (VERDICT r3 "Next round" #4): queries whose only driver evidence is
-# r2 (the TPC-H block + the doc-text block — r3's window held the
-# engine/ts/emb/events/multimodal families) lead, so every family's
-# evidence is at most one round old. Next, 5 of this round's CHANGED
-# code paths: matching_points lost its forced series-list broadcast
-# and reads gained the upsert merge gate (os_read_term/bool,
-# os_engine_roundtrip/count/rollup — all route through the changed
-# read/append code). The tail is brand-new-this-round work — first
-# driver evidence ever outranks refreshing green rows: the 9
-# early-round additions (SemDeDup / prototypes / k-NN / chunk dedup /
-# cohorts / z-score / OHLC / interpolation / top-series) plus 4 from
-# the upsert/ANN session (tiered-retention lifecycle, adaptive
-# quality gate, counter increase, PQ kernel). To make room, 4
-# unchanged-since-r2 TPC-H siblings (q7/q8/q9/q17) wait for round 5;
-# their join/agg shapes stay represented by q3/q5/q10/q2/q21.
+# (registration order = dict insertion order). Round-5 rotation
+# (VERDICT r4 "Next round" #6): the 17 registry entries with no driver
+# evidence in ANY round lead — after this window every entry has been
+# driver-checked at least once. Next, the code paths CHANGED this
+# round: emb_pq_topk (now the integer-quantized tier with a bit-exact
+# oracle) and the os_engine_* lifecycle family (writer lock,
+# exactly-once epoch commit, gate disarm on full sweep, rollup
+# reconciliation in compact, crash-atomic erasure swap all sit under
+# their read/append/maintenance routes). Then the oldest evidence:
+# the 5 TPC-H siblings last checked in r2, and an alphabetical
+# r3-vintage fill to 50. Every query displaced from this window has a
+# green r3/r4 row on file and an unchanged code path.
 _DRIVER_PRIORITY = [
-    # 36 with only r2-vintage driver rows
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q4",
-    "tpch_q10",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q22",
-    "tpch_q2",
-    "tpch_q11",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q21",
-    "window_top3_orders",
-    "doc_token_count",
-    "doc_quality",
-    "doc_pii_scrub",
-    "doc_lang_profile",
-    "doc_dedup_clusters",
-    "doc_sample_stratified",
-    "doc_shuffle_shards",
-    "doc_rarity",
-    "doc_top_terms",
-    "doc_decontaminate",
-    "doc_simhash",
-    "doc_simhash64_pairs",
-    "doc_ngram_jaccard",
-    "doc_bpe_tokens",
-    # 5 r4-changed code paths
-    "os_read_term",
+    "doc_rag_chunks",
+    "doc_training_mix",
+    "emb_topk_arrow",
+    "emb_pq_recall",
+    "os_engine_direct",
+    "os_engine_realtime",
+    "os_engine_stddev",
+    "events_time_to_convert",
+    "emb_ivf_probe2",
+    "emb_ivfpq_topk",
+    "emb_semantic_arrow",
+    "ts_asof_forward",
+    "doc_novelty",
+    "ts_histogram_quantile",
+    "ts_rolling_median",
+    "events_rolling_wau",
+    "ts_seasonal_baseline",
+    # changed this round
+    "emb_pq_topk",
     "os_engine_roundtrip",
     "os_engine_count",
-    "os_engine_rollup",
-    # 9 new this round — first driver evidence
-    "emb_semantic_dedup",
-    "emb_prototypes",
-    "emb_knn_classify",
-    "doc_chunk_dedup",
-    "events_retention_cohorts",
-    "events_anomaly_zscore",
-    "ts_ohlc",
-    "ts_interp_linear",
-    "os_top_series",
-    # brand-new this session — first driver evidence (displacing 4
-    # unchanged-since-r2 TPC-H siblings whose join/agg shapes remain
-    # represented in-window by q3/q5/q10/q2/q21): the upsert-aware
-    # engine lifecycle (tiered retention), the two new oracle-backed
-    # operators, and the PQ ANN kernel (rows-only).
-    "os_engine_tiered",
-    "doc_quality_adaptive",
-    "ts_increase_counter",
-    "emb_pq_topk",
-    # the round's headline semantic change, driver-checked on the
-    # MERGED read path (tpch_q14 waits with its q7/q8/q9/q17 siblings)
     "os_engine_upsert",
-    # quantiles-from-partials: brand-new rollup statistic family
-    # (os_read_bool yields its slot — the merge-gated read path it
-    # shares with os_read_term/os_engine_roundtrip stays covered)
+    "os_engine_tiered",
+    "os_engine_rollup",
     "os_engine_quantile",
+    "os_engine_weekly",
+    "os_read_term",
+    "os_count_points",
+    # oldest (r2-vintage) evidence
+    "tpch_q14",
+    "tpch_q17",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    # r3-vintage fill
+    "customer_value_quartiles",
+    "doc_clean_corpus",
+    "doc_dedup_exact",
+    "doc_dedup_keep_list",
+    "doc_fingerprint",
+    "doc_incremental_neardup",
+    "doc_lang_id",
+    "doc_minhash_neardup",
+    "doc_mixture_plan",
+    "doc_pack_sequences",
+    "doc_repetition",
+    "doc_simhash_pairs",
+    "doc_top_tokens",
+    "emb_highsim_pairs",
+    "emb_ivf_topk",
+    "emb_label_centroids",
+    "emb_topk_cosine",
+    "emb_topk_lsh",
 ]
 assert len(_DRIVER_PRIORITY) == 50 and len(set(_DRIVER_PRIORITY)) == 50
 assert set(_DRIVER_PRIORITY) <= set(QUERIES), sorted(set(_DRIVER_PRIORITY) - set(QUERIES))
