@@ -39,6 +39,13 @@ class SpaceConfig:
     granularity_days: int = 1
     rollup_step_ms: int | None = None
     append_only: bool = False
+    # §2.6 parity knob (/root/reference/lib/orestes-query.js:310,
+    # default 200): per-space cap on concurrent per-bucket point
+    # fetches. Preserved as config surface per SURVEY §2.6; ADVISORY
+    # under Spark — task concurrency is the scheduler's job (executor
+    # cores × locality), and capping it per query would fight AQE.
+    # Accepted, stored, and echoed so reference configs load verbatim.
+    read_request_concurrency: int = 200
     # (bin_width, nbins): adds fixed-width value-histogram partials to
     # the continuous rollup, so QUANTILES become servable from
     # pre-aggregated state (engine.read_rollup_quantile) — the
@@ -73,6 +80,18 @@ class EngineConfig:
     warehouse: str
     spaces: dict[str, SpaceConfig] = field(default_factory=dict)
     default_space_config: SpaceConfig = field(default_factory=SpaceConfig)
+    # §2.6 parity knobs, preserved as config surface (SURVEY §2.6) with
+    # reference defaults (/root/reference/lib/orestes-query.js:23-24,
+    # 179). All three are ES/Cassandra client-pool tuning with no Spark
+    # analogue — series scans are distributed jobs, not paged scrolls;
+    # count fan-out is one aggregation, not N HTTP calls — so they are
+    # accepted and stored (reference configs load verbatim) but do not
+    # alter plans. metadata_fetch_size: ES scroll page size (20000).
+    # max_concurrent_count_requests: count-request pool cap (20).
+    # scroll_ttl_ms: ES scroll keep-alive ('10m').
+    metadata_fetch_size: int = 20_000
+    max_concurrent_count_requests: int = 20
+    scroll_ttl_ms: int = 600_000
 
     def space(self, name: str) -> SpaceConfig:
         return self.spaces.get(name, self.default_space_config)
@@ -100,11 +119,21 @@ def load_space_configs(path: str | Path) -> dict[str, SpaceConfig]:
                 if sc.get("rollup_hist") is not None
                 else None
             ),
+            read_request_concurrency=int(sc.get("read_request_concurrency", 200)),
         )
         for name, sc in spaces.items()
     }
 
 
 def engine_config_from_json(path: str | Path, warehouse: str) -> EngineConfig:
-    """EngineConfig driven from a reference-format JSON config file."""
-    return EngineConfig(warehouse=warehouse, spaces=load_space_configs(path))
+    """EngineConfig driven from a reference-format JSON config file,
+    including the §2.6 client-pool knobs (reference defaults when
+    absent — see EngineConfig for why they are advisory under Spark)."""
+    conf = json.loads(Path(path).read_text())
+    return EngineConfig(
+        warehouse=warehouse,
+        spaces=load_space_configs(path),
+        metadata_fetch_size=int(conf.get("metadata_fetch_size", 20_000)),
+        max_concurrent_count_requests=int(conf.get("max_concurrent_count_requests", 20)),
+        scroll_ttl_ms=int(conf.get("scroll_ttl_ms", 600_000)),
+    )

@@ -1114,3 +1114,29 @@ def test_concurrent_writer_guard(spark, tmp_path):
     rows = eng.read(None, "default", 0, 2**50, grouped=False).collect()
     assert sorted((r["time_ms"], r["value"]) for r in rows) == [
         (START, 9.0), (START + 2, 3.0)]
+
+
+def test_config_preserves_reference_client_knobs(tmp_path):
+    """SURVEY §2.6 parity: the reference's ES/Cassandra client-pool
+    knobs load verbatim from a reference-format config (with reference
+    defaults when absent) and are stored as advisory config — Spark's
+    scheduler owns actual concurrency."""
+    import json
+
+    from orestes_spark.config import engine_config_from_json
+
+    cfg = tmp_path / "orestes-config.json"
+    cfg.write_text(json.dumps({
+        "metadata_fetch_size": 5000,
+        "max_concurrent_count_requests": 7,
+        "spaces": {
+            "default": {"table_granularity_days": 1, "read_request_concurrency": 64},
+            "weekly": {"table_granularity_days": 7},
+        },
+    }))
+    ec = engine_config_from_json(cfg, str(tmp_path / "wh"))
+    assert ec.metadata_fetch_size == 5000
+    assert ec.max_concurrent_count_requests == 7
+    assert ec.scroll_ttl_ms == 600_000  # reference '10m' default
+    assert ec.space("default").read_request_concurrency == 64
+    assert ec.space("weekly").read_request_concurrency == 200  # default
