@@ -117,6 +117,7 @@ def cosine_topk_arrow(
     vec_col: str = "embedding",
     k: int = 5,
     batch_local_k: int | None = None,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Production fast path for brute-force top-k: one numpy matmul
     per Arrow batch via ``mapInPandas`` instead of per-element
@@ -127,29 +128,55 @@ def cosine_topk_arrow(
     partition emits only its LOCAL top-k rows per query, so the final
     per-query window sees ≤ partitions × k rows per query — never the
     corpus. Same output shape and tie-break (score desc, neighbor id)
-    as ``cosine_topk``; float arithmetic, so no DuckDB oracle twin —
-    oracle parity is ``cosine_topk``'s job, mirroring the
-    md5-oracle / xxhash64-production split in dedup."""
+    as ``cosine_topk``.
+
+    ``quantize`` makes the kernel ORACLE-EXACT: vectors quantize to
+    round(x·quantize) longs via the same Spark expression the exact
+    path uses, the GEMM runs on integer-valued float64 (dot and norms
+    < 2⁵³ — exact), and cosine = dot / (√n2_c · √n2_q) — the identical
+    correctly-rounded IEEE ops DuckDB evaluates, so the BLAS path
+    hash-matches the same SQL twin as ``cosine_topk``. Default (None)
+    keeps the float kernel."""
     import numpy as np
 
+    if quantize is not None:
+        corpus = corpus.select(
+            F.col(id_col), quantized(F.col(vec_col), quantize).alias(vec_col)
+        )
+        queries = queries.select(
+            F.col(id_col), quantized(F.col(vec_col), quantize).alias(vec_col)
+        )
     k_local = batch_local_k or k
     qrows = queries.select(F.col(id_col).cast("long"), F.col(vec_col)).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
-    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-300)
-    b = corpus.sparkSession.sparkContext.broadcast((qids, qmat))
+    if quantize is None:
+        qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-300)
+        qn2 = None
+    else:
+        qn2 = (qmat**2).sum(axis=1)  # exact integer norms
+    b = corpus.sparkSession.sparkContext.broadcast((qids, qmat, qn2))
 
     def score(batches):
         import pandas as pd
 
-        bq_ids, bq = b.value
+        bq_ids, bq, bqn2 = b.value
         for pdf in batches:
             if pdf.empty:
                 continue
             cids = pdf[id_col].to_numpy(dtype=np.int64)
             cmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300)
-            scores = cmat @ bq.T  # (batch, queries)
+            if bqn2 is None:
+                cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300)
+                scores = cmat @ bq.T  # (batch, queries)
+            else:
+                cn2 = (cmat**2).sum(axis=1)
+                # dot / (sqrt(n2_q) * sqrt(n2_c)) — operand-for-operand
+                # the oracle's expression (multiply is bitwise
+                # commutative), on exact integer dot/norms
+                scores = (cmat @ bq.T) / (
+                    np.sqrt(bqn2)[None, :] * np.sqrt(cn2)[:, None]
+                )
             scores[cids[:, None] == bq_ids[None, :]] = -np.inf  # self-match
             top = min(k_local, scores.shape[0])
             # The batch-local cut must apply the SAME (score desc,
@@ -997,12 +1024,21 @@ def ivf_pq_topk(
     ks: int = 16,
     nprobe: int = 2,
     seed: str = "orestes-ivfpq",
+    quantize: int | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS IVFPQ production shape): coarse routing
     by per-label mean centroids + PQ codes over the RESIDUAL
     (vector − its centroid) scored via per-(query, probed-cell) ADC
     lookup tables. Output (query_id, neighbor_id, adc_dist, rank) by
     squared-L2, ties to the lower neighbor id; self-matches excluded.
+
+    ``quantize`` selects the ORACLE-EXACT integer tier: vectors
+    quantize to round(x·quantize) longs, centroids to micro-units
+    (round-half-away(1000·sum/n) — the same rounding DuckDB's round()
+    applies), residuals/LUTs/ADC all stay exact integers in float64
+    (≪ 2⁵³), and the codebook sample orders by (md5(id), id) so a SQL
+    twin replays training verbatim. adc_dist is then BIGINT in
+    micro²-units. Default (None) keeps the float path.
 
     Why both layers at 100 TB: IVF cuts the scan to nprobe/|cells| of
     the corpus; PQ cuts the bytes PER SCANNED VECTOR ~32× (m one-byte
@@ -1029,26 +1065,51 @@ def ivf_pq_topk(
     full scan cost is acceptable."""
     import numpy as np
 
+    scale = 1000.0 if quantize is not None else 1.0
+    if quantize is not None:
+        corpus = corpus.select(
+            F.col(id_col), quantized(F.col(vec_col), quantize).alias(vec_col), F.col(label_col)
+        )
+        queries = queries.select(
+            F.col(id_col), quantized(F.col(vec_col), quantize).alias(vec_col)
+        )
+
     # ---- coarse quantizer: per-label MEAN centroids (k×d collect,
     # sums + counts in ONE corpus aggregation) ----
     stats = {r["label"]: (np.array(r["csum"], dtype=np.float64), r["n"])
              for r in label_centroid_stats(corpus, id_col, vec_col, label_col).collect()}
     labels = sorted(stats)
-    cents = {lb: s / n for lb, (s, n) in stats.items()}
+    if quantize is None:
+        cents = {lb: s / n for lb, (s, n) in stats.items()}
+    else:
+        # micro-unit integer centroids: round-half-away(1000·sum/n),
+        # the identical correctly-rounded double division + rounding
+        # rule DuckDB's CAST(round(1000.0*sx/n) AS BIGINT) evaluates
+        cents = {
+            lb: np.copysign(np.floor(np.abs(scale * s / n) + 0.5), scale * s / n)
+            for lb, (s, n) in stats.items()
+        }
     # Dense cell indices decouple the Arrow schemas from the label
     # type: string/int/any label works (same contract as ivf_topk).
     lab2idx = {lb: i for i, lb in enumerate(labels)}
 
     # ---- residual PQ codebooks from a deterministic corpus sample ----
+    hash_col = (
+        F.md5(F.col(id_col).cast("string"))  # DuckDB-replayable (oracle tier)
+        if quantize is not None
+        else F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
+    )
     sample = (
         corpus.select(F.col(id_col), F.col(vec_col), F.col(label_col))
-        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col))
+        .orderBy(hash_col, F.col(id_col))
         .limit(ks)
         .collect()
     )
     if not sample:
         raise ValueError("ivf_pq_topk: empty corpus")
-    res = np.array([np.asarray(r[1], dtype=np.float64) - cents[r[2]] for r in sample])
+    res = np.array(
+        [np.asarray(r[1], dtype=np.float64) * scale - cents[r[2]] for r in sample]
+    )
     dims = res.shape[1]
     if dims % m:
         raise ValueError(f"ivf_pq_topk: dims={dims} not divisible by m={m}")
@@ -1057,19 +1118,19 @@ def ivf_pq_topk(
 
     cent_mat = np.stack([cents[lb] for lb in labels])  # (L, d), row = cell idx
     sc = corpus.sparkSession.sparkContext
-    b_enc = sc.broadcast((books, cent_mat, lab2idx))
+    b_enc = sc.broadcast((books, cent_mat, lab2idx, scale))
 
     def encode(batches):
         import pandas as pd
 
-        bb, bc_mat, b_idx = b_enc.value
+        bb, bc_mat, b_idx, b_scale = b_enc.value
         cnorm = (bb**2).sum(axis=2)  # (m, ks)
         for pdf in batches:
             if pdf.empty:
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             cells = pdf[label_col].map(b_idx).to_numpy(dtype=np.int64)
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * b_scale
             r = mat - bc_mat[cells]  # residuals vs own-cell centroid
             codes = np.empty((r.shape[0], m), dtype=np.int32)
             for j in range(m):
@@ -1085,7 +1146,7 @@ def ivf_pq_topk(
     # ---- query-side: probe assignment + per-(q, cell) residual LUTs ----
     qrows = queries.select(F.col(id_col).cast("long"), F.col(vec_col)).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64) * scale
     l2 = ((qmat[:, None, :] - cent_mat[None, :, :]) ** 2).sum(axis=2)  # (Q, L)
     order = np.argsort(l2, axis=1, kind="stable")[:, : min(nprobe, len(labels))]
     probes = {}  # qid -> {cell idx: LUT (m, ks)}
@@ -1145,10 +1206,13 @@ def ivf_pq_topk(
 
     local = codes.mapInPandas(score, "query_id long, neighbor_id long, adc_dist double")
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("neighbor_id"))
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank")
+    ranked = local.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    if quantize is not None:
+        return ranked.select(
+            "query_id", "neighbor_id", F.col("adc_dist").cast("long").alias("adc_dist"), "rank"
+        )
+    return ranked.select(
+        "query_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank"
     )
 
 

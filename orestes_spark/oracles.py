@@ -423,6 +423,171 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def emb_pq_recall_sql(
+    k: int = 5, num_queries: int = 10, m: int = 4, ks: int = 16, dims: int = 64
+) -> str:
+    """recall@k of the integer PQ tier against the integer exact-cosine
+    ranking — both sides deterministic (emb_pq_topk_sql + emb_topk_sql
+    over the SAME quantized CTEs), so the instrumentation row itself is
+    oracle-checkable."""
+    sub = dims // m
+    return f"""
+WITH {_QUANT_VECS},
+xdots AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x * b.x) AS dot
+  FROM u a JOIN u b ON a.i = b.i AND a.vec_id != b.vec_id
+  WHERE a.vec_id < {num_queries}
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY dot / (sqrt(na.n2) * sqrt(nb.n2)) DESC, cid
+           ) AS rank
+    FROM xdots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid
+  ) WHERE rank <= {k}
+),
+sample AS (
+  SELECT vec_id AS cb_id,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {ks}
+),
+cb AS (
+  SELECT s.code, (u.i - 1) // {sub} AS j, (u.i - 1) % {sub} AS d, u.x
+  FROM sample s JOIN u ON u.vec_id = s.cb_id
+),
+enc AS (
+  SELECT u.vec_id, cb.j, cb.code, sum((u.x - cb.x) * (u.x - cb.x)) AS dd
+  FROM u JOIN cb ON (u.i - 1) // {sub} = cb.j AND (u.i - 1) % {sub} = cb.d
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code, row_number() OVER (PARTITION BY vec_id, j ORDER BY dd, code) AS rn
+    FROM enc
+  ) WHERE rn = 1
+),
+lut AS (SELECT vec_id AS qid, j, code, dd FROM enc WHERE vec_id < {num_queries}),
+adc AS (
+  SELECT l.qid, c.vec_id AS cid, sum(l.dd) AS adc
+  FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+  WHERE c.vec_id != l.qid
+  GROUP BY 1, 2
+),
+pq AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rank
+    FROM adc
+  ) WHERE rank <= {k}
+),
+probe AS (
+  SELECT e.qid, e.cid, p.cid AS hit
+  FROM exact e LEFT JOIN pq p ON p.qid = e.qid AND p.cid = e.cid
+)
+SELECT {k} AS k,
+       CAST(count(*) / {k} AS BIGINT) AS n_queries,
+       count(hit) AS hits,
+       round(count(hit) / count(*), 4) AS recall
+FROM probe
+"""
+
+
+def emb_ivfpq_topk_sql(
+    k: int = 5,
+    num_queries: int = 10,
+    m: int = 4,
+    ks: int = 16,
+    nprobe: int = 2,
+    dims: int = 64,
+) -> str:
+    """DuckDB twin of similarity.ivf_pq_topk(quantize=1000): micro-unit
+    integer residual PQ. Centroids = CAST(round(1000·sum/n) AS BIGINT)
+    per (label, dim) — DuckDB round() is half-away-from-zero, the same
+    rule the Python side applies; cells indexed by label sort order;
+    codebooks = residuals of the ks (md5(id), id)-smallest vectors;
+    per-subspace argmin encoding (ties → lower code); queries probe
+    their nprobe nearest cells (ties → lower cell) and score probed-cell
+    members by exact integer ADC sums, rank (adc asc, cid asc)."""
+    sub = dims // m
+    return f"""
+WITH {_QUANT_VECS},
+ql AS (SELECT vec_id, label FROM embeddings),
+cellidx AS (
+  SELECT label, row_number() OVER (ORDER BY label) - 1 AS cell
+  FROM (SELECT DISTINCT label FROM embeddings)
+),
+cent AS (
+  SELECT ql.label, u.i, CAST(round(1000.0 * sum(u.x) / count(*)) AS BIGINT) AS c
+  FROM u JOIN ql USING (vec_id)
+  GROUP BY 1, 2
+),
+res AS (
+  SELECT u.vec_id, u.i, u.x * 1000 - cent.c AS r
+  FROM u JOIN ql USING (vec_id) JOIN cent ON cent.label = ql.label AND cent.i = u.i
+),
+sample AS (
+  SELECT vec_id AS cb_id,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {ks}
+),
+cb AS (
+  SELECT s.code, (r.i - 1) // {sub} AS j, (r.i - 1) % {sub} AS d, r.r AS x
+  FROM sample s JOIN res r ON r.vec_id = s.cb_id
+),
+enc AS (
+  SELECT r.vec_id, cb.j, cb.code, sum((r.r - cb.x) * (r.r - cb.x)) AS dd
+  FROM res r JOIN cb ON (r.i - 1) // {sub} = cb.j AND (r.i - 1) % {sub} = cb.d
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT e.vec_id, ci.cell, e.j, e.code FROM (
+    SELECT vec_id, j, code, row_number() OVER (PARTITION BY vec_id, j ORDER BY dd, code) AS rn
+    FROM enc
+  ) e JOIN ql ON ql.vec_id = e.vec_id JOIN cellidx ci ON ci.label = ql.label
+  WHERE e.rn = 1
+),
+qcell AS (
+  SELECT u.vec_id AS qid, ci.cell, sum((u.x * 1000 - cent.c) * (u.x * 1000 - cent.c)) AS d2
+  FROM u JOIN cent ON cent.i = u.i JOIN cellidx ci ON ci.label = cent.label
+  WHERE u.vec_id < {num_queries}
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT qid, cell FROM (
+    SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY d2, cell) AS pr
+    FROM qcell
+  ) WHERE pr <= {nprobe}
+),
+qres AS (
+  SELECT u.vec_id AS qid, p.cell, u.i, u.x * 1000 - cent.c AS r
+  FROM u
+  JOIN probes p ON p.qid = u.vec_id
+  JOIN cellidx ci ON ci.cell = p.cell
+  JOIN cent ON cent.label = ci.label AND cent.i = u.i
+),
+lut AS (
+  SELECT qr.qid, qr.cell, cb.j, cb.code, sum((qr.r - cb.x) * (qr.r - cb.x)) AS dd
+  FROM qres qr JOIN cb ON (qr.i - 1) // {sub} = cb.j AND (qr.i - 1) % {sub} = cb.d
+  GROUP BY 1, 2, 3, 4
+),
+adc AS (
+  SELECT l.qid, c.vec_id AS cid, sum(l.dd) AS adc
+  FROM codes c
+  JOIN lut l ON l.cell = c.cell AND l.j = c.j AND l.code = c.code
+  WHERE c.vec_id != l.qid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, cid, adc, row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rank
+  FROM adc
+)
+SELECT qid AS query_id, cid AS neighbor_id, CAST(adc AS BIGINT) AS adc_dist, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def emb_highsim_pairs_sql(threshold: float = 0.3, num_planes: int = 8, dims: int = 64) -> str:
     return f"""
 WITH {_QUANT_VECS},

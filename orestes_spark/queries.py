@@ -1784,18 +1784,19 @@ def emb_topk_cosine(spark, sf_dir):
     return similarity.cosine_topk(e, e.where(F.col("vec_id") < 10), k=5, quantize=1000)
 
 
-@register("emb_topk_arrow")  # rows-only: float path, no bit-exact oracle
+@register("emb_topk_arrow", oracles.emb_topk_sql())
 def emb_topk_arrow(spark, sf_dir):
     """The PRODUCTION brute-force top-k kernel: Arrow mapInPandas +
     one BLAS GEMM per batch, partition-local top-k, broadcast query
-    matrix (similarity.cosine_topk_arrow). Same neighbors/ranks as
-    emb_topk_cosine's expression path (pinned by
-    test_cosine_topk_arrow_matches_exact_path incl. the tie-break);
-    registered rows-only because its float cosine has no bit-exact
-    DuckDB twin — the md5-oracle/xxhash64-production split, applied
-    to ANN."""
+    matrix (similarity.cosine_topk_arrow). quantize=1000 runs the GEMM
+    on exact integer dot/norms with the oracle's own IEEE cosine
+    expression, so the BLAS path hash-matches the SAME DuckDB twin as
+    emb_topk_cosine — the float tie-break/local-cut behavior stays
+    pinned by test_cosine_topk_arrow_matches_exact_path."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk_arrow(e, e.where(F.col("vec_id") < 10), k=5)
+    return similarity.cosine_topk_arrow(
+        e, e.where(F.col("vec_id") < 10), k=5, quantize=1000
+    )
 
 
 @register("emb_pq_topk", oracles.emb_pq_topk_sql())
@@ -1813,21 +1814,23 @@ def emb_pq_topk(spark, sf_dir):
     return similarity.pq_topk_quantized(e, e.where(F.col("vec_id") < 10), k=5, m=4, ks=16)
 
 
-@register("emb_pq_recall")  # rows-only: measures the float ANN path
+@register("emb_pq_recall", oracles.emb_pq_recall_sql())
 def emb_pq_recall(spark, sf_dir):
     """ANN quality instrumentation: recall@5 of the PQ/ADC kernel
     against the exact cosine ranking for the same 10 queries — one row
     (k, n_queries, hits, recall). The number an operator watches when
     turning the m/ks dial (the PQ docstring's honesty note about
-    near-isotropic corpora, quantified per run). Both sides are
-    distributed scans; the comparison is a tiny join over ≤ Q×k
-    rows."""
+    near-isotropic corpora, quantified per run). Both sides run their
+    integer-deterministic tiers (pq_topk_quantized vs quantized exact
+    cosine), so even the instrumentation row is ORACLE-CHECKED. Both
+    sides are distributed scans; the comparison is a tiny join over
+    ≤ Q×k rows."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
     exact = similarity.cosine_topk(e, q, k=5, quantize=1000).select(
         F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
     )
-    approx = similarity.pq_topk(e, q, k=5, m=4, ks=16).select(
+    approx = similarity.pq_topk_quantized(e, q, k=5, m=4, ks=16).select(
         F.col("query_id").alias("pq_qid"), F.col("neighbor_id").alias("pq_nid")
     )
     # ONE pass over the exact side: a left-outer probe marks each
@@ -2656,16 +2659,21 @@ def emb_ivf_probe2(spark, sf_dir):
     return similarity.ivf_topk(e, e.where(F.col("vec_id") < 10), k=5, quantize=1000, nprobe=2)
 
 
-@register("emb_ivfpq_topk")  # rows-only: float residual-ADC path
+@register("emb_ivfpq_topk", oracles.emb_ivfpq_topk_sql())
 def emb_ivfpq_topk(spark, sf_dir):
     """IVF-PQ ANN (similarity.ivf_pq_topk) — the FAISS IVFPQ
     production composition: coarse label-cell routing (scan
     nprobe/|cells| of the corpus) + PQ codes over residuals (32× fewer
     bytes per scanned vector) scored via per-(query, cell) ADC lookup
-    tables. Rows-only like the other float ANN kernels; recall and
-    determinism pinned by test_similarity's IVF-PQ tests."""
+    tables. quantize=1000 selects the micro-unit integer tier
+    (centroids/residuals/LUTs all exact integers), so the DuckDB twin
+    replays coarse routing, training, encoding, and ranking
+    bit-for-bit; the float kernel's recall and determinism stay pinned
+    by test_similarity's IVF-PQ tests."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_pq_topk(e, e.where(F.col("vec_id") < 10), k=5, m=4, ks=16, nprobe=2)
+    return similarity.ivf_pq_topk(
+        e, e.where(F.col("vec_id") < 10), k=5, m=4, ks=16, nprobe=2, quantize=1000
+    )
 
 
 # --------------------------------------------------- time-series ops ---
@@ -3095,12 +3103,15 @@ def emb_semantic_dedup(spark, sf_dir):
     return similarity.semantic_dedup(e, threshold=0.35, quantize=1000)
 
 
-@register("emb_semantic_arrow")  # rows-only: production GEMM kernel (float path)
+@register("emb_semantic_arrow", oracles.emb_semantic_dedup_sql())
 def emb_semantic_arrow(spark, sf_dir):
     """Production SemDeDup kernel: per-cluster numpy GEMM via
-    applyInPandas. Same clustering and keep-rule as emb_semantic_dedup
-    (whose oracle covers the semantics); equivalence between the two
-    paths is test-pinned — the cosine_topk/cosine_topk_arrow split."""
+    applyInPandas, ORACLE-CHECKED against the same DuckDB twin as
+    emb_semantic_dedup: with quantize the GEMM runs on exact integer
+    dot/norms, so the only theoretical divergence from the expression
+    path is a cosine landing bit-exactly on a .5e-7 rounding boundary
+    (never observed; path equivalence is additionally test-pinned by
+    test_semantic_dedup_arrow_equals_expression_path)."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup_arrow(e, threshold=0.35, quantize=1000)
 
