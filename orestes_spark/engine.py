@@ -1395,6 +1395,13 @@ def _engine_compact(
     # Decide ONCE, before the marker is reset below: collapse upserts
     # only when reads would merge them too.
     collapse_upserts = self._merge_needed(space)
+    # Orphaned epoch staging dirs (a stream decommissioned after a
+    # crash never replays its uncommitted epoch) are invisible to
+    # readers but leak disk — compaction is the natural sweep point.
+    proot = self._points_path(space)
+    if proot.exists():
+        for stale in proot.glob(".staging_epoch=*"):
+            shutil.rmtree(stale)
     for root, range_cols in (
         (self._points_path(space), ["series_id", "time_ms"]),
         (self._series_path(space), ["series_id"]),

@@ -1140,3 +1140,104 @@ def test_config_preserves_reference_client_knobs(tmp_path):
     assert ec.scroll_ttl_ms == 600_000  # reference '10m' default
     assert ec.space("default").read_request_concurrency == 64
     assert ec.space("weekly").read_request_concurrency == 200  # default
+
+
+def test_recover_swaps_full_crash_matrix(spark, tmp_path):
+    """Exhaustive state matrix for the two-phase swap recovery: every
+    reachable crash state converges to exactly one live bucket with
+    the right contents, and no hidden dirs survive."""
+    from orestes_spark.engine import OrestesEngine
+
+    def mk(root, name, tag):
+        d = root / name
+        spark.createDataFrame([(tag,)], "v STRING").write.mode("overwrite").parquet(str(d))
+
+    def val(root, name):
+        return spark.read.parquet(str(root / name)).first()["v"]
+
+    def fresh(state):
+        root = tmp_path / f"swap_{state}"
+        root.mkdir()
+        return root
+
+    # 1. normal: live only → untouched
+    r = fresh("live")
+    mk(r, "bucket=1", "old-data")
+    OrestesEngine._recover_swaps(r)
+    assert val(r, "bucket=1") == "old-data"
+
+    # 2. live + tmp (crash before first rename): tmp discarded
+    r = fresh("live_tmp")
+    mk(r, "bucket=1", "old-data"); mk(r, ".delete_bucket=1", "half-written")
+    OrestesEngine._recover_swaps(r)
+    assert val(r, "bucket=1") == "old-data"
+    assert sorted(p.name for p in r.iterdir()) == ["bucket=1"]
+
+    # 3. old + tmp (crash between renames): roll FORWARD — tmp commits
+    r = fresh("old_tmp")
+    mk(r, ".old_bucket=1", "old-data"); mk(r, ".delete_bucket=1", "rewritten")
+    OrestesEngine._recover_swaps(r)
+    assert val(r, "bucket=1") == "rewritten"
+    assert sorted(p.name for p in r.iterdir()) == ["bucket=1"]
+
+    # 4. old + live (crash before dropping the backup): keep live
+    r = fresh("old_live")
+    mk(r, ".old_bucket=1", "old-data"); mk(r, "bucket=1", "rewritten")
+    OrestesEngine._recover_swaps(r)
+    assert val(r, "bucket=1") == "rewritten"
+    assert sorted(p.name for p in r.iterdir()) == ["bucket=1"]
+
+    # 5. old only (tmp lost): roll BACK — restore the original
+    r = fresh("old_only")
+    mk(r, ".old_bucket=1", "old-data")
+    OrestesEngine._recover_swaps(r)
+    assert val(r, "bucket=1") == "old-data"
+    assert sorted(p.name for p in r.iterdir()) == ["bucket=1"]
+
+    # idempotent: a second recovery pass is a no-op everywhere
+    for state in ("live", "live_tmp", "old_tmp", "old_live", "old_only"):
+        root = tmp_path / f"swap_{state}"
+        OrestesEngine._recover_swaps(root)
+        assert sorted(p.name for p in root.iterdir()) == ["bucket=1"]
+
+
+def test_compact_sweeps_orphan_staging(engine, spark):
+    """An uncommitted epoch staging dir from a decommissioned stream is
+    invisible to readers but leaks disk — compact() removes it."""
+    engine.write([{"time": START, "value": 1.0, "host": "a"},
+                  {"time": START + 1, "value": 2.0, "host": "a"}])
+    pp = engine._points_path("default")
+    orphan = pp / ".staging_epoch=99"
+    orphan.mkdir()
+    (orphan / "junk").write_text("x")
+    assert engine.read(None, "default", 0, 2**50).count() == 1  # invisible
+    engine.compact("default")
+    assert not orphan.exists()
+
+
+def test_driver_and_executor_time_parsers_agree(engine, spark):
+    """Every format BOTH parsers accept must yield the same epoch-ms —
+    the property the in-batch dedup key relies on (formats only the
+    executor parses are covered by the gate-arming fallback)."""
+    from pyspark.sql import functions as F
+
+    from orestes_spark import schema, validation
+
+    forms = []
+    for base in ("2023-11-14T22:13:20", "2023-11-14 22:13:20", "1999-01-02T03:04:05",
+                 "2040-12-31T23:59:59"):
+        for frac in ("", ".5", ".123", ".123456", ".1234567", ".123456789"):
+            for tz in ("Z", "+00:00", "+05:30", "-08:00", ""):
+                forms.append(base + frac + tz)
+    forms += ["1700000000000", "0", "-1000", "1.5"]
+    df = spark.createDataFrame([(s,) for s in forms], "s STRING").select(
+        "s", schema.normalize_time_col(F.col("s")).alias("ms")
+    )
+    spark_ms = {r["s"]: r["ms"] for r in df.collect()}
+    checked = 0
+    for s in forms:
+        k = validation.time_key_ms(s)
+        if k is not None and spark_ms[s] is not None:
+            assert k == spark_ms[s], (s, k, spark_ms[s])
+            checked += 1
+    assert checked > 100  # the agreement set is the overwhelming majority
