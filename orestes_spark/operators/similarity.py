@@ -583,11 +583,10 @@ def semantic_dedup_arrow(
     same output schema. With ``quantize`` set the GEMM is exact —
     quantized int values make every product/sum < 2^53, so float64
     matmul is integer-exact, matching the expression path bit for bit
-    (the only divergence surface is the final round-vs-threshold on
-    ties 5e-7 from the threshold, same caveat as cosine_topk_arrow's
-    float path — hence registered rows-only, with equivalence pinned
-    by test instead of oracle; mirrors the md5/xxhash64 and
-    cosine_topk/cosine_topk_arrow production splits).
+    (the only theoretical divergence surface is a cosine landing
+    bit-exactly on a .5e-7 rounding boundary — never observed; the
+    query is oracle-checked against the expression path's DuckDB twin
+    AND test-pinned equal to the expression path).
 
     Scale shape: one shuffle on the cluster key brings each cluster to
     one executor as Arrow batches; memory is |cluster|·d·8B plus the
