@@ -861,3 +861,35 @@ def connected_components(
         if changed == 0:
             return labels.select(F.col("node"), F.col("label").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    score_col: str,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Quality-aware near-dup resolution: keep the BEST-scoring member
+    of every duplicate cluster (ties → lower id) instead of the
+    lowest-id one — the C4/RefinedWeb "keep the longest/cleanest copy"
+    policy, which preserves strictly more signal than keep-first when
+    duplicates differ in truncation or boilerplate.
+
+    pairs → connected components (transitive closure, so a~b, b~c
+    resolve to ONE keeper even though a and c never paired) → one
+    partitioned window per component picks the keeper → survivors =
+    non-members ∪ keepers. Cluster membership is a tiny fraction of
+    the corpus, so the component join is broadcast-sized in practice
+    and the corpus is touched by exactly one anti-join."""
+    comp = connected_components(pairs, max_iterations=max_iterations).withColumnRenamed(
+        "node", id_col
+    )
+    members = docs.join(comp, id_col)
+    w = Window.partitionBy("component").orderBy(F.col(score_col).desc(), F.col(id_col))
+    drops = (
+        members.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") > 1)
+        .select(id_col)
+    )
+    return docs.join(drops, id_col, "left_anti")

@@ -190,3 +190,26 @@ def pack_sequences(
     ).select(
         id_col, "shard", "n_tokens", F.expr(f"_cum div {budget}").alias("bin_id")
     )
+
+
+def select_within_budget(
+    docs: DataFrame,
+    order_cols,
+    cost_col: str,
+    budget: int,
+    cumsum_col: str = "cum_cost",
+) -> DataFrame:
+    """Budget-constrained corpus selection: take rows in ``order_cols``
+    order (best first — a quality ranking) while the INCLUSIVE running
+    sum of ``cost_col`` (tokens/chars/bytes) stays ≤ ``budget`` — "fill
+    a 10B-token budget with the best documents", the final assembly
+    step of a training-data pipeline. Greedy-prefix semantics: a row
+    is selected iff every better-ranked row plus itself fits.
+
+    Distributed via plans.ranking.with_global_cumsum (range-partitioned
+    two-phase running sum) — no single-partition window, so the
+    selection scales to corpus-sized inputs."""
+    from orestes_spark.plans.ranking import with_global_cumsum
+
+    out = with_global_cumsum(docs, list(order_cols), cost_col, cumsum_col=cumsum_col)
+    return out.where(F.col(cumsum_col) <= budget)

@@ -81,3 +81,43 @@ def with_global_ntile(
             .otherwise(r + F.floor((rank0 - boundary) / q) + 1)
         )
     return ranked.withColumn(tile_col, tile.cast("int")).drop("_grank")
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    cumsum_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(df + cumsum_col): exact INCLUSIVE running sum of ``value_col``
+    in the ``order_cols`` total order — the budget-selection primitive
+    ("take documents in quality order until the token budget is
+    full"). Same two-phase shape as with_global_rank: range-partition
+    by the order, window-cumsum locally (partitioned → parallel), add
+    per-partition sum offsets; the only driver-side data is one sum
+    per partition. A bare ``Window.orderBy`` cumsum would plan the
+    single-partition exchange this module exists to avoid."""
+    p = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    tagged = df.repartitionByRange(p, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = tagged.withColumn("_lcs", F.sum(value_col).over(w)).localCheckpoint()
+    sums = local.groupBy("_pid").agg(F.sum(value_col).alias("_s")).collect()
+    offsets, acc = [], 0
+    for r in sorted(sums, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], acc))
+        acc += r["_s"] or 0
+    if not offsets:
+        return df.withColumn(cumsum_col, F.lit(None).cast("long"))
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid INT, _off LONG")
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(cumsum_col, (F.col("_off") + F.col("_lcs")).cast("long"))
+        .drop("_pid", "_lcs", "_off")
+    )

@@ -264,3 +264,26 @@ def test_chunk_dedup_removes_cross_doc_spans(spark):
     # doc 3's 5-word tail chunk "w10 ... w14" ≠ any 10-word chunk
     assert out[3]["n_chunks"] == 2 and out[3]["kept_chunks"] == 1
     assert out[3]["clean_text"] == " ".join(w[10:15])
+
+
+def test_dedup_keep_best_keeps_longest_per_cluster(spark):
+    """Chain a~b, b~c: one cluster, keeper = longest text (not lowest
+    id); singletons and non-members untouched."""
+    from orestes_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "short", 5), (2, "the longest doc here", 20), (3, "medium doc", 10),
+         (4, "unrelated", 9), (5, "also unrelated", 14)],
+        "doc_id LONG, text STRING, n_chars LONG",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a LONG, id_b LONG")
+    kept = {r["doc_id"] for r in dedup.dedup_keep_best(docs, "doc_id", pairs, "n_chars").collect()}
+    assert kept == {2, 4, 5}  # 2 wins its cluster on length; others untouched
+
+    # tie on score -> lower id wins
+    docs2 = spark.createDataFrame(
+        [(7, "aa", 2), (8, "bb", 2)], "doc_id LONG, text STRING, n_chars LONG"
+    )
+    pairs2 = spark.createDataFrame([(7, 8)], "id_a LONG, id_b LONG")
+    kept2 = {r["doc_id"] for r in dedup.dedup_keep_best(docs2, "doc_id", pairs2, "n_chars").collect()}
+    assert kept2 == {7}

@@ -138,3 +138,29 @@ def test_mixture_sample_applies_plan_rates(spark):
     # deterministic: a second run is identical
     out2 = {r["lang"]: r["cnt"] for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert out == out2
+
+
+def test_select_within_budget_greedy_prefix(spark):
+    """Exact greedy-prefix semantics vs a Python model, including the
+    boundary row that exactly fills the budget and the one after it."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from orestes_spark.operators import sampling
+
+    rng = random.Random(9)
+    rows = [(i, float(rng.randint(0, 100)), rng.randint(10, 99)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id LONG, score DOUBLE, cost LONG")
+    budget = 3000
+    out = {r["doc_id"]: r["cum_cost"] for r in sampling.select_within_budget(
+        df, [F.col("score").desc(), F.col("doc_id")], "cost", budget
+    ).collect()}
+
+    acc, expected = 0, {}
+    for i, score, cost in sorted(rows, key=lambda r: (-r[1], r[0])):
+        acc += cost
+        if acc > budget:
+            break
+        expected[i] = acc
+    assert out == expected and 0 < len(expected) < 200
