@@ -456,8 +456,11 @@ class OrestesEngine:
         delivery stamp; compaction collapses physically — Cassandra
         PRIMARY KEY parity), but the rollup's append-only partials
         count every delivery: after a cross-delivery overwrite the
-        continuous aggregate over-counts until ``rebuild_rollup``
-        reconciles it (the documented divergence window)."""
+        continuous aggregate over-counts until a full ``compact()``
+        (which rebuilds the rollup from the collapsed points) or
+        ``rebuild_rollup`` reconciles it. The window is surfaced
+        programmatically — ``rollup_stale()`` and the rollup readers'
+        ``on_stale`` parameter — never silent."""
         g = self._granularity(space)
         # Delivery stamp for Cassandra-parity upsert semantics: a later
         # delivery of the same (series, time) wins at read/compaction
