@@ -100,9 +100,10 @@ class OrestesEngine:
         # Monotonic delivery stamp for last-write-wins merge (see
         # _append); guards against wall-clock ties across fast appends.
         self._last_seq = 0
-        # Spaces whose writer lock THIS engine currently holds —
-        # makes the lock reentrant (compact() calls rebuild_rollup()).
-        self._held_locks: set[str] = set()
+        # space -> holding thread id: makes the lock reentrant for the
+        # SAME thread (compact() calls rebuild_rollup()); a different
+        # thread of this engine contends like any foreign writer.
+        self._held_locks: dict[str, int] = {}
 
     # ---------- single-writer lock ----------
 
@@ -115,56 +116,75 @@ class OrestesEngine:
         (write/_append, compact, remove, delete_series, rebuild_rollup)
         holds this advisory lock, so a second concurrent writer fails
         LOUDLY (ConcurrentWriterError) instead of corrupting the
-        compaction/upsert markers that assume one writer. Atomic
-        O_CREAT|O_EXCL file create; a lock whose pid is dead is stolen
-        (crash recovery). Driver-side and same-machine by design — in
-        a lakehouse deployment this job is done by the table format's
-        transaction log, same as the delivery markers."""
+        compaction/upsert markers that assume one writer. The lock file
+        is created ATOMICALLY WITH ITS PAYLOAD (write a private temp
+        file, ``os.link`` it into place — link fails if the name
+        exists), so a contender can never observe an empty lock and
+        misread a live writer as dead; a lock whose recorded pid is
+        dead is stolen (crash recovery). Reentrancy is per (space,
+        thread): a second THREAD of the same engine fails loudly like
+        any other contender rather than silently sharing the lock.
+        Driver-side and same-machine by design — in a lakehouse
+        deployment this job is done by the table format's transaction
+        log, same as the delivery markers."""
         import json as _json
         import os
+        import threading
+        import uuid as _uuid
 
-        if space in self._held_locks:  # reentrant within this engine
+        tid = threading.get_ident()
+        if self._held_locks.get(space) == tid:  # reentrant, same thread only
             yield
             return
         path = self._lock_path(space)
         path.parent.mkdir(parents=True, exist_ok=True)
         payload = _json.dumps({"pid": os.getpid(), "op": op, "ts_ms": int(_time.time() * 1000)})
-        for attempt in (0, 1):
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, payload.encode())
-                os.close(fd)
-                break
-            except FileExistsError:
+        tmp = path.parent / f".lock_{_uuid.uuid4().hex}"
+        tmp.write_text(payload)
+        try:
+            for attempt in (0, 1):
                 try:
-                    holder = _json.loads(path.read_text())
-                    pid = int(holder.get("pid", -1))
-                except (ValueError, OSError):
-                    holder, pid = {}, -1
-                alive = False
-                if pid > 0:
+                    os.link(tmp, path)  # atomic create-with-content
+                    break
+                except FileExistsError:
                     try:
-                        os.kill(pid, 0)
-                        alive = True
-                    except OSError:
-                        alive = False
-                if alive:
-                    raise ConcurrentWriterError(
-                        f"space {space!r} is locked by a live writer"
-                        f" (pid {pid}, op {holder.get('op')!r}): concurrent"
-                        " mutation would corrupt the single-writer markers —"
-                        " retry after it finishes"
-                    )
-                if attempt:  # stolen once already and still losing the race
-                    raise ConcurrentWriterError(
-                        f"space {space!r}: lost the lock race twice to dead-pid locks"
-                    )
-                path.unlink(missing_ok=True)  # dead holder: steal
-        self._held_locks.add(space)
+                        holder = _json.loads(path.read_text())
+                        pid = int(holder.get("pid", -1))
+                    except (ValueError, OSError):
+                        # Cannot happen for locks this code wrote (the
+                        # link carries the full payload); a mangled
+                        # foreign file is indistinguishable from a live
+                        # writer — fail safe, require manual removal.
+                        raise ConcurrentWriterError(
+                            f"space {space!r} has an unreadable writer lock at {path};"
+                            " remove it manually if no writer is running"
+                        )
+                    alive = False
+                    if pid > 0:
+                        try:
+                            os.kill(pid, 0)
+                            alive = True
+                        except OSError:
+                            alive = False
+                    if alive:
+                        raise ConcurrentWriterError(
+                            f"space {space!r} is locked by a live writer"
+                            f" (pid {pid}, op {holder.get('op')!r}): concurrent"
+                            " mutation would corrupt the single-writer markers —"
+                            " retry after it finishes"
+                        )
+                    if attempt:  # stolen once already and still losing the race
+                        raise ConcurrentWriterError(
+                            f"space {space!r}: lost the lock race twice to dead-pid locks"
+                        )
+                    path.unlink(missing_ok=True)  # dead holder: steal
+        finally:
+            tmp.unlink(missing_ok=True)
+        self._held_locks[space] = tid
         try:
             yield
         finally:
-            self._held_locks.discard(space)
+            self._held_locks.pop(space, None)
             path.unlink(missing_ok=True)
 
     # ---------- paths ----------
@@ -290,6 +310,10 @@ class OrestesEngine:
         (previously documented only in docstrings): ``on_stale`` is
         'warn' (default — RollupStaleWarning), 'error' (raise), or
         'ignore' (caller accepts eventual consistency)."""
+        if on_stale not in ("warn", "error", "ignore"):
+            # Validate unconditionally: a typo'd mode must fail on the
+            # first call, not the first STALE call.
+            raise ValueError(f"on_stale must be 'warn', 'error', or 'ignore': {on_stale!r}")
         if on_stale == "ignore" or not self.rollup_stale(space):
             return
         msg = (
@@ -300,12 +324,9 @@ class OrestesEngine:
         )
         if on_stale == "error":
             raise RollupStaleError(msg)
-        if on_stale == "warn":
-            import warnings
+        import warnings
 
-            warnings.warn(msg, RollupStaleWarning, stacklevel=3)
-        else:
-            raise ValueError(f"on_stale must be 'warn', 'error', or 'ignore': {on_stale!r}")
+        warnings.warn(msg, RollupStaleWarning, stacklevel=3)
 
     def _rollup_step(self, space: str) -> int | None:
         return self.config.space(space).rollup_step_ms
@@ -500,7 +521,13 @@ class OrestesEngine:
             tag = f"epoch{epoch_id}-"
             if points_path.exists():
                 for leftover in points_path.glob(f"bucket=*/{tag}*"):
+                    bdir = leftover.parent
                     leftover.unlink()
+                    # A bucket the sweep emptied must not survive as a
+                    # bare dir: readers treat any bucket=* as data and
+                    # a file-less partition breaks schema inference.
+                    if not any(bdir.iterdir()):
+                        bdir.rmdir()
             staging = points_path / f".staging_epoch={epoch_id}"
             laid_out.write.mode("overwrite").partitionBy("bucket").parquet(str(staging))
             for bdir in staging.glob("bucket=*"):
@@ -633,37 +660,81 @@ class OrestesEngine:
 
     # ---------- raw readers ----------
 
+    def _writer_active(self, space: str) -> bool:
+        """True when a LIVE process holds this space's writer lock
+        (and it is not this thread). Readers use it to distinguish a
+        writer's in-flight tmp/.old dirs from crash debris."""
+        import json as _json
+        import os
+        import threading
+
+        if self._held_locks.get(space) == threading.get_ident():
+            return False  # we are the writer; our own recovery may run
+        path = self._lock_path(space)
+        try:
+            holder = _json.loads(path.read_text())
+            pid = int(holder.get("pid", -1))
+        except (FileNotFoundError, ValueError, OSError):
+            return False  # no (readable) lock: no live writer
+        if pid <= 0:
+            return False
+        try:
+            os.kill(pid, 0)
+            return True
+        except OSError:
+            return False
+
+    def _recover(self, space: str, root: Path) -> None:
+        """Reader-side crash recovery entry point: runs _recover_swaps
+        ONLY when no live writer holds the space (a live writer's
+        staged tmp/.old dirs are in-flight state, not crash debris —
+        acting on them would corrupt the erasure in progress)."""
+        if not self._writer_active(space):
+            self._recover_swaps(root)
+
     @staticmethod
     def _recover_swaps(root: Path) -> None:
         """Crash recovery for delete_series' two-phase bucket swap
         (write tmp → rename live→.old → rename tmp→live → drop .old).
         Idempotent and one hidden-prefix glob per call; every reader
-        of the root runs it, so an erasure interrupted between the
-        renames can never lose a bucket. Roll FORWARD when the rewrite
-        had committed (tmp complete — the first rename only happens
-        after a successful write — and live renamed away), roll BACK
-        (discard tmp, keep live) otherwise."""
+        of the root runs it (gated on no-live-writer, see _recover),
+        so an erasure interrupted between the renames can never lose a
+        bucket. Roll FORWARD when the rewrite had committed (tmp
+        complete — the first rename only happens after a successful
+        write — and live renamed away), roll BACK (discard tmp, keep
+        live) otherwise. Two recoverers racing each other (double
+        crash + two fresh readers) tolerate lost races: every action
+        is one rename/delete, so FileNotFoundError means the other
+        recoverer already did it."""
         if not root.exists():
             return
         for old in root.glob(".old_bucket=*"):
             name = old.name[len(".old_") :]
             live = root / name
             tmp = root / f".delete_{name}"
-            if live.exists():
-                shutil.rmtree(old)  # swap completed; drop the backup
-            elif tmp.exists():
-                tmp.rename(live)  # died between the renames: the
-                shutil.rmtree(old)  # rewrite was complete — commit it
-            else:
-                old.rename(live)  # tmp gone: restore the original
+            try:
+                if live.exists():
+                    shutil.rmtree(old)  # swap completed; drop the backup
+                elif tmp.exists():
+                    tmp.rename(live)  # died between the renames: the
+                    shutil.rmtree(old)  # rewrite was complete — commit it
+                else:
+                    old.rename(live)  # tmp gone: restore the original
+            except FileNotFoundError:
+                pass  # a concurrent recoverer won the race; state is valid
         for tmp in root.glob(".delete_bucket=*"):
             # Live partition still present ⇒ the rewrite never
             # committed and may be partial — discard it.
-            shutil.rmtree(tmp)
+            shutil.rmtree(tmp, ignore_errors=True)
+        for tmp in root.glob(".rebuild_bucket=*"):
+            # rebuild_rollup staging: never the roll-forward source
+            # (its .old restore above re-ran the stale-but-valid
+            # partition), so leftovers are always safe to discard.
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def _read_points(self, space: str) -> DataFrame | None:
         p = self._points_path(space)
-        self._recover_swaps(p)
+        self._recover(space, p)
         # After a full retention sweep the directory exists but has no
         # bucket=* partitions left — treat as empty, not a schema error.
         if not p.exists() or not any(p.glob("bucket=*")):
@@ -675,7 +746,7 @@ class OrestesEngine:
 
     def _read_series(self, space: str) -> DataFrame | None:
         p = self._series_path(space)
-        self._recover_swaps(p)
+        self._recover(space, p)
         if not p.exists() or not any(p.glob("bucket=*")):
             return None
         return self.spark.read.parquet(str(p))
@@ -870,7 +941,7 @@ class OrestesEngine:
             raise ValueError(f"start/end must be multiples of rollup_step_ms={step}")
         pred = esdsl.translate(es_filter)
         rp = self._rollup_path(space)
-        self._recover_swaps(rp)
+        self._recover(space, rp)
         if not rp.exists() or not any(rp.glob("bucket=*")):
             return self._empty(
                 "tags MAP<STRING,STRING>, slot_ms LONG, n LONG,"
@@ -932,7 +1003,7 @@ class OrestesEngine:
             raise ValueError(f"start/end must be multiples of rollup_step_ms={step}")
         pred = esdsl.translate(es_filter)
         hp = self._hist_path(space)
-        self._recover_swaps(hp)
+        self._recover(space, hp)
         if not hp.exists() or not any(hp.glob("bucket=*")):
             return self._empty(
                 "series_id STRING, tags MAP<STRING,STRING>, quantile INT, n LONG, value DOUBLE"
@@ -1219,6 +1290,11 @@ class OrestesEngine:
             for root in roots:
                 if not root.exists():
                     continue
+                # A bucket parked at .old_bucket=N by a crashed
+                # delete_series must be restored BEFORE the sweep: it
+                # both belongs in the retention decision and must not
+                # be missed by the gate-disarm empty check below.
+                self._recover_swaps(root)
                 for part in sorted(root.glob("bucket=*")):
                     bucket = int(part.name.split("=", 1)[1])
                     if min(bucket + g - 1, today) <= today - keep_days:
@@ -1503,15 +1579,18 @@ def _engine_compact(
     # still hold duplicates — and a gate-off compaction (append_only
     # space) must not rewrite history the marker describes.
     if buckets is None and collapse_upserts and self._points_path(space).exists():
-        self._reset_deliveries(space)
         # The rollup partials counted EVERY delivery of an overwritten
         # point; the points are now physically collapsed, so recompute
         # the rollup from them — compact() is the single reconciliation
         # call, and a disarmed gate (rollup_stale() False) must
         # guarantee rollup/point agreement. One extra scan of the
-        # points table, on the maintenance path only.
+        # points table, on the maintenance path only. Order matters:
+        # the rebuild runs BEFORE the marker reset, so a crash between
+        # the two leaves the gate armed (rollup_stale() still True)
+        # rather than falsely certifying an unreconciled rollup.
         if self._rollup_step(space) is not None:
             self.rebuild_rollup(space)
+        self._reset_deliveries(space)
     return before
 
 
@@ -1627,9 +1706,15 @@ def _engine_rebuild_rollup(
         target = self._rollup_path(space) / part.name
         tmp = self._rollup_path(space) / f".rebuild_{part.name}"
         df.write.mode("overwrite").partitionBy("epoch").parquet(str(tmp))
+        # Same crash-safe two-phase swap as delete_series: a crash
+        # between the renames parks the old partition at .old_* and
+        # the next reader's _recover_swaps restores it (a stale rollup
+        # bucket is recoverable state; a deleted one is not).
+        old = self._rollup_path(space) / f".old_{part.name}"
         if target.exists():
-            shutil.rmtree(target)
+            target.rename(old)
         tmp.rename(target)
+        shutil.rmtree(old, ignore_errors=True)
         hist = self.config.space(space).rollup_hist
         if hist is not None:
             # The histogram partials are rebuilt from the SAME
@@ -1651,9 +1736,11 @@ def _engine_rebuild_rollup(
             htarget = self._hist_path(space) / part.name
             htmp = self._hist_path(space) / f".rebuild_{part.name}"
             hdf.write.mode("overwrite").partitionBy("epoch").parquet(str(htmp))
+            hold = self._hist_path(space) / f".old_{part.name}"
             if htarget.exists():
-                shutil.rmtree(htarget)
+                htarget.rename(hold)
             htmp.rename(htarget)
+            shutil.rmtree(hold, ignore_errors=True)
         rebuilt.append(bucket)
     return rebuilt
 

@@ -173,9 +173,14 @@ def cosine_topk_arrow(
                 cn2 = (cmat**2).sum(axis=1)
                 # dot / (sqrt(n2_q) * sqrt(n2_c)) — operand-for-operand
                 # the oracle's expression (multiply is bitwise
-                # commutative), on exact integer dot/norms
-                scores = (cmat @ bq.T) / (
-                    np.sqrt(bqn2)[None, :] * np.sqrt(cn2)[:, None]
+                # commutative), on exact integer dot/norms. Zero-norm
+                # guard mirrors the float path: nonzero integer norms
+                # are ≥ 1, so the clamp is exact identity for every
+                # real vector and only turns an all-zero vector's 0/0
+                # NaN into cosine 0 (kept out of any top-k, the same
+                # outcome as the float kernel's clamp).
+                scores = (cmat @ bq.T) / np.maximum(
+                    np.sqrt(bqn2)[None, :] * np.sqrt(cn2)[:, None], 1e-300
                 )
             scores[cids[:, None] == bq_ids[None, :]] = -np.inf  # self-match
             top = min(k_local, scores.shape[0])
@@ -1081,13 +1086,18 @@ def ivf_pq_topk(
     if quantize is None:
         cents = {lb: s / n for lb, (s, n) in stats.items()}
     else:
-        # micro-unit integer centroids: round-half-away(1000·sum/n),
-        # the identical correctly-rounded double division + rounding
-        # rule DuckDB's CAST(round(1000.0*sx/n) AS BIGINT) evaluates
-        cents = {
-            lb: np.copysign(np.floor(np.abs(scale * s / n) + 0.5), scale * s / n)
-            for lb, (s, n) in stats.items()
-        }
+        # micro-unit integer centroids: EXACT half-away-from-zero of
+        # the double 1000·sum/n — floor plus an exact remainder
+        # compare (y - floor(y) is exact for |y| < 2⁵², so `rem ≥ 0.5`
+        # is the true tie test; the naive floor(|y| + 0.5) can round
+        # the ADDITION up across a half boundary and disagree with
+        # DuckDB's round(), which rounds the double value itself).
+        def _half_away(y):
+            a = np.abs(y)
+            f = np.floor(a)
+            return np.copysign(f + (a - f >= 0.5), y)
+
+        cents = {lb: _half_away(scale * s / n) for lb, (s, n) in stats.items()}
     # Dense cell indices decouple the Arrow schemas from the label
     # type: string/int/any label works (same contract as ivf_topk).
     lab2idx = {lb: i for i, lb in enumerate(labels)}

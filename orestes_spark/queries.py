@@ -1808,8 +1808,9 @@ def emb_pq_topk(spark, sf_dir):
     per-pair float math. The billion-vector RAM-resident ANN path: 32×
     compression of the scan side at dims=64/m=8. Integer-quantized
     tier, so the DuckDB oracle reproduces encoding, LUT, and ranking
-    bit-for-bit; the float kernel keeps its own coverage via
-    emb_ivfpq_topk + test_similarity's PQ tests."""
+    bit-for-bit; the FLOAT ADC kernel (no registered query runs it —
+    emb_ivfpq_topk is quantized too) keeps coverage via
+    test_similarity's PQ/IVF-PQ unit tests."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.pq_topk_quantized(e, e.where(F.col("vec_id") < 10), k=5, m=4, ks=16)
 

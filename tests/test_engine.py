@@ -1241,3 +1241,90 @@ def test_driver_and_executor_time_parsers_agree(engine, spark):
             assert k == spark_ms[s], (s, k, spark_ms[s])
             checked += 1
     assert checked > 100  # the agreement set is the overwhelming majority
+
+
+def test_reader_recovery_defers_to_live_writer(spark, tmp_path):
+    """A reader must NOT treat a live delete_series writer's staged
+    .delete_/.old_ dirs as crash debris (destroying them would corrupt
+    the erasure in progress); once the writer is gone, the same reader
+    call recovers them."""
+    import json
+    import os
+
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine
+
+    eng = OrestesEngine(spark, str(tmp_path / "wh_rw"), spaces={"default": SpaceConfig(1)})
+    eng.write([{"time": START, "value": 1.0, "host": "a"}])
+    pp = eng._points_path("default")
+    part = next(pp.glob("bucket=*"))
+    staged = pp / f".delete_{part.name}"
+    staged.mkdir()
+    (staged / "part-0.parquet").write_bytes(b"in-flight")
+
+    # live foreign writer holds the lock: reader leaves the staging alone
+    eng._lock_path("default").write_text(
+        json.dumps({"pid": os.getpid(), "op": "delete_series", "ts_ms": 0})
+    )
+    assert eng.read(None, "default", 0, 2**50).count() == 1
+    assert staged.exists()
+
+    # writer gone: the very next read sweeps the uncommitted staging
+    eng._lock_path("default").unlink()
+    assert eng.read(None, "default", 0, 2**50).count() == 1
+    assert not staged.exists()
+
+
+def test_remove_recovers_parked_bucket_before_sweep_and_disarm(spark, tmp_path):
+    """A bucket parked at .old_bucket=N by a crashed erasure must be
+    restored BEFORE remove() decides the space is empty: the retention
+    decision covers it, and the merge gate cannot be disarmed while
+    recoverable duplicates exist."""
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine
+
+    eng = OrestesEngine(spark, str(tmp_path / "wh_park"), spaces={"default": SpaceConfig(1)})
+    eng.write([{"time": START, "value": 1.0, "host": "a"}])
+    eng.write([{"time": START, "value": 5.0, "host": "a"}])  # overwrite, gate armed
+    pp = eng._points_path("default")
+    part = next(pp.glob("bucket=*"))
+    part.rename(pp / f".old_{part.name}")  # crashed erasure parked it
+
+    # keep_days large: nothing should be swept, bucket restored, gate kept
+    eng.remove("default", keep_days=10**6)
+    assert list(pp.glob("bucket=*")) and not list(pp.glob(".old_*"))
+    assert eng._merge_needed("default")
+    got = read_as_model(engine=eng, end=START + 1000)
+    assert got == {"host=a": ({"host": "a"}, [(START, 5.0)])}  # still merged
+
+
+def test_compact_failure_before_reset_keeps_gate_armed(spark, tmp_path, monkeypatch):
+    """compact() reconciles the rollup BEFORE resetting the delivery
+    markers: if the rebuild dies, rollup_stale() must stay True (a
+    disarmed gate is a guarantee of rollup/point agreement)."""
+    import pytest
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine
+
+    HOUR = 3_600_000
+    eng = OrestesEngine(
+        spark, str(tmp_path / "wh_cg"),
+        spaces={"default": SpaceConfig(1, rollup_step_ms=HOUR)},
+    )
+    eng.write([{"time": START, "value": 1.0, "host": "a"}])
+    eng.write([{"time": START, "value": 5.0, "host": "a"}])
+    assert eng.rollup_stale()
+
+    def boom(self, space="default", buckets=None):
+        raise RuntimeError("simulated rebuild crash")
+
+    monkeypatch.setattr(OrestesEngine, "rebuild_rollup", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        eng.compact("default")
+    assert eng.rollup_stale()  # gate still armed: no false certification
+    monkeypatch.undo()
+    eng.compact("default")  # real reconcile disarms and agrees
+    assert not eng.rollup_stale()
+    lo = START // HOUR * HOUR
+    rows = eng.read_rollup(None, "default", lo, lo + HOUR).collect()
+    assert rows[0]["n"] == 1 and float(rows[0]["sum_value"]) == 5.0
