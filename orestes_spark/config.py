@@ -103,7 +103,10 @@ def load_space_configs(path: str | Path) -> dict[str, SpaceConfig]:
     ``table_granularity_days`` → SpaceConfig. Backend blocks
     (``cassandra``, ``elasticsearch``, ``port``) have no Spark
     equivalent — storage is the engine warehouse — and are ignored."""
-    conf = json.loads(Path(path).read_text())
+    return _space_configs_from(json.loads(Path(path).read_text()))
+
+
+def _space_configs_from(conf: dict) -> dict[str, SpaceConfig]:
     spaces = conf.get("spaces", {})
     if not isinstance(spaces, dict):
         raise ValueError("config 'spaces' must be an object")
@@ -132,7 +135,7 @@ def engine_config_from_json(path: str | Path, warehouse: str) -> EngineConfig:
     conf = json.loads(Path(path).read_text())
     return EngineConfig(
         warehouse=warehouse,
-        spaces=load_space_configs(path),
+        spaces=_space_configs_from(conf),
         metadata_fetch_size=int(conf.get("metadata_fetch_size", 20_000)),
         max_concurrent_count_requests=int(conf.get("max_concurrent_count_requests", 20)),
         scroll_ttl_ms=int(conf.get("scroll_ttl_ms", 600_000)),
