@@ -18,6 +18,35 @@ from pathlib import Path
 
 MS_IN_DAY = 86_400_000
 
+_DURATION_UNITS_MS = {"ms": 1, "s": 1_000, "m": 60_000, "h": 3_600_000, "d": MS_IN_DAY}
+
+
+def parse_duration_ms(value) -> int:
+    """Milliseconds from an int/float (already ms) or an ES-style
+    duration string — the syntax the reference uses for its hardcoded
+    scroll keep-alive ('10m', elasticsearch/query.js:30): a number
+    with an optional ms/s/m/h/d suffix. Bare numeric strings are ms.
+    Raises ValueError on anything else (loud, not a silent default)."""
+    if isinstance(value, bool):
+        raise ValueError(f"not a duration: {value!r}")
+    if isinstance(value, (int, float)):
+        return int(value)
+    if isinstance(value, str):
+        s = value.strip().lower()
+        for suffix in ("ms", "s", "m", "h", "d"):  # 'ms' before 's'
+            if s.endswith(suffix):
+                num = s[: -len(suffix)].strip()
+                if num:
+                    try:
+                        return int(float(num) * _DURATION_UNITS_MS[suffix])
+                    except ValueError:
+                        break
+        try:
+            return int(float(s))
+        except ValueError:
+            pass
+    raise ValueError(f"not a duration: {value!r} (want ms number or '10m'-style string)")
+
 
 @dataclass(frozen=True)
 class SpaceConfig:
@@ -88,7 +117,12 @@ class EngineConfig:
     # accepted and stored (reference configs load verbatim) but do not
     # alter plans. metadata_fetch_size: ES scroll page size (20000).
     # max_concurrent_count_requests: count-request pool cap (20).
-    # scroll_ttl_ms: ES scroll keep-alive ('10m').
+    # scroll_ttl_ms: ES scroll keep-alive. NOTE the reference HARDCODES
+    # scroll: '10m' (orestes-query.js:179, elasticsearch/query.js:30) —
+    # it is not config-driven there; this knob is an engine extension
+    # that defaults to the reference's hardcoded value and accepts the
+    # reference's duration-string syntax ('10m', '30s') via
+    # parse_duration_ms.
     metadata_fetch_size: int = 20_000
     max_concurrent_count_requests: int = 20
     scroll_ttl_ms: int = 600_000
@@ -138,5 +172,5 @@ def engine_config_from_json(path: str | Path, warehouse: str) -> EngineConfig:
         spaces=_space_configs_from(conf),
         metadata_fetch_size=int(conf.get("metadata_fetch_size", 20_000)),
         max_concurrent_count_requests=int(conf.get("max_concurrent_count_requests", 20)),
-        scroll_ttl_ms=int(conf.get("scroll_ttl_ms", 600_000)),
+        scroll_ttl_ms=parse_duration_ms(conf.get("scroll_ttl_ms", 600_000)),
     )

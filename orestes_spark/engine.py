@@ -70,6 +70,55 @@ def _pad_rollup_schema(df):
     return df
 
 
+def _require_posix_warehouse(warehouse: str) -> None:
+    """The engine's durability protocols — single-writer lock
+    (os.link create-with-content), delete_series' two-phase bucket
+    swap (Path.rename), and streaming's staged-epoch file moves
+    (_append) — assume POSIX atomic rename/link on a filesystem both
+    driver and executors can reach (local, NFS, or a FUSE mount).
+    Object stores (s3a/gs/abfss/...) provide NONE of that: rename is
+    copy+delete, so the exactly-once and crash-atomicity guarantees
+    would silently not hold. Refuse LOUDLY instead — at that tier the
+    commit log belongs to a lakehouse table format (Delta/Iceberg),
+    whose transaction log does this job (documented in SCALING.md)."""
+    if "://" not in warehouse:
+        return
+    scheme = warehouse.split("://", 1)[0]
+    if scheme == "file":
+        raise ValueError(
+            f"warehouse {warehouse!r}: pass the plain filesystem path"
+            " (no file:// prefix) — the engine addresses the warehouse"
+            " with POSIX path operations, not Hadoop URIs."
+        )
+    raise ValueError(
+        f"warehouse {warehouse!r} uses scheme {scheme!r}: the engine's"
+        " single-writer lock, erasure swap, and staged-epoch commit assume"
+        " POSIX atomic rename/link, which object stores do not provide —"
+        " the guarantees would silently not hold. Use a local/NFS path, or"
+        " a lakehouse table format (Delta/Iceberg) whose transaction log"
+        " owns the commit protocol at object-store scale."
+    )
+
+
+def _pid_alive(pid: int) -> bool:
+    """Liveness probe for the writer lock. EPERM means the pid EXISTS
+    under another uid — a live foreign writer sharing the warehouse —
+    so it must read as alive (stealing its lock would cause the exact
+    concurrent-mutation corruption the lock prevents, and readers
+    would run swap recovery against its in-flight staging dirs). Only
+    ESRCH proves death; any other kill(0) failure fails SAFE as
+    alive (manual lock removal beats silent corruption)."""
+    import os
+
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except OSError:  # PermissionError (EPERM) and anything else
+        return True
+
+
 class ConcurrentWriterError(RuntimeError):
     """A second writer tried to mutate a space while another live
     writer holds its lock (single-writer contract, enforced loudly)."""
@@ -92,6 +141,7 @@ class OrestesEngine:
         warehouse: str,
         spaces: dict[str, SpaceConfig] | None = None,
     ) -> None:
+        _require_posix_warehouse(warehouse)
         self.spark = spark
         self.config = EngineConfig(warehouse=warehouse, spaces=spaces or {})
         # Per-sink wall times from the most recent _append (sinks run
@@ -159,13 +209,7 @@ class OrestesEngine:
                             f"space {space!r} has an unreadable writer lock at {path};"
                             " remove it manually if no writer is running"
                         )
-                    alive = False
-                    if pid > 0:
-                        try:
-                            os.kill(pid, 0)
-                            alive = True
-                        except OSError:
-                            alive = False
+                    alive = pid > 0 and _pid_alive(pid)
                     if alive:
                         raise ConcurrentWriterError(
                             f"space {space!r} is locked by a live writer"
@@ -665,7 +709,6 @@ class OrestesEngine:
         (and it is not this thread). Readers use it to distinguish a
         writer's in-flight tmp/.old dirs from crash debris."""
         import json as _json
-        import os
         import threading
 
         if self._held_locks.get(space) == threading.get_ident():
@@ -674,15 +717,18 @@ class OrestesEngine:
         try:
             holder = _json.loads(path.read_text())
             pid = int(holder.get("pid", -1))
-        except (FileNotFoundError, ValueError, OSError):
-            return False  # no (readable) lock: no live writer
+        except FileNotFoundError:
+            return False  # no lock: no live writer
+        except (ValueError, OSError):
+            # Unreadable/mangled lock (foreign uid, foreign writer):
+            # locks THIS code writes are created atomically with their
+            # payload, so this is a foreign file — fail SAFE as alive
+            # so readers skip recovery instead of mutating what may be
+            # an in-flight writer's staging dirs.
+            return True
         if pid <= 0:
             return False
-        try:
-            os.kill(pid, 0)
-            return True
-        except OSError:
-            return False
+        return _pid_alive(pid)
 
     def _recover(self, space: str, root: Path) -> None:
         """Reader-side crash recovery entry point: runs _recover_swaps
@@ -690,10 +736,21 @@ class OrestesEngine:
         staged tmp/.old dirs are in-flight state, not crash debris —
         acting on them would corrupt the erasure in progress)."""
         if not self._writer_active(space):
-            self._recover_swaps(root)
+            # The initial check narrows but cannot close the
+            # check-then-act window (a writer can acquire the lock
+            # between it and the glob), so recovery re-checks before
+            # EVERY mutating action and aborts the sweep the moment a
+            # live writer appears. Residual same-machine race: a writer
+            # acquiring the lock in the sub-millisecond gap between a
+            # re-check and its single rename/rmtree — acceptable
+            # because the writer's own entry points re-run
+            # _recover_swaps under the lock, restoring any state a
+            # lost-race reader action touched before the writer stages
+            # new work.
+            self._recover_swaps(root, abort=lambda: self._writer_active(space))
 
     @staticmethod
-    def _recover_swaps(root: Path) -> None:
+    def _recover_swaps(root: Path, abort=None) -> None:
         """Crash recovery for delete_series' two-phase bucket swap
         (write tmp → rename live→.old → rename tmp→live → drop .old).
         Idempotent and one hidden-prefix glob per call; every reader
@@ -705,10 +762,16 @@ class OrestesEngine:
         live) otherwise. Two recoverers racing each other (double
         crash + two fresh readers) tolerate lost races: every action
         is one rename/delete, so FileNotFoundError means the other
-        recoverer already did it."""
+        recoverer already did it. ``abort``: optional callable checked
+        immediately before each mutating action; True stops the sweep
+        (reader-side recovery passes a live-writer probe so a writer
+        that acquires the lock mid-sweep is not raced — see
+        _recover)."""
         if not root.exists():
             return
         for old in root.glob(".old_bucket=*"):
+            if abort is not None and abort():
+                return
             name = old.name[len(".old_") :]
             live = root / name
             tmp = root / f".delete_{name}"
@@ -723,10 +786,14 @@ class OrestesEngine:
             except FileNotFoundError:
                 pass  # a concurrent recoverer won the race; state is valid
         for tmp in root.glob(".delete_bucket=*"):
+            if abort is not None and abort():
+                return
             # Live partition still present ⇒ the rewrite never
             # committed and may be partial — discard it.
             shutil.rmtree(tmp, ignore_errors=True)
         for tmp in root.glob(".rebuild_bucket=*"):
+            if abort is not None and abort():
+                return
             # rebuild_rollup staging: never the roll-forward source
             # (its .old restore above re-ran the stale-but-valid
             # partition), so leftovers are always safe to discard.
@@ -1304,9 +1371,21 @@ class OrestesEngine:
             # A sweep that emptied the space leaves nothing to merge —
             # disarm the gate so subsequent appends start on the
             # merge-free fast path instead of paying the upsert
-            # aggregation forever (until a full compact()).
+            # aggregation forever (until a full compact()). EXCEPT
+            # when keep_rollup retained rollup/hist partials: those
+            # may still over-count cross-delivery overwrites, and with
+            # the raw points gone they can never be reconciled — so
+            # the gate stays armed and rollup_stale() keeps telling
+            # the truth ("False is a guarantee of agreement"). The
+            # armed gate is cheap here: the merge path over an empty
+            # points table does no work.
             if not any(self._points_path(space).glob("bucket=*")):
-                self._clear_deliveries(space)
+                rollup_retained = keep_rollup and (
+                    any(self._rollup_path(space).glob("bucket=*"))
+                    or any(self._hist_path(space).glob("bucket=*"))
+                )
+                if not rollup_retained:
+                    self._clear_deliveries(space)
         return dropped
 
     def delete_series(self, es_filter: dict, space: str = "default") -> int:

@@ -16,7 +16,15 @@ streaming query:
 re-offered even when its writes landed. The processor therefore records
 each fully-committed epoch as a marker file (Hadoop FileSystem API, so
 it works on any checkpoint-capable store) and skips replayed epochs —
-the standard idempotent-foreachBatch recipe. Every sink is idempotent
+the standard idempotent-foreachBatch recipe. The marker itself is a
+pure CREATE — never a rename — so marker visibility is atomic on any
+store where create/PUT is atomic (POSIX and S3-class object stores
+alike). The rename-atomicity boundary lives in the ENGINE's warehouse
+(staged-epoch file moves in ``_append``, the erasure swap): those
+assume POSIX semantics, which the engine now enforces loudly at
+construction (``_require_posix_warehouse``) — an object-store
+warehouse is refused with a pointer to lakehouse table formats rather
+than silently weakening exactly-once. Every sink is idempotent
 under mid-epoch replay, so ingest is EXACTLY-ONCE per epoch
 end-to-end:
 

@@ -1328,3 +1328,153 @@ def test_compact_failure_before_reset_keeps_gate_armed(spark, tmp_path, monkeypa
     lo = START // HOUR * HOUR
     rows = eng.read_rollup(None, "default", lo, lo + HOUR).collect()
     assert rows[0]["n"] == 1 and float(rows[0]["sum_value"]) == 5.0
+
+
+def test_writer_liveness_eperm_means_alive(spark, tmp_path, monkeypatch):
+    """EPERM from kill(pid, 0) means the pid EXISTS (under another
+    uid): the holder must read as ALIVE — a contender must not steal
+    its lock, and readers must not run swap recovery against its
+    in-flight staging. Only ESRCH proves death."""
+    import json
+    import os
+
+    import pytest
+    from orestes_spark.engine import ConcurrentWriterError, OrestesEngine
+
+    eng = OrestesEngine(spark, str(tmp_path / "wh_eperm"))
+    eng.write([{"time": START, "value": 1.0, "host": "a"}])
+    lock = eng._lock_path("default")
+    foreign = 4242
+    lock.write_text(json.dumps({"pid": foreign, "op": "append", "ts_ms": 0}))
+
+    real_kill = os.kill
+
+    def eperm_kill(pid, sig):
+        if pid == foreign and sig == 0:
+            raise PermissionError("EPERM")
+        return real_kill(pid, sig)
+
+    monkeypatch.setattr(os, "kill", eperm_kill)
+    with pytest.raises(ConcurrentWriterError, match="live writer"):
+        eng.write([{"time": START + 1, "value": 2.0, "host": "a"}])
+    assert eng._writer_active("default")  # readers must skip recovery
+
+    def esrch_kill(pid, sig):
+        if pid == foreign and sig == 0:
+            raise ProcessLookupError("ESRCH")
+        return real_kill(pid, sig)
+
+    monkeypatch.setattr(os, "kill", esrch_kill)
+    assert not eng._writer_active("default")
+    assert eng.write([{"time": START + 1, "value": 2.0, "host": "a"}]) == []
+    assert not lock.exists()  # stolen and released
+
+
+def test_writer_active_unreadable_lock_fails_safe(spark, tmp_path):
+    """A lock file readers cannot parse is a FOREIGN writer's (locks
+    this code writes are atomic with their payload): _writer_active
+    fails safe as alive so recovery is skipped, not unleashed."""
+    from orestes_spark.engine import OrestesEngine
+
+    eng = OrestesEngine(spark, str(tmp_path / "wh_mangled"))
+    lock = eng._lock_path("default")
+    lock.parent.mkdir(parents=True, exist_ok=True)
+    lock.write_text("not json {{{")
+    assert eng._writer_active("default")
+    lock.unlink()
+    assert not eng._writer_active("default")
+
+
+def test_recover_swaps_abort_midsweep(tmp_path):
+    """Reader-side recovery re-checks for a live writer before EVERY
+    mutating action: with abort() True the staged dirs are left
+    untouched (they may be a mid-acquisition writer's in-flight
+    state); with abort() False the same state recovers normally."""
+    from orestes_spark.engine import OrestesEngine
+
+    r = tmp_path / "points"
+    (r / ".old_bucket=1").mkdir(parents=True)
+    (r / ".delete_bucket=2").mkdir()
+    OrestesEngine._recover_swaps(r, abort=lambda: True)
+    assert (r / ".old_bucket=1").exists()
+    assert (r / ".delete_bucket=2").exists()
+
+    OrestesEngine._recover_swaps(r, abort=lambda: False)
+    assert not (r / ".old_bucket=1").exists()
+    assert (r / "bucket=1").exists()  # rolled back to live
+    assert not (r / ".delete_bucket=2").exists()  # uncommitted: discarded
+
+
+def test_remove_keep_rollup_keeps_gate_armed(spark, tmp_path):
+    """Tiered retention must NOT disarm the merge gate: the surviving
+    rollup partials may over-count cross-delivery overwrites that can
+    never be reconciled once the raw points are gone, so
+    rollup_stale() must keep returning True ("False is a guarantee of
+    agreement"). Sweeping the rollup too (keep_rollup=False) disarms."""
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine
+
+    HOUR = 3_600_000
+    eng = OrestesEngine(
+        spark, str(tmp_path / "wh_tiergate"),
+        spaces={"default": SpaceConfig(1, rollup_step_ms=HOUR)},
+    )
+    # two deliveries overwriting the same key: rollup counts both
+    eng.write([{"time": START, "value": 1.0, "host": "a"}])
+    eng.write([{"time": START, "value": 5.0, "host": "a"}])
+    assert eng.rollup_stale()
+
+    dropped = eng.remove("default", keep_days=0, keep_rollup=True)
+    assert dropped
+    assert not any(eng._points_path("default").glob("bucket=*"))
+    assert any(eng._rollup_path("default").glob("bucket=*"))
+    assert eng.rollup_stale()  # retained partials still over-count
+
+    eng.remove("default", keep_days=0, keep_rollup=False)
+    assert not any(eng._rollup_path("default").glob("bucket=*"))
+    assert not eng.rollup_stale()  # nothing survives: gate may disarm
+
+
+def test_scroll_ttl_duration_strings(tmp_path):
+    """§2.6 knob accepts the reference's duration-string syntax (the
+    reference hardcodes scroll: '10m' — elasticsearch/query.js:30) as
+    well as plain ms numbers, and fails loudly otherwise."""
+    import json
+
+    import pytest
+    from orestes_spark.config import engine_config_from_json, parse_duration_ms
+
+    assert parse_duration_ms("10m") == 600_000
+    assert parse_duration_ms("30s") == 30_000
+    assert parse_duration_ms("500ms") == 500
+    assert parse_duration_ms("1.5h") == 5_400_000
+    assert parse_duration_ms("2d") == 172_800_000
+    assert parse_duration_ms(1234) == 1234
+    assert parse_duration_ms("1234") == 1234
+    with pytest.raises(ValueError):
+        parse_duration_ms("10 parsecs")
+    with pytest.raises(ValueError):
+        parse_duration_ms(None)
+    with pytest.raises(ValueError):
+        parse_duration_ms(True)
+
+    cfg = tmp_path / "c.json"
+    cfg.write_text(json.dumps({"scroll_ttl_ms": "10m"}))
+    assert engine_config_from_json(cfg, "wh").scroll_ttl_ms == 600_000
+
+
+def test_object_store_warehouse_refused_loudly(spark):
+    """The durability protocols (writer lock via os.link, erasure swap
+    via Path.rename, staged-epoch moves) assume POSIX atomic
+    rename/link. An object-store warehouse would silently lose
+    exactly-once and crash-atomicity — construction must refuse it
+    loudly, pointing at the lakehouse-table-format story."""
+    import pytest
+    from orestes_spark.engine import OrestesEngine
+
+    for uri in ("s3a://bucket/wh", "gs://bucket/wh", "abfss://c@a.dfs.core.windows.net/wh",
+                "hdfs://nn:8020/wh"):
+        with pytest.raises(ValueError, match="atomic rename"):
+            OrestesEngine(spark, uri)
+    with pytest.raises(ValueError, match="plain filesystem path"):
+        OrestesEngine(spark, "file:///tmp/wh")
