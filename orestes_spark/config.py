@@ -126,6 +126,18 @@ class EngineConfig:
     metadata_fetch_size: int = 20_000
     max_concurrent_count_requests: int = 20
     scroll_ttl_ms: int = 600_000
+    # Writer-lock lease (engine extension, no reference counterpart):
+    # a lock held by a process on ANOTHER host (NFS-shared warehouse)
+    # cannot be pid-probed, so it reads as dead once its mtime
+    # heartbeat is older than this lease — a crashed remote writer
+    # stops wedging the space after one lease instead of forever.
+    # Same-host holders are still pid-probed (authoritative,
+    # mtime-independent). Must comfortably exceed the longest
+    # stop-the-world pause a live writer can suffer between
+    # heartbeats (beats run every lease/3); see engine._writer_lock
+    # for the fencing check that makes an expired-then-stolen lease
+    # loud rather than silent.
+    writer_lease_ms: int = 600_000
 
     def space(self, name: str) -> SpaceConfig:
         return self.spaces.get(name, self.default_space_config)

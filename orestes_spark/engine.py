@@ -70,6 +70,43 @@ def _pad_rollup_schema(df):
     return df
 
 
+def _cap_points_per_series(pts: DataFrame, cap: int) -> DataFrame:
+    """Guard the grouped read's per-series array build: number each
+    series' points with a sort-based window (row_number is a running
+    count over sorted spilled runs — memory-bounded even for a
+    billion-point series) and fail LOUDLY on the first point past the
+    cap. raise_error sits in the otherwise-branch of a per-row
+    conditional, so it fires only when a series actually exceeds the
+    cap — and it fires while the window STREAMS, before the
+    downstream collect_list has materialized an over-cap array. The
+    error names the offending series so the caller can switch that
+    query to read_chunked/grouped=False."""
+    if cap < 1:
+        raise ValueError(f"max_group_points must be >= 1: {cap}")
+    w = Window.partitionBy("series_id").orderBy("time_ms")
+    return (
+        pts.withColumn("_rn", F.row_number().over(w))
+        .where(
+            F.when(F.col("_rn") <= F.lit(cap), F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("grouped read exceeds max_group_points="),
+                        F.lit(str(cap)),
+                        F.lit(" for series "),
+                        F.col("series_id"),
+                        F.lit(
+                            " — the per-series array would risk executor OOM;"
+                            " use read_chunked (per-bucket arrays),"
+                            " grouped=False, or raise the cap"
+                        ),
+                    )
+                ).cast("boolean")
+            )
+        )
+        .drop("_rn")
+    )
+
+
 def _require_posix_warehouse(warehouse: str) -> None:
     """The engine's durability protocols — single-writer lock
     (os.link create-with-content), delete_series' two-phase bucket
@@ -98,6 +135,29 @@ def _require_posix_warehouse(warehouse: str) -> None:
         " a lakehouse table format (Delta/Iceberg) whose transaction log"
         " owns the commit protocol at object-store scale."
     )
+
+
+import socket as _socket
+
+_HOSTNAME = _socket.gethostname()
+
+
+def _holder_alive(holder: dict, path: Path, lease_ms: int) -> bool:
+    """Is the writer described by a lock payload live? Same-host
+    holders are pid-probed (authoritative; a legacy lock without a
+    host field gets the same treatment — it was written by a
+    same-machine engine). A FOREIGN-host holder cannot be pid-probed:
+    it is live while its mtime heartbeat is within the lease, dead
+    once the heartbeat has gone stale (crashed remote writer — steal
+    instead of wedging the space forever)."""
+    pid = int(holder.get("pid", -1))
+    if holder.get("host", _HOSTNAME) == _HOSTNAME:
+        return pid > 0 and _pid_alive(pid)
+    try:
+        age_ms = (_time.time() - path.stat().st_mtime) * 1000.0
+    except OSError:
+        return False  # lock vanished: holder released
+    return age_ms < lease_ms
 
 
 def _pid_alive(pid: int) -> bool:
@@ -174,9 +234,25 @@ class OrestesEngine:
         dead is stolen (crash recovery). Reentrancy is per (space,
         thread): a second THREAD of the same engine fails loudly like
         any other contender rather than silently sharing the lock.
-        Driver-side and same-machine by design — in a lakehouse
-        deployment this job is done by the table format's transaction
-        log, same as the delivery markers."""
+
+        Cross-HOST holders (NFS-shared warehouse) cannot be
+        pid-probed, so their liveness is a LEASE: the lock file's
+        mtime is a heartbeat (a daemon thread touches it every
+        lease/3 while held) and a foreign-host lock whose heartbeat
+        is older than ``EngineConfig.writer_lease_ms`` reads as dead —
+        a writer that crashed on another host stops wedging the space
+        after one lease instead of forever. Same-host holders stay
+        pid-probed (authoritative, mtime-independent; _pid_alive
+        documents the EPERM rule). The release path FENCES: if the
+        lock no longer carries this acquisition's token (a contender
+        judged the lease expired mid-operation — a pathological GC
+        pause — and stole it), release raises ConcurrentWriterError
+        instead of silently unlinking the thief's lock. Mutations
+        between the steal and the fence are the residual window,
+        which is why the lease must exceed the longest plausible
+        stall. In a lakehouse deployment this job is done by the
+        table format's transaction log, same as the delivery
+        markers."""
         import json as _json
         import os
         import threading
@@ -186,13 +262,23 @@ class OrestesEngine:
         if self._held_locks.get(space) == tid:  # reentrant, same thread only
             yield
             return
+        lease_ms = self.config.writer_lease_ms
         path = self._lock_path(space)
         path.parent.mkdir(parents=True, exist_ok=True)
-        payload = _json.dumps({"pid": os.getpid(), "op": op, "ts_ms": int(_time.time() * 1000)})
-        tmp = path.parent / f".lock_{_uuid.uuid4().hex}"
+        token = _uuid.uuid4().hex
+        payload = _json.dumps(
+            {
+                "pid": os.getpid(),
+                "host": _HOSTNAME,
+                "token": token,
+                "op": op,
+                "ts_ms": int(_time.time() * 1000),
+            }
+        )
+        tmp = path.parent / f".lock_{token}"
         tmp.write_text(payload)
         try:
-            for attempt in (0, 1):
+            for attempt in (0, 1, 2):
                 try:
                     os.link(tmp, path)  # atomic create-with-content
                     break
@@ -200,6 +286,8 @@ class OrestesEngine:
                     try:
                         holder = _json.loads(path.read_text())
                         pid = int(holder.get("pid", -1))
+                    except FileNotFoundError:
+                        continue  # released between link and read: retry
                     except (ValueError, OSError):
                         # Cannot happen for locks this code wrote (the
                         # link carries the full payload); a mangled
@@ -209,26 +297,56 @@ class OrestesEngine:
                             f"space {space!r} has an unreadable writer lock at {path};"
                             " remove it manually if no writer is running"
                         )
-                    alive = pid > 0 and _pid_alive(pid)
-                    if alive:
+                    if _holder_alive(holder, path, lease_ms):
                         raise ConcurrentWriterError(
                             f"space {space!r} is locked by a live writer"
-                            f" (pid {pid}, op {holder.get('op')!r}): concurrent"
+                            f" (pid {pid} on {holder.get('host', '?')},"
+                            f" op {holder.get('op')!r}): concurrent"
                             " mutation would corrupt the single-writer markers —"
                             " retry after it finishes"
                         )
-                    if attempt:  # stolen once already and still losing the race
+                    if attempt == 2:  # stolen repeatedly and still losing
                         raise ConcurrentWriterError(
-                            f"space {space!r}: lost the lock race twice to dead-pid locks"
+                            f"space {space!r}: lost the lock race repeatedly to dead locks"
                         )
-                    path.unlink(missing_ok=True)  # dead holder: steal
+                    path.unlink(missing_ok=True)  # dead/expired holder: steal
         finally:
             tmp.unlink(missing_ok=True)
         self._held_locks[space] = tid
+        # mtime heartbeat for cross-host observers; verifies the token
+        # before each beat so a stolen lock is never resurrected.
+        stop = threading.Event()
+
+        def _beat() -> None:
+            while not stop.wait(max(lease_ms / 3000.0, 0.05)):
+                try:
+                    if _json.loads(path.read_text()).get("token") != token:
+                        return  # stolen: stop beating, release will fence
+                    os.utime(path, None)
+                except OSError:
+                    return
+
+        beater = threading.Thread(target=_beat, name=f"lock-heartbeat-{space}", daemon=True)
+        beater.start()
         try:
             yield
         finally:
             self._held_locks.pop(space, None)
+            stop.set()
+            beater.join(timeout=5)
+            fenced = False
+            try:
+                fenced = _json.loads(path.read_text()).get("token") != token
+            except (ValueError, OSError):
+                pass  # gone/unreadable: nothing of ours left to release
+            if fenced:
+                raise ConcurrentWriterError(
+                    f"space {space!r}: writer lease expired mid-operation and the"
+                    f" lock was stolen (op {op!r}) — this writer stalled past"
+                    " writer_lease_ms and its writes may have raced the thief's;"
+                    " run compact() to reconcile, and raise the lease beyond the"
+                    " longest plausible stall"
+                )
             path.unlink(missing_ok=True)
 
     # ---------- paths ----------
@@ -728,7 +846,7 @@ class OrestesEngine:
             return True
         if pid <= 0:
             return False
-        return _pid_alive(pid)
+        return _holder_alive(holder, path, self.config.writer_lease_ms)
 
     def _recover(self, space: str, root: Path) -> None:
         """Reader-side crash recovery entry point: runs _recover_swaps
@@ -935,14 +1053,32 @@ class OrestesEngine:
         start_ms: int = 0,
         end_ms: int | None = None,
         grouped: bool = True,
+        max_group_points: int | None = None,
     ) -> DataFrame:
         """POST /read equivalent. Grouped shape: one row per series —
         (tags, points ARRAY<STRUCT<time_ms,value>>), points
         time-ascending (Cassandra clustering-order parity,
-        /root/reference/lib/orestes-settings.js:14)."""
+        /root/reference/lib/orestes-settings.js:14).
+
+        The grouped shape materializes one array per series, so a
+        single pathological series (say 10⁸ points across full
+        history) lands in ONE aggregation task — the likeliest OOM at
+        100× scale. ``max_group_points`` bounds that: the read plan
+        numbers each series' scanned points with a sort-based window
+        (row_number streams over spilled sorted runs — itself
+        memory-bounded) and the first point past the cap raises a
+        loud, actionable error BEFORE collect_list materializes past
+        it, instead of an opaque executor OOM. Off by default (one
+        extra sort exchange when on; the common read stays
+        zero-overhead); the count is of scanned pre-merge points —
+        the actual memory driver. For series that legitimately exceed
+        any cap, use ``read_chunked`` (per-bucket arrays, task memory
+        bounded by one series-bucket) or ``grouped=False``."""
         if not grouped:
             return self._merged_points(es_filter, space, start_ms, end_ms)
         pts = self.matching_points(es_filter, space, start_ms, end_ms)
+        if max_group_points is not None:
+            pts = _cap_points_per_series(pts, int(max_group_points))
         if not self._merge_needed(space):
             return (
                 pts.groupBy("series_id")
@@ -975,6 +1111,49 @@ class OrestesEngine:
             pts.groupBy("series_id")
             .agg(F.first("tags").alias("tags"), merged.alias("points"))
             .drop("series_id")
+        )
+
+    def read_chunked(
+        self,
+        es_filter: dict | None = None,
+        space: str = "default",
+        start_ms: int = 0,
+        end_ms: int | None = None,
+    ) -> DataFrame:
+        """Grouped read, emitted in BUCKET chunks: one row per
+        (series, bucket) — (series_id, tags, bucket, points
+        ARRAY<STRUCT<time_ms,value>> time-ascending). The scale path
+        for pathological series: where ``read(grouped=True)`` builds
+        one array per series across full history (one task holds the
+        whole series), here task memory is bounded by one series ×
+        one time bucket regardless of how much history a series
+        accumulates — chunk rows for the same series land in
+        different tasks and stream to the consumer independently.
+        ``series_id`` is kept (unlike the reference-parity grouped
+        shape) so consumers can reassemble or window chunks; ordering
+        chunks by (series_id, bucket) yields the exact grouped-read
+        point order. Upsert merge (last delivery wins) applies per
+        (series, bucket, time) exactly as in flat reads."""
+        pts = self.matching_points(es_filter, space, start_ms, end_ms)
+        if self._merge_needed(space):
+            pts = (
+                pts.groupBy("series_id", "bucket", "time_ms")
+                .agg(F.max_by(F.struct("value", "tags"), F.struct("_seq", "value")).alias("_m"))
+                .select(
+                    "series_id",
+                    "bucket",
+                    F.col("_m.tags").alias("tags"),
+                    "time_ms",
+                    F.col("_m.value").alias("value"),
+                )
+            )
+        return (
+            pts.groupBy("series_id", "bucket")
+            .agg(
+                F.first("tags").alias("tags"),
+                F.array_sort(F.collect_list(F.struct("time_ms", "value"))).alias("points"),
+            )
+            .select("series_id", "tags", "bucket", "points")
         )
 
     def read_rollup(

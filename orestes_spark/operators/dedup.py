@@ -869,6 +869,7 @@ def dedup_keep_best(
     pairs: DataFrame,
     score_col: str,
     max_iterations: int = 20,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Quality-aware near-dup resolution: keep the BEST-scoring member
     of every duplicate cluster (ties → lower id) instead of the
@@ -881,10 +882,19 @@ def dedup_keep_best(
     partitioned window per component picks the keeper → survivors =
     non-members ∪ keepers. Cluster membership is a tiny fraction of
     the corpus, so the component join is broadcast-sized in practice
-    and the corpus is touched by exactly one anti-join."""
-    comp = connected_components(pairs, max_iterations=max_iterations).withColumnRenamed(
-        "node", id_col
-    )
+    and the corpus is touched by exactly one anti-join.
+
+    A pair-free corpus short-circuits BEFORE the iterative CC loop
+    (one cheap isEmpty probe vs max_iterations joins). Callers that
+    already hold the transitive closure (e.g. a pipeline that also
+    serves cluster listings) pass it as ``components`` (node,
+    component) and skip the CC entirely — both CC passes over one
+    pair graph would otherwise be pure waste."""
+    if components is None:
+        if pairs.isEmpty():
+            return docs
+        components = connected_components(pairs, max_iterations=max_iterations)
+    comp = components.withColumnRenamed("node", id_col)
     members = docs.join(comp, id_col)
     w = Window.partitionBy("component").orderBy(F.col(score_col).desc(), F.col(id_col))
     drops = (

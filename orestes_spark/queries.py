@@ -1379,11 +1379,41 @@ from orestes_spark import oracles  # noqa: E402
 from orestes_spark.operators import dedup, similarity, text  # noqa: E402
 
 
+# Shared near-dup artifacts, checkpointed once per sf_dir (the same
+# materialized-intermediate pattern as _WAREHOUSES/_BAND_INDEXES):
+# FIVE registered queries consume the same MinHash-LSH pair graph and
+# two of those need its transitive closure — recomputing the
+# shingle→minhash→band pipeline and a 20-iteration CC per query would
+# charge the suite 5×/2× for one artifact. In a production pipeline
+# this is the dedup stage's output table, built once and joined by
+# every downstream consumer.
+_NEARDUP_PAIRS: dict[str, "DataFrame"] = {}
+_NEARDUP_COMPONENTS: dict[str, "DataFrame"] = {}
+
+
+def _neardup_pairs_for(spark, sf_dir):
+    p = _NEARDUP_PAIRS.get(sf_dir)
+    if p is None or p.sparkSession is not spark:
+        d = load_table(spark, sf_dir, "documents")
+        p = dedup.minhash_lsh_dedup(d, "doc_id", "text").localCheckpoint(eager=True)
+        _NEARDUP_PAIRS[sf_dir] = p
+    return p
+
+
+def _components_for(spark, sf_dir):
+    c = _NEARDUP_COMPONENTS.get(sf_dir)
+    if c is None or c.sparkSession is not spark:
+        c = dedup.connected_components(
+            _neardup_pairs_for(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+        _NEARDUP_COMPONENTS[sf_dir] = c
+    return c
+
+
 @register("doc_minhash_neardup", oracles.minhash_neardup_sql())
 def doc_minhash_neardup(spark, sf_dir):
     """MinHash → LSH bands → exact-Jaccard verify (threshold 0.5)."""
-    d = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_dedup(d, "doc_id", "text")
+    return _neardup_pairs_for(spark, sf_dir)
 
 
 _BAND_INDEXES: dict[str, str] = {}
@@ -1439,9 +1469,7 @@ def doc_dedup_clusters(spark, sf_dir):
     group even though a and c never paired. Distributed min-label
     propagation (dedup.connected_components) vs the oracle's recursive
     CTE transitive closure."""
-    d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_dedup(d, "doc_id", "text")
-    return dedup.connected_components(pairs).select(
+    return _components_for(spark, sf_dir).select(
         F.col("node").alias("doc_id"), "component"
     )
 
@@ -2709,6 +2737,49 @@ def os_read_grouped(spark, sf_dir):
     return g.select(
         F.col("tags").getItem("event_type").alias("event_type"),
         F.col("tags").getItem("user_id").alias("user_id"),
+        F.to_json(pairs).alias("points_json"),
+    )
+
+
+@register(
+    "os_read_chunked",
+    f"""SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+               CAST(floor(time_ms / 86400000) AS INTEGER) AS bucket,
+               '[' || string_agg(
+                   '[' || CAST(time_ms AS VARCHAR) || ',' || CAST(v6 AS VARCHAR) || ']',
+                   ',' ORDER BY time_ms, v6
+               ) || ']' AS points_json
+        FROM (
+          SELECT event_type, user_id, {_EV_MS} AS time_ms,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v6
+          FROM events
+          WHERE event_type IN ('click', 'view') AND {_EV_MS} >= {T0} AND {_EV_MS} < {T1}
+        )
+        GROUP BY 1, 2, 3""",
+)
+def os_read_chunked(spark, sf_dir):
+    """Chunked grouped read (engine.read_chunked): the grouped /read
+    shape emitted one row per (series, BUCKET) so task memory is
+    bounded by one series-day, not a series' full history — the scale
+    path for pathological series that would OOM the one-array-per-
+    series aggregation (see SCALING.md "Pathological series"). Oracle:
+    the same per-series-per-day arrays straight from SQL, points
+    serialized exactly as os_read_grouped (integer micros, sorted)."""
+    eng = _engine_for(spark, sf_dir)
+    g = eng.read_chunked({"terms": {"event_type": ["click", "view"]}}, "default", T0, T1)
+    pairs = F.array_sort(
+        F.transform(
+            "points",
+            lambda p: F.array(
+                p["time_ms"],
+                (p["value"].cast("decimal(18,6)") * 1000000).cast("long"),
+            ),
+        )
+    )
+    return g.select(
+        F.col("tags").getItem("event_type").alias("event_type"),
+        F.col("tags").getItem("user_id").alias("user_id"),
+        F.col("bucket").cast("int").alias("bucket"),
         F.to_json(pairs).alias("points_json"),
     )
 

@@ -1478,3 +1478,176 @@ def test_object_store_warehouse_refused_loudly(spark):
             OrestesEngine(spark, uri)
     with pytest.raises(ValueError, match="plain filesystem path"):
         OrestesEngine(spark, "file:///tmp/wh")
+
+
+def test_read_chunked_matches_grouped(spark, tmp_path):
+    """read_chunked is the grouped read emitted per (series, bucket):
+    reassembling its chunks in bucket order must reproduce exactly the
+    grouped read's per-series time-ascending points — including under
+    the upsert merge gate (multi-delivery overwrites)."""
+    from orestes_spark.engine import OrestesEngine
+
+    eng = OrestesEngine(spark, str(tmp_path / "wh_chunk"))
+    DAY = 86_400_000
+    rows = []
+    for d in range(3):  # three buckets
+        for i in range(5):
+            rows.append({"time": START + d * DAY + i, "value": float(d * 10 + i), "host": "a"})
+            rows.append({"time": START + d * DAY + i, "value": float(100 + i), "host": "b"})
+    eng.write(rows)
+    # second delivery overwrites one key: merge gate arms, b's first
+    # point in bucket 1 becomes 999
+    eng.write([{"time": START + DAY, "value": 999.0, "host": "b"}])
+
+    grouped = {
+        tuple(sorted(r["tags"].items())): [(p["time_ms"], p["value"]) for p in r["points"]]
+        for r in eng.read(None, "default", 0, 2**50).collect()
+    }
+    chunks = eng.read_chunked(None, "default", 0, 2**50).collect()
+    reassembled: dict = {}
+    for r in sorted(chunks, key=lambda r: (r["series_id"], r["bucket"])):
+        key = tuple(sorted(r["tags"].items()))
+        reassembled.setdefault(key, []).extend(
+            (p["time_ms"], p["value"]) for p in r["points"]
+        )
+    assert reassembled == grouped
+    # chunk rows: 2 series x 3 buckets
+    assert len(chunks) == 6
+    # the overwrite is merged inside its chunk
+    b1 = [r for r in chunks if r["tags"]["host"] == "b" and r["bucket"] == (START + DAY) // DAY]
+    assert [(p["time_ms"], p["value"]) for p in b1[0]["points"]][0] == (START + DAY, 999.0)
+
+
+def test_read_max_group_points_cap(spark, tmp_path):
+    """max_group_points fails LOUDLY (naming the series) when a series
+    would exceed the per-series array cap, and is a no-op for series
+    under the cap. Off by default."""
+    import pytest
+    from orestes_spark.engine import OrestesEngine
+
+    eng = OrestesEngine(spark, str(tmp_path / "wh_cap"))
+    eng.write(
+        [{"time": START + i, "value": float(i), "host": "big"} for i in range(50)]
+        + [{"time": START + i, "value": float(i), "host": "small"} for i in range(5)]
+    )
+    # under the cap: both series come back whole
+    got = eng.read(None, "default", 0, 2**50, max_group_points=50).collect()
+    assert {len(r["points"]) for r in got} == {50, 5}
+    # over the cap: loud, actionable, names the series
+    with pytest.raises(Exception, match="max_group_points"):
+        eng.read(None, "default", 0, 2**50, max_group_points=10).collect()
+    with pytest.raises(ValueError, match=">= 1"):
+        eng.read(None, "default", 0, 2**50, max_group_points=0)
+
+
+def test_writer_lock_two_real_processes(tmp_path):
+    """Two real OS processes contending on one warehouse: the second
+    fails loudly while the first lives; SIGKILL of the holder (crash)
+    lets the contender steal and proceed. Lock acquisition needs no
+    SparkSession, so the helper process is plain Python."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import pytest
+    from orestes_spark.engine import ConcurrentWriterError, OrestesEngine
+
+    wh = str(tmp_path / "wh_2proc")
+    helper = tmp_path / "hold_lock.py"
+    helper.write_text(
+        "import sys, time\n"
+        "sys.path.insert(0, sys.argv[2])\n"
+        "from orestes_spark.engine import OrestesEngine\n"
+        "eng = OrestesEngine(None, sys.argv[1])\n"
+        "with eng._writer_lock('default', 'hold'):\n"
+        "    print('HELD', flush=True)\n"
+        "    time.sleep(60)\n"
+    )
+    import orestes_spark
+
+    pkg_root = str(tmp_path / "..")  # placeholder, replaced below
+    pkg_root = orestes_spark.__file__.rsplit("/orestes_spark/", 1)[0]
+    proc = subprocess.Popen(
+        [sys.executable, str(helper), wh, pkg_root],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert proc.stdout.readline().strip() == "HELD"
+        eng = OrestesEngine(None, wh)
+        with pytest.raises(ConcurrentWriterError, match="live writer"):
+            with eng._writer_lock("default", "contend"):
+                pass
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=10)
+        time.sleep(0.1)
+        with eng._writer_lock("default", "contend"):  # dead holder: stolen
+            assert eng._lock_path("default").exists()
+        assert not eng._lock_path("default").exists()  # released
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
+def test_writer_lock_foreign_host_lease(tmp_path):
+    """A holder on ANOTHER host cannot be pid-probed: it is live while
+    its mtime heartbeat is within writer_lease_ms and dead once the
+    heartbeat goes stale — a crashed remote writer stops wedging the
+    space after one lease instead of forever."""
+    import json
+    import os
+    import time
+
+    import pytest
+    from orestes_spark.engine import ConcurrentWriterError, OrestesEngine
+
+    eng = OrestesEngine(None, str(tmp_path / "wh_lease"))
+    eng.config.writer_lease_ms = 60_000
+    lock = eng._lock_path("default")
+    lock.parent.mkdir(parents=True, exist_ok=True)
+    payload = {"pid": os.getpid(), "host": "some-other-host", "token": "t1",
+               "op": "append", "ts_ms": 0}
+    lock.write_text(json.dumps(payload))  # fresh mtime: within lease
+
+    with pytest.raises(ConcurrentWriterError, match="live writer"):
+        with eng._writer_lock("default", "contend"):
+            pass
+    assert eng._writer_active("default")  # readers skip recovery too
+
+    stale = time.time() - 120  # heartbeat older than the lease
+    os.utime(lock, (stale, stale))
+    assert not eng._writer_active("default")
+    with eng._writer_lock("default", "contend"):  # expired: stolen
+        pass
+    assert not lock.exists()
+
+
+def test_writer_lock_heartbeat_and_fencing(tmp_path):
+    """While held, the lock's mtime is heartbeat-refreshed (foreign
+    hosts keep seeing it alive across many lease periods); if a thief
+    replaces the lock mid-operation, release FENCES — raises instead
+    of silently unlinking the thief's lock."""
+    import json
+    import time
+
+    import pytest
+    from orestes_spark.engine import ConcurrentWriterError, OrestesEngine, _holder_alive
+
+    eng = OrestesEngine(None, str(tmp_path / "wh_beat"))
+    eng.config.writer_lease_ms = 300  # beat every ~0.1 s
+    lock = eng._lock_path("default")
+
+    with eng._writer_lock("default", "long-op"):
+        time.sleep(1.0)  # > 3 lease periods
+        holder = json.loads(lock.read_text())
+        # a foreign-host observer still sees a live heartbeat
+        assert _holder_alive({**holder, "host": "remote"}, lock, 300)
+
+    # fencing: thief replaces the lock while we "stall"
+    with pytest.raises(ConcurrentWriterError, match="lease expired mid-operation"):
+        with eng._writer_lock("default", "stalled-op"):
+            lock.write_text(json.dumps({"pid": 1, "host": "thief", "token": "not-ours",
+                                        "op": "steal", "ts_ms": 0}))
+    # the thief's lock must survive our failed release
+    assert json.loads(lock.read_text())["token"] == "not-ours"
