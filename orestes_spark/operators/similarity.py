@@ -450,9 +450,15 @@ def assign_clusters(
 
     Scale shape: centroid sums are one (label, dim) shuffle; the
     centroid table is k×d values and broadcasts; assignment is then a
-    map-side cross score of each row against k centroids — no shuffle
-    of the corpus itself beyond the per-id argmax window, which is
-    bounded by |corpus| × k rows pre-aggregation."""
+    map-side cross score of each row against k centroids, and the
+    per-id argmax is a min_by HASH aggregation — partial-combinable,
+    so each task collapses its |rows|×k scored tuples to one row per
+    id BEFORE the exchange and the shuffle carries |corpus| rows, not
+    |corpus|×k. (Round 6: this replaced a sort-based row_number
+    window, which shuffled and sorted the full scored blowup — the
+    one removable exchange in the SemDeDup plan.) min_by on
+    struct(-score, label) picks exactly the window's row: highest
+    cosine, ties to the smaller label."""
     as_long = quantize is not None
     cents = label_centroid_sums(vectors, id_col, vec_col, label_col, quantize)
     v = vectors.select(F.col(id_col).alias("_id"), quantized(F.col(vec_col), quantize).alias("vec"))
@@ -464,12 +470,12 @@ def assign_clusters(
             / F.sqrt(_dot(F.col("csum").cast("array<double>"), F.col("csum").cast("array<double>"), False))
         ).alias("_cscore"),
     )
-    w = Window.partitionBy("_id").orderBy(F.col("_cscore").desc(), F.col("label"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(F.col("_id").alias(id_col), F.col("label").alias("cluster"))
-    )
+    return scored.groupBy("_id").agg(
+        F.min_by(
+            "label",
+            F.struct((-F.col("_cscore")).alias("s"), F.col("label").alias("l")),
+        ).alias("cluster")
+    ).select(F.col("_id").alias(id_col), "cluster")
 
 
 def _exclude_hot_clusters(

@@ -2602,7 +2602,7 @@ def doc_dedup_keep_list(spark, sf_dir):
     """End-to-end corpus dedup: MinHash-LSH pairs → greedy keep-list
     (smaller id of each pair survives) → anti-join filter."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_dedup(d, "doc_id", "text")
+    pairs = _neardup_pairs_for(spark, sf_dir)
     return dedup.dedup_keep_list(d, "doc_id", pairs).select("doc_id", "lang", "source")
 
 
@@ -2643,10 +2643,10 @@ def doc_dedup_keep_best(spark, sf_dir):
     keep_list's keep-lowest-id. Oracle: recursive-CTE components +
     per-component arg-max."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_dedup(d, "doc_id", "text")
-    return dedup.dedup_keep_best(d, "doc_id", pairs, "n_chars").select(
-        "doc_id", "lang", "source", "n_chars"
-    )
+    pairs = _neardup_pairs_for(spark, sf_dir)
+    return dedup.dedup_keep_best(
+        d, "doc_id", pairs, "n_chars", components=_components_for(spark, sf_dir)
+    ).select("doc_id", "lang", "source", "n_chars")
 
 
 @register(
@@ -2979,7 +2979,7 @@ def doc_clean_corpus(spark, sf_dir):
     tree; Catalyst fuses the gates into the scans."""
     d = load_table(spark, sf_dir, "documents")
     quality = text.token_count(d, "doc_id", "text").where(F.col("n_tokens") >= 20)
-    pairs = dedup.minhash_lsh_dedup(d, "doc_id", "text")
+    pairs = _neardup_pairs_for(spark, sf_dir)
     kept = dedup.dedup_keep_list(d, "doc_id", pairs)
     return kept.join(quality.select("doc_id", "n_tokens"), "doc_id").select(
         "doc_id", "lang", "n_tokens"
