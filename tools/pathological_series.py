@@ -38,11 +38,12 @@ def main() -> None:
     spark = get_spark("pathological-series")
     eng = OrestesEngine(spark, tempfile.mkdtemp(prefix="patho_wh_"))
 
-    # One series, N points, 1 ms apart → N/86.4M days of daily buckets.
+    # One series, N points, 1 s apart → N/86400 daily buckets
+    # (10M points ≈ 116 buckets of ~86.4k points each).
     pts = (
         spark.range(N)
         .select(
-            (F.lit(START) + F.col("id")).alias("time_ms"),
+            (F.lit(START) + F.col("id") * 1000).alias("time_ms"),
             F.col("id").cast("double").alias("value"),
             F.create_map(F.lit("host"), F.lit("the-one")).alias("tags"),
         )
@@ -73,12 +74,17 @@ def main() -> None:
 
     # 1. uncapped grouped read, for the record (single giant array row;
     # measure but don't collect the array to the driver — count points).
+    # Above ~130M points the single row exceeds Spark's 2 GB UnsafeRow
+    # limit ("Cannot grow BufferHolder") — the failure mode the cap and
+    # the chunked path exist to prevent; report it, don't crash.
     t0 = time.perf_counter()
-    n_grouped = (
-        eng.read(None, "default", 0, 2**50)
-        .select(F.sum(F.size("points")))
-        .first()[0]
-    )
+    try:
+        n_grouped = str(
+            eng.read(None, "default", 0, 2**50).select(F.sum(F.size("points"))).first()[0]
+        )
+    except Exception as e:
+        msg = str(e).split("\n")[0][:100]
+        n_grouped = f"FAILED as predicted ({msg})"
     t_grouped = time.perf_counter() - t0
 
     print(
