@@ -44,6 +44,7 @@ at scale.
 
 from __future__ import annotations
 
+import re as _re
 import shutil
 import time as _time
 from contextlib import contextmanager
@@ -140,6 +141,59 @@ def _require_posix_warehouse(warehouse: str) -> None:
 import socket as _socket
 
 _HOSTNAME = _socket.gethostname()
+
+# Streaming-epoch file tag (see _append.write_points): epochN-<part>.parquet
+_EPOCH_TAG_RE = _re.compile(r"^epoch(-?\d+)-")
+
+
+def _committed_epochs(points_root: Path) -> set[int]:
+    return {
+        int(m.name.split("-", 1)[1])
+        for m in (points_root / "_epochs").glob("epoch-*")
+    }
+
+
+def _sweep_uncommitted_epoch_files(points_root: Path) -> None:
+    """Drop tagged point files whose epoch never committed its points
+    marker. They are invisible to readers (see _visible_points) and
+    will be fully re-delivered by the epoch's replay, so physically
+    they are crash debris — and maintenance rewrites (compact,
+    delete_series) MUST NOT fold them into untagged output, which
+    would both make an uncommitted epoch visible and duplicate it on
+    replay. Same decommissioned-stream caveat as the orphan staging
+    sweep: a stream that never restarts loses its uncommitted (never
+    acknowledged) final epoch."""
+    if not points_root.exists():
+        return
+    committed = _committed_epochs(points_root)
+    for f in points_root.glob("bucket=*/*.parquet"):
+        m = _EPOCH_TAG_RE.match(f.name)
+        if m and int(m.group(1)) not in committed:
+            bdir = f.parent
+            f.unlink()
+            if not any(bdir.iterdir()):
+                bdir.rmdir()
+
+
+def _prune_epoch_markers(points_root: Path) -> None:
+    """Bound the points-epoch marker set: a marker is deletable once
+    (a) no tagged file of its epoch remains anywhere (compaction
+    folded them into untagged output — the marker no longer gates any
+    visibility) AND (b) it is not the NEWEST marker (the only epoch a
+    streaming restart can ever replay, where it is the idempotency
+    key that prevents a duplicate re-append). Keeps the marker dir at
+    O(uncompacted epochs), not O(stream lifetime)."""
+    committed = _committed_epochs(points_root)
+    if len(committed) <= 1:
+        return
+    live = set()
+    for f in points_root.glob("bucket=*/*.parquet"):
+        m = _EPOCH_TAG_RE.match(f.name)
+        if m:
+            live.add(int(m.group(1)))
+    newest = max(committed)
+    for e in committed - live - {newest}:
+        (points_root / "_epochs" / f"epoch-{e}").unlink(missing_ok=True)
 
 
 def _holder_alive(holder: dict, path: Path, lease_ms: int) -> bool:
@@ -681,6 +735,21 @@ class OrestesEngine:
             # on an object store this job belongs to the table
             # format's commit protocol, same as the other markers.
             tag = f"epoch{epoch_id}-"
+            marker = points_path / "_epochs" / f"epoch-{epoch_id}"
+            # Epoch-level READ ISOLATION: tagged files are invisible
+            # to readers until this epoch's marker exists
+            # (_read_points filters un-markered epoch files), and the
+            # marker is written only after EVERY file of the epoch
+            # has moved — so a concurrent reader sees either none of
+            # an epoch or all of it, never a partial epoch mid-move.
+            # The marker doubles as the points-sink idempotency key:
+            # a replay of a points-committed epoch short-circuits
+            # here (required for correctness, not just speed — after
+            # a compaction folds a committed epoch's files into
+            # untagged output, the old sweep-by-tag would find
+            # nothing and append a SECOND copy).
+            if marker.exists():
+                return
             if points_path.exists():
                 for leftover in points_path.glob(f"bucket=*/{tag}*"):
                     bdir = leftover.parent
@@ -698,6 +767,8 @@ class OrestesEngine:
                 for f in bdir.glob("*.parquet"):
                     f.rename(tgt / (tag + f.name))
             shutil.rmtree(staging)
+            marker.parent.mkdir(parents=True, exist_ok=True)
+            marker.touch()  # commit: the whole epoch becomes visible
 
         def write_series() -> None:
             # Metadata upsert with write-time dedup (D2): distinct new
@@ -924,10 +995,57 @@ class OrestesEngine:
         # bucket=* partitions left — treat as empty, not a schema error.
         if not p.exists() or not any(p.glob("bucket=*")):
             return None
-        df = self.spark.read.parquet(str(p))
+        df = self._visible_points(p)
+        if df is None:
+            return None
         if "_seq" not in df.columns:  # pre-upsert warehouse: one epoch
             df = df.withColumn("_seq", F.lit(0).cast("long"))
         return df
+
+    def _visible_points(self, p: Path) -> DataFrame | None:
+        """Epoch-consistent point listing (read committed at EPOCH
+        granularity): a streaming epoch's files carry an epochN- name
+        tag and become visible only once the epoch's commit marker
+        (``_epochs/epoch-N``, written after every file of the epoch
+        has moved into its live bucket) exists — a read concurrent
+        with an in-flight or replaying epoch sees either none of that
+        epoch or all of it, never a mid-move prefix. Untagged files
+        (batch appends, compaction output) are always visible: their
+        writers hold the writer lock and Spark's own job commit makes
+        the whole append visible atomically enough for the local-FS
+        tier this engine targets. The common batch-only warehouse
+        takes the zero-cost path (one glob, then the plain directory
+        scan — Spark still does partition pruning on bucket=*).
+        Residual: a reader that listed a replaying epoch's files just
+        before the replay's sweep can fail transiently on a vanished
+        file; the replay holds no reader locks by design (retry
+        semantics, documented in the soak test)."""
+        # ORDER MATTERS: snapshot the committed-marker set BEFORE
+        # listing files. An epoch that commits between the two steps
+        # is then simply absent from the snapshot and excluded whole;
+        # the reverse order could catch a mid-move subset of its
+        # files and then find its marker — a partial epoch visible.
+        committed = _committed_epochs(p)
+        streaming_space = bool(committed) or (p / "_epochs").exists()
+        tagged: list[tuple[int, str]] = []
+        plain: list[str] = []
+        for f in p.glob("bucket=*/*.parquet"):
+            m = _EPOCH_TAG_RE.match(f.name)
+            if m:
+                tagged.append((int(m.group(1)), str(f)))
+            else:
+                plain.append(str(f))
+        if not tagged and not streaming_space:
+            # Batch-only warehouse: plain directory scan (Spark lists
+            # and partition-prunes itself — the zero-overhead path).
+            # A space that has EVER streamed keeps the explicit list:
+            # letting Spark re-list the directory at plan time could
+            # catch an epoch's first files mid-move.
+            return self.spark.read.parquet(str(p))
+        visible = plain + [f for (e, f) in tagged if e in committed]
+        if not visible:
+            return None
+        return self.spark.read.option("basePath", str(p)).parquet(*visible)
 
     def _read_series(self, space: str) -> DataFrame | None:
         p = self._series_path(space)
@@ -1604,6 +1722,10 @@ class OrestesEngine:
                 if not root.exists():
                     continue
                 self._recover_swaps(root)
+                if root == self._points_path(space):
+                    # Same rule as compact: never fold an uncommitted
+                    # epoch's (invisible) files into rewritten output.
+                    _sweep_uncommitted_epoch_files(root)
                 for bucket in buckets:
                     part = root / f"bucket={bucket}"
                     if not part.exists():
@@ -1739,6 +1861,10 @@ def _engine_compact(
     if proot.exists():
         for stale in proot.glob(".staging_epoch=*"):
             shutil.rmtree(stale)
+    # Uncommitted epoch files must not be folded into untagged
+    # compacted output (visibility + replay-duplicate hazard); they
+    # are debris the epoch's replay fully re-delivers — sweep them.
+    _sweep_uncommitted_epoch_files(proot)
     for root, range_cols in (
         (self._points_path(space), ["series_id", "time_ms"]),
         (self._series_path(space), ["series_id"]),
@@ -1849,6 +1975,8 @@ def _engine_compact(
         if self._rollup_step(space) is not None:
             self.rebuild_rollup(space)
         self._reset_deliveries(space)
+    if proot.exists():
+        _prune_epoch_markers(proot)
     return before
 
 

@@ -583,3 +583,125 @@ def test_points_epoch_replay_is_exactly_once(spark, engine, tmp_path):
     # file-level proof (the merge gate would hide a failed sweep):
     # the RAW store holds exactly 30 physical rows
     assert spark.read.parquet(str(pp)).count() == 30
+
+
+def test_read_while_write_soak_epoch_atomicity(spark, engine, tmp_path):
+    """Read-while-write consistency contract: a batch read concurrent
+    with streaming ingest sees a FULLY-COMMITTED EPOCH PREFIX — for
+    every epoch either all of its points or none of them, never a
+    mid-move subset of its files. Mechanism under test: epoch-tagged
+    file names + the points-layer commit marker written only after
+    every file of the epoch has moved (engine._visible_points gates
+    on a marker snapshot taken BEFORE the file listing). Each epoch
+    spans 3 daily buckets (multiple files per epoch), the value
+    column labels the epoch, and a reader thread hammers the space
+    for the whole run asserting per-epoch counts are all-or-nothing."""
+    import threading
+
+    src = tmp_path / "soak_in"
+    src.mkdir()
+    EPOCHS, K = 8, 30  # 30 points per epoch, spread over 3 buckets
+    DAY = 86_400_000
+
+    stream = spark.readStream.schema(RAW_DDL).parquet(str(src))
+    q = start_ingest(engine, stream, checkpoint=str(tmp_path / "soak_ckpt"))
+
+    violations: list[str] = []
+    observed: set[int] = set()
+    stop = threading.Event()
+
+    def reader() -> None:
+        while not stop.is_set():
+            try:
+                rows = (
+                    engine.read(None, "default", 0, START + 10**10, grouped=False)
+                    .groupBy("value")
+                    .count()
+                    .collect()
+                )
+            except Exception as e:  # noqa: BLE001 — a soak must report, not die
+                violations.append(f"read failed: {e}")
+                return
+            for r in rows:
+                epoch_label, n = int(r["value"]), r["count"]
+                observed.add(epoch_label)
+                if n != K:
+                    violations.append(f"epoch {epoch_label}: partial count {n} != {K}")
+
+    t = threading.Thread(target=reader, name="soak-reader")
+    t.start()
+    try:
+        for b in range(EPOCHS):
+            rows = [
+                (str(START + (i % 3) * DAY + b * 1000 + i), float(b), {"host": f"h{i % 5}"})
+                for i in range(K)
+            ]
+            spark.createDataFrame(rows, RAW_DDL).write.mode("append").parquet(str(src))
+            q.processAllAvailable()
+    finally:
+        stop.set()
+        t.join(timeout=60)
+        q.stop()
+
+    assert violations == []
+    # liveness: the reader genuinely raced the ingest (saw intermediate
+    # states), and the final state holds every epoch in full
+    assert observed  # at least one mid-run observation
+    final = dict(
+        (int(r["value"]), r["count"])
+        for r in engine.read(None, "default", 0, START + 10**10, grouped=False)
+        .groupBy("value")
+        .count()
+        .collect()
+    )
+    assert final == {b: K for b in range(EPOCHS)}
+
+
+def test_compact_respects_epoch_commit_protocol(spark, engine, tmp_path):
+    """Compaction vs the epoch commit protocol, three invariants:
+    (1) an UNCOMMITTED epoch's tagged files are invisible to reads and
+    swept (not folded into untagged output) by compact — folding them
+    would publish an unacknowledged epoch AND duplicate it on replay;
+    (2) replay of a points-COMMITTED epoch short-circuits on its
+    marker even after compaction renamed its files (the old
+    sweep-by-tag would find nothing and append a second copy);
+    (3) compact prunes markers of fully-compacted epochs, keeping the
+    newest (the only epoch a streaming restart can replay)."""
+    import shutil as _sh
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "time_ms LONG, value DOUBLE, tags MAP<STRING,STRING>"
+    )
+    e0 = [(START + i, float(i), {"host": "a"}) for i in range(10)]
+    e1 = [(START + 100 + i, 50.0 + i, {"host": "a"}) for i in range(10)]
+    engine._append(mk(e0), "default", epoch_id=0)
+    engine._append(mk(e1), "default", epoch_id=1)
+    pp = engine._points_path("default")
+    assert len(list(pp.glob("_epochs/epoch-*"))) == 2
+
+    # (1) plant an uncommitted epoch-2 file (copy of a live file)
+    bucket = next(pp.glob("bucket=*"))
+    victim = next(f for f in bucket.glob("*.parquet"))
+    _sh.copy(victim, bucket / f"epoch2-{victim.name}")
+    flat = engine.read(None, "default", 0, START + 10**9, grouped=False)
+    assert flat.count() == 20  # uncommitted epoch invisible
+
+    engine.compact("default")
+    assert not list(pp.glob("bucket=*/epoch2-*"))  # swept, not folded
+    assert engine.read(None, "default", 0, START + 10**9, grouped=False).count() == 20
+
+    # (3) epoch-0's marker was pruned (files fully compacted), the
+    # newest (epoch-1) survives as the replay idempotency key
+    markers = {m.name for m in pp.glob("_epochs/epoch-*")}
+    assert markers == {"epoch-1"}
+
+    # (2) replay committed epoch-1 after compaction: marker
+    # short-circuit, no second copy
+    engine._append(mk(e1), "default", epoch_id=1)
+    got = sorted(
+        (r["time_ms"], r["value"])
+        for r in engine.read(None, "default", 0, START + 10**9, grouped=False).collect()
+    )
+    assert got == sorted(
+        [(t, v) for (t, v, _) in e0] + [(t, v) for (t, v, _) in e1]
+    )
