@@ -148,6 +148,14 @@ def cosine_topk_arrow(
         )
     k_local = batch_local_k or k
     qrows = queries.select(F.col(id_col).cast("long"), F.col(vec_col)).collect()
+    if any(r[0] is None for r in qrows):
+        # The GEMM kernel ships ids through int64 numpy arrays; a
+        # non-numeric id would silently become NULL rows. Loud > wrong.
+        raise ValueError(
+            f"cosine_topk_arrow requires integer-castable {id_col!r} values"
+            " (the Arrow kernel carries ids as int64); use cosine_topk for"
+            " arbitrary id types"
+        )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     if quantize is None:

