@@ -761,14 +761,30 @@ class OrestesEngine:
                         bdir.rmdir()
             staging = points_path / f".staging_epoch={epoch_id}"
             laid_out.write.mode("overwrite").partitionBy("bucket").parquet(str(staging))
+            moved: list[str] = []
             for bdir in staging.glob("bucket=*"):
                 tgt = points_path / bdir.name
                 tgt.mkdir(parents=True, exist_ok=True)
                 for f in bdir.glob("*.parquet"):
-                    f.rename(tgt / (tag + f.name))
+                    name = tag + f.name
+                    f.rename(tgt / name)
+                    moved.append(f"{bdir.name}/{name}")
             shutil.rmtree(staging)
+            # Commit = MANIFEST: the marker records the epoch's exact
+            # file list (the lakehouse commit-log pattern) and readers
+            # resolve committed-epoch files from manifests, never from
+            # directory listings — readdir during concurrent renames
+            # into a bucket dir may transiently MISS unrelated entries
+            # (observed as partial-epoch counts in the soak test), and
+            # a per-path stat has no such instability. os.replace
+            # publishes the manifest atomically.
+            import json as _json
+            import os as _os
+
             marker.parent.mkdir(parents=True, exist_ok=True)
-            marker.touch()  # commit: the whole epoch becomes visible
+            tmpm = marker.parent / f".tmp-{epoch_id}"
+            tmpm.write_text(_json.dumps(moved))
+            _os.replace(tmpm, marker)  # commit: whole epoch visible
 
         def write_series() -> None:
             # Metadata upsert with write-time dedup (D2): distinct new
@@ -1020,13 +1036,21 @@ class OrestesEngine:
         before the replay's sweep can fail transiently on a vanished
         file; the replay holds no reader locks by design (retry
         semantics, documented in the soak test)."""
-        # ORDER MATTERS: snapshot the committed-marker set BEFORE
+        import json as _json
+
+        # ORDER MATTERS: snapshot the committed manifests BEFORE
         # listing files. An epoch that commits between the two steps
         # is then simply absent from the snapshot and excluded whole;
         # the reverse order could catch a mid-move subset of its
         # files and then find its marker — a partial epoch visible.
-        committed = _committed_epochs(p)
-        streaming_space = bool(committed) or (p / "_epochs").exists()
+        manifests: dict[int, list[str] | None] = {}
+        for mk in (p / "_epochs").glob("epoch-*"):
+            e = int(mk.name.split("-", 1)[1])
+            try:
+                manifests[e] = _json.loads(mk.read_text())
+            except (ValueError, OSError):
+                manifests[e] = None  # legacy touch()-style marker
+        streaming_space = bool(manifests) or (p / "_epochs").exists()
         tagged: list[tuple[int, str]] = []
         plain: list[str] = []
         for f in p.glob("bucket=*/*.parquet"):
@@ -1042,10 +1066,24 @@ class OrestesEngine:
             # letting Spark re-list the directory at plan time could
             # catch an epoch's first files mid-move.
             return self.spark.read.parquet(str(p))
-        visible = plain + [f for (e, f) in tagged if e in committed]
+        # Committed-epoch files come from their MANIFESTS, not the
+        # glob: readdir racing concurrent renames into a bucket dir
+        # can transiently miss unrelated entries, while a per-path
+        # stat cannot. (The stat filter covers files a compaction
+        # folded away under the still-kept newest marker; readers
+        # racing compaction itself are the documented single-writer
+        # maintenance exposure.) Legacy markers without a manifest
+        # fall back to the glob for their epoch. set() because a
+        # double-listed file would double-count.
+        visible = set(plain)
+        for e, names in manifests.items():
+            if names is None:
+                visible.update(f for (ee, f) in tagged if ee == e)
+            else:
+                visible.update(str(p / rel) for rel in names if (p / rel).exists())
         if not visible:
             return None
-        return self.spark.read.option("basePath", str(p)).parquet(*visible)
+        return self.spark.read.option("basePath", str(p)).parquet(*sorted(visible))
 
     def _read_series(self, space: str) -> DataFrame | None:
         p = self._series_path(space)
