@@ -185,4 +185,5 @@ def engine_config_from_json(path: str | Path, warehouse: str) -> EngineConfig:
         metadata_fetch_size=int(conf.get("metadata_fetch_size", 20_000)),
         max_concurrent_count_requests=int(conf.get("max_concurrent_count_requests", 20)),
         scroll_ttl_ms=parse_duration_ms(conf.get("scroll_ttl_ms", 600_000)),
+        writer_lease_ms=parse_duration_ms(conf.get("writer_lease_ms", 600_000)),
     )

@@ -72,7 +72,7 @@ class Orestes:
     def startup(self, config: dict, spark: SparkSession | None = None) -> "Orestes":
         """orestes.js:55-62: init + route listener when port is set.
         port=0 binds an ephemeral port (the bound address is at
-        ``self server_address``)."""
+        ``self.server_address``)."""
         self.init(config, spark)
         if config.get("port") is not None:
             self._server = serve(self.engine, port=int(config["port"]))

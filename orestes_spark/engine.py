@@ -179,21 +179,34 @@ def _prune_epoch_markers(points_root: Path) -> None:
     """Bound the points-epoch marker set: a marker is deletable once
     (a) no tagged file of its epoch remains anywhere (compaction
     folded them into untagged output — the marker no longer gates any
-    visibility) AND (b) it is not the NEWEST marker (the only epoch a
-    streaming restart can ever replay, where it is the idempotency
-    key that prevents a duplicate re-append). Keeps the marker dir at
-    O(uncompacted epochs), not O(stream lifetime)."""
-    committed = _committed_epochs(points_root)
-    if len(committed) <= 1:
+    visibility) AND (b) it is not the most RECENTLY COMMITTED marker
+    (the only epoch a streaming restart can ever replay, where it is
+    the idempotency key that prevents a duplicate re-append).
+    Recency is by marker MTIME, not epoch id: a fresh stream (new
+    checkpoint) restarts epoch ids at 0, so the replayable epoch can
+    carry a SMALLER id than a dead predecessor stream's markers —
+    pruning by max-id would drop exactly the marker that matters.
+    Keeps the marker dir at O(uncompacted epochs), not O(stream
+    lifetime)."""
+    markers = list((points_root / "_epochs").glob("epoch-*"))
+    if len(markers) <= 1:
         return
     live = set()
     for f in points_root.glob("bucket=*/*.parquet"):
         m = _EPOCH_TAG_RE.match(f.name)
         if m:
             live.add(int(m.group(1)))
-    newest = max(committed)
-    for e in committed - live - {newest}:
-        (points_root / "_epochs" / f"epoch-{e}").unlink(missing_ok=True)
+
+    def mtime(mk: Path) -> float:
+        try:
+            return mk.stat().st_mtime
+        except OSError:
+            return float("inf")  # unreadable: treat as newest, keep
+
+    newest = max(markers, key=mtime)
+    for mk in markers:
+        if mk != newest and int(mk.name.split("-", 1)[1]) not in live:
+            mk.unlink(missing_ok=True)
 
 
 def _holder_alive(holder: dict, path: Path, lease_ms: int) -> bool:
@@ -331,10 +344,12 @@ class OrestesEngine:
         )
         tmp = path.parent / f".lock_{token}"
         tmp.write_text(payload)
+        acquired = False
         try:
             for attempt in (0, 1, 2):
                 try:
                     os.link(tmp, path)  # atomic create-with-content
+                    acquired = True
                     break
                 except FileExistsError:
                     try:
@@ -364,6 +379,14 @@ class OrestesEngine:
                             f"space {space!r}: lost the lock race repeatedly to dead locks"
                         )
                     path.unlink(missing_ok=True)  # dead/expired holder: steal
+            if not acquired:
+                # Every loop path must end in link-success or raise;
+                # this guards the release-race `continue` exhausting
+                # the attempts — proceeding lockless would be silent.
+                raise ConcurrentWriterError(
+                    f"space {space!r}: could not acquire the writer lock after"
+                    " repeated release races — retry"
+                )
         finally:
             tmp.unlink(missing_ok=True)
         self._held_locks[space] = tid
