@@ -26,11 +26,20 @@ def parse_duration_ms(value) -> int:
     duration string — the syntax the reference uses for its hardcoded
     scroll keep-alive ('10m', elasticsearch/query.js:30): a number
     with an optional ms/s/m/h/d suffix. Bare numeric strings are ms.
-    Raises ValueError on anything else (loud, not a silent default)."""
+    Raises ValueError on anything else — including NEGATIVE and
+    non-finite values (a negative lease would make every remote lock
+    read as instantly expired and the heartbeat busy-loop; 'inf'
+    would escape as OverflowError): loud, not a silent default."""
+
+    def _ms(x: float) -> int:
+        if not (0 <= x < 2**53):  # finite, non-negative, sane
+            raise ValueError(f"not a valid duration: {value!r} (negative/overflow)")
+        return int(x)
+
     if isinstance(value, bool):
         raise ValueError(f"not a duration: {value!r}")
     if isinstance(value, (int, float)):
-        return int(value)
+        return _ms(float(value))
     if isinstance(value, str):
         s = value.strip().lower()
         for suffix in ("ms", "s", "m", "h", "d"):  # 'ms' before 's'
@@ -38,13 +47,16 @@ def parse_duration_ms(value) -> int:
                 num = s[: -len(suffix)].strip()
                 if num:
                     try:
-                        return int(float(num) * _DURATION_UNITS_MS[suffix])
+                        parsed = float(num)
                     except ValueError:
                         break
+                    return _ms(parsed * _DURATION_UNITS_MS[suffix])
         try:
-            return int(float(s))
+            parsed = float(s)
         except ValueError:
             pass
+        else:
+            return _ms(parsed)
     raise ValueError(f"not a duration: {value!r} (want ms number or '10m'-style string)")
 
 

@@ -44,6 +44,7 @@ at scale.
 
 from __future__ import annotations
 
+import json as _json_mod
 import re as _re
 import shutil
 import time as _time
@@ -153,6 +154,40 @@ def _committed_epochs(points_root: Path) -> set[int]:
     }
 
 
+def _fresh_epoch_key() -> int:
+    """Random positive int63 epoch key for compaction manifests —
+    collision-free against stream keys (themselves hashes or small
+    ints) by birthday bound."""
+    import uuid
+
+    return uuid.uuid4().int >> 65
+
+
+def _read_manifest(marker: Path) -> tuple[list[str] | None, str]:
+    """(files, kind) from a commit marker. Formats: v2 dict
+    {"files": [...], "kind": "stream"|"compact"}, v1 bare list
+    (stream), legacy empty touch() marker (None files → the reader
+    falls back to the tagged-file glob for that epoch)."""
+    try:
+        data = _json_mod.loads(marker.read_text())
+    except (ValueError, OSError):
+        return None, "stream"
+    if isinstance(data, dict):
+        return list(data.get("files", [])), str(data.get("kind", "stream"))
+    return list(data), "stream"
+
+
+def _write_manifest(marker: Path, files: list[str], kind: str) -> None:
+    """Atomically publish a commit manifest (write temp + os.replace:
+    readers never see a half-written marker)."""
+    import os as _os
+
+    marker.parent.mkdir(parents=True, exist_ok=True)
+    tmpm = marker.parent / f".tmp-{marker.name}"
+    tmpm.write_text(_json_mod.dumps({"files": files, "kind": kind}))
+    _os.replace(tmpm, marker)
+
+
 def _sweep_uncommitted_epoch_files(points_root: Path) -> None:
     """Drop tagged point files whose epoch never committed its points
     marker. They are invisible to readers (see _visible_points) and
@@ -186,8 +221,13 @@ def _prune_epoch_markers(points_root: Path) -> None:
     checkpoint) restarts epoch ids at 0, so the replayable epoch can
     carry a SMALLER id than a dead predecessor stream's markers —
     pruning by max-id would drop exactly the marker that matters.
-    Keeps the marker dir at O(uncompacted epochs), not O(stream
-    lifetime)."""
+    (start_ingest additionally namespaces keys by checkpoint, so ids
+    never collide; recency-by-mtime protects direct _append callers
+    too.) Only STREAM-kind markers count for the newest slot —
+    compaction's own manifests (kind=compact) are pure visibility
+    records, never replay keys, and prune as soon as their files are
+    superseded. Keeps the marker dir at O(uncompacted epochs), not
+    O(stream lifetime)."""
     markers = list((points_root / "_epochs").glob("epoch-*"))
     if len(markers) <= 1:
         return
@@ -203,7 +243,8 @@ def _prune_epoch_markers(points_root: Path) -> None:
         except OSError:
             return float("inf")  # unreadable: treat as newest, keep
 
-    newest = max(markers, key=mtime)
+    stream_markers = [mk for mk in markers if _read_manifest(mk)[1] == "stream"]
+    newest = max(stream_markers, key=mtime) if stream_markers else None
     for mk in markers:
         if mk != newest and int(mk.name.split("-", 1)[1]) not in live:
             mk.unlink(missing_ok=True)
@@ -224,7 +265,12 @@ def _holder_alive(holder: dict, path: Path, lease_ms: int) -> bool:
         age_ms = (_time.time() - path.stat().st_mtime) * 1000.0
     except OSError:
         return False  # lock vanished: holder released
-    return age_ms < lease_ms
+    # Judge the heartbeat against the HOLDER's recorded lease (it
+    # beats at lease/3 of ITS config) — an observer configured with a
+    # shorter lease must not steal a live writer that beats slower
+    # than the observer expects. Observer's lease is the fallback for
+    # legacy locks without the field.
+    return age_ms < int(holder.get("lease_ms", lease_ms))
 
 
 def _pid_alive(pid: int) -> bool:
@@ -265,12 +311,33 @@ class OrestesEngine:
     def __init__(
         self,
         spark: SparkSession,
-        warehouse: str,
+        warehouse: str | None = None,
         spaces: dict[str, SpaceConfig] | None = None,
+        config: EngineConfig | None = None,
     ) -> None:
-        _require_posix_warehouse(warehouse)
+        """``config`` carries the full EngineConfig — the way the
+        engine-level knobs a reference-format JSON file sets
+        (writer_lease_ms, scroll_ttl_ms, ...) actually reach an
+        engine: ``OrestesEngine(spark,
+        config=engine_config_from_json(path, warehouse))``. The
+        (warehouse, spaces) form stays for the common programmatic
+        case; passing both ``config`` and ``spaces`` is ambiguous and
+        refused."""
+        if config is not None:
+            if spaces is not None:
+                raise ValueError("pass spaces inside config, not alongside it")
+            if warehouse is not None and warehouse != config.warehouse:
+                raise ValueError(
+                    f"warehouse given twice and differing: {warehouse!r}"
+                    f" vs config.warehouse={config.warehouse!r}"
+                )
+        elif warehouse is None:
+            raise ValueError("warehouse (or config) is required")
+        else:
+            config = EngineConfig(warehouse=warehouse, spaces=spaces or {})
+        _require_posix_warehouse(config.warehouse)
         self.spark = spark
-        self.config = EngineConfig(warehouse=warehouse, spaces=spaces or {})
+        self.config = config
         # Per-sink wall times from the most recent _append (sinks run
         # concurrently — max is the critical path, not the sum).
         self.last_append_timings: dict[str, float] = {}
@@ -340,6 +407,9 @@ class OrestesEngine:
                 "token": token,
                 "op": op,
                 "ts_ms": int(_time.time() * 1000),
+                # Observers judge the mtime heartbeat against the
+                # HOLDER's lease, not their own (_holder_alive).
+                "lease_ms": lease_ms,
             }
         )
         tmp = path.parent / f".lock_{token}"
@@ -412,10 +482,16 @@ class OrestesEngine:
             stop.set()
             beater.join(timeout=5)
             fenced = False
+            unlink_ok = True
             try:
                 fenced = _json.loads(path.read_text()).get("token") != token
+            except FileNotFoundError:
+                unlink_ok = False  # gone: nothing of ours left to release
             except (ValueError, OSError):
-                pass  # gone/unreadable: nothing of ours left to release
+                # Present but unreadable: a foreign-uid thief's lock
+                # (ours is always readable — we wrote it). Deleting it
+                # would hand a third writer concurrent access; fence.
+                fenced = True
             if fenced:
                 raise ConcurrentWriterError(
                     f"space {space!r}: writer lease expired mid-operation and the"
@@ -424,7 +500,8 @@ class OrestesEngine:
                     " run compact() to reconcile, and raise the lease beyond the"
                     " longest plausible stall"
                 )
-            path.unlink(missing_ok=True)
+            if unlink_ok:
+                path.unlink(missing_ok=True)
 
     # ---------- paths ----------
 
@@ -709,7 +786,13 @@ class OrestesEngine:
         partitions — a mid-epoch crash therefore can never inflate
         the continuous aggregate's n/sum, with no repair call needed.
         Batch (non-streaming) appends use the constant epoch=-1
-        partition in append mode.
+        partition in append mode. The key must be UNIQUE ACROSS THE
+        SPACE'S LIFETIME, not just within one stream: a reused key
+        reads as a replay (points skipped) and overwrites the old
+        key's rollup partials. ``start_ingest`` guarantees this by
+        hashing the checkpoint identity into the key
+        (streaming.ingest._stream_epoch_key); direct callers juggling
+        multiple stream generations must do the same.
 
         Re-delivering an existing (series, time) in a LATER append is
         an UPSERT at the points layer (reads merge on the ``_seq``
@@ -773,6 +856,12 @@ class OrestesEngine:
             # nothing and append a SECOND copy).
             if marker.exists():
                 return
+            # The marker DIR must exist before any file of any epoch
+            # moves: readers key the "has this space ever streamed"
+            # decision (and hence epoch filtering) on its existence —
+            # created after the moves, the very first epoch's renames
+            # would race the plain directory scan.
+            marker.parent.mkdir(parents=True, exist_ok=True)
             if points_path.exists():
                 for leftover in points_path.glob(f"bucket=*/{tag}*"):
                     bdir = leftover.parent
@@ -799,15 +888,8 @@ class OrestesEngine:
             # directory listings — readdir during concurrent renames
             # into a bucket dir may transiently MISS unrelated entries
             # (observed as partial-epoch counts in the soak test), and
-            # a per-path stat has no such instability. os.replace
-            # publishes the manifest atomically.
-            import json as _json
-            import os as _os
-
-            marker.parent.mkdir(parents=True, exist_ok=True)
-            tmpm = marker.parent / f".tmp-{epoch_id}"
-            tmpm.write_text(_json.dumps(moved))
-            _os.replace(tmpm, marker)  # commit: whole epoch visible
+            # a per-path stat has no such instability.
+            _write_manifest(marker, moved, "stream")  # whole epoch visible
 
         def write_series() -> None:
             # Metadata upsert with write-time dedup (D2): distinct new
@@ -1059,8 +1141,17 @@ class OrestesEngine:
         before the replay's sweep can fail transiently on a vanished
         file; the replay holds no reader locks by design (retry
         semantics, documented in the soak test)."""
-        import json as _json
-
+        if not (p / "_epochs").exists():
+            # ONE stat decides: no marker dir means the space has
+            # never run the marker-committed streaming path (the
+            # writer creates _epochs BEFORE its first epoch's moves),
+            # so there are no in-flight epoch renames to race — take
+            # the plain directory scan (Spark lists and
+            # partition-prunes itself; the zero-overhead path for
+            # batch warehouses). Pre-marker streaming warehouses also
+            # land here, keeping their original everything-visible
+            # semantics.
+            return self.spark.read.parquet(str(p))
         # ORDER MATTERS: snapshot the committed manifests BEFORE
         # listing files. An epoch that commits between the two steps
         # is then simply absent from the snapshot and excluded whole;
@@ -1069,11 +1160,7 @@ class OrestesEngine:
         manifests: dict[int, list[str] | None] = {}
         for mk in (p / "_epochs").glob("epoch-*"):
             e = int(mk.name.split("-", 1)[1])
-            try:
-                manifests[e] = _json.loads(mk.read_text())
-            except (ValueError, OSError):
-                manifests[e] = None  # legacy touch()-style marker
-        streaming_space = bool(manifests) or (p / "_epochs").exists()
+            manifests[e], _kind = _read_manifest(mk)
         tagged: list[tuple[int, str]] = []
         plain: list[str] = []
         for f in p.glob("bucket=*/*.parquet"):
@@ -1082,13 +1169,6 @@ class OrestesEngine:
                 tagged.append((int(m.group(1)), str(f)))
             else:
                 plain.append(str(f))
-        if not tagged and not streaming_space:
-            # Batch-only warehouse: plain directory scan (Spark lists
-            # and partition-prunes itself — the zero-overhead path).
-            # A space that has EVER streamed keeps the explicit list:
-            # letting Spark re-list the directory at plan time could
-            # catch an epoch's first files mid-move.
-            return self.spark.read.parquet(str(p))
         # Committed-epoch files come from their MANIFESTS, not the
         # glob: readdir racing concurrent renames into a bucket dir
         # can transiently miss unrelated entries, while a per-path
@@ -1975,6 +2055,26 @@ def _engine_compact(
             )
             tmp = part.parent / f".compact_{part.name}"
             df.write.mode("overwrite").parquet(str(tmp))
+            if root == proot and (proot / "_epochs").exists():
+                # STREAMING space: compacted output gets its own
+                # epoch tag + kind=compact manifest, so readers keep
+                # resolving every point file from manifests (stat by
+                # path) — plain files would fall back to the readdir
+                # glob, which can transiently miss entries while the
+                # next epoch renames files into the same bucket dir
+                # (the exact race the manifests exist to close).
+                # The manifest is written BEFORE the swap: its paths
+                # don't exist yet (stat-filtered → invisible), and
+                # become visible atomically at tmp.rename. Never a
+                # replay key (prune treats kind=compact as a pure
+                # visibility record).
+                key = _fresh_epoch_key()
+                files = []
+                for f in sorted(tmp.glob("*.parquet")):
+                    name = f"epoch{key}-{f.name}"
+                    f.rename(tmp / name)
+                    files.append(f"{part.name}/{name}")
+                _write_manifest(proot / "_epochs" / f"epoch-{key}", files, "compact")
             shutil.rmtree(part)
             tmp.rename(part)
     # rollup partitions: compaction also MERGES the append partials

@@ -172,6 +172,14 @@ def cosine_topk_arrow(
         for pdf in batches:
             if pdf.empty:
                 continue
+            if pdf[id_col].isnull().any():
+                # Same contract as the driver-side query check: a
+                # clear error beats an opaque NaN-cast failure deep in
+                # an executor task.
+                raise ValueError(
+                    f"cosine_topk_arrow requires integer-castable {id_col!r}"
+                    " values on the corpus side (NULL/non-numeric id seen)"
+                )
             cids = pdf[id_col].to_numpy(dtype=np.int64)
             cmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             if bqn2 is None:
@@ -399,9 +407,13 @@ def ivf_topk(
         "qvec",
         "qn2",
         "label",
-        (
-            _dot(F.col("qvec"), F.col("csum").cast("array<double>"), False)
-            / F.sqrt(_dot(F.col("csum").cast("array<double>"), F.col("csum").cast("array<double>"), False))
+        # try_divide: a ZERO-NORM centroid (all-zero/cancelling cell)
+        # must score NULL, not abort the query with ANSI
+        # DIVIDE_BY_ZERO; desc ordering puts NULL last, so degenerate
+        # cells are simply never probed.
+        F.try_divide(
+            _dot(F.col("qvec"), F.col("csum").cast("array<double>"), False),
+            F.sqrt(_dot(F.col("csum").cast("array<double>"), F.col("csum").cast("array<double>"), False)),
         ).alias("_cscore"),
     )
     wq = Window.partitionBy("qid").orderBy(F.col("_cscore").desc(), F.col("label"))
@@ -473,15 +485,27 @@ def assign_clusters(
     scored = v.crossJoin(F.broadcast(cents)).select(
         "_id",
         "label",
-        (
-            _dot(F.col("vec"), F.col("csum").cast("array<double>"), False)
-            / F.sqrt(_dot(F.col("csum").cast("array<double>"), F.col("csum").cast("array<double>"), False))
+        # try_divide: a zero-norm centroid scores NULL instead of
+        # aborting with ANSI DIVIDE_BY_ZERO; the coalesce(+inf) below
+        # ranks NULL last, so no row is assigned to a degenerate
+        # cluster while any real centroid exists.
+        F.try_divide(
+            _dot(F.col("vec"), F.col("csum").cast("array<double>"), False),
+            F.sqrt(_dot(F.col("csum").cast("array<double>"), F.col("csum").cast("array<double>"), False)),
         ).alias("_cscore"),
     )
+    # NULL scores (a zero-norm centroid → divide-by-NULL/zero) must
+    # sort LAST: struct comparison puts a NULL field FIRST in a min,
+    # which would assign every row to the degenerate cluster. The
+    # old row_number(desc) window put NULLs last; coalesce to +inf in
+    # the minimized dimension reproduces that exactly.
     return scored.groupBy("_id").agg(
         F.min_by(
             "label",
-            F.struct((-F.col("_cscore")).alias("s"), F.col("label").alias("l")),
+            F.struct(
+                F.coalesce(-F.col("_cscore"), F.lit(float("inf"))).alias("s"),
+                F.col("label").alias("l"),
+            ),
         ).alias("cluster")
     ).select(F.col("_id").alias(id_col), "cluster")
 
@@ -688,12 +712,12 @@ def prototype_rank(
     scored = v.join(F.broadcast(cents), "label").select(
         "label",
         "_id",
-        (
-            _dot(F.col("vec"), F.col("csum").cast("array<double>"), False)
-            / (
-                F.sqrt(F.col("_norm2").cast("double"))
-                * F.sqrt(_dot(F.col("csum").cast("array<double>"), F.col("csum").cast("array<double>"), False))
-            )
+        # try_divide: zero-norm member or centroid scores NULL (ranked
+        # last by desc) rather than ANSI DIVIDE_BY_ZERO aborting.
+        F.try_divide(
+            _dot(F.col("vec"), F.col("csum").cast("array<double>"), False),
+            F.sqrt(F.col("_norm2").cast("double"))
+            * F.sqrt(_dot(F.col("csum").cast("array<double>"), F.col("csum").cast("array<double>"), False)),
         ).alias("_cos"),
     )
     w = Window.partitionBy("label").orderBy(F.col("_cos").desc(), F.col("_id"))

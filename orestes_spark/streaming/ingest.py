@@ -86,12 +86,36 @@ def _fs_and_path(spark, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
 
 
+def _stream_epoch_key(stream_ns: str | None, epoch_id: int) -> int:
+    """Globally-unique engine epoch key for a (stream, epoch) pair.
+
+    Structured Streaming restarts epoch ids at 0 for every NEW
+    checkpoint, but the engine's points-epoch markers and rollup
+    ``epoch=<id>`` partials live in the WAREHOUSE and survive stream
+    generations — raw ids would collide: a successor stream's epoch 0
+    would read as a replay of its predecessor's (points silently
+    skipped) and its rollup partials would OVERWRITE the old ones.
+    Hashing the stream namespace (its checkpoint identity — stable
+    across restarts of the same stream, fresh for a new one) with the
+    epoch id into a positive int63 makes the key collision-free
+    across generations while staying an integer everywhere the engine
+    stores it. ``None`` namespace keeps the raw id (direct engine
+    callers manage their own uniqueness — documented in _append)."""
+    if stream_ns is None:
+        return epoch_id
+    import hashlib
+
+    h = hashlib.md5(f"{stream_ns}:{epoch_id}".encode()).digest()
+    return int.from_bytes(h[:8], "big") >> 1
+
+
 def make_batch_processor(
     engine: OrestesEngine,
     space: str = "default",
     errors_path: str | None = None,
     epochs_dir: str | None = None,
     auto_compact_files: int | None = None,
+    stream_ns: str | None = None,
 ):
     """foreachBatch processor: validate → errors sink → append, with
     committed-epoch tracking. When ``epochs_dir`` is set, an epoch that
@@ -123,7 +147,7 @@ def make_batch_processor(
                 .write.mode("append")
                 .parquet(errors_path)
             )
-        engine._append(valid, space, epoch_id=epoch_id)
+        engine._append(valid, space, epoch_id=_stream_epoch_key(stream_ns, epoch_id))
         if marker is not None:
             fs.mkdirs(d)
             fs.create(marker, True).close()
@@ -153,7 +177,16 @@ def start_ingest(
     per epoch; without a compaction policy scan throughput decays)."""
     epochs_dir = f"{checkpoint}/orestes_committed_epochs" if checkpoint else None
     process_batch = make_batch_processor(
-        engine, space, errors_path, epochs_dir, auto_compact_files
+        engine,
+        space,
+        errors_path,
+        epochs_dir,
+        auto_compact_files,
+        # Namespace the engine-side epoch keys by checkpoint identity:
+        # stable across restarts of THIS stream (replays keep their
+        # key), collision-free against earlier streams' surviving
+        # markers/rollup partials (see _stream_epoch_key).
+        stream_ns=checkpoint,
     )
     writer = source.writeStream.foreachBatch(process_batch).outputMode("append")
     if checkpoint is not None:

@@ -228,7 +228,8 @@ def test_embedded_reference_name_parity(spark, tmp_path):
         req = urllib.request.Request(
             f"http://{host}:{port}/series", body, {"Content-Type": "application/json"}
         )
-        assert b'"host": "a"' in urllib.request.urlopen(req).read() or True
+        resp = urllib.request.urlopen(req).read()
+        assert b'"host"' in resp and b'"a"' in resp, resp
         assert o.remove({"keep_days": 0}) != []  # today's bucket dropped
     finally:
         o.teardown()

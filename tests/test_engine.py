@@ -1651,3 +1651,66 @@ def test_writer_lock_heartbeat_and_fencing(tmp_path):
                                         "op": "steal", "ts_ms": 0}))
     # the thief's lock must survive our failed release
     assert json.loads(lock.read_text())["token"] == "not-ours"
+
+
+def test_foreign_holder_lease_uses_holders_lease(tmp_path):
+    """A foreign-host holder is judged by ITS recorded lease, not the
+    observer's: an observer configured with a shorter lease must not
+    steal a live remote writer that heartbeats on a longer cadence."""
+    import json
+    import os
+    import time
+
+    import pytest
+    from orestes_spark.engine import ConcurrentWriterError, OrestesEngine
+
+    eng = OrestesEngine(None, str(tmp_path / "wh_lease2"))
+    eng.config.writer_lease_ms = 60_000  # observer: 1 min
+    lock = eng._lock_path("default")
+    lock.parent.mkdir(parents=True, exist_ok=True)
+    lock.write_text(json.dumps({
+        "pid": 1, "host": "remote", "token": "t", "op": "append",
+        "ts_ms": 0, "lease_ms": 3_600_000,  # holder: 1 hour
+    }))
+    stale = time.time() - 120  # older than observer's lease, within holder's
+    os.utime(lock, (stale, stale))
+    with pytest.raises(ConcurrentWriterError, match="live writer"):
+        with eng._writer_lock("default", "contend"):
+            pass
+    assert eng._writer_active("default")
+
+
+def test_engine_accepts_engine_config(spark, tmp_path):
+    """The JSON-config knobs actually reach an engine: OrestesEngine
+    accepts a full EngineConfig (the engine_config_from_json product),
+    including writer_lease_ms with duration-string syntax."""
+    import json
+
+    import pytest
+    from orestes_spark.config import engine_config_from_json
+    from orestes_spark.engine import OrestesEngine
+
+    cfg = tmp_path / "conf.json"
+    cfg.write_text(json.dumps({
+        "writer_lease_ms": "30m",
+        "spaces": {"default": {"table_granularity_days": 7}},
+    }))
+    ec = engine_config_from_json(cfg, str(tmp_path / "wh_cfg"))
+    eng = OrestesEngine(spark, config=ec)
+    assert eng.config.writer_lease_ms == 1_800_000
+    assert eng._granularity("default") == 7
+    with pytest.raises(ValueError, match="spaces inside config"):
+        OrestesEngine(spark, config=ec, spaces={})
+    with pytest.raises(ValueError, match="warehouse given twice"):
+        OrestesEngine(spark, "elsewhere", config=ec)
+    with pytest.raises(ValueError, match="required"):
+        OrestesEngine(spark)
+
+
+def test_duration_rejects_negative_and_inf():
+    import pytest
+    from orestes_spark.config import parse_duration_ms
+
+    for bad in ("-10m", -5, "inf", "infms", "nan", float("inf")):
+        with pytest.raises(ValueError):
+            parse_duration_ms(bad)

@@ -433,3 +433,18 @@ def test_pq_topk_quantized_matches_integer_model(vecs):
     for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
         got.setdefault(r["query_id"], []).append((r["adc_dist"], r["neighbor_id"]))
     assert got == expected
+
+
+def test_assign_clusters_zero_norm_centroid(spark):
+    """A zero-norm centroid (all-zero cluster) must neither abort the
+    query (ANSI DIVIDE_BY_ZERO) nor capture the whole corpus via
+    NULL-first struct ordering: its score is NULL (try_divide), ranked
+    last, so every row goes to a real centroid."""
+    from orestes_spark.operators.similarity import assign_clusters
+
+    rows = [("1", "a", [1.0, 0.0]), ("2", "a", [0.9, 0.1]),
+            ("3", "b", [0.0, 1.0]), ("4", "z", [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id STRING, label STRING, embedding ARRAY<DOUBLE>")
+    out = {r["vec_id"]: r["cluster"] for r in assign_clusters(df).collect()}
+    assert out["1"] == "a" and out["2"] == "a" and out["3"] == "b"
+    assert out["4"] in ("a", "b")  # NOT the degenerate 'z'

@@ -636,7 +636,17 @@ def test_read_while_write_soak_epoch_atomicity(spark, engine, tmp_path):
                 (str(START + (i % 3) * DAY + b * 1000 + i), float(b), {"host": f"h{i % 5}"})
                 for i in range(K)
             ]
-            spark.createDataFrame(rows, RAW_DDL).write.mode("append").parquet(str(src))
+            # ONE source file per labeled batch: a multi-file append can
+            # be caught mid-write by the file source's listing and split
+            # across two micro-batches — then the label-based
+            # all-or-nothing check would flag a SOURCE batching artifact,
+            # not an engine atomicity violation. A single part file
+            # appears atomically via the committer's rename, so label ↔
+            # engine-epoch stays 1:1 (merging labels into one epoch
+            # would still read full counts and is harmless).
+            spark.createDataFrame(rows, RAW_DDL).coalesce(1).write.mode("append").parquet(
+                str(src)
+            )
             q.processAllAvailable()
     finally:
         stop.set()
@@ -691,9 +701,21 @@ def test_compact_respects_epoch_commit_protocol(spark, engine, tmp_path):
     assert engine.read(None, "default", 0, START + 10**9, grouped=False).count() == 20
 
     # (3) epoch-0's marker was pruned (files fully compacted), the
-    # newest (epoch-1) survives as the replay idempotency key
-    markers = {m.name for m in pp.glob("_epochs/epoch-*")}
-    assert markers == {"epoch-1"}
+    # newest stream marker (epoch-1) survives as the replay
+    # idempotency key; compaction's own kind=compact manifests (one
+    # per rewritten bucket, covering the compacted files) remain
+    import json as _json
+
+    markers = {m.name: _json.loads(m.read_text()) for m in pp.glob("_epochs/epoch-*")}
+    assert "epoch-1" in markers and "epoch-0" not in markers
+    kinds = {
+        name: (m.get("kind", "stream") if isinstance(m, dict) else "stream")
+        for name, m in markers.items()
+    }
+    assert kinds.pop("epoch-1") == "stream"
+    assert set(kinds.values()) <= {"compact"}  # all others are compact records
+    # and the compacted files themselves are manifest-covered (tagged)
+    assert not [f for f in pp.glob("bucket=*/*.parquet") if not f.name.startswith("epoch")]
 
     # (2) replay committed epoch-1 after compaction: marker
     # short-circuit, no second copy
@@ -705,3 +727,37 @@ def test_compact_respects_epoch_commit_protocol(spark, engine, tmp_path):
     assert got == sorted(
         [(t, v) for (t, v, _) in e0] + [(t, v) for (t, v, _) in e1]
     )
+
+
+def test_two_stream_generations_do_not_collide(spark, engine, tmp_path):
+    """A successor stream (fresh checkpoint) restarts epoch ids at 0;
+    its engine-side epoch keys must not collide with the predecessor's
+    surviving markers — colliding keys would silently skip the new
+    stream's points as 'replays' and overwrite its rollup partials.
+    start_ingest namespaces keys by checkpoint identity."""
+    src1, src2 = tmp_path / "gen1", tmp_path / "gen2"
+    src1.mkdir(), src2.mkdir()
+
+    spark.createDataFrame(_raw_rows(10), RAW_DDL).write.mode("append").parquet(str(src1))
+    q1 = start_ingest(
+        engine,
+        spark.readStream.schema(RAW_DDL).parquet(str(src1)),
+        checkpoint=str(tmp_path / "ckpt1"),
+    )
+    q1.processAllAvailable()
+    q1.stop()
+
+    # generation 2: new source, NEW checkpoint → epoch ids restart at 0
+    spark.createDataFrame(_raw_rows(10, offset=100, tag="b"), RAW_DDL).write.mode(
+        "append"
+    ).parquet(str(src2))
+    q2 = start_ingest(
+        engine,
+        spark.readStream.schema(RAW_DDL).parquet(str(src2)),
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    flat = engine.read(None, "default", 0, START + 10**10, grouped=False)
+    assert flat.count() == 20  # both generations' points landed
