@@ -1887,6 +1887,23 @@ class OrestesEngine:
                     if part_cols:
                         writer = writer.partitionBy(*part_cols)
                     writer.parquet(str(tmp))
+                    if root == self._points_path(space) and (
+                        root / "_epochs"
+                    ).exists():
+                        # STREAMING space: same treatment as compact —
+                        # the rewritten bucket stays manifest-covered
+                        # (tagged + kind=compact manifest) so readers
+                        # never fall back to the raced readdir glob
+                        # for these files.
+                        key = _fresh_epoch_key()
+                        files = []
+                        for f in sorted(tmp.glob("*.parquet")):
+                            name = f"epoch{key}-{f.name}"
+                            f.rename(tmp / name)
+                            files.append(f"{part.name}/{name}")
+                        _write_manifest(
+                            root / "_epochs" / f"epoch-{key}", files, "compact"
+                        )
                     # Crash-atomic two-phase swap (see _recover_swaps):
                     # after the full tmp write, live→.old, tmp→live, drop
                     # .old. A crash at any point either rolls back (tmp

@@ -761,3 +761,30 @@ def test_two_stream_generations_do_not_collide(spark, engine, tmp_path):
 
     flat = engine.read(None, "default", 0, START + 10**10, grouped=False)
     assert flat.count() == 20  # both generations' points landed
+
+
+def test_delete_series_keeps_streaming_space_manifest_covered(spark, engine, tmp_path):
+    """Targeted erasure in a streaming space must leave the rewritten
+    buckets manifest-covered (tagged + kind=compact manifest), not as
+    plain files on the raced readdir path — and erase exactly the
+    doomed series."""
+    src = tmp_path / "del_in"
+    src.mkdir()
+    spark.createDataFrame(_raw_rows(10, tag="keep") + _raw_rows(10, tag="doom"),
+                          RAW_DDL).coalesce(1).write.mode("append").parquet(str(src))
+    q = start_ingest(
+        engine,
+        spark.readStream.schema(RAW_DDL).parquet(str(src)),
+        checkpoint=str(tmp_path / "del_ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    n = engine.delete_series({"term": {"host": "doom"}})
+    assert n == 3  # 3 idx values for host=doom
+    flat = engine.read(None, "default", 0, START + 10**10, grouped=False)
+    assert flat.count() == 10
+    assert flat.where(F.col("tags")["host"] == "doom").count() == 0
+    # every surviving point file is manifest-covered (epoch-tagged)
+    pp = engine._points_path("default")
+    assert not [f for f in pp.glob("bucket=*/*.parquet") if not f.name.startswith("epoch")]
