@@ -1714,3 +1714,98 @@ def test_duration_rejects_negative_and_inf():
     for bad in ("-10m", -5, "inf", "infms", "nan", float("inf")):
         with pytest.raises(ValueError):
             parse_duration_ms(bad)
+
+
+def test_mutation_state_machine_random_walk(spark, tmp_path):
+    """Model-based integration walk over the full mutation surface:
+    a seeded random sequence of batch appends, epoch appends,
+    committed-epoch replays, compactions, targeted erasures, and full
+    retention sweeps — after EVERY op the engine's flat read must
+    equal a pure-Python last-write-wins model. This is the
+    cross-feature net under the epoch-manifest/upsert/erasure
+    machinery: any interaction bug between the protocols (a replay
+    double-append after compact, an erasure resurrecting swept rows, a
+    sweep leaving the merge gate wrong) surfaces as a model mismatch
+    at the exact op index."""
+    import random
+
+    from orestes_spark.engine import OrestesEngine
+
+    rng = random.Random(77)
+    eng = OrestesEngine(spark, str(tmp_path / "wh_walk"))
+    HOSTS = ["a", "b", "c"]
+    TIMES = [START + i for i in range(6)]  # few keys → upsert collisions
+
+    model: dict[tuple[str, int], tuple[int, float]] = {}  # (host,t) -> (seq, value)
+    seq = 0
+    epoch_payloads: dict[int, list[tuple[str, int, float]]] = {}
+    next_epoch = 0
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(t, v, {"host": h}) for (h, t, v) in rows],
+            "time_ms LONG, value DOUBLE, tags MAP<STRING,STRING>",
+        )
+
+    def apply_model(rows):
+        nonlocal seq
+        seq += 1
+        for h, t, v in rows:
+            old = model.get((h, t))
+            # engine rule: later delivery wins; equal stamps fall to
+            # the greater value — within one delivery seq is shared
+            if old is None or old[0] < seq or (old[0] == seq and v > old[1]):
+                model[(h, t)] = (seq, v)
+
+    def rand_rows():
+        return [
+            (rng.choice(HOSTS), rng.choice(TIMES), float(rng.randint(0, 99)))
+            for _ in range(rng.randint(1, 5))
+        ]
+
+    def check(step):
+        got = {
+            (r["tags"]["host"], r["time_ms"]): r["value"]
+            for r in eng.read(None, "default", 0, 2**50, grouped=False).collect()
+        }
+        want = {k: v for k, (_, v) in model.items()}
+        assert got == want, f"divergence after op {step}"
+
+    for step in range(28):
+        op = rng.choice(
+            ["batch", "batch", "epoch", "epoch", "replay", "compact", "erase", "sweep"]
+        )
+        if op == "batch":
+            rows = rand_rows()
+            eng.write([{"time": t, "value": v, "host": h} for (h, t, v) in rows])
+            apply_model(rows)
+        elif op == "epoch":
+            rows = rand_rows()
+            eng._append(mk(rows), "default", epoch_id=next_epoch)
+            epoch_payloads[next_epoch] = rows
+            apply_model(rows)
+            next_epoch += 1
+        elif op == "replay" and epoch_payloads:
+            # Only the NEWEST epoch: Structured Streaming re-offers at
+            # most the last epoch after a restart, and the engine's
+            # idempotency bound matches exactly that surface (marker
+            # pruning keeps only the newest stream marker once older
+            # epochs' files are compacted — an out-of-contract replay
+            # of an ancient epoch would re-append).
+            e = max(epoch_payloads)
+            eng._append(mk(epoch_payloads[e]), "default", epoch_id=e)
+            # committed replay: model unchanged
+        elif op == "compact":
+            eng.compact("default")
+        elif op == "erase" and model:
+            h = rng.choice(HOSTS)
+            eng.delete_series({"term": {"host": h}})
+            model = {k: v for k, v in model.items() if k[0] != h}
+        elif op == "sweep":
+            eng.remove("default", keep_days=0)
+            model = {}
+            # dropped buckets take their epoch files with them; replay
+            # of an old epoch would re-append — mirror the engine's
+            # marker behavior: markers survive remove(), so committed
+            # replays stay no-ops. Keep payloads.
+        check(step)
