@@ -163,6 +163,25 @@ def _fresh_epoch_key() -> int:
     return uuid.uuid4().int >> 65
 
 
+def _publish_compact_manifest(points_root: Path, part_name: str, tmp: Path) -> None:
+    """Tag a maintenance rewrite's output files and publish them under
+    a kind=compact manifest — shared by compact() and delete_series():
+    in a streaming space every point file must stay manifest-covered
+    (resolved by per-path stat), or readers would fall back to the
+    readdir glob that can transiently miss entries during concurrent
+    epoch renames. Written BEFORE the directory swap: the listed paths
+    don't exist yet (stat-filtered → invisible) and appear atomically
+    at the swap. Never a replay key (prune treats kind=compact as a
+    pure visibility record)."""
+    key = _fresh_epoch_key()
+    files = []
+    for f in sorted(tmp.glob("*.parquet")):
+        name = f"epoch{key}-{f.name}"
+        f.rename(tmp / name)
+        files.append(f"{part_name}/{name}")
+    _write_manifest(points_root / "_epochs" / f"epoch-{key}", files, "compact")
+
+
 def _read_manifest(marker: Path) -> tuple[list[str] | None, str]:
     """(files, kind) from a commit marker. Formats: v2 dict
     {"files": [...], "kind": "stream"|"compact"}, v1 bare list
@@ -178,14 +197,31 @@ def _read_manifest(marker: Path) -> tuple[list[str] | None, str]:
 
 
 def _write_manifest(marker: Path, files: list[str], kind: str) -> None:
-    """Atomically publish a commit manifest (write temp + os.replace:
-    readers never see a half-written marker)."""
+    """Atomically AND durably publish a commit manifest: write temp,
+    fsync the data, os.replace, fsync the directory. Without the
+    fsyncs a power loss can journal a later rename while the manifest
+    bytes never hit disk — after which swap roll-forward commits
+    tagged files whose manifest is gone and the uncommitted-epoch
+    sweep would delete them as debris (data loss). Process crashes
+    were already safe (write strictly precedes the renames); the
+    fsyncs close the unsynced-rename-reordering window too."""
     import os as _os
 
     marker.parent.mkdir(parents=True, exist_ok=True)
     tmpm = marker.parent / f".tmp-{marker.name}"
-    tmpm.write_text(_json_mod.dumps({"files": files, "kind": kind}))
+    with open(tmpm, "w") as f:
+        f.write(_json_mod.dumps({"files": files, "kind": kind}))
+        f.flush()
+        _os.fsync(f.fileno())
     _os.replace(tmpm, marker)
+    try:
+        dfd = _os.open(marker.parent, _os.O_RDONLY)
+        try:
+            _os.fsync(dfd)
+        finally:
+            _os.close(dfd)
+    except OSError:
+        pass  # directory fsync unsupported on this FS: best effort
 
 
 def _sweep_uncommitted_epoch_files(points_root: Path) -> None:
@@ -810,10 +846,24 @@ class OrestesEngine:
         # time (the analogue of Cassandra's write timestamp). Within
         # one delivery every row shares the stamp, and ties resolve to
         # the greater value — Cassandra's own same-timestamp rule.
+        points_path, series_path = self._points_path(space), self._series_path(space)
+        epoch_marker = (
+            points_path / "_epochs" / f"epoch-{epoch_id}" if epoch_id is not None else None
+        )
+        if epoch_marker is not None and epoch_marker.exists():
+            # The marker commits the WHOLE epoch (written after every
+            # sink finished — see the end of this method), so a replay
+            # of a committed epoch is a TOTAL no-op: re-running the
+            # series/rollup sinks here would resurrect state a
+            # delete_series erased in between (the series anti-join
+            # would re-insert the erased tags; the rollup overwrite
+            # would re-add its partials), and re-bumping the delivery
+            # gate would arm merges for data that never changed.
+            return
         seq = max(int(_time.time() * 1000), self._last_seq + 1)
         self._last_seq = seq
         stored = schema.with_derived(valid, g).withColumn("_seq", F.lit(seq).cast("long"))
-        points_path, series_path = self._points_path(space), self._series_path(space)
+        epoch_moved: list[str] = []  # filled by write_points (streaming)
 
         def write_points() -> None:
             # Series-clustered layout: RANGE-partition by (bucket,
@@ -841,27 +891,19 @@ class OrestesEngine:
             # on an object store this job belongs to the table
             # format's commit protocol, same as the other markers.
             tag = f"epoch{epoch_id}-"
-            marker = points_path / "_epochs" / f"epoch-{epoch_id}"
             # Epoch-level READ ISOLATION: tagged files are invisible
-            # to readers until this epoch's marker exists
-            # (_read_points filters un-markered epoch files), and the
-            # marker is written only after EVERY file of the epoch
-            # has moved — so a concurrent reader sees either none of
-            # an epoch or all of it, never a partial epoch mid-move.
-            # The marker doubles as the points-sink idempotency key:
-            # a replay of a points-committed epoch short-circuits
-            # here (required for correctness, not just speed — after
-            # a compaction folds a committed epoch's files into
-            # untagged output, the old sweep-by-tag would find
-            # nothing and append a SECOND copy).
-            if marker.exists():
-                return
-            # The marker DIR must exist before any file of any epoch
-            # moves: readers key the "has this space ever streamed"
-            # decision (and hence epoch filtering) on its existence —
-            # created after the moves, the very first epoch's renames
-            # would race the plain directory scan.
-            marker.parent.mkdir(parents=True, exist_ok=True)
+            # to readers until this epoch's manifest exists, and the
+            # manifest is written only after EVERY sink of the epoch
+            # finished (end of _append) — a concurrent reader sees
+            # either none of an epoch or all of it, never a partial
+            # epoch mid-move; a replay of a manifested epoch is a
+            # total no-op (top of _append). The marker DIR must exist
+            # before any file of any epoch moves: readers key the
+            # "has this space ever streamed" decision (and hence
+            # epoch filtering) on its existence — created after the
+            # moves, the very first epoch's renames would race the
+            # plain directory scan.
+            epoch_marker.parent.mkdir(parents=True, exist_ok=True)
             if points_path.exists():
                 for leftover in points_path.glob(f"bucket=*/{tag}*"):
                     bdir = leftover.parent
@@ -873,23 +915,22 @@ class OrestesEngine:
                         bdir.rmdir()
             staging = points_path / f".staging_epoch={epoch_id}"
             laid_out.write.mode("overwrite").partitionBy("bucket").parquet(str(staging))
-            moved: list[str] = []
             for bdir in staging.glob("bucket=*"):
                 tgt = points_path / bdir.name
                 tgt.mkdir(parents=True, exist_ok=True)
                 for f in bdir.glob("*.parquet"):
                     name = tag + f.name
                     f.rename(tgt / name)
-                    moved.append(f"{bdir.name}/{name}")
+                    epoch_moved.append(f"{bdir.name}/{name}")
             shutil.rmtree(staging)
-            # Commit = MANIFEST: the marker records the epoch's exact
-            # file list (the lakehouse commit-log pattern) and readers
-            # resolve committed-epoch files from manifests, never from
+            # Commit happens at the END of _append (after every sink):
+            # the manifest records the epoch's exact file list (the
+            # lakehouse commit-log pattern) and readers resolve
+            # committed-epoch files from manifests, never from
             # directory listings — readdir during concurrent renames
             # into a bucket dir may transiently MISS unrelated entries
             # (observed as partial-epoch counts in the soak test), and
             # a per-path stat has no such instability.
-            _write_manifest(marker, moved, "stream")  # whole epoch visible
 
         def write_series() -> None:
             # Metadata upsert with write-time dedup (D2): distinct new
@@ -1011,6 +1052,15 @@ class OrestesEngine:
                 futures = [pool.submit(timed(s)) for s in sinks]
                 for f in futures:
                     f.result()
+            if epoch_marker is not None:
+                # WHOLE-EPOCH commit, after every sink returned: the
+                # manifest both publishes the epoch's point files to
+                # readers (atomic visibility) and marks the epoch
+                # replay-complete — series metadata and rollup
+                # partials included, so a replay after the marker can
+                # never resurrect state (e.g. a delete_series between
+                # crash and restart) by re-running those sinks.
+                _write_manifest(epoch_marker, epoch_moved, "stream")
 
     # ---------- raw readers ----------
 
@@ -1842,18 +1892,26 @@ class OrestesEngine:
             raise ValueError(
                 "delete_series requires a selective filter; use remove() for time-based expiry"
             )
-        series = self._read_series(space)
-        if series is None:
-            return 0
-        doomed = series.where(esdsl.translate(es_filter)).select("bucket", "series_id")
-        buckets = sorted(r["bucket"] for r in doomed.select("bucket").distinct().collect())
-        if not buckets:
-            return 0
-        # Materialize the doomed-id set BEFORE any rewrite: the lazy
-        # plan reads the series files the loop below replaces.
-        doomed_ids = doomed.select("series_id").distinct().localCheckpoint(eager=True)
-        n_removed = doomed_ids.count()
+        pred = esdsl.translate(es_filter)  # validate before taking the lock
         with self._writer_lock(space, "delete_series"):
+            # Snapshot the doomed set INSIDE the lock: computed before
+            # it, a concurrent append committing new matching rows
+            # between snapshot and acquisition would survive the
+            # erasure while delete_series reports success — an
+            # incomplete GDPR delete.
+            series = self._read_series(space)
+            if series is None:
+                return 0
+            doomed = series.where(pred).select("bucket", "series_id")
+            buckets = sorted(
+                r["bucket"] for r in doomed.select("bucket").distinct().collect()
+            )
+            if not buckets:
+                return 0
+            # Materialize the doomed-id set BEFORE any rewrite: the lazy
+            # plan reads the series files the loop below replaces.
+            doomed_ids = doomed.select("series_id").distinct().localCheckpoint(eager=True)
+            n_removed = doomed_ids.count()
             for root, range_cols, part_cols in (
                 (self._points_path(space), ["series_id", "time_ms"], []),
                 (self._series_path(space), ["series_id"], []),
@@ -1890,20 +1948,7 @@ class OrestesEngine:
                     if root == self._points_path(space) and (
                         root / "_epochs"
                     ).exists():
-                        # STREAMING space: same treatment as compact —
-                        # the rewritten bucket stays manifest-covered
-                        # (tagged + kind=compact manifest) so readers
-                        # never fall back to the raced readdir glob
-                        # for these files.
-                        key = _fresh_epoch_key()
-                        files = []
-                        for f in sorted(tmp.glob("*.parquet")):
-                            name = f"epoch{key}-{f.name}"
-                            f.rename(tmp / name)
-                            files.append(f"{part.name}/{name}")
-                        _write_manifest(
-                            root / "_epochs" / f"epoch-{key}", files, "compact"
-                        )
+                        _publish_compact_manifest(root, part.name, tmp)
                     # Crash-atomic two-phase swap (see _recover_swaps):
                     # after the full tmp write, live→.old, tmp→live, drop
                     # .old. A crash at any point either rolls back (tmp
@@ -1913,6 +1958,13 @@ class OrestesEngine:
                     part.rename(old)
                     tmp.rename(part)
                     shutil.rmtree(old)
+            proot = self._points_path(space)
+            if proot.exists():
+                # Frequent erasures without compactions would otherwise
+                # accumulate one kind=compact manifest per (bucket,
+                # call), each stat-checked on every read — prune the
+                # superseded ones here, same as compact() does.
+                _prune_epoch_markers(proot)
         return n_removed
 
 
@@ -2073,25 +2125,7 @@ def _engine_compact(
             tmp = part.parent / f".compact_{part.name}"
             df.write.mode("overwrite").parquet(str(tmp))
             if root == proot and (proot / "_epochs").exists():
-                # STREAMING space: compacted output gets its own
-                # epoch tag + kind=compact manifest, so readers keep
-                # resolving every point file from manifests (stat by
-                # path) — plain files would fall back to the readdir
-                # glob, which can transiently miss entries while the
-                # next epoch renames files into the same bucket dir
-                # (the exact race the manifests exist to close).
-                # The manifest is written BEFORE the swap: its paths
-                # don't exist yet (stat-filtered → invisible), and
-                # become visible atomically at tmp.rename. Never a
-                # replay key (prune treats kind=compact as a pure
-                # visibility record).
-                key = _fresh_epoch_key()
-                files = []
-                for f in sorted(tmp.glob("*.parquet")):
-                    name = f"epoch{key}-{f.name}"
-                    f.rename(tmp / name)
-                    files.append(f"{part.name}/{name}")
-                _write_manifest(proot / "_epochs" / f"epoch-{key}", files, "compact")
+                _publish_compact_manifest(proot, part.name, tmp)
             shutil.rmtree(part)
             tmp.rename(part)
     # rollup partitions: compaction also MERGES the append partials

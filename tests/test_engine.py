@@ -1758,10 +1758,17 @@ def test_mutation_state_machine_random_walk(spark, tmp_path):
                 model[(h, t)] = (seq, v)
 
     def rand_rows():
-        return [
-            (rng.choice(HOSTS), rng.choice(TIMES), float(rng.randint(0, 99)))
-            for _ in range(rng.randint(1, 5))
-        ]
+        # Unique (host, time) per batch: with the merge gate OFF (sole
+        # delivery since a sweep) the engine preserves raw duplicate
+        # rows — reference parity — while the model's same-stamp
+        # greater-value rule only applies when reads MERGE. Dedup
+        # keeps the walk meaningful under both gate states.
+        picked = {}
+        for _ in range(rng.randint(1, 5)):
+            h, t, v = rng.choice(HOSTS), rng.choice(TIMES), float(rng.randint(0, 99))
+            old = picked.get((h, t))
+            picked[(h, t)] = v if old is None else max(old, v)
+        return [(h, t, v) for (h, t), v in picked.items()]
 
     def check(step):
         got = {

@@ -788,3 +788,36 @@ def test_delete_series_keeps_streaming_space_manifest_covered(spark, engine, tmp
     # every surviving point file is manifest-covered (epoch-tagged)
     pp = engine._points_path("default")
     assert not [f for f in pp.glob("bucket=*/*.parquet") if not f.name.startswith("epoch")]
+
+
+def test_replay_cannot_resurrect_erased_series(spark, tmp_path):
+    """The epoch marker commits the WHOLE epoch (all sinks), so a
+    replay of a committed epoch is a total no-op — it must not
+    re-insert series metadata or rollup partials that a delete_series
+    erased between crash and restart (the resurrection window when
+    the marker only covered the points sink)."""
+    from orestes_spark.config import SpaceConfig
+    from orestes_spark.engine import OrestesEngine
+
+    HOUR = 3_600_000
+    eng = OrestesEngine(
+        spark, str(tmp_path / "wh_resurrect"),
+        spaces={"default": SpaceConfig(1, rollup_step_ms=HOUR)},
+    )
+    rows = [(START + i, float(i), {"host": "doom"}) for i in range(5)] + [
+        (START + i, float(i), {"host": "keep"}) for i in range(5)
+    ]
+    batch = spark.createDataFrame(rows, "time_ms LONG, value DOUBLE, tags MAP<STRING,STRING>")
+    eng._append(batch, "default", epoch_id=3)  # committed (marker written)
+
+    assert eng.delete_series({"term": {"host": "doom"}}) == 1
+    eng._append(batch, "default", epoch_id=3)  # replay after erasure
+
+    series = [r["tags"]["host"] for r in eng.get_stream_list(
+        None, "default", 0, START + 10**9).collect()]
+    assert series == ["keep"]  # doom NOT resurrected in metadata
+    flat = eng.read(None, "default", 0, START + 10**9, grouped=False)
+    assert flat.where(F.col("tags")["host"] == "doom").count() == 0
+    lo = START // HOUR * HOUR
+    roll = eng.read_rollup(None, "default", lo, lo + HOUR, on_stale="ignore")
+    assert [r["tags"]["host"] for r in roll.collect()] == ["keep"]
