@@ -511,8 +511,12 @@ class OrestesEngine:
 
         beater = threading.Thread(target=_beat, name=f"lock-heartbeat-{space}", daemon=True)
         beater.start()
+        body_raised = False
         try:
             yield
+        except BaseException:
+            body_raised = True
+            raise
         finally:
             self._held_locks.pop(space, None)
             stop.set()
@@ -529,14 +533,23 @@ class OrestesEngine:
                 # would hand a third writer concurrent access; fence.
                 fenced = True
             if fenced:
-                raise ConcurrentWriterError(
+                msg = (
                     f"space {space!r}: writer lease expired mid-operation and the"
                     f" lock was stolen (op {op!r}) — this writer stalled past"
                     " writer_lease_ms and its writes may have raced the thief's;"
                     " run compact() to reconcile, and raise the lease beyond the"
                     " longest plausible stall"
                 )
-            if unlink_ok:
+                if body_raised:
+                    # The operation is already failing loudly; a raise
+                    # here would MASK that original error. Surface the
+                    # fence as a warning and leave the thief's lock.
+                    import warnings
+
+                    warnings.warn(msg, RuntimeWarning, stacklevel=2)
+                else:
+                    raise ConcurrentWriterError(msg)
+            elif unlink_ok:
                 path.unlink(missing_ok=True)
 
     # ---------- paths ----------
