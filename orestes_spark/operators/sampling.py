@@ -213,3 +213,24 @@ def select_within_budget(
 
     out = with_global_cumsum(docs, list(order_cols), cost_col, cumsum_col=cumsum_col)
     return out.where(F.col(cumsum_col) <= budget)
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, order_cols: list[Column], n: int
+) -> DataFrame:
+    """Per-group row cap — the web-pipeline "domain cap": no single
+    source/domain may contribute more than ``n`` documents, keeping
+    the corpus from being swamped by one crawler-friendly site.
+    ``order_cols`` decides WHICH n survive (quality-first ordering
+    keeps the best copies, the C4-family policy). One row_number
+    window per group: a single shuffle on the group key; the sort is
+    per-group and streams, so a mega-domain costs its own sort, never
+    a global one."""
+    if n < 1:
+        raise ValueError(f"cap must be >= 1: {n}")
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n)
+        .drop("_rk")
+    )

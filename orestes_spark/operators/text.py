@@ -324,3 +324,61 @@ def rag_chunks(
         F.col("_c.n_tokens").cast("int").alias("n_tokens"),
         F.col("_c.chunk_md5").alias("chunk_md5"),
     )
+
+
+def bigram_rarity(
+    docs: DataFrame, id_col: str, text_col: str, rare_max: int = 2
+) -> DataFrame:
+    """Corpus-trained bigram-rarity quality score — the shape of a
+    CCNet/KenLM perplexity filter without an external model: train
+    bigram statistics on the corpus itself, then score each document
+    by the fraction of its bigrams that are RARE corpus-wide (count ≤
+    ``rare_max``). Gibberish, boilerplate mashups, and OCR noise are
+    dominated by bigrams the corpus has never otherwise seen;
+    fluent prose re-uses common transitions. Output: (id, n_bigrams,
+    rare_ratio ∈ [0,1], NULL for docs with <2 alpha tokens).
+
+    Deliberately integer-exact (counts + ONE terminal rounded
+    division) rather than a log-prob sum: summing floating-point logs
+    is association-order-dependent, which would make the score differ
+    between engines/run plans — this score is bit-stable anywhere.
+
+    Scale shape: tokenize map-side; one (w1,w2) count shuffle whose
+    cardinality is the corpus bigram VOCABULARY (not volume); one
+    shuffle join of doc-bigrams against those counts; one per-doc
+    aggregation. No driver state, no broadcast of unbounded maps."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
+    )
+    t = ensure_min_parallelism(docs).select(F.col(id_col), toks.alias("_toks"))
+    n = F.size(F.col("_toks"))
+    pairs = F.arrays_zip(
+        F.slice(F.col("_toks"), 1, n - 1).alias("w1"),
+        F.slice(F.col("_toks"), 2, n - 1).alias("w2"),
+    )
+    bg = (
+        t.where(n >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("_bg"))
+        .select(F.col(id_col), F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    )
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_bc"))
+    scored = (
+        bg.join(counts, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("_bc") <= rare_max).cast("long")).alias("_rare"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(F.col("_rare") / F.col("n_bigrams"), 6).alias("rare_ratio"),
+        )
+    )
+    # docs with <2 tokens: present with NULLs (a filter would silently
+    # drop them from a quality report)
+    return (
+        t.select(id_col)
+        .join(scored, id_col, "left")
+        .select(id_col, "n_bigrams", "rare_ratio")
+    )

@@ -1299,6 +1299,54 @@ def doc_quality(spark, sf_dir):
 
 
 @register(
+    "doc_rare_bigrams",
+    r"""WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+          FROM t, unnest(range(1, len(toks))) AS r(i)
+        ),
+        counts AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+        scored AS (
+          SELECT doc_id, count(*) AS n_bigrams,
+                 round(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) / count(*), 6) AS rare_ratio
+          FROM bg JOIN counts USING (w1, w2) GROUP BY 1
+        )
+        SELECT t.doc_id, s.n_bigrams, s.rare_ratio
+        FROM t LEFT JOIN scored s USING (doc_id)""",
+)
+def doc_rare_bigrams(spark, sf_dir):
+    """Corpus-trained bigram-rarity quality score (text.bigram_rarity):
+    the CCNet/KenLM-filter shape without an external model — fraction
+    of each doc's bigrams that are rare corpus-wide. Integer-exact by
+    construction (counts + one terminal rounded division), so the
+    score is bit-stable across engines — no float log-prob sums."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.bigram_rarity(d, "doc_id", "text")
+
+
+@register(
+    "doc_source_cap",
+    """SELECT doc_id, source, n_chars FROM documents
+       QUALIFY row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 15""",
+)
+def doc_source_cap(spark, sf_dir):
+    """Per-source document cap (sampling.cap_per_group): the web-corpus
+    'domain cap' — no source contributes more than 15 docs, and the
+    longest copies survive (quality-first ordering, C4-family
+    policy)."""
+    from orestes_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.cap_per_group(
+        d, "source", [F.col("n_chars").desc(), F.col("doc_id")], 15
+    ).select("doc_id", "source", "n_chars")
+
+
+@register(
     "doc_quality_adaptive",
     r"""WITH scored AS (
           SELECT doc_id, source,

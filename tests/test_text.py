@@ -147,3 +147,45 @@ def test_rag_chunks_offsets_overlap_and_dedup_hash(spark):
     h1 = [h for (d, _, _, _, h) in out if d == 1]
     h2 = [h for (d, _, _, _, h) in out if d == 2]
     assert h1 == h2 and len(set(h1)) == 4
+
+
+def test_bigram_rarity_model(spark):
+    """bigram_rarity vs a hand-computed corpus: doc A re-uses the
+    common 'the cat' transition, doc B is all singleton bigrams, a
+    one-token doc scores NULL."""
+    from orestes_spark.operators.text import bigram_rarity
+
+    rows = [
+        (1, "the cat sat the cat ran the cat"),  # 'the cat' x3 (common)
+        (2, "zq qz unique gibberish xray"),      # 4 singleton bigrams
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: (r["n_bigrams"], r["rare_ratio"])
+           for r in bigram_rarity(df, "doc_id", "text", rare_max=2).collect()}
+    # doc 1 bigrams: (the,cat)x3 (cat,sat)(sat,the)(cat,ran)(ran,the) = 7
+    # rare (count<=2): all but the 3 'the cat' -> 4/7
+    assert got[1] == (7, round(4 / 7, 6))
+    assert got[2] == (4, 1.0)
+    assert got[3] == (None, None)
+
+
+def test_cap_per_group(spark):
+    """cap_per_group keeps exactly n best-ordered rows per group."""
+    from pyspark.sql import functions as F
+
+    from orestes_spark.operators.sampling import cap_per_group
+
+    rows = [(f"d{g}{i}", f"g{g}", i * 10) for g in range(3) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id STRING, source STRING, n_chars LONG")
+    got = cap_per_group(df, "source", [F.col("n_chars").desc(), F.col("doc_id")], 2)
+    rows_out = got.collect()
+    assert len(rows_out) == 6  # 3 groups x cap 2
+    per = {}
+    for r in rows_out:
+        per.setdefault(r["source"], []).append(r["n_chars"])
+    assert all(sorted(v, reverse=True) == [40, 30] for v in per.values())
+    import pytest
+
+    with pytest.raises(ValueError, match=">= 1"):
+        cap_per_group(df, "source", [F.col("n_chars")], 0)
