@@ -1816,3 +1816,29 @@ def test_mutation_state_machine_random_walk(spark, tmp_path):
             # marker behavior: markers survive remove(), so committed
             # replays stay no-ops. Keep payloads.
         check(step)
+
+
+def test_fence_does_not_mask_operation_error(tmp_path):
+    """When the guarded operation is already raising AND the lease was
+    stolen mid-operation, release must propagate the ORIGINAL error
+    (with a RuntimeWarning for the fence) — a fence raise replacing it
+    would hide the real failure; the thief's lock stays untouched."""
+    import json
+    import warnings
+
+    import pytest
+    from orestes_spark.engine import OrestesEngine
+
+    eng = OrestesEngine(None, str(tmp_path / "wh_fencemask"))
+    lock = eng._lock_path("default")
+
+    with pytest.raises(RuntimeError, match="operation exploded"):
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            with eng._writer_lock("default", "doomed-op"):
+                lock.write_text(json.dumps({"pid": 1, "host": "thief",
+                                            "token": "not-ours", "op": "steal",
+                                            "ts_ms": 0}))
+                raise RuntimeError("operation exploded")
+    assert any("lease expired" in str(w.message) for w in caught)
+    assert json.loads(lock.read_text())["token"] == "not-ours"  # untouched
