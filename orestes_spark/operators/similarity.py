@@ -510,33 +510,225 @@ def assign_clusters(
     ).select(F.col("_id").alias(id_col), "cluster")
 
 
-def _exclude_hot_clusters(
-    v: DataFrame, assigned: DataFrame, max_cluster: int | None, caller: str
-) -> DataFrame:
-    """Shared degenerate-skew guard for both SemDeDup paths: members of
-    clusters over ``max_cluster`` are removed from the pairwise stage
-    BEFORE the self-join/GEMM (so |cluster|² never materializes) and
-    the drop is logged; their rows stay kept=True downstream. Column
-    order of ``v`` is preserved."""
+# last-run refinement outcome per caller, for scale benches (see
+# _refine_hot_clusters docstring)
+REFINE_STATS: dict[str, dict] = {}
+
+
+def _refine_hot_clusters(
+    v: DataFrame,
+    assigned: DataFrame,
+    max_cluster: int | None,
+    threshold: float,
+    as_long: bool,
+    caller: str,
+    max_depth: int = 3,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Shared degenerate-skew guard for both SemDeDup paths (round 7):
+    clusters over ``max_cluster`` are no longer exempted from dedup —
+    they are recursively RE-QUANTIZED until every pairwise cell is
+    under the cap, so the |cell|² stage never materializes a hot
+    cluster and the corpus head (where dedup matters most on a Zipf
+    corpus) still gets deduped. Returns ``(v_refined, direct_drops)``
+    where ``v_refined`` has the same columns/order as ``v`` with the
+    ``cluster`` values rewritten to sub-cell ids for split clusters,
+    and ``direct_drops`` is a single-column ``_id`` frame of members
+    dropped outright (None when nothing was hot). Two mechanisms:
+
+    1. Exact-duplicate collapse (hot clusters only): a member whose
+       (quantized) vector is bit-identical to a lower-id member of the
+       same cluster is dropped DIRECTLY — the pairwise stage would
+       conclude the same (cosine rounds to exactly 1.0 ≥ any τ ≤ 1;
+       zero-vector pairs score NaN, which Spark orders above any
+       number, so NaN ≥ τ also drops). Semantics-preserving: a
+       duplicate's cosine to every third vector equals its
+       representative's and the representative has the lower id, so
+       every pair the duplicate would have dropped is still dropped by
+       the representative. This is also the only split that works on
+       the truly degenerate head (identical vectors cannot be
+       separated by ANY quantizer). Skipped when τ > 1 (no real pair
+       can fire there; keeps parity with the pairwise stage).
+    2. Nearest-seed sub-quantization: each still-over-cap cell picks
+       ~2·|cell|/max_cluster deterministic seeds (hash-sampled members
+       plus the min-id member so the seed set is never empty) and every
+       member moves to the sub-cell of its highest-cosine seed (tie →
+       smaller seed id) — one k-means++-style assignment pass with the
+       seed table broadcast. Repeat up to ``max_depth`` levels; a near
+       -dup pair is geometrically close, so it lands in the same
+       Voronoi sub-cell and is still compared. Cells that STILL
+       overflow after ``max_depth`` fall back to the round-6 behavior:
+       excluded from the pairwise stage, members stay kept=True, loud
+       log.
+
+    Common path (no hot clusters — every driver-checked config):
+    returns ``v`` unchanged, byte-identical plan to round 6.
+
+    Side channel: ``REFINE_STATS[caller]`` records the last run's
+    refinement outcome (hot members seen, direct drops, members still
+    excluded) so scale benches can report coverage without parsing
+    logs."""
     if max_cluster is None:
-        return v
+        return v, None
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_cn"))
     hot = sizes.where(F.col("_cn") > max_cluster)
     hot_rows = hot.orderBy(F.col("_cn").desc()).limit(5).collect()
+    REFINE_STATS.pop(caller, None)
     if not hot_rows:
-        return v
+        return v, None
+    stats = REFINE_STATS[caller] = {
+        "hot_members": hot.agg(F.sum("_cn")).collect()[0][0],
+        "direct_drops": 0,
+        "excluded_cells": 0,
+        "excluded_members": 0,
+    }
     import logging
 
-    logging.getLogger(__name__).warning(
-        "%s: %d cluster(s) over max_cluster=%d excluded from pairwise stage "
-        "(largest: %s); use a finer quantizer",
+    log = logging.getLogger(__name__)
+    log.info(
+        "%s: cluster(s) over max_cluster=%d (largest: %s) — re-quantizing",
         caller,
-        len(hot_rows),
         max_cluster,
         [(r["cluster"], r["_cn"]) for r in hot_rows],
     )
+    import math
+
+    import numpy as np
+
     cols = v.columns
-    return v.join(F.broadcast(hot.select("cluster")), "cluster", "left_anti").select(*cols)
+    spark = v.sparkSession
+    work = v.withColumn("cluster", F.col("cluster").cast("string"))
+    # Split hot/cold ONCE: the under-cap bulk of the corpus never
+    # enters the loop and is never re-materialized — at 100 TB,
+    # checkpointing the whole corpus per split level would dominate
+    # the operator. Only the (shrinking) hot part is pinned.
+    hot_cells = hot.select(F.col("cluster").cast("string").alias("cluster"))
+    settled = work.join(F.broadcast(hot_cells), "cluster", "left_anti").select(*cols)
+    hot_work = work.join(F.broadcast(hot_cells), "cluster").select(*cols).localCheckpoint()
+
+    # -- 1. exact-duplicate collapse inside hot clusters ----------------
+    direct: DataFrame | None = None
+    if threshold <= 1.0:
+        wdup = Window.partitionBy("cluster", "vec")
+        marked = hot_work.withColumn("_dup_min", F.min("_id").over(wdup))
+        direct = (
+            marked.where(F.col("_id") != F.col("_dup_min")).select("_id").localCheckpoint()
+        )
+        hot_work = (
+            marked.where(F.col("_id") == F.col("_dup_min"))
+            .drop("_dup_min")
+            .select(*cols)
+            .localCheckpoint()
+        )
+        n_direct = direct.count()
+        stats["direct_drops"] = n_direct
+        if n_direct:
+            log.info(
+                "%s: %d exact-duplicate member(s) of hot clusters dropped directly",
+                caller,
+                n_direct,
+            )
+        else:
+            direct = None
+
+    # -- 2. recursive nearest-seed sub-quantization ---------------------
+    # Each level: hash-sample ~2·|cell|/max_cluster member seeds per
+    # over-cap cell (plus the min-id anchor so the seed set is never
+    # empty), broadcast them, and move every member to its
+    # highest-cosine seed via ONE numpy GEMM per Arrow batch
+    # (mapInPandas) — the same production-kernel shape as
+    # cosine_topk_arrow; an expression-tree dot here was the dominant
+    # cost of the whole operator at 800k vectors. Ties break to the
+    # smaller seed id (seed columns are id-sorted, argmax takes the
+    # first maximum); a zero-norm seed scores NaN→-inf, ranked last.
+    target = max(1, max_cluster // 2)
+    for depth in range(max_depth):
+        cell_sizes = hot_work.groupBy("cluster").agg(F.count(F.lit(1)).alias("_cn"))
+        over_rows_all = cell_sizes.where(F.col("_cn") > max_cluster).collect()
+        if not over_rows_all:
+            return settled.unionByName(hot_work), direct
+        over_cells = spark.createDataFrame(
+            [(r["cluster"],) for r in over_rows_all], "cluster string"
+        )
+        over_part = hot_work.join(F.broadcast(over_cells), "cluster")
+        under_part = hot_work.join(F.broadcast(over_cells), "cluster", "left_anti")
+        settled = settled.unionByName(under_part.select(*cols))
+        stride_df = spark.createDataFrame(
+            [
+                (r["cluster"], max(1, int(r["_cn"] // math.ceil(r["_cn"] / target))))
+                for r in over_rows_all
+            ],
+            "cluster string, _stride long",
+        )
+        sampled = (
+            over_part.join(F.broadcast(stride_df), "cluster")
+            .where(F.pmod(F.xxhash64("_id"), F.col("_stride")) == 0)
+            .select("cluster", "_id", "vec")
+        )
+        anchors = (
+            over_part.groupBy("cluster")
+            .agg(F.min(F.struct("_id", "vec")).alias("_m"))
+            .select("cluster", F.col("_m._id").alias("_id"), F.col("_m.vec").alias("vec"))
+        )
+        seed_rows = sampled.unionByName(anchors).dropDuplicates(["cluster", "_id"]).collect()
+        seed_map: dict[str, tuple] = {}
+        by_cell: dict[str, list] = {}
+        for r in seed_rows:
+            by_cell.setdefault(r["cluster"], []).append((r["_id"], r["vec"]))
+        for cell, entries in by_cell.items():
+            entries.sort()  # seed-id ascending → argmax ties pick smallest id
+            sids = np.array([sid for sid, _vec in entries], dtype=np.int64)
+            s_mat = np.array([vec for _sid, vec in entries], dtype=np.float64).T  # d×k
+            norms = np.sqrt((s_mat * s_mat).sum(axis=0))
+            seed_map[cell] = (sids, s_mat, norms)
+        bc_seeds = spark.sparkContext.broadcast(seed_map)
+
+        def assign(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                ids_out, subs_out = [], []
+                for cell, grp in pdf.groupby("cluster"):
+                    sids, s_mat, norms = bc_seeds.value[cell]
+                    x = np.stack(grp["vec"].to_numpy()).astype(np.float64)
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        scores = (x @ s_mat) / norms[None, :]
+                    # zero-norm seed ⇒ dot 0 / norm 0 = NaN ⇒ never chosen
+                    scores = np.where(np.isnan(scores), -np.inf, scores)
+                    ids_out.append(grp["_id"].to_numpy(dtype=np.int64))
+                    subs_out.append(sids[np.argmax(scores, axis=1)])
+                if ids_out:
+                    yield pd.DataFrame(
+                        {"_id": np.concatenate(ids_out), "_sub": np.concatenate(subs_out)}
+                    )
+
+        best = over_part.select("cluster", "_id", "vec").mapInPandas(
+            assign, "_id long, _sub long"
+        )
+        hot_work = (
+            over_part.join(best, "_id")
+            .withColumn("cluster", F.concat_ws("/", "cluster", "_sub"))
+            .select(*cols)
+            .localCheckpoint()
+        )
+
+    # -- 3. depth exhausted: exclude what still overflows (round-6 path)
+    cell_sizes = hot_work.groupBy("cluster").agg(F.count(F.lit(1)).alias("_cn"))
+    over = cell_sizes.where(F.col("_cn") > max_cluster)
+    over_rows = over.orderBy(F.col("_cn").desc()).limit(5).collect()
+    if over_rows:
+        agg = over.agg(F.count(F.lit(1)), F.sum("_cn")).collect()[0]
+        stats["excluded_cells"], stats["excluded_members"] = agg[0], agg[1]
+        log.warning(
+            "%s: %d cell(s) still over max_cluster=%d after %d split level(s) — "
+            "excluded from pairwise stage (largest: %s); members stay kept=True",
+            caller,
+            len(over_rows),
+            max_cluster,
+            max_depth,
+            [(r["cluster"], r["_cn"]) for r in over_rows],
+        )
+        hot_work = hot_work.join(F.broadcast(over.select("cluster")), "cluster", "left_anti")
+    return settled.unionByName(hot_work.select(*cols)), direct
 
 
 def semantic_dedup(
@@ -561,14 +753,14 @@ def semantic_dedup(
     a bucketed self-equi-join (AQE-skew-splittable), never a cross
     join; the verify runs on candidate pairs only.
 
-    ``max_cluster`` is the degenerate-skew guard (same pattern as
-    ``dedup.simhash_near_pairs``): clusters over the cap are excluded
-    from the pairwise stage BEFORE the self-join (so |cluster|² never
-    materializes) and logged; their members stay kept=True. A cap hit
-    means the coarse quantizer is too coarse for the shard — the fix
-    is more centroids, not a bigger join. None disables (the
-    oracle-exact configuration; the default never triggers below
-    100k-vector clusters)."""
+    ``max_cluster`` is the degenerate-skew guard (round 7: clusters
+    over the cap are recursively re-quantized — exact-dup collapse +
+    nearest-seed splits — so the head of a Zipf corpus still gets
+    deduped and |cell|² never materializes over the cap; only cells
+    that overflow even after bounded splitting are excluded, loudly,
+    with members kept=True — see ``_refine_hot_clusters``). None
+    disables (the oracle-exact configuration; the default never
+    triggers below 100k-vector clusters)."""
     as_long = quantize is not None
     # assignment feeds three consumers (size probe, pair join, final
     # output); un-materialized each would recompute the centroid
@@ -579,7 +771,9 @@ def semantic_dedup(
         "vec",
         as_long,
     ).join(assigned.withColumnRenamed(id_col, "_id"), "_id")
-    v = _exclude_hot_clusters(v, assigned, max_cluster, "semantic_dedup")
+    v, direct = _refine_hot_clusters(
+        v, assigned, max_cluster, threshold, as_long, "semantic_dedup"
+    )
     a = v.toDF("id_a", "vec_a", "n2_a", "cluster")
     b = v.toDF("id_b", "vec_b", "n2_b", "cluster")
     dropped = (
@@ -596,6 +790,8 @@ def semantic_dedup(
         .select(F.col("id_b").alias("_id"))
         .distinct()
     )
+    if direct is not None:
+        dropped = dropped.unionByName(direct).distinct()
     return (
         assigned.withColumnRenamed(id_col, "_id")
         .join(dropped.withColumn("_drop", F.lit(True)), "_id", "left")
@@ -633,16 +829,19 @@ def semantic_dedup_arrow(
 
     Scale shape: one shuffle on the cluster key brings each cluster to
     one executor as Arrow batches; memory is |cluster|·d·8B plus the
-    |cluster|² score block — bounded by ``max_cluster`` (oversized
-    clusters skip the pair stage entirely, kept=True, logged — use
-    more centroids)."""
+    |cluster|² score block — bounded by ``max_cluster`` (round 7:
+    oversized clusters are re-quantized into sub-cap cells — see
+    ``_refine_hot_clusters`` — so the head still dedupes; only
+    unsplittable cells skip the pair stage, kept=True, logged)."""
     import numpy as np
 
     assigned = assign_clusters(vectors, id_col, vec_col, label_col, quantize).localCheckpoint()
     v = vectors.select(
         F.col(id_col).alias("_id"), quantized(F.col(vec_col), quantize).alias("vec")
     ).join(assigned.withColumnRenamed(id_col, "_id"), "_id")
-    v = _exclude_hot_clusters(v, assigned, max_cluster, "semantic_dedup_arrow")
+    v, direct = _refine_hot_clusters(
+        v, assigned, max_cluster, threshold, quantize is not None, "semantic_dedup_arrow"
+    )
 
     def find_dropped(pdf):
         import pandas as pd
@@ -669,6 +868,8 @@ def semantic_dedup_arrow(
         return pd.DataFrame({"_id": dropped})
 
     dropped = v.groupBy("cluster").applyInPandas(find_dropped, "_id long")
+    if direct is not None:
+        dropped = dropped.unionByName(direct).distinct()
     return (
         assigned.withColumnRenamed(id_col, "_id")
         .join(dropped.withColumn("_drop", F.lit(True)), "_id", "left")

@@ -220,16 +220,63 @@ def test_knn_classify_recovers_cluster_labels(labeled_vecs):
         assert 3 <= out[qid]["votes"] <= 5
 
 
-def test_semantic_dedup_cluster_cap_excludes_pairwise_stage(labeled_vecs):
+def test_semantic_dedup_cluster_cap_splits_instead_of_exempting(labeled_vecs):
+    """Round 7: clusters over the cap are re-quantized (nearest-seed
+    sub-cells), NOT exempted — the planted near-dup pair is
+    geometrically close, lands in the same sub-cell, and is still
+    deduped even when every cluster is over the cap."""
     df, _ = labeled_vecs
-    # every cluster over the cap → pairwise stage empty → all kept
-    capped = similarity.semantic_dedup(df, threshold=0.99, max_cluster=5).collect()
-    assert len(capped) == 60 and all(r["kept"] for r in capped)
+    capped = {r["vec_id"]: r for r in
+              similarity.semantic_dedup(df, threshold=0.99, max_cluster=5).collect()}
+    assert len(capped) == 60
+    assert capped[4]["kept"] is True and capped[10]["kept"] is False
+    # the OUTPUT still reports the original coarse cluster ids
+    assert {r["cluster"] for r in capped.values()} == {0, 1, 2}
     # cap far above cluster sizes → identical to uncapped
     hi = {r["vec_id"]: r["kept"] for r in similarity.semantic_dedup(df, threshold=0.99).collect()}
     off = {r["vec_id"]: r["kept"] for r in
            similarity.semantic_dedup(df, threshold=0.99, max_cluster=None).collect()}
     assert hi == off and hi[10] is False
+
+
+def test_semantic_dedup_arrow_equals_expression_under_split(labeled_vecs):
+    df, _ = labeled_vecs
+    expr = {r["vec_id"]: (r["cluster"], r["kept"]) for r in
+            similarity.semantic_dedup(df, threshold=0.99, max_cluster=5).collect()}
+    arrow = {r["vec_id"]: (r["cluster"], r["kept"]) for r in
+             similarity.semantic_dedup_arrow(
+                 df, threshold=0.99, quantize=None, max_cluster=5).collect()}
+    assert expr == arrow
+
+
+def test_semantic_dedup_hot_cluster_exact_dups_collapse(spark):
+    """The degenerate head no quantizer can split — bit-identical
+    vectors — is collapsed directly: every duplicate of a lower-id
+    member is dropped without entering the pairwise stage (round 6
+    exempted all of them as kept=True)."""
+    rows = [(i, [1.0, 2.0, 3.0, 4.0], 0) for i in range(20)] + [
+        (100 + i, [float(-1 - i), 5.0, 1.0, 0.0], 1) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label LONG")
+    for fn, kw in (
+        (similarity.semantic_dedup, {}),
+        (similarity.semantic_dedup_arrow, {"quantize": None}),
+    ):
+        out = {r["vec_id"]: r["kept"] for r in
+               fn(df, threshold=0.99, max_cluster=5, **kw).collect()}
+        assert len(out) == 23
+        assert sorted(i for i, k in out.items() if k) == [0, 100, 101, 102], out
+
+
+def test_semantic_dedup_unsplittable_cell_falls_back_to_exempt(spark):
+    """Distinct-but-parallel vectors tie on cosine to every seed, so no
+    split makes progress; after bounded depth the cell is excluded
+    loudly and its members stay kept=True (the honest round-6
+    fallback, now reserved for genuinely unsplittable cells)."""
+    rows = [(i, [float(i + 1), float(2 * (i + 1))], 0) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label LONG")
+    out = similarity.semantic_dedup(df, threshold=0.99, max_cluster=5).collect()
+    assert len(out) == 12 and all(r["kept"] for r in out)
 
 
 def test_semantic_dedup_arrow_equals_expression_path(labeled_vecs, spark):

@@ -10,9 +10,11 @@ corpus, the worst case for anything whose cost is Σ|cell|². Sizes
     the cap must survive
   - ivf_topk nprobe=1 and nprobe=2 wall time, and recall@10 against
     the exact brute-force oracle (cosine_topk_arrow)
-  - semantic_dedup_arrow with max_cluster=30k: wall time + how many
-    clusters/members the hot-cluster cap excluded (the guard that
-    keeps the pairwise stage off the Zipf head)
+  - semantic_dedup_arrow with max_cluster=10k: wall time + refinement
+    outcome (round 7: over-cap clusters are re-quantized — exact-dup
+    collapse + nearest-seed splits — so the Zipf head is DEDUPED, not
+    exempted; the report shows hot members seen vs members still
+    excluded after bounded splitting)
 
 Run: python tools/ann_scale_bench.py [sizes...]
 One summary line per size; numbers go to SCALING.md.
@@ -107,6 +109,7 @@ def main() -> None:
             .count()
         )
         t_sem = time.perf_counter() - t0
+        st = similarity.REFINE_STATS.get("semantic_dedup_arrow", {})
 
         print(
             f"n={n} cells: p50={p50} p99={p99} max={sizes_rows[-1]} "
@@ -115,7 +118,11 @@ def main() -> None:
             f"ivf nprobe=1: {t_ivf[1]:.1f}s recall={rec[1]:.2f}; "
             f"nprobe=2: {t_ivf[2]:.1f}s recall={rec[2]:.2f} | "
             f"semdedup cap={MAX_CLUSTER}: {t_sem:.1f}s kept={n_kept} "
-            f"hot_clusters_excluded={len(hot)} ({sum(hot)} members)"
+            f"hot_clusters={len(hot)} ({sum(hot)} members) "
+            f"refine: hot_members={st.get('hot_members', 0)} "
+            f"direct_drops={st.get('direct_drops', 0)} "
+            f"still_excluded={st.get('excluded_members', 0)} "
+            f"({(st.get('excluded_members') or 0) / n:.1%} of corpus)"
         )
 
 
