@@ -41,6 +41,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
 HEADLINE = [
+    "artifact:neardup_pair_graph",
     "os_read_grouped",
     "os_count_points",
     "tpch_q1",
@@ -102,11 +103,25 @@ def main() -> None:
         except Exception:
             return -1
 
+    # Shared-artifact accounting (round 7): the near-dup pair graph,
+    # its connected components, and the persisted LSH band index are
+    # process-cached intermediates consumed by several queries (the
+    # production materialized-table shape). Round 6 built them in the
+    # UNTIMED warmup pass, so their consumers reported only the
+    # checkpoint-read cost and suite totals silently lost ~7-9 s of
+    # real work. Each measured pass now invalidates and rebuilds them
+    # as explicit "artifact:*" timed lines, charged into the total;
+    # ARTIFACT_CONSUMERS in bench_queries.json names which query lines
+    # read the warm checkpoint.
+    from orestes_spark.queries import ARTIFACT_CONSUMERS, build_shared_artifacts
+
     passes: list[dict[str, float]] = []
     steals: list[int] = []
     for _pass in range(2):
         meas: dict[str, float] = {}
         s0 = steal_ticks()
+        for aname, secs in build_shared_artifacts(spark, sf_dir).items():
+            meas[f"artifact:{aname}"] = secs
         for i, (name, fn) in enumerate(QUERIES.items()):
             if i % 10 == 0:
                 gc.collect()
@@ -182,6 +197,7 @@ def main() -> None:
                 "cold_pass": cold,
                 "warmup_s": warmup_s,
                 "write_passes": write_passes,
+                "artifact_consumers": ARTIFACT_CONSUMERS,
             },
             indent=1,
         )

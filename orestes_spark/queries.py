@@ -1437,6 +1437,7 @@ from orestes_spark.operators import dedup, similarity, text  # noqa: E402
 # every downstream consumer.
 _NEARDUP_PAIRS: dict[str, "DataFrame"] = {}
 _NEARDUP_COMPONENTS: dict[str, "DataFrame"] = {}
+_BAND_INDEXES: dict[str, str] = {}
 
 
 def _neardup_pairs_for(spark, sf_dir):
@@ -1458,13 +1459,75 @@ def _components_for(spark, sf_dir):
     return c
 
 
+def _band_index_for(spark, sf_dir) -> str:
+    """Build (once per process per sf_dir) and return the parquet path
+    of the corpus LSH band index used by doc_incremental_neardup."""
+    import tempfile
+
+    path = _BAND_INDEXES.get(sf_dir)
+    if path is None:
+        d = load_table(spark, sf_dir, "documents")
+        corpus = d.where(F.col("doc_id") % 5 != 0)
+        path = tempfile.mkdtemp(prefix="orestes_lsh_idx_") + "/bands"
+        dedup.minhash_band_index(corpus, "doc_id", "text").write.parquet(path)
+        _BAND_INDEXES[sf_dir] = path
+    return path
+
+
+def build_shared_artifacts(spark, sf_dir, invalidate: bool = True) -> dict[str, float]:
+    """Timed rebuild of the process-cached shared intermediates (the
+    near-dup pair graph, its connected components, the persisted LSH
+    band index). The bench charges these as explicit ``artifact:*``
+    lines so queries that consume a warm checkpoint don't silently
+    report only the read cost (round-6 verdict: ~7-9 s of real work
+    had moved into the untimed warmup pass). Returns name → seconds.
+
+    ``invalidate`` drops the process caches first so the build really
+    runs; consumers after this call read the fresh checkpoint — the
+    production shape, where the dedup stage's output table is built
+    once and joined by every downstream consumer."""
+    import os
+    import shutil
+    import time as _time
+
+    if invalidate:
+        _NEARDUP_PAIRS.pop(sf_dir, None)
+        _NEARDUP_COMPONENTS.pop(sf_dir, None)
+        old = _BAND_INDEXES.pop(sf_dir, None)
+        if old:
+            shutil.rmtree(os.path.dirname(old), ignore_errors=True)
+    out: dict[str, float] = {}
+    t0 = _time.perf_counter()
+    _neardup_pairs_for(spark, sf_dir)
+    out["neardup_pair_graph"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    _components_for(spark, sf_dir)
+    out["neardup_components"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    _band_index_for(spark, sf_dir)
+    out["lsh_band_index"] = round(_time.perf_counter() - t0, 3)
+    return out
+
+
+# queries whose measured latency reads a checkpoint built by
+# build_shared_artifacts (recorded in bench_queries.json so suite
+# totals stay interpretable round over round)
+ARTIFACT_CONSUMERS = {
+    "neardup_pair_graph": [
+        "doc_minhash_neardup",
+        "doc_dedup_clusters",
+        "doc_dedup_keep_best",
+        "doc_dedup_keep_list",
+    ],
+    "neardup_components": ["doc_dedup_clusters", "doc_dedup_keep_best"],
+    "lsh_band_index": ["doc_incremental_neardup"],
+}
+
+
 @register("doc_minhash_neardup", oracles.minhash_neardup_sql())
 def doc_minhash_neardup(spark, sf_dir):
     """MinHash → LSH bands → exact-Jaccard verify (threshold 0.5)."""
     return _neardup_pairs_for(spark, sf_dir)
-
-
-_BAND_INDEXES: dict[str, str] = {}
 
 
 @register("doc_incremental_neardup", oracles.incremental_neardup_sql())
@@ -1477,16 +1540,9 @@ def doc_incremental_neardup(spark, sf_dir):
     shingled for the exact-Jaccard verify. This is the per-ingest
     dedup shape at 100 TB: batch-sized work against a corpus-sized
     index, not corpus-sized work per batch."""
-    import tempfile
-
     d = load_table(spark, sf_dir, "documents")
     corpus = d.where(F.col("doc_id") % 5 != 0)
-    path = _BAND_INDEXES.get(sf_dir)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="orestes_lsh_idx_") + "/bands"
-        dedup.minhash_band_index(corpus, "doc_id", "text").write.parquet(path)
-        _BAND_INDEXES[sf_dir] = path
-    index = spark.read.parquet(path)
+    index = spark.read.parquet(_band_index_for(spark, sf_dir))
     new = d.where(F.col("doc_id") % 5 == 0)
     return dedup.incremental_neardup(new, corpus, index, "doc_id", "text")
 
