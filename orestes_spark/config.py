@@ -151,6 +151,20 @@ class EngineConfig:
     # loud rather than silent.
     writer_lease_ms: int = 600_000
 
+    def __post_init__(self) -> None:
+        # parse_duration_ms accepts 0 (a valid *duration*), but a zero
+        # lease is never a valid *config*: every foreign-host lock
+        # would read as instantly expired (live remote writers get
+        # stolen) and the heartbeat loop would spin at its 50 ms floor
+        # — exactly the failure mode the negative-duration rejection
+        # exists to prevent. Same for a zero scroll TTL (pages would
+        # expire between fetches). Loud at construction, not at the
+        # first stolen lock.
+        if self.writer_lease_ms <= 0:
+            raise ValueError("writer_lease_ms must be > 0")
+        if self.scroll_ttl_ms <= 0:
+            raise ValueError("scroll_ttl_ms must be > 0")
+
     def space(self, name: str) -> SpaceConfig:
         return self.spaces.get(name, self.default_space_config)
 

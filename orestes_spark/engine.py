@@ -109,6 +109,67 @@ def _cap_points_per_series(pts: DataFrame, cap: int) -> DataFrame:
     )
 
 
+# Uncapped grouped-read scale warning (round-7 verdict task): estimated
+# average points per series in the requested range above which read()
+# names the escape paths BEFORE the job runs, instead of letting the
+# user discover the ~2 GiB single-row wall (measured, SCALING.md) as a
+# mid-job executor failure. ~50M points × 16 B/struct ≈ 0.8 GiB per
+# array — warning distance from the wall. Module-level so tests and
+# operators can tune it; None disables.
+GROUPED_READ_WARN_POINTS: int | None = 50_000_000
+# Bytes-per-point floor for the stat-only gate below: sorted
+# ts/value/series parquet compresses to well above 2 B/pt in every
+# layout _append writes, so a range whose on-disk bytes are under
+# warn_points × 2 cannot hold warn_points points for ANY series and
+# the estimate (footer reads) is skipped — the common read costs a
+# handful of os.stat calls, no footers, no Spark job.
+_GROUPED_READ_GATE_BYTES_PER_POINT = 2
+
+
+def _grouped_read_series_estimate(
+    points_root: Path, start_bucket: int, end_bucket: int, warn_points: int
+) -> int | None:
+    """Driver-side estimate of the average per-series point count a
+    grouped read over [start_bucket, end_bucket] would materialize —
+    pure metadata (os.stat gate, then parquet FOOTER row counts), no
+    Spark job, so read() can warn before launching anything. Returns
+    None when the stat gate proves the range cannot be heavy.
+
+    Estimate shape: total point rows in range ÷ the largest per-bucket
+    series count (series table footers), i.e. "as if every series
+    spans the whole range" — the usual time-series shape. Skewed
+    corpora can exceed the average silently (an exact per-series count
+    IS the Spark job the warning exists to front-run); the hard
+    backstop for those is ``max_group_points``."""
+    parts = [
+        p
+        for p in points_root.glob("bucket=*")
+        if start_bucket <= int(p.name.split("=", 1)[1]) <= end_bucket
+    ]
+    pfiles = [f for p in parts for f in p.glob("*.parquet")]
+    gate = warn_points * _GROUPED_READ_GATE_BYTES_PER_POINT
+    if sum(f.stat().st_size for f in pfiles) < gate:
+        return None
+    import pyarrow.parquet as pq
+
+    def footer_rows(files) -> int:
+        n = 0
+        for f in files:
+            try:
+                n += pq.ParquetFile(f).metadata.num_rows
+            except Exception:  # torn/in-flight file: skip, stay cheap
+                continue
+        return n
+
+    total_points = footer_rows(pfiles)
+    series_root = points_root.parent / "series"
+    max_series = 1
+    for p in series_root.glob("bucket=*") if series_root.exists() else []:
+        if start_bucket <= int(p.name.split("=", 1)[1]) <= end_bucket:
+            max_series = max(max_series, footer_rows(p.glob("*.parquet")))
+    return total_points // max_series
+
+
 def _require_posix_warehouse(warehouse: str) -> None:
     """The engine's durability protocols — single-writer lock
     (os.link create-with-content), delete_series' two-phase bucket
@@ -182,21 +243,30 @@ def _publish_compact_manifest(points_root: Path, part_name: str, tmp: Path) -> N
     _write_manifest(points_root / "_epochs" / f"epoch-{key}", files, "compact")
 
 
-def _read_manifest(marker: Path) -> tuple[list[str] | None, str]:
-    """(files, kind) from a commit marker. Formats: v2 dict
-    {"files": [...], "kind": "stream"|"compact"}, v1 bare list
-    (stream), legacy empty touch() marker (None files → the reader
-    falls back to the tagged-file glob for that epoch)."""
+def _read_manifest(marker: Path) -> tuple[list[str] | None, str, dict]:
+    """(files, kind, meta) from a commit marker. Formats: v3 dict
+    {"files": [...], "kind": "stream"|"compact"|"batch", "ns": ...,
+    "seq": ...}, v2 dict without ns/seq, v1 bare list (stream), legacy
+    empty touch() marker (None files → the reader falls back to the
+    tagged-file glob for that epoch). ``meta`` carries the stream
+    namespace + per-stream sequence (absent keys for older formats) —
+    the prune uses them instead of cross-host mtime ordering."""
     try:
         data = _json_mod.loads(marker.read_text())
     except (ValueError, OSError):
-        return None, "stream"
+        return None, "stream", {}
     if isinstance(data, dict):
-        return list(data.get("files", [])), str(data.get("kind", "stream"))
-    return list(data), "stream"
+        return list(data.get("files", [])), str(data.get("kind", "stream")), data
+    return list(data), "stream", {}
 
 
-def _write_manifest(marker: Path, files: list[str], kind: str) -> None:
+def _write_manifest(
+    marker: Path,
+    files: list[str],
+    kind: str,
+    ns: str | None = None,
+    seq: int | None = None,
+) -> None:
     """Atomically AND durably publish a commit manifest: write temp,
     fsync the data, os.replace, fsync the directory. Without the
     fsyncs a power loss can journal a later rename while the manifest
@@ -209,8 +279,13 @@ def _write_manifest(marker: Path, files: list[str], kind: str) -> None:
 
     marker.parent.mkdir(parents=True, exist_ok=True)
     tmpm = marker.parent / f".tmp-{marker.name}"
+    payload: dict = {"files": files, "kind": kind}
+    if ns is not None:
+        payload["ns"] = ns
+    if seq is not None:
+        payload["seq"] = int(seq)
     with open(tmpm, "w") as f:
-        f.write(_json_mod.dumps({"files": files, "kind": kind}))
+        f.write(_json_mod.dumps(payload))
         f.flush()
         _os.fsync(f.fileno())
     _os.replace(tmpm, marker)
@@ -250,20 +325,21 @@ def _prune_epoch_markers(points_root: Path) -> None:
     """Bound the points-epoch marker set: a marker is deletable once
     (a) no tagged file of its epoch remains anywhere (compaction
     folded them into untagged output — the marker no longer gates any
-    visibility) AND (b) it is not the most RECENTLY COMMITTED marker
-    (the only epoch a streaming restart can ever replay, where it is
-    the idempotency key that prevents a duplicate re-append).
-    Recency is by marker MTIME, not epoch id: a fresh stream (new
-    checkpoint) restarts epoch ids at 0, so the replayable epoch can
-    carry a SMALLER id than a dead predecessor stream's markers —
-    pruning by max-id would drop exactly the marker that matters.
-    (start_ingest additionally namespaces keys by checkpoint, so ids
-    never collide; recency-by-mtime protects direct _append callers
-    too.) Only STREAM-kind markers count for the newest slot —
-    compaction's own manifests (kind=compact) are pure visibility
-    records, never replay keys, and prune as soon as their files are
-    superseded. Keeps the marker dir at O(uncompacted epochs), not
-    O(stream lifetime)."""
+    visibility) AND (b) it is not the latest STREAM marker of its
+    stream namespace (the only epoch that stream's restart can ever
+    replay, where it is the idempotency key that prevents a duplicate
+    re-append). Latest-per-namespace is judged by the MONOTONIC
+    per-stream ``seq`` recorded in the manifest payload — epoch ids
+    restart at 0 per checkpoint (max-id would protect the wrong
+    marker) and marker mtimes are written by different hosts on a
+    shared warehouse, where clock/attribute skew can rank a dead
+    generation's marker "newer" than the actually-replayable one
+    (round-7 ADVICE fix; mtime remains the fallback ONLY for legacy
+    markers that predate the ns/seq payload, grouped under one
+    namespace). kind=compact and kind=batch manifests are pure
+    visibility records, never replay keys, and prune as soon as their
+    files are superseded. Keeps the marker dir at O(uncompacted
+    epochs + live stream namespaces), not O(stream lifetime)."""
     markers = list((points_root / "_epochs").glob("epoch-*"))
     if len(markers) <= 1:
         return
@@ -279,10 +355,21 @@ def _prune_epoch_markers(points_root: Path) -> None:
         except OSError:
             return float("inf")  # unreadable: treat as newest, keep
 
-    stream_markers = [mk for mk in markers if _read_manifest(mk)[1] == "stream"]
-    newest = max(stream_markers, key=mtime) if stream_markers else None
+    by_ns: dict[str | None, list[tuple[Path, dict]]] = {}
     for mk in markers:
-        if mk != newest and int(mk.name.split("-", 1)[1]) not in live:
+        _files, kind, meta = _read_manifest(mk)
+        if kind == "stream":
+            by_ns.setdefault(meta.get("ns"), []).append((mk, meta))
+    protected: set[Path] = set()
+    for ns, group in by_ns.items():
+        if ns is None:
+            # legacy / direct-_append markers: no recorded sequence,
+            # recency-by-mtime is the only available order
+            protected.add(max((mk for mk, _m in group), key=mtime))
+        else:
+            protected.add(max(group, key=lambda t: int(t[1].get("seq", -1)))[0])
+    for mk in markers:
+        if mk not in protected and int(mk.name.split("-", 1)[1]) not in live:
             mk.unlink(missing_ok=True)
 
 
@@ -526,7 +613,16 @@ class OrestesEngine:
             try:
                 fenced = _json.loads(path.read_text()).get("token") != token
             except FileNotFoundError:
-                unlink_ok = False  # gone: nothing of ours left to release
+                # Gone while we believed we held it: the only actor
+                # that unlinks a held lock is a contender that judged
+                # the lease expired and removed it mid-steal (before
+                # re-linking its own). That is the same
+                # expired-then-stolen condition as a token mismatch —
+                # fence loudly instead of reporting success silently
+                # (round-7 ADVICE fix; there is nothing of ours left
+                # to unlink either way).
+                fenced = True
+                unlink_ok = False
             except (ValueError, OSError):
                 # Present but unreadable: a foreign-uid thief's lock
                 # (ours is always readable — we wrote it). Deleting it
@@ -825,9 +921,20 @@ class OrestesEngine:
         return max(floor, -(-size // (128 << 20)))
 
     def _append(
-        self, valid: DataFrame, space: str, epoch_id: int | None = None
+        self,
+        valid: DataFrame,
+        space: str,
+        epoch_id: int | None = None,
+        stream_ns: str | None = None,
+        stream_seq: int | None = None,
     ) -> None:
         """Commit one batch to the points / series / rollup sinks.
+
+        ``stream_ns`` / ``stream_seq`` (streaming callers only) are
+        recorded in the epoch manifest so marker pruning can protect
+        the latest replayable epoch PER STREAM by its monotonic
+        sequence instead of by cross-host mtime ordering (see
+        _prune_epoch_markers).
 
         ``epoch_id`` is the streaming-replay idempotency key: rollup
         partials land under ``bucket=*/epoch=<id>`` and a replayed
@@ -889,9 +996,52 @@ class OrestesEngine:
                 self._write_partitions(stored), F.col("bucket"), F.col("series_id")
             ).sortWithinPartitions("bucket", "series_id", "time_ms")
             if epoch_id is None:
-                laid_out.write.mode("append").partitionBy("bucket").parquet(
-                    str(points_path)
+                if not (points_path / "_epochs").exists():
+                    # batch-only space: plain append, zero manifest
+                    # overhead (Spark lists + prunes the dir itself)
+                    laid_out.write.mode("append").partitionBy("bucket").parquet(
+                        str(points_path)
+                    )
+                    return
+                # Mixed batch+stream space (round-7: closes the
+                # documented transient-vanish race): a plain append's
+                # files would be found by the readdir glob, which can
+                # transiently MISS entries while a concurrent epoch
+                # renames files into the same bucket dir. Route the
+                # batch through the same stage→publish protocol under
+                # a fresh random key and a kind=batch manifest — a
+                # pure visibility record, never a replay key (prune
+                # drops it once compaction folds the files away). The
+                # manifest is written BEFORE the renames, compact-
+                # style: its paths don't exist yet (stat-filtered →
+                # invisible) and become visible as they land — the
+                # same per-file visibility a plain batch append always
+                # had, but resolved by stat, not by racy readdir; a
+                # crash mid-rename leaves the moved prefix visible
+                # and the rest staged-invisible (plain-append crash
+                # parity), and the uncommitted-file sweep spares the
+                # moved files because their manifest is already
+                # committed.
+                key = _fresh_epoch_key()
+                tag = f"epoch{key}-"
+                staging = points_path / f".staging_epoch={key}"
+                laid_out.write.mode("overwrite").partitionBy("bucket").parquet(
+                    str(staging)
                 )
+                moved: list[str] = []
+                renames: list[tuple[Path, Path]] = []
+                for bdir in sorted(staging.glob("bucket=*")):
+                    for f in sorted(bdir.glob("*.parquet")):
+                        renames.append((f, bdir.name + "/" + tag + f.name))
+                        moved.append(f"{bdir.name}/{tag}{f.name}")
+                _write_manifest(
+                    points_path / "_epochs" / f"epoch-{key}", moved, "batch"
+                )
+                for src, rel in renames:
+                    tgt = points_path / rel
+                    tgt.parent.mkdir(parents=True, exist_ok=True)
+                    src.rename(tgt)
+                shutil.rmtree(staging)
                 return
             # Streaming epochs are EXACTLY-ONCE at the points layer
             # too (the rollup sink always was): stage the epoch under
@@ -1073,7 +1223,9 @@ class OrestesEngine:
                 # partials included, so a replay after the marker can
                 # never resurrect state (e.g. a delete_series between
                 # crash and restart) by re-running those sinks.
-                _write_manifest(epoch_marker, epoch_moved, "stream")
+                _write_manifest(
+                    epoch_marker, epoch_moved, "stream", ns=stream_ns, seq=stream_seq
+                )
 
     # ---------- raw readers ----------
 
@@ -1223,7 +1375,7 @@ class OrestesEngine:
         manifests: dict[int, list[str] | None] = {}
         for mk in (p / "_epochs").glob("epoch-*"):
             e = int(mk.name.split("-", 1)[1])
-            manifests[e], _kind = _read_manifest(mk)
+            manifests[e], _kind, _meta = _read_manifest(mk)
         tagged: list[tuple[int, str]] = []
         plain: list[str] = []
         for f in p.glob("bucket=*/*.parquet"):
@@ -1395,12 +1547,45 @@ class OrestesEngine:
         zero-overhead); the count is of scanned pre-merge points —
         the actual memory driver. For series that legitimately exceed
         any cap, use ``read_chunked`` (per-bucket arrays, task memory
-        bounded by one series-bucket) or ``grouped=False``."""
+        bounded by one series-bucket) or ``grouped=False``.
+
+        Uncapped grouped reads additionally get a FREE pre-flight
+        scale probe (metadata only — stat gate + parquet footers, no
+        Spark job): when the range's estimated per-series point count
+        exceeds ``GROUPED_READ_WARN_POINTS``, a loud warning names the
+        escape paths before the job runs instead of letting the user
+        discover the ~2 GiB single-row wall mid-job (round-7 verdict
+        task; see _grouped_read_series_estimate)."""
         if not grouped:
             return self._merged_points(es_filter, space, start_ms, end_ms)
         pts = self.matching_points(es_filter, space, start_ms, end_ms)
         if max_group_points is not None:
             pts = _cap_points_per_series(pts, int(max_group_points))
+        elif GROUPED_READ_WARN_POINTS is not None:
+            # Uncapped grouped read: metadata-only heavy-range probe
+            # (stat gate + parquet footers, no Spark job) so the scale
+            # escape paths are named BEFORE the job runs, not as a
+            # mid-job executor OOM at the measured ~2 GiB array wall.
+            g = self._granularity(space)
+            end = end_ms if end_ms is not None else int(_time.time() * 1000)
+            est = _grouped_read_series_estimate(
+                self._points_path(space),
+                (start_ms // MS_IN_DAY) // g * g,
+                ((end - 1) // MS_IN_DAY) // g * g,
+                GROUPED_READ_WARN_POINTS,
+            )
+            if est is not None and est > GROUPED_READ_WARN_POINTS:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "grouped read over space=%r estimates ~%d points per "
+                    "series in range — one collect_list array per series "
+                    "risks the ~2 GiB row wall; use read_chunked "
+                    "(per-bucket arrays), grouped=False, or "
+                    "max_group_points to bound it",
+                    space,
+                    est,
+                )
         if not self._merge_needed(space):
             return (
                 pts.groupBy("series_id")

@@ -86,6 +86,31 @@ def _fs_and_path(spark, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
 
 
+def _canonical_stream_ns(checkpoint: str) -> str:
+    """Canonical stream namespace for a checkpoint location: two
+    spellings of the same checkpoint (relative vs absolute path,
+    trailing slash, symlinked parent) must produce the same namespace,
+    or a re-launch with an equivalently-spelled checkpoint would hash
+    its replayed final epoch to a fresh key and re-append it.
+    Scheme-qualified URIs (hdfs://, s3a://, file:/...) are kept as
+    written minus trailing slashes — remote paths have no local
+    realpath; bare paths resolve to ``file:<realpath>``.
+
+    Upgrade caveat (documented, one-epoch window): warehouses whose
+    markers predate this normalization (or the r6 raw-id → hashed-key
+    change) carry keys under the OLD spelling — the first restart
+    re-appends its single replayed final epoch under the new key
+    (points upsert-merge absorbs it; rollup partials over-count until
+    ``compact()``/``rebuild_rollup``, surfaced by ``rollup_stale``)."""
+    import os
+    import re
+
+    s = checkpoint.rstrip("/") or "/"
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", s):
+        return s
+    return "file:" + os.path.realpath(os.path.abspath(s))
+
+
 def _stream_epoch_key(stream_ns: str | None, epoch_id: int) -> int:
     """Globally-unique engine epoch key for a (stream, epoch) pair.
 
@@ -95,12 +120,13 @@ def _stream_epoch_key(stream_ns: str | None, epoch_id: int) -> int:
     generations — raw ids would collide: a successor stream's epoch 0
     would read as a replay of its predecessor's (points silently
     skipped) and its rollup partials would OVERWRITE the old ones.
-    Hashing the stream namespace (its checkpoint identity — stable
-    across restarts of the same stream, fresh for a new one) with the
-    epoch id into a positive int63 makes the key collision-free
-    across generations while staying an integer everywhere the engine
-    stores it. ``None`` namespace keeps the raw id (direct engine
-    callers manage their own uniqueness — documented in _append)."""
+    Hashing the stream namespace (its CANONICAL checkpoint identity —
+    stable across restarts and respellings of the same stream, fresh
+    for a new one; see _canonical_stream_ns) with the epoch id into a
+    positive int63 makes the key collision-free across generations
+    while staying an integer everywhere the engine stores it. ``None``
+    namespace keeps the raw id (direct engine callers manage their
+    own uniqueness — documented in _append)."""
     if stream_ns is None:
         return epoch_id
     import hashlib
@@ -147,7 +173,16 @@ def make_batch_processor(
                 .write.mode("append")
                 .parquet(errors_path)
             )
-        engine._append(valid, space, epoch_id=_stream_epoch_key(stream_ns, epoch_id))
+        engine._append(
+            valid,
+            space,
+            epoch_id=_stream_epoch_key(stream_ns, epoch_id),
+            # recorded in the epoch manifest: pruning protects the
+            # latest marker per stream by this monotonic seq instead
+            # of by cross-host mtime (see engine._prune_epoch_markers)
+            stream_ns=stream_ns,
+            stream_seq=epoch_id,
+        )
         if marker is not None:
             fs.mkdirs(d)
             fs.create(marker, True).close()
@@ -182,11 +217,13 @@ def start_ingest(
         errors_path,
         epochs_dir,
         auto_compact_files,
-        # Namespace the engine-side epoch keys by checkpoint identity:
-        # stable across restarts of THIS stream (replays keep their
-        # key), collision-free against earlier streams' surviving
-        # markers/rollup partials (see _stream_epoch_key).
-        stream_ns=checkpoint,
+        # Namespace the engine-side epoch keys by CANONICAL checkpoint
+        # identity: stable across restarts of THIS stream (replays
+        # keep their key, regardless of how the path is spelled),
+        # collision-free against earlier streams' surviving
+        # markers/rollup partials (see _stream_epoch_key /
+        # _canonical_stream_ns, incl. the one-epoch upgrade caveat).
+        stream_ns=_canonical_stream_ns(checkpoint) if checkpoint else None,
     )
     writer = source.writeStream.foreachBatch(process_batch).outputMode("append")
     if checkpoint is not None:

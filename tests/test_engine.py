@@ -1653,6 +1653,62 @@ def test_writer_lock_heartbeat_and_fencing(tmp_path):
     assert json.loads(lock.read_text())["token"] == "not-ours"
 
 
+def test_writer_lock_vanished_at_release_fences(tmp_path):
+    """A held lock that has VANISHED at release can only mean a
+    contender judged the lease expired and unlinked it mid-steal
+    (before re-linking its own) — the same expired-then-stolen
+    condition as a token mismatch, so release fences loudly instead
+    of reporting success silently."""
+    import pytest
+    from orestes_spark.engine import ConcurrentWriterError, OrestesEngine
+
+    eng = OrestesEngine(None, str(tmp_path / "wh_vanish"))
+    lock = eng._lock_path("default")
+    with pytest.raises(ConcurrentWriterError, match="lease expired mid-operation"):
+        with eng._writer_lock("default", "op"):
+            lock.unlink()
+
+
+def test_engine_config_rejects_zero_lease():
+    """writer_lease_ms=0 parses as a valid duration but is never a
+    valid config (every foreign lock would read instantly expired and
+    the heartbeat would spin) — EngineConfig must refuse it loudly."""
+    import pytest
+    from orestes_spark.config import EngineConfig
+
+    for kw in ({"writer_lease_ms": 0}, {"scroll_ttl_ms": 0}, {"writer_lease_ms": -5}):
+        with pytest.raises(ValueError, match="must be > 0"):
+            EngineConfig(warehouse="/tmp/x", **kw)
+
+
+def test_grouped_read_heavy_range_prewarns(engine, monkeypatch, caplog):
+    """An uncapped grouped read over a range whose footer metadata
+    implies a heavy per-series array warns BEFORE the job runs, naming
+    read_chunked / grouped=False / max_group_points (round-7 verdict
+    task). The probe is metadata-only; a capped read and a light range
+    stay silent."""
+    import logging
+
+    from orestes_spark import engine as eng_mod
+
+    engine.write([{"time": START + i, "value": float(i), "name": "hot"} for i in range(50)])
+    monkeypatch.setattr(eng_mod, "GROUPED_READ_WARN_POINTS", 10)
+    with caplog.at_level(logging.WARNING, logger="orestes_spark.engine"):
+        engine.read(None, "default", 0, START + 10**6, grouped=True)
+    assert any("read_chunked" in r.message for r in caplog.records), caplog.records
+    # capped read: the backstop is explicit, the warning is not emitted
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="orestes_spark.engine"):
+        engine.read(None, "default", 0, START + 10**6, grouped=True, max_group_points=10**6)
+    assert not any("read_chunked" in r.message for r in caplog.records)
+    # light range (default threshold): the stat gate skips the footers
+    caplog.clear()
+    monkeypatch.setattr(eng_mod, "GROUPED_READ_WARN_POINTS", 50_000_000)
+    with caplog.at_level(logging.WARNING, logger="orestes_spark.engine"):
+        engine.read(None, "default", 0, START + 10**6, grouped=True)
+    assert not any("read_chunked" in r.message for r in caplog.records)
+
+
 def test_foreign_holder_lease_uses_holders_lease(tmp_path):
     """A foreign-host holder is judged by ITS recorded lease, not the
     observer's: an observer configured with a shorter lease must not
