@@ -667,6 +667,110 @@ def test_read_while_write_soak_epoch_atomicity(spark, engine, tmp_path):
     assert final == {b: K for b in range(EPOCHS)}
 
 
+def test_read_while_write_soak_mixed_batch_stream(spark, engine, tmp_path):
+    """Round-7 extension of the epoch-atomicity soak: a BATCH writer
+    interleaves with streaming epochs into the SAME space. Contract
+    under test (the closed transient-vanish race): batch appends into
+    a streaming space route through the stage->manifest->rename
+    protocol (kind=batch), so a reader racing a concurrent epoch's
+    renames resolves batch files by per-path stat, never by racy
+    readdir — a batch file, once observed, can never VANISH from a
+    later read. Batch visibility stays per-file (plain-append parity,
+    counts may grow mid-rename), so the assertion is monotonic
+    non-decreasing per-label counts reaching full size; streaming
+    epochs must remain strictly all-or-nothing throughout."""
+    import threading
+
+    src = tmp_path / "mixed_in"
+    src.mkdir()
+    EPOCHS, K = 6, 30
+    DAY = 86_400_000
+
+    stream = spark.readStream.schema(RAW_DDL).parquet(str(src))
+    q = start_ingest(engine, stream, checkpoint=str(tmp_path / "mixed_ckpt"))
+
+    violations: list[str] = []
+    high_water: dict[int, int] = {}
+    stop = threading.Event()
+
+    def reader() -> None:
+        while not stop.is_set():
+            try:
+                rows = (
+                    engine.read(None, "default", 0, START + 10**10, grouped=False)
+                    .groupBy("value")
+                    .count()
+                    .collect()
+                )
+            except Exception as e:  # noqa: BLE001 — a soak must report, not die
+                violations.append(f"read failed: {e}")
+                return
+            seen = {int(r["value"]): r["count"] for r in rows}
+            for label, n in seen.items():
+                if label < 100 and n != K:
+                    violations.append(f"stream epoch {label}: partial count {n} != {K}")
+                if n < high_water.get(label, 0):
+                    violations.append(
+                        f"label {label}: count regressed {high_water[label]} -> {n}"
+                    )
+                high_water[label] = max(high_water.get(label, 0), n)
+            # a batch label that VANISHED outright is the exact race
+            for label, hw in high_water.items():
+                if hw and label not in seen:
+                    violations.append(f"label {label}: vanished after count {hw}")
+
+    t = threading.Thread(target=reader, name="mixed-soak-reader")
+    t.start()
+    try:
+        for b in range(EPOCHS):
+            rows = [
+                (str(START + (i % 3) * DAY + b * 1000 + i), float(b), {"host": f"h{i % 5}"})
+                for i in range(K)
+            ]
+            spark.createDataFrame(rows, RAW_DDL).coalesce(1).write.mode("append").parquet(
+                str(src)
+            )
+            q.processAllAvailable()
+            # interleaved batch writer into the same (streaming) space:
+            # distinct times per label, label space disjoint from epochs
+            assert (
+                engine.write(
+                    [
+                        {
+                            "time": START + (i % 3) * DAY + 10**7 + b * 1000 + i,
+                            "value": float(100 + b),
+                            "host": "batch",
+                        }
+                        for i in range(K)
+                    ]
+                )
+                == []
+            )
+    finally:
+        stop.set()
+        t.join(timeout=60)
+        q.stop()
+
+    assert violations == []
+    final = dict(
+        (int(r["value"]), r["count"])
+        for r in engine.read(None, "default", 0, START + 10**10, grouped=False)
+        .groupBy("value")
+        .count()
+        .collect()
+    )
+    expect = {b: K for b in range(EPOCHS)} | {100 + b: K for b in range(EPOCHS)}
+    assert final == expect
+    # the batch writes really took the manifested path: every point
+    # file in the space is epoch-tagged and covered by a manifest
+    proot = engine._points_path("default")
+    assert all(f.name.startswith("epoch") for f in proot.glob("bucket=*/*.parquet"))
+    from orestes_spark.engine import _read_manifest
+
+    kinds = {_read_manifest(mk)[1] for mk in (proot / "_epochs").glob("epoch-*")}
+    assert "batch" in kinds and "stream" in kinds
+
+
 def test_compact_respects_epoch_commit_protocol(spark, engine, tmp_path):
     """Compaction vs the epoch commit protocol, three invariants:
     (1) an UNCOMMITTED epoch's tagged files are invisible to reads and
