@@ -152,14 +152,20 @@ class PosixCommitBackend:
         .old_<name>, tmp → live, drop .old. A crash at any point is
         converged by engine._recover_swaps (roll forward when tmp had
         committed, roll back otherwise) — the partition is never
-        lost."""
+        lost. The backup removal is STRICT: an undeletable ``.old``
+        (NFS silly-rename held open by a reader, EACCES) must raise,
+        because for the erasure path "success" with the replaced bytes
+        still on disk would be a silent GDPR violation — callers
+        retry, and _recover_swaps converges the parked state."""
         import shutil
 
         old = live.parent / f".old_{live.name}"
         if live.exists():
             live.rename(old)
-        tmp.rename(live)
-        shutil.rmtree(old, ignore_errors=True)
+            tmp.rename(live)
+            shutil.rmtree(old)
+        else:
+            tmp.rename(live)
 
 
 #: process-wide default; engine call sites import this

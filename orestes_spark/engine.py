@@ -127,6 +127,14 @@ GROUPED_READ_WARN_POINTS: int | None = 50_000_000
 _GROUPED_READ_GATE_BYTES_PER_POINT = 2
 
 
+# probe memo: (points_root, bucket range) → (bucket-dir mtime_ns
+# snapshot, estimate). Revalidated by O(buckets-in-range) dir stats
+# per read — a file landing in a bucket bumps its dir mtime — so the
+# steady-state probe cost is per-DAY, not per-FILE, and the footer
+# walk reruns only when the range actually changed.
+_GROUPED_PROBE_CACHE: dict[tuple[str, int, int, int], tuple[tuple, int | None]] = {}
+
+
 def _grouped_read_series_estimate(
     points_root: Path, start_bucket: int, end_bucket: int, warn_points: int
 ) -> int | None:
@@ -135,6 +143,11 @@ def _grouped_read_series_estimate(
     pure metadata (os.stat gate, then parquet FOOTER row counts), no
     Spark job, so read() can warn before launching anything. Returns
     None when the stat gate proves the range cannot be heavy.
+
+    Cost discipline: results are memoized against a snapshot of the
+    range's bucket-DIR mtimes, so an unchanged warehouse pays
+    O(buckets in range) stats per read — never the O(files) walk (let
+    alone the footer reads) the first evaluation costs.
 
     Estimate shape: total point rows in range ÷ the largest per-bucket
     series count (series table footers), i.e. "as if every series
@@ -147,9 +160,24 @@ def _grouped_read_series_estimate(
         for p in points_root.glob("bucket=*")
         if start_bucket <= int(p.name.split("=", 1)[1]) <= end_bucket
     ]
+
+    def dir_mtime_ns(p: Path) -> int:
+        try:
+            return p.stat().st_mtime_ns
+        except OSError:
+            return -1
+
+    snapshot = tuple(sorted((p.name, dir_mtime_ns(p)) for p in parts))
+    # warn_points is part of the key: a None result means "under the
+    # gate FOR THIS threshold", not absolutely
+    key = (str(points_root), start_bucket, end_bucket, warn_points)
+    hit = _GROUPED_PROBE_CACHE.get(key)
+    if hit is not None and hit[0] == snapshot:
+        return hit[1]
     pfiles = [f for p in parts for f in p.glob("*.parquet")]
     gate = warn_points * _GROUPED_READ_GATE_BYTES_PER_POINT
     if sum(f.stat().st_size for f in pfiles) < gate:
+        _GROUPED_PROBE_CACHE[key] = (snapshot, None)
         return None
     import pyarrow.parquet as pq
 
@@ -168,7 +196,9 @@ def _grouped_read_series_estimate(
     for p in series_root.glob("bucket=*") if series_root.exists() else []:
         if start_bucket <= int(p.name.split("=", 1)[1]) <= end_bucket:
             max_series = max(max_series, footer_rows(p.glob("*.parquet")))
-    return total_points // max_series
+    est = total_points // max_series
+    _GROUPED_PROBE_CACHE[key] = (snapshot, est)
+    return est
 
 
 def _require_posix_warehouse(warehouse: str) -> None:
@@ -279,6 +309,14 @@ def _sweep_uncommitted_epoch_files(points_root: Path) -> None:
                 bdir.rmdir()
 
 
+# GC bound on replay-key markers kept per warehouse: one per stream
+# namespace for the N most recently written namespaces (see
+# _prune_epoch_markers — eviction past the bound is recoverable, it
+# reopens only the documented one-epoch replay window for a stream
+# idle longer than N successors).
+_MAX_PROTECTED_STREAM_NS = 32
+
+
 def _prune_epoch_markers(points_root: Path) -> None:
     """Bound the points-epoch marker set: a marker is deletable once
     (a) no tagged file of its epoch remains anywhere (compaction
@@ -296,8 +334,24 @@ def _prune_epoch_markers(points_root: Path) -> None:
     markers that predate the ns/seq payload, grouped under one
     namespace). kind=compact and kind=batch manifests are pure
     visibility records, never replay keys, and prune as soon as their
-    files are superseded. Keeps the marker dir at O(uncompacted
-    epochs + live stream namespaces), not O(stream lifetime)."""
+    files are superseded.
+
+    The protected set is additionally BOUNDED to the
+    ``_MAX_PROTECTED_STREAM_NS`` most recently written namespaces:
+    without the bound, every checkpoint ever pointed at the warehouse
+    (CI runs, ad-hoc backfills, recreated streams) would park its
+    final marker forever and every read would pay to parse it —
+    O(all namespaces ever seen), unbounded. Evicting a long-idle
+    namespace's marker is RECOVERABLE by design: the only cost is
+    that if that exact stream restarts later and replays its final
+    epoch, the replay re-appends once (points collapse via the upsert
+    merge; rollup partials over-count until ``compact()``/
+    ``rebuild_rollup``, surfaced by ``rollup_stale``) — the same
+    documented one-epoch window as a namespace respelling. Recency
+    across namespaces is by marker mtime, acceptable here because a
+    skewed eviction ranking degrades GC quality, not correctness.
+    Keeps the marker dir at O(uncompacted epochs +
+    min(live namespaces, bound))."""
     markers = list((points_root / "_epochs").glob("epoch-*"))
     if len(markers) <= 1:
         return
@@ -318,14 +372,16 @@ def _prune_epoch_markers(points_root: Path) -> None:
         _files, kind, meta = _read_manifest(mk)
         if kind == "stream":
             by_ns.setdefault(meta.get("ns"), []).append((mk, meta))
-    protected: set[Path] = set()
+    candidates: list[Path] = []
     for ns, group in by_ns.items():
         if ns is None:
             # legacy / direct-_append markers: no recorded sequence,
             # recency-by-mtime is the only available order
-            protected.add(max((mk for mk, _m in group), key=mtime))
+            candidates.append(max((mk for mk, _m in group), key=mtime))
         else:
-            protected.add(max(group, key=lambda t: int(t[1].get("seq", -1)))[0])
+            candidates.append(max(group, key=lambda t: int(t[1].get("seq", -1)))[0])
+    # bound across namespaces: most recently written first (see above)
+    protected = set(sorted(candidates, key=mtime, reverse=True)[:_MAX_PROTECTED_STREAM_NS])
     for mk in markers:
         if mk not in protected and int(mk.name.split("-", 1)[1]) not in live:
             mk.unlink(missing_ok=True)

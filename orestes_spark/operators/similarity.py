@@ -520,7 +520,6 @@ def _refine_hot_clusters(
     assigned: DataFrame,
     max_cluster: int | None,
     threshold: float,
-    as_long: bool,
     caller: str,
     max_depth: int = 3,
 ) -> tuple[DataFrame, DataFrame | None]:
@@ -710,6 +709,9 @@ def _refine_hot_clusters(
             .select(*cols)
             .localCheckpoint()
         )
+        # the eager localCheckpoint above already ran the assignment
+        # job; the seed table is dead weight on the executors now
+        bc_seeds.unpersist()
 
     # -- 3. depth exhausted: exclude what still overflows (round-6 path)
     cell_sizes = hot_work.groupBy("cluster").agg(F.count(F.lit(1)).alias("_cn"))
@@ -772,7 +774,7 @@ def semantic_dedup(
         as_long,
     ).join(assigned.withColumnRenamed(id_col, "_id"), "_id")
     v, direct = _refine_hot_clusters(
-        v, assigned, max_cluster, threshold, as_long, "semantic_dedup"
+        v, assigned, max_cluster, threshold, "semantic_dedup"
     )
     a = v.toDF("id_a", "vec_a", "n2_a", "cluster")
     b = v.toDF("id_b", "vec_b", "n2_b", "cluster")
@@ -840,7 +842,7 @@ def semantic_dedup_arrow(
         F.col(id_col).alias("_id"), quantized(F.col(vec_col), quantize).alias("vec")
     ).join(assigned.withColumnRenamed(id_col, "_id"), "_id")
     v, direct = _refine_hot_clusters(
-        v, assigned, max_cluster, threshold, quantize is not None, "semantic_dedup_arrow"
+        v, assigned, max_cluster, threshold, "semantic_dedup_arrow"
     )
 
     def find_dropped(pdf):

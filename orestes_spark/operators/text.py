@@ -344,13 +344,20 @@ def bigram_rarity(
     between engines/run plans — this score is bit-stable anywhere.
 
     Scale shape: tokenize map-side ONCE — the exploded doc-bigram
-    table is localCheckpoint-pinned because it feeds both the corpus
-    count aggregation and the per-doc score join (un-pinned, the
-    dominant tokenize/split/explode subtree would run twice per query);
-    then one (w1,w2) count shuffle whose cardinality is the corpus
+    table feeds both the corpus count aggregation and the per-doc
+    score join, so it is persisted DISK_ONLY (un-persisted, the
+    dominant tokenize/split/explode subtree would run twice per
+    query). persist, not localCheckpoint: it is LAZY (building the
+    plan costs nothing until an action runs), evictable, and
+    recomputable on executor loss — checkpoint blocks of a
+    corpus-VOLUME table would be eagerly materialized at call time
+    and unrecoverable when an executor dies, exactly wrong at 100 TB.
+    Then one (w1,w2) count shuffle whose cardinality is the corpus
     bigram VOCABULARY (not volume), one shuffle join of doc-bigrams
     against those counts, one per-doc aggregation. No driver state, no
     broadcast of unbounded maps."""
+    from pyspark import StorageLevel
+
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
     )
@@ -364,7 +371,7 @@ def bigram_rarity(
         t.where(n >= 2)
         .select(F.col(id_col), F.explode(pairs).alias("_bg"))
         .select(F.col(id_col), F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
-        .localCheckpoint()
+        .persist(StorageLevel.DISK_ONLY)
     )
     counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_bc"))
     scored = (

@@ -92,9 +92,13 @@ def _canonical_stream_ns(checkpoint: str) -> str:
     trailing slash, symlinked parent) must produce the same namespace,
     or a re-launch with an equivalently-spelled checkpoint would hash
     its replayed final epoch to a fresh key and re-append it.
-    Scheme-qualified URIs (hdfs://, s3a://, file:/...) are kept as
-    written minus trailing slashes — remote paths have no local
-    realpath; bare paths resolve to ``file:<realpath>``.
+    Bare paths AND ``file:`` URIs (Spark treats ``/ck``, ``file:/ck``,
+    ``file:///ck`` as the same checkpoint) all resolve to
+    ``file:<realpath>`` — a local path has a realpath, so symlinked
+    parents and the three spellings converge. Genuinely remote URIs
+    (hdfs://, s3a://, ...) have no local realpath and are kept as
+    written minus trailing slashes, with the authority preserved
+    (hdfs://nn1/ck and hdfs://nn2/ck ARE different checkpoints).
 
     Upgrade caveat (documented, one-epoch window): warehouses whose
     markers predate this normalization (or the r6 raw-id → hashed-key
@@ -106,7 +110,10 @@ def _canonical_stream_ns(checkpoint: str) -> str:
     import re
 
     s = checkpoint.rstrip("/") or "/"
-    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", s):
+    m = re.match(r"^file:(//)?(/.*)?$", s, re.IGNORECASE)
+    if m:
+        s = m.group(2) or "/"
+    elif re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", s):
         return s
     return "file:" + os.path.realpath(os.path.abspath(s))
 

@@ -925,3 +925,57 @@ def test_replay_cannot_resurrect_erased_series(spark, tmp_path):
     lo = START // HOUR * HOUR
     roll = eng.read_rollup(None, "default", lo, lo + HOUR, on_stale="ignore")
     assert [r["tags"]["host"] for r in roll.collect()] == ["keep"]
+
+
+def test_canonical_stream_ns_unifies_spellings(tmp_path):
+    """Equivalent checkpoint spellings — bare path, trailing slash,
+    file:/ and file:/// URIs, a symlinked parent — must map to ONE
+    namespace, or a re-launch re-appends its replayed final epoch
+    under a fresh key. Genuinely remote URIs keep their authority
+    (different namenodes ARE different checkpoints)."""
+    from orestes_spark.streaming.ingest import _canonical_stream_ns as ns
+
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    base = ns(str(ck))
+    assert base == ns(str(ck) + "/") == ns(f"file:{ck}") == ns(f"file://{ck}")
+    link = tmp_path / "link"
+    link.symlink_to(ck)
+    assert ns(str(link)) == base
+    assert ns("hdfs://nn1/ck/") == "hdfs://nn1/ck"
+    assert ns("hdfs://nn1/ck") != ns("hdfs://nn2/ck")
+
+
+def test_prune_protects_latest_marker_per_namespace_bounded(tmp_path):
+    """Marker pruning protects the max-seq stream marker of each
+    namespace (replay idempotency key), but the protected set is
+    BOUNDED to the most recently written namespaces — a warehouse fed
+    by many short-lived checkpoints must not accumulate one immortal
+    marker per namespace ever seen."""
+    import os
+
+    from orestes_spark.engine import (
+        _MAX_PROTECTED_STREAM_NS,
+        _prune_epoch_markers,
+        _read_manifest,
+        _write_manifest,
+    )
+
+    root = tmp_path / "points"
+    (root / "bucket=0").mkdir(parents=True)
+    n_ns = _MAX_PROTECTED_STREAM_NS + 8
+    for i in range(n_ns):
+        # two epochs per namespace: only the max-seq one is protected
+        for seq in (0, 1):
+            mk = root / "_epochs" / f"epoch-{i * 10 + seq}"
+            _write_manifest(mk, [], "stream", ns=f"file:/ck{i}", seq=seq)
+            os.utime(mk, (1_000_000 + i, 1_000_000 + i))
+    _prune_epoch_markers(root)
+    left = sorted((root / "_epochs").glob("epoch-*"), key=lambda p: p.name)
+    assert len(left) == _MAX_PROTECTED_STREAM_NS
+    metas = [_read_manifest(mk)[2] for mk in left]
+    # every survivor is a max-seq marker of one of the NEWEST namespaces
+    assert all(m["seq"] == 1 for m in metas)
+    surviving_ns = {m["ns"] for m in metas}
+    expected = {f"file:/ck{i}" for i in range(n_ns - _MAX_PROTECTED_STREAM_NS, n_ns)}
+    assert surviving_ns == expected
