@@ -479,9 +479,18 @@ def assign_clusters(
     one removable exchange in the SemDeDup plan.) min_by on
     struct(-score, label) picks exactly the window's row: highest
     cosine, ties to the smaller label."""
-    as_long = quantize is not None
     cents = label_centroid_sums(vectors, id_col, vec_col, label_col, quantize)
     v = vectors.select(F.col(id_col).alias("_id"), quantized(F.col(vec_col), quantize).alias("vec"))
+    return _assign_to_centroids(v, cents).select(F.col("_id").alias(id_col), "cluster")
+
+
+def _assign_to_centroids(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """(_id, cluster) — nearest-centroid assignment of ``v`` (columns
+    ``_id``, ``vec``) against a broadcastable (label, csum) centroid
+    table: highest cosine wins, ties to the smaller label. Shared by
+    assign_clusters (centroids from the same frame) and
+    incremental_semantic_dedup (centroids derived from a persisted
+    index) so both paths rank identically."""
     scored = v.crossJoin(F.broadcast(cents)).select(
         "_id",
         "label",
@@ -507,7 +516,7 @@ def assign_clusters(
                 F.col("label").alias("l"),
             ),
         ).alias("cluster")
-    ).select(F.col("_id").alias(id_col), "cluster")
+    )
 
 
 # last-run refinement outcome per caller, for scale benches (see
@@ -874,6 +883,103 @@ def semantic_dedup_arrow(
         dropped = dropped.unionByName(direct).distinct()
     return (
         assigned.withColumnRenamed(id_col, "_id")
+        .join(dropped.withColumn("_drop", F.lit(True)), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def semantic_index(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quantize: int | None = None,
+) -> DataFrame:
+    """Persistable SemDeDup corpus index for incremental dedup: one
+    row per corpus vector — (id, label, vec, cluster), the quantized
+    vector plus its corpus-quantizer cell. Write it to parquet once;
+    ``incremental_semantic_dedup`` reads it back and derives the
+    centroid table from the STORED rows (label sums of the quantized
+    vecs — exact-integer under quantization), so index build and
+    reload agree bit-for-bit and no separate centroid artifact is
+    needed. This is the per-ingest dedup shape at 100 TB: each new
+    batch does batch-sized work against a corpus-sized index instead
+    of re-clustering the corpus (the embedding mirror of
+    ``dedup.minhash_band_index``)."""
+    assigned = assign_clusters(vectors, id_col, vec_col, label_col, quantize)
+    return vectors.select(
+        F.col(id_col),
+        F.col(label_col).alias("label"),
+        quantized(F.col(vec_col), quantize).alias("vec"),
+    ).join(assigned, id_col)
+
+
+def incremental_semantic_dedup(
+    new: DataFrame,
+    index: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Incremental SemDeDup: dedup a NEW batch against a persisted
+    ``semantic_index`` without touching corpus-vs-corpus pairs. Every
+    index member counts as already-kept (it wins any tie), so a new
+    vector is dropped when round(cosine, 6) ≥ threshold against ANY
+    index member of its cell OR against a lower-id new vector of the
+    same cell — exactly the greedy keep-lowest rule batch
+    ``semantic_dedup`` applies when the corpus ids rank below the
+    batch ids. Output one row per NEW vector: (id, cluster, kept),
+    cluster from the CORPUS quantizer (assignment shares
+    ``_assign_to_centroids`` with the index build, so ranking ties
+    break identically). New ids must be disjoint from index ids
+    (same contract as ``dedup.incremental_neardup``).
+
+    Scale shape: centroids derive from the index in one (label, dim)
+    shuffle and broadcast (k×d); new-batch assignment is map-side;
+    candidate pairs are an equi-join on the cell key — |batch| ×
+    cell-local index rows, never corpus². The batch-vs-batch term is
+    |batch|-bounded. Nothing in the plan scales with corpus size
+    except the one pre-bucketed index join."""
+    as_long = quantize is not None
+    cents = (
+        index.select("label", F.posexplode("vec").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum("x").alias("s"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "s"))).alias("entries"))
+        .select("label", F.transform("entries", lambda e: e["s"]).alias("csum"))
+    )
+    nv = new.select(F.col(id_col).alias("_id"), quantized(F.col(vec_col), quantize).alias("vec"))
+    assigned = nv.join(_assign_to_centroids(nv, cents), "_id")
+    b = with_norm(assigned, "vec", as_long).toDF("id_b", "vec_b", "cluster", "n2_b")
+    idx_a = with_norm(index.select(F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"), "cluster"), "vec_a", as_long).toDF(
+        "id_a", "vec_a", "cluster", "n2_a"
+    )
+    new_a = b.toDF("id_a", "vec_a", "cluster", "n2_a")
+    cos_hit = F.round(
+        _dot(F.col("vec_a"), F.col("vec_b"), as_long)
+        / (F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double"))),
+        6,
+    ) >= F.lit(threshold)
+    dropped = (
+        idx_a.join(b, "cluster")
+        .where(cos_hit)
+        .select(F.col("id_b").alias("_id"))
+        .unionByName(
+            new_a.join(b, "cluster")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(cos_hit)
+            .select(F.col("id_b").alias("_id"))
+        )
+        .distinct()
+    )
+    return (
+        assigned.select("_id", "cluster")
         .join(dropped.withColumn("_drop", F.lit(True)), "_id", "left")
         .select(
             F.col("_id").alias(id_col),

@@ -727,6 +727,53 @@ FROM assigned a LEFT JOIN dropped d ON d.id_b = a.vec_id
 """
 
 
+def emb_incremental_semdedup_sql(threshold: float = 0.35) -> str:
+    """Incremental SemDeDup twin: centroids come from the CORPUS only
+    (vec_id % 5 != 0 — the persisted index), every vector (corpus and
+    new) is assigned against them, and a NEW vector (vec_id % 5 = 0)
+    drops when its rounded cosine to ANY same-cell corpus member — or
+    to a lower-id new vector of the same cell — reaches the threshold.
+    Output is the new batch only."""
+    return f"""
+WITH {_QUANT_VECS},
+csums AS (
+  SELECT e.label, u.i, sum(u.x) AS s
+  FROM u JOIN embeddings e ON e.vec_id = u.vec_id
+  WHERE e.vec_id % 5 != 0 GROUP BY 1, 2),
+cnorm AS (SELECT label, sqrt(sum(s * s)) AS cn FROM csums GROUP BY 1),
+assigned AS (
+  SELECT vec_id, label AS cluster FROM (
+    SELECT u.vec_id, c.label,
+           row_number() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY sum(u.x * c.s) / any_value(cn.cn) DESC, c.label
+           ) AS rn
+    FROM u JOIN csums c ON c.i = u.i JOIN cnorm cn ON cn.label = c.label
+    GROUP BY u.vec_id, c.label
+  ) WHERE rn = 1),
+pairdots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(ua.x * ub.x) AS dot
+  FROM assigned b
+  JOIN assigned a ON a.cluster = b.cluster
+   AND (a.vec_id % 5 != 0 OR a.vec_id < b.vec_id)
+  JOIN u ua ON ua.vec_id = a.vec_id
+  JOIN u ub ON ub.vec_id = b.vec_id AND ub.i = ua.i
+  WHERE b.vec_id % 5 = 0
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT id_b
+  FROM pairdots
+  JOIN norms na ON na.vec_id = id_a
+  JOIN norms nb ON nb.vec_id = id_b
+  WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= {threshold}
+)
+SELECT a.vec_id, a.cluster, (d.id_b IS NULL) AS kept
+FROM assigned a LEFT JOIN dropped d ON d.id_b = a.vec_id
+WHERE a.vec_id % 5 = 0
+"""
+
+
 def emb_prototypes_sql(top: int = 10) -> str:
     """Prototype-rank twin: cosine of each vector to its OWN label
     centroid, ranked within the label (desc, tie → smaller id)."""

@@ -1493,9 +1493,10 @@ def build_shared_artifacts(spark, sf_dir, invalidate: bool = True) -> dict[str, 
     if invalidate:
         _NEARDUP_PAIRS.pop(sf_dir, None)
         _NEARDUP_COMPONENTS.pop(sf_dir, None)
-        old = _BAND_INDEXES.pop(sf_dir, None)
-        if old:
-            shutil.rmtree(os.path.dirname(old), ignore_errors=True)
+        for cache in (_BAND_INDEXES, _SEM_INDEXES):
+            old = cache.pop(sf_dir, None)
+            if old:
+                shutil.rmtree(os.path.dirname(old), ignore_errors=True)
     out: dict[str, float] = {}
     t0 = _time.perf_counter()
     _neardup_pairs_for(spark, sf_dir)
@@ -1506,6 +1507,9 @@ def build_shared_artifacts(spark, sf_dir, invalidate: bool = True) -> dict[str, 
     t0 = _time.perf_counter()
     _band_index_for(spark, sf_dir)
     out["lsh_band_index"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    _sem_index_for(spark, sf_dir)
+    out["semantic_index"] = round(_time.perf_counter() - t0, 3)
     return out
 
 
@@ -1521,6 +1525,7 @@ ARTIFACT_CONSUMERS = {
     ],
     "neardup_components": ["doc_dedup_clusters", "doc_dedup_keep_best"],
     "lsh_band_index": ["doc_incremental_neardup"],
+    "semantic_index": ["emb_incremental_semdedup"],
 }
 
 
@@ -3369,6 +3374,41 @@ def emb_semantic_dedup(spark, sf_dir):
     the clustering IS the 100-TB bound."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(e, threshold=0.35, quantize=1000)
+
+
+_SEM_INDEXES: dict[str, str] = {}
+
+
+def _sem_index_for(spark, sf_dir) -> str:
+    """Build (once per process per sf_dir) and return the parquet path
+    of the persisted SemDeDup corpus index (vec_id % 5 != 0 plays the
+    already-deduped corpus) used by emb_incremental_semdedup."""
+    import tempfile
+
+    path = _SEM_INDEXES.get(sf_dir)
+    if path is None:
+        e = load_table(spark, sf_dir, "embeddings")
+        corpus = e.where(F.col("vec_id") % 5 != 0)
+        path = tempfile.mkdtemp(prefix="orestes_sem_idx_") + "/index"
+        similarity.semantic_index(corpus, quantize=1000).write.parquet(path)
+        _SEM_INDEXES[sf_dir] = path
+    return path
+
+
+@register("emb_incremental_semdedup", oracles.emb_incremental_semdedup_sql())
+def emb_incremental_semdedup(spark, sf_dir):
+    """Incremental SemDeDup: every 5th embedding plays the NEW batch,
+    the rest are a PERSISTED semantic index (cluster + quantized vec
+    per corpus vector, parquet). The batch assigns against centroids
+    derived from the index, joins only cell-local index rows, and
+    applies the keep-lowest rule with index members ranking as kept.
+    This is the per-ingest embedding-dedup shape at 100 TB: batch-
+    sized work against a corpus-sized index, never corpus² — the
+    embedding mirror of doc_incremental_neardup."""
+    e = load_table(spark, sf_dir, "embeddings")
+    new = e.where(F.col("vec_id") % 5 == 0)
+    index = spark.read.parquet(_sem_index_for(spark, sf_dir))
+    return similarity.incremental_semantic_dedup(new, index, threshold=0.35, quantize=1000)
 
 
 @register("emb_semantic_arrow", oracles.emb_semantic_dedup_sql())

@@ -495,3 +495,35 @@ def test_assign_clusters_zero_norm_centroid(spark):
     out = {r["vec_id"]: r["cluster"] for r in assign_clusters(df).collect()}
     assert out["1"] == "a" and out["2"] == "a" and out["3"] == "b"
     assert out["4"] in ("a", "b")  # NOT the degenerate 'z'
+
+
+def test_incremental_semantic_dedup_rules(spark, tmp_path):
+    """Pins the three rules: a new vector near-dup of an INDEX member
+    drops; a genuinely new direction keeps; a new-vs-new near-dup
+    drops the higher id only. Clusters come from the CORPUS quantizer,
+    and the index survives a parquet roundtrip."""
+    corpus = spark.createDataFrame(
+        [
+            (1, [10.0, 0.0], 0),
+            (3, [10.0, 1.0], 0),
+            (2, [0.0, 10.0], 1),
+            (4, [1.0, 10.0], 1),
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label LONG",
+    )
+    path = str(tmp_path / "sem_idx")
+    similarity.semantic_index(corpus).write.parquet(path)
+    index = spark.read.parquet(path)
+    new = spark.createDataFrame(
+        [
+            (100, [10.0, 0.1], 9),   # ~1.0 cos vs corpus id 1 → dropped
+            (101, [3.0, 9.0], 9),    # new direction in cell 1 → kept
+            (102, [3.01, 9.03], 9),  # near-dup of NEW 101 → dropped (in-batch rule)
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label LONG",
+    )
+    out = {
+        r["vec_id"]: (r["cluster"], r["kept"])
+        for r in similarity.incremental_semantic_dedup(new, index, threshold=0.99).collect()
+    }
+    assert out == {100: (0, False), 101: (1, True), 102: (1, False)}, out
