@@ -989,6 +989,96 @@ def incremental_semantic_dedup(
     )
 
 
+def incremental_semantic_dedup_arrow(
+    new: DataFrame,
+    index: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    quantize: int | None = 1000,
+) -> DataFrame:
+    """Production fast path for ``incremental_semantic_dedup``: the
+    batch-vs-index verify runs as numpy GEMMs per cell via a COGROUPED
+    ``applyInPandas`` (index rows and new rows of the same cell land
+    in one task) instead of the interpreted expression dot — on a
+    Zipf-headed index the expression equi-join evaluates |batch∩cell|
+    × |cell| per-element dots, billions at realistic sizes, where the
+    GEMM is seconds. Same rules, same output schema; with ``quantize``
+    the kernel is integer-exact (same argument as
+    ``semantic_dedup_arrow``).
+
+    Scale shape: one shuffle of the index and one of the batch on the
+    cell key; per-task memory is |cell|·d·8B for the index block plus
+    a SLICED b×c score block (slices sized so b·c ≤ 32M doubles), so
+    the |cell|² matrix of the full-rebuild path never exists here at
+    all — the score block is batch×slice, independent of |cell|²."""
+    import numpy as np
+
+    cents = (
+        index.select("label", F.posexplode("vec").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum("x").alias("s"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "s"))).alias("entries"))
+        .select("label", F.transform("entries", lambda e: e["s"]).alias("csum"))
+    )
+    nv = new.select(F.col(id_col).alias("_id"), quantized(F.col(vec_col), quantize).alias("vec"))
+    assigned = nv.join(_assign_to_centroids(nv, cents), "_id").localCheckpoint()
+    idx_v = index.select(F.col(id_col).alias("_id"), "vec", "cluster")
+
+    def find_dropped(_key, idx_pdf, new_pdf):
+        import pandas as pd
+
+        if new_pdf.empty:
+            return pd.DataFrame({"_id": np.array([], dtype=np.int64)})
+        ids = new_pdf["_id"].to_numpy(dtype=np.int64)
+        xn = np.stack(new_pdf["vec"].to_numpy()).astype(np.float64)
+        order = np.argsort(ids, kind="stable")
+        ids, xn = ids[order], xn[order]
+        nn = np.sqrt((xn * xn).sum(axis=1))
+        zn = nn == 0
+        # in-batch rule: row i drops on any lower-id row j with
+        # round(cos, 6) >= τ (NaN-from-zero-norm counts, expression
+        # parity — see semantic_dedup_arrow)
+        g = xn @ xn.T
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = g / np.maximum(nn[:, None] * nn[None, :], 1e-300)
+        over = (np.round(cos, 6) >= threshold) | zn[:, None] | zn[None, :]
+        drop = np.triu(over, k=1).any(axis=0)
+        # vs index: sliced GEMM so the score block stays b×c
+        if not idx_pdf.empty:
+            xi = np.stack(idx_pdf["vec"].to_numpy()).astype(np.float64)
+            ni = np.sqrt((xi * xi).sum(axis=1))
+            zi = ni == 0
+            c = max(1024, 32_000_000 // max(len(ids), 1))
+            for s in range(0, len(xi), c):
+                sl = slice(s, s + c)
+                gs = xn @ xi[sl].T
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cs = gs / np.maximum(nn[:, None] * ni[sl][None, :], 1e-300)
+                hit = (np.round(cs, 6) >= threshold) | zi[sl][None, :] | zn[:, None]
+                drop |= hit.any(axis=1)
+                if drop.all():
+                    break
+        return pd.DataFrame({"_id": ids[drop]})
+
+    dropped = (
+        idx_v.select("cluster", "_id", "vec")
+        .groupBy("cluster")
+        .cogroup(assigned.select("cluster", "_id", "vec").groupBy("cluster"))
+        .applyInPandas(find_dropped, "_id long")
+    )
+    return (
+        assigned.select("_id", "cluster")
+        .join(dropped.withColumn("_drop", F.lit(True)), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def prototype_rank(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -1525,7 +1525,7 @@ ARTIFACT_CONSUMERS = {
     ],
     "neardup_components": ["doc_dedup_clusters", "doc_dedup_keep_best"],
     "lsh_band_index": ["doc_incremental_neardup"],
-    "semantic_index": ["emb_incremental_semdedup"],
+    "semantic_index": ["emb_incremental_semdedup", "emb_incremental_arrow"],
 }
 
 
@@ -3409,6 +3409,21 @@ def emb_incremental_semdedup(spark, sf_dir):
     new = e.where(F.col("vec_id") % 5 == 0)
     index = spark.read.parquet(_sem_index_for(spark, sf_dir))
     return similarity.incremental_semantic_dedup(new, index, threshold=0.35, quantize=1000)
+
+
+@register("emb_incremental_arrow", oracles.emb_incremental_semdedup_sql())
+def emb_incremental_arrow(spark, sf_dir):
+    """Production kernel twin of emb_incremental_semdedup: the
+    batch-vs-index verify as sliced numpy GEMMs per cell (cogrouped
+    applyInPandas) — the path that survives a Zipf-headed index, where
+    the expression equi-join would evaluate |batch∩cell|×|cell|
+    per-element dots. Integer-exact under quantize (same oracle)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    new = e.where(F.col("vec_id") % 5 == 0)
+    index = spark.read.parquet(_sem_index_for(spark, sf_dir))
+    return similarity.incremental_semantic_dedup_arrow(
+        new, index, threshold=0.35, quantize=1000
+    )
 
 
 @register("emb_semantic_arrow", oracles.emb_semantic_dedup_sql())

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from orestes_spark.operators import similarity
 
@@ -527,3 +528,22 @@ def test_incremental_semantic_dedup_rules(spark, tmp_path):
         for r in similarity.incremental_semantic_dedup(new, index, threshold=0.99).collect()
     }
     assert out == {100: (0, False), 101: (1, True), 102: (1, False)}, out
+
+
+def test_incremental_semantic_dedup_arrow_equals_expression(spark, tmp_path, labeled_vecs):
+    """The cogrouped-GEMM incremental kernel matches the expression
+    path bit-for-bit on (cluster, kept) — including cells with no new
+    members and in-batch-only near-dups."""
+    df, _ = labeled_vecs
+    corpus = df.where(F.col("vec_id") % 5 != 0)
+    new = df.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "sem_idx_eq")
+    similarity.semantic_index(corpus, quantize=1000).write.parquet(path)
+    index = spark.read.parquet(path)
+    expr = {r["vec_id"]: (r["cluster"], r["kept"]) for r in
+            similarity.incremental_semantic_dedup(
+                new, index, threshold=0.9, quantize=1000).collect()}
+    arrow = {r["vec_id"]: (r["cluster"], r["kept"]) for r in
+             similarity.incremental_semantic_dedup_arrow(
+                 new, index, threshold=0.9, quantize=1000).collect()}
+    assert expr == arrow and len(expr) == new.count()

@@ -15,6 +15,10 @@ corpus, the worst case for anything whose cost is Σ|cell|². Sizes
     collapse + nearest-seed splits — so the Zipf head is DEDUPED, not
     exempted; the report shows hot members seen vs members still
     excluded after bounded splitting)
+  - incremental SemDeDup (round 7): a 5% batch deduped against a
+    persisted semantic_index of the other 95% via the cogrouped-GEMM
+    kernel — index build charged separately, batch dedup wall is the
+    per-ingest steady-state cost to compare against the full rebuild
 
 Run: python tools/ann_scale_bench.py [sizes...]
 One summary line per size; numbers go to SCALING.md.
@@ -111,6 +115,29 @@ def main() -> None:
         t_sem = time.perf_counter() - t0
         st = similarity.REFINE_STATS.get("semantic_dedup_arrow", {})
 
+        # incremental path: 95% of the corpus is a persisted index,
+        # the remaining 5% plays the per-ingest batch
+        import shutil
+        import tempfile
+
+        idx_dir = tempfile.mkdtemp(prefix="ann_scale_idx_")
+        corpus95 = corpus.where(F.col("vec_id") % 20 != 0)
+        batch5 = corpus.where(F.col("vec_id") % 20 == 0)
+        t0 = time.perf_counter()
+        similarity.semantic_index(corpus95, quantize=1000).write.parquet(idx_dir + "/i")
+        t_idx_build = time.perf_counter() - t0
+        idx = spark.read.parquet(idx_dir + "/i")
+        t0 = time.perf_counter()
+        n_inc_kept = (
+            similarity.incremental_semantic_dedup_arrow(
+                batch5, idx, threshold=0.9, quantize=1000
+            )
+            .where(F.col("kept"))
+            .count()
+        )
+        t_inc = time.perf_counter() - t0
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
         print(
             f"n={n} cells: p50={p50} p99={p99} max={sizes_rows[-1]} "
             f"({sizes_rows[-1] / n:.0%} of corpus) | "
@@ -122,7 +149,9 @@ def main() -> None:
             f"refine: hot_members={st.get('hot_members', 0)} "
             f"direct_drops={st.get('direct_drops', 0)} "
             f"still_excluded={st.get('excluded_members', 0)} "
-            f"({(st.get('excluded_members') or 0) / n:.1%} of corpus)"
+            f"({(st.get('excluded_members') or 0) / n:.1%} of corpus) | "
+            f"incremental(5% batch vs 95% index): build={t_idx_build:.1f}s "
+            f"dedup={t_inc:.1f}s kept={n_inc_kept}"
         )
 
 
