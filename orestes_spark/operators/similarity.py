@@ -918,6 +918,23 @@ def semantic_index(
     ).join(assigned, id_col)
 
 
+def semantic_index_centroids(index: DataFrame) -> DataFrame:
+    """(label, csum) centroid-sum table derived EXACTLY from a
+    ``semantic_index``'s stored quantized vectors — persist it next to
+    the index at build time so per-batch incremental dedup never
+    re-aggregates the corpus (one k×d parquet; at 100 TB the
+    difference between batch-sized and corpus-sized per-ingest
+    work)."""
+    return (
+        index.select("label", F.posexplode("vec").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum("x").alias("s"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "s"))).alias("entries"))
+        .select("label", F.transform("entries", lambda e: e["s"]).alias("csum"))
+    )
+
+
 def incremental_semantic_dedup(
     new: DataFrame,
     index: DataFrame,
@@ -925,6 +942,7 @@ def incremental_semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.35,
     quantize: int | None = None,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup: dedup a NEW batch against a persisted
     ``semantic_index`` without touching corpus-vs-corpus pairs. Every
@@ -946,16 +964,16 @@ def incremental_semantic_dedup(
     |batch|-bounded. Nothing in the plan scales with corpus size
     except the one pre-bucketed index join."""
     as_long = quantize is not None
-    cents = (
-        index.select("label", F.posexplode("vec").alias("i", "x"))
-        .groupBy("label", "i")
-        .agg(F.sum("x").alias("s"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "s"))).alias("entries"))
-        .select("label", F.transform("entries", lambda e: e["s"]).alias("csum"))
-    )
+    if cents is None:
+        cents = semantic_index_centroids(index)
     nv = new.select(F.col(id_col).alias("_id"), quantized(F.col(vec_col), quantize).alias("vec"))
-    assigned = nv.join(_assign_to_centroids(nv, cents), "_id")
+    assigned = nv.join(_assign_to_centroids(nv, cents), "_id").localCheckpoint()
+    # batch-cell pruning: only index cells the batch actually touches
+    # are read — with a cluster-PARTITIONED index parquet the isin
+    # filter becomes partition pruning at the scan, so a small batch
+    # over a huge index reads a handful of cells, not the corpus.
+    cells = [r["cluster"] for r in assigned.select("cluster").distinct().collect()]
+    index = index.where(F.col("cluster").isin(cells))
     b = with_norm(assigned, "vec", as_long).toDF("id_b", "vec_b", "cluster", "n2_b")
     idx_a = with_norm(index.select(F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"), "cluster"), "vec_a", as_long).toDF(
         "id_a", "vec_a", "cluster", "n2_a"
@@ -996,6 +1014,7 @@ def incremental_semantic_dedup_arrow(
     vec_col: str = "embedding",
     threshold: float = 0.35,
     quantize: int | None = 1000,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Production fast path for ``incremental_semantic_dedup``: the
     batch-vs-index verify runs as numpy GEMMs per cell via a COGROUPED
@@ -1014,17 +1033,16 @@ def incremental_semantic_dedup_arrow(
     all — the score block is batch×slice, independent of |cell|²."""
     import numpy as np
 
-    cents = (
-        index.select("label", F.posexplode("vec").alias("i", "x"))
-        .groupBy("label", "i")
-        .agg(F.sum("x").alias("s"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "s"))).alias("entries"))
-        .select("label", F.transform("entries", lambda e: e["s"]).alias("csum"))
-    )
+    if cents is None:
+        cents = semantic_index_centroids(index)
     nv = new.select(F.col(id_col).alias("_id"), quantized(F.col(vec_col), quantize).alias("vec"))
     assigned = nv.join(_assign_to_centroids(nv, cents), "_id").localCheckpoint()
-    idx_v = index.select(F.col(id_col).alias("_id"), "vec", "cluster")
+    # batch-cell pruning (see incremental_semantic_dedup): a cluster-
+    # partitioned index parquet turns this into partition pruning
+    cells = [r["cluster"] for r in assigned.select("cluster").distinct().collect()]
+    idx_v = index.where(F.col("cluster").isin(cells)).select(
+        F.col(id_col).alias("_id"), "vec", "cluster"
+    )
 
     def find_dropped(_key, idx_pdf, new_pdf):
         import pandas as pd

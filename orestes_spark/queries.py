@@ -1493,10 +1493,12 @@ def build_shared_artifacts(spark, sf_dir, invalidate: bool = True) -> dict[str, 
     if invalidate:
         _NEARDUP_PAIRS.pop(sf_dir, None)
         _NEARDUP_COMPONENTS.pop(sf_dir, None)
-        for cache in (_BAND_INDEXES, _SEM_INDEXES):
-            old = cache.pop(sf_dir, None)
-            if old:
-                shutil.rmtree(os.path.dirname(old), ignore_errors=True)
+        old = _BAND_INDEXES.pop(sf_dir, None)
+        if old:
+            shutil.rmtree(os.path.dirname(old), ignore_errors=True)
+        old = _SEM_INDEXES.pop(sf_dir, None)
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
     out: dict[str, float] = {}
     t0 = _time.perf_counter()
     _neardup_pairs_for(spark, sf_dir)
@@ -3380,17 +3382,22 @@ _SEM_INDEXES: dict[str, str] = {}
 
 
 def _sem_index_for(spark, sf_dir) -> str:
-    """Build (once per process per sf_dir) and return the parquet path
-    of the persisted SemDeDup corpus index (vec_id % 5 != 0 plays the
-    already-deduped corpus) used by emb_incremental_semdedup."""
+    """Build (once per process per sf_dir) and return the root path of
+    the persisted SemDeDup corpus index (vec_id % 5 != 0 plays the
+    already-deduped corpus): ``<root>/index`` (cluster-PARTITIONED, so
+    a batch's cell filter becomes partition pruning at the scan) and
+    ``<root>/cents`` (the k×d centroid-sum table, derived once at
+    build time so per-batch dedup never re-aggregates the corpus)."""
     import tempfile
 
     path = _SEM_INDEXES.get(sf_dir)
     if path is None:
         e = load_table(spark, sf_dir, "embeddings")
         corpus = e.where(F.col("vec_id") % 5 != 0)
-        path = tempfile.mkdtemp(prefix="orestes_sem_idx_") + "/index"
-        similarity.semantic_index(corpus, quantize=1000).write.parquet(path)
+        path = tempfile.mkdtemp(prefix="orestes_sem_idx_")
+        idx = similarity.semantic_index(corpus, quantize=1000).localCheckpoint()
+        idx.write.partitionBy("cluster").parquet(path + "/index")
+        similarity.semantic_index_centroids(idx).write.parquet(path + "/cents")
         _SEM_INDEXES[sf_dir] = path
     return path
 
@@ -3407,8 +3414,14 @@ def emb_incremental_semdedup(spark, sf_dir):
     embedding mirror of doc_incremental_neardup."""
     e = load_table(spark, sf_dir, "embeddings")
     new = e.where(F.col("vec_id") % 5 == 0)
-    index = spark.read.parquet(_sem_index_for(spark, sf_dir))
-    return similarity.incremental_semantic_dedup(new, index, threshold=0.35, quantize=1000)
+    root = _sem_index_for(spark, sf_dir)
+    return similarity.incremental_semantic_dedup(
+        new,
+        spark.read.parquet(root + "/index"),
+        threshold=0.35,
+        quantize=1000,
+        cents=spark.read.parquet(root + "/cents"),
+    )
 
 
 @register("emb_incremental_arrow", oracles.emb_incremental_semdedup_sql())
@@ -3420,9 +3433,13 @@ def emb_incremental_arrow(spark, sf_dir):
     per-element dots. Integer-exact under quantize (same oracle)."""
     e = load_table(spark, sf_dir, "embeddings")
     new = e.where(F.col("vec_id") % 5 == 0)
-    index = spark.read.parquet(_sem_index_for(spark, sf_dir))
+    root = _sem_index_for(spark, sf_dir)
     return similarity.incremental_semantic_dedup_arrow(
-        new, index, threshold=0.35, quantize=1000
+        new,
+        spark.read.parquet(root + "/index"),
+        threshold=0.35,
+        quantize=1000,
+        cents=spark.read.parquet(root + "/cents"),
     )
 
 

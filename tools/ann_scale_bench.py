@@ -124,13 +124,16 @@ def main() -> None:
         corpus95 = corpus.where(F.col("vec_id") % 20 != 0)
         batch5 = corpus.where(F.col("vec_id") % 20 == 0)
         t0 = time.perf_counter()
-        similarity.semantic_index(corpus95, quantize=1000).write.parquet(idx_dir + "/i")
+        built = similarity.semantic_index(corpus95, quantize=1000).localCheckpoint()
+        built.write.partitionBy("cluster").parquet(idx_dir + "/i")
+        similarity.semantic_index_centroids(built).write.parquet(idx_dir + "/c")
         t_idx_build = time.perf_counter() - t0
         idx = spark.read.parquet(idx_dir + "/i")
+        cents = spark.read.parquet(idx_dir + "/c")
         t0 = time.perf_counter()
         n_inc_kept = (
             similarity.incremental_semantic_dedup_arrow(
-                batch5, idx, threshold=0.9, quantize=1000
+                batch5, idx, threshold=0.9, quantize=1000, cents=cents
             )
             .where(F.col("kept"))
             .count()
