@@ -935,6 +935,32 @@ def semantic_index_centroids(index: DataFrame) -> DataFrame:
     )
 
 
+def _prune_index_cells(index: DataFrame, assigned: DataFrame) -> DataFrame:
+    """Restrict a semantic index to the cells a batch touches, robust
+    to the partition-inference type flip: a cluster-PARTITIONED index
+    parquet reads its (string-written) cluster key back as int, while
+    the batch's assignment carries the centroid table's original
+    label type. The cell VALUES are coerced to the index's dtype
+    before the isin filter (so partition pruning still fires on the
+    raw column) and the surviving rows' cluster is cast to the
+    batch's dtype (so the downstream equi-join/cogroup keys agree —
+    mismatched cogroup key types trip Spark's CoGroupedIterator
+    ordering assertion)."""
+    cells = [r["cluster"] for r in assigned.select("cluster").distinct().collect()]
+    idx_t = dict(index.dtypes)["cluster"]
+    if idx_t in ("tinyint", "smallint", "int", "bigint"):
+        typed = [int(c) for c in cells]
+    elif idx_t == "string":
+        typed = [str(c) for c in cells]
+    else:
+        typed = cells
+    batch_t = dict(assigned.dtypes)["cluster"]
+    out = index.where(F.col("cluster").isin(typed))
+    if idx_t != batch_t:
+        out = out.withColumn("cluster", F.col("cluster").cast(batch_t))
+    return out
+
+
 def incremental_semantic_dedup(
     new: DataFrame,
     index: DataFrame,
@@ -972,8 +998,7 @@ def incremental_semantic_dedup(
     # are read — with a cluster-PARTITIONED index parquet the isin
     # filter becomes partition pruning at the scan, so a small batch
     # over a huge index reads a handful of cells, not the corpus.
-    cells = [r["cluster"] for r in assigned.select("cluster").distinct().collect()]
-    index = index.where(F.col("cluster").isin(cells))
+    index = _prune_index_cells(index, assigned)
     b = with_norm(assigned, "vec", as_long).toDF("id_b", "vec_b", "cluster", "n2_b")
     idx_a = with_norm(index.select(F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"), "cluster"), "vec_a", as_long).toDF(
         "id_a", "vec_a", "cluster", "n2_a"
@@ -1039,8 +1064,7 @@ def incremental_semantic_dedup_arrow(
     assigned = nv.join(_assign_to_centroids(nv, cents), "_id").localCheckpoint()
     # batch-cell pruning (see incremental_semantic_dedup): a cluster-
     # partitioned index parquet turns this into partition pruning
-    cells = [r["cluster"] for r in assigned.select("cluster").distinct().collect()]
-    idx_v = index.where(F.col("cluster").isin(cells)).select(
+    idx_v = _prune_index_cells(index, assigned).select(
         F.col(id_col).alias("_id"), "vec", "cluster"
     )
 
