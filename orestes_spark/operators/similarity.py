@@ -1042,73 +1042,105 @@ def incremental_semantic_dedup_arrow(
     cents: DataFrame | None = None,
 ) -> DataFrame:
     """Production fast path for ``incremental_semantic_dedup``: the
-    batch-vs-index verify runs as numpy GEMMs per cell via a COGROUPED
-    ``applyInPandas`` (index rows and new rows of the same cell land
-    in one task) instead of the interpreted expression dot — on a
-    Zipf-headed index the expression equi-join evaluates |batch∩cell|
-    × |cell| per-element dots, billions at realistic sizes, where the
-    GEMM is seconds. Same rules, same output schema; with ``quantize``
-    the kernel is integer-exact (same argument as
-    ``semantic_dedup_arrow``).
+    batch BROADCASTS (grouped by cell: ids, matrix, norms — the
+    cosine_topk_arrow shape) and the verify runs as numpy GEMMs in a
+    ``mapInPandas`` over the INDEX SCAN — no index shuffle at all, and
+    a Zipf head cell parallelizes across its parquet row-groups
+    instead of serializing into one cogroup task. The in-batch
+    keep-lowest rule runs as a separate tiny per-cell kernel over the
+    batch itself. Same rules, same output schema as the expression
+    path; with ``quantize`` the GEMM is integer-exact (same argument
+    as ``semantic_dedup_arrow``).
 
-    Scale shape: one shuffle of the index and one of the batch on the
-    cell key; per-task memory is |cell|·d·8B for the index block plus
-    a SLICED b×c score block (slices sized so b·c ≤ 32M doubles), so
-    the |cell|² matrix of the full-rebuild path never exists here at
-    all — the score block is batch×slice, independent of |cell|²."""
+    Scale shape: per-ingest batches are broadcast-sized by definition
+    (bound: |batch|·d·8B driver+executor memory — chunk the ingest if
+    a single batch outgrows that); index-side work is an embarrassing
+    map over pruned cells with a SLICED b×c score block (b·c ≤ 32M
+    doubles), so per-task memory is flat no matter how hot a cell is.
+    round(·, 6) is evaluated SPARSELY — only on scores within 1e-6 of
+    the threshold — because a full-block np.round was the dominant
+    kernel cost, not the GEMM."""
     import numpy as np
 
     if cents is None:
         cents = semantic_index_centroids(index)
     nv = new.select(F.col(id_col).alias("_id"), quantized(F.col(vec_col), quantize).alias("vec"))
     assigned = nv.join(_assign_to_centroids(nv, cents), "_id").localCheckpoint()
-    # batch-cell pruning (see incremental_semantic_dedup): a cluster-
-    # partitioned index parquet turns this into partition pruning
-    idx_v = _prune_index_cells(index, assigned).select(
-        F.col(id_col).alias("_id"), "vec", "cluster"
-    )
+    idx_v = _prune_index_cells(index, assigned).select("cluster", "vec")
+    spark = new.sparkSession
 
-    def find_dropped(_key, idx_pdf, new_pdf):
+    def _rounded_hits(scores, tau):
+        """Boolean mask of round(score, 6) >= tau, with the round
+        evaluated only near the boundary (full-block np.round costs
+        more than the GEMM); NaN (zero-norm pairs) counts as a hit,
+        expression-path parity."""
+        hit = scores >= tau + 5e-7  # safely above any rounding
+        band = (scores >= tau - 5e-7) & ~hit  # boundary band only
+        if band.any():
+            hit[band] = np.round(scores[band], 6) >= tau
+        return hit | np.isnan(scores)
+
+    # -- in-batch rule: tiny per-cell kernel over the batch itself ----
+    def in_batch(pdf):
         import pandas as pd
 
-        if new_pdf.empty:
-            return pd.DataFrame({"_id": np.array([], dtype=np.int64)})
-        ids = new_pdf["_id"].to_numpy(dtype=np.int64)
-        xn = np.stack(new_pdf["vec"].to_numpy()).astype(np.float64)
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        x = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
         order = np.argsort(ids, kind="stable")
-        ids, xn = ids[order], xn[order]
-        nn = np.sqrt((xn * xn).sum(axis=1))
-        zn = nn == 0
-        # in-batch rule: row i drops on any lower-id row j with
-        # round(cos, 6) >= τ (NaN-from-zero-norm counts, expression
-        # parity — see semantic_dedup_arrow)
-        g = xn @ xn.T
+        ids, x = ids[order], x[order]
+        n = np.sqrt((x * x).sum(axis=1))
         with np.errstate(invalid="ignore", divide="ignore"):
-            cos = g / np.maximum(nn[:, None] * nn[None, :], 1e-300)
-        over = (np.round(cos, 6) >= threshold) | zn[:, None] | zn[None, :]
-        drop = np.triu(over, k=1).any(axis=0)
-        # vs index: sliced GEMM so the score block stays b×c
-        if not idx_pdf.empty:
-            xi = np.stack(idx_pdf["vec"].to_numpy()).astype(np.float64)
-            ni = np.sqrt((xi * xi).sum(axis=1))
-            zi = ni == 0
-            c = max(1024, 32_000_000 // max(len(ids), 1))
-            for s in range(0, len(xi), c):
-                sl = slice(s, s + c)
-                gs = xn @ xi[sl].T
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    cs = gs / np.maximum(nn[:, None] * ni[sl][None, :], 1e-300)
-                hit = (np.round(cs, 6) >= threshold) | zi[sl][None, :] | zn[:, None]
-                drop |= hit.any(axis=1)
-                if drop.all():
-                    break
+            cos = (x @ x.T) / (n[:, None] * n[None, :])
+        drop = np.triu(_rounded_hits(cos, threshold), k=1).any(axis=0)
         return pd.DataFrame({"_id": ids[drop]})
 
+    dropped_in_batch = assigned.select("cluster", "_id", "vec").groupBy("cluster").applyInPandas(
+        in_batch, "_id long"
+    )
+
+    # -- index rule: broadcast batch, map over the pruned index scan --
+    by_cell: dict = {}
+    for r in assigned.select("cluster", "_id", "vec").collect():
+        by_cell.setdefault(r["cluster"], []).append((r["_id"], r["vec"]))
+    blocks = {}
+    for cell, entries in by_cell.items():
+        entries.sort()
+        ids = np.array([i for i, _v in entries], dtype=np.int64)
+        x = np.array([v for _i, v in entries], dtype=np.float64)
+        norms = np.sqrt((x * x).sum(axis=1))
+        blocks[cell] = (ids, x, norms)
+    bc = spark.sparkContext.broadcast(blocks)
+
+    def vs_index(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for cell, grp in pdf.groupby("cluster"):
+                blk = bc.value.get(cell)
+                if blk is None:
+                    continue
+                ids_b, xb, nb = blk
+                xi = np.stack(grp["vec"].to_numpy()).astype(np.float64)
+                ni = np.sqrt((xi * xi).sum(axis=1))
+                drop = np.zeros(len(ids_b), dtype=bool)
+                c = max(1024, 32_000_000 // max(len(ids_b), 1))
+                for s in range(0, len(xi), c):
+                    sl = slice(s, s + c)
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        cs = (xb @ xi[sl].T) / (nb[:, None] * ni[sl][None, :])
+                    drop |= _rounded_hits(cs, threshold).any(axis=1)
+                    if drop.all():
+                        break
+                out.append(ids_b[drop])
+            yield pd.DataFrame(
+                {"_id": np.concatenate(out) if out else np.array([], dtype=np.int64)}
+            )
+
     dropped = (
-        idx_v.select("cluster", "_id", "vec")
-        .groupBy("cluster")
-        .cogroup(assigned.select("cluster", "_id", "vec").groupBy("cluster"))
-        .applyInPandas(find_dropped, "_id long")
+        idx_v.mapInPandas(vs_index, "_id long")
+        .unionByName(dropped_in_batch)
+        .distinct()
     )
     return (
         assigned.select("_id", "cluster")
