@@ -58,6 +58,20 @@ def _dot(a: F.Column, b: F.Column, as_long: bool) -> F.Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, v: acc + v)
 
 
+def _cos_expr(dot: F.Column, n2a: F.Column, n2b: F.Column) -> F.Column:
+    """Cosine with IEEE zero-norm semantics under ANSI mode: Spark 4's
+    ANSI `/` raises DIVIDE_BY_ZERO on a zero divisor even for doubles,
+    but a zero norm implies a zero dot (Cauchy-Schwarz), so the IEEE
+    value is 0/0 = NaN — which Spark orders and compares ABOVE every
+    number, exactly the semantics the DuckDB oracles and the numpy
+    kernels produce. try_divide gives NULL on the zero divisor; the
+    coalesce restores NaN."""
+    return F.coalesce(
+        F.try_divide(dot, F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))),
+        F.lit(float("nan")),
+    )
+
+
 def with_norm(df: DataFrame, vec_col: str, as_long: bool) -> DataFrame:
     return df.withColumn("_norm2", _dot(F.col(vec_col), F.col(vec_col), as_long))
 
@@ -91,9 +105,8 @@ def cosine_topk(
         .select(
             "qid",
             "cid",
-            (
-                _dot(F.col("qvec"), F.col("cvec"), as_long)
-                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double")))
+            _cos_expr(
+                _dot(F.col("qvec"), F.col("cvec"), as_long), F.col("qn2"), F.col("cn2")
             ).alias("_cos"),
         )
     )
@@ -296,9 +309,8 @@ def cosine_topk_lsh(
         .select(
             "qid",
             "cid",
-            (
-                _dot(F.col("qvec"), F.col("cvec"), as_long)
-                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double")))
+            _cos_expr(
+                _dot(F.col("qvec"), F.col("cvec"), as_long), F.col("qn2"), F.col("cn2")
             ).alias("_cos"),
         )
     )
@@ -347,8 +359,11 @@ def embedding_near_dups(
             "id_a",
             "id_b",
             F.round(
-                _dot(F.col("vec_a"), F.col("vec_b"), as_long)
-                / (F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double"))),
+                _cos_expr(
+                    _dot(F.col("vec_a"), F.col("vec_b"), as_long),
+                    F.col("n2_a"),
+                    F.col("n2_b"),
+                ),
                 6,
             ).alias("cosine"),
         )
@@ -437,9 +452,8 @@ def ivf_topk(
         .select(
             "qid",
             "cid",
-            (
-                _dot(F.col("qvec"), F.col("cvec"), as_long)
-                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double")))
+            _cos_expr(
+                _dot(F.col("qvec"), F.col("cvec"), as_long), F.col("qn2"), F.col("cn2")
             ).alias("_cos"),
         )
     )
@@ -792,8 +806,11 @@ def semantic_dedup(
         .where(F.col("id_a") < F.col("id_b"))
         .where(
             F.round(
-                _dot(F.col("vec_a"), F.col("vec_b"), as_long)
-                / (F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double"))),
+                _cos_expr(
+                    _dot(F.col("vec_a"), F.col("vec_b"), as_long),
+                    F.col("n2_a"),
+                    F.col("n2_b"),
+                ),
                 6,
             )
             >= threshold
@@ -1005,8 +1022,7 @@ def incremental_semantic_dedup(
     )
     new_a = b.toDF("id_a", "vec_a", "cluster", "n2_a")
     cos_hit = F.round(
-        _dot(F.col("vec_a"), F.col("vec_b"), as_long)
-        / (F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double"))),
+        _cos_expr(_dot(F.col("vec_a"), F.col("vec_b"), as_long), F.col("n2_a"), F.col("n2_b")),
         6,
     ) >= F.lit(threshold)
     dropped = (

@@ -284,3 +284,90 @@ def test_rag_chunks_matches_python_model(spark, texts, window, stride):
             sl = toks[s : s + window]
             exp.append((i, ci, s, len(sl), hashlib.md5(" ".join(sl).encode()).hexdigest()))
     assert got == sorted(exp)
+
+
+# ---- incremental SemDeDup vs a pure-Python model ---------------------
+
+import math
+
+vec3 = st.lists(st.integers(-4, 4), min_size=3, max_size=3)
+
+
+def _r6_half_up(x: float) -> float:
+    scaled = x * 1e6
+    return (math.floor(scaled + 0.5) if x >= 0 else math.ceil(scaled - 0.5)) / 1e6
+
+
+def _model_incremental(corpus, batch, tau):
+    """Pure-Python incremental SemDeDup: integer-valued vectors make
+    every dot/norm exact in float64, so scores are bit-identical to
+    the Spark expression path and ties break the same way."""
+    q = 1000
+    csums: dict[int, list[int]] = {}
+    for _id, label, v in corpus:
+        c = csums.setdefault(label, [0, 0, 0])
+        for i, x in enumerate(v):
+            c[i] += x * q
+
+    def assign(v):
+        best = None  # (score_or_inf_key, label)
+        for label in sorted(csums):
+            c = csums[label]
+            cn = math.sqrt(sum(x * x for x in c))
+            key = math.inf if cn == 0 else -(sum(a * b * q for a, b in zip(v, c)) / cn)
+            if best is None or (key, label) < best:
+                best = (key, label)
+        return best[1]
+
+    def hit(va, vb):
+        da = sum((x * q) ** 2 for x in va)
+        db = sum((x * q) ** 2 for x in vb)
+        if da == 0 or db == 0:
+            return True  # NaN >= tau in Spark semantics
+        dot = sum(a * q * b * q for a, b in zip(va, vb))
+        return _r6_half_up(dot / (math.sqrt(da) * math.sqrt(db))) >= tau
+
+    cell_of = {bid: assign(v) for bid, v in batch}
+    corpus_cells: dict[int, list] = {}
+    for _id, _label, v in corpus:
+        corpus_cells.setdefault(assign(v), []).append(v)
+    out = {}
+    for bid, v in sorted(batch):
+        cell = cell_of[bid]
+        dropped = any(hit(cv, v) for cv in corpus_cells.get(cell, []))
+        if not dropped:
+            dropped = any(
+                hit(av, v) for aid, av in batch if aid < bid and cell_of[aid] == cell
+            )
+        out[bid] = (cell, not dropped)
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    corpus_vecs=st.lists(vec3, min_size=2, max_size=8),
+    batch_vecs=st.lists(vec3, min_size=1, max_size=5),
+    n_labels=st.integers(1, 3),
+)
+def test_incremental_semdedup_matches_python_model(spark, corpus_vecs, batch_vecs, n_labels):
+    from orestes_spark.operators import similarity
+
+    tau = 0.8
+    corpus = [(i, i % n_labels, v) for i, v in enumerate(corpus_vecs)]
+    batch = [(100 + i, v) for i, v in enumerate(batch_vecs)]
+    cdf = spark.createDataFrame(
+        [(i, lb, [float(x) for x in v]) for i, lb, v in corpus],
+        "vec_id LONG, label LONG, embedding ARRAY<FLOAT>",
+    )
+    bdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in batch],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    index = similarity.semantic_index(cdf, quantize=1000)
+    got = {
+        r["vec_id"]: (r["cluster"], r["kept"])
+        for r in similarity.incremental_semantic_dedup(
+            bdf, index, threshold=tau, quantize=1000
+        ).collect()
+    }
+    assert got == _model_incremental(corpus, batch, tau)
