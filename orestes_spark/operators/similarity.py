@@ -59,17 +59,18 @@ def _dot(a: F.Column, b: F.Column, as_long: bool) -> F.Column:
 
 
 def _cos_expr(dot: F.Column, n2a: F.Column, n2b: F.Column) -> F.Column:
-    """Cosine with IEEE zero-norm semantics under ANSI mode: Spark 4's
-    ANSI `/` raises DIVIDE_BY_ZERO on a zero divisor even for doubles,
-    but a zero norm implies a zero dot (Cauchy-Schwarz), so the IEEE
-    value is 0/0 = NaN — which Spark orders and compares ABOVE every
-    number, exactly the semantics the DuckDB oracles and the numpy
-    kernels produce. try_divide gives NULL on the zero divisor; the
-    coalesce restores NaN."""
-    return F.coalesce(
-        F.try_divide(dot, F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))),
-        F.lit(float("nan")),
-    )
+    """Cosine with the ORACLE's zero-norm semantics: Spark 4's ANSI
+    `/` raises DIVIDE_BY_ZERO on a zero divisor even for doubles;
+    DuckDB (the correctness oracle) yields NULL there, ranks NULL
+    LAST in a desc top-k, and a NULL never satisfies a `>= threshold`
+    dedup predicate — i.e. a zero-norm vector has no defined cosine,
+    is nobody's neighbor, and never causes a dedup drop. try_divide
+    reproduces exactly that: NULL on the zero divisor, NULL through
+    round(), filtered by every hit predicate, ordered last by desc
+    (Spark's default NULLS LAST matches DuckDB's). A NULL embedding
+    input flows through as NULL the same way. The numpy kernels mask
+    zero-norm pairs out of their hit sets to agree."""
+    return F.try_divide(dot, F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double")))
 
 
 def with_norm(df: DataFrame, vec_col: str, as_long: bool) -> DataFrame:
@@ -171,17 +172,18 @@ def cosine_topk_arrow(
         )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qzero = np.linalg.norm(qmat, axis=1) == 0
     if quantize is None:
         qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-300)
         qn2 = None
     else:
         qn2 = (qmat**2).sum(axis=1)  # exact integer norms
-    b = corpus.sparkSession.sparkContext.broadcast((qids, qmat, qn2))
+    b = corpus.sparkSession.sparkContext.broadcast((qids, qmat, qn2, qzero))
 
     def score(batches):
         import pandas as pd
 
-        bq_ids, bq, bqn2 = b.value
+        bq_ids, bq, bqn2, bqzero = b.value
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -195,6 +197,7 @@ def cosine_topk_arrow(
                 )
             cids = pdf[id_col].to_numpy(dtype=np.int64)
             cmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            czero = np.linalg.norm(cmat, axis=1) == 0
             if bqn2 is None:
                 cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300)
                 scores = cmat @ bq.T  # (batch, queries)
@@ -202,16 +205,22 @@ def cosine_topk_arrow(
                 cn2 = (cmat**2).sum(axis=1)
                 # dot / (sqrt(n2_q) * sqrt(n2_c)) — operand-for-operand
                 # the oracle's expression (multiply is bitwise
-                # commutative), on exact integer dot/norms. Zero-norm
-                # guard mirrors the float path: nonzero integer norms
-                # are ≥ 1, so the clamp is exact identity for every
-                # real vector and only turns an all-zero vector's 0/0
-                # NaN into cosine 0 (kept out of any top-k, the same
-                # outcome as the float kernel's clamp).
+                # commutative), on exact integer dot/norms. Nonzero
+                # integer norms are ≥ 1, so the clamp is an exact
+                # identity for every real vector; zero-norm pairs are
+                # handled by the nullpair mask below.
                 scores = (cmat @ bq.T) / np.maximum(
                     np.sqrt(bqn2)[None, :] * np.sqrt(cn2)[:, None], 1e-300
                 )
-            scores[cids[:, None] == bq_ids[None, :]] = -np.inf  # self-match
+            self_mask = cids[:, None] == bq_ids[None, :]
+            # Zero-norm pairs have NULL cosine (oracle semantics, see
+            # _cos_expr): ranked below every real score (-inf here, so
+            # they fill the tail only when fewer than `top` finite
+            # candidates exist, id-ascending like the oracle's NULLS
+            # LAST + id tie-break) and emitted with a NULL cosine.
+            nullpair = (czero[:, None] | bqzero[None, :]) & ~self_mask
+            scores[nullpair] = -np.inf
+            scores[self_mask] = -np.inf  # self-match
             top = min(k_local, scores.shape[0])
             # The batch-local cut must apply the SAME (score desc,
             # neighbor_id asc) tie-break as the global window: a bare
@@ -226,16 +235,21 @@ def cosine_topk_arrow(
             sel = np.argsort(-scores[base], axis=0, kind="stable")[:top]
             idx = base[sel]  # (top, queries)
             picked = np.take_along_axis(scores, idx, axis=0)
+            picked_null = np.take_along_axis(nullpair, idx, axis=0)
+            cos = pd.array(picked.ravel(), dtype="Float64")
+            cos[picked_null.ravel()] = pd.NA  # NULL cosine, oracle parity
             out = pd.DataFrame(
                 {
                     "query_id": np.repeat(bq_ids[None, :], top, axis=0).ravel(),
                     "neighbor_id": cids[idx].ravel(),
-                    "cosine": picked.ravel(),
+                    "cosine": cos,
                 }
             )
             # -inf rows appear when a batch holds fewer than `top`
-            # non-self vectors for some query
-            yield out[np.isfinite(out["cosine"].to_numpy())]
+            # non-self vectors for some query — drop them; NULL-cosine
+            # rows stay (real zero-norm candidates, ranked last)
+            keep = np.isfinite(picked.ravel()) | picked_null.ravel()
+            yield out[keep]
 
     local = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         score, "query_id long, neighbor_id long, cosine double"
@@ -557,12 +571,12 @@ def _refine_hot_clusters(
     and ``direct_drops`` is a single-column ``_id`` frame of members
     dropped outright (None when nothing was hot). Two mechanisms:
 
-    1. Exact-duplicate collapse (hot clusters only): a member whose
-       (quantized) vector is bit-identical to a lower-id member of the
-       same cluster is dropped DIRECTLY — the pairwise stage would
-       conclude the same (cosine rounds to exactly 1.0 ≥ any τ ≤ 1;
-       zero-vector pairs score NaN, which Spark orders above any
-       number, so NaN ≥ τ also drops). Semantics-preserving: a
+    1. Exact-duplicate collapse (hot clusters only): a NONZERO member
+       whose (quantized) vector is bit-identical to a lower-id member
+       of the same cluster is dropped DIRECTLY — the pairwise stage
+       would conclude the same (cosine rounds to exactly 1.0 ≥ any
+       τ ≤ 1). Zero vectors are exempt: their pairwise cosine is NULL
+       (oracle semantics, _cos_expr), never a hit. Semantics-preserving: a
        duplicate's cosine to every third vector equals its
        representative's and the representative has the lower id, so
        every pair the duplicate would have dropped is still dropped by
@@ -630,13 +644,20 @@ def _refine_hot_clusters(
     # -- 1. exact-duplicate collapse inside hot clusters ----------------
     direct: DataFrame | None = None
     if threshold <= 1.0:
+        # ZERO vectors are exempt from the collapse: their pairwise
+        # cosine is NULL (oracle semantics, see _cos_expr) so the pair
+        # stage would never drop them — a direct drop here would
+        # diverge. They keep flowing through the split loop instead.
+        nonzero = F.exists("vec", lambda x: x != 0)
         wdup = Window.partitionBy("cluster", "vec")
         marked = hot_work.withColumn("_dup_min", F.min("_id").over(wdup))
         direct = (
-            marked.where(F.col("_id") != F.col("_dup_min")).select("_id").localCheckpoint()
+            marked.where((F.col("_id") != F.col("_dup_min")) & nonzero)
+            .select("_id")
+            .localCheckpoint()
         )
         hot_work = (
-            marked.where(F.col("_id") == F.col("_dup_min"))
+            marked.where((F.col("_id") == F.col("_dup_min")) | ~nonzero)
             .drop("_dup_min")
             .select(*cols)
             .localCheckpoint()
@@ -692,6 +713,26 @@ def _refine_hot_clusters(
             .select("cluster", F.col("_m._id").alias("_id"), F.col("_m.vec").alias("vec"))
         )
         seed_rows = sampled.unionByName(anchors).dropDuplicates(["cluster", "_id"]).collect()
+        # Seed-seed pairs would otherwise be LOST: every seed is its
+        # own nearest seed (cosine 1.0 beats any near-dup's), so two
+        # near-dup SEEDS land in different sub-cells and are never
+        # compared. Emit each parent cell's seed set as one extra tiny
+        # comparison cell (~2·|cell|/cap rows, far under the cap); the
+        # duplicate membership only ADDS candidate pairs — dropped ids
+        # are distinct-ed — and a non-seed's nearest seed is its
+        # near-dup seed itself, so those pairs were already covered.
+        seed_frame = spark.createDataFrame(
+            [(f"{r['cluster']}/_seeds", r["_id"], r["vec"]) for r in seed_rows],
+            over_part.select("cluster", "_id", "vec").schema,
+        )
+        settled = settled.unionByName(
+            seed_frame.join(
+                over_part.drop("cluster", "vec").withColumnRenamed("_id", "_jid"),
+                F.col("_id") == F.col("_jid"),
+            )
+            .drop("_jid")
+            .select(*cols)
+        )
         seed_map: dict[str, tuple] = {}
         by_cell: dict[str, list] = {}
         for r in seed_rows:
@@ -883,13 +924,14 @@ def semantic_dedup_arrow(
         with np.errstate(invalid="ignore", divide="ignore"):
             cos = g / np.maximum(norms[:, None] * norms[None, :], 1e-300)
         cos = np.round(cos, 6)
-        # Zero-norm vectors: the expression path computes dot/0 = NaN,
-        # and Spark's ordering treats NaN as greater than any number,
-        # so NaN >= threshold is TRUE there — mirror that here (the
-        # clamped division above yields 0, which would silently KEEP
-        # such pairs and break the test-pinned path equivalence).
+        # Zero-norm vectors: the expression path (try_divide) and the
+        # DuckDB oracle both score such pairs NULL, which never
+        # satisfies the >= threshold predicate — a zero-norm vector
+        # causes NO dedup drop. Mask them out explicitly (the clamped
+        # division yields 0, which would spuriously HIT at a
+        # non-positive threshold).
         zero = norms == 0
-        over = (cos >= threshold) | zero[:, None] | zero[None, :]
+        over = (cos >= threshold) & ~zero[:, None] & ~zero[None, :]
         # row i dropped iff any earlier (lower-id) row j has cos >= τ
         hit = np.triu(over, k=1)  # j < i pairs at [j, i]
         dropped = ids[hit.any(axis=0)]
@@ -952,7 +994,9 @@ def semantic_index_centroids(index: DataFrame) -> DataFrame:
     )
 
 
-def _prune_index_cells(index: DataFrame, assigned: DataFrame) -> DataFrame:
+def _prune_index_cells(
+    index: DataFrame, assigned: DataFrame, cells: list | None = None
+) -> DataFrame:
     """Restrict a semantic index to the cells a batch touches, robust
     to the partition-inference type flip: a cluster-PARTITIONED index
     parquet reads its (string-written) cluster key back as int, while
@@ -962,16 +1006,41 @@ def _prune_index_cells(index: DataFrame, assigned: DataFrame) -> DataFrame:
     raw column) and the surviving rows' cluster is cast to the
     batch's dtype (so the downstream equi-join/cogroup keys agree —
     mismatched cogroup key types trip Spark's CoGroupedIterator
-    ordering assertion)."""
-    cells = [r["cluster"] for r in assigned.select("cluster").distinct().collect()]
+    ordering assertion). ``cells`` skips the distinct-collect when
+    the caller already knows the batch's cell set.
+
+    The coercion REFUSES (loudly) labels that don't round-trip the
+    flip — a string label like "007" reads back as partition value 7,
+    whose cast to string is "7" ≠ "007", so every join would silently
+    miss and the batch would be silently under-deduplicated. Such
+    indexes must be written unpartitioned or use canonical labels."""
+    if cells is None:
+        cells = [r["cluster"] for r in assigned.select("cluster").distinct().collect()]
     idx_t = dict(index.dtypes)["cluster"]
-    if idx_t in ("tinyint", "smallint", "int", "bigint"):
-        typed = [int(c) for c in cells]
+    batch_t = dict(assigned.dtypes)["cluster"]
+    if idx_t in ("tinyint", "smallint", "int", "bigint") and idx_t != batch_t:
+        try:
+            typed = [int(c) for c in cells]
+            bad = [c for c, t in zip(cells, typed) if str(t) != str(c)]
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                f"semantic index cluster column is {idx_t} (partition type"
+                f" inference?) but the batch's cell labels ({cells[:5]}...)"
+                " are not integers — write the index unpartitioned or use"
+                " integer-convertible labels"
+            ) from e
+        if bad:
+            raise ValueError(
+                f"semantic index cluster labels {bad[:5]} do not survive the"
+                f" partition-inference round trip (string → {idx_t} → string"
+                " changes the value, so index joins would silently miss and"
+                " the batch would be under-deduplicated) — write the index"
+                " unpartitioned or use canonical integer labels"
+            )
     elif idx_t == "string":
         typed = [str(c) for c in cells]
     else:
-        typed = cells
-    batch_t = dict(assigned.dtypes)["cluster"]
+        typed = list(cells)
     out = index.where(F.col("cluster").isin(typed))
     if idx_t != batch_t:
         out = out.withColumn("cluster", F.col("cluster").cast(batch_t))
@@ -1056,6 +1125,7 @@ def incremental_semantic_dedup_arrow(
     threshold: float = 0.35,
     quantize: int | None = 1000,
     cents: DataFrame | None = None,
+    broadcast_rows: int = 250_000,
 ) -> DataFrame:
     """Production fast path for ``incremental_semantic_dedup``: the
     batch BROADCASTS (grouped by cell: ids, matrix, norms — the
@@ -1063,40 +1133,43 @@ def incremental_semantic_dedup_arrow(
     ``mapInPandas`` over the INDEX SCAN — no index shuffle at all, and
     a Zipf head cell parallelizes across its parquet row-groups
     instead of serializing into one cogroup task. The in-batch
-    keep-lowest rule runs as a separate tiny per-cell kernel over the
+    keep-lowest rule runs as a separate per-cell kernel over the
     batch itself. Same rules, same output schema as the expression
     path; with ``quantize`` the GEMM is integer-exact (same argument
-    as ``semantic_dedup_arrow``).
+    as ``semantic_dedup_arrow``); zero-norm pairs are never hits
+    (oracle NULL semantics — see _cos_expr).
 
-    Scale shape: per-ingest batches are broadcast-sized by definition
-    (bound: |batch|·d·8B driver+executor memory — chunk the ingest if
-    a single batch outgrows that); index-side work is an embarrassing
-    map over pruned cells with a SLICED b×c score block (b·c ≤ 32M
-    doubles), so per-task memory is flat no matter how hot a cell is.
-    round(·, 6) is evaluated SPARSELY — only on scores within 1e-6 of
-    the threshold — because a full-block np.round was the dominant
-    kernel cost, not the GEMM."""
+    Scale shape: batches larger than ``broadcast_rows`` are processed
+    in driver-side CHUNKS (each chunk collects, broadcasts ≤
+    broadcast_rows·d·8B, and re-scans the pruned index — bounded
+    driver/executor memory at the price of one index scan per chunk);
+    index-side and in-batch kernels both run SLICED so no score block
+    exceeds ~32M doubles and no b×b matrix materializes for a hot
+    batch cell. round(·, 6) is evaluated SPARSELY — only on scores
+    within 1e-6 of the threshold — because a full-block np.round was
+    the dominant kernel cost, not the GEMM."""
     import numpy as np
 
     if cents is None:
         cents = semantic_index_centroids(index)
     nv = new.select(F.col(id_col).alias("_id"), quantized(F.col(vec_col), quantize).alias("vec"))
     assigned = nv.join(_assign_to_centroids(nv, cents), "_id").localCheckpoint()
-    idx_v = _prune_index_cells(index, assigned).select("cluster", "vec")
     spark = new.sparkSession
 
     def _rounded_hits(scores, tau):
         """Boolean mask of round(score, 6) >= tau, with the round
         evaluated only near the boundary (full-block np.round costs
-        more than the GEMM); NaN (zero-norm pairs) counts as a hit,
-        expression-path parity."""
+        more than the GEMM). NaN (zero-norm pairs) compares False in
+        numpy, matching the oracle's NULL-never-hits semantics."""
         hit = scores >= tau + 5e-7  # safely above any rounding
         band = (scores >= tau - 5e-7) & ~hit  # boundary band only
         if band.any():
             hit[band] = np.round(scores[band], 6) >= tau
-        return hit | np.isnan(scores)
+        return hit
 
-    # -- in-batch rule: tiny per-cell kernel over the batch itself ----
+    # -- in-batch rule: per-cell kernel over the batch itself --------
+    # j-sliced: drop[i] = any j < i with a hit, computed in b×c blocks
+    # so a hot batch cell never materializes b×b
     def in_batch(pdf):
         import pandas as pd
 
@@ -1105,59 +1178,79 @@ def incremental_semantic_dedup_arrow(
         order = np.argsort(ids, kind="stable")
         ids, x = ids[order], x[order]
         n = np.sqrt((x * x).sum(axis=1))
-        with np.errstate(invalid="ignore", divide="ignore"):
-            cos = (x @ x.T) / (n[:, None] * n[None, :])
-        drop = np.triu(_rounded_hits(cos, threshold), k=1).any(axis=0)
+        b = len(ids)
+        drop = np.zeros(b, dtype=bool)
+        c = max(1, 32_000_000 // max(b, 1))
+        for s in range(0, b, c):
+            sl = slice(s, min(s + c, b))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cs = (x @ x[sl].T) / (n[:, None] * n[sl][None, :])
+            hits = _rounded_hits(cs, threshold)
+            # only pairs with row index i > column's absolute index j
+            j_abs = np.arange(sl.start, sl.stop)
+            lower = np.arange(b)[:, None] > j_abs[None, :]
+            drop |= (hits & lower).any(axis=1)
         return pd.DataFrame({"_id": ids[drop]})
 
     dropped_in_batch = assigned.select("cluster", "_id", "vec").groupBy("cluster").applyInPandas(
         in_batch, "_id long"
     )
 
-    # -- index rule: broadcast batch, map over the pruned index scan --
-    by_cell: dict = {}
-    for r in assigned.select("cluster", "_id", "vec").collect():
-        by_cell.setdefault(r["cluster"], []).append((r["_id"], r["vec"]))
-    blocks = {}
-    for cell, entries in by_cell.items():
-        entries.sort()
-        ids = np.array([i for i, _v in entries], dtype=np.int64)
-        x = np.array([v for _i, v in entries], dtype=np.float64)
-        norms = np.sqrt((x * x).sum(axis=1))
-        blocks[cell] = (ids, x, norms)
-    bc = spark.sparkContext.broadcast(blocks)
+    # -- index rule: broadcast batch (chunked), map over pruned scan --
+    def vs_index_factory(bc):
+        def vs_index(batches):
+            import pandas as pd
 
-    def vs_index(batches):
-        import pandas as pd
+            for pdf in batches:
+                out = []
+                for cell, grp in pdf.groupby("cluster"):
+                    blk = bc.value.get(cell)
+                    if blk is None:
+                        continue
+                    ids_b, xb, nb = blk
+                    xi = np.stack(grp["vec"].to_numpy()).astype(np.float64)
+                    ni = np.sqrt((xi * xi).sum(axis=1))
+                    drop = np.zeros(len(ids_b), dtype=bool)
+                    c = max(1, 32_000_000 // max(len(ids_b), 1))
+                    for s in range(0, len(xi), c):
+                        sl = slice(s, s + c)
+                        with np.errstate(invalid="ignore", divide="ignore"):
+                            cs = (xb @ xi[sl].T) / (nb[:, None] * ni[sl][None, :])
+                        drop |= _rounded_hits(cs, threshold).any(axis=1)
+                        if drop.all():
+                            break
+                    out.append(ids_b[drop])
+                yield pd.DataFrame(
+                    {"_id": np.concatenate(out) if out else np.array([], dtype=np.int64)}
+                )
 
-        for pdf in batches:
-            out = []
-            for cell, grp in pdf.groupby("cluster"):
-                blk = bc.value.get(cell)
-                if blk is None:
-                    continue
-                ids_b, xb, nb = blk
-                xi = np.stack(grp["vec"].to_numpy()).astype(np.float64)
-                ni = np.sqrt((xi * xi).sum(axis=1))
-                drop = np.zeros(len(ids_b), dtype=bool)
-                c = max(1024, 32_000_000 // max(len(ids_b), 1))
-                for s in range(0, len(xi), c):
-                    sl = slice(s, s + c)
-                    with np.errstate(invalid="ignore", divide="ignore"):
-                        cs = (xb @ xi[sl].T) / (nb[:, None] * ni[sl][None, :])
-                    drop |= _rounded_hits(cs, threshold).any(axis=1)
-                    if drop.all():
-                        break
-                out.append(ids_b[drop])
-            yield pd.DataFrame(
-                {"_id": np.concatenate(out) if out else np.array([], dtype=np.int64)}
-            )
+        return vs_index
 
-    dropped = (
-        idx_v.mapInPandas(vs_index, "_id long")
-        .unionByName(dropped_in_batch)
-        .distinct()
-    )
+    n_batch = assigned.count()
+    n_chunks = max(1, -(-n_batch // broadcast_rows))
+    dropped = dropped_in_batch
+    for chunk in range(n_chunks):
+        part = (
+            assigned
+            if n_chunks == 1
+            else assigned.where(F.pmod(F.col("_id"), F.lit(n_chunks)) == chunk)
+        )
+        by_cell: dict = {}
+        for r in part.select("cluster", "_id", "vec").collect():
+            by_cell.setdefault(r["cluster"], []).append((r["_id"], r["vec"]))
+        if not by_cell:
+            continue
+        blocks = {}
+        for cell, entries in by_cell.items():
+            entries.sort()
+            ids = np.array([i for i, _v in entries], dtype=np.int64)
+            x = np.array([v for _i, v in entries], dtype=np.float64)
+            norms = np.sqrt((x * x).sum(axis=1))
+            blocks[cell] = (ids, x, norms)
+        bc = spark.sparkContext.broadcast(blocks)
+        idx_v = _prune_index_cells(index, part, cells=list(blocks)).select("cluster", "vec")
+        dropped = dropped.unionByName(idx_v.mapInPandas(vs_index_factory(bc), "_id long"))
+    dropped = dropped.distinct()
     return (
         assigned.select("_id", "cluster")
         .join(dropped.withColumn("_drop", F.lit(True)), "_id", "left")

@@ -3395,9 +3395,17 @@ def _sem_index_for(spark, sf_dir) -> str:
         e = load_table(spark, sf_dir, "embeddings")
         corpus = e.where(F.col("vec_id") % 5 != 0)
         path = tempfile.mkdtemp(prefix="orestes_sem_idx_")
-        idx = similarity.semantic_index(corpus, quantize=1000).localCheckpoint()
-        idx.write.partitionBy("cluster").parquet(path + "/index")
-        similarity.semantic_index_centroids(idx).write.parquet(path + "/cents")
+        # write first, derive centroids from the re-read: same
+        # bit-exact result as deriving from the in-memory frame
+        # (assignment is deterministic) with ZERO corpus-sized pinned
+        # storage — a localCheckpoint here would materialize every
+        # index row into block storage just to save one recompute
+        similarity.semantic_index(corpus, quantize=1000).write.partitionBy(
+            "cluster"
+        ).parquet(path + "/index")
+        similarity.semantic_index_centroids(
+            spark.read.parquet(path + "/index")
+        ).write.parquet(path + "/cents")
         _SEM_INDEXES[sf_dir] = path
     return path
 

@@ -323,7 +323,7 @@ def _model_incremental(corpus, batch, tau):
         da = sum((x * q) ** 2 for x in va)
         db = sum((x * q) ** 2 for x in vb)
         if da == 0 or db == 0:
-            return True  # NaN >= tau in Spark semantics
+            return False  # NULL cosine never hits (oracle semantics)
         dot = sum(a * q * b * q for a, b in zip(va, vb))
         return _r6_half_up(dot / (math.sqrt(da) * math.sqrt(db))) >= tau
 

@@ -269,15 +269,28 @@ def test_semantic_dedup_hot_cluster_exact_dups_collapse(spark):
         assert sorted(i for i, k in out.items() if k) == [0, 100, 101, 102], out
 
 
-def test_semantic_dedup_unsplittable_cell_falls_back_to_exempt(spark):
-    """Distinct-but-parallel vectors tie on cosine to every seed, so no
-    split makes progress; after bounded depth the cell is excluded
-    loudly and its members stay kept=True (the honest round-6
-    fallback, now reserved for genuinely unsplittable cells)."""
+def test_semantic_dedup_unsplittable_cell_under_approximates_soundly(spark):
+    """Distinct-but-parallel vectors tie on cosine to every seed, so
+    no split makes progress; after bounded depth the residual cell is
+    excluded loudly. The cap's contract is one-sided: it may MISS
+    drops (exempted non-seeds stay kept=True) but never drops a row
+    the cap-free rule would keep — seed-seed comparisons still catch
+    genuine cosine-1.0 dups among the sampled seeds, and the lowest
+    id always survives."""
     rows = [(i, [float(i + 1), float(2 * (i + 1))], 0) for i in range(12)]
     df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label LONG")
-    out = similarity.semantic_dedup(df, threshold=0.99, max_cluster=5).collect()
-    assert len(out) == 12 and all(r["kept"] for r in out)
+    capped = {r["vec_id"]: r["kept"] for r in
+              similarity.semantic_dedup(df, threshold=0.99, max_cluster=5).collect()}
+    free = {r["vec_id"]: r["kept"] for r in
+            similarity.semantic_dedup(df, threshold=0.99).collect()}
+    assert len(capped) == 12
+    # cap-free truth: everything is a cosine-1.0 dup of id 0
+    assert free == {0: True, **{i: False for i in range(1, 12)}}
+    # capped: sound under-approximation — never drops what free keeps
+    assert capped[0] is True
+    assert {i for i, k in capped.items() if not k} <= {i for i, k in free.items() if not k}
+    # and the seed comparisons make SOME progress (not a blanket exempt)
+    assert any(not k for k in capped.values())
 
 
 def test_semantic_dedup_arrow_equals_expression_path(labeled_vecs, spark):
@@ -547,3 +560,93 @@ def test_incremental_semantic_dedup_arrow_equals_expression(spark, tmp_path, lab
              similarity.incremental_semantic_dedup_arrow(
                  new, index, threshold=0.9, quantize=1000).collect()}
     assert expr == arrow and len(expr) == new.count()
+
+
+def test_incremental_semdedup_partitioned_index_string_labels(spark, tmp_path):
+    """The production index layout: cluster-PARTITIONED parquet with
+    STRING labels. Partition inference flips the cluster key to int on
+    read; both incremental variants must still agree with each other
+    and dedup correctly (the type-flip guard casts keys back), and a
+    NON-canonical label ('007') must be refused loudly instead of
+    silently under-deduplicating."""
+    import pytest
+
+    corpus = spark.createDataFrame(
+        [(1, "10", [10.0, 0.0]), (3, "10", [10.0, 1.0]),
+         (2, "20", [0.0, 10.0]), (4, "20", [1.0, 10.0])],
+        "vec_id LONG, label STRING, embedding ARRAY<FLOAT>",
+    )
+    root = str(tmp_path / "pidx")
+    similarity.semantic_index(corpus, quantize=1000).write.partitionBy("cluster").parquet(
+        root + "/index"
+    )
+    index = spark.read.parquet(root + "/index")
+    assert dict(index.dtypes)["cluster"] == "int"  # the inference flip
+    new = spark.createDataFrame(
+        [(100, [10.0, 0.1]), (101, [3.0, 9.0]), (102, [3.01, 9.03])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    expr = {r["vec_id"]: (r["cluster"], r["kept"]) for r in
+            similarity.incremental_semantic_dedup(
+                new, index, threshold=0.99, quantize=1000).collect()}
+    arrow = {r["vec_id"]: (r["cluster"], r["kept"]) for r in
+             similarity.incremental_semantic_dedup_arrow(
+                 new, index, threshold=0.99, quantize=1000).collect()}
+    assert expr == arrow
+    assert expr == {100: ("10", False), 101: ("20", True), 102: ("20", False)}, expr
+    # non-canonical label: the int round-trip changes the value → refuse
+    bad = spark.createDataFrame(
+        [(1, "007", [10.0, 0.0]), (2, "007", [10.0, 1.0])],
+        "vec_id LONG, label STRING, embedding ARRAY<FLOAT>",
+    )
+    similarity.semantic_index(bad, quantize=1000).write.partitionBy("cluster").parquet(
+        root + "/bad"
+    )
+    bad_index = spark.read.parquet(root + "/bad")
+    with pytest.raises(ValueError, match="round trip"):
+        similarity.incremental_semantic_dedup(
+            new, bad_index, threshold=0.99, quantize=1000
+        ).collect()
+
+
+def test_incremental_semdedup_zero_norm_oracle_semantics(spark):
+    """Zero-norm vectors have NULL cosine (DuckDB oracle semantics):
+    they are nobody's near-dup and nothing drops them — in batch
+    dedup, incremental dedup, and the hot-cluster refine collapse."""
+    z = [0.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(0, 0, z), (1, 0, z), (2, 0, [5.0, 0.0, 0.0]), (3, 0, [5.0, 0.01, 0.0])],
+        "vec_id LONG, label LONG, embedding ARRAY<FLOAT>",
+    )
+    for kw in ({}, {"max_cluster": 2}):  # plain and refine-triggering
+        out = {r["vec_id"]: r["kept"] for r in
+               similarity.semantic_dedup(df, threshold=0.9, quantize=1000, **kw).collect()}
+        assert out == {0: True, 1: True, 2: True, 3: False}, (kw, out)
+    arrow = {r["vec_id"]: r["kept"] for r in
+             similarity.semantic_dedup_arrow(df, threshold=0.9, quantize=1000).collect()}
+    assert arrow == {0: True, 1: True, 2: True, 3: False}
+    index = similarity.semantic_index(df, quantize=1000)
+    new = spark.createDataFrame(
+        [(100, z), (101, [5.0, 0.02, 0.0])], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    for fn in (similarity.incremental_semantic_dedup, similarity.incremental_semantic_dedup_arrow):
+        got = {r["vec_id"]: r["kept"] for r in
+               fn(new, index, threshold=0.9, quantize=1000).collect()}
+        assert got == {100: True, 101: False}, (fn.__name__, got)
+    # top-k: a zero-norm corpus vector has NULL cosine, ranks LAST,
+    # and both kernels agree row-for-row (the arrow path used to clamp
+    # it to cosine 0, which outranked negative cosines)
+    tk = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [-1.0, 0.0, 0.0]), (2, z), (3, [0.9, 0.1, 0.0])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    q = tk.where(F.col("vec_id") == 0)
+    expr_tk = [(r["neighbor_id"], r["cosine"], r["rank"]) for r in
+               similarity.cosine_topk(tk, q, k=3, quantize=1000)
+               .orderBy("rank").collect()]
+    arrow_tk = [(r["neighbor_id"], r["cosine"], r["rank"]) for r in
+                similarity.cosine_topk_arrow(tk, q, k=3, quantize=1000)
+                .orderBy("rank").collect()]
+    assert expr_tk == arrow_tk, (expr_tk, arrow_tk)
+    assert [n for n, _c, _r in expr_tk] == [3, 1, 2]  # zero-norm LAST
+    assert expr_tk[2][1] is None  # with NULL cosine

@@ -124,9 +124,12 @@ def main() -> None:
         corpus95 = corpus.where(F.col("vec_id") % 20 != 0)
         batch5 = corpus.where(F.col("vec_id") % 20 == 0)
         t0 = time.perf_counter()
-        built = similarity.semantic_index(corpus95, quantize=1000).localCheckpoint()
-        built.write.partitionBy("cluster").parquet(idx_dir + "/i")
-        similarity.semantic_index_centroids(built).write.parquet(idx_dir + "/c")
+        similarity.semantic_index(corpus95, quantize=1000).write.partitionBy(
+            "cluster"
+        ).parquet(idx_dir + "/i")
+        similarity.semantic_index_centroids(
+            spark.read.parquet(idx_dir + "/i")
+        ).write.parquet(idx_dir + "/c")
         t_idx_build = time.perf_counter() - t0
         idx = spark.read.parquet(idx_dir + "/i")
         cents = spark.read.parquet(idx_dir + "/c")
