@@ -234,3 +234,28 @@ def cap_per_group(
         .where(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: tuple[float, float] = (0.8, 0.1),
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row a named split — 'train' / 'val' / 'test' — by
+    the salted id hash. fractions = (train, val); test takes the rest.
+
+    The core held-out-set primitive of a training pipeline: because
+    membership is a pure function of the row id, the split is stable
+    across re-runs, engines, partitionings and INCREMENTAL ARRIVALS —
+    a document ingested next month lands in the same split it would
+    have landed in today, so eval sets never silently absorb training
+    data. Map-side only: zero shuffles, composes with any downstream
+    plan."""
+    t_train = int(round(fractions[0] * _BUCKETS))
+    t_val = t_train + int(round(fractions[1] * _BUCKETS))
+    b = _hash_bucket(F.col(id_col), salt)
+    return df.withColumn(
+        "split",
+        F.when(b < t_train, "train").when(b < t_val, "val").otherwise("test"),
+    )

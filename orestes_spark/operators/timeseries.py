@@ -287,3 +287,61 @@ def range_join(
         .where((F.col(point_time) >= F.col(start_col)) & (F.col(point_time) < F.col(end_col)))
         .drop("_b")
     )
+
+
+def m4(
+    points: DataFrame,
+    step_ms: int,
+    key_cols: list[str],
+    time_col: str = "time_ms",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., PVLDB 7(10), 2014): per (key,
+    bucket) the COORDINATES of the first, last, min and max points —
+    the four rows per pixel column that make a line-chart rendering of
+    the downsample pixel-perfect. `ohlc` keeps only the values; M4
+    keeps (t, v) pairs, which is what a visualization tier needs.
+
+    Determinism under duplicate timestamps/values: first/last take the
+    point at the smallest/largest composite (time, tiebreak) key;
+    t_min/t_max take the SMALLEST composite key among the rows that
+    attain the bucket's min/max value (ties on the extreme value break
+    toward the earliest point). Values pass through untouched — no
+    float arithmetic, so no cross-engine divergence.
+
+    Scale shape: one exchange on (key, bucket) reused by the
+    min/max-resolving window and the final aggregation; partial
+    min/max/count still combine map-side. No window over a global or
+    per-key-only partition — parallelism is (keys x buckets).
+    """
+    order = F.col(time_col).cast("long")
+    if tiebreak_col is not None:
+        # composite BIGINT order key — same envelope as ohlc: valid
+        # while ms < 2^43 and tiebreak < 2^20.
+        order = F.shiftleft(order, 20) + F.col(tiebreak_col).cast("long")
+        decode = lambda c: F.shiftright(c, 20)  # noqa: E731
+    else:
+        decode = lambda c: c  # noqa: E731
+    bucketed = points.withColumn(
+        "bucket_ms", (F.floor(F.col(time_col) / step_ms) * step_ms).cast("long")
+    ).withColumn("_ord", order)
+    w = Window.partitionBy(*key_cols, "bucket_ms")
+    v = F.col(value_col)
+    resolved = bucketed.withColumn("_vmin", F.min(v).over(w)).withColumn(
+        "_vmax", F.max(v).over(w)
+    )
+    return (
+        resolved.groupBy(*key_cols, "bucket_ms")
+        .agg(
+            decode(F.min("_ord")).alias("t_first"),
+            F.min_by(v, F.col("_ord")).alias("v_first"),
+            decode(F.min(F.when(v == F.col("_vmin"), F.col("_ord")))).alias("t_min"),
+            F.min(v).alias("v_min"),
+            decode(F.min(F.when(v == F.col("_vmax"), F.col("_ord")))).alias("t_max"),
+            F.max(v).alias("v_max"),
+            decode(F.max("_ord")).alias("t_last"),
+            F.max_by(v, F.col("_ord")).alias("v_last"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

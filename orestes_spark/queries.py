@@ -4028,6 +4028,161 @@ def ts_seasonal_baseline(spark, sf_dir):
     )
 
 
+@register(
+    "ts_downsample_m4",
+    f"""WITH ev AS (
+          SELECT event_type,
+                 CAST(floor({_EV_MS} / {_HOUR}) * {_HOUR} AS BIGINT) AS bucket_ms,
+                 {_EV_MS} * 1048576 + event_id AS ord,
+                 value
+          FROM events
+        ),
+        b AS (
+          SELECT *,
+                 min(value) OVER (PARTITION BY event_type, bucket_ms) AS vmin,
+                 max(value) OVER (PARTITION BY event_type, bucket_ms) AS vmax
+          FROM ev
+        )
+        SELECT event_type, bucket_ms,
+               CAST(min(ord) // 1048576 AS BIGINT) AS t_first,
+               arg_min(value, ord) AS v_first,
+               CAST(min(CASE WHEN value = vmin THEN ord END) // 1048576 AS BIGINT) AS t_min,
+               min(value) AS v_min,
+               CAST(min(CASE WHEN value = vmax THEN ord END) // 1048576 AS BIGINT) AS t_max,
+               max(value) AS v_max,
+               CAST(max(ord) // 1048576 AS BIGINT) AS t_last,
+               arg_max(value, ord) AS v_last,
+               count(*) AS n
+        FROM b GROUP BY 1, 2""",
+)
+def ts_downsample_m4(spark, sf_dir):
+    """M4 visualization downsample (Jugel et al., PVLDB 2014): the
+    (t, v) coordinates of the first/last/min/max points per hourly
+    bucket per series — pixel-perfect line rendering at 4 rows per
+    pixel column. Extends ts_ohlc (values only) with the coordinate
+    form a chart tier needs. Values untouched; timestamps resolve via
+    the composite (ms, event_id) key, so ties are engine-deterministic
+    on both sides."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_millis("ts").alias("time_ms"), "value", "event_id"
+    )
+    return timeseries.m4(ev, _HOUR, ["event_type"], tiebreak_col="event_id")
+
+
+@register(
+    "events_markov_transitions",
+    """WITH seq AS (
+         SELECT event_type AS src,
+                lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         FROM events
+       )
+       SELECT src, dst, count(*) AS n_trans,
+              round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY src), 6) AS p
+       FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2""",
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next = dst | current = src). The path-mining /
+    next-event-prediction primitive. One shuffle on user_id for the
+    lead(), then an agg on (src, dst) whose per-src normalization
+    reuses a tiny window over the aggregated matrix (|event_types|^2
+    rows), not the raw stream. p is a ratio of exact integers —
+    deterministic IEEE division, rounded identically on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"), F.lead("event_type").over(w).alias("dst")
+    ).where(F.col("dst").isNotNull())
+    counts = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_trans"))
+    tot = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n_trans",
+        F.round(F.col("n_trans").cast("double") / F.sum("n_trans").over(tot), 6).alias("p"),
+    )
+
+
+@register(
+    "events_attribution_last_touch",
+    """WITH t AS (
+         SELECT event_type, value,
+                last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+                           IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+         FROM events
+       )
+       SELECT coalesce(channel, 'direct') AS channel,
+              count(*) AS n_purchases,
+              round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6) AS total_value
+       FROM t WHERE event_type = 'purchase' GROUP BY 1""",
+)
+def events_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the user's most
+    recent PRIOR view/click (else 'direct'), reporting purchases and
+    revenue per channel. The marketing-analytics as-of pattern done
+    with one (user, time)-sorted window — carry the last touch type
+    forward, exclude the current row — then a tiny channel agg.
+    Revenue uses the exact-decimal sum discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("view", "click"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("channel", touch)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "doc_train_split",
+    r"""SELECT split, lang, count(*) AS n_docs,
+               CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        FROM (
+          SELECT lang, text,
+                 CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 10000 < 8000 THEN 'train'
+                      WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 10000 < 9000 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        ) GROUP BY 1, 2""",
+)
+def doc_train_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by salted id
+    hash (sampling.train_val_test_split), reported as per-(split,
+    lang) doc and token counts. Because membership is a pure function
+    of doc_id, the split is stable across re-runs, engines and
+    INCREMENTAL ARRIVALS — late-ingested documents land in the split
+    they always would have, so eval sets never absorb training data.
+    Map-side assignment + one small agg."""
+    from orestes_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.train_val_test_split(d, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("n_tokens"),
+        )
+    )
+
+
 # ------------------------------------------------------- driver ordering ---
 # The driver's correctness gate checks the FIRST 50 registered queries
 # (registration order = dict insertion order). Round-5 rotation

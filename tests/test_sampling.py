@@ -164,3 +164,21 @@ def test_select_within_budget_greedy_prefix(spark):
             break
         expected[i] = acc
     assert out == expected and 0 < len(expected) < 200
+
+
+def test_train_val_test_split_partitions_and_replays(spark):
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    out = sampling.train_val_test_split(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    n = sum(counts.values())
+    assert n == 4000
+    # hash split tracks the 80/10/10 target within a loose band
+    assert abs(counts["train"] / n - 0.8) < 0.05
+    assert abs(counts["val"] / n - 0.1) < 0.03
+    # deterministic replay: same ids -> identical assignment
+    again = sampling.train_val_test_split(df, "doc_id")
+    assert out.exceptAll(again).count() == 0
+    # map-side only: no exchange in the assignment plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -222,3 +222,45 @@ def test_asof_join_null_value_does_not_splice_rows(spark):
     fwd_left = spark.createDataFrame([(2, "k", 50)], "id LONG, k STRING, time_ms LONG")
     row = asof_join(fwd_left, right, on="k", direction="forward").collect()[0]
     assert row["v1"] == 1.0 and row["v2"] == 5.0  # the t=100 row
+
+def test_m4_coordinates_and_ties(spark):
+    from orestes_spark.operators.timeseries import m4
+
+    pts = spark.createDataFrame(
+        [
+            # one hourly bucket for key 'a': min value 1.0 appears twice
+            # (ids 2 and 4) — t_min must take the EARLIER point; max 9.0
+            # once; first/last resolve by (ts, id).
+            ("a", 1000, 5.0, 1),
+            ("a", 2000, 1.0, 2),
+            ("a", 2500, 9.0, 3),
+            ("a", 3000, 1.0, 4),
+            ("a", 3000, 7.0, 5),  # same ts as id 4 — last must take id 5
+            ("b", 1500, 2.0, 6),
+        ],
+        "key STRING, time_ms LONG, value DOUBLE, event_id LONG",
+    )
+    out = {r["key"]: r for r in m4(pts, 3_600_000, ["key"], tiebreak_col="event_id").collect()}
+    a = out["a"]
+    assert (a["t_first"], a["v_first"]) == (1000, 5.0)
+    assert (a["t_min"], a["v_min"]) == (2000, 1.0)
+    assert (a["t_max"], a["v_max"]) == (2500, 9.0)
+    assert (a["t_last"], a["v_last"]) == (3000, 7.0)
+    assert a["n"] == 5
+    b = out["b"]
+    assert (b["t_first"], b["v_first"], b["t_last"], b["v_last"], b["n"]) == (
+        1500, 2.0, 1500, 2.0, 1,
+    )
+
+
+def test_m4_without_tiebreak_returns_raw_timestamps(spark):
+    from orestes_spark.operators.timeseries import m4
+
+    pts = spark.createDataFrame(
+        [("a", 1000, 3.0), ("a", 4000, 8.0)],
+        "key STRING, time_ms LONG, value DOUBLE",
+    )
+    (row,) = m4(pts, 3_600_000, ["key"]).collect()
+    assert (row["t_first"], row["t_last"], row["t_min"], row["t_max"]) == (
+        1000, 4000, 1000, 4000,
+    )
