@@ -903,3 +903,40 @@ def dedup_keep_best(
         .select(id_col)
     )
     return docs.join(drops, id_col, "left_anti")
+
+
+def substring_contamination(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    needles: DataFrame,
+    eval_id_col: str = "eval_id",
+    needle_col: str = "needle",
+) -> DataFrame:
+    """Verbatim-substring decontamination: flag corpus documents that
+    contain any eval needle string EXACTLY (the strict complement of
+    n-gram-overlap matching in ``benchmark_overlap`` — catches copied
+    passages that shingle hashing would also catch, but with zero
+    false positives from shared vocabulary, and is the published
+    recipe for canary-string / eval-prompt leak scans).
+
+    ``needles`` is a small (eval_id, needle) frame by contract — eval
+    prompts/canaries, not a corpus. Output: (id, n_eval_hits,
+    first_eval_id) for every corpus doc containing ≥ 1 needle.
+
+    Scale shape: broadcast nested-loop of corpus x needles with a
+    contains() predicate — the RIGHT plan while |needles| is small
+    (one corpus scan, |needles| substring probes per doc, perfectly
+    parallel, no shuffle before the final tiny agg). Thousands of
+    needles would move to one compiled Aho-Corasick automaton per
+    executor via mapInPandas; the operator contract (tiny broadcast
+    side) is the same either way."""
+    j = docs.select(id_col, text_col).join(
+        F.broadcast(needles.select(eval_id_col, needle_col)),
+        (F.col(id_col) != F.col(eval_id_col))
+        & F.col(text_col).contains(F.col(needle_col)),
+    )
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_eval_hits"),
+        F.min(eval_id_col).alias("first_eval_id"),
+    )

@@ -4183,6 +4183,171 @@ def doc_train_split(spark, sf_dir):
     )
 
 
+@register(
+    "doc_substring_decontam",
+    r"""WITH needles AS (
+          SELECT doc_id AS eval_id,
+                 array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 3), ' ')
+                   AS needle
+          FROM documents WHERE doc_id % 97 = 0 AND doc_id < 10000
+        ),
+        valid AS (SELECT * FROM needles WHERE len(needle) >= 9)
+        SELECT d.doc_id, count(*) AS n_eval_hits, min(n.eval_id) AS first_eval_id
+        FROM documents d JOIN valid n
+          ON d.doc_id <> n.eval_id AND contains(d.text, n.needle)
+        GROUP BY 1""",
+)
+def doc_substring_decontam(spark, sf_dir):
+    """Verbatim-substring decontamination (canary / eval-prompt leak
+    scan): docs containing the exact 6-token prefix of any doc_id % 97
+    eval doc (id-bounded: an eval set does not grow with the corpus).
+    Complements doc_decontaminate's n-gram overlap — exact
+    string containment, zero shared-vocabulary false positives.
+    Broadcast nested-loop over a tiny needle set: one corpus scan, no
+    shuffle before the final agg (dedup.substring_contamination)."""
+    d = load_table(spark, sf_dir, "documents")
+    needles = (
+        d.where((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 10000))
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.array_join(F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 3), " ").alias(
+                "needle"
+            ),
+        )
+        .where(F.length("needle") >= 9)
+    )
+    return dedup.substring_contamination(d, "doc_id", "text", needles)
+
+
+@register(
+    "ts_cross_corr",
+    f"""WITH hourly AS (
+          SELECT event_type, CAST(floor({_EV_MS} / {_HOUR}) AS BIGINT) AS hour,
+                 round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS v
+          FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT a.event_type AS src, b.event_type AS dst,
+                 CAST(a.v AS DECIMAL(18,6)) AS x, CAST(b.v AS DECIMAL(18,6)) AS y
+          FROM hourly a JOIN hourly b ON a.hour = b.hour AND a.event_type < b.event_type
+        ),
+        s AS (
+          SELECT src, dst, count(*) AS n,
+                 CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(x * y) AS DOUBLE) AS sxy,
+                 CAST(sum(x * x) AS DOUBLE) AS sxx,
+                 CAST(sum(y * y) AS DOUBLE) AS syy
+          FROM pairs GROUP BY 1, 2
+        )
+        SELECT src, dst, n,
+               round((n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r
+        FROM s
+        WHERE n >= 24 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""",
+)
+def ts_cross_corr(spark, sf_dir):
+    """Pairwise Pearson correlation between series (event_types) on
+    their aligned hourly averages — the correlation-matrix primitive
+    behind metric similarity search and incident blast-radius tools.
+    Determinism: hourly anchors are the exact-decimal 6-dp averages;
+    all five moment sums accumulate in DECIMAL (exact, order-free)
+    and only the final r does IEEE double arithmetic — identical on
+    both engines given identical inputs. Scale shape: the hourly
+    rollup reduces the corpus to |series| x |hours| rows before the
+    self-join, which equi-joins on hour (AQE broadcasts the small
+    side); moments agg on (src, dst)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_millis("ts").alias("time_ms"), "value"
+    )
+    hourly = ev.groupBy(
+        "event_type", F.floor(F.col("time_ms") / _HOUR).cast("long").alias("hour")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("v")
+    )
+    a, b = hourly.alias("a"), hourly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.hour") == F.col("b.hour")) & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("src"),
+        F.col("b.event_type").alias("dst"),
+        F.col("a.v").cast("decimal(18,6)").alias("x"),
+        F.col("b.v").cast("decimal(18,6)").alias("y"),
+    )
+    s = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    return (
+        s.where((n >= 24) & (vx > 0) & (vy > 0))
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.round((n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("r"),
+        )
+    )
+
+
+@register(
+    "events_mad_outliers",
+    """WITH med AS (
+         SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+       ),
+       dev AS (
+         SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+         FROM events e JOIN med m USING (event_type)
+       ),
+       mad AS (
+         SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1
+       )
+       SELECT d.event_type,
+              round(min(d.med), 6) AS median_value,
+              round(min(a.mad), 6) AS mad,
+              count(*) AS n,
+              CAST(sum(CASE WHEN d.dev > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       FROM dev d JOIN mad a USING (event_type) GROUP BY 1""",
+)
+def events_mad_outliers(spark, sf_dir):
+    """Robust outlier detection: median + MAD (median absolute
+    deviation) per series, counting points beyond 3 MAD — the
+    breakdown-resistant alternative to events_anomaly_zscore (one
+    wild point corrupts a z-score's mean/stddev; the median pair
+    shrugs it off). Medians are exact (percentile(0.5) ==
+    quantile_cont at the midpoint); deviations and the 3-MAD gate are
+    pure IEEE ops on untouched doubles, so both engines agree
+    bit-for-bit. Scale shape: two broadcast joins of per-series
+    scalars back onto the stream; the scale path swaps in
+    percentile_approx for a single pass."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 6).alias("median_value"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
 # ------------------------------------------------------- driver ordering ---
 # The driver's correctness gate checks the FIRST 50 registered queries
 # (registration order = dict insertion order). Round-5 rotation

@@ -287,3 +287,37 @@ def test_dedup_keep_best_keeps_longest_per_cluster(spark):
     pairs2 = spark.createDataFrame([(7, 8)], "id_a LONG, id_b LONG")
     kept2 = {r["doc_id"] for r in dedup.dedup_keep_best(docs2, "doc_id", pairs2, "n_chars").collect()}
     assert kept2 == {7}
+
+
+def test_substring_contamination_flags_planted_needle(spark):
+    from orestes_spark.operators.dedup import substring_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "prefix CANARY STRING suffix words"),
+            (3, "no match here at all"),
+            (4, "another CANARY STRING carrier text"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    needles = spark.createDataFrame(
+        [(100, "CANARY STRING"), (101, "beta gamma")],
+        "eval_id LONG, needle STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_contamination(docs, "doc_id", "text", needles).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    assert out[1]["n_eval_hits"] == 1 and out[1]["first_eval_id"] == 101
+    assert out[2]["n_eval_hits"] == 1 and out[2]["first_eval_id"] == 100
+    assert out[4]["n_eval_hits"] == 1
+
+
+def test_substring_contamination_excludes_self(spark):
+    from orestes_spark.operators.dedup import substring_contamination
+
+    docs = spark.createDataFrame([(7, "self match text")], "doc_id LONG, text STRING")
+    needles = spark.createDataFrame([(7, "self match")], "eval_id LONG, needle STRING")
+    assert substring_contamination(docs, "doc_id", "text", needles).count() == 0

@@ -264,3 +264,31 @@ def test_m4_without_tiebreak_returns_raw_timestamps(spark):
     assert (row["t_first"], row["t_last"], row["t_min"], row["t_max"]) == (
         1000, 4000, 1000, 4000,
     )
+
+
+def test_cross_corr_perfectly_correlated_and_anticorrelated(spark):
+    """ts_cross_corr registry entry: y = 2x + 1 across one shared hour
+    grid must give r = 1; y = -x gives r = -1."""
+    from orestes_spark.queries import QUERIES
+    import tempfile, os
+
+    rows = []
+    base = 1_704_067_200_000
+    for h in range(30):
+        v = float((h * 7) % 13)
+        rows.append((h * 3 + 1, base + h * 3_600_000, "up", v))
+        rows.append((h * 3 + 2, base + h * 3_600_000, "linear", 2.0 * v + 1.0))
+        rows.append((h * 3 + 3, base + h * 3_600_000, "zneg", -v))
+    df = spark.createDataFrame(
+        [(i, ts, et, val, "0", "{}") for (i, ts, et, val) in rows],
+        "event_id LONG, ts_ms LONG, event_type STRING, value DOUBLE, user_id STRING, props STRING",
+    ).selectExpr(
+        "event_id", "timestamp_millis(ts_ms) AS ts", "CAST(user_id AS LONG) AS user_id",
+        "event_type", "value", "props",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {(r["src"], r["dst"]): r["r"] for r in QUERIES["ts_cross_corr"](spark, d).collect()}
+    assert out[("linear", "up")] == 1.0
+    assert out[("linear", "zneg")] == -1.0
+    assert out[("up", "zneg")] == -1.0
