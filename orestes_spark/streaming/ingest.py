@@ -481,3 +481,120 @@ def streaming_sessionize(
         .groupBy(F.session_window(F.col(time_col), gap), *key_cols)
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
     )
+
+
+def make_embedding_batch_processor(
+    store: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    threshold: float = 0.35,
+    quantize: int | None = 1000,
+):
+    """foreachBatch processor for continuous EMBEDDING ingest with
+    cross-batch semantic dedup — the SemDeDup twin of
+    ``make_corpus_batch_processor``'s MinHash gate.
+
+    Quantizer contract: the coarse quantizer (label-centroid table) is
+    FROZEN on the first batch and persisted at ``<store>/cents`` —
+    every later batch assigns against the same cells, so the
+    keep-lowest greedy rule stays exact w.r.t. that quantizer and
+    per-batch work stays batch-sized (no per-epoch re-aggregation of
+    a growing index; re-quantizing a drifted corpus is an offline
+    compaction-style job, same operational slot as
+    ``auto_compact_files``). Accepted vectors land as semantic-index
+    rows (id, label, quantized vec, cluster) under
+    ``<store>/vecs/epoch=N`` — exactly the persisted-index layout
+    ``incremental_semantic_dedup`` consumes, shared with the batch
+    pipeline.
+
+    Per batch: same-id re-deliveries are dropped against the index
+    (at-least-once upstream), then one ``incremental_semantic_dedup``
+    call handles both in-batch pairs and batch-vs-index pairs on
+    cell-local joins. Replay safety mirrors the corpus processor:
+    epoch-keyed partitions written with overwrite, index/id reads
+    exclude the replaying epoch's own partition."""
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    from orestes_spark.operators import similarity as _s
+
+    vecs_path = f"{store}/vecs"
+    cents_path = f"{store}/cents"
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = (
+            batch.select(id_col, label_col, vec_col)
+            .dropDuplicates([id_col])
+            .localCheckpoint()
+        )
+        fs, cbase = _fs_and_path(spark, cents_path)
+        if not fs.exists(cbase):
+            # bootstrap: freeze the quantizer on the first batch (a
+            # replay recomputes the identical table from the same
+            # epoch-0 data, so the crash window is idempotent)
+            _s.label_centroid_sums(batch, id_col, vec_col, label_col, quantize).write.mode(
+                "overwrite"
+            ).parquet(cents_path)
+        cents = spark.read.parquet(cents_path)
+        vfs, vbase = _fs_and_path(spark, vecs_path)
+        if vfs.exists(vbase):
+            index = (
+                spark.read.parquet(vecs_path)
+                .filter(F.col("epoch") != epoch_id)
+                .select(id_col, "vec", "cluster")
+            )
+            batch = batch.join(
+                index.select(F.col(id_col)).distinct(), id_col, "left_anti"
+            )
+        else:
+            elem = LongType() if quantize is not None else DoubleType()
+            b_schema = {f.name: f.dataType for f in batch.schema.fields}
+            index = spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField(id_col, b_schema[id_col]),
+                        StructField("vec", ArrayType(elem)),
+                        StructField("cluster", b_schema[label_col]),
+                    ]
+                ),
+            )
+        res = _s.incremental_semantic_dedup(
+            batch, index, id_col, vec_col, threshold, quantize, cents=cents
+        )
+        kept = batch.join(res.where(F.col("kept")).select(id_col, "cluster"), id_col).select(
+            F.col(id_col),
+            F.col(label_col).alias("label"),
+            _s.quantized(F.col(vec_col), quantize).alias("vec"),
+            "cluster",
+        )
+        kept.write.mode("overwrite").parquet(f"{vecs_path}/epoch={epoch_id}")
+
+    return process
+
+
+def start_embedding_ingest(
+    vec_stream: DataFrame,
+    store: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    threshold: float = 0.35,
+    quantize: int | None = 1000,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Continuous embedding ingest with cross-batch SEMANTIC dedup —
+    see make_embedding_batch_processor for the per-batch algorithm and
+    the frozen-quantizer / replay contract. The accepted-vector store
+    is a valid ``semantic_index`` (plus an epoch partition column), so
+    batch consumers (emb_incremental_semdedup et al.) read it
+    directly."""
+    process = make_embedding_batch_processor(
+        store, id_col, vec_col, label_col, threshold, quantize
+    )
+    return (
+        vec_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint or f"{store}/_checkpoint")
+        .start()
+    )

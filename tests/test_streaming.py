@@ -979,3 +979,75 @@ def test_prune_protects_latest_marker_per_namespace_bounded(tmp_path):
     surviving_ns = {m["ns"] for m in metas}
     expected = {f"file:/ck{i}" for i in range(n_ns - _MAX_PROTECTED_STREAM_NS, n_ns)}
     assert surviving_ns == expected
+
+
+def test_embedding_ingest_cross_batch_semantic_dedup(spark, tmp_path):
+    """Streaming SemDeDup gate: batch 2's near-copy of a batch-1
+    vector is rejected against the persisted index; an orthogonal
+    vector is accepted; an exact in-batch dup keeps the min id; a
+    re-sent accepted id does not re-append."""
+    from orestes_spark.streaming.ingest import start_embedding_ingest
+
+    src = tmp_path / "emb_src"
+    store = str(tmp_path / "emb_store")
+    ddl = "vec_id LONG, label LONG, embedding ARRAY<DOUBLE>"
+    src.mkdir()
+    e1 = [1.0, 0.0]
+    e1_near = [0.999, 0.001]
+    e2 = [0.0, 1.0]
+    e_anti = [-1.0, 0.0]  # cos vs e1 = -1 (no hit), assigns to cell 1
+    spark.createDataFrame(
+        [(1, 0, e1), (2, 0, e1), (10, 1, e2)], ddl
+    ).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(ddl).parquet(str(src / "*"))
+    q = start_embedding_ingest(stream, store, checkpoint=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(20, 0, e1_near), (30, 0, e_anti)], ddl
+        ).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        spark.createDataFrame([(1, 0, e1)], ddl).write.parquet(str(src / "b3"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    accepted = sorted(
+        r["vec_id"] for r in spark.read.parquet(f"{store}/vecs").select("vec_id").collect()
+    )
+    assert accepted == [1, 10, 30]
+    # the store is a consumable semantic_index: quantized vecs + cells
+    row = {
+        r["vec_id"]: r
+        for r in spark.read.parquet(f"{store}/vecs").collect()
+    }
+    assert row[1]["vec"] == [1000, 0] and row[1]["cluster"] == 0
+    assert row[10]["cluster"] == 1
+    assert row[30]["cluster"] == 1  # anti-parallel: nearest cell is 1 (cos 0 beats -1)
+
+
+def test_embedding_ingest_epoch_replay_keeps_data(spark, tmp_path):
+    """Crash-replay: an epoch whose vecs/cents writes landed but whose
+    checkpoint never committed must regenerate its own partition, not
+    dedup itself to nothing."""
+    from orestes_spark.streaming.ingest import make_embedding_batch_processor
+
+    store = str(tmp_path / "emb_replay")
+    ddl = "vec_id LONG, label LONG, embedding ARRAY<DOUBLE>"
+    process = make_embedding_batch_processor(store)
+
+    b0 = spark.createDataFrame([(1, 0, [1.0, 0.0]), (10, 1, [0.0, 1.0])], ddl)
+    process(b0, 0)
+    process(b0, 0)  # replay
+    accepted = sorted(
+        r["vec_id"] for r in spark.read.parquet(f"{store}/vecs").select("vec_id").collect()
+    )
+    assert accepted == [1, 10], "replayed epoch must keep its own vectors"
+
+    b1 = spark.createDataFrame([(20, 0, [0.999, 0.001])], ddl)
+    process(b1, 1)  # near-dup of vec 1 -> rejected against epoch-0 index
+    process(b1, 1)  # replay of the rejection is also idempotent
+    accepted = sorted(
+        r["vec_id"] for r in spark.read.parquet(f"{store}/vecs").select("vec_id").collect()
+    )
+    assert accepted == [1, 10]
