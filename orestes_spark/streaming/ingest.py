@@ -528,6 +528,12 @@ def make_embedding_batch_processor(
             .dropDuplicates([id_col])
             .localCheckpoint()
         )
+        if not batch.take(1):
+            # An empty micro-batch must not reach the bootstrap: it
+            # would freeze an EMPTY quantizer, and every later batch
+            # would assign against zero centroids and be dropped
+            # whole. (Epoch emits no partition; replay is a no-op.)
+            return
         fs, cbase = _fs_and_path(spark, cents_path)
         if not fs.exists(cbase):
             # bootstrap: freeze the quantizer on the first batch (a

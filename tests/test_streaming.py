@@ -1051,3 +1051,17 @@ def test_embedding_ingest_epoch_replay_keeps_data(spark, tmp_path):
         r["vec_id"] for r in spark.read.parquet(f"{store}/vecs").select("vec_id").collect()
     )
     assert accepted == [1, 10]
+
+
+def test_embedding_ingest_empty_first_batch_does_not_freeze_empty_quantizer(spark, tmp_path):
+    """An empty epoch-0 batch must not bootstrap an empty centroid
+    table (which would silently drop every later batch)."""
+    from orestes_spark.streaming.ingest import make_embedding_batch_processor
+
+    store = str(tmp_path / "emb_empty")
+    ddl = "vec_id LONG, label LONG, embedding ARRAY<DOUBLE>"
+    process = make_embedding_batch_processor(store)
+    process(spark.createDataFrame([], ddl), 0)
+    process(spark.createDataFrame([(1, 0, [1.0, 0.0])], ddl), 1)
+    accepted = [r["vec_id"] for r in spark.read.parquet(f"{store}/vecs").collect()]
+    assert accepted == [1]
