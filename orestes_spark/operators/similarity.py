@@ -1911,3 +1911,62 @@ def pq_index_topk(
         codes=codes,
         codebooks=books,
     )
+
+
+def kmeans_cosine(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Lloyd k-means under cosine similarity — a TRAINED coarse
+    quantizer for corpora with no label column (everywhere else the
+    label stands in for trained cell ids; this closes that gap for
+    IVF builds and SemDeDup cells on unlabeled embeddings).
+
+    Exactness: centroids are kept as integer SUM vectors, never
+    divided by the member count — cosine is scale-invariant, so the
+    un-normalized sum IS the centroid direction, and under
+    ``quantize`` every centroid update is exact integer arithmetic
+    (the only floats are one sqrt + one divide per score, identical
+    IEEE ops on any engine — the same discipline as
+    ``semantic_index_centroids``). Seeding is deterministic: the
+    lowest-id vector of each (id % k) residue class. ``iters``
+    assignment passes run with ``iters - 1`` centroid updates in
+    between; clusters that lose all members drop out (standard Lloyd
+    behavior, mirrored by the oracle's inner joins).
+
+    Scale shape per iteration: assignment is the broadcast-centroid
+    map-side argmax of ``_assign_to_centroids`` (shuffle carries
+    |corpus| rows, never |corpus|×k); the centroid update is one
+    (cluster, dim) partial-combinable aggregation. The k×d centroid
+    table is localCheckpointed between iterations so lineage stays
+    flat at any ``iters``."""
+    v = vectors.select(
+        F.col(id_col).alias("_id"), quantized(F.col(vec_col), quantize).alias("vec")
+    )
+    w = Window.partitionBy(F.col("_id") % k).orderBy("_id")
+    cents = (
+        v.withColumn("label", F.col("_id") % k)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("label", F.col("vec").alias("csum"))
+    )
+    for _ in range(iters - 1):
+        assigned = _assign_to_centroids(v, cents)
+        cents = (
+            v.join(assigned, "_id")
+            .select("cluster", F.posexplode("vec").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.sum("x").alias("s"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "s"))).alias("e"))
+            .select(
+                F.col("cluster").alias("label"),
+                F.transform("e", lambda t: t["s"]).alias("csum"),
+            )
+            .localCheckpoint()
+        )
+    return _assign_to_centroids(v, cents).select(F.col("_id").alias(id_col), "cluster")

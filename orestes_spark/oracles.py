@@ -869,3 +869,49 @@ SELECT t.doc_id, t.n_chunks,
        COALESCE(p.clean_text, '') AS clean_text
 FROM totals t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
 """
+
+
+def emb_kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Lloyd k-means twin (kmeans_cosine): deterministic residue-class
+    seeding, integer centroid SUMS (cosine is scale-invariant), and
+    the same score-desc/label-asc assignment rule per pass. One
+    csums/cnorm/assigned CTE triple per assignment pass."""
+    body = [
+        f"""ids AS (SELECT DISTINCT vec_id FROM u),
+seeds AS (
+  SELECT vec_id % {k} AS label, vec_id FROM (
+    SELECT vec_id, row_number() OVER (PARTITION BY vec_id % {k} ORDER BY vec_id) AS rn
+    FROM ids) WHERE rn = 1),
+csums0 AS (
+  SELECT s.label, u.i, u.x AS s FROM seeds s JOIN u ON u.vec_id = s.vec_id),
+cnorm0 AS (SELECT label, sqrt(sum(s * s)) AS cn FROM csums0 GROUP BY 1),
+assigned0 AS (
+  SELECT vec_id, label AS cluster FROM (
+    SELECT u.vec_id, c.label,
+           row_number() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY sum(u.x * c.s) / any_value(cn.cn) DESC, c.label) AS rn
+    FROM u JOIN csums0 c ON c.i = u.i JOIN cnorm0 cn ON cn.label = c.label
+    GROUP BY u.vec_id, c.label) WHERE rn = 1)"""
+    ]
+    for t in range(1, iters):
+        body.append(
+            f""",
+csums{t} AS (
+  SELECT a.cluster AS label, u.i, sum(u.x) AS s
+  FROM assigned{t - 1} a JOIN u ON u.vec_id = a.vec_id GROUP BY 1, 2),
+cnorm{t} AS (SELECT label, sqrt(sum(s * s)) AS cn FROM csums{t} GROUP BY 1),
+assigned{t} AS (
+  SELECT vec_id, label AS cluster FROM (
+    SELECT u.vec_id, c.label,
+           row_number() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY sum(u.x * c.s) / any_value(cn.cn) DESC, c.label) AS rn
+    FROM u JOIN csums{t} c ON c.i = u.i JOIN cnorm{t} cn ON cn.label = c.label
+    GROUP BY u.vec_id, c.label) WHERE rn = 1)"""
+        )
+    return (
+        f"WITH {_QUANT_VECS},\n"
+        + "".join(body)
+        + f"\nSELECT vec_id, cluster FROM assigned{iters - 1}"
+    )

@@ -4183,6 +4183,18 @@ def doc_train_split(spark, sf_dir):
     )
 
 
+@register("emb_kmeans_assign", oracles.emb_kmeans_sql(k=8, iters=2))
+def emb_kmeans_assign(spark, sf_dir):
+    """TRAINED coarse quantizer: Lloyd k-means under cosine (k=8, two
+    assignment passes, integer-exact centroid sums, deterministic
+    residue-class seeding) over unlabeled embeddings — the quantizer
+    trainer for IVF builds / SemDeDup cells when no label column
+    exists (similarity.kmeans_cosine). Iterative and oracle-backed:
+    the DuckDB twin unrolls the same passes as CTE triples."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_cosine(e, k=8, iters=2, quantize=1000)
+
+
 @register(
     "doc_substring_decontam",
     r"""WITH needles AS (

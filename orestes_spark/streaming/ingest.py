@@ -490,6 +490,7 @@ def make_embedding_batch_processor(
     label_col: str = "label",
     threshold: float = 0.35,
     quantize: int | None = 1000,
+    kernel: str = "expr",
 ):
     """foreachBatch processor for continuous EMBEDDING ingest with
     cross-batch semantic dedup — the SemDeDup twin of
@@ -513,7 +514,16 @@ def make_embedding_batch_processor(
     call handles both in-batch pairs and batch-vs-index pairs on
     cell-local joins. Replay safety mirrors the corpus processor:
     epoch-keyed partitions written with overwrite, index/id reads
-    exclude the replaying epoch's own partition."""
+    exclude the replaying epoch's own partition.
+
+    ``kernel='arrow'`` swaps in the GEMM fast path
+    (``incremental_semantic_dedup_arrow`` — same rules, same output);
+    use it once cells grow hot. Per-epoch cost is
+    O(|batch| x cell-local index rows) under EITHER kernel — the
+    frozen k must be sized for the expected corpus (cells ~ bounded),
+    or the corpus periodically re-quantized offline with a finer
+    trained quantizer (``similarity.kmeans_cosine``); see the
+    SCALING.md soak for the measured growth when k is too coarse."""
     from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
     from orestes_spark.operators import similarity as _s
@@ -566,16 +576,30 @@ def make_embedding_batch_processor(
                     ]
                 ),
             )
-        res = _s.incremental_semantic_dedup(
-            batch, index, id_col, vec_col, threshold, quantize, cents=cents
+        dedup_fn = (
+            _s.incremental_semantic_dedup_arrow
+            if kernel == "arrow"
+            else _s.incremental_semantic_dedup
         )
+        res = dedup_fn(batch, index, id_col, vec_col, threshold, quantize, cents=cents)
         kept = batch.join(res.where(F.col("kept")).select(id_col, "cluster"), id_col).select(
             F.col(id_col),
             F.col(label_col).alias("label"),
             _s.quantized(F.col(vec_col), quantize).alias("vec"),
             "cluster",
         )
-        kept.write.mode("overwrite").parquet(f"{vecs_path}/epoch={epoch_id}")
+        # cluster-PARTITIONED within the epoch: the per-batch index
+        # read filters cluster ∈ batch-cells, and with cluster as a
+        # partition column that isin is partition PRUNING at the scan
+        # — a small batch over a huge index reads a handful of cells,
+        # not the corpus (same layout contract as the batch
+        # pipeline's persisted index; _prune_index_cells handles the
+        # partition-inference type flip). The epoch×cluster dir
+        # fan-out is the small-files pressure the compaction slot
+        # already owns (see auto_compact_files / SCALING.md).
+        kept.write.mode("overwrite").partitionBy("cluster").parquet(
+            f"{vecs_path}/epoch={epoch_id}"
+        )
 
     return process
 
@@ -589,6 +613,7 @@ def start_embedding_ingest(
     threshold: float = 0.35,
     quantize: int | None = 1000,
     checkpoint: str | None = None,
+    kernel: str = "expr",
 ) -> StreamingQuery:
     """Continuous embedding ingest with cross-batch SEMANTIC dedup —
     see make_embedding_batch_processor for the per-batch algorithm and
@@ -597,7 +622,7 @@ def start_embedding_ingest(
     batch consumers (emb_incremental_semdedup et al.) read it
     directly."""
     process = make_embedding_batch_processor(
-        store, id_col, vec_col, label_col, threshold, quantize
+        store, id_col, vec_col, label_col, threshold, quantize, kernel
     )
     return (
         vec_stream.writeStream.foreachBatch(process)

@@ -650,3 +650,53 @@ def test_incremental_semdedup_zero_norm_oracle_semantics(spark):
     assert expr_tk == arrow_tk, (expr_tk, arrow_tk)
     assert [n for n, _c, _r in expr_tk] == [3, 1, 2]  # zero-norm LAST
     assert expr_tk[2][1] is None  # with NULL cosine
+
+
+def test_kmeans_cosine_recovers_separated_groups(spark):
+    """Three orthogonal direction groups, k=3: after two passes every
+    group lands in one cluster, regardless of the (id % k) seeding."""
+    from orestes_spark.operators.similarity import kmeans_cosine
+
+    rows = []
+    dirs = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    vid = 0
+    for g in range(3):
+        for j in range(6):
+            v = list(dirs[g])
+            v[(g + 1) % 3] += 0.2 * j  # small within-group spread
+            rows.append((vid, v))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = kmeans_cosine(df, k=3, iters=2, quantize=1000).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["vec_id"] // 6, set()).add(r["cluster"])
+    assert all(len(cs) == 1 for cs in by_group.values()), by_group
+    assert len({next(iter(cs)) for cs in by_group.values()}) == 3
+
+
+def test_kmeans_cosine_iteration_moves_assignments(spark):
+    """The second pass must re-assign against UPDATED centroids: a
+    point nearer its group's mean than any seed flips between
+    iters=1 and iters=2 on a seed-unfriendly layout."""
+    from orestes_spark.operators.similarity import kmeans_cosine
+
+    # ids 0,1 seed the two clusters (residue classes 0,1). Vectors:
+    # seed 0 = x-axis, seed 1 = 45deg; the bulk sits near the y-axis,
+    # so after one update cluster 1's centroid swings toward y and
+    # captures the y-points more cleanly than the raw seeds do.
+    rows = [
+        (0, [10.0, 0.0]),
+        (1, [7.0, 7.0]),
+        (2, [1.0, 10.0]),
+        (3, [0.5, 10.0]),
+        (4, [0.0, 10.0]),
+        (5, [9.0, 1.0]),
+        # 30° point: nearer seed 1 (45°) than seed 0 (x-axis), but
+        # once cluster 1's centroid swings toward y it flips to 0.
+        (6, [8.66, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    one = {r["vec_id"]: r["cluster"] for r in kmeans_cosine(df, k=2, iters=1, quantize=1000).collect()}
+    two = {r["vec_id"]: r["cluster"] for r in kmeans_cosine(df, k=2, iters=2, quantize=1000).collect()}
+    assert one != two, "second pass changed nothing — centroid update is dead code"

@@ -1065,3 +1065,27 @@ def test_embedding_ingest_empty_first_batch_does_not_freeze_empty_quantizer(spar
     process(spark.createDataFrame([(1, 0, [1.0, 0.0])], ddl), 1)
     accepted = [r["vec_id"] for r in spark.read.parquet(f"{store}/vecs").collect()]
     assert accepted == [1]
+
+
+def test_embedding_ingest_arrow_kernel_matches_expr(spark, tmp_path):
+    """kernel='arrow' must accept/reject exactly the ids the
+    expression kernel does across two epochs."""
+    from orestes_spark.streaming.ingest import make_embedding_batch_processor
+
+    ddl = "vec_id LONG, label LONG, embedding ARRAY<DOUBLE>"
+    b0 = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 0, [1.0, 0.0]), (10, 1, [0.0, 1.0])], ddl
+    )
+    b1 = spark.createDataFrame(
+        [(20, 0, [0.999, 0.001]), (30, 0, [-1.0, 0.0])], ddl
+    )
+    accepted = {}
+    for kern in ("expr", "arrow"):
+        store = str(tmp_path / f"emb_{kern}")
+        process = make_embedding_batch_processor(store, kernel=kern)
+        process(b0, 0)
+        process(b1, 1)
+        accepted[kern] = sorted(
+            r["vec_id"] for r in spark.read.parquet(f"{store}/vecs").collect()
+        )
+    assert accepted["expr"] == accepted["arrow"] == [1, 10, 30]
