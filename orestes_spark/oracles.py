@@ -871,11 +871,12 @@ FROM totals t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
 """
 
 
-def emb_kmeans_sql(k: int = 8, iters: int = 2) -> str:
-    """Lloyd k-means twin (kmeans_cosine): deterministic residue-class
-    seeding, integer centroid SUMS (cosine is scale-invariant), and
-    the same score-desc/label-asc assignment rule per pass. One
-    csums/cnorm/assigned CTE triple per assignment pass."""
+def _kmeans_ctes(k: int = 8, iters: int = 2) -> str:
+    """CTE body for the Lloyd k-means twin (kmeans_cosine):
+    deterministic residue-class seeding, integer centroid SUMS
+    (cosine is scale-invariant), one csums/cnorm/assigned triple per
+    assignment pass; final assignment is ``assigned{iters-1}``.
+    Expects the ``u`` CTE from ``_QUANT_VECS`` in scope."""
     body = [
         f"""ids AS (SELECT DISTINCT vec_id FROM u),
 seeds AS (
@@ -910,8 +911,60 @@ assigned{t} AS (
     FROM u JOIN csums{t} c ON c.i = u.i JOIN cnorm{t} cn ON cn.label = c.label
     GROUP BY u.vec_id, c.label) WHERE rn = 1)"""
         )
+    return "".join(body)
+
+
+def emb_kmeans_sql(k: int = 8, iters: int = 2) -> str:
     return (
         f"WITH {_QUANT_VECS},\n"
-        + "".join(body)
+        + _kmeans_ctes(k, iters)
         + f"\nSELECT vec_id, cluster FROM assigned{iters - 1}"
     )
+
+
+def emb_ivf_trained_sql(
+    k: int = 5, num_queries: int = 10, nprobe: int = 1, cells: int = 8, iters: int = 2
+) -> str:
+    """IVF search over the TRAINED quantizer: the k-means CTEs supply
+    the cell assignment (``labeled``); centroid sums for query routing
+    derive from the FINAL assignment (exactly what Spark's
+    label_centroid_sums recomputes from the cluster-labeled corpus)."""
+    return f"""
+WITH {_QUANT_VECS},
+{_kmeans_ctes(cells, iters)},
+labeled AS (SELECT vec_id, cluster AS label FROM assigned{iters - 1}),
+csumsf AS (
+  SELECT l.label, u.i, sum(u.x) AS s
+  FROM u JOIN labeled l ON l.vec_id = u.vec_id GROUP BY 1, 2),
+cnormf AS (SELECT label, sqrt(sum(s * s)) AS cn FROM csumsf GROUP BY 1),
+qassign AS (
+  SELECT qid, label FROM (
+    SELECT a.vec_id AS qid, c.label,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY sum(a.x * c.s) / any_value(cn.cn) DESC, c.label
+           ) AS rn
+    FROM u a JOIN csumsf c ON c.i = a.i JOIN cnormf cn ON cn.label = c.label
+    WHERE a.vec_id < {num_queries}
+    GROUP BY a.vec_id, c.label
+  ) WHERE rn <= {nprobe}
+),
+dots AS (
+  SELECT qa.qid, b.vec_id AS cid, sum(a.x * b.x) AS dot
+  FROM qassign qa
+  JOIN u a ON a.vec_id = qa.qid
+  JOIN labeled lb ON lb.label = qa.label AND lb.vec_id != qa.qid
+  JOIN u b ON b.vec_id = lb.vec_id AND b.i = a.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, cid, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS c
+  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid
+),
+ranked AS (
+  SELECT qid, cid, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid AS query_id, cid AS neighbor_id, round(c, 6) AS cosine, rank
+FROM ranked WHERE rank <= {k}
+"""

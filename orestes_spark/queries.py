@@ -4195,6 +4195,22 @@ def emb_kmeans_assign(spark, sf_dir):
     return similarity.kmeans_cosine(e, k=8, iters=2, quantize=1000)
 
 
+@register("emb_ivf_trained", oracles.emb_ivf_trained_sql())
+def emb_ivf_trained(spark, sf_dir):
+    """End-to-end unlabeled ANN: train the coarse quantizer with
+    kmeans_cosine, then IVF-search against the trained cells — the
+    full index-build-then-search pipeline a label-free corpus needs
+    (emb_ivf_topk routes on the given label column; this one earns
+    its cells). Query routing recomputes centroid sums from the final
+    assignment, exactly as a persisted IVF index would store them."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assign = similarity.kmeans_cosine(e, k=8, iters=2, quantize=1000)
+    corpus = e.join(assign, "vec_id")
+    return similarity.ivf_topk(
+        corpus, e.where(F.col("vec_id") < 10), label_col="cluster", k=5, quantize=1000
+    )
+
+
 @register(
     "doc_substring_decontam",
     r"""WITH needles AS (
