@@ -629,3 +629,77 @@ def start_embedding_ingest(
         .option("checkpointLocation", checkpoint or f"{store}/_checkpoint")
         .start()
     )
+
+
+def requantize_embedding_store(
+    spark,
+    store: str,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> dict:
+    """Offline re-quantization of a ``start_embedding_ingest`` store —
+    the documented fix for a frozen quantizer the corpus has outgrown
+    (per-epoch dedup cost is O(|batch| x cell rows); see SCALING.md).
+
+    Retrains a Lloyd k-means quantizer (``similarity.kmeans_cosine``)
+    on ALL accepted vectors, reassigns every stored row to the new
+    cells, collapses the epoch partitions into one ``epoch=-1``
+    baseline (real epoch ids are >= 0, so the baseline is never
+    excluded as 'own epoch' by a replaying batch), and swaps both
+    trees in: new centroid-sum table at ``<store>/cents``, new
+    cluster-partitioned rows at ``<store>/vecs``. Stored vectors pass
+    through untouched (same integer arrays), and the new cents are
+    exact integer sums over the final assignment — the same
+    frozen-quantizer contract as bootstrap, just with earned cells.
+
+    Single-writer contract: run with the stream STOPPED (the same
+    operational slot as engine compaction). Crash safety: both new
+    trees are fully written under ``<store>/.requant`` before any
+    swap; the old trees are moved aside as ``*.old`` and removed only
+    after both renames land, so any crash leaves either the complete
+    old state, the complete new state, or a ``*.old`` tree to rename
+    back by hand (the job refuses to start over a leftover
+    ``.requant`` / ``*.old`` from a previous crash).
+
+    Returns {"rows": n, "cells": m} for the rewritten store."""
+    import os
+    import shutil
+
+    from orestes_spark.operators import similarity as _s
+
+    vecs_path = f"{store}/vecs"
+    cents_path = f"{store}/cents"
+    tmp = f"{store}/.requant"
+    for leftover in (tmp, f"{vecs_path}.old", f"{cents_path}.old"):
+        if os.path.exists(leftover):
+            raise RuntimeError(
+                f"requantize: leftover {leftover!r} from a previous run/crash —"
+                " recover or remove it first"
+            )
+    vecs = spark.read.parquet(vecs_path).select(id_col, "label", "vec").localCheckpoint()
+    assign = _s.kmeans_cosine(vecs, id_col=id_col, vec_col="vec", k=k, iters=iters)
+    rows = vecs.join(assign, id_col).localCheckpoint()  # one compute, two sinks
+    rows.write.partitionBy("cluster").parquet(f"{tmp}/vecs/epoch=-1")
+    (
+        rows.select("cluster", F.posexplode("vec").alias("i", "x"))
+        .groupBy("cluster", "i")
+        .agg(F.sum("x").alias("s"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "s"))).alias("e"))
+        .select(
+            F.col("cluster").alias("label"),
+            F.transform("e", lambda t: t["s"]).alias("csum"),
+        )
+        .write.parquet(f"{tmp}/cents")
+    )
+    n_rows = rows.count()
+    n_cells = rows.select("cluster").distinct().count()
+    os.rename(vecs_path, f"{vecs_path}.old")
+    os.rename(f"{tmp}/vecs", vecs_path)
+    os.rename(cents_path, f"{cents_path}.old")
+    os.rename(f"{tmp}/cents", cents_path)
+    shutil.rmtree(f"{vecs_path}.old")
+    shutil.rmtree(f"{cents_path}.old")
+    shutil.rmtree(tmp)
+    return {"rows": n_rows, "cells": n_cells}

@@ -1089,3 +1089,60 @@ def test_embedding_ingest_arrow_kernel_matches_expr(spark, tmp_path):
             r["vec_id"] for r in spark.read.parquet(f"{store}/vecs").collect()
         )
     assert accepted["expr"] == accepted["arrow"] == [1, 10, 30]
+
+
+def test_requantize_embedding_store_swaps_cells_and_keeps_dedup(spark, tmp_path):
+    """Offline re-quantization: all accepted rows survive under a
+    trained finer quantizer (epoch=-1 baseline), the cents table is
+    replaced, and ingest continues — a near-dup of a pre-requantize
+    vector is still rejected afterwards."""
+    from orestes_spark.streaming.ingest import (
+        make_embedding_batch_processor,
+        requantize_embedding_store,
+    )
+
+    store = str(tmp_path / "emb_rq")
+    ddl = "vec_id LONG, label LONG, embedding ARRAY<DOUBLE>"
+    # threshold 0.9: in 4-d every vector is within cos 0.5 of some
+    # axis cell, so the default 0.35 would reject ANY genuinely new
+    # vector in this tiny geometry
+    process = make_embedding_batch_processor(store, threshold=0.9)
+    # 2 coarse label-cells at bootstrap, 4 separated direction groups
+    dirs = [
+        [10.0, 0.0, 0.0, 0.0],
+        [0.0, 10.0, 0.0, 0.0],
+        [0.0, 0.0, 10.0, 0.0],
+        [0.0, 0.0, 0.0, 10.0],
+    ]
+    rows = [(i, i % 2, dirs[i % 4]) for i in range(8)]
+    process(spark.createDataFrame(rows[:4], ddl), 0)
+    process(spark.createDataFrame(rows[4:], ddl), 1)
+    before = sorted(
+        r["vec_id"] for r in spark.read.parquet(f"{store}/vecs").select("vec_id").collect()
+    )
+    assert before == [0, 1, 2, 3]  # 4..7 are exact dups of 0..3 (cos 1.0)
+
+    out = requantize_embedding_store(spark, store, k=4)
+    assert out["rows"] == 4 and out["cells"] == 4
+    after = spark.read.parquet(f"{store}/vecs")
+    assert sorted(r["vec_id"] for r in after.collect()) == [0, 1, 2, 3]
+    assert {r["epoch"] for r in after.select("epoch").collect()} == {-1}
+    assert spark.read.parquet(f"{store}/cents").count() == 4
+
+    # ingest continues against the retrained cells
+    process(
+        spark.createDataFrame([(100, 0, [9.99, 0.01, 0.0, 0.0]), (101, 0, [7.0, 7.0, 0.0, 0.0])], ddl),
+        2,
+    )
+    final = sorted(
+        r["vec_id"] for r in spark.read.parquet(f"{store}/vecs").select("vec_id").collect()
+    )
+    assert 100 not in final, "near-dup of vec 0 must still be rejected"
+    assert 101 in final
+
+    # leftover guard
+    import pytest as _pytest
+
+    (tmp_path / "emb_rq" / ".requant").mkdir()
+    with _pytest.raises(RuntimeError, match="leftover"):
+        requantize_embedding_store(spark, store, k=4)
