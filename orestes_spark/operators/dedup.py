@@ -912,6 +912,7 @@ def substring_contamination(
     needles: DataFrame,
     eval_id_col: str = "eval_id",
     needle_col: str = "needle",
+    exclude_same_id: bool = False,
 ) -> DataFrame:
     """Verbatim-substring decontamination: flag corpus documents that
     contain any eval needle string EXACTLY (the strict complement of
@@ -924,6 +925,13 @@ def substring_contamination(
     prompts/canaries, not a corpus. Output: (id, n_eval_hits,
     first_eval_id) for every corpus doc containing ≥ 1 needle.
 
+    ``exclude_same_id`` is for callers whose needles DERIVE FROM THE
+    CORPUS (a held-out doc split): it drops pairs where the corpus id
+    equals the eval id so a doc never "contaminates" itself. Leave it
+    False for true external eval/canary needles — their id space is
+    unrelated to the corpus, and a numeric collision would otherwise
+    silently suppress a real hit.
+
     Scale shape: broadcast nested-loop of corpus x needles with a
     contains() predicate — the RIGHT plan while |needles| is small
     (one corpus scan, |needles| substring probes per doc, perfectly
@@ -931,10 +939,11 @@ def substring_contamination(
     needles would move to one compiled Aho-Corasick automaton per
     executor via mapInPandas; the operator contract (tiny broadcast
     side) is the same either way."""
+    cond = F.col(text_col).contains(F.col(needle_col))
+    if exclude_same_id:
+        cond = cond & (F.col(id_col) != F.col(eval_id_col))
     j = docs.select(id_col, text_col).join(
-        F.broadcast(needles.select(eval_id_col, needle_col)),
-        (F.col(id_col) != F.col(eval_id_col))
-        & F.col(text_col).contains(F.col(needle_col)),
+        F.broadcast(needles.select(eval_id_col, needle_col)), cond
     )
     return j.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_eval_hits"),

@@ -1956,17 +1956,7 @@ def kmeans_cosine(
     )
     for _ in range(iters - 1):
         assigned = _assign_to_centroids(v, cents)
-        cents = (
-            v.join(assigned, "_id")
-            .select("cluster", F.posexplode("vec").alias("i", "x"))
-            .groupBy("cluster", "i")
-            .agg(F.sum("x").alias("s"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "s"))).alias("e"))
-            .select(
-                F.col("cluster").alias("label"),
-                F.transform("e", lambda t: t["s"]).alias("csum"),
-            )
-            .localCheckpoint()
-        )
+        cents = semantic_index_centroids(
+            v.join(assigned, "_id").select(F.col("cluster").alias("label"), "vec")
+        ).localCheckpoint()
     return _assign_to_centroids(v, cents).select(F.col("_id").alias(id_col), "cluster")

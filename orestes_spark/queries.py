@@ -4227,12 +4227,13 @@ def emb_ivf_trained(spark, sf_dir):
 )
 def doc_substring_decontam(spark, sf_dir):
     """Verbatim-substring decontamination (canary / eval-prompt leak
-    scan): docs containing the exact 6-token prefix of any doc_id % 97
+    scan): docs containing the exact 3-token prefix of any doc_id % 97
     eval doc (id-bounded: an eval set does not grow with the corpus).
     Complements doc_decontaminate's n-gram overlap — exact
     string containment, zero shared-vocabulary false positives.
     Broadcast nested-loop over a tiny needle set: one corpus scan, no
-    shuffle before the final agg (dedup.substring_contamination)."""
+    shuffle before the final agg (dedup.substring_contamination;
+    exclude_same_id because these needles derive from the corpus)."""
     d = load_table(spark, sf_dir, "documents")
     needles = (
         d.where((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 10000))
@@ -4244,7 +4245,7 @@ def doc_substring_decontam(spark, sf_dir):
         )
         .where(F.length("needle") >= 9)
     )
-    return dedup.substring_contamination(d, "doc_id", "text", needles)
+    return dedup.substring_contamination(d, "doc_id", "text", needles, exclude_same_id=True)
 
 
 @register(

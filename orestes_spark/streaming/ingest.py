@@ -519,7 +519,9 @@ def make_embedding_batch_processor(
     ``kernel='arrow'`` swaps in the GEMM fast path
     (``incremental_semantic_dedup_arrow`` — same rules, same output);
     use it once cells grow hot. Per-epoch cost is
-    O(|batch| x cell-local index rows) under EITHER kernel — the
+    O(|batch| x cell-local index rows) plus one column-pruned
+    map-side scan of the index's id column (the re-delivery gate —
+    no corpus shuffle) under EITHER kernel — the
     frozen k must be sized for the expected corpus (cells ~ bounded),
     or the corpus periodically re-quantized offline with a finer
     trained quantizer (``similarity.kmeans_cosine``); see the
@@ -560,9 +562,18 @@ def make_embedding_batch_processor(
                 .filter(F.col("epoch") != epoch_id)
                 .select(id_col, "vec", "cluster")
             )
-            batch = batch.join(
-                index.select(F.col(id_col)).distinct(), id_col, "left_anti"
+            # Same-id re-delivery gate. Shape matters: a direct
+            # left_anti against the index would shuffle the CORPUS id
+            # set every epoch (anti-joins only broadcast their right
+            # side). Instead, semi-join the index's id column against
+            # the broadcast batch (map-side scan, ≤ |batch| rows out),
+            # then anti-join the batch against that small hit set —
+            # per-epoch cost is one column-pruned map-side id scan,
+            # no corpus shuffle.
+            redelivered = index.select(id_col).join(
+                F.broadcast(batch.select(id_col)), id_col, "left_semi"
             )
+            batch = batch.join(F.broadcast(redelivered), id_col, "left_anti")
         else:
             elem = LongType() if quantize is not None else DoubleType()
             b_schema = {f.name: f.dataType for f in batch.schema.fields}
@@ -664,10 +675,25 @@ def requantize_embedding_store(
 
     Returns {"rows": n, "cells": m} for the rewritten store."""
     import os
+    import re
     import shutil
 
     from orestes_spark.operators import similarity as _s
 
+    # The swap below is os.rename-based; everything else in this
+    # module goes through the Hadoop FS API and works on any store,
+    # so a remote store would pass the Spark writes and then die at
+    # the rename — refuse it up front (same POSIX boundary, same
+    # pointer as the engine's _require_posix_warehouse).
+    m = re.match(r"^file:(//)?(/.*)$", store, re.IGNORECASE)
+    if m:
+        store = m.group(2)
+    elif re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", store):
+        raise RuntimeError(
+            f"requantize_embedding_store needs a POSIX-rename store, got {store!r} —"
+            " run it against a local/NFS mount, or port the swap onto a"
+            " commit backend (see orestes_spark.commit_backend)"
+        )
     vecs_path = f"{store}/vecs"
     cents_path = f"{store}/cents"
     tmp = f"{store}/.requant"
@@ -681,18 +707,9 @@ def requantize_embedding_store(
     assign = _s.kmeans_cosine(vecs, id_col=id_col, vec_col="vec", k=k, iters=iters)
     rows = vecs.join(assign, id_col).localCheckpoint()  # one compute, two sinks
     rows.write.partitionBy("cluster").parquet(f"{tmp}/vecs/epoch=-1")
-    (
-        rows.select("cluster", F.posexplode("vec").alias("i", "x"))
-        .groupBy("cluster", "i")
-        .agg(F.sum("x").alias("s"))
-        .groupBy("cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "s"))).alias("e"))
-        .select(
-            F.col("cluster").alias("label"),
-            F.transform("e", lambda t: t["s"]).alias("csum"),
-        )
-        .write.parquet(f"{tmp}/cents")
-    )
+    _s.semantic_index_centroids(
+        rows.select(F.col("cluster").alias("label"), "vec")
+    ).write.parquet(f"{tmp}/cents")
     n_rows = rows.count()
     n_cells = rows.select("cluster").distinct().count()
     os.rename(vecs_path, f"{vecs_path}.old")

@@ -315,9 +315,16 @@ def test_substring_contamination_flags_planted_needle(spark):
     assert out[4]["n_eval_hits"] == 1
 
 
-def test_substring_contamination_excludes_self(spark):
+def test_substring_contamination_same_id_semantics(spark):
+    """exclude_same_id=True (corpus-derived needles) drops the
+    self-pair; default False (EXTERNAL needles — unrelated id space)
+    must flag the doc even when the ids numerically collide."""
     from orestes_spark.operators.dedup import substring_contamination
 
     docs = spark.createDataFrame([(7, "self match text")], "doc_id LONG, text STRING")
     needles = spark.createDataFrame([(7, "self match")], "eval_id LONG, needle STRING")
-    assert substring_contamination(docs, "doc_id", "text", needles).count() == 0
+    assert (
+        substring_contamination(docs, "doc_id", "text", needles, exclude_same_id=True).count()
+        == 0
+    )
+    assert substring_contamination(docs, "doc_id", "text", needles).count() == 1

@@ -9,8 +9,9 @@ which the compaction slot owns. If any per-epoch step secretly scaled
 with the corpus, the epoch wall would climb with the index row count.
 
 Usage: python tools/embedding_ingest_soak.py [epochs] [batch_rows] [kernel]
-Prints one line per epoch (epoch, index_rows, accepted, wall_s) and a
-first-3/last-3 mean comparison.
+Prints one line per epoch (epoch, index_rows, wall_s) and a
+head-window/tail-window mean comparison (windows never overlap:
+min(3, epochs // 2) epochs each).
 """
 
 import os
@@ -66,10 +67,11 @@ def main(
         walls.append(wall)
         idx_rows = spark.read.parquet(f"{store}/vecs").count()
         print(f"epoch={ep:3d} index_rows={idx_rows:7d} wall_s={wall:6.2f}", flush=True)
-    head = sum(walls[:3]) / 3
-    tail = sum(walls[-3:]) / 3
+    w = max(1, min(3, len(walls) // 2))  # non-overlapping windows
+    head = sum(walls[:w]) / w
+    tail = sum(walls[-w:]) / w
     print(
-        f"first-3 mean {head:.2f}s, last-3 mean {tail:.2f}s, "
+        f"first-{w} mean {head:.2f}s, last-{w} mean {tail:.2f}s, "
         f"ratio {tail / head:.2f}x over {epochs} epochs "
         f"({spark.read.parquet(store + '/vecs').count()} indexed rows)"
     )
