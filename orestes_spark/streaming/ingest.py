@@ -487,18 +487,25 @@ def make_embedding_batch_processor(
     store: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    label_col: str = "label",
+    label_col: str | None = "label",
     threshold: float = 0.35,
     quantize: int | None = 1000,
     kernel: str = "expr",
+    bootstrap_k: int = 8,
 ):
     """foreachBatch processor for continuous EMBEDDING ingest with
     cross-batch semantic dedup — the SemDeDup twin of
     ``make_corpus_batch_processor``'s MinHash gate.
 
-    Quantizer contract: the coarse quantizer (label-centroid table) is
-    FROZEN on the first batch and persisted at ``<store>/cents`` —
-    every later batch assigns against the same cells, so the
+    Quantizer contract: the coarse quantizer is FROZEN on the first
+    batch and persisted at ``<store>/cents`` — label-centroid sums
+    when ``label_col`` names a column, or a TRAINED
+    ``similarity.kmeans_cosine`` quantizer with ``bootstrap_k`` cells
+    when ``label_col=None`` (unlabeled streams; the stored ``label``
+    column then carries the cell id). A bootstrap that freezes fewer
+    than two cells warns loudly (one cell = every future pair
+    compared — O(|batch| × corpus) per epoch until requantized).
+    Every later batch assigns against the same cells, so the
     keep-lowest greedy rule stays exact w.r.t. that quantizer and
     per-batch work stays batch-sized (no per-epoch re-aggregation of
     a growing index; re-quantizing a drifted corpus is an offline
@@ -535,11 +542,8 @@ def make_embedding_batch_processor(
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        batch = (
-            batch.select(id_col, label_col, vec_col)
-            .dropDuplicates([id_col])
-            .localCheckpoint()
-        )
+        cols = [id_col, label_col, vec_col] if label_col else [id_col, vec_col]
+        batch = batch.select(*cols).dropDuplicates([id_col]).localCheckpoint()
         if not batch.take(1):
             # An empty micro-batch must not reach the bootstrap: it
             # would freeze an EMPTY quantizer, and every later batch
@@ -551,10 +555,32 @@ def make_embedding_batch_processor(
             # bootstrap: freeze the quantizer on the first batch (a
             # replay recomputes the identical table from the same
             # epoch-0 data, so the crash window is idempotent)
-            _s.label_centroid_sums(batch, id_col, vec_col, label_col, quantize).write.mode(
-                "overwrite"
-            ).parquet(cents_path)
+            if label_col is None:
+                assign = _s.kmeans_cosine(
+                    batch, id_col=id_col, vec_col=vec_col, k=bootstrap_k, quantize=quantize
+                )
+                boot = _s.semantic_index_centroids(
+                    batch.join(assign, id_col).select(
+                        F.col("cluster").alias("label"),
+                        _s.quantized(F.col(vec_col), quantize).alias("vec"),
+                    )
+                )
+            else:
+                boot = _s.label_centroid_sums(batch, id_col, vec_col, label_col, quantize)
+            boot.write.mode("overwrite").parquet(cents_path)
         cents = spark.read.parquet(cents_path)
+        n_cells = cents.count()
+        if n_cells < 2:
+            import warnings
+
+            warnings.warn(
+                f"embedding ingest at {store!r}: quantizer has {n_cells} cell(s) —"
+                " every pair lands in one cell, so per-epoch dedup cost is"
+                " O(|batch| x corpus). Re-quantize offline"
+                " (requantize_embedding_store) with more cells.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         vfs, vbase = _fs_and_path(spark, vecs_path)
         if vfs.exists(vbase):
             index = (
@@ -577,13 +603,17 @@ def make_embedding_batch_processor(
         else:
             elem = LongType() if quantize is not None else DoubleType()
             b_schema = {f.name: f.dataType for f in batch.schema.fields}
+            # cluster type: the label column's when labels drive the
+            # cells; the id column's under a trained bootstrap (kmeans
+            # cells are id-residue-typed)
+            cluster_t = b_schema[label_col] if label_col else b_schema[id_col]
             index = spark.createDataFrame(
                 [],
                 StructType(
                     [
                         StructField(id_col, b_schema[id_col]),
                         StructField("vec", ArrayType(elem)),
-                        StructField("cluster", b_schema[label_col]),
+                        StructField("cluster", cluster_t),
                     ]
                 ),
             )
@@ -593,9 +623,12 @@ def make_embedding_batch_processor(
             else _s.incremental_semantic_dedup
         )
         res = dedup_fn(batch, index, id_col, vec_col, threshold, quantize, cents=cents)
+        label_expr = (
+            F.col(label_col).alias("label") if label_col else F.col("cluster").alias("label")
+        )
         kept = batch.join(res.where(F.col("kept")).select(id_col, "cluster"), id_col).select(
             F.col(id_col),
-            F.col(label_col).alias("label"),
+            label_expr,
             _s.quantized(F.col(vec_col), quantize).alias("vec"),
             "cluster",
         )
@@ -620,11 +653,12 @@ def start_embedding_ingest(
     store: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    label_col: str = "label",
+    label_col: str | None = "label",
     threshold: float = 0.35,
     quantize: int | None = 1000,
     checkpoint: str | None = None,
     kernel: str = "expr",
+    bootstrap_k: int = 8,
 ) -> StreamingQuery:
     """Continuous embedding ingest with cross-batch SEMANTIC dedup —
     see make_embedding_batch_processor for the per-batch algorithm and
@@ -633,7 +667,7 @@ def start_embedding_ingest(
     batch consumers (emb_incremental_semdedup et al.) read it
     directly."""
     process = make_embedding_batch_processor(
-        store, id_col, vec_col, label_col, threshold, quantize, kernel
+        store, id_col, vec_col, label_col, threshold, quantize, kernel, bootstrap_k
     )
     return (
         vec_stream.writeStream.foreachBatch(process)

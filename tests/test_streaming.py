@@ -1146,3 +1146,44 @@ def test_requantize_embedding_store_swaps_cells_and_keeps_dedup(spark, tmp_path)
     (tmp_path / "emb_rq" / ".requant").mkdir()
     with _pytest.raises(RuntimeError, match="leftover"):
         requantize_embedding_store(spark, store, k=4)
+
+
+def test_embedding_ingest_unlabeled_bootstrap_trains_quantizer(spark, tmp_path):
+    """label_col=None: the first batch trains a kmeans quantizer
+    (bootstrap_k cells); dedup works against the earned cells and the
+    stored label column carries the cell id."""
+    from orestes_spark.streaming.ingest import make_embedding_batch_processor
+
+    store = str(tmp_path / "emb_unlabeled")
+    ddl = "vec_id LONG, embedding ARRAY<DOUBLE>"
+    process = make_embedding_batch_processor(
+        store, label_col=None, threshold=0.9, bootstrap_k=2
+    )
+    b0 = spark.createDataFrame(
+        [(0, [10.0, 0.0]), (1, [0.0, 10.0]), (2, [9.9, 0.1])], ddl
+    )
+    process(b0, 0)  # 2 in-batch near-dups (0, 2) -> keep min id 0
+    b1 = spark.createDataFrame([(10, [0.1, 9.9]), (11, [-10.0, 0.2])], ddl)
+    process(b1, 1)  # 10 ~ vec 1 (rejected); 11 anti-parallel (kept)
+    rows = {r["vec_id"]: r for r in spark.read.parquet(f"{store}/vecs").collect()}
+    assert sorted(rows) == [0, 1, 11]
+    assert spark.read.parquet(f"{store}/cents").count() == 2
+    for r in rows.values():
+        assert r["label"] == r["cluster"]  # unlabeled: label IS the cell
+
+
+def test_embedding_ingest_single_cell_bootstrap_warns(spark, tmp_path):
+    """A quantizer frozen with one cell must warn loudly (per-epoch
+    cost degrades to O(|batch| x corpus))."""
+    import warnings
+
+    from orestes_spark.streaming.ingest import make_embedding_batch_processor
+
+    store = str(tmp_path / "emb_onecell")
+    ddl = "vec_id LONG, label LONG, embedding ARRAY<DOUBLE>"
+    process = make_embedding_batch_processor(store, threshold=0.9)
+    b0 = spark.createDataFrame([(0, 5, [1.0, 0.0]), (1, 5, [0.0, 1.0])], ddl)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        process(b0, 0)
+    assert any("cell" in str(x.message) for x in w), [str(x.message) for x in w]
