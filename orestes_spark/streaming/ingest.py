@@ -142,6 +142,38 @@ def _stream_epoch_key(stream_ns: str | None, epoch_id: int) -> int:
     return int.from_bytes(h[:8], "big") >> 1
 
 
+def _write_epoch_atomic(
+    df: DataFrame, final_dir: str, partition_by: str | None = None
+) -> None:
+    """Stage-then-rename an epoch partition so a concurrent reader of
+    the store never lists a HALF-WRITTEN epoch dir (the same
+    all-or-nothing visibility class the engine's points manifests
+    give its warehouse — here one atomic directory rename does it,
+    because the whole epoch is a single partition dir).
+
+    The staging dir is dot-prefixed, so parquet listings of the
+    parent ignore it even mid-write; a crashed attempt's leftover is
+    simply overwritten by the replay. On a replay over an existing
+    committed epoch there is a delete→rename window where a reader
+    sees the store WITHOUT that epoch — all-or-nothing per epoch,
+    never partial. Rename atomicity is the usual POSIX/HDFS boundary
+    (same contract as every rename in this repo; S3-class stores are
+    refused at the engine level and documented throughout)."""
+    spark = df.sparkSession
+    parent, leaf = final_dir.rsplit("/", 1)
+    staging = f"{parent}/.staging-{leaf}"
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(staging)
+    fs, fpath = _fs_and_path(spark, final_dir)
+    _, spath = _fs_and_path(spark, staging)
+    if fs.exists(fpath):
+        fs.delete(fpath, True)
+    if not fs.rename(spath, fpath):
+        raise RuntimeError(f"epoch commit rename failed: {staging} -> {final_dir}")
+
+
 def make_batch_processor(
     engine: OrestesEngine,
     space: str = "default",
@@ -424,10 +456,17 @@ def make_corpus_batch_processor(
                 pairs.select(F.col("id_new").alias(id_col)).distinct(), id_col, "left_anti"
             )
         kept = kept.localCheckpoint()  # one compute, two sinks
-        kept.write.mode("overwrite").parquet(f"{docs_path}/epoch={epoch_id}")
-        _d.minhash_band_index(
-            kept, id_col, text_col, shingle_size, num_hashes, rows_per_band
-        ).write.mode("overwrite").parquet(f"{bands_path}/epoch={epoch_id}")
+        # stage-then-rename: each sink's epoch dir appears atomically
+        # to concurrent readers (a reader can still observe docs'
+        # epoch N before bands' — one-rename skew between sinks, the
+        # documented residual; each sink alone is all-or-nothing)
+        _write_epoch_atomic(kept, f"{docs_path}/epoch={epoch_id}")
+        _write_epoch_atomic(
+            _d.minhash_band_index(
+                kept, id_col, text_col, shingle_size, num_hashes, rows_per_band
+            ),
+            f"{bands_path}/epoch={epoch_id}",
+        )
 
     return process
 
@@ -640,9 +679,11 @@ def make_embedding_batch_processor(
         # pipeline's persisted index; _prune_index_cells handles the
         # partition-inference type flip). The epoch×cluster dir
         # fan-out is the small-files pressure the compaction slot
-        # already owns (see auto_compact_files / SCALING.md).
-        kept.write.mode("overwrite").partitionBy("cluster").parquet(
-            f"{vecs_path}/epoch={epoch_id}"
+        # already owns (see auto_compact_files / SCALING.md). The
+        # epoch dir lands via stage-then-rename, so a concurrent
+        # reader never sees a partial epoch.
+        _write_epoch_atomic(
+            kept, f"{vecs_path}/epoch={epoch_id}", partition_by="cluster"
         )
 
     return process

@@ -1187,3 +1187,28 @@ def test_embedding_ingest_single_cell_bootstrap_warns(spark, tmp_path):
         warnings.simplefilter("always")
         process(b0, 0)
     assert any("cell" in str(x.message) for x in w), [str(x.message) for x in w]
+
+
+def test_epoch_staging_dirs_invisible_to_readers(spark, tmp_path):
+    """Stage-then-rename epoch commits: a leftover .staging dir from a
+    crashed attempt is ignored by store readers, and a replay over the
+    leftover commits the epoch normally."""
+    from orestes_spark.streaming.ingest import make_embedding_batch_processor
+
+    store = str(tmp_path / "emb_stage")
+    ddl = "vec_id LONG, label LONG, embedding ARRAY<DOUBLE>"
+    process = make_embedding_batch_processor(store, threshold=0.9)
+    b0 = spark.createDataFrame([(1, 0, [1.0, 0.0]), (2, 1, [0.0, 1.0])], ddl)
+    process(b0, 0)
+    # simulate a crashed attempt: leftover staging dir with junk data
+    junk = spark.createDataFrame([(999, 0, [5.0, 5.0], 0)],
+                                 "vec_id LONG, label LONG, embedding ARRAY<DOUBLE>, cluster LONG")
+    junk.write.parquet(f"{store}/vecs/.staging-epoch=1")
+    ids = sorted(r["vec_id"] for r in spark.read.parquet(f"{store}/vecs").collect())
+    assert ids == [1, 2], "staging leftovers must be invisible"
+    # replay of epoch 1 overwrites the leftover and commits atomically
+    process(spark.createDataFrame([(3, 0, [-1.0, 0.0])], ddl), 1)
+    ids = sorted(r["vec_id"] for r in spark.read.parquet(f"{store}/vecs").collect())
+    assert ids == [1, 2, 3]
+    import os
+    assert not os.path.exists(f"{store}/vecs/.staging-epoch=1")
