@@ -1212,3 +1212,54 @@ def test_epoch_staging_dirs_invisible_to_readers(spark, tmp_path):
     assert ids == [1, 2, 3]
     import os
     assert not os.path.exists(f"{store}/vecs/.staging-epoch=1")
+
+
+def test_embedding_store_read_while_write_all_or_nothing(spark, tmp_path):
+    """Concurrent readers of the embedding store must only ever see
+    complete epochs: with every epoch accepting exactly E vectors
+    (threshold ~1 so nothing dedups), any observed count that is not
+    a multiple of E is a torn read."""
+    import random
+    import threading
+
+    from orestes_spark.streaming.ingest import make_embedding_batch_processor
+
+    store = str(tmp_path / "emb_rww")
+    ddl = "vec_id LONG, label LONG, embedding ARRAY<DOUBLE>"
+    E, dim, epochs = 40, 16, 5
+    process = make_embedding_batch_processor(store, threshold=0.9999)
+    rng = random.Random(3)
+
+    def batch(ep):
+        rows = [
+            (
+                ep * E + i,
+                (ep * E + i) % 4,
+                [rng.gauss(0.0, 1.0) for _ in range(dim)],
+            )
+            for i in range(E)
+        ]
+        return spark.createDataFrame(rows, ddl)
+
+    torn, stop = [], [False]
+
+    def reader():
+        while not stop[0]:
+            try:
+                c = spark.read.parquet(f"{store}/vecs").count()
+            except Exception:
+                continue  # store may not exist yet / epoch mid-swap listing
+            if c % E:
+                torn.append(c)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for ep in range(epochs):
+            process(batch(ep), ep)
+    finally:
+        stop[0] = True
+        t.join()
+    assert not torn, f"torn reads observed: {torn[:5]}"
+    final = spark.read.parquet(f"{store}/vecs").count()
+    assert final == E * epochs, final
