@@ -749,35 +749,13 @@ def requantize_embedding_store(
     ``.requant`` / ``*.old`` from a previous crash).
 
     Returns {"rows": n, "cells": m} for the rewritten store."""
-    import os
-    import re
-    import shutil
-
     from orestes_spark.operators import similarity as _s
 
-    # The swap below is os.rename-based; everything else in this
-    # module goes through the Hadoop FS API and works on any store,
-    # so a remote store would pass the Spark writes and then die at
-    # the rename — refuse it up front (same POSIX boundary, same
-    # pointer as the engine's _require_posix_warehouse).
-    m = re.match(r"^file:(//)?(/.*)$", store, re.IGNORECASE)
-    if m:
-        store = m.group(2)
-    elif re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", store):
-        raise RuntimeError(
-            f"requantize_embedding_store needs a POSIX-rename store, got {store!r} —"
-            " run it against a local/NFS mount, or port the swap onto a"
-            " commit backend (see orestes_spark.commit_backend)"
-        )
+    store = _require_posix_store(store, "requantize_embedding_store")
     vecs_path = f"{store}/vecs"
     cents_path = f"{store}/cents"
     tmp = f"{store}/.requant"
-    for leftover in (tmp, f"{vecs_path}.old", f"{cents_path}.old"):
-        if os.path.exists(leftover):
-            raise RuntimeError(
-                f"requantize: leftover {leftover!r} from a previous run/crash —"
-                " recover or remove it first"
-            )
+    _refuse_leftovers("requantize", tmp, vecs_path, cents_path)
     vecs = spark.read.parquet(vecs_path).select(id_col, "label", "vec").localCheckpoint()
     assign = _s.kmeans_cosine(vecs, id_col=id_col, vec_col="vec", k=k, iters=iters)
     rows = vecs.join(assign, id_col).localCheckpoint()  # one compute, two sinks
@@ -787,11 +765,88 @@ def requantize_embedding_store(
     ).write.parquet(f"{tmp}/cents")
     n_rows = rows.count()
     n_cells = rows.select("cluster").distinct().count()
-    os.rename(vecs_path, f"{vecs_path}.old")
-    os.rename(f"{tmp}/vecs", vecs_path)
-    os.rename(cents_path, f"{cents_path}.old")
-    os.rename(f"{tmp}/cents", cents_path)
-    shutil.rmtree(f"{vecs_path}.old")
-    shutil.rmtree(f"{cents_path}.old")
-    shutil.rmtree(tmp)
+    _swap_trees(tmp, {"vecs": vecs_path, "cents": cents_path})
     return {"rows": n_rows, "cells": n_cells}
+
+
+def _require_posix_store(store: str, who: str) -> str:
+    """Normalize a local store path, refusing remote URIs loudly: the
+    offline-job swaps below are os.rename-based (everything STREAMING
+    goes through the Hadoop FS API and works anywhere), so a remote
+    store would pass the Spark writes and then die at the rename —
+    the same POSIX boundary and pointer as the engine's
+    _require_posix_warehouse."""
+    import re
+
+    m = re.match(r"^file:(//)?(/.*)$", store, re.IGNORECASE)
+    if m:
+        return m.group(2)
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", store):
+        raise RuntimeError(
+            f"{who} needs a POSIX-rename store, got {store!r} — run it"
+            " against a local/NFS mount, or port the swap onto a commit"
+            " backend (see orestes_spark.commit_backend)"
+        )
+    return store
+
+
+def _refuse_leftovers(who: str, tmp: str, *finals: str) -> None:
+    import os
+
+    for leftover in (tmp, *[f"{p}.old" for p in finals]):
+        if os.path.exists(leftover):
+            raise RuntimeError(
+                f"{who}: leftover {leftover!r} from a previous run/crash —"
+                " recover or remove it first"
+            )
+
+
+def _swap_trees(tmp: str, mapping: dict[str, str]) -> None:
+    """Move every fully-written ``<tmp>/<sub>`` over its final path:
+    finals go aside as ``*.old`` first, the ``.old`` trees and the
+    staging root are removed only after EVERY rename landed — a crash
+    leaves either complete old state, complete new state, or an
+    ``*.old`` tree to rename back by hand."""
+    import os
+    import shutil
+
+    for sub, final in mapping.items():
+        os.rename(final, f"{final}.old")
+        os.rename(f"{tmp}/{sub}", final)
+    for final in mapping.values():
+        shutil.rmtree(f"{final}.old")
+    shutil.rmtree(tmp)
+
+
+def compact_corpus_store(
+    spark,
+    store: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Offline compaction for a ``start_corpus_ingest`` store: collapse
+    the per-epoch docs/bands partitions into one ``epoch=-1`` baseline
+    each (real epoch ids are >= 0, so a replaying batch never excludes
+    the baseline as 'own epoch'). This is the small-files fix for
+    long-running corpus streams — N epochs × band files shrink to one
+    compacted tree per sink, same operational slot as the engine's
+    ``auto_compact_files`` and the embedding store's
+    ``requantize_embedding_store`` (which compacts as a side effect).
+    Dedup state is untouched: the band index rows are rewritten
+    verbatim, so the gate accepts/rejects exactly as before.
+
+    Single-writer contract (stream stopped); crash safety identical to
+    requantize: full staging write, then ``_swap_trees``.
+
+    Returns {"docs": n, "bands": m}."""
+    store = _require_posix_store(store, "compact_corpus_store")
+    docs_path, bands_path = f"{store}/docs", f"{store}/bands"
+    tmp = f"{store}/.compact"
+    _refuse_leftovers("compact_corpus_store", tmp, docs_path, bands_path)
+    docs = spark.read.parquet(docs_path).select(id_col, text_col).localCheckpoint()
+    bands = spark.read.parquet(bands_path).select("band", "bval", "_id").localCheckpoint()
+    docs.write.parquet(f"{tmp}/docs/epoch=-1")
+    bands.write.parquet(f"{tmp}/bands/epoch=-1")
+    n_docs, n_bands = docs.count(), bands.count()
+    _swap_trees(tmp, {"docs": docs_path, "bands": bands_path})
+    return {"docs": n_docs, "bands": n_bands}

@@ -1263,3 +1263,39 @@ def test_embedding_store_read_while_write_all_or_nothing(spark, tmp_path):
     assert not torn, f"torn reads observed: {torn[:5]}"
     final = spark.read.parquet(f"{store}/vecs").count()
     assert final == E * epochs, final
+
+
+def test_compact_corpus_store_preserves_dedup_state(spark, tmp_path):
+    """Offline corpus compaction: epochs collapse to epoch=-1, file
+    count shrinks, and the gate still rejects a near-dup of a
+    pre-compaction doc (band index rewritten verbatim)."""
+    import os
+
+    from orestes_spark.streaming.ingest import (
+        compact_corpus_store,
+        make_corpus_batch_processor,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    other = "completely different content about spark query engines and shuffles"
+    store = str(tmp_path / "corpus_compact")
+    ddl = "doc_id LONG, text STRING"
+    process = make_corpus_batch_processor(store)
+    process(spark.createDataFrame([(1, base)], ddl), 0)
+    process(spark.createDataFrame([(10, other)], ddl), 1)
+
+    out = compact_corpus_store(spark, store)
+    assert out["docs"] == 2 and out["bands"] > 0
+    assert sorted(os.listdir(f"{store}/docs")) == ["epoch=-1"]
+    accepted = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{store}/docs").select("doc_id").collect()
+    )
+    assert accepted == [1, 10]
+
+    # the gate still works against the compacted index
+    process(spark.createDataFrame([(20, near), (30, base + " extra words here")], ddl), 2)
+    accepted = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{store}/docs").select("doc_id").collect()
+    )
+    assert 20 not in accepted, "near-dup must still be rejected post-compaction"
