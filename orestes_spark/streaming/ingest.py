@@ -578,6 +578,39 @@ def make_embedding_batch_processor(
 
     vecs_path = f"{store}/vecs"
     cents_path = f"{store}/cents"
+    meta_path = f"{store}/meta"
+    meta_checked = [False]
+
+    def _check_meta(spark) -> None:
+        """The gate's semantics live in (threshold, quantize, labeled):
+        a restart with different values would silently change what the
+        store means (vectors accepted under one rule, judged under
+        another). The bootstrap persists them as a one-row parquet;
+        every later processor instance verifies ONCE and refuses a
+        mismatch loudly. Stores predating the meta table get it
+        backfilled from the current params (documented upgrade)."""
+        fs, mbase = _fs_and_path(spark, meta_path)
+        mine = (float(threshold), quantize if quantize is None else int(quantize), label_col is not None)
+        if fs.exists(mbase):
+            row = spark.read.parquet(meta_path).first()
+            stored = (
+                float(row["threshold"]),
+                None if row["quantize"] is None else int(row["quantize"]),
+                bool(row["labeled"]),
+            )
+            if stored != mine:
+                raise RuntimeError(
+                    f"embedding store {store!r} was built with"
+                    f" (threshold, quantize, labeled)={stored} but this"
+                    f" processor was constructed with {mine} — a silent"
+                    " semantics change. Use the stored params, or rebuild"
+                    " the store."
+                )
+        else:
+            spark.createDataFrame(
+                [mine], "threshold DOUBLE, quantize BIGINT, labeled BOOLEAN"
+            ).write.mode("overwrite").parquet(meta_path)
+        meta_checked[0] = True
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -589,6 +622,8 @@ def make_embedding_batch_processor(
             # would assign against zero centroids and be dropped
             # whole. (Epoch emits no partition; replay is a no-op.)
             return
+        if not meta_checked[0]:
+            _check_meta(spark)
         fs, cbase = _fs_and_path(spark, cents_path)
         if not fs.exists(cbase):
             # bootstrap: freeze the quantizer on the first batch (a

@@ -1299,3 +1299,28 @@ def test_compact_corpus_store_preserves_dedup_state(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(f"{store}/docs").select("doc_id").collect()
     )
     assert 20 not in accepted, "near-dup must still be rejected post-compaction"
+
+
+def test_embedding_store_refuses_mismatched_gate_params(spark, tmp_path):
+    """A restarted processor with a different threshold/quantize must
+    refuse the store loudly instead of silently changing semantics."""
+    import pytest as _pytest
+
+    from orestes_spark.streaming.ingest import make_embedding_batch_processor
+
+    store = str(tmp_path / "emb_meta")
+    ddl = "vec_id LONG, label LONG, embedding ARRAY<DOUBLE>"
+    b = spark.createDataFrame([(1, 0, [1.0, 0.0])], ddl)
+    make_embedding_batch_processor(store, threshold=0.9)(b, 0)
+    # same params: fine (fresh processor instance, meta re-verified)
+    make_embedding_batch_processor(store, threshold=0.9)(
+        spark.createDataFrame([(2, 0, [0.0, 1.0])], ddl), 1
+    )
+    with _pytest.raises(RuntimeError, match="semantics"):
+        make_embedding_batch_processor(store, threshold=0.5)(
+            spark.createDataFrame([(3, 0, [1.0, 1.0])], ddl), 2
+        )
+    with _pytest.raises(RuntimeError, match="semantics"):
+        make_embedding_batch_processor(store, threshold=0.9, quantize=None)(
+            spark.createDataFrame([(3, 0, [1.0, 1.0])], ddl), 2
+        )
