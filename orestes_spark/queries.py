@@ -4183,6 +4183,78 @@ def doc_train_split(spark, sf_dir):
     )
 
 
+def _ewma_sql(w: int = 16) -> str:
+    """Oracle for ts_ewma: truncated exponential smoothing with EXACT
+    dyadic weights 2^-j carried as INTEGER numerators m_j = 2^(w-1-j)
+    over the common denominator 2^(w-1); anchors are scaled to
+    micro-units (BIGINT). Numerator and present-weight denominator are
+    exact integer sums; the one float op is the final rounded division
+    (identical IEEE on both engines). Missing leading lags renormalize
+    by the weights actually present (truncated-EWMA convention)."""
+    lag = (
+        lambda j: "v6"
+        if j == 0
+        else f"lag(v6, {j}) OVER (PARTITION BY event_type ORDER BY hour)"
+    )
+    num = " + ".join(f"coalesce({lag(j)} * {2 ** (w - 1 - j)}, 0)" for j in range(w))
+    den = " + ".join(
+        f"CASE WHEN {lag(j)} IS NOT NULL THEN {2 ** (w - 1 - j)} ELSE 0 END" for j in range(w)
+    )
+    return f"""WITH hourly AS (
+          SELECT event_type, CAST(floor({_EV_MS} / {_HOUR}) AS BIGINT) AS hour,
+                 CAST(CAST(round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
+                           AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v6
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, hour,
+               round(CAST(({num}) AS DOUBLE) / (1000000.0 * ({den})), 6) AS ewma
+        FROM hourly"""
+
+
+@register("ts_ewma", _ewma_sql())
+def ts_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average per series (alpha = 1/2,
+    truncated at 16 points — >99.99% of the untruncated mass): the
+    standard monitoring smoother next to ts_moving_avg's uniform
+    window. Determinism: weights are dyadic, carried as INTEGER
+    numerators 2^(15-j) over the common denominator 2^15 (Spark's
+    decimal '+' chain silently drops scale past precision 38, so the
+    exact path is integer micro-units, not decimals); numerator and
+    present-weight denominator are exact BIGINT sums and the only
+    float op is the final rounded division. One window shuffle on the
+    series key; 16 lags resolve in one pass over the sorted
+    partition."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_millis("ts").alias("time_ms"), "value"
+    )
+    hourly = ev.groupBy(
+        "event_type", F.floor(F.col("time_ms") / _HOUR).cast("long").alias("hour")
+    ).agg(
+        (
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).cast("decimal(18,6)")
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("v6")
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    num, den = F.lit(0).cast("long"), F.lit(0).cast("long")
+    for j in range(16):
+        lag_v = F.col("v6") if j == 0 else F.lag("v6", j).over(w)
+        m = 2 ** (15 - j)
+        num = num + F.coalesce(lag_v * F.lit(m), F.lit(0))
+        den = den + F.when(lag_v.isNotNull(), F.lit(m)).otherwise(F.lit(0))
+    return hourly.select(
+        "event_type",
+        "hour",
+        F.round(num.cast("double") / (F.lit(1_000_000.0) * den), 6).alias("ewma"),
+    )
+
+
 @register("emb_kmeans_assign", oracles.emb_kmeans_sql(k=8, iters=2))
 def emb_kmeans_assign(spark, sf_dir):
     """TRAINED coarse quantizer: Lloyd k-means under cosine (k=8, two

@@ -292,3 +292,34 @@ def test_cross_corr_perfectly_correlated_and_anticorrelated(spark):
     assert out[("linear", "up")] == 1.0
     assert out[("linear", "zneg")] == -1.0
     assert out[("up", "zneg")] == -1.0
+
+
+def test_ewma_constant_series_and_latest_dominance(spark):
+    """ts_ewma registry entry: a constant series smooths to itself; a
+    single spike at the latest hour pulls the EWMA more than half way
+    (alpha = 1/2 gives the newest point weight >= the entire tail)."""
+    import os
+    import tempfile
+
+    from orestes_spark.queries import QUERIES
+
+    base = 1_704_067_200_000
+    rows = []
+    for h in range(20):
+        rows.append((h * 2 + 1, base + h * 3_600_000, "flat", 5.0))
+        rows.append((h * 2 + 2, base + h * 3_600_000, "spike", 100.0 if h == 19 else 0.0))
+    df = spark.createDataFrame(
+        [(i, ts, et, v, "0", "{}") for (i, ts, et, v) in rows],
+        "event_id LONG, ts_ms LONG, event_type STRING, value DOUBLE, user_id STRING, props STRING",
+    ).selectExpr(
+        "event_id", "timestamp_millis(ts_ms) AS ts", "CAST(user_id AS LONG) AS user_id",
+        "event_type", "value", "props",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {(r["event_type"], r["hour"]): r["ewma"] for r in QUERIES["ts_ewma"](spark, d).collect()}
+    flat_vals = {v for (et, _), v in out.items() if et == "flat"}
+    assert flat_vals == {5.0}
+    last_hour = max(h for (et, h) in out if et == "spike")
+    assert out[("spike", last_hour)] > 50.0  # newest point carries >= half the mass
+    assert out[("spike", last_hour - 1)] == 0.0
