@@ -4248,10 +4248,16 @@ def ts_ewma(spark, sf_dir):
         m = 2 ** (15 - j)
         num = num + F.coalesce(lag_v * F.lit(m), F.lit(0))
         den = den + F.when(lag_v.isNotNull(), F.lit(m)).otherwise(F.lit(0))
+    # try_divide: an all-NULL bucket gives v6 = NULL on the partition's
+    # first row → every present-weight term is 0 → den = 0; ANSI '/'
+    # would abort with DIVIDE_BY_ZERO where the DuckDB twin yields NULL
+    # (same class as the zero-norm cosine rule in similarity._cos_expr).
     return hourly.select(
         "event_type",
         "hour",
-        F.round(num.cast("double") / (F.lit(1_000_000.0) * den), 6).alias("ewma"),
+        F.round(
+            F.try_divide(num.cast("double"), F.lit(1_000_000.0) * den), 6
+        ).alias("ewma"),
     )
 
 

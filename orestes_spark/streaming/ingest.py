@@ -580,6 +580,7 @@ def make_embedding_batch_processor(
     cents_path = f"{store}/cents"
     meta_path = f"{store}/meta"
     meta_checked = [False]
+    cells_checked = [False]
 
     def _check_meta(spark) -> None:
         """The gate's semantics live in (threshold, quantize, labeled):
@@ -607,9 +608,15 @@ def make_embedding_batch_processor(
                     " the store."
                 )
         else:
-            spark.createDataFrame(
-                [mine], "threshold DOUBLE, quantize BIGINT, labeled BOOLEAN"
-            ).write.mode("overwrite").parquet(meta_path)
+            # stage-then-rename: a crash mid-write must not leave a
+            # half-created meta/ dir that exists() would treat as
+            # committed on restart (unrecoverable read-crash loop)
+            _write_epoch_atomic(
+                spark.createDataFrame(
+                    [mine], "threshold DOUBLE, quantize BIGINT, labeled BOOLEAN"
+                ),
+                meta_path,
+            )
         meta_checked[0] = True
 
     def process(batch: DataFrame, epoch_id: int) -> None:
@@ -641,20 +648,26 @@ def make_embedding_batch_processor(
                 )
             else:
                 boot = _s.label_centroid_sums(batch, id_col, vec_col, label_col, quantize)
-            boot.write.mode("overwrite").parquet(cents_path)
+            # same stage-then-rename as meta: a half-written cents/
+            # would wedge every restart behind the exists() gate
+            _write_epoch_atomic(boot, cents_path)
         cents = spark.read.parquet(cents_path)
-        n_cells = cents.count()
-        if n_cells < 2:
-            import warnings
+        if not cells_checked[0]:
+            # once per processor instance — the quantizer is frozen,
+            # so re-counting the k-row table every epoch is pure waste
+            cells_checked[0] = True
+            n_cells = cents.count()
+            if n_cells < 2:
+                import warnings
 
-            warnings.warn(
-                f"embedding ingest at {store!r}: quantizer has {n_cells} cell(s) —"
-                " every pair lands in one cell, so per-epoch dedup cost is"
-                " O(|batch| x corpus). Re-quantize offline"
-                " (requantize_embedding_store) with more cells.",
-                RuntimeWarning,
-                stacklevel=2,
-            )
+                warnings.warn(
+                    f"embedding ingest at {store!r}: quantizer has {n_cells} cell(s) —"
+                    " every pair lands in one cell, so per-epoch dedup cost is"
+                    " O(|batch| x corpus). Re-quantize offline"
+                    " (requantize_embedding_store) with more cells.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         vfs, vbase = _fs_and_path(spark, vecs_path)
         if vfs.exists(vbase):
             index = (
@@ -784,6 +797,8 @@ def requantize_embedding_store(
     ``.requant`` / ``*.old`` from a previous crash).
 
     Returns {"rows": n, "cells": m} for the rewritten store."""
+    import os
+
     from orestes_spark.operators import similarity as _s
 
     store = _require_posix_store(store, "requantize_embedding_store")
@@ -793,7 +808,17 @@ def requantize_embedding_store(
     _refuse_leftovers("requantize", tmp, vecs_path, cents_path)
     vecs = spark.read.parquet(vecs_path).select(id_col, "label", "vec").localCheckpoint()
     assign = _s.kmeans_cosine(vecs, id_col=id_col, vec_col="vec", k=k, iters=iters)
-    rows = vecs.join(assign, id_col).localCheckpoint()  # one compute, two sinks
+    rows = vecs.join(assign, id_col)
+    # Unlabeled stores (meta.labeled = false) carry the CELL ID in the
+    # label column — rewriting them with the old cells next to the new
+    # cluster would silently hand consumers stale coarse cells. Labeled
+    # stores keep their semantic labels untouched.
+    meta_path = f"{store}/meta"
+    if os.path.exists(meta_path):
+        mrow = spark.read.parquet(meta_path).first()
+        if mrow is not None and not bool(mrow["labeled"]):
+            rows = rows.withColumn("label", F.col("cluster"))
+    rows = rows.localCheckpoint()  # one compute, two sinks
     rows.write.partitionBy("cluster").parquet(f"{tmp}/vecs/epoch=-1")
     _s.semantic_index_centroids(
         rows.select(F.col("cluster").alias("label"), "vec")
@@ -813,9 +838,20 @@ def _require_posix_store(store: str, who: str) -> str:
     _require_posix_warehouse."""
     import re
 
-    m = re.match(r"^file:(//)?(/.*)$", store, re.IGNORECASE)
-    if m:
-        return m.group(2)
+    low = store.lower()
+    if low.startswith("file:"):
+        # strip ONLY an empty authority: file:/p and file:///p are the
+        # local path /p, but file://host/p names a REMOTE authority —
+        # the (//)? regex this replaced accepted it as the bogus local
+        # path '//host/p' and died later at the os.rename
+        rest = store[len("file://"):] if low.startswith("file://") else store[len("file:"):]
+        if rest.startswith("/"):
+            return rest
+        raise RuntimeError(
+            f"{who}: {store!r} carries a remote authority — the swap is"
+            " os.rename-based; mount it locally or port the swap onto a"
+            " commit backend (see orestes_spark.commit_backend)"
+        )
     if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", store):
         raise RuntimeError(
             f"{who} needs a POSIX-rename store, got {store!r} — run it"

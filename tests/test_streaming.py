@@ -1324,3 +1324,30 @@ def test_embedding_store_refuses_mismatched_gate_params(spark, tmp_path):
         make_embedding_batch_processor(store, threshold=0.9, quantize=None)(
             spark.createDataFrame([(3, 0, [1.0, 1.0])], ddl), 2
         )
+
+
+def test_requantize_unlabeled_store_relabels_to_new_cells(spark, tmp_path):
+    """On an unlabeled store (meta.labeled = false) the label column
+    carries the CELL id — re-quantization must rewrite it to the new
+    cluster, not leave stale cells next to fresh ones."""
+    from orestes_spark.streaming.ingest import (
+        make_embedding_batch_processor,
+        requantize_embedding_store,
+    )
+
+    store = str(tmp_path / "emb_rq_unlab")
+    ddl = "vec_id LONG, embedding ARRAY<DOUBLE>"
+    process = make_embedding_batch_processor(
+        store, label_col=None, threshold=0.9, bootstrap_k=2
+    )
+    rows = [
+        (0, [10.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 10.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 10.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 10.0]),
+    ]
+    process(spark.createDataFrame(rows, ddl), 0)
+    out = requantize_embedding_store(spark, store, k=4)
+    assert out["cells"] == 4
+    for r in spark.read.parquet(f"{store}/vecs").collect():
+        assert r["label"] == r["cluster"], (r["vec_id"], r["label"], r["cluster"])
