@@ -15,6 +15,15 @@ to that additive noise; per-pass steal ticks are recorded in
 bench_queries.json so a contaminated round is diagnosable after the
 fact. Cold-start (pass 1) totals are recorded there too.
 
+Round 8 adds the STEAL GATE: contamination is rejected DURING the
+run, not explained after it. A measured pass whose /proc/stat steal
+delta exceeds 3x the established ~300-tick quiet band is discarded
+and re-run (bounded retries, sleep between); the same gate, scaled to
+pass duration, covers the write/read throughput passes. Every
+attempt is stamped accepted/rejected in bench_queries.json
+("steal_gate"), so the artifact itself proves the sample is either
+in-band or the best available after retries were exhausted.
+
 Output contract (learned the hard way in round 2, where one giant
 JSON line outgrew the driver's stdout-tail capture and parsed as
 null): the per-query timing map goes to an EARLIER stdout line and to
@@ -103,6 +112,20 @@ def main() -> None:
         except Exception:
             return -1
 
+    # Steal gate (round 8): two consecutive round-close artifacts were
+    # contaminated samples (r6: 12k-22k, r7: ~2.1k steal ticks/pass vs
+    # the ~300-tick quiet band established in r4-r7) that needed prose
+    # defense after the fact. The harness now defends itself DURING
+    # the run: a measured pass whose steal delta exceeds 3x the band
+    # is rejected and re-run (bounded retries); every attempt —
+    # accepted or rejected — is stamped into bench_queries.json with
+    # its steal ticks so the artifact proves either "all accepted
+    # passes in-band" or "retries exhausted, lowest-steal attempts
+    # used". steal_ticks() < 0 (unreadable /proc/stat) disables the
+    # gate rather than rejecting forever.
+    STEAL_BAND_TICKS = 300
+    STEAL_GATE_TICKS = 3 * STEAL_BAND_TICKS
+
     # Shared-artifact accounting (round 7): the near-dup pair graph,
     # its connected components, and the persisted LSH band index are
     # process-cached intermediates consumed by several queries (the
@@ -115,9 +138,7 @@ def main() -> None:
     # read the warm checkpoint.
     from orestes_spark.queries import ARTIFACT_CONSUMERS, build_shared_artifacts
 
-    passes: list[dict[str, float]] = []
-    steals: list[int] = []
-    for _pass in range(2):
+    def run_query_pass() -> tuple[dict[str, float], int]:
         meas: dict[str, float] = {}
         s0 = steal_ticks()
         for aname, secs in build_shared_artifacts(spark, sf_dir).items():
@@ -129,8 +150,39 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             meas[name] = round(time.perf_counter() - t0, 3)
-        steals.append(steal_ticks() - s0)
-        passes.append(meas)
+        s1 = steal_ticks()
+        return meas, (s1 - s0 if s0 >= 0 and s1 >= 0 else -1)
+
+    NEEDED_PASSES = 2
+    MAX_PASS_ATTEMPTS = 6  # 2 needed + up to 4 contaminated re-runs
+    attempts: list[dict] = []
+    accepted_passes: list[dict[str, float]] = []
+    while len(accepted_passes) < NEEDED_PASSES and len(attempts) < MAX_PASS_ATTEMPTS:
+        meas, steal = run_query_pass()
+        ok = steal < 0 or steal <= STEAL_GATE_TICKS
+        attempts.append(
+            {
+                "steal_ticks": steal,
+                "accepted": ok,
+                "total_s": round(sum(meas.values()), 3),
+                "timings": meas,
+            }
+        )
+        if ok:
+            accepted_passes.append(meas)
+        else:
+            # let the host-level burst drain before re-measuring
+            time.sleep(10)
+    gate_exhausted = len(accepted_passes) < NEEDED_PASSES
+    if gate_exhausted:
+        # best effort on a persistently noisy host: keep the
+        # lowest-steal attempts and say so in the artifact
+        ranked = sorted(attempts, key=lambda a: a["steal_ticks"])
+        accepted_passes = [a["timings"] for a in ranked[:NEEDED_PASSES]]
+    passes = accepted_passes
+    steals = [a["steal_ticks"] for a in attempts if a["accepted"]] if not gate_exhausted else [
+        a["steal_ticks"] for a in sorted(attempts, key=lambda x: x["steal_ticks"])[:NEEDED_PASSES]
+    ]
     timings = {n: min(p[n] for p in passes) for n in passes[0]}
 
     # BASELINE.md comparison: engine write/read throughput at the same
@@ -161,28 +213,52 @@ def main() -> None:
 
     pts = events_as_points(spark, sf_dir).localCheckpoint()
     n_pts = pts.count()
-    write_passes: list[dict] = []
-    for _pass in range(4):  # pass 0 = warmup, 1-3 measured
+
+    # Same steal gate for the throughput window, scaled to pass length:
+    # the ~300-tick band is per ~50 s query pass (~6 ticks/s); a
+    # write+read pass is ~2-3 s, so gate at 3x the band RATE with a
+    # 100-tick floor for burst tolerance on short windows.
+    def run_throughput_pass() -> dict:
         wh = tempfile.mkdtemp(prefix="orestes_bench_wh_")
         eng = OrestesEngine(spark, wh)
+        s0 = steal_ticks()
         t0 = time.perf_counter()
         eng._append(pts, "default")
         write_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         n_read = eng.read(None, "default", 0, 2_000_000_000_000, grouped=False).count()
         read_s = time.perf_counter() - t0
-        write_passes.append(
-            {
-                "write_s": round(write_s, 3),
-                "read_s": round(read_s, 3),
-                "sinks": dict(eng.last_append_timings),
-            }
-        )
+        s1 = steal_ticks()
         # each warehouse holds a full copy of the dataset — don't let
         # repeated bench runs accumulate them in /tmp
         shutil.rmtree(wh, ignore_errors=True)
-    write_s = statistics.median(p["write_s"] for p in write_passes[1:])
-    read_s = statistics.median(p["read_s"] for p in write_passes[1:])
+        steal = s1 - s0 if s0 >= 0 and s1 >= 0 else -1
+        gate = max(100.0, 18.0 * (write_s + read_s))
+        return {
+            "write_s": round(write_s, 3),
+            "read_s": round(read_s, 3),
+            "n_read": n_read,
+            "steal_ticks": steal,
+            "accepted": steal < 0 or steal <= gate,
+            "sinks": dict(eng.last_append_timings),
+        }
+
+    run_throughput_pass()  # warmup (fresh-warehouse JIT/footer caches)
+    write_passes: list[dict] = []
+    tp_attempts = 0
+    while sum(p["accepted"] for p in write_passes) < 3 and tp_attempts < 7:
+        tp_attempts += 1
+        p = run_throughput_pass()
+        write_passes.append(p)
+        if not p["accepted"]:
+            time.sleep(5)
+    tp_accepted = [p for p in write_passes if p["accepted"]]
+    tp_exhausted = len(tp_accepted) < 3
+    if tp_exhausted:
+        tp_accepted = sorted(write_passes, key=lambda p: p["steal_ticks"])[:3]
+    write_s = statistics.median(p["write_s"] for p in tp_accepted)
+    read_s = statistics.median(p["read_s"] for p in tp_accepted)
+    n_read = tp_accepted[0]["n_read"]
 
     # Per-query detail: separate stdout line + file, NOT the final line
     # (a single giant line overflows the driver's output-tail capture).
@@ -194,6 +270,16 @@ def main() -> None:
                 "queries": timings,
                 "measured_passes": passes,
                 "steal_ticks_per_pass": steals,
+                "steal_gate": {
+                    "band_ticks": STEAL_BAND_TICKS,
+                    "gate_ticks": STEAL_GATE_TICKS,
+                    "attempts": [
+                        {k: a[k] for k in ("steal_ticks", "accepted", "total_s")}
+                        for a in attempts
+                    ],
+                    "exhausted": gate_exhausted,
+                    "throughput_exhausted": tp_exhausted,
+                },
                 "cold_pass": cold,
                 "warmup_s": warmup_s,
                 "write_passes": write_passes,

@@ -949,3 +949,145 @@ def substring_contamination(
         F.count(F.lit(1)).alias("n_eval_hits"),
         F.min(eval_id_col).alias("first_eval_id"),
     )
+
+
+# --------------------------------------------- span-level exact dedup ---
+
+
+def _kgram_starts(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(_id, pos, h) — every k-token window start: pos is the 0-based
+    token index of the window, h its xxhash64. Built like
+    token_shingle_arrays (zip k shifted slices, one pass) but WITHOUT
+    array_distinct — span dedup needs every occurrence position, not
+    the distinct shingle set. The hash (not the string) is the shuffle
+    key: at corpus scale the k-gram strings dominate the shuffle
+    payload; a 64-bit collision can only ADD a span candidate
+    (vanishingly rare, and harmless for a flag-for-removal pass)."""
+
+    def build(tk: F.Column) -> F.Column:
+        m = F.size(tk)
+        length = m - (k - 1)
+        acc = F.slice(tk, k, length)
+        for j in range(k - 2, -1, -1):
+            acc = F.zip_with(F.slice(tk, j + 1, length), acc, lambda a, b: F.concat_ws(" ", a, b))
+        # CASE guards evaluation: for size < k the slice length would
+        # be negative and throw under ANSI.
+        return F.when(m >= k, acc)
+
+    split_expr = F.split(normalize_text(F.col(text_col)), r"\s+")
+    return (
+        ensure_min_parallelism(docs)
+        .select(F.col(id_col).alias("_id"), bind(split_expr, build).alias("grams"))
+        .where(F.col("grams").isNotNull())
+        .select("_id", F.posexplode("grams").alias("pos", "g"))
+        .select("_id", "pos", F.xxhash64("g").alias("h"))
+    )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+    max_count: int | None = None,
+) -> DataFrame:
+    """Span-level exact substring dedup (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    operator): find every maximal token span of length >= k that
+    appears at least ``min_count`` times verbatim anywhere in the
+    corpus, per occurrence. Output: (id, span_start, span_end,
+    span_len) — merged half-open token intervals [span_start,
+    span_end), one row per maximal duplicated span occurrence.
+
+    Algorithm (suffix arrays are a single-machine construction; this
+    is the distributed equivalent): every k-token window is hashed
+    with its start position; a window is duplicated iff its k-gram
+    occurs >= min_count times corpus-wide (a hash groupBy with
+    map-side partial aggregation — NO pair join anywhere); flagged
+    windows join back by hash (shuffle bounded by |corpus k-grams|,
+    i.e. linear in corpus tokens); overlapping/adjacent flagged
+    windows per document merge into maximal spans with one
+    per-document window pass. A repeated span of length L >= k is
+    covered by L-k+1 flagged windows, so the merged interval is
+    exactly the maximal repeated span — the suffix-array answer.
+
+    ``max_count`` is the hot-group cap (cf. ``max_bucket`` in the LSH
+    paths): k-grams repeated more than max_count times are boilerplate
+    (licence headers, templating) a curator may prefer to handle with
+    a dedicated rule; capping them also bounds the flagged-row
+    fan-out per hash group. Every stage is linear in corpus tokens —
+    there is no quadratic candidate stage to cap."""
+    kg = _kgram_starts(docs, id_col, text_col, k)
+    counts = kg.groupBy("h").agg(F.count(F.lit(1)).alias("_c"))
+    rep = counts.where(F.col("_c") >= min_count)
+    if max_count is not None:
+        rep = rep.where(F.col("_c") <= max_count)
+    flagged = kg.join(rep.select("h"), "h", "left_semi").select("_id", "pos")
+    w = Window.partitionBy("_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = flagged.withColumn(
+        "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    ).withColumn("_island", F.sum("_new").over(w))
+    return (
+        isl.groupBy("_id", "_island")
+        .agg(F.min("pos").alias("_s"), (F.max("pos") + k).alias("_e"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_s").cast("long").alias("span_start"),
+            F.col("_e").cast("long").alias("span_end"),
+            (F.col("_e") - F.col("_s")).cast("long").alias("span_len"),
+        )
+    )
+
+
+def strip_repeated_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+    max_count: int | None = None,
+) -> DataFrame:
+    """Removal companion to ``repeated_spans``: drop every token
+    covered by a duplicated >=k-token span and reassemble the
+    document (the Lee et al. training-data cleaning step — ALL
+    occurrences are removed, matching the published recipe; keeping
+    one canonical occurrence is ``dedup_keep_best``'s job at document
+    granularity). Output: (id, n_tokens, n_removed, clean_text) for
+    EVERY input document, clean_text == '' when nothing survives.
+
+    The span table is per-document tiny by construction, so it joins
+    back as (id -> array<struct>) and the strip is one higher-order
+    filter over the token array — no per-token shuffle."""
+    spans = repeated_spans(docs, id_col, text_col, k, min_count, max_count)
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks_df = docs.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    j = toks_df.join(sp, id_col, "left")
+
+    def covered(i: F.Column) -> F.Column:
+        return F.exists(
+            F.col("_spans"), lambda s: (i >= s["span_start"]) & (i < s["span_end"])
+        )
+
+    kept = F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
+        F.filter(F.col("_toks"), lambda _t, i: ~covered(i.cast("long")))
+    )
+
+    def out(kt: F.Column) -> F.Column:
+        return F.struct(
+            (F.size("_toks") - F.size(kt)).cast("long").alias("n_removed"),
+            F.concat_ws(" ", kt).alias("clean_text"),
+        )
+
+    st = bind(kept, out)
+    return j.select(
+        id_col,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        st["n_removed"].alias("n_removed"),
+        st["clean_text"].alias("clean_text"),
+    )

@@ -968,3 +968,149 @@ ranked AS (
 SELECT qid AS query_id, cid AS neighbor_id, round(c, 6) AS cosine, rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------ span-level dedup ---
+
+_SPAN_TOKS = r"""
+toks AS (
+  SELECT doc_id, u.tok AS tok, u.pos AS pos FROM documents,
+  (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+          generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos) u
+)"""
+
+
+def _span_flag_ctes(k: int, min_count: int) -> str:
+    """CTE chain up to ``fl`` (doc_id, 0-based flagged window starts)
+    for the span-dedup twins: positional k-grams via k-1 leads, the
+    repeated set by exact-string GROUP BY (the Spark side groups the
+    xxhash64 of the same string — identical flag set absent a 64-bit
+    collision), flags by semi join."""
+    leads = ", ".join(f"lead(tok,{j}) OVER w" for j in range(1, k))
+    return f"""{_SPAN_TOKS},
+kg AS (
+  SELECT doc_id, pos - 1 AS start,
+         concat_ws(' ', tok, {leads}) AS g,
+         lead(tok,{k - 1}) OVER w AS lastt
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+valid AS (SELECT doc_id, start, g FROM kg WHERE lastt IS NOT NULL),
+rep AS (SELECT g FROM valid GROUP BY g HAVING count(*) >= {min_count}),
+fl AS (SELECT v.doc_id, v.start FROM valid v JOIN rep USING (g))"""
+
+
+def span_dedup_sql(k: int = 8, min_count: int = 2) -> str:
+    """Twin of dedup.repeated_spans: merged maximal duplicated-span
+    intervals via the gaps-and-islands pattern (island break when a
+    flagged start exceeds the running max end of earlier windows)."""
+    return f"""
+WITH {_span_flag_ctes(k, min_count)},
+pe AS (
+  SELECT doc_id, start,
+         max(start) OVER (PARTITION BY doc_id ORDER BY start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {k} AS prev_end
+  FROM fl),
+isl AS (
+  SELECT doc_id, start,
+         sum(CASE WHEN prev_end IS NULL OR start > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY start) AS island
+  FROM pe)
+SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+       CAST(max(start) + {k} AS BIGINT) AS span_end,
+       CAST(max(start) + {k} - min(start) AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, island
+"""
+
+
+def span_strip_sql(k: int = 8, min_count: int = 2) -> str:
+    """Twin of dedup.strip_repeated_spans: a token survives iff no
+    flagged window covers it; clean_text reassembles survivors in
+    position order ('' when nothing survives, so every document
+    keeps its row)."""
+    return f"""
+WITH {_span_flag_ctes(k, min_count)},
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM fl f WHERE f.doc_id = t.doc_id
+                    AND t.pos - 1 >= f.start AND t.pos - 1 < f.start + {k})),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY 1),
+nt AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1)
+SELECT nt.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+       CAST(nt.n_tokens - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM nt LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def emb_ivf_recall_sql(
+    k: int = 5, num_queries: int = 10, nprobe: int = 1, cells: int = 8, iters: int = 2
+) -> str:
+    """Recall@k of IVF-over-TRAINED-cells vs exact quantized cosine —
+    emb_pq_recall's probe/agg shape over emb_ivf_trained_sql's CTE
+    stack plus the exact ranking from emb_topk_sql (both integer
+    tiers, so the instrumentation row itself hash-matches)."""
+    return f"""
+WITH {_QUANT_VECS},
+{_kmeans_ctes(cells, iters)},
+labeled AS (SELECT vec_id, cluster AS label FROM assigned{iters - 1}),
+csumsf AS (
+  SELECT l.label, u.i, sum(u.x) AS s
+  FROM u JOIN labeled l ON l.vec_id = u.vec_id GROUP BY 1, 2),
+cnormf AS (SELECT label, sqrt(sum(s * s)) AS cn FROM csumsf GROUP BY 1),
+qassign AS (
+  SELECT qid, label FROM (
+    SELECT a.vec_id AS qid, c.label,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY sum(a.x * c.s) / any_value(cn.cn) DESC, c.label
+           ) AS rn
+    FROM u a JOIN csumsf c ON c.i = a.i JOIN cnormf cn ON cn.label = c.label
+    WHERE a.vec_id < {num_queries}
+    GROUP BY a.vec_id, c.label
+  ) WHERE rn <= {nprobe}
+),
+idots AS (
+  SELECT qa.qid, b.vec_id AS cid, sum(a.x * b.x) AS dot
+  FROM qassign qa
+  JOIN u a ON a.vec_id = qa.qid
+  JOIN labeled lb ON lb.label = qa.label AND lb.vec_id != qa.qid
+  JOIN u b ON b.vec_id = lb.vec_id AND b.i = a.i
+  GROUP BY 1, 2
+),
+approx AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY dot / (sqrt(na.n2) * sqrt(nb.n2)) DESC, cid) AS rank
+    FROM idots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid
+  ) WHERE rank <= {k}
+),
+edots AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x * b.x) AS dot
+  FROM u a JOIN u b ON a.i = b.i AND a.vec_id != b.vec_id
+  WHERE a.vec_id < {num_queries}
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY dot / (sqrt(na.n2) * sqrt(nb.n2)) DESC, cid) AS rank
+    FROM edots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid
+  ) WHERE rank <= {k}
+),
+probe AS (
+  SELECT e.qid, e.cid, p.cid AS hit
+  FROM exact e LEFT JOIN approx p ON p.qid = e.qid AND p.cid = e.cid
+)
+SELECT {k} AS k,
+       CAST(count(*) / {k} AS BIGINT) AS n_queries,
+       count(hit) AS hits,
+       round(count(hit) / count(*), 4) AS recall
+FROM probe
+"""

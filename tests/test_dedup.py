@@ -328,3 +328,78 @@ def test_substring_contamination_same_id_semantics(spark):
         == 0
     )
     assert substring_contamination(docs, "doc_id", "text", needles).count() == 1
+
+
+# ----------------------------------------------- span-level dedup ---
+
+
+def _span_docs(spark):
+    # A 6-token span ("alpha beta gamma delta epsilon zeta") planted
+    # verbatim inside two otherwise-unrelated documents, at different
+    # offsets; a third document shares nothing >= k tokens long.
+    dup = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two three {dup} four five six seven"),
+        (2, f"{dup} red orange yellow green blue indigo violet"),
+        (3, "nothing here repeats for long enough to matter at all ok"),
+        (4, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_repeated_spans_flags_planted_span(spark):
+    docs = _span_docs(spark)
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.repeated_spans(docs, "doc_id", "text", k=6).collect()
+    }
+    # doc 1: dup occupies token positions [3, 9); doc 2: [0, 6).
+    assert spans == {(1, 3, 9), (2, 0, 6)}
+
+
+def test_repeated_spans_merges_overlapping_windows(spark):
+    # One 8-token repeat with k=6 yields three overlapping flagged
+    # windows per occurrence — they must merge to ONE maximal span.
+    dup = "a1 a2 a3 a4 a5 a6 a7 a8"
+    docs = spark.createDataFrame(
+        [(1, f"x y {dup} z"), (2, f"{dup} p q r s t u")],
+        "doc_id LONG, text STRING",
+    )
+    out = dedup.repeated_spans(docs, "doc_id", "text", k=6).collect()
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["span_len"]) for r in out}
+    assert got == {(1, 2, 10, 8), (2, 0, 8, 8)}
+
+
+def test_repeated_spans_max_count_caps_boilerplate(spark):
+    # The same k-gram in 4 docs; max_count=3 treats it as boilerplate
+    # and emits nothing, max_count=None flags all four occurrences.
+    dup = "b1 b2 b3 b4 b5 b6"
+    docs = spark.createDataFrame(
+        [(i, f"{dup} filler{i} w{i} x{i} y{i} z{i}") for i in range(4)],
+        "doc_id LONG, text STRING",
+    )
+    assert dedup.repeated_spans(docs, "doc_id", "text", k=6).count() == 4
+    assert dedup.repeated_spans(docs, "doc_id", "text", k=6, max_count=3).count() == 0
+
+
+def test_strip_repeated_spans_removes_all_occurrences(spark):
+    docs = _span_docs(spark)
+    rows = {r["doc_id"]: r for r in dedup.strip_repeated_spans(docs, "doc_id", "text", k=6).collect()}
+    assert set(rows) == {1, 2, 3, 4}  # every doc keeps a row
+    assert rows[1]["n_removed"] == 6
+    assert rows[1]["clean_text"] == "one two three four five six seven"
+    assert rows[2]["n_removed"] == 6
+    assert rows[2]["clean_text"] == "red orange yellow green blue indigo violet"
+    assert rows[3]["n_removed"] == 0 and rows[4]["n_removed"] == 0
+    assert rows[3]["n_tokens"] == 11 and rows[4]["n_tokens"] == 2
+
+
+def test_strip_repeated_spans_empties_fully_duplicated_doc(spark):
+    dup = "c1 c2 c3 c4 c5 c6"
+    docs = spark.createDataFrame(
+        [(1, dup), (2, f"pad {dup} tail end more words here")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in dedup.strip_repeated_spans(docs, "doc_id", "text", k=6).collect()}
+    assert rows[1]["clean_text"] == "" and rows[1]["n_removed"] == 6
+    assert rows[2]["clean_text"] == "pad tail end more words here"
