@@ -212,9 +212,10 @@ def _require_posix_warehouse(warehouse: str) -> None:
     would silently not hold. Refuse LOUDLY instead — at that tier the
     commit log belongs to a lakehouse table format (Delta/Iceberg),
     whose transaction log does this job. The protocols are isolated
-    behind commit_backend.PosixCommitBackend and the mapping onto
-    Delta's log is prototyped (commit_backend.DeltaEpochSink,
-    documented in SCALING.md)."""
+    behind commit_backend.PosixCommitBackend and all three protocols
+    are prototyped on Delta's log (commit_backend.DeltaEpochSink /
+    TableFormatWriterLease / DeltaPartitionSwap, documented in
+    SCALING.md)."""
     if "://" not in warehouse:
         return
     scheme = warehouse.split("://", 1)[0]
@@ -231,7 +232,9 @@ def _require_posix_warehouse(warehouse: str) -> None:
         " the guarantees would silently not hold. Use a local/NFS path, or"
         " a lakehouse table format (Delta/Iceberg) whose transaction log"
         " owns the commit protocol at object-store scale (see"
-        " orestes_spark.commit_backend.DeltaEpochSink for the mapping)."
+        " orestes_spark.commit_backend: DeltaEpochSink for epoch commits,"
+        " TableFormatWriterLease for the writer lease, DeltaPartitionSwap"
+        " for erasure/compaction swaps)."
     )
 
 

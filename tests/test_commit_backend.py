@@ -99,3 +99,153 @@ def test_delta_epoch_sink_idempotent_replay(tmp_path):
         assert sink.visible().count() == 4
     finally:
         spark.stop()
+
+
+# ------------------------------------------- table-format writer lease ---
+
+from orestes_spark.commit_backend import (  # noqa: E402
+    DeltaPartitionSwap,
+    LeaseStolenError,
+    TableFormatWriterLease,
+)
+
+
+class MemoryLeaseLog:
+    """In-memory log with Delta's exact commit semantics: atomic
+    snapshot-isolated append, and (app_id, version) idempotency — a
+    commit whose version is <= the stored watermark for its app_id is
+    SKIPPED, which is precisely delta-spark's txnAppId/txnVersion
+    contract. Lets the lease protocol be tested for real without the
+    package."""
+
+    def __init__(self):
+        self.rows: list[dict] = []
+        self.watermarks: dict[str, int] = {}
+        self.commits = 0
+
+    def read(self):
+        return list(self.rows)
+
+    def append(self, rows, app_id, version):
+        if version <= self.watermarks.get(app_id, -1):
+            return  # idempotent replay: skipped by the table itself
+        self.watermarks[app_id] = version
+        self.rows.extend(dict(r) for r in rows)
+        self.commits += 1
+
+
+def _lease(log, lease_ms=1000, start=1_000_000):
+    now = {"t": start}
+    lease = TableFormatWriterLease(log, lease_ms, clock=lambda: now["t"])
+    return lease, now
+
+
+def test_lease_acquire_heartbeat_release_roundtrip():
+    log = MemoryLeaseLog()
+    l, now = _lease(log)
+    h = l.acquire("writer-a", "append")
+    assert h == {"fence": 1, "owner": "writer-a"}
+    now["t"] += 400
+    l.heartbeat(h)
+    now["t"] += 400  # 800ms since acquire but 400 since beat: still live
+    assert l.judge(log.read(), now["t"])["live"] is True
+    l.release(h)
+    assert l.judge(log.read(), now["t"])["live"] is False
+    # next writer gets a STRICTLY higher fence (fencing-token property)
+    h2 = l.acquire("writer-b", "compact")
+    assert h2["fence"] == 2
+
+
+def test_lease_blocks_second_writer_while_live():
+    log = MemoryLeaseLog()
+    l, now = _lease(log)
+    assert l.acquire("writer-a", "append") is not None
+    now["t"] += 500  # inside the lease
+    assert l.acquire("writer-b", "append") is None
+
+
+def test_lease_steal_after_expiry_and_fenced_release():
+    log = MemoryLeaseLog()
+    l, now = _lease(log, lease_ms=1000)
+    h_a = l.acquire("writer-a", "append")
+    now["t"] += 1500  # writer-a stalls past its lease (GC pause)
+    h_b = l.acquire("writer-b", "append")
+    assert h_b == {"fence": 2, "owner": "writer-b"}
+    # the zombie's release must trip the fence, exactly like the POSIX
+    # token-mismatch path in engine._writer_lock
+    with pytest.raises(LeaseStolenError):
+        l.release(h_a)
+    l.release(h_b)  # the thief's own release is clean
+
+
+def test_lease_contention_deterministic_winner():
+    # Two stealers race the same dead lease: appends never conflict in
+    # Delta, so BOTH acquire rows land at the same fence; every
+    # contender must compute the same winner from the same snapshot.
+    log = MemoryLeaseLog()
+    l, now = _lease(log)
+    # simulate the race: both judged fence 0 dead, both append fence 1
+    for owner in ("writer-z", "writer-a"):
+        log.append(
+            [{"fence": 1, "owner": owner, "op": "append", "kind": "acquire",
+              "ts_ms": now["t"], "lease_ms": 1000}],
+            app_id=f"lease:{owner}", version=1,
+        )
+    winners = [r["owner"] for r in log.read() if r["kind"] == "acquire"]
+    st = l.judge(log.read(), now["t"])
+    assert sorted(winners) == ["writer-a", "writer-z"]
+    assert st["owner"] == "writer-a"  # deterministic min-owner tie-break
+    # the loser's release path: it never held fence 1, and if it tries
+    # to release a handle it only THINKS it won, judge says otherwise
+    assert st["live"] is True
+
+
+def test_lease_replayed_acquire_is_idempotent():
+    log = MemoryLeaseLog()
+    l, now = _lease(log)
+    h = l.acquire("writer-a", "append")
+    n_commits = log.commits
+    # crash-replay of the SAME acquire (same app_id + version): the
+    # log's watermark skips it — no duplicate row, same handle wins
+    log.append(
+        [{"fence": 1, "owner": "writer-a", "op": "append", "kind": "acquire",
+          "ts_ms": now["t"] + 1, "lease_ms": 1000}],
+        app_id="lease:writer-a", version=1,
+    )
+    assert log.commits == n_commits
+    assert len([r for r in log.read() if r["kind"] == "acquire"]) == 1
+    l.release(h)
+
+
+def test_bucket_predicate_builder():
+    assert DeltaPartitionSwap.bucket_predicate([3, 1, 3]) == "bucket IN (1, 3)"
+    assert DeltaPartitionSwap.bucket_predicate([7], col="day") == "day IN (7)"
+    with pytest.raises(ValueError):
+        DeltaPartitionSwap.bucket_predicate([])
+
+
+@pytest.mark.skipif(not delta_available(), reason="delta-spark not installed")
+def test_delta_lease_log_adapter(spark, tmp_path):
+    from orestes_spark.commit_backend import DeltaLeaseLog
+
+    log = DeltaLeaseLog(spark, str(tmp_path / "lease"))
+    l = TableFormatWriterLease(log, lease_ms=60_000)
+    h = l.acquire("writer-a", "append")
+    assert h is not None and l.acquire("writer-b", "append") is None
+    l.release(h)
+    assert l.judge(log.read(), l._clock())["live"] is False
+
+
+@pytest.mark.skipif(not delta_available(), reason="delta-spark not installed")
+def test_delta_partition_swap(spark, tmp_path):
+    path = str(tmp_path / "pts")
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "bucket INT, value DOUBLE")
+    df.write.format("delta").partitionBy("bucket").save(path)
+    sw = DeltaPartitionSwap(spark, path)
+    repl = spark.createDataFrame([(1, 99.0)], "bucket INT, value DOUBLE")
+    sw.swap(repl, sw.bucket_predicate([1]))
+    got = {(r.bucket, r.value) for r in spark.read.format("delta").load(path).collect()}
+    assert got == {(1, 99.0), (2, 20.0)}
+    sw.erase(sw.bucket_predicate([2]))
+    got = {(r.bucket, r.value) for r in spark.read.format("delta").load(path).collect()}
+    assert got == {(1, 99.0)}
