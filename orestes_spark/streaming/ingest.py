@@ -531,10 +531,21 @@ def make_embedding_batch_processor(
     quantize: int | None = 1000,
     kernel: str = "expr",
     bootstrap_k: int = 8,
+    auto_requantize_cell_rows: int | None = None,
 ):
     """foreachBatch processor for continuous EMBEDDING ingest with
     cross-batch semantic dedup — the SemDeDup twin of
     ``make_corpus_batch_processor``'s MinHash gate.
+
+    ``auto_requantize_cell_rows`` arms the self-healing quantizer
+    policy (round-8; the embedding-store mirror of
+    ``auto_compact_files``): after each committed epoch,
+    ``requantize_if`` checks per-cell occupancy from the store's own
+    partition stats and — when a drifting stream has grown any cell
+    past the cap — re-trains the quantizer offline IN the epoch gap
+    (foreachBatch is serial, so the processor is the single writer
+    between epochs, the same slot ``compact_if`` uses). POSIX stores
+    only, like the manual job it calls.
 
     Quantizer contract: the coarse quantizer is FROZEN on the first
     batch and persisted at ``<store>/cents`` — label-centroid sums
@@ -733,6 +744,10 @@ def make_embedding_batch_processor(
         _write_epoch_atomic(
             kept, f"{vecs_path}/epoch={epoch_id}", partition_by="cluster"
         )
+        if auto_requantize_cell_rows is not None:
+            requantize_if(
+                spark, store, max_cell_rows=auto_requantize_cell_rows, id_col=id_col
+            )
 
     return process
 
@@ -748,15 +763,25 @@ def start_embedding_ingest(
     checkpoint: str | None = None,
     kernel: str = "expr",
     bootstrap_k: int = 8,
+    auto_requantize_cell_rows: int | None = None,
 ) -> StreamingQuery:
     """Continuous embedding ingest with cross-batch SEMANTIC dedup —
     see make_embedding_batch_processor for the per-batch algorithm and
-    the frozen-quantizer / replay contract. The accepted-vector store
-    is a valid ``semantic_index`` (plus an epoch partition column), so
-    batch consumers (emb_incremental_semdedup et al.) read it
-    directly."""
+    the frozen-quantizer / replay contract (and the
+    ``auto_requantize_cell_rows`` self-healing quantizer policy). The
+    accepted-vector store is a valid ``semantic_index`` (plus an epoch
+    partition column), so batch consumers (emb_incremental_semdedup
+    et al.) read it directly."""
     process = make_embedding_batch_processor(
-        store, id_col, vec_col, label_col, threshold, quantize, kernel, bootstrap_k
+        store,
+        id_col,
+        vec_col,
+        label_col,
+        threshold,
+        quantize,
+        kernel,
+        bootstrap_k,
+        auto_requantize_cell_rows,
     )
     return (
         vec_stream.writeStream.foreachBatch(process)
@@ -827,6 +852,56 @@ def requantize_embedding_store(
     n_cells = rows.select("cluster").distinct().count()
     _swap_trees(tmp, {"vecs": vecs_path, "cents": cents_path})
     return {"rows": n_rows, "cells": n_cells}
+
+
+def requantize_if(
+    spark,
+    store: str,
+    max_cell_rows: int,
+    k: int | None = None,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> dict:
+    """Self-healing quantizer policy (the embedding-store mirror of
+    ``OrestesEngine.compact_if``): re-quantize ONLY when the store's
+    own stats say a cell outgrew ``max_cell_rows`` — the skew signal
+    that per-epoch dedup cost (O(|batch| x hottest-cell rows)) has
+    left the flat band. The common no-op case is one column-pruned
+    count over the ``cluster`` PARTITION column (answered from
+    parquet footers/partition dirs — no data pages) and zero
+    rewrites.
+
+    When the trigger trips, the new cell count is chosen so the mean
+    occupancy lands at half the cap (headroom before the next trip),
+    never below the current cell count: ``k = max(2, cells,
+    ceil(2 * rows / max_cell_rows))`` — deterministic from store
+    state, so an auto-triggered requantize and a manual
+    ``requantize_embedding_store`` call at the same epoch boundary
+    produce byte-identical stores (the soak in
+    tools/embedding_ingest_soak.py asserts exactly this). Same
+    single-writer contract as the manual job: call it with the
+    stream stopped, or from inside the foreachBatch epoch gap (what
+    ``auto_requantize_cell_rows`` does).
+
+    Returns {} when no cell is over the cap, else the manual job's
+    {"rows", "cells"} plus the trigger evidence
+    {"hot_cells", "k"}."""
+    import math
+
+    counts = [
+        (r["cluster"], r["n"])
+        for r in spark.read.parquet(f"{store}/vecs")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    hot = sorted(c for c, n in counts if n > max_cell_rows)
+    if not hot:
+        return {}
+    total = sum(n for _, n in counts)
+    new_k = k or max(2, len(counts), math.ceil(2 * total / max_cell_rows))
+    res = requantize_embedding_store(spark, store, k=new_k, iters=iters, id_col=id_col)
+    return {"hot_cells": hot, "k": new_k, **res}
 
 
 def _require_posix_store(store: str, who: str) -> str:

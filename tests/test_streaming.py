@@ -1351,3 +1351,108 @@ def test_requantize_unlabeled_store_relabels_to_new_cells(spark, tmp_path):
     assert out["cells"] == 4
     for r in spark.read.parquet(f"{store}/vecs").collect():
         assert r["label"] == r["cluster"], (r["vec_id"], r["label"], r["cluster"])
+
+
+def _drifting_batches(dim=16, seed=3):
+    """Epoch 0 balanced over two directions (bootstraps 2 cells);
+    epochs 1-2 pile distinct vectors onto direction 0 (accepted as
+    non-dups at threshold 0.9, all landing in one cell → skew)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    d0 = np.zeros(dim); d0[0] = 1.0
+    d1 = np.zeros(dim); d1[1] = 1.0
+    batches, next_id = [], 0
+
+    def mk(direction, n):
+        nonlocal next_id
+        rows = []
+        for _ in range(n):
+            v = direction + rng.normal(scale=0.5, size=dim)
+            rows.append((next_id, 0, [float(x) for x in v]))
+            next_id += 1
+        return rows
+
+    batches.append(mk(d0, 5) + mk(d1, 5))
+    batches.append(mk(d0, 30))
+    batches.append(mk(d0, 30))
+    return batches
+
+
+def test_requantize_if_triggers_on_hot_cell_and_noop_otherwise(spark, tmp_path):
+    """The self-healing quantizer policy: no-op (zero rewrites) while
+    every cell is under the cap; a drifted store trips the trigger,
+    retrains, and splits the hot cell — same row set, finer cells."""
+    from orestes_spark.streaming.ingest import make_embedding_batch_processor, requantize_if
+
+    store = str(tmp_path / "emb_rq")
+    ddl = "vec_id LONG, label LONG, embedding ARRAY<DOUBLE>"
+    process = make_embedding_batch_processor(
+        store, label_col=None, threshold=0.9, bootstrap_k=2
+    )
+    for ep, rows in enumerate(_drifting_batches()):
+        process(spark.createDataFrame(rows, ddl), ep)
+
+    before = {
+        r["cluster"]: r["n"]
+        for r in spark.read.parquet(f"{store}/vecs").groupBy("cluster").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    n_rows = sum(before.values())
+    assert max(before.values()) > 30  # the drift really did skew a cell
+
+    # under-cap: pure no-op, nothing rewritten
+    assert requantize_if(spark, store, max_cell_rows=1000) == {}
+
+    res = requantize_if(spark, store, max_cell_rows=30)
+    assert res["hot_cells"] and res["k"] >= 2 and res["rows"] == n_rows
+    after = {
+        r["cluster"]: r["n"]
+        for r in spark.read.parquet(f"{store}/vecs").groupBy("cluster").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert sum(after.values()) == n_rows  # no vector lost or duplicated
+    assert max(after.values()) < max(before.values())  # hot cell split
+    # epochs collapsed into the epoch=-1 baseline
+    import os
+    assert os.path.isdir(f"{store}/vecs/epoch=-1")
+
+
+def test_auto_requantize_matches_manual_run_byte_for_byte(spark, tmp_path):
+    """auto_requantize_cell_rows fires requantize_if in the epoch gap;
+    an operator running the same policy by hand after every epoch must
+    end with a BYTE-IDENTICAL store (same kept ids, same quantized
+    vectors, same cells) — the trigger changes when maintenance runs,
+    never what the gate decides."""
+    from orestes_spark.streaming.ingest import make_embedding_batch_processor, requantize_if
+
+    ddl = "vec_id LONG, label LONG, embedding ARRAY<DOUBLE>"
+    batches = _drifting_batches()
+    auto_store = str(tmp_path / "emb_auto")
+    man_store = str(tmp_path / "emb_man")
+    auto = make_embedding_batch_processor(
+        auto_store, label_col=None, threshold=0.9, bootstrap_k=2,
+        auto_requantize_cell_rows=30,
+    )
+    manual = make_embedding_batch_processor(
+        man_store, label_col=None, threshold=0.9, bootstrap_k=2
+    )
+    for ep, rows in enumerate(batches):
+        auto(spark.createDataFrame(rows, ddl), ep)
+        manual(spark.createDataFrame(rows, ddl), ep)
+        requantize_if(spark, man_store, max_cell_rows=30)
+
+    def snapshot(store):
+        vecs = sorted(
+            (r["vec_id"], r["label"], tuple(r["vec"]), r["cluster"])
+            for r in spark.read.parquet(f"{store}/vecs").collect()
+        )
+        cents = sorted(
+            (r["label"], tuple(r["csum"]))
+            for r in spark.read.parquet(f"{store}/cents").collect()
+        )
+        return vecs, cents
+
+    import os
+    assert os.path.isdir(f"{auto_store}/vecs/epoch=-1")  # it really fired
+    assert snapshot(auto_store) == snapshot(man_store)

@@ -1,0 +1,76 @@
+"""Span-dedup scaling measurement → the SCALING.md span-dedup row.
+
+The claim under test: repeated_spans is LINEAR in corpus tokens —
+every stage is a hash groupBy / semi-join / per-doc window; there is
+no pairwise candidate stage anywhere, so (unlike the LSH paths, which
+cap bucket fan-out with max_bucket) nothing can go quadratic. The
+hot-group concern is different: a boilerplate k-gram repeated R times
+contributes R flagged rows (linear), and max_count exists to drop
+such groups as policy, not to bound complexity.
+
+Measured here: wall across sf0.001 -> sf0.1 (100x docs), a steady
+state re-run, and a worst-case corpus where HALF of every document is
+one shared boilerplate span (the hottest possible group) at 1x / 4x /
+16x docs — the wall must scale ~linearly with corpus size even
+though one span hash holds |corpus| occurrences.
+
+Usage: python tools/span_dedup_scaling.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from orestes_spark.operators import dedup
+from orestes_spark.session import get_spark
+from orestes_spark.sources.testdata import load_table
+
+
+def main() -> None:
+    spark = get_spark("span-dedup-scaling")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    print("| corpus (docs) | repeated_spans s | docs/s |")
+    print("|---|---|---|")
+    for sf in ("0.001", "0.01", "0.1"):
+        d = load_table(spark, f"/root/testdata/sf{sf}", "documents")
+        n = d.count()
+        t0 = time.perf_counter()
+        dedup.repeated_spans(d, "doc_id", "text", k=8).collect()
+        dt = time.perf_counter() - t0
+        print(f"| {n:,} | {dt:.2f} | {n / dt:,.0f} |")
+    d = load_table(spark, "/root/testdata/sf0.1", "documents")
+    n = d.count()
+    t0 = time.perf_counter()
+    dedup.repeated_spans(d, "doc_id", "text", k=8).collect()
+    dt = time.perf_counter() - t0
+    print(f"| {n:,} (steady state) | {dt:.2f} | {n / dt:,.0f} |")
+
+    # Worst case: one 20-token boilerplate span shared by EVERY doc
+    # (plus 20 unique tokens per doc). The span hash's group holds
+    # |corpus| occurrences — if anything in the pipeline paired
+    # occurrences, 16x docs would cost 256x.
+    print()
+    print("| boilerplate corpus (docs) | repeated_spans s | flagged spans |")
+    print("|---|---|---|")
+    boiler = " ".join(f"b{i}" for i in range(20))
+    base = 20_000
+    for mult in (1, 4, 16):
+        n = base * mult
+        docs = spark.range(n).selectExpr(
+            "id AS doc_id",
+            f"concat('{boiler} ', 'u', id, ' x', id * 7, ' y', id * 13, ' z', id * 29)"
+            " AS text",
+        )
+        t0 = time.perf_counter()
+        cnt = dedup.repeated_spans(docs, "doc_id", "text", k=8).count()
+        dt = time.perf_counter() - t0
+        print(f"| {n:,} | {dt:.2f} | {cnt:,} |")
+
+
+if __name__ == "__main__":
+    main()
