@@ -177,12 +177,11 @@ def main() -> None:
     if gate_exhausted:
         # best effort on a persistently noisy host: keep the
         # lowest-steal attempts and say so in the artifact
-        ranked = sorted(attempts, key=lambda a: a["steal_ticks"])
-        accepted_passes = [a["timings"] for a in ranked[:NEEDED_PASSES]]
-    passes = accepted_passes
-    steals = [a["steal_ticks"] for a in attempts if a["accepted"]] if not gate_exhausted else [
-        a["steal_ticks"] for a in sorted(attempts, key=lambda x: x["steal_ticks"])[:NEEDED_PASSES]
-    ]
+        chosen = sorted(attempts, key=lambda a: a["steal_ticks"])[:NEEDED_PASSES]
+    else:
+        chosen = [a for a in attempts if a["accepted"]]
+    passes = [a["timings"] for a in chosen]
+    steals = [a["steal_ticks"] for a in chosen]
     timings = {n: min(p[n] for p in passes) for n in passes[0]}
 
     # BASELINE.md comparison: engine write/read throughput at the same

@@ -264,6 +264,19 @@ class TableFormatWriterLease:
     in-memory log with identical commit semantics, so the protocol
     logic is fully tested even where delta-spark is absent.
 
+    The log contract has one more requirement beyond append+read:
+    every committed row is stamped with the log's own monotonic
+    COMMIT SEQUENCE (``_seq`` — Delta's per-commit table version,
+    exposed through the change feed; the memory log's commit
+    counter). The winner tie-break rides on it, because a tie-break
+    over row VALUES (e.g. min owner) is not stable under later
+    same-fence appends: contender B could commit, read back {B},
+    win, and start writing before contender A (a smaller owner)
+    lands its row and computes a different winner from a bigger
+    snapshot — split brain. First-committed-at-the-fence IS stable:
+    once any acquire row exists at fence f, no later commit can
+    precede it.
+
     Protocol — leadership by monotonic fence number:
 
     - ``acquire``: read the log; if the highest-fence lease is live
@@ -272,10 +285,10 @@ class TableFormatWriterLease:
       commit an acquire row at ``fence = max + 1`` with
       ``app_id='lease:<owner>', version=fence`` and read back: among
       same-fence acquires (two stealers can both land — appends never
-      conflict in Delta) the DETERMINISTIC winner is the minimum
-      owner id; every contender computes the same winner from the
-      same snapshot. Losers retry at a higher fence once the winner's
-      lease dies.
+      conflict in Delta) the winner is the FIRST-COMMITTED acquire
+      (min ``_seq``), which every contender computes identically
+      from any snapshot that contains its own row. Losers retry at a
+      higher fence once the winner's lease dies.
     - ``heartbeat``: an hb row; observers judge liveness against the
       HOLDER's lease_ms from its acquire row (same rule as the POSIX
       mtime heartbeat).
@@ -312,7 +325,9 @@ class TableFormatWriterLease:
     def judge(rows: list[dict], now_ms: int) -> dict:
         """Fold the lease log into its current state:
         {fence, owner, live}. fence == 0 means never acquired. The
-        winner at a fence is min(owner) among its acquire rows; the
+        winner at a fence is its FIRST-COMMITTED acquire row (min
+        ``_seq``, the log's commit sequence) — stable under later
+        same-fence appends, unlike any tie-break over row values; the
         lease is live iff the winner has no release row at that fence
         and its last heartbeat (acquire counts) is younger than the
         lease_ms RECORDED IN ITS ACQUIRE ROW."""
@@ -322,7 +337,7 @@ class TableFormatWriterLease:
         acquires = [r for r in rows if r["fence"] == fence and r["kind"] == "acquire"]
         if not acquires:  # malformed tail; treat as dead
             return {"fence": fence, "owner": None, "live": False}
-        winner = min(a["owner"] for a in acquires)
+        winner = min(acquires, key=lambda a: (a["_seq"], a["owner"]))["owner"]
         lease_ms = min(a["lease_ms"] for a in acquires if a["owner"] == winner)
         released = any(
             r["fence"] == fence and r["owner"] == winner and r["kind"] == "release"
@@ -361,11 +376,19 @@ class TableFormatWriterLease:
         # duplicated — Delta's txn watermark, the same property the
         # POSIX epoch markers enforce for streaming commits.
         self.log.append([row], app_id=f"lease:{owner}", version=fence)
+        # Read-back decides by FIRST COMMIT at the fence (min _seq).
+        # This is stable: my snapshot contains my own row, and any
+        # rival row that could beat mine must have committed BEFORE it
+        # — so it is in my snapshot too, and a rival that commits
+        # after my read-back can only lose. A min-OWNER tie-break here
+        # would be split-brain: the earlier committer could win its
+        # own read-back and start writing before a smaller owner lands.
         after = self.log.read()
-        winners = [
-            r["owner"] for r in after if r["fence"] == fence and r["kind"] == "acquire"
+        acquires = [
+            r for r in after if r["fence"] == fence and r["kind"] == "acquire"
         ]
-        return {"fence": fence, "owner": owner} if min(winners) == owner else None
+        winner = min(acquires, key=lambda a: (a["_seq"], a["owner"]))["owner"]
+        return {"fence": fence, "owner": owner} if winner == owner else None
 
     def heartbeat(self, lease: dict) -> None:
         now = self._clock()
@@ -404,10 +427,17 @@ class TableFormatWriterLease:
 
 class DeltaLeaseLog:
     """Delta adapter for TableFormatWriterLease (import-gated like
-    DeltaEpochSink): the lease log is a tiny Delta table; append is
-    one commit carrying the protocol's (app_id, version) idempotency
-    pair; read is a snapshot scan. The table stays small — one row
-    per acquire/release and one per heartbeat — and a periodic
+    DeltaEpochSink): the lease log is a tiny Delta table CREATED
+    EAGERLY with the change data feed enabled — the CDF's
+    ``_commit_version`` is the protocol's ``_seq`` (the stable
+    first-committed-wins tie-break); a plain snapshot read cannot
+    supply commit order. Append is one commit carrying the protocol's
+    (app_id, version) idempotency pair. Creating the table in the
+    constructor also means ``read`` never has to guess whether an
+    exception means "not created yet" — a lease log must fail CLOSED
+    (propagate transient read errors) rather than report an empty log
+    and let a second writer in. The table stays small — one row per
+    acquire/release and one per heartbeat — and a periodic
     OPTIMIZE/VACUUM keeps it bounded in a long-lived deployment."""
 
     SCHEMA = "fence LONG, owner STRING, op STRING, kind STRING, ts_ms LONG, lease_ms LONG"
@@ -420,13 +450,29 @@ class DeltaLeaseLog:
             raise ModuleNotFoundError("DeltaLeaseLog requires the delta-spark package")
         self.spark = spark
         self.table_path = table_path
+        cols = ", ".join(
+            f"{c} {t}" for c, t in (p.split(" ") for p in self.SCHEMA.split(", "))
+        )
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS delta.`{table_path}` ({cols}) USING delta"
+            " TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')"
+        )
 
     def read(self) -> list[dict]:
-        try:
-            df = self.spark.read.format("delta").load(self.table_path)
-        except Exception:  # table not created yet
-            return []
-        return [row.asDict() for row in df.collect()]
+        df = (
+            self.spark.read.format("delta")
+            .option("readChangeData", "true")
+            .option("startingVersion", 0)
+            .load(self.table_path)
+        )
+        out = []
+        for row in df.where(df["_change_type"] == "insert").collect():
+            d = row.asDict()
+            d["_seq"] = d.pop("_commit_version")
+            d.pop("_change_type", None)
+            d.pop("_commit_timestamp", None)
+            out.append(d)
+        return out
 
     def append(self, rows: list[dict], app_id: str, version: int) -> None:
         df = self.spark.createDataFrame(

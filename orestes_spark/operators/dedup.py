@@ -994,23 +994,29 @@ def repeated_spans(
 ) -> DataFrame:
     """Span-level exact substring dedup (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better"
-    operator): find every maximal token span of length >= k that
+    operator): flag every token covered by a >= k-token span that
     appears at least ``min_count`` times verbatim anywhere in the
-    corpus, per occurrence. Output: (id, span_start, span_end,
-    span_len) — merged half-open token intervals [span_start,
-    span_end), one row per maximal duplicated span occurrence.
+    corpus. Output: (id, span_start, span_end, span_len) — merged
+    half-open token intervals [span_start, span_end) of DUPLICATED
+    COVERAGE, one row per maximal run of overlapping-or-adjacent
+    duplicated windows.
 
-    Algorithm (suffix arrays are a single-machine construction; this
-    is the distributed equivalent): every k-token window is hashed
-    with its start position; a window is duplicated iff its k-gram
-    occurs >= min_count times corpus-wide (a hash groupBy with
-    map-side partial aggregation — NO pair join anywhere); flagged
-    windows join back by hash (shuffle bounded by |corpus k-grams|,
-    i.e. linear in corpus tokens); overlapping/adjacent flagged
-    windows per document merge into maximal spans with one
-    per-document window pass. A repeated span of length L >= k is
-    covered by L-k+1 flagged windows, so the merged interval is
-    exactly the maximal repeated span — the suffix-array answer.
+    Algorithm: every k-token window is hashed with its start
+    position; a window is duplicated iff its k-gram occurs >=
+    min_count times corpus-wide (a hash groupBy with map-side partial
+    aggregation — NO pair join anywhere); flagged windows join back
+    by hash (shuffle bounded by |corpus k-grams|, i.e. linear in
+    corpus tokens); flagged windows per document merge into coverage
+    intervals with one per-document window pass. A repeated span of
+    length L >= k is covered by L-k+1 flagged windows, so it always
+    lands inside one interval. The converse does NOT hold: a merged
+    interval is the union of duplicated windows, which may each
+    repeat in DIFFERENT places — span_len is covered-token extent,
+    not a guarantee that the interval repeats as one unit (only a
+    suffix array gives that, and it is a single-machine
+    construction). Coverage is exactly what the removal recipe needs
+    — Lee et al. likewise merge overlapping duplicated spans before
+    cutting — and ``strip_repeated_spans`` consumes it as such.
 
     ``max_count`` is the hot-group cap (cf. ``max_bucket`` in the LSH
     paths): k-grams repeated more than max_count times are boilerplate

@@ -4326,9 +4326,10 @@ def doc_substring_decontam(spark, sf_dir):
     return dedup.substring_contamination(d, "doc_id", "text", needles, exclude_same_id=True)
 
 
-@register(
-    "ts_cross_corr",
-    f"""WITH hourly AS (
+# Shared CTE chain for both cross-correlation oracles (the Spark twins
+# share _cross_corr_base the same way): corpus -> hourly anchors ->
+# ordered pairs -> decimal moment sums -> r, one IEEE step at the end.
+_CROSS_CORR_CTES = f"""hourly AS (
           SELECT event_type, CAST(floor({_EV_MS} / {_HOUR}) AS BIGINT) AS hour,
                  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS v
           FROM events GROUP BY 1, 2
@@ -4345,12 +4346,19 @@ def doc_substring_decontam(spark, sf_dir):
                  CAST(sum(x * x) AS DOUBLE) AS sxx,
                  CAST(sum(y * y) AS DOUBLE) AS syy
           FROM pairs GROUP BY 1, 2
-        )
-        SELECT src, dst, n,
-               round((n * sxy - sx * sy)
-                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r
-        FROM s
-        WHERE n >= 24 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""",
+        ),
+        base AS (
+          SELECT src, dst, n,
+                 round((n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r
+          FROM s
+          WHERE n >= 24 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        )"""
+
+
+@register(
+    "ts_cross_corr",
+    f"WITH {_CROSS_CORR_CTES}\nSELECT src, dst, n, r FROM base",
 )
 def ts_cross_corr(spark, sf_dir):
     """Pairwise Pearson correlation between series (event_types) on
@@ -4461,11 +4469,12 @@ def events_mad_outliers(spark, sf_dir):
 
 @register("doc_span_dedup", oracles.span_dedup_sql(k=8, min_count=2))
 def doc_span_dedup(spark, sf_dir):
-    """Span-level exact substring dedup (Lee et al. 2022): every
-    maximal >=8-token span that repeats verbatim anywhere in the
-    corpus, per occurrence, as merged half-open token intervals —
-    the strongest-known dedup signal for LLM training data, and the
-    round-7 verdict's one missing big-name pipeline operator. Scale
+    """Span-level exact substring dedup (Lee et al. 2022): merged
+    half-open token intervals of DUPLICATED COVERAGE — every token
+    covered by a >=8-token span repeating verbatim anywhere in the
+    corpus (see dedup.repeated_spans for the coverage-vs-unit-repeat
+    distinction) — the strongest-known dedup signal for LLM training
+    data, and the round-7 verdict's one missing big-name operator. Scale
     shape: positional k-gram hash -> groupBy count (map-side partial
     agg, no pair join anywhere) -> semi-join flag-back (shuffle linear
     in corpus tokens) -> one per-document window merge. The suffix
@@ -4519,31 +4528,7 @@ def emb_ivf_recall(spark, sf_dir):
 
 @register(
     "ts_cross_corr_topk",
-    f"""WITH hourly AS (
-          SELECT event_type, CAST(floor({_EV_MS} / {_HOUR}) AS BIGINT) AS hour,
-                 round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS v
-          FROM events GROUP BY 1, 2
-        ),
-        pairs AS (
-          SELECT a.event_type AS src, b.event_type AS dst,
-                 CAST(a.v AS DECIMAL(18,6)) AS x, CAST(b.v AS DECIMAL(18,6)) AS y
-          FROM hourly a JOIN hourly b ON a.hour = b.hour AND a.event_type < b.event_type
-        ),
-        s AS (
-          SELECT src, dst, count(*) AS n,
-                 CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-                 CAST(sum(x * y) AS DOUBLE) AS sxy,
-                 CAST(sum(x * x) AS DOUBLE) AS sxx,
-                 CAST(sum(y * y) AS DOUBLE) AS syy
-          FROM pairs GROUP BY 1, 2
-        ),
-        base AS (
-          SELECT src, dst, n,
-                 round((n * sxy - sx * sy)
-                       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r
-          FROM s
-          WHERE n >= 24 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-        ),
+    f"""WITH {_CROSS_CORR_CTES},
         sym AS (
           SELECT src, dst, n, r FROM base
           UNION ALL

@@ -878,7 +878,7 @@ def requantize_if(
     state, so an auto-triggered requantize and a manual
     ``requantize_embedding_store`` call at the same epoch boundary
     produce byte-identical stores (the soak in
-    tools/embedding_ingest_soak.py asserts exactly this). Same
+    tools/requantize_soak.py asserts exactly this). Same
     single-writer contract as the manual job: call it with the
     stream stopped, or from inside the foreachBatch epoch gap (what
     ``auto_requantize_cell_rows`` does).

@@ -112,11 +112,12 @@ from orestes_spark.commit_backend import (  # noqa: E402
 
 class MemoryLeaseLog:
     """In-memory log with Delta's exact commit semantics: atomic
-    snapshot-isolated append, and (app_id, version) idempotency — a
+    snapshot-isolated append, (app_id, version) idempotency — a
     commit whose version is <= the stored watermark for its app_id is
-    SKIPPED, which is precisely delta-spark's txnAppId/txnVersion
-    contract. Lets the lease protocol be tested for real without the
-    package."""
+    SKIPPED, precisely delta-spark's txnAppId/txnVersion contract —
+    and a per-commit sequence stamped onto every row (Delta's table
+    version, surfaced as the change feed's _commit_version). Lets the
+    lease protocol be tested for real without the package."""
 
     def __init__(self):
         self.rows: list[dict] = []
@@ -124,14 +125,14 @@ class MemoryLeaseLog:
         self.commits = 0
 
     def read(self):
-        return list(self.rows)
+        return [dict(r) for r in self.rows]
 
     def append(self, rows, app_id, version):
         if version <= self.watermarks.get(app_id, -1):
             return  # idempotent replay: skipped by the table itself
         self.watermarks[app_id] = version
-        self.rows.extend(dict(r) for r in rows)
         self.commits += 1
+        self.rows.extend({**r, "_seq": self.commits} for r in rows)
 
 
 def _lease(log, lease_ms=1000, start=1_000_000):
@@ -178,26 +179,48 @@ def test_lease_steal_after_expiry_and_fenced_release():
     l.release(h_b)  # the thief's own release is clean
 
 
-def test_lease_contention_deterministic_winner():
+def test_lease_contention_first_commit_wins():
     # Two stealers race the same dead lease: appends never conflict in
-    # Delta, so BOTH acquire rows land at the same fence; every
-    # contender must compute the same winner from the same snapshot.
+    # Delta, so BOTH acquire rows land at the same fence. The winner
+    # is the FIRST COMMIT at the fence (min _seq) — commit order, NOT
+    # owner order: writer-z committed first and must win even though
+    # writer-a sorts smaller.
     log = MemoryLeaseLog()
     l, now = _lease(log)
-    # simulate the race: both judged fence 0 dead, both append fence 1
     for owner in ("writer-z", "writer-a"):
         log.append(
             [{"fence": 1, "owner": owner, "op": "append", "kind": "acquire",
               "ts_ms": now["t"], "lease_ms": 1000}],
             app_id=f"lease:{owner}", version=1,
         )
-    winners = [r["owner"] for r in log.read() if r["kind"] == "acquire"]
     st = l.judge(log.read(), now["t"])
-    assert sorted(winners) == ["writer-a", "writer-z"]
-    assert st["owner"] == "writer-a"  # deterministic min-owner tie-break
-    # the loser's release path: it never held fence 1, and if it tries
-    # to release a handle it only THINKS it won, judge says otherwise
-    assert st["live"] is True
+    assert st["owner"] == "writer-z" and st["live"] is True
+
+
+def test_lease_no_split_brain_on_interleaved_acquires():
+    # The round-8 review race: B commits fence 1, reads back {B}, wins,
+    # and starts writing BEFORE A (a smaller owner) lands its row at
+    # the same fence. A value-based tie-break (min owner) would hand A
+    # a second winning handle for the SAME fence — split brain. The
+    # first-commit rule keeps B the winner in every snapshot that
+    # could exist, so A's own read-back must tell it it lost.
+    log = MemoryLeaseLog()
+    l, now = _lease(log)
+    h_b = l.acquire("writer-b", "append")  # B commits first and wins
+    assert h_b == {"fence": 1, "owner": "writer-b"}
+    # A raced: it judged fence 0 dead before B's commit, so it appends
+    # at fence 1 too (same append the protocol would issue), then does
+    # the standard read-back — which must reject it.
+    log.append(
+        [{"fence": 1, "owner": "writer-a", "op": "append", "kind": "acquire",
+          "ts_ms": now["t"], "lease_ms": 1000}],
+        app_id="lease:writer-a", version=1,
+    )
+    acquires = [r for r in log.read() if r["kind"] == "acquire" and r["fence"] == 1]
+    winner = min(acquires, key=lambda a: (a["_seq"], a["owner"]))["owner"]
+    assert winner == "writer-b"  # stable under A's later append
+    assert l.judge(log.read(), now["t"])["owner"] == "writer-b"
+    l.release(h_b)  # B's release is clean — nobody overtook its fence
 
 
 def test_lease_replayed_acquire_is_idempotent():
