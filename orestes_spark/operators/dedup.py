@@ -991,6 +991,7 @@ def repeated_spans(
     k: int = 8,
     min_count: int = 2,
     max_count: int | None = None,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Span-level exact substring dedup (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better"
@@ -1023,13 +1024,37 @@ def repeated_spans(
     (licence headers, templating) a curator may prefer to handle with
     a dedicated rule; capping them also bounds the flagged-row
     fan-out per hash group. Every stage is linear in corpus tokens —
-    there is no quadratic candidate stage to cap."""
+    there is no quadratic candidate stage to cap.
+
+    ``keep_first=True`` switches to Lee et al.'s ExactSubstr removal
+    semantics: each duplicated k-gram's CANONICAL occurrence — the
+    first by (doc, position) order — is exempt from flagging, so the
+    corpus keeps exactly one copy of every duplicated window instead
+    of losing all of them. Implemented as an aggregate min-struct per
+    hash group plus the same flag-back join (no per-group window, so
+    a boilerplate hash group costs an aggregate row, not a
+    single-reducer sort)."""
     kg = _kgram_starts(docs, id_col, text_col, k)
-    counts = kg.groupBy("h").agg(F.count(F.lit(1)).alias("_c"))
+    agg = [F.count(F.lit(1)).alias("_c")]
+    if keep_first:
+        agg.append(F.min(F.struct("_id", "pos")).alias("_first"))
+    counts = kg.groupBy("h").agg(*agg)
     rep = counts.where(F.col("_c") >= min_count)
     if max_count is not None:
         rep = rep.where(F.col("_c") <= max_count)
-    flagged = kg.join(rep.select("h"), "h", "left_semi").select("_id", "pos")
+    if keep_first:
+        flagged = (
+            kg.join(rep.select("h", "_first"), "h")
+            .where(
+                ~(
+                    (F.col("_id") == F.col("_first._id"))
+                    & (F.col("pos") == F.col("_first.pos"))
+                )
+            )
+            .select("_id", "pos")
+        )
+    else:
+        flagged = kg.join(rep.select("h"), "h", "left_semi").select("_id", "pos")
     w = Window.partitionBy("_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + k).over(w.rowsBetween(Window.unboundedPreceding, -1))
     isl = flagged.withColumn(
@@ -1054,19 +1079,23 @@ def strip_repeated_spans(
     k: int = 8,
     min_count: int = 2,
     max_count: int | None = None,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Removal companion to ``repeated_spans``: drop every token
     covered by a duplicated >=k-token span and reassemble the
-    document (the Lee et al. training-data cleaning step — ALL
-    occurrences are removed, matching the published recipe; keeping
-    one canonical occurrence is ``dedup_keep_best``'s job at document
-    granularity). Output: (id, n_tokens, n_removed, clean_text) for
-    EVERY input document, clean_text == '' when nothing survives.
+    document (the Lee et al. training-data cleaning step). With the
+    default ``keep_first=False`` ALL occurrences are removed (the
+    conservative decontamination stance); ``keep_first=True`` is the
+    paper's ExactSubstr recipe — the canonical (first by doc,
+    position) occurrence of each duplicated window survives, so the
+    corpus keeps exactly one copy of duplicated text. Output: (id,
+    n_tokens, n_removed, clean_text) for EVERY input document,
+    clean_text == '' when nothing survives.
 
     The span table is per-document tiny by construction, so it joins
     back as (id -> array<struct>) and the strip is one higher-order
     filter over the token array — no per-token shuffle."""
-    spans = repeated_spans(docs, id_col, text_col, k, min_count, max_count)
+    spans = repeated_spans(docs, id_col, text_col, k, min_count, max_count, keep_first)
     sp = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )

@@ -980,13 +980,24 @@ toks AS (
 )"""
 
 
-def _span_flag_ctes(k: int, min_count: int) -> str:
+def _span_flag_ctes(k: int, min_count: int, keep_first: bool = False) -> str:
     """CTE chain up to ``fl`` (doc_id, 0-based flagged window starts)
     for the span-dedup twins: positional k-grams via k-1 leads, the
     repeated set by exact-string GROUP BY (the Spark side groups the
     xxhash64 of the same string — identical flag set absent a 64-bit
-    collision), flags by semi join."""
+    collision), flags by semi join. ``keep_first`` exempts each
+    duplicated k-gram's first occurrence by (doc, position) — the
+    row_number twin of Spark's min-struct-per-hash-group."""
     leads = ", ".join(f"lead(tok,{j}) OVER w" for j in range(1, k))
+    if keep_first:
+        fl = """fl AS (
+  SELECT doc_id, start FROM (
+    SELECT v.doc_id, v.start,
+           row_number() OVER (PARTITION BY v.g ORDER BY v.doc_id, v.start) AS rn
+    FROM valid v JOIN rep USING (g)
+  ) WHERE rn > 1)"""
+    else:
+        fl = "fl AS (SELECT v.doc_id, v.start FROM valid v JOIN rep USING (g))"
     return f"""{_SPAN_TOKS},
 kg AS (
   SELECT doc_id, pos - 1 AS start,
@@ -996,7 +1007,7 @@ kg AS (
 ),
 valid AS (SELECT doc_id, start, g FROM kg WHERE lastt IS NOT NULL),
 rep AS (SELECT g FROM valid GROUP BY g HAVING count(*) >= {min_count}),
-fl AS (SELECT v.doc_id, v.start FROM valid v JOIN rep USING (g))"""
+{fl}"""
 
 
 def span_dedup_sql(k: int = 8, min_count: int = 2) -> str:
@@ -1022,13 +1033,13 @@ FROM isl GROUP BY doc_id, island
 """
 
 
-def span_strip_sql(k: int = 8, min_count: int = 2) -> str:
+def span_strip_sql(k: int = 8, min_count: int = 2, keep_first: bool = False) -> str:
     """Twin of dedup.strip_repeated_spans: a token survives iff no
     flagged window covers it; clean_text reassembles survivors in
     position order ('' when nothing survives, so every document
-    keeps its row)."""
+    keeps its row). ``keep_first`` mirrors the ExactSubstr variant."""
     return f"""
-WITH {_span_flag_ctes(k, min_count)},
+WITH {_span_flag_ctes(k, min_count, keep_first)},
 kept AS (
   SELECT t.doc_id, t.pos, t.tok FROM toks t
   WHERE NOT EXISTS (SELECT 1 FROM fl f WHERE f.doc_id = t.doc_id

@@ -4494,6 +4494,21 @@ def doc_span_strip(spark, sf_dir):
     return dedup.strip_repeated_spans(d, "doc_id", "text", k=8, min_count=2)
 
 
+@register(
+    "doc_span_strip_keep_first", oracles.span_strip_sql(k=8, min_count=2, keep_first=True)
+)
+def doc_span_strip_keep_first(spark, sf_dir):
+    """ExactSubstr removal semantics (Lee et al. 2022's actual
+    recipe): each duplicated >=8-token window keeps its canonical
+    first occurrence by (doc, position); every other occurrence is
+    stripped — the corpus retains exactly one copy of duplicated
+    text instead of losing all copies (doc_span_strip's conservative
+    stance). Same linear pipeline; the canonical exemption is an
+    aggregate min-struct per hash group, not a per-group window."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.strip_repeated_spans(d, "doc_id", "text", k=8, min_count=2, keep_first=True)
+
+
 @register("emb_ivf_recall", oracles.emb_ivf_recall_sql())
 def emb_ivf_recall(spark, sf_dir):
     """ANN quality instrumentation for the TRAINED quantizer:

@@ -403,3 +403,36 @@ def test_strip_repeated_spans_empties_fully_duplicated_doc(spark):
     rows = {r["doc_id"]: r for r in dedup.strip_repeated_spans(docs, "doc_id", "text", k=6).collect()}
     assert rows[1]["clean_text"] == "" and rows[1]["n_removed"] == 6
     assert rows[2]["clean_text"] == "pad tail end more words here"
+
+
+def test_strip_keep_first_retains_canonical_occurrence(spark):
+    # ExactSubstr semantics: doc 1 holds the canonical (min doc_id,
+    # pos) occurrence and must survive intact; doc 2's copy is
+    # stripped. Default mode removes BOTH.
+    dup = "d1 d2 d3 d4 d5 d6"
+    docs = spark.createDataFrame(
+        [(1, f"{dup} tail one two three four five"),
+         (2, f"head {dup} six seven eight nine ten")],
+        "doc_id LONG, text STRING",
+    )
+    keep = {r["doc_id"]: r for r in
+            dedup.strip_repeated_spans(docs, "doc_id", "text", k=6, keep_first=True).collect()}
+    assert keep[1]["n_removed"] == 0
+    assert keep[1]["clean_text"].startswith("d1 d2 d3")
+    assert keep[2]["n_removed"] == 6
+    assert keep[2]["clean_text"] == "head six seven eight nine ten"
+    both = {r["doc_id"]: r for r in
+            dedup.strip_repeated_spans(docs, "doc_id", "text", k=6).collect()}
+    assert both[1]["n_removed"] == 6 and both[2]["n_removed"] == 6
+
+
+def test_strip_keep_first_within_doc_repeats(spark):
+    # A span repeated twice INSIDE one doc: first occurrence kept,
+    # second stripped — within-doc position is the tie-break.
+    dup = "e1 e2 e3 e4 e5 e6"
+    docs = spark.createDataFrame(
+        [(1, f"{dup} mid {dup} tail")], "doc_id LONG, text STRING"
+    )
+    row = dedup.strip_repeated_spans(docs, "doc_id", "text", k=6, keep_first=True).first()
+    assert row["n_removed"] == 6
+    assert row["clean_text"] == f"{dup} mid tail"
