@@ -1126,3 +1126,55 @@ def strip_repeated_spans(
         st["n_removed"].alias("n_removed"),
         st["clean_text"].alias("clean_text"),
     )
+
+
+def span_index(docs: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """The persisted span index of a corpus: one (h) row per DISTINCT
+    k-gram hash — the span-family analogue of ``minhash_band_index``.
+    Built once per corpus (or appended per ingest batch) and written
+    to parquet; ``incremental_repeated_spans`` then flags every NEW
+    batch against it with cost ∝ batch k-grams + one semi-join. The
+    distinct-hash index is the smallest corpus-sized artifact that
+    answers "does this window repeat anything already ingested" — at
+    100 TB the batch never re-tokenizes the corpus, and the index (8
+    bytes per distinct k-gram) is bucketable by hash range so the
+    semi-join prunes to the buckets the batch touches."""
+    return _kgram_starts(docs, id_col, text_col, k).select("h").distinct()
+
+
+def incremental_repeated_spans(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Per-ingest ExactSubstr decontamination: merged coverage spans
+    (id, span_start, span_end, span_len) of every >=k-token window in
+    a NEW batch that appears verbatim in the indexed corpus — the
+    incremental shape of ``repeated_spans``, mirroring
+    ``incremental_neardup`` vs the LSH band index. The corpus is
+    touched only through ``index`` (``span_index(...)``, typically
+    read back from parquet), in ONE semi-join on the window hash:
+    per-batch cost is batch-sized, never corpus-sized. Within-batch
+    repeats are ``repeated_spans(new_docs)``'s job — callers run both
+    and union the spans, exactly how the streaming corpus gate splits
+    in-batch vs batch-vs-index work. Id spaces need not be disjoint:
+    the index carries no ids at all."""
+    kg = _kgram_starts(new_docs, id_col, text_col, k)
+    flagged = kg.join(index.select("h"), "h", "left_semi").select("_id", "pos")
+    w = Window.partitionBy("_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = flagged.withColumn(
+        "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    ).withColumn("_island", F.sum("_new").over(w))
+    return (
+        isl.groupBy("_id", "_island")
+        .agg(F.min("pos").alias("_s"), (F.max("pos") + k).alias("_e"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_s").cast("long").alias("span_start"),
+            F.col("_e").cast("long").alias("span_end"),
+            (F.col("_e") - F.col("_s")).cast("long").alias("span_len"),
+        )
+    )

@@ -1125,3 +1125,41 @@ SELECT {k} AS k,
        round(count(hit) / count(*), 4) AS recall
 FROM probe
 """
+
+
+def incremental_span_sql(k: int = 8, new_mod: int = 5) -> str:
+    """Twin of dedup.incremental_repeated_spans over the documents
+    table with the corpus/new split ``doc_id % new_mod`` (== 0 → new
+    batch, != 0 → indexed corpus, same convention as
+    incremental_neardup_sql): the index is the corpus's DISTINCT
+    k-gram set; batch windows flag by membership; islands merge as in
+    span_dedup_sql."""
+    leads = ", ".join(f"lead(tok,{j}) OVER w" for j in range(1, k))
+    return f"""
+WITH {_SPAN_TOKS},
+kg AS (
+  SELECT doc_id, pos - 1 AS start,
+         concat_ws(' ', tok, {leads}) AS g,
+         lead(tok,{k - 1}) OVER w AS lastt
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+valid AS (SELECT doc_id, start, g FROM kg WHERE lastt IS NOT NULL),
+idx AS (SELECT DISTINCT g FROM valid WHERE doc_id % {new_mod} != 0),
+fl AS (
+  SELECT v.doc_id, v.start FROM valid v JOIN idx USING (g)
+  WHERE v.doc_id % {new_mod} = 0),
+pe AS (
+  SELECT doc_id, start,
+         max(start) OVER (PARTITION BY doc_id ORDER BY start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {k} AS prev_end
+  FROM fl),
+isl AS (
+  SELECT doc_id, start,
+         sum(CASE WHEN prev_end IS NULL OR start > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY start) AS island
+  FROM pe)
+SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+       CAST(max(start) + {k} AS BIGINT) AS span_end,
+       CAST(max(start) + {k} - min(start) AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, island
+"""

@@ -4509,6 +4509,23 @@ def doc_span_strip_keep_first(spark, sf_dir):
     return dedup.strip_repeated_spans(d, "doc_id", "text", k=8, min_count=2, keep_first=True)
 
 
+@register("doc_incremental_span", oracles.incremental_span_sql(k=8, new_mod=5))
+def doc_incremental_span(spark, sf_dir):
+    """Per-ingest ExactSubstr decontamination: spans in a NEW batch
+    (doc_id % 5 == 0) that verbatim-repeat >=8-token windows of the
+    indexed corpus (doc_id % 5 != 0) — the incremental shape of
+    doc_span_dedup, mirroring doc_incremental_neardup vs the LSH band
+    index. The corpus is touched only through its distinct k-gram
+    hash index (dedup.span_index — 8 bytes per distinct k-gram,
+    persisted once), so per-batch cost is batch-sized: one semi-join
+    on the window hash, never a corpus re-scan."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 5 != 0)
+    batch = d.where(F.col("doc_id") % 5 == 0)
+    idx = dedup.span_index(corpus, "doc_id", "text", k=8)
+    return dedup.incremental_repeated_spans(batch, idx, "doc_id", "text", k=8)
+
+
 @register("emb_ivf_recall", oracles.emb_ivf_recall_sql())
 def emb_ivf_recall(spark, sf_dir):
     """ANN quality instrumentation for the TRAINED quantizer:

@@ -436,3 +436,28 @@ def test_strip_keep_first_within_doc_repeats(spark):
     row = dedup.strip_repeated_spans(docs, "doc_id", "text", k=6, keep_first=True).first()
     assert row["n_removed"] == 6
     assert row["clean_text"] == f"{dup} mid tail"
+
+
+def test_incremental_spans_flag_corpus_hits_only(spark):
+    # Batch doc 10 repeats a corpus span -> flagged at its offset;
+    # batch docs 20+21 share a span ONLY with each other (in-batch
+    # dedup is repeated_spans' job) -> NOT flagged here.
+    cspan = "c1 c2 c3 c4 c5 c6"
+    bspan = "b1 b2 b3 b4 b5 b6"
+    corpus = spark.createDataFrame(
+        [(1, f"{cspan} corpus filler words here today ok"),
+         (2, "entirely unrelated corpus content with nothing shared at all")],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [(10, f"lead in {cspan} trailing words"),
+         (20, f"{bspan} unique twenty tail words here"),
+         (21, f"other prefix {bspan} tail")],
+        "doc_id LONG, text STRING",
+    )
+    idx = dedup.span_index(corpus, "doc_id", "text", k=6)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.incremental_repeated_spans(batch, idx, "doc_id", "text", k=6).collect()
+    }
+    assert got == {(10, 2, 8)}
