@@ -1160,9 +1160,20 @@ def incremental_repeated_spans(
     repeats are ``repeated_spans(new_docs)``'s job — callers run both
     and union the spans, exactly how the streaming corpus gate splits
     in-batch vs batch-vs-index work. Id spaces need not be disjoint:
-    the index carries no ids at all."""
+    the index carries no ids at all.
+
+    Join shape matters (same trick as the streaming re-delivery gate,
+    ingest.py): a direct batch-semi-index join would SHUFFLE the
+    corpus-sized index on h every batch. Instead the index is
+    semi-joined against the BROADCAST batch-hash set — a column-pruned
+    map-side scan emitting at most |batch k-grams| hit rows — and the
+    batch flags against that broadcast hit set. Per-batch cost: one
+    index scan (prunable further by hash-range bucketing), zero
+    corpus shuffles."""
     kg = _kgram_starts(new_docs, id_col, text_col, k)
-    flagged = kg.join(index.select("h"), "h", "left_semi").select("_id", "pos")
+    batch_hashes = kg.select("h").distinct()
+    hits = index.select("h").join(F.broadcast(batch_hashes), "h", "left_semi")
+    flagged = kg.join(F.broadcast(hits), "h", "left_semi").select("_id", "pos")
     w = Window.partitionBy("_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + k).over(w.rowsBetween(Window.unboundedPreceding, -1))
     isl = flagged.withColumn(

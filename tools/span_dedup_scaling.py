@@ -72,5 +72,47 @@ def main() -> None:
         print(f"| {n:,} | {dt:.2f} | {cnt:,} |")
 
 
+def incremental(spark=None) -> None:
+    """Per-ingest cost vs corpus growth: a FIXED 5k-doc batch flagged
+    against persisted span indices of 1x/4x/16x corpora. The index
+    build is charged separately (once per corpus); the per-batch flag
+    step must stay map-side (no corpus shuffle) — its wall may grow
+    with the linear index SCAN but never with a shuffle of it."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    if spark is None:
+        spark = get_spark("span-dedup-scaling")
+    boiler = " ".join(f"s{i}" for i in range(10))
+    batch = spark.range(5_000).selectExpr(
+        "id + 10000000 AS doc_id",
+        f"concat('{boiler} ', 'q', id, ' r', id * 3, ' s', id * 11, ' t', id * 17) AS text",
+    ).localCheckpoint()
+    print()
+    print("| indexed corpus (docs) | index build s | batch flag s | flagged docs |")
+    print("|---|---|---|---|")
+    for mult in (1, 4, 16):
+        n = 20_000 * mult
+        corpus = spark.range(n).selectExpr(
+            "id AS doc_id",
+            f"concat('{boiler} ', 'u', id, ' x', id * 7, ' y', id * 13, ' z', id * 29) AS text",
+        )
+        d = tempfile.mkdtemp(prefix="span_idx_")
+        t0 = time.perf_counter()
+        dedup.span_index(corpus, "doc_id", "text", k=8).write.parquet(f"{d}/idx")
+        t_build = time.perf_counter() - t0
+        idx = spark.read.parquet(f"{d}/idx")
+        t0 = time.perf_counter()
+        flagged = dedup.incremental_repeated_spans(
+            batch, idx, "doc_id", "text", k=8
+        ).select("doc_id").distinct().count()
+        t_flag = time.perf_counter() - t0
+        print(f"| {n:,} | {t_build:.2f} | {t_flag:.2f} | {flagged:,} |")
+        shutil.rmtree(d, ignore_errors=True)
+
+
 if __name__ == "__main__":
     main()
+    incremental()
