@@ -383,6 +383,8 @@ def make_corpus_batch_processor(
     shingle_size: int = 3,
     num_hashes: int = 8,
     rows_per_band: int = 2,
+    span_k: int | None = None,
+    span_max_frac: float = 0.5,
 ):
     """foreachBatch processor for continuous corpus construction with
     CROSS-BATCH near-dedup (exposed as a factory so replay semantics
@@ -400,6 +402,23 @@ def make_corpus_batch_processor(
     ``minhash_band_index`` artifact), and per-batch cost stays ∝
     batch + candidates regardless of corpus size.
 
+    ``span_k`` arms the third cross-batch modality (round 8): the
+    SPAN gate. MinHash judges whole-document similarity; a document
+    that verbatim-copies half its text from the corpus but pads the
+    rest sails under any Jaccard threshold. With ``span_k = k``, each
+    minhash-surviving doc is flagged against the persisted distinct
+    k-gram index (``<store>/kgrams``, the ``dedup.span_index``
+    artifact, epoch-partitioned like bands) via
+    ``incremental_repeated_spans`` — map-side, zero corpus shuffles —
+    and dropped when duplicated-token coverage reaches
+    ``span_max_frac`` of its tokens (the RefinedWeb-style duplicated-
+    text-fraction rule). Accepted docs append their distinct k-gram
+    hashes for future batches; replay reads exclude the epoch's own
+    partition, same as bands/docs. Within-batch span overlap is
+    deliberately NOT judged here (the batch operator
+    ``repeated_spans`` owns that analysis); the gate is strictly
+    batch-vs-accepted-corpus, like the other two.
+
     Epoch-keyed subdirectories written with mode("overwrite") make
     replays idempotent: a re-offered epoch overwrites its own output
     instead of appending duplicates (no marker file needed — the
@@ -408,6 +427,7 @@ def make_corpus_batch_processor(
 
     docs_path = f"{store}/docs"
     bands_path = f"{store}/bands"
+    kgrams_path = f"{store}/kgrams"
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -455,7 +475,31 @@ def make_corpus_batch_processor(
             kept = kept.join(
                 pairs.select(F.col("id_new").alias(id_col)).distinct(), id_col, "left_anti"
             )
-        kept = kept.localCheckpoint()  # one compute, two sinks
+        if span_k is not None:
+            kfs, kbase = _fs_and_path(spark, kgrams_path)
+            if kfs.exists(kbase):
+                kindex = (
+                    spark.read.parquet(kgrams_path)
+                    .filter(F.col("epoch") != epoch_id)
+                    .select("h")
+                )
+                spans = _d.incremental_repeated_spans(
+                    kept, kindex, id_col, text_col, k=span_k
+                )
+                dup = spans.groupBy(id_col).agg(F.sum("span_len").alias("_dup"))
+                ntok = kept.select(
+                    id_col,
+                    F.size(
+                        F.split(_d.normalize_text(F.col(text_col)), r"\s+")
+                    ).alias("_n"),
+                )
+                drops = (
+                    ntok.join(dup, id_col)
+                    .where(F.col("_dup") >= F.lit(span_max_frac) * F.col("_n"))
+                    .select(id_col)
+                )
+                kept = kept.join(drops, id_col, "left_anti")
+        kept = kept.localCheckpoint()  # one compute, two/three sinks
         # stage-then-rename: each sink's epoch dir appears atomically
         # to concurrent readers (a reader can still observe docs'
         # epoch N before bands' — one-rename skew between sinks, the
@@ -467,6 +511,11 @@ def make_corpus_batch_processor(
             ),
             f"{bands_path}/epoch={epoch_id}",
         )
+        if span_k is not None:
+            _write_epoch_atomic(
+                _d.span_index(kept, id_col, text_col, k=span_k),
+                f"{kgrams_path}/epoch={epoch_id}",
+            )
 
     return process
 
@@ -481,9 +530,12 @@ def start_corpus_ingest(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     checkpoint: str | None = None,
+    span_k: int | None = None,
+    span_max_frac: float = 0.5,
 ):
     """Continuous corpus construction with CROSS-BATCH near-dedup —
-    see make_corpus_batch_processor for the per-batch algorithm.
+    see make_corpus_batch_processor for the per-batch algorithm and
+    the optional ``span_k`` duplicated-text-fraction gate.
 
     Delivery contract: epoch-keyed subdirectories written with
     mode("overwrite") make replays idempotent — a re-offered epoch
@@ -494,7 +546,15 @@ def start_corpus_ingest(
     never make the replay dedup the epoch against its own
     half-written output (which would silently empty it)."""
     process = make_corpus_batch_processor(
-        store, id_col, text_col, threshold, shingle_size, num_hashes, rows_per_band
+        store,
+        id_col,
+        text_col,
+        threshold,
+        shingle_size,
+        num_hashes,
+        rows_per_band,
+        span_k,
+        span_max_frac,
     )
     return (
         docs_stream.writeStream.foreachBatch(process)

@@ -1456,3 +1456,71 @@ def test_auto_requantize_matches_manual_run_byte_for_byte(spark, tmp_path):
     import os
     assert os.path.isdir(f"{auto_store}/vecs/epoch=-1")  # it really fired
     assert snapshot(auto_store) == snapshot(man_store)
+
+
+def test_corpus_ingest_span_gate_drops_verbatim_copiers(spark, tmp_path):
+    """Third cross-batch modality: a doc that verbatim-copies a big
+    span from the accepted corpus but pads the rest sails under the
+    MinHash Jaccard threshold — the span gate catches it by
+    duplicated-token fraction. Small copies below the fraction pass;
+    accepted docs' k-grams guard FUTURE batches; replay is idempotent
+    (index reads exclude the epoch's own partition)."""
+    from orestes_spark.streaming.ingest import make_corpus_batch_processor
+
+    store = str(tmp_path / "span_store")
+    ddl = "doc_id LONG, text STRING"
+    process = make_corpus_batch_processor(store, span_k=6, span_max_frac=0.5)
+
+    a_toks = [f"a{i}" for i in range(30)]
+    a = " ".join(a_toks)
+    process(spark.createDataFrame([(1, a)], ddl), 0)
+
+    # b: 16 contiguous tokens copied from a + 10 unique (coverage 0.62,
+    # Jaccard vs a ~0.37 — under the 0.5 minhash threshold); c: 6
+    # copied + 20 unique (coverage 0.23 — passes); d: unrelated.
+    b = " ".join(a_toks[5:21] + [f"b{i}" for i in range(10)])
+    c = " ".join(a_toks[0:6] + [f"c{i}" for i in range(20)])
+    d = " ".join(f"d{i}" for i in range(20))
+    process(spark.createDataFrame([(2, b), (3, c), (4, d)], ddl), 1)
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{store}/docs").select("doc_id").collect()
+    )
+    assert kept == [1, 3, 4]
+
+    # c's k-grams are now indexed: a batch-2 doc copying c's UNIQUE
+    # run heavily gets dropped even though it never saw doc 1
+    e = " ".join([f"c{i}" for i in range(20)] + ["e0", "e1"])
+    process(spark.createDataFrame([(5, e)], ddl), 2)
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{store}/docs").select("doc_id").collect()
+    )
+    assert kept == [1, 3, 4]
+
+    # crash-replay of epoch 1: same decisions, no duplicates, no
+    # self-dedup data loss
+    process(spark.createDataFrame([(2, b), (3, c), (4, d)], ddl), 1)
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{store}/docs").select("doc_id").collect()
+    )
+    assert kept == [1, 3, 4]
+
+
+def test_corpus_ingest_span_gate_off_by_default(spark, tmp_path):
+    """span_k=None must leave the store layout unchanged (no kgrams
+    sink) and admit the padded copier the gate exists to catch."""
+    import os
+
+    from orestes_spark.streaming.ingest import make_corpus_batch_processor
+
+    store = str(tmp_path / "no_span_store")
+    ddl = "doc_id LONG, text STRING"
+    process = make_corpus_batch_processor(store)
+    a_toks = [f"a{i}" for i in range(30)]
+    process(spark.createDataFrame([(1, " ".join(a_toks))], ddl), 0)
+    b = " ".join(a_toks[5:21] + [f"b{i}" for i in range(10)])
+    process(spark.createDataFrame([(2, b)], ddl), 1)
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{store}/docs").select("doc_id").collect()
+    )
+    assert kept == [1, 2]  # minhash alone does not catch the copier
+    assert not os.path.exists(f"{store}/kgrams")
