@@ -1044,15 +1044,33 @@ def compact_corpus_store(
     Single-writer contract (stream stopped); crash safety identical to
     requantize: full staging write, then ``_swap_trees``.
 
-    Returns {"docs": n, "bands": m}."""
+    Stores whose stream armed the ``span_k`` gate also carry a
+    ``<store>/kgrams`` epoch tree; its partitions collapse to one
+    DISTINCT-deduped ``epoch=-1`` baseline the same way (epochs can
+    legitimately repeat a hash — distinct docs sharing a window — so
+    compaction is also the dedup pass the per-epoch layout defers).
+
+    Returns {"docs": n, "bands": m} (+ "kgrams" when present)."""
+    import os
+
     store = _require_posix_store(store, "compact_corpus_store")
     docs_path, bands_path = f"{store}/docs", f"{store}/bands"
+    kgrams_path = f"{store}/kgrams"
+    has_kgrams = os.path.exists(kgrams_path)
     tmp = f"{store}/.compact"
-    _refuse_leftovers("compact_corpus_store", tmp, docs_path, bands_path)
+    finals = [docs_path, bands_path] + ([kgrams_path] if has_kgrams else [])
+    _refuse_leftovers("compact_corpus_store", tmp, *finals)
     docs = spark.read.parquet(docs_path).select(id_col, text_col).localCheckpoint()
     bands = spark.read.parquet(bands_path).select("band", "bval", "_id").localCheckpoint()
     docs.write.parquet(f"{tmp}/docs/epoch=-1")
     bands.write.parquet(f"{tmp}/bands/epoch=-1")
     n_docs, n_bands = docs.count(), bands.count()
-    _swap_trees(tmp, {"docs": docs_path, "bands": bands_path})
-    return {"docs": n_docs, "bands": n_bands}
+    out = {"docs": n_docs, "bands": n_bands}
+    mapping = {"docs": docs_path, "bands": bands_path}
+    if has_kgrams:
+        kgrams = spark.read.parquet(kgrams_path).select("h").distinct().localCheckpoint()
+        kgrams.write.parquet(f"{tmp}/kgrams/epoch=-1")
+        out["kgrams"] = kgrams.count()
+        mapping["kgrams"] = kgrams_path
+    _swap_trees(tmp, mapping)
+    return out

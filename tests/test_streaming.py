@@ -1524,3 +1524,36 @@ def test_corpus_ingest_span_gate_off_by_default(spark, tmp_path):
     )
     assert kept == [1, 2]  # minhash alone does not catch the copier
     assert not os.path.exists(f"{store}/kgrams")
+
+
+def test_compact_corpus_store_collapses_kgrams_and_keeps_span_gate(spark, tmp_path):
+    """A span-gated store's kgrams tree compacts to one distinct
+    epoch=-1 baseline, and the gate's decisions are unchanged after:
+    a verbatim copier of a pre-compaction doc is still dropped."""
+    import os
+
+    from orestes_spark.streaming.ingest import (
+        compact_corpus_store,
+        make_corpus_batch_processor,
+    )
+
+    store = str(tmp_path / "span_compact")
+    ddl = "doc_id LONG, text STRING"
+    process = make_corpus_batch_processor(store, span_k=6, span_max_frac=0.5)
+    a_toks = [f"a{i}" for i in range(30)]
+    process(spark.createDataFrame([(1, " ".join(a_toks))], ddl), 0)
+    process(spark.createDataFrame([(2, " ".join(f"b{i}" for i in range(20)))], ddl), 1)
+    n_distinct = spark.read.parquet(f"{store}/kgrams").select("h").distinct().count()
+
+    out = compact_corpus_store(spark, store)
+    assert out["docs"] == 2 and out["kgrams"] == n_distinct
+    eps = {p for p in os.listdir(f"{store}/kgrams") if p.startswith("epoch=")}
+    assert eps == {"epoch=-1"}
+
+    # the copier is still caught against the compacted baseline
+    copier = " ".join(a_toks[5:21] + [f"z{i}" for i in range(10)])
+    process(spark.createDataFrame([(9, copier)], ddl), 2)
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{store}/docs").select("doc_id").collect()
+    )
+    assert kept == [1, 2]
