@@ -259,3 +259,91 @@ def train_val_test_split(
         "split",
         F.when(b < t_train, "train").when(b < t_val, "val").otherwise("test"),
     )
+
+
+def dsir_logratio_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 4096,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed-n-gram distribution is —
+    weight(doc) = Σ_tokens ln(p_target(bucket)/p_raw(bucket)) under
+    two add-one-smoothed multinomials over ``buckets`` hashed unigram
+    features. Output: (id, n_tokens, dsir_logratio) for every doc in
+    ``docs``; selection composes downstream (top-k, threshold, or
+    ``select_within_budget`` in weight order).
+
+    Determinism across engines is ENGINEERED around one hard fact:
+    JVM log() and libm ln() disagree in the last ulp on ~2-5% of
+    arguments (measured), so no distributed plan may ever evaluate
+    ln. Instead the per-bucket log-ratios are computed ONCE on the
+    driver in Python (bit-identical to DuckDB's ln — same libm),
+    quantized to integer nano-units with half-away-from-zero rounding
+    (DuckDB round()'s rule), and broadcast back as a ``buckets``-row
+    table; every distributed step is exact integer arithmetic
+    (counts, one weighted integer sum per doc) with ONE final
+    round(·/1e9, 6) display step. This is the same driver-side
+    codebook pattern as pq_codebooks — the collected state is two
+    ``buckets``-bounded count tables, never corpus-sized.
+
+    Scale shape: two token-count aggregations (map-side combined, 
+    output bounded by ``buckets``), one broadcast join of the weight
+    table onto the raw token stream, one groupBy(id). No shuffle
+    carries more than |corpus tokens| rows, nothing is quadratic,
+    and the weight table is ~64 KiB at the default 4096 buckets."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from orestes_spark.operators.dedup import normalize_text
+
+    def toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), r"\s+")
+            ).alias("tok"),
+        )
+
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col("tok")).cast("binary"))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets).alias("bucket")
+
+    t_counts = {
+        r["bucket"]: r["c"]
+        for r in toks(target).select(bucket).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
+    }
+    corpus_toks = toks(docs).select("_id", bucket)
+    c_counts = {
+        r["bucket"]: r["c"]
+        for r in corpus_toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    d_t, d_c = sum(t_counts.values()), sum(c_counts.values())
+
+    def wq(b: int) -> int:
+        p_t = (t_counts.get(b, 0) + 1) / (d_t + buckets)
+        p_c = (c_counts.get(b, 0) + 1) / (d_c + buckets)
+        # nano-quantized, ties away from zero — DuckDB round()'s rule
+        return int(
+            Decimal(math.log(p_t / p_c) * 1e9).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(b, wq(b)) for b in range(buckets)], "bucket LONG, wq LONG"
+    )
+    return (
+        corpus_toks.join(F.broadcast(wdf), "bucket")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("wq").alias("_s"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.round(F.col("_s") / 1e9, 6).alias("dsir_logratio"),
+        )
+    )

@@ -1163,3 +1163,45 @@ SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
        CAST(max(start) + {k} - min(start) AS BIGINT) AS span_len
 FROM isl GROUP BY doc_id, island
 """
+
+
+def dsir_sql(buckets: int = 4096, target_mod: int = 20, salt: str = "dsir") -> str:
+    r"""Twin of sampling.dsir_logratio_weights with target = doc_id %
+    target_mod == 0: identical hashed buckets (md5 prefix, the
+    sampling-module idiom), add-one multinomials with the exact same
+    double-division order, ln on bit-identical arguments (DuckDB and
+    CPython share libm; the Spark side computes these logs driver-side
+    in Python for precisely this reason), nano-quantized weights, and
+    an exact integer weighted sum per document."""
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, u.tok AS tok FROM documents,
+  (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok) u
+),
+b AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('{salt}:' || tok), 1, 8) AS BIGINT) % {buckets} AS bucket
+  FROM toks
+),
+tc AS (SELECT bucket, count(*) AS c FROM b WHERE doc_id % {target_mod} = 0 GROUP BY 1),
+cc AS (SELECT bucket, count(*) AS c FROM b WHERE doc_id % {target_mod} <> 0 GROUP BY 1),
+tot AS (SELECT
+  (SELECT count(*) FROM b WHERE doc_id % {target_mod} = 0) AS dt,
+  (SELECT count(*) FROM b WHERE doc_id % {target_mod} <> 0) AS dc),
+w AS (
+  SELECT g.bucket,
+         CAST(round(ln(
+            (CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE) / (tot.dt + {buckets}))
+            / (CAST(COALESCE(cc.c, 0) + 1 AS DOUBLE) / (tot.dc + {buckets}))
+         ) * 1e9) AS BIGINT) AS wq
+  FROM (SELECT UNNEST(generate_series(0, {buckets - 1})) AS bucket) g
+  CROSS JOIN tot
+  LEFT JOIN tc ON tc.bucket = g.bucket
+  LEFT JOIN cc ON cc.bucket = g.bucket
+)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(sum(w.wq) AS DOUBLE) / 1e9, 6) AS dsir_logratio
+FROM b JOIN w ON w.bucket = b.bucket
+WHERE b.doc_id % {target_mod} <> 0
+GROUP BY 1
+"""

@@ -4509,6 +4509,24 @@ def doc_span_strip_keep_first(spark, sf_dir):
     return dedup.strip_repeated_spans(d, "doc_id", "text", k=8, min_count=2, keep_first=True)
 
 
+@register("doc_dsir_weights", oracles.dsir_sql())
+def doc_dsir_weights(spark, sf_dir):
+    """DSIR importance resampling weights (Xie et al. 2023): every raw
+    doc scored by hashed-unigram log-likelihood ratio against the
+    doc_id % 20 == 0 holdout playing the high-quality target (same
+    split convention as doc_decontaminate's benchmark). Cross-engine
+    determinism: per-bucket ln computed driver-side in Python (JVM
+    log differs from libm in the last ulp), nano-quantized to
+    integers, all distributed math exact — see
+    sampling.dsir_logratio_weights."""
+    from orestes_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    return sampling.dsir_logratio_weights(corpus, target, "doc_id", "text")
+
+
 @register("doc_incremental_span", oracles.incremental_span_sql(k=8, new_mod=5))
 def doc_incremental_span(spark, sf_dir):
     """Per-ingest ExactSubstr decontamination: spans in a NEW batch

@@ -182,3 +182,28 @@ def test_train_val_test_split_partitions_and_replays(spark):
     # map-side only: no exchange in the assignment plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """DSIR sanity: docs drawn from the target's vocabulary score a
+    HIGHER log-ratio than off-distribution docs; every corpus doc
+    gets a row; token counts are with-multiplicity."""
+    from orestes_spark.operators.sampling import dsir_logratio_weights
+
+    tvoc = "alpha beta gamma delta epsilon zeta eta theta"
+    target = spark.createDataFrame(
+        [(100 + i, tvoc) for i in range(5)], "doc_id LONG, text STRING"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta alpha beta"),     # target-like
+            (2, "xray yankee zulu quebec victor whiskey"), # off-distribution
+            (3, "alpha xray beta yankee"),                 # mixed
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in dsir_logratio_weights(corpus, target, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_tokens"] == 6 and rows[2]["n_tokens"] == 6 and rows[3]["n_tokens"] == 4
+    assert rows[1]["dsir_logratio"] > rows[3]["dsir_logratio"] > rows[2]["dsir_logratio"]
+    assert rows[1]["dsir_logratio"] > 0 > rows[2]["dsir_logratio"]
