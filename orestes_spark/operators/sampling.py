@@ -268,15 +268,19 @@ def dsir_logratio_weights(
     text_col: str,
     buckets: int = 4096,
     salt: str = "dsir",
+    bigrams: bool = False,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every raw
     document by how target-like its hashed-n-gram distribution is —
-    weight(doc) = Σ_tokens ln(p_target(bucket)/p_raw(bucket)) under
-    two add-one-smoothed multinomials over ``buckets`` hashed unigram
-    features. Output: (id, n_tokens, dsir_logratio) for every doc in
-    ``docs``; selection composes downstream (top-k, threshold, or
-    ``select_within_budget`` in weight order).
+    weight(doc) = Σ_features ln(p_target(bucket)/p_raw(bucket)) under
+    two add-one-smoothed multinomials over ``buckets`` hashed
+    features. ``bigrams=False`` uses unigram features and outputs
+    (id, n_tokens, dsir_logratio); ``bigrams=True`` is the paper's
+    default feature set — unigrams AND bigrams — and outputs
+    (id, n_feats, dsir_logratio), n_feats = 2·tokens − 1 per doc.
+    Every doc in ``docs`` gets a row; selection composes downstream
+    (top-k, threshold, or ``select_within_budget`` in weight order).
 
     Determinism across engines is ENGINEERED around one hard fact:
     JVM log() and libm ln() disagree in the last ulp on ~2-5% of
@@ -301,12 +305,29 @@ def dsir_logratio_weights(
 
     from orestes_spark.operators.dedup import normalize_text
 
+    from orestes_spark.operators.dedup import bind
+
     def toks(df: DataFrame) -> DataFrame:
+        split_expr = F.split(normalize_text(F.col(text_col)), r"\s+")
+        if not bigrams:
+            return df.select(
+                F.col(id_col).alias("_id"), F.explode(split_expr).alias("tok")
+            )
+
+        def feats(tk: F.Column) -> F.Column:
+            m = F.size(tk)
+            bg = F.when(
+                m >= 2,
+                F.zip_with(
+                    F.slice(tk, 1, m - 1),
+                    F.slice(tk, 2, m - 1),
+                    lambda a, c: F.concat_ws(" ", a, c),
+                ),
+            )
+            return F.concat(tk, F.coalesce(bg, F.array()))
+
         return df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(
-                F.split(normalize_text(F.col(text_col)), r"\s+")
-            ).alias("tok"),
+            F.col(id_col).alias("_id"), F.explode(bind(split_expr, feats)).alias("tok")
         )
 
     h = F.md5(F.concat(F.lit(f"{salt}:"), F.col("tok")).cast("binary"))
@@ -343,7 +364,7 @@ def dsir_logratio_weights(
         .agg(F.count(F.lit(1)).alias("_n"), F.sum("wq").alias("_s"))
         .select(
             F.col("_id").alias(id_col),
-            F.col("_n").cast("long").alias("n_tokens"),
+            F.col("_n").cast("long").alias("n_feats" if bigrams else "n_tokens"),
             F.round(F.col("_s") / 1e9, 6).alias("dsir_logratio"),
         )
     )

@@ -1165,23 +1165,41 @@ FROM isl GROUP BY doc_id, island
 """
 
 
-def dsir_sql(buckets: int = 4096, target_mod: int = 20, salt: str = "dsir") -> str:
+def dsir_sql(
+    buckets: int = 4096, target_mod: int = 20, salt: str = "dsir", bigrams: bool = False
+) -> str:
     r"""Twin of sampling.dsir_logratio_weights with target = doc_id %
     target_mod == 0: identical hashed buckets (md5 prefix, the
     sampling-module idiom), add-one multinomials with the exact same
     double-division order, ln on bit-identical arguments (DuckDB and
     CPython share libm; the Spark side computes these logs driver-side
     in Python for precisely this reason), nano-quantized weights, and
-    an exact integer weighted sum per document."""
+    an exact integer weighted sum per document. ``bigrams`` switches
+    to the paper's unigram+bigram feature set (column n_feats)."""
+    n_col = "n_feats" if bigrams else "n_tokens"
+    feat_cte = (
+        """,
+feats AS (
+  SELECT doc_id, tok FROM toks
+  UNION ALL
+  SELECT doc_id,
+         concat_ws(' ', tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)) AS tok
+  FROM toks
+  QUALIFY lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+)"""
+        if bigrams
+        else ",\nfeats AS (SELECT doc_id, tok FROM toks)"
+    )
     return rf"""
 WITH toks AS (
-  SELECT doc_id, u.tok AS tok FROM documents,
-  (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok) u
-),
+  SELECT doc_id, u.tok AS tok, u.pos AS pos FROM documents,
+  (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+          generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos) u
+){feat_cte},
 b AS (
   SELECT doc_id,
          CAST('0x' || substr(md5('{salt}:' || tok), 1, 8) AS BIGINT) % {buckets} AS bucket
-  FROM toks
+  FROM feats
 ),
 tc AS (SELECT bucket, count(*) AS c FROM b WHERE doc_id % {target_mod} = 0 GROUP BY 1),
 cc AS (SELECT bucket, count(*) AS c FROM b WHERE doc_id % {target_mod} <> 0 GROUP BY 1),
@@ -1199,7 +1217,7 @@ w AS (
   LEFT JOIN tc ON tc.bucket = g.bucket
   LEFT JOIN cc ON cc.bucket = g.bucket
 )
-SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS {n_col},
        round(CAST(sum(w.wq) AS DOUBLE) / 1e9, 6) AS dsir_logratio
 FROM b JOIN w ON w.bucket = b.bucket
 WHERE b.doc_id % {target_mod} <> 0

@@ -4527,6 +4527,20 @@ def doc_dsir_weights(spark, sf_dir):
     return sampling.dsir_logratio_weights(corpus, target, "doc_id", "text")
 
 
+@register("doc_dsir_bigram", oracles.dsir_sql(bigrams=True))
+def doc_dsir_bigram(spark, sf_dir):
+    """DSIR with the paper's default feature set — hashed unigrams AND
+    bigrams — same target split and determinism scheme as
+    doc_dsir_weights; bigrams catch phrase-level distribution shifts
+    unigram bags miss (the reason the paper defaults to them)."""
+    from orestes_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    return sampling.dsir_logratio_weights(corpus, target, "doc_id", "text", bigrams=True)
+
+
 @register("doc_incremental_span", oracles.incremental_span_sql(k=8, new_mod=5))
 def doc_incremental_span(spark, sf_dir):
     """Per-ingest ExactSubstr decontamination: spans in a NEW batch

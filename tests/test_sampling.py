@@ -207,3 +207,35 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
     assert rows[1]["n_tokens"] == 6 and rows[2]["n_tokens"] == 6 and rows[3]["n_tokens"] == 4
     assert rows[1]["dsir_logratio"] > rows[3]["dsir_logratio"] > rows[2]["dsir_logratio"]
     assert rows[1]["dsir_logratio"] > 0 > rows[2]["dsir_logratio"]
+
+
+def test_dsir_bigram_features_counted_and_phrase_sensitive(spark):
+    """bigrams=True emits n_feats = 2*tokens - 1 and separates docs
+    that share the target's unigrams but scramble its phrases."""
+    from orestes_spark.operators.sampling import dsir_logratio_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "new york city hall meeting") for i in range(5)],
+        "doc_id LONG, text STRING",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "new york city hall meeting"),   # exact phrase order
+            (2, "hall new meeting city york"),   # same unigrams, no bigrams
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dsir_logratio_weights(
+            corpus, target, "doc_id", "text", bigrams=True
+        ).collect()
+    }
+    assert rows[1]["n_feats"] == 9 and rows[2]["n_feats"] == 9
+    assert rows[1]["dsir_logratio"] > rows[2]["dsir_logratio"]
+    # unigram mode cannot tell them apart
+    uni = {
+        r["doc_id"]: r["dsir_logratio"]
+        for r in dsir_logratio_weights(corpus, target, "doc_id", "text").collect()
+    }
+    assert uni[1] == uni[2]
