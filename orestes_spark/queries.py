@@ -4527,6 +4527,74 @@ def doc_dsir_weights(spark, sf_dir):
     return sampling.dsir_logratio_weights(corpus, target, "doc_id", "text")
 
 
+@register(
+    "doc_ngram_diversity",
+    r"""WITH toks AS (
+          SELECT source, doc_id, u.tok AS tok, u.pos AS pos FROM documents,
+          (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+                  generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos) u
+        ),
+        bg AS (
+          SELECT source,
+                 concat_ws(' ', tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)) AS g
+          FROM toks
+          QUALIFY lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+        ),
+        uni AS (
+          SELECT source, count(*) AS n_tokens,
+                 count(DISTINCT tok) AS distinct_unigrams
+          FROM toks GROUP BY 1
+        ),
+        bi AS (
+          SELECT source, count(*) AS n_bigrams,
+                 count(DISTINCT g) AS distinct_bigrams
+          FROM bg GROUP BY 1
+        )
+        SELECT u.source, u.n_tokens, u.distinct_unigrams,
+               round(u.distinct_unigrams * 1.0 / u.n_tokens, 6) AS unigram_ttr,
+               b.n_bigrams, b.distinct_bigrams,
+               round(b.distinct_bigrams * 1.0 / b.n_bigrams, 6) AS bigram_ttr
+        FROM uni u JOIN bi b USING (source)""",
+)
+def doc_ngram_diversity(spark, sf_dir):
+    """Corpus diversity diagnostics per source: type-token ratios at
+    unigram and bigram granularity — the distinct-n monitoring metric
+    that flags template farms and generation loops (a source whose
+    bigram TTR collapses while volume grows is repeating itself).
+    Pure aggregates: two count-distinct group-bys per granularity,
+    partial-aggregated map-side; nothing pairwise, nothing floats
+    until the final display ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.posexplode(F.split(dedup.normalize_text(F.col("text")), r"\s+")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("_nxt", F.lead("tok").over(w))
+        .where(F.col("_nxt").isNotNull())
+        .select("source", F.concat_ws(" ", F.col("tok"), F.col("_nxt")).alias("g"))
+    )
+    uni = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("distinct_unigrams"),
+    )
+    bi = bg.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("g").alias("distinct_bigrams"),
+    )
+    return uni.join(bi, "source").select(
+        "source",
+        "n_tokens",
+        "distinct_unigrams",
+        F.round(F.col("distinct_unigrams") / F.col("n_tokens"), 6).alias("unigram_ttr"),
+        "n_bigrams",
+        "distinct_bigrams",
+        F.round(F.col("distinct_bigrams") / F.col("n_bigrams"), 6).alias("bigram_ttr"),
+    )
+
+
 @register("doc_dsir_bigram", oracles.dsir_sql(bigrams=True))
 def doc_dsir_bigram(spark, sf_dir):
     """DSIR with the paper's default feature set — hashed unigrams AND
