@@ -984,6 +984,67 @@ def _kgram_starts(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFr
     )
 
 
+def _span_flags(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_count: int,
+    max_count: int | None,
+    keep_first: bool,
+) -> tuple[DataFrame, DataFrame | None]:
+    """(flagged, canon): flagged window starts (_id, pos) for the
+    span-dedup family, plus — under ``keep_first`` — the CANONICAL
+    occurrence of each duplicated k-gram (first by (doc, pos)), which
+    ``strip_repeated_spans`` protects from removal. See
+    ``repeated_spans`` for the semantics and scale notes."""
+    kg = _kgram_starts(docs, id_col, text_col, k)
+    agg = [F.count(F.lit(1)).alias("_c")]
+    if keep_first:
+        agg.append(F.min(F.struct("_id", "pos")).alias("_first"))
+    counts = kg.groupBy("h").agg(*agg)
+    rep = counts.where(F.col("_c") >= min_count)
+    if max_count is not None:
+        rep = rep.where(F.col("_c") <= max_count)
+    if keep_first:
+        flagged = (
+            kg.join(rep.select("h", "_first"), "h")
+            .where(
+                ~(
+                    (F.col("_id") == F.col("_first._id"))
+                    & (F.col("pos") == F.col("_first.pos"))
+                )
+            )
+            .select("_id", "pos")
+        )
+    else:
+        flagged = kg.join(rep.select("h"), "h", "left_semi").select("_id", "pos")
+    canon = rep.select(F.col("_first._id").alias("_id"), F.col("_first.pos").alias("pos")) if keep_first else None
+    return flagged, canon
+
+
+def _merge_flagged_spans(flagged: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Gaps-and-islands merge of flagged window starts into maximal
+    coverage intervals — ONE copy of the logic, shared by the batch
+    and incremental span operators (a semantics change here changes
+    both paths together, by construction)."""
+    w = Window.partitionBy("_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = flagged.withColumn(
+        "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    ).withColumn("_island", F.sum("_new").over(w))
+    return (
+        isl.groupBy("_id", "_island")
+        .agg(F.min("pos").alias("_s"), (F.max("pos") + k).alias("_e"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_s").cast("long").alias("span_start"),
+            F.col("_e").cast("long").alias("span_end"),
+            (F.col("_e") - F.col("_s")).cast("long").alias("span_len"),
+        )
+    )
+
+
 def repeated_spans(
     docs: DataFrame,
     id_col: str,
@@ -1008,16 +1069,17 @@ def repeated_spans(
     aggregation — NO pair join anywhere); flagged windows join back
     by hash (shuffle bounded by |corpus k-grams|, i.e. linear in
     corpus tokens); flagged windows per document merge into coverage
-    intervals with one per-document window pass. A repeated span of
-    length L >= k is covered by L-k+1 flagged windows, so it always
-    lands inside one interval. The converse does NOT hold: a merged
-    interval is the union of duplicated windows, which may each
-    repeat in DIFFERENT places — span_len is covered-token extent,
-    not a guarantee that the interval repeats as one unit (only a
-    suffix array gives that, and it is a single-machine
-    construction). Coverage is exactly what the removal recipe needs
-    — Lee et al. likewise merge overlapping duplicated spans before
-    cutting — and ``strip_repeated_spans`` consumes it as such.
+    intervals with one per-document window pass
+    (``_merge_flagged_spans``). A repeated span of length L >= k is
+    covered by L-k+1 flagged windows, so it always lands inside one
+    interval. The converse does NOT hold: a merged interval is the
+    union of duplicated windows, which may each repeat in DIFFERENT
+    places — span_len is covered-token extent, not a guarantee that
+    the interval repeats as one unit (only a suffix array gives that,
+    and it is a single-machine construction). Coverage is exactly
+    what the removal recipe needs — Lee et al. likewise merge
+    overlapping duplicated spans before cutting — and
+    ``strip_repeated_spans`` consumes it as such.
 
     ``max_count`` is the hot-group cap (cf. ``max_bucket`` in the LSH
     paths): k-grams repeated more than max_count times are boilerplate
@@ -1026,50 +1088,18 @@ def repeated_spans(
     fan-out per hash group. Every stage is linear in corpus tokens —
     there is no quadratic candidate stage to cap.
 
-    ``keep_first=True`` switches to Lee et al.'s ExactSubstr removal
-    semantics: each duplicated k-gram's CANONICAL occurrence — the
-    first by (doc, position) order — is exempt from flagging, so the
-    corpus keeps exactly one copy of every duplicated window instead
-    of losing all of them. Implemented as an aggregate min-struct per
-    hash group plus the same flag-back join (no per-group window, so
-    a boilerplate hash group costs an aggregate row, not a
-    single-reducer sort)."""
-    kg = _kgram_starts(docs, id_col, text_col, k)
-    agg = [F.count(F.lit(1)).alias("_c")]
-    if keep_first:
-        agg.append(F.min(F.struct("_id", "pos")).alias("_first"))
-    counts = kg.groupBy("h").agg(*agg)
-    rep = counts.where(F.col("_c") >= min_count)
-    if max_count is not None:
-        rep = rep.where(F.col("_c") <= max_count)
-    if keep_first:
-        flagged = (
-            kg.join(rep.select("h", "_first"), "h")
-            .where(
-                ~(
-                    (F.col("_id") == F.col("_first._id"))
-                    & (F.col("pos") == F.col("_first.pos"))
-                )
-            )
-            .select("_id", "pos")
-        )
-    else:
-        flagged = kg.join(rep.select("h"), "h", "left_semi").select("_id", "pos")
-    w = Window.partitionBy("_id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + k).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    isl = flagged.withColumn(
-        "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
-    ).withColumn("_island", F.sum("_new").over(w))
-    return (
-        isl.groupBy("_id", "_island")
-        .agg(F.min("pos").alias("_s"), (F.max("pos") + k).alias("_e"))
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("_s").cast("long").alias("span_start"),
-            F.col("_e").cast("long").alias("span_end"),
-            (F.col("_e") - F.col("_s")).cast("long").alias("span_len"),
-        )
-    )
+    ``keep_first=True`` exempts each duplicated k-gram's CANONICAL
+    occurrence — the first by (doc, position) order — from flagging
+    (an aggregate min-struct per hash group, no per-group window).
+    NOTE: the reported spans are still the merged coverage of the
+    NON-canonical flags, and a flagged window can overlap a canonical
+    one — so these intervals alone do not guarantee a surviving copy.
+    ``strip_repeated_spans(keep_first=True)`` adds the missing half:
+    it PROTECTS every token inside a canonical window from removal,
+    which is what actually guarantees the corpus keeps at least one
+    intact copy of every duplicated k-gram."""
+    flagged, _ = _span_flags(docs, id_col, text_col, k, min_count, max_count, keep_first)
+    return _merge_flagged_spans(flagged, id_col, k)
 
 
 def strip_repeated_spans(
@@ -1086,16 +1116,18 @@ def strip_repeated_spans(
     document (the Lee et al. training-data cleaning step). With the
     default ``keep_first=False`` ALL occurrences are removed (the
     conservative decontamination stance); ``keep_first=True`` is the
-    paper's ExactSubstr recipe — the canonical (first by doc,
-    position) occurrence of each duplicated window survives, so the
-    corpus keeps exactly one copy of duplicated text. Output: (id,
-    n_tokens, n_removed, clean_text) for EVERY input document,
-    clean_text == '' when nothing survives.
+    paper's ExactSubstr recipe — each duplicated k-gram's canonical
+    (first by doc, position) occurrence is both exempt from flagging
+    AND its tokens are PROTECTED from removal by overlapping flagged
+    windows, so the corpus keeps at least one intact copy of every
+    duplicated window. Output: (id, n_tokens, n_removed, clean_text)
+    for EVERY input document, clean_text == '' when nothing survives.
 
     The span table is per-document tiny by construction, so it joins
     back as (id -> array<struct>) and the strip is one higher-order
     filter over the token array — no per-token shuffle."""
-    spans = repeated_spans(docs, id_col, text_col, k, min_count, max_count, keep_first)
+    flagged, canon = _span_flags(docs, id_col, text_col, k, min_count, max_count, keep_first)
+    spans = _merge_flagged_spans(flagged, id_col, k)
     sp = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
@@ -1104,13 +1136,37 @@ def strip_repeated_spans(
     )
     j = toks_df.join(sp, id_col, "left")
 
-    def covered(i: F.Column) -> F.Column:
+    def in_any(col_name: str, i: F.Column) -> F.Column:
         return F.exists(
-            F.col("_spans"), lambda s: (i >= s["span_start"]) & (i < s["span_end"])
+            F.col(col_name), lambda s: (i >= s["span_start"]) & (i < s["span_end"])
         )
 
+    if canon is not None:
+        # Canonical-window PROTECTION (the half that makes keep_first's
+        # guarantee true): a flagged window can overlap a canonical one
+        # — e.g. 'q r s t u v' flagged in the same doc whose 'p q r s
+        # t u' is the canonical copy — and coverage alone would strip
+        # the canonical tokens, leaving ZERO intact copies corpus-wide.
+        # Protected tokens are never removed, so each duplicated
+        # k-gram's canonical occurrence survives verbatim.
+        prot = _merge_flagged_spans(canon, id_col, k).groupBy(id_col).agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_prot")
+        )
+        j = j.join(prot, id_col, "left")
+
+        def strip_token(i: F.Column) -> F.Column:
+            protected = F.when(
+                F.col("_prot").isNotNull(), in_any("_prot", i)
+            ).otherwise(F.lit(False))
+            return in_any("_spans", i) & ~protected
+
+    else:
+
+        def strip_token(i: F.Column) -> F.Column:
+            return in_any("_spans", i)
+
     kept = F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
-        F.filter(F.col("_toks"), lambda _t, i: ~covered(i.cast("long")))
+        F.filter(F.col("_toks"), lambda _t, i: ~strip_token(i.cast("long")))
     )
 
     def out(kt: F.Column) -> F.Column:
@@ -1174,18 +1230,4 @@ def incremental_repeated_spans(
     batch_hashes = kg.select("h").distinct()
     hits = index.select("h").join(F.broadcast(batch_hashes), "h", "left_semi")
     flagged = kg.join(F.broadcast(hits), "h", "left_semi").select("_id", "pos")
-    w = Window.partitionBy("_id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + k).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    isl = flagged.withColumn(
-        "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
-    ).withColumn("_island", F.sum("_new").over(w))
-    return (
-        isl.groupBy("_id", "_island")
-        .agg(F.min("pos").alias("_s"), (F.max("pos") + k).alias("_e"))
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("_s").cast("long").alias("span_start"),
-            F.col("_e").cast("long").alias("span_end"),
-            (F.col("_e") - F.col("_s")).cast("long").alias("span_len"),
-        )
-    )
+    return _merge_flagged_spans(flagged, id_col, k)

@@ -25,12 +25,14 @@ from pyspark.sql import functions as F
 _BUCKETS = 10_000
 
 
-def _hash_bucket(id_col: Column, salt: str) -> Column:
-    """Uniform [0, 10000) bucket from md5 of the salted id — the first
-    8 hex chars parsed base-16 (fits a LONG exactly; both engines
-    parse identically: Spark conv(_,16,10), DuckDB CAST('0x'||_))."""
+def _hash_bucket(id_col: Column, salt: str, buckets: int = _BUCKETS) -> Column:
+    """Uniform [0, buckets) bucket from md5 of the salted value — the
+    first 8 hex chars parsed base-16 (fits a LONG exactly; both
+    engines parse identically: Spark conv(_,16,10), DuckDB
+    CAST('0x'||_)). ONE home for the portable-hash contract: every
+    sampling-family oracle twin mirrors exactly this expression."""
     h = F.md5(F.concat(F.lit(f"{salt}:"), id_col.cast("string")).cast("binary"))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BUCKETS
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
 
 
 def deterministic_stratified_sample(
@@ -303,9 +305,7 @@ def dsir_logratio_weights(
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
-    from orestes_spark.operators.dedup import normalize_text
-
-    from orestes_spark.operators.dedup import bind
+    from orestes_spark.operators.dedup import bind, normalize_text
 
     def toks(df: DataFrame) -> DataFrame:
         split_expr = F.split(normalize_text(F.col(text_col)), r"\s+")
@@ -330,8 +330,7 @@ def dsir_logratio_weights(
             F.col(id_col).alias("_id"), F.explode(bind(split_expr, feats)).alias("tok")
         )
 
-    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col("tok")).cast("binary"))
-    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets).alias("bucket")
+    bucket = _hash_bucket(F.col("tok"), salt, buckets).alias("bucket")
 
     t_counts = {
         r["bucket"]: r["c"]

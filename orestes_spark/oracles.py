@@ -990,12 +990,12 @@ def _span_flag_ctes(k: int, min_count: int, keep_first: bool = False) -> str:
     row_number twin of Spark's min-struct-per-hash-group."""
     leads = ", ".join(f"lead(tok,{j}) OVER w" for j in range(1, k))
     if keep_first:
-        fl = """fl AS (
-  SELECT doc_id, start FROM (
-    SELECT v.doc_id, v.start,
-           row_number() OVER (PARTITION BY v.g ORDER BY v.doc_id, v.start) AS rn
-    FROM valid v JOIN rep USING (g)
-  ) WHERE rn > 1)"""
+        fl = """ranked AS (
+  SELECT v.doc_id, v.start,
+         row_number() OVER (PARTITION BY v.g ORDER BY v.doc_id, v.start) AS rn
+  FROM valid v JOIN rep USING (g)),
+fl AS (SELECT doc_id, start FROM ranked WHERE rn > 1),
+canon AS (SELECT doc_id, start FROM ranked WHERE rn = 1)"""
     else:
         fl = "fl AS (SELECT v.doc_id, v.start FROM valid v JOIN rep USING (g))"
     return f"""{_SPAN_TOKS},
@@ -1010,13 +1010,11 @@ rep AS (SELECT g FROM valid GROUP BY g HAVING count(*) >= {min_count}),
 {fl}"""
 
 
-def span_dedup_sql(k: int = 8, min_count: int = 2) -> str:
-    """Twin of dedup.repeated_spans: merged maximal duplicated-span
-    intervals via the gaps-and-islands pattern (island break when a
-    flagged start exceeds the running max end of earlier windows)."""
-    return f"""
-WITH {_span_flag_ctes(k, min_count)},
-pe AS (
+def _span_island_sql(k: int) -> str:
+    """Shared gaps-and-islands merge over the ``fl`` CTE + final
+    interval select — ONE SQL copy, mirroring dedup._merge_flagged_spans
+    (the batch and incremental twins change together, by construction)."""
+    return f"""pe AS (
   SELECT doc_id, start,
          max(start) OVER (PARTITION BY doc_id ORDER BY start
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {k} AS prev_end
@@ -1029,7 +1027,16 @@ isl AS (
 SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
        CAST(max(start) + {k} AS BIGINT) AS span_end,
        CAST(max(start) + {k} - min(start) AS BIGINT) AS span_len
-FROM isl GROUP BY doc_id, island
+FROM isl GROUP BY doc_id, island"""
+
+
+def span_dedup_sql(k: int = 8, min_count: int = 2) -> str:
+    """Twin of dedup.repeated_spans: merged maximal duplicated-span
+    intervals via the gaps-and-islands pattern (island break when a
+    flagged start exceeds the running max end of earlier windows)."""
+    return f"""
+WITH {_span_flag_ctes(k, min_count)},
+{_span_island_sql(k)}
 """
 
 
@@ -1037,13 +1044,24 @@ def span_strip_sql(k: int = 8, min_count: int = 2, keep_first: bool = False) -> 
     """Twin of dedup.strip_repeated_spans: a token survives iff no
     flagged window covers it; clean_text reassembles survivors in
     position order ('' when nothing survives, so every document
-    keeps its row). ``keep_first`` mirrors the ExactSubstr variant."""
+    keeps its row). ``keep_first`` mirrors the ExactSubstr variant,
+    INCLUDING canonical-window protection: a token inside a canonical
+    window survives even when an overlapping flagged window covers it
+    (without this, the canonical copy itself could be stripped and a
+    duplicated k-gram would keep zero intact copies corpus-wide)."""
+    protect = (
+        f"""
+                     AND NOT EXISTS (SELECT 1 FROM canon c WHERE c.doc_id = t.doc_id
+                                     AND t.pos - 1 >= c.start AND t.pos - 1 < c.start + {k})"""
+        if keep_first
+        else ""
+    )
     return f"""
 WITH {_span_flag_ctes(k, min_count, keep_first)},
 kept AS (
   SELECT t.doc_id, t.pos, t.tok FROM toks t
-  WHERE NOT EXISTS (SELECT 1 FROM fl f WHERE f.doc_id = t.doc_id
-                    AND t.pos - 1 >= f.start AND t.pos - 1 < f.start + {k})),
+  WHERE NOT (EXISTS (SELECT 1 FROM fl f WHERE f.doc_id = t.doc_id
+                     AND t.pos - 1 >= f.start AND t.pos - 1 < f.start + {k}){protect})),
 agg AS (
   SELECT doc_id, count(*) AS n_kept,
          string_agg(tok, ' ' ORDER BY pos) AS clean_text
@@ -1148,20 +1166,7 @@ idx AS (SELECT DISTINCT g FROM valid WHERE doc_id % {new_mod} != 0),
 fl AS (
   SELECT v.doc_id, v.start FROM valid v JOIN idx USING (g)
   WHERE v.doc_id % {new_mod} = 0),
-pe AS (
-  SELECT doc_id, start,
-         max(start) OVER (PARTITION BY doc_id ORDER BY start
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {k} AS prev_end
-  FROM fl),
-isl AS (
-  SELECT doc_id, start,
-         sum(CASE WHEN prev_end IS NULL OR start > prev_end THEN 1 ELSE 0 END)
-           OVER (PARTITION BY doc_id ORDER BY start) AS island
-  FROM pe)
-SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
-       CAST(max(start) + {k} AS BIGINT) AS span_end,
-       CAST(max(start) + {k} - min(start) AS BIGINT) AS span_len
-FROM isl GROUP BY doc_id, island
+{_span_island_sql(k)}
 """
 
 

@@ -4562,19 +4562,31 @@ def doc_ngram_diversity(spark, sf_dir):
     that flags template farms and generation loops (a source whose
     bigram TTR collapses while volume grows is repeating itself).
     Pure aggregates: two count-distinct group-bys per granularity,
-    partial-aggregated map-side; nothing pairwise, nothing floats
-    until the final display ratio."""
+    partial-aggregated map-side; the bigrams come from zip_with'd
+    shifted slices of the token array IN THE SCAN (no per-doc window
+    shuffle — the dedup-module n-gram idiom); nothing is pairwise,
+    nothing floats until the final display ratio."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "source",
-        "doc_id",
-        F.posexplode(F.split(dedup.normalize_text(F.col("text")), r"\s+")).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bg = (
-        toks.withColumn("_nxt", F.lead("tok").over(w))
-        .where(F.col("_nxt").isNotNull())
-        .select("source", F.concat_ws(" ", F.col("tok"), F.col("_nxt")).alias("g"))
+    split_expr = F.split(dedup.normalize_text(F.col("text")), r"\s+")
+    # _toks is re-inlined by CollapseProject at each use site; the
+    # consumers below re-wrap it with bind so the split still runs
+    # once per row per scan.
+    arrays = d.select("source", split_expr.alias("_toks"))
+
+    def bigrams(tk: F.Column) -> F.Column:
+        m = F.size(tk)
+        return F.when(
+            m >= 2,
+            F.zip_with(
+                F.slice(tk, 1, m - 1),
+                F.slice(tk, 2, m - 1),
+                lambda a, c: F.concat_ws(" ", a, c),
+            ),
+        )
+
+    toks = arrays.select("source", F.explode("_toks").alias("tok"))
+    bg = arrays.select(
+        "source", F.explode(dedup.bind(F.col("_toks"), bigrams)).alias("g")
     )
     uni = toks.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_tokens"),

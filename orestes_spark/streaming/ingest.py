@@ -476,7 +476,33 @@ def make_corpus_batch_processor(
                 pairs.select(F.col("id_new").alias(id_col)).distinct(), id_col, "left_anti"
             )
         if span_k is not None:
+            # Cut the lineage BEFORE the gate: it references `kept`
+            # several times (batch k-grams twice, token counts, the
+            # final anti-join), and each reference would otherwise
+            # re-execute the whole minhash + incremental_neardup
+            # subtree — the exact recompute the post-gate checkpoint
+            # was added to prevent.
+            kept = kept.localCheckpoint()
             kfs, kbase = _fs_and_path(spark, kgrams_path)
+            dfs, dbase = _fs_and_path(spark, docs_path)
+            if not kfs.exists(kbase) and dfs.exists(dbase):
+                # Arming span_k on a PRE-EXISTING store: without a
+                # backfill, every doc accepted before arming would be
+                # invisible to the gate FOREVER (their k-grams never
+                # got indexed) — copiers of the old corpus would sail
+                # through silently. Backfill once into the epoch=-1
+                # baseline (same convention as compaction; a replaying
+                # batch never excludes it). Own-epoch rows are
+                # excluded so a replay cannot self-gate.
+                prior = (
+                    spark.read.parquet(docs_path)
+                    .filter(F.col("epoch") != epoch_id)
+                    .select(id_col, text_col)
+                )
+                _write_epoch_atomic(
+                    _d.span_index(prior, id_col, text_col, k=span_k),
+                    f"{kgrams_path}/epoch=-1",
+                )
             if kfs.exists(kbase):
                 kindex = (
                     spark.read.parquet(kgrams_path)

@@ -461,3 +461,38 @@ def test_incremental_spans_flag_corpus_hits_only(spark):
         for r in dedup.incremental_repeated_spans(batch, idx, "doc_id", "text", k=6).collect()
     }
     assert got == {(10, 2, 8)}
+
+
+def test_strip_keep_first_protects_canonical_from_overlapping_flags(spark):
+    # Round-8 review regression: doc1's canonical copy of 'p1..p6'
+    # overlaps a FLAGGED window ('q2..q7', canonical in doc0). Without
+    # canonical-window protection the flag's coverage would strip
+    # doc1's canonical tokens too, leaving ZERO intact copies of
+    # 'p1..p6' corpus-wide. With protection doc1 keeps it verbatim.
+    #   doc0: x1 x2 q2 q3 q4 q5 q6 q7 x3          (canonical q-window)
+    #   doc1: p1 q2 q3 q4 q5 q6 q7                (p-window = toks 0-5 canonical;
+    #                                              q-window = toks 1-6 flagged)
+    #   doc2: p1 q2 q3 q4 q5 q6 z1 z2 z3 z4 z5 z6 (p-window flagged)
+    docs = spark.createDataFrame(
+        [
+            (0, "x1 x2 q2 q3 q4 q5 q6 q7 x3"),
+            (1, "p1 q2 q3 q4 q5 q6 q7"),
+            (2, "p1 q2 q3 q4 q5 q6 z1 z2 z3 z4 z5 z6"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.strip_repeated_spans(docs, "doc_id", "text", k=6, keep_first=True).collect()
+    }
+    # doc1: only token 6 ('q7', flagged-covered, outside its canonical
+    # window [0,6)) is removed — 'p1 q2 q3 q4 q5 q6' survives INTACT
+    assert rows[1]["clean_text"] == "p1 q2 q3 q4 q5 q6"
+    assert rows[1]["n_removed"] == 1
+    # doc0 keeps everything (its q-window is canonical)
+    assert rows[0]["n_removed"] == 0
+    # doc2's non-canonical copy is stripped
+    assert rows[2]["clean_text"] == "z1 z2 z3 z4 z5 z6"
+    # corpus-wide: at least one intact copy of each duplicated window
+    kept_texts = " | ".join(rows[d]["clean_text"] for d in rows)
+    assert "p1 q2 q3 q4 q5 q6" in kept_texts and "q2 q3 q4 q5 q6 q7" in kept_texts

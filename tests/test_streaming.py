@@ -1557,3 +1557,33 @@ def test_compact_corpus_store_collapses_kgrams_and_keeps_span_gate(spark, tmp_pa
         r["doc_id"] for r in spark.read.parquet(f"{store}/docs").select("doc_id").collect()
     )
     assert kept == [1, 2]
+
+
+def test_corpus_ingest_span_gate_backfills_pre_existing_store(spark, tmp_path):
+    """Arming span_k on a store built WITHOUT it must backfill the
+    k-gram index from the already-accepted docs (epoch=-1 baseline) —
+    otherwise copiers of the pre-arming corpus would sail through the
+    gate forever."""
+    import os
+
+    from orestes_spark.streaming.ingest import make_corpus_batch_processor
+
+    store = str(tmp_path / "arm_later")
+    ddl = "doc_id LONG, text STRING"
+    a_toks = [f"a{i}" for i in range(30)]
+    # epochs 0-1 run WITHOUT the gate
+    ungated = make_corpus_batch_processor(store)
+    ungated(spark.createDataFrame([(1, " ".join(a_toks))], ddl), 0)
+    ungated(spark.createDataFrame([(2, " ".join(f"b{i}" for i in range(20)))], ddl), 1)
+    assert not os.path.exists(f"{store}/kgrams")
+
+    # restart with span_k armed: the copier of the EPOCH-0 doc must be
+    # caught via the backfilled baseline
+    gated = make_corpus_batch_processor(store, span_k=6, span_max_frac=0.5)
+    copier = " ".join(a_toks[5:21] + [f"c{i}" for i in range(10)])
+    gated(spark.createDataFrame([(3, copier)], ddl), 2)
+    assert os.path.isdir(f"{store}/kgrams/epoch=-1")
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{store}/docs").select("doc_id").collect()
+    )
+    assert kept == [1, 2]
