@@ -1438,6 +1438,7 @@ from orestes_spark.operators import dedup, similarity, text  # noqa: E402
 _NEARDUP_PAIRS: dict[str, "DataFrame"] = {}
 _NEARDUP_COMPONENTS: dict[str, "DataFrame"] = {}
 _BAND_INDEXES: dict[str, str] = {}
+_SPAN_INDEXES: dict[str, str] = {}
 
 
 def _neardup_pairs_for(spark, sf_dir):
@@ -1474,6 +1475,23 @@ def _band_index_for(spark, sf_dir) -> str:
     return path
 
 
+def _span_index_for(spark, sf_dir) -> str:
+    """Build (once per process per sf_dir) and return the parquet path
+    of the corpus distinct-k-gram span index used by
+    doc_incremental_span — the persisted artifact a per-ingest
+    deployment builds once, mirroring _band_index_for."""
+    import tempfile
+
+    path = _SPAN_INDEXES.get(sf_dir)
+    if path is None:
+        d = load_table(spark, sf_dir, "documents")
+        corpus = d.where(F.col("doc_id") % 5 != 0)
+        path = tempfile.mkdtemp(prefix="orestes_span_idx_") + "/kgrams"
+        dedup.span_index(corpus, "doc_id", "text", k=8).write.parquet(path)
+        _SPAN_INDEXES[sf_dir] = path
+    return path
+
+
 def build_shared_artifacts(spark, sf_dir, invalidate: bool = True) -> dict[str, float]:
     """Timed rebuild of the process-cached shared intermediates (the
     near-dup pair graph, its connected components, the persisted LSH
@@ -1496,6 +1514,9 @@ def build_shared_artifacts(spark, sf_dir, invalidate: bool = True) -> dict[str, 
         old = _BAND_INDEXES.pop(sf_dir, None)
         if old:
             shutil.rmtree(os.path.dirname(old), ignore_errors=True)
+        old = _SPAN_INDEXES.pop(sf_dir, None)
+        if old:
+            shutil.rmtree(os.path.dirname(old), ignore_errors=True)
         old = _SEM_INDEXES.pop(sf_dir, None)
         if old:
             shutil.rmtree(old, ignore_errors=True)
@@ -1509,6 +1530,9 @@ def build_shared_artifacts(spark, sf_dir, invalidate: bool = True) -> dict[str, 
     t0 = _time.perf_counter()
     _band_index_for(spark, sf_dir)
     out["lsh_band_index"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    _span_index_for(spark, sf_dir)
+    out["span_kgram_index"] = round(_time.perf_counter() - t0, 3)
     t0 = _time.perf_counter()
     _sem_index_for(spark, sf_dir)
     out["semantic_index"] = round(_time.perf_counter() - t0, 3)
@@ -1527,6 +1551,7 @@ ARTIFACT_CONSUMERS = {
     ],
     "neardup_components": ["doc_dedup_clusters", "doc_dedup_keep_best"],
     "lsh_band_index": ["doc_incremental_neardup"],
+    "span_kgram_index": ["doc_incremental_span"],
     "semantic_index": ["emb_incremental_semdedup", "emb_incremental_arrow"],
 }
 
@@ -4627,14 +4652,15 @@ def doc_incremental_span(spark, sf_dir):
     (doc_id % 5 == 0) that verbatim-repeat >=8-token windows of the
     indexed corpus (doc_id % 5 != 0) — the incremental shape of
     doc_span_dedup, mirroring doc_incremental_neardup vs the LSH band
-    index. The corpus is touched only through its distinct k-gram
-    hash index (dedup.span_index — 8 bytes per distinct k-gram,
-    persisted once), so per-batch cost is batch-sized: one semi-join
-    on the window hash, never a corpus re-scan."""
+    index. The corpus is touched only through its PERSISTED distinct
+    k-gram hash index (dedup.span_index — 8 bytes per distinct
+    k-gram, built once as the artifact:span_kgram_index bench line
+    and read back here), so per-batch cost is batch-sized: one
+    map-side scan of the index against the broadcast batch-hash set,
+    never a corpus re-scan or shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    corpus = d.where(F.col("doc_id") % 5 != 0)
     batch = d.where(F.col("doc_id") % 5 == 0)
-    idx = dedup.span_index(corpus, "doc_id", "text", k=8)
+    idx = spark.read.parquet(_span_index_for(spark, sf_dir))
     return dedup.incremental_repeated_spans(batch, idx, "doc_id", "text", k=8)
 
 
