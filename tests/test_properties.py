@@ -371,3 +371,64 @@ def test_incremental_semdedup_matches_python_model(spark, corpus_vecs, batch_vec
         ).collect()
     }
     assert got == _model_incremental(corpus, batch, tau)
+
+
+# --------------------------------------------- span-dedup invariants ---
+
+# Small alphabet + short docs force heavy window overlap and frequent
+# duplicated k-grams — exactly the regime where the round-8 canonical-
+# protection bug lived.
+span_corpora = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=span_corpora)
+def test_keep_first_strip_preserves_every_duplicated_kgram(spark, texts):
+    """ExactSubstr invariant (model-checked): for EVERY k-gram that
+    occurs >= 2 times in the original corpus, at least one verbatim
+    copy survives strip_repeated_spans(keep_first=True) — the
+    canonical-window protection guarantee, under adversarially
+    overlapping windows. Also: n_tokens is exact, n_removed is
+    consistent with clean_text, and keep_first never removes MORE
+    than the remove-all default."""
+    from collections import Counter
+
+    from orestes_spark.operators.dedup import strip_repeated_spans
+
+    k = 3
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    kept = {
+        r["doc_id"]: r
+        for r in strip_repeated_spans(docs, "doc_id", "text", k=k, keep_first=True).collect()
+    }
+    both = {
+        r["doc_id"]: r
+        for r in strip_repeated_spans(docs, "doc_id", "text", k=k).collect()
+    }
+
+    grams = Counter()
+    for t in texts:
+        toks = t.split()
+        for i in range(len(toks) - k + 1):
+            grams[" ".join(toks[i : i + k])] += 1
+    duplicated = {g for g, c in grams.items() if c >= 2}
+
+    kept_texts = [kept[d]["clean_text"] for d in kept]
+    for g in duplicated:
+        assert any(
+            g in " ".join(ct.split()[i : i + k])
+            for ct in kept_texts
+            for i in range(max(0, len(ct.split()) - k + 1))
+        ), f"duplicated k-gram {g!r} lost from the corpus"
+
+    for d, r in kept.items():
+        toks = texts[d].split()
+        assert r["n_tokens"] == len(toks)
+        n_kept = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert r["n_removed"] == len(toks) - n_kept
+        # protection can only SAVE tokens relative to remove-all
+        assert r["n_removed"] <= both[d]["n_removed"]
