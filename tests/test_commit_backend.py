@@ -247,6 +247,258 @@ def test_bucket_predicate_builder():
         DeltaPartitionSwap.bucket_predicate([])
 
 
+# ------------------------------------- fence-carrying data commits ---
+# Round-9: the lease fence rides every data commit's idempotency
+# version (fenced_version), so a zombie's replay is refused by the
+# DATA table itself — previously a prose-only promise in the mapping
+# table. MemoryDataLog is the data-table twin: Delta's exact
+# idempotent-commit semantics ((app_id, version) watermark, zero-row
+# commits still advance it — a SetTransaction action needs no files).
+
+from orestes_spark.commit_backend import (  # noqa: E402
+    LeaseFence,
+    cas_append,
+    epoch_floor,
+    fenced_version,
+)
+
+
+class MemoryDataLog:
+    def __init__(self):
+        self.rows: list[dict] = []
+        self.watermarks: dict[str, int] = {}
+
+    def commit(self, rows, app_id, version) -> bool:
+        """True = committed, False = refused (replay/zombie)."""
+        if version <= self.watermarks.get(app_id, -1):
+            return False
+        self.watermarks[app_id] = version
+        self.rows.extend(rows)
+        return True
+
+    def floor(self, app_id) -> int:
+        return epoch_floor(self.watermarks.get(app_id))
+
+
+def test_fenced_version_arithmetic():
+    # fence dominates: ANY seq at a higher fence outranks every lower
+    # fence's versions — the fencing-token property.
+    assert fenced_version(2, 0) > fenced_version(1, 10**9)
+    assert fenced_version(1, 5) > fenced_version(1, 4)
+    # epoch decode: epochs commit at seq = epoch_id + 1, claim at floor + 1
+    assert epoch_floor(None) == -1
+    assert epoch_floor(fenced_version(3, 0)) == -1  # claim on empty table
+    assert epoch_floor(fenced_version(2, 8)) == 7
+    with pytest.raises(ValueError):
+        fenced_version(0, 1)  # fence 0 = never acquired, not committable
+    with pytest.raises(ValueError):
+        fenced_version(1, -1)
+
+
+def test_zombie_epoch_replay_refused_by_data_table():
+    # The round-8 verdict's top item, as a test: writer A (fence 1)
+    # commits epochs, stalls past its lease mid-epoch; B steals fence 2
+    # and continues; zombie A wakes and replays — the DATA log refuses
+    # it by watermark alone, no lease read anywhere near the commit.
+    lease_log = MemoryLeaseLog()
+    l, now = _lease(lease_log, lease_ms=1000)
+    data = MemoryDataLog()
+    ns = "file:/ckpt"
+
+    h_a = l.acquire("writer-a", "ingest")
+    f_a = LeaseFence("default", h_a)
+    for e in range(3):  # A commits epochs 0..2, then stalls inside epoch 3
+        assert data.commit([f"a-epoch-{e}"], *f_a.epoch_txn(ns, e))
+    now["t"] += 1500
+    h_b = l.acquire("writer-b", "ingest")
+    f_b = LeaseFence("default", h_b)
+    floor = data.floor(ns)
+    assert floor == 2  # B resumes exactly where A's committed state ends
+    assert data.commit([], *f_b.claim_txn(ns, floor))  # fence claim
+    assert data.commit(["b-epoch-3"], *f_b.epoch_txn(ns, 3))
+    # zombie A replays its in-flight epoch 3 AND a hopeless epoch 4:
+    # both refused — every fence-1 version is under the fence-2 watermark
+    assert not data.commit(["a-epoch-3-stale"], *f_a.epoch_txn(ns, 3))
+    assert not data.commit(["a-epoch-4-stale"], *f_a.epoch_txn(ns, 4))
+    assert data.rows == ["a-epoch-0", "a-epoch-1", "a-epoch-2", "b-epoch-3"]
+    with pytest.raises(LeaseStolenError):
+        l.release(h_a)  # the lease log ALSO tells A it was fenced
+
+
+def test_fence_claim_closes_pre_first_commit_window():
+    # Without the claim, a zombie waking between B's acquire and B's
+    # first data commit could land one stale commit (its next epoch is
+    # above the old watermark). The empty claim closes it.
+    data = MemoryDataLog()
+    ns = "s"
+    f_a = LeaseFence("sp", {"fence": 1})
+    assert data.commit(["a0"], *f_a.epoch_txn(ns, 0))
+    f_b = LeaseFence("sp", {"fence": 2})
+    floor = data.floor(ns)
+    assert data.commit([], *f_b.claim_txn(ns, floor))
+    assert data.floor(ns) == floor  # claim preserves the epoch floor
+    # zombie's NEXT epoch (1) — above the old watermark, refused only
+    # because the claim already raised the fence
+    assert not data.commit(["a1-stale"], *f_a.epoch_txn(ns, 1))
+    assert data.commit(["b1"], *f_b.epoch_txn(ns, floor + 1))
+    assert data.rows == ["a0", "b1"]
+
+
+def test_epoch_replay_same_fence_still_idempotent():
+    # The composition must not break what the plain epoch watermark
+    # gave: a crashed-and-replayed commit of the SAME epoch under the
+    # SAME fence is a no-op.
+    data = MemoryDataLog()
+    f = LeaseFence("sp", {"fence": 1})
+    assert data.commit(["e0"], *f.epoch_txn("s", 0))
+    assert not data.commit(["e0-replay"], *f.epoch_txn("s", 0))
+    assert data.commit(["e1"], *f.epoch_txn("s", 1))
+    assert data.rows == ["e0", "e1"]
+
+
+def test_fenced_maintenance_cycle_zombie_swap_refused():
+    # The remove/compact cycle (lib/orestes-remover.js:16-53
+    # semantics): acquire → commit-with-fence → release. A zombie
+    # cycle's replayed swap is refused once the successor commits.
+    lease_log = MemoryLeaseLog()
+    l, now = _lease(lease_log, lease_ms=1000)
+    data = MemoryDataLog()
+
+    h1 = l.acquire("remover-1", "compact")
+    f1 = LeaseFence("default", h1)
+    assert data.commit(["swap-fence1-a"], *f1.next_txn())
+    now["t"] += 1500  # remover-1 stalls mid-cycle
+    h2 = l.acquire("remover-2", "compact")
+    f2 = LeaseFence("default", h2)
+    assert data.commit(["swap-fence2-a"], *f2.next_txn())
+    l.release(h2)
+    # zombie finishes its cycle: second swap refused (counter restarts
+    # per fence, so its version is under the fence-2 watermark)
+    assert not data.commit(["swap-fence1-b"], *f1.next_txn())
+    with pytest.raises(LeaseStolenError):
+        l.release(h1)
+    assert data.rows == ["swap-fence1-a", "swap-fence2-a"]
+
+
+class _Conflict(Exception):
+    pass
+
+
+def test_cas_append_stamps_and_retries():
+    # DeltaLeaseLog's persisted-seq mint: the loser of a seq race sees
+    # a conflict and retries at the next seq — commit order == seq
+    # order, which is all the first-commit tie-break needs.
+    committed: list[tuple[int, list[dict]]] = []
+    state = {"max": 4, "conflicts_left": 2}
+
+    def read_max():
+        return state["max"]
+
+    def try_commit(stamped, claimed):
+        if state["conflicts_left"] > 0:
+            state["conflicts_left"] -= 1
+            state["max"] += 1  # a rival landed the seq we claimed
+            raise _Conflict()
+        committed.append((claimed, stamped))
+        state["max"] = stamped[-1]["seq"]
+
+    rows = cas_append(read_max, try_commit, [{"owner": "a"}], (_Conflict,))
+    assert rows == [{"owner": "a", "seq": 7}]  # claims 5 and 6 lost to rivals
+    assert committed[0][0] == 7
+    # exhaustion raises rather than spinning forever
+    with pytest.raises(RuntimeError):
+        cas_append(
+            read_max,
+            lambda s, c: (_ for _ in ()).throw(_Conflict()),
+            [{"owner": "b"}],
+            (_Conflict,),
+            attempts=3,
+        )
+
+
+def test_acquire_read_back_refuses_overtaken_fence():
+    # The caller stalled past lease_ms between its append and its
+    # read-back; a contender already judged its fence dead and took
+    # fence+1. The snapshot shows the overtake — acquire must return
+    # None, not a winning handle (round-9 ADVICE narrowing).
+    class OvertakenLog(MemoryLeaseLog):
+        def __init__(self):
+            super().__init__()
+            self.arm = False
+
+        def append(self, rows, app_id, version):
+            super().append(rows, app_id, version)
+            if self.arm and app_id == "lease:writer-a":
+                self.arm = False
+                super().append(
+                    [{"fence": rows[0]["fence"] + 1, "owner": "writer-b",
+                      "op": "steal", "kind": "acquire",
+                      "ts_ms": rows[0]["ts_ms"] + 2000, "lease_ms": 1000}],
+                    app_id="lease:writer-b", version=rows[0]["fence"] + 1,
+                )
+
+    log = OvertakenLog()
+    l, now = _lease(log)
+    log.arm = True
+    assert l.acquire("writer-a", "append") is None
+    assert l.judge(log.read(), now["t"] + 2000)["owner"] == "writer-b"
+
+
+def test_heartbeat_survives_backwards_clock_step():
+    # NTP steps the clock back between beats: with a raw-timestamp
+    # version the log's watermark would silently skip every beat until
+    # the clock caught up; the monotonic version keeps beats landing,
+    # so the live lease is never spuriously judged dead.
+    log = MemoryLeaseLog()
+    l, now = _lease(log, lease_ms=1000)
+    h = l.acquire("writer-a", "append")
+    now["t"] += 500
+    l.heartbeat(h)
+    now["t"] -= 400  # backwards step
+    l.heartbeat(h)
+    hb_rows = [r for r in log.read() if r["kind"] == "hb"]
+    assert len(hb_rows) == 2  # the post-step beat landed
+    # liveness judged from the LATEST ts (max), unaffected by the step
+    assert l.judge(log.read(), now["t"] + 900)["live"] is True
+
+
+@pytest.mark.skipif(not delta_available(), reason="delta-spark not installed")
+def test_delta_fenced_epoch_zombie_refused(tmp_path):
+    """Delta twin of test_zombie_epoch_replay_refused_by_data_table:
+    the fenced commit_epoch / claim_fence / resume_epoch_floor path
+    against a real _delta_log."""
+    from delta import configure_spark_with_delta_pip
+    from pyspark.sql import SparkSession
+
+    from orestes_spark.commit_backend import DeltaEpochSink
+
+    builder = (
+        SparkSession.builder.master("local[2]")
+        .appName("delta-fenced-epoch-test")
+        .config("spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension")
+        .config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+    )
+    sp = configure_spark_with_delta_pip(builder).getOrCreate()
+    try:
+        sink = DeltaEpochSink(sp, str(tmp_path / "pts"))
+        batch = sp.createDataFrame([(1, 1000, 1.0)], "series_id long, time_ms long, value double")
+        sink.commit_epoch(batch, "ns", epoch_id=0, fence=1)
+        sink.commit_epoch(batch, "ns", epoch_id=1, fence=1)
+        assert sink.resume_epoch_floor("ns") == 1
+        sink.claim_fence("ns", fence=2, floor=1)
+        assert sink.resume_epoch_floor("ns") == 1  # claim preserves floor
+        n = sink.visible().count()
+        sink.commit_epoch(batch, "ns", epoch_id=2, fence=1)  # zombie
+        assert sink.visible().count() == n  # refused by the data table
+        sink.commit_epoch(batch, "ns", epoch_id=2, fence=2)  # successor
+        assert sink.visible().count() == n + 1
+    finally:
+        sp.stop()
+
+
 @pytest.mark.skipif(not delta_available(), reason="delta-spark not installed")
 def test_delta_lease_log_adapter(spark, tmp_path):
     from orestes_spark.commit_backend import DeltaLeaseLog
