@@ -1184,7 +1184,9 @@ def strip_repeated_spans(
     )
 
 
-def span_index(docs: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+def span_index(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 8, buckets: int | None = None
+) -> DataFrame:
     """The persisted span index of a corpus: one (h) row per DISTINCT
     k-gram hash — the span-family analogue of ``minhash_band_index``.
     Built once per corpus (or appended per ingest batch) and written
@@ -1192,10 +1194,23 @@ def span_index(docs: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataF
     batch against it with cost ∝ batch k-grams + one semi-join. The
     distinct-hash index is the smallest corpus-sized artifact that
     answers "does this window repeat anything already ingested" — at
-    100 TB the batch never re-tokenizes the corpus, and the index (8
-    bytes per distinct k-gram) is bucketable by hash range so the
-    semi-join prunes to the buckets the batch touches."""
-    return _kgram_starts(docs, id_col, text_col, k).select("h").distinct()
+    100 TB the batch never re-tokenizes the corpus.
+
+    ``buckets`` (round-9, closing the docstring's own "prunable
+    further" note): adds a hash-range bucket column ``hb = pmod(h,
+    buckets)``. Write the index ``partitionBy("hb")`` and pass the
+    same ``buckets`` to ``incremental_repeated_spans``: the per-batch
+    probe then PARTITION-PRUNES the index scan to the buckets the
+    batch's k-grams actually land in — a small batch touches a few
+    buckets, so per-batch index I/O drops from the full index to
+    |touched buckets|/|buckets| of it, instead of flat
+    corpus-proportional bytes every batch."""
+    idx = _kgram_starts(docs, id_col, text_col, k).select("h").distinct()
+    if buckets:
+        idx = idx.withColumn(
+            "hb", F.pmod(F.col("h"), F.lit(int(buckets))).cast("int")
+        )
+    return idx
 
 
 def incremental_repeated_spans(
@@ -1204,6 +1219,7 @@ def incremental_repeated_spans(
     id_col: str,
     text_col: str,
     k: int = 8,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Per-ingest ExactSubstr decontamination: merged coverage spans
     (id, span_start, span_end, span_len) of every >=k-token window in
@@ -1224,10 +1240,27 @@ def incremental_repeated_spans(
     semi-joined against the BROADCAST batch-hash set — a column-pruned
     map-side scan emitting at most |batch k-grams| hit rows — and the
     batch flags against that broadcast hit set. Per-batch cost: one
-    index scan (prunable further by hash-range bucketing), zero
-    corpus shuffles."""
+    index scan, zero corpus shuffles.
+
+    ``buckets`` (round-9; must match the ``span_index`` build): the
+    probe first collects the batch's touched hash-range buckets — a
+    driver list bounded by ``buckets``, never by batch or corpus
+    size — and filters the index on ``hb IN (...)`` with literals, so
+    a partitioned-by-``hb`` parquet index is PARTITION-PRUNED at the
+    scan: per-batch index I/O is |touched buckets|/|buckets| of the
+    index instead of all of it."""
     kg = _kgram_starts(new_docs, id_col, text_col, k)
     batch_hashes = kg.select("h").distinct()
+    if buckets:
+        touched = [
+            r[0]
+            for r in batch_hashes.select(
+                F.pmod(F.col("h"), F.lit(int(buckets))).cast("int").alias("hb")
+            )
+            .distinct()
+            .collect()
+        ]
+        index = index.where(F.col("hb").isin(touched))
     hits = index.select("h").join(F.broadcast(batch_hashes), "h", "left_semi")
     flagged = kg.join(F.broadcast(hits), "h", "left_semi").select("_id", "pos")
     return _merge_flagged_spans(flagged, id_col, k)

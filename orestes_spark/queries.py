@@ -1476,11 +1476,17 @@ def _band_index_for(spark, sf_dir) -> str:
     return path
 
 
+_SPAN_BUCKETS = 16  # hash-range buckets of the persisted span index
+
+
 def _span_index_for(spark, sf_dir) -> str:
     """Build (once per process per sf_dir) and return the parquet path
     of the corpus distinct-k-gram span index used by
     doc_incremental_span — the persisted artifact a per-ingest
-    deployment builds once, mirroring _band_index_for."""
+    deployment builds once, mirroring _band_index_for. Round-9: the
+    index is written partitioned by its hash-range bucket ``hb`` so
+    the per-batch probe partition-prunes the scan to the buckets the
+    batch touches (dedup.span_index's ``buckets``)."""
     import tempfile
 
     path = _SPAN_INDEXES.get(sf_dir)
@@ -1488,7 +1494,9 @@ def _span_index_for(spark, sf_dir) -> str:
         d = load_table(spark, sf_dir, "documents")
         corpus = d.where(F.col("doc_id") % 5 != 0)
         path = tempfile.mkdtemp(prefix="orestes_span_idx_") + "/kgrams"
-        dedup.span_index(corpus, "doc_id", "text", k=8).write.parquet(path)
+        dedup.span_index(
+            corpus, "doc_id", "text", k=8, buckets=_SPAN_BUCKETS
+        ).write.partitionBy("hb").parquet(path)
         _SPAN_INDEXES[sf_dir] = path
     return path
 
@@ -4685,11 +4693,14 @@ def doc_incremental_span(spark, sf_dir):
     k-gram, built once as the artifact:span_kgram_index bench line
     and read back here), so per-batch cost is batch-sized: one
     map-side scan of the index against the broadcast batch-hash set,
-    never a corpus re-scan or shuffle."""
+    never a corpus re-scan or shuffle — partition-pruned to the
+    hash-range buckets the batch touches (round-9)."""
     d = load_table(spark, sf_dir, "documents")
     batch = d.where(F.col("doc_id") % 5 == 0)
     idx = spark.read.parquet(_span_index_for(spark, sf_dir))
-    return dedup.incremental_repeated_spans(batch, idx, "doc_id", "text", k=8)
+    return dedup.incremental_repeated_spans(
+        batch, idx, "doc_id", "text", k=8, buckets=_SPAN_BUCKETS
+    )
 
 
 @register("emb_ivf_recall", oracles.emb_ivf_recall_sql())

@@ -461,6 +461,24 @@ def test_incremental_spans_flag_corpus_hits_only(spark):
         for r in dedup.incremental_repeated_spans(batch, idx, "doc_id", "text", k=6).collect()
     }
     assert got == {(10, 2, 8)}
+    # round-9 hash-range bucketing: a bucketed index + pruned probe
+    # (written/read through parquet so partition pruning is real)
+    # flags the identical spans — pruning only skips buckets the
+    # batch has no k-grams in.
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="span_idx_test_")
+    dedup.span_index(corpus, "doc_id", "text", k=6, buckets=4).write.partitionBy(
+        "hb"
+    ).parquet(f"{d}/idx")
+    bidx = spark.read.parquet(f"{d}/idx")
+    got_b = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.incremental_repeated_spans(
+            batch, bidx, "doc_id", "text", k=6, buckets=4
+        ).collect()
+    }
+    assert got_b == got
 
 
 def test_strip_keep_first_protects_canonical_from_overlapping_flags(spark):

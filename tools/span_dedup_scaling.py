@@ -113,6 +113,76 @@ def incremental(spark=None) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def bucket_pruning(spark=None) -> None:
+    """Round-9 (verdict #3): the hash-range-bucketed index. A SMALL
+    batch (one ~200-token document) probed against 1x/4x/16x corpora
+    indexed with buckets=256 and written partitionBy("hb"): the probe
+    collects the batch's touched buckets and filters with literals, so
+    the parquet scan partition-prunes to |touched|/256 of the index.
+    Reported: total index bytes vs bytes under touched partitions
+    (what the pruned scan can read at most) and the probe wall pruned
+    vs unpruned — per-batch index I/O must DROP with pruning and stay
+    ~flat as a fraction while the corpus grows 16x."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    if spark is None:
+        spark = get_spark("span-dedup-scaling")
+    buckets = 256
+    boiler = " ".join(f"s{i}" for i in range(10))
+    # one document: the per-ingest shape where pruning matters most
+    batch = spark.range(1).selectExpr(
+        "id + 10000000 AS doc_id",
+        f"concat('{boiler} ', "
+        + ", ' ', ".join(f"'w{j}', id * {2 * j + 1}" for j in range(100))
+        + ") AS text",
+    ).localCheckpoint()
+    print()
+    print("| indexed corpus (docs) | index MiB | touched buckets | touched MiB | probe s pruned | probe s full |")
+    print("|---|---|---|---|---|---|")
+    for mult in (1, 4, 16):
+        n = 20_000 * mult
+        corpus = spark.range(n).selectExpr(
+            "id AS doc_id",
+            f"concat('{boiler} ', 'u', id, ' x', id * 7, ' y', id * 13, ' z', id * 29) AS text",
+        )
+        d = tempfile.mkdtemp(prefix="span_idx_bkt_")
+        dedup.span_index(corpus, "doc_id", "text", k=8, buckets=buckets).write.partitionBy(
+            "hb"
+        ).parquet(f"{d}/idx")
+        idx = spark.read.parquet(f"{d}/idx")
+        total_b = sum(p.stat().st_size for p in Path(f"{d}/idx").rglob("*.parquet"))
+        touched = sorted(
+            r[0]
+            for r in dedup._kgram_starts(batch, "doc_id", "text", 8)
+            .select(F.pmod(F.col("h"), F.lit(buckets)).cast("int").alias("hb"))
+            .distinct()
+            .collect()
+        )
+        touched_b = sum(
+            p.stat().st_size
+            for hb in touched
+            for p in Path(f"{d}/idx/hb={hb}").rglob("*.parquet")
+        )
+        t0 = time.perf_counter()
+        dedup.incremental_repeated_spans(
+            batch, idx, "doc_id", "text", k=8, buckets=buckets
+        ).count()
+        t_pruned = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        dedup.incremental_repeated_spans(batch, idx, "doc_id", "text", k=8).count()
+        t_full = time.perf_counter() - t0
+        print(
+            f"| {n:,} | {total_b / 2**20:.1f} | {len(touched)}/{buckets} "
+            f"| {touched_b / 2**20:.2f} | {t_pruned:.2f} | {t_full:.2f} |"
+        )
+        shutil.rmtree(d, ignore_errors=True)
+
+
 if __name__ == "__main__":
     main()
     incremental()
+    bucket_pruning()
