@@ -1228,3 +1228,36 @@ FROM b JOIN w ON w.bucket = b.bucket
 WHERE b.doc_id % {target_mod} <> 0
 GROUP BY 1
 """
+
+
+def dsir_sample_sql(
+    n: int = 100,
+    buckets: int = 4096,
+    target_mod: int = 20,
+    salt: str = "dsir",
+    noise_salt: str = "gumbel",
+    bigrams: bool = False,
+) -> str:
+    """Twin of sampling.dsir_resample: dsir_sql's weights, per-doc
+    Gumbel noise from the md5-hash uniform u = (2h+1)/2^53, BOTH ln's
+    via detmath's shared expression text (bit-identical on the two
+    engines by construction — only IEEE +,-,*,/ and comparisons), and
+    the top-n by logweight + noise with doc_id tie-break."""
+    from orestes_spark import detmath
+
+    n_col = "n_feats" if bigrams else "n_tokens"
+    weights = dsir_sql(buckets, target_mod, salt, bigrams)
+    noise_in = (
+        "SELECT *, CAST(2 * CAST('0x' || substr(md5('"
+        + noise_salt
+        + ":' || doc_id), 1, 13) AS BIGINT) + 1 AS DOUBLE)"
+        " / 9007199254740992.0 AS _u FROM (" + weights + ")"
+    )
+    stepped = detmath.wrap_steps_sql(noise_in, detmath.gumbel_steps("_u", "_g"))
+    return f"""
+SELECT doc_id, {n_col}, dsir_logratio,
+       round(dsir_logratio + _g, 6) AS gumbel_key
+FROM {stepped}
+ORDER BY dsir_logratio + _g DESC, doc_id
+LIMIT {n}
+"""

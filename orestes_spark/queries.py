@@ -4682,6 +4682,25 @@ def doc_dsir_bigram(spark, sf_dir):
     return sampling.dsir_logratio_weights(corpus, target, "doc_id", "text", bigrams=True)
 
 
+@register("doc_dsir_sample", oracles.dsir_sample_sql(n=100))
+def doc_dsir_sample(spark, sf_dir):
+    """The selection DSIR actually exists for (round-8 verdict #4):
+    a deterministic weighted sample WITHOUT replacement of n=100 docs
+    with inclusion ∝ importance weight, by Gumbel-top-k over
+    doc_dsir_weights' logratios. Per-doc noise is -ln(-ln(u)) of the
+    md5-hash uniform with both ln's computed by detmath's
+    fixed-precision IEEE-only series — bit-identical on Spark and
+    DuckDB (measured 0/200k mismatches), so even the top-n BOUNDARY
+    rows match across engines. Map-side noise + TakeOrderedAndProject
+    top-n; reproducible and weight-monotone by construction."""
+    from orestes_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    return sampling.dsir_resample(corpus, target, "doc_id", "text", n=100)
+
+
 @register("doc_incremental_span", oracles.incremental_span_sql(k=8, new_mod=5))
 def doc_incremental_span(spark, sf_dir):
     """Per-ingest ExactSubstr decontamination: spans in a NEW batch
