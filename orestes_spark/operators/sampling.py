@@ -263,6 +263,87 @@ def train_val_test_split(
     )
 
 
+def _dsir_toks(df: DataFrame, id_col: str, text_col: str, bigrams: bool) -> DataFrame:
+    """(_id, tok) feature stream for DSIR: whitespace unigrams, plus
+    space-joined bigrams when ``bigrams`` (the paper's default set)."""
+    from orestes_spark.operators.dedup import bind, normalize_text
+
+    split_expr = F.split(normalize_text(F.col(text_col)), r"\s+")
+    if not bigrams:
+        return df.select(
+            F.col(id_col).alias("_id"), F.explode(split_expr).alias("tok")
+        )
+
+    def feats(tk: Column) -> Column:
+        m = F.size(tk)
+        bg = F.when(
+            m >= 2,
+            F.zip_with(
+                F.slice(tk, 1, m - 1),
+                F.slice(tk, 2, m - 1),
+                lambda a, c: F.concat_ws(" ", a, c),
+            ),
+        )
+        return F.concat(tk, F.coalesce(bg, F.array()))
+
+    return df.select(
+        F.col(id_col).alias("_id"), F.explode(bind(split_expr, feats)).alias("tok")
+    )
+
+
+def dsir_weight_table(
+    target: DataFrame,
+    raw: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 4096,
+    salt: str = "dsir",
+    bigrams: bool = False,
+) -> DataFrame:
+    """The DSIR codebook: (bucket, wq) with wq = the nano-quantized
+    ln(p_target(bucket)/p_raw(bucket)) of two add-one-smoothed hashed
+    multinomials — the per-bucket log-ratios every DSIR consumer
+    weights tokens with. Factored out of ``dsir_logratio_weights``
+    (round-9) so the streaming quality gate can FREEZE it once at
+    store setup (the frozen-quantizer pattern) instead of recounting a
+    growing corpus per batch. Driver-side ln + integer quantization
+    per the module's cross-engine recipe; the collected state is two
+    ``buckets``-bounded count maps, never corpus rows."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    bucket = _hash_bucket(F.col("tok"), salt, buckets).alias("bucket")
+    t_counts = {
+        r["bucket"]: r["c"]
+        for r in _dsir_toks(target, id_col, text_col, bigrams)
+        .select(bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    c_counts = {
+        r["bucket"]: r["c"]
+        for r in _dsir_toks(raw, id_col, text_col, bigrams)
+        .select(bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    d_t, d_c = sum(t_counts.values()), sum(c_counts.values())
+
+    def wq(b: int) -> int:
+        p_t = (t_counts.get(b, 0) + 1) / (d_t + buckets)
+        p_c = (c_counts.get(b, 0) + 1) / (d_c + buckets)
+        # nano-quantized, ties away from zero — DuckDB round()'s rule
+        return int(
+            Decimal(math.log(p_t / p_c) * 1e9).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
+    return target.sparkSession.createDataFrame(
+        [(b, wq(b)) for b in range(buckets)], "bucket LONG, wq LONG"
+    )
+
+
 def dsir_logratio_weights(
     docs: DataFrame,
     target: DataFrame,
@@ -302,60 +383,11 @@ def dsir_logratio_weights(
     table onto the raw token stream, one groupBy(id). No shuffle
     carries more than |corpus tokens| rows, nothing is quadratic,
     and the weight table is ~64 KiB at the default 4096 buckets."""
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
-
-    from orestes_spark.operators.dedup import bind, normalize_text
-
-    def toks(df: DataFrame) -> DataFrame:
-        split_expr = F.split(normalize_text(F.col(text_col)), r"\s+")
-        if not bigrams:
-            return df.select(
-                F.col(id_col).alias("_id"), F.explode(split_expr).alias("tok")
-            )
-
-        def feats(tk: F.Column) -> F.Column:
-            m = F.size(tk)
-            bg = F.when(
-                m >= 2,
-                F.zip_with(
-                    F.slice(tk, 1, m - 1),
-                    F.slice(tk, 2, m - 1),
-                    lambda a, c: F.concat_ws(" ", a, c),
-                ),
-            )
-            return F.concat(tk, F.coalesce(bg, F.array()))
-
-        return df.select(
-            F.col(id_col).alias("_id"), F.explode(bind(split_expr, feats)).alias("tok")
-        )
-
-    bucket = _hash_bucket(F.col("tok"), salt, buckets).alias("bucket")
-
-    t_counts = {
-        r["bucket"]: r["c"]
-        for r in toks(target).select(bucket).groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("c")
-        ).collect()
-    }
-    corpus_toks = toks(docs).select("_id", bucket)
-    c_counts = {
-        r["bucket"]: r["c"]
-        for r in corpus_toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
-    d_t, d_c = sum(t_counts.values()), sum(c_counts.values())
-
-    def wq(b: int) -> int:
-        p_t = (t_counts.get(b, 0) + 1) / (d_t + buckets)
-        p_c = (c_counts.get(b, 0) + 1) / (d_c + buckets)
-        # nano-quantized, ties away from zero — DuckDB round()'s rule
-        return int(
-            Decimal(math.log(p_t / p_c) * 1e9).quantize(Decimal(1), rounding=ROUND_HALF_UP)
-        )
-
-    spark = docs.sparkSession
-    wdf = spark.createDataFrame(
-        [(b, wq(b)) for b in range(buckets)], "bucket LONG, wq LONG"
+    corpus_toks = _dsir_toks(docs, id_col, text_col, bigrams).select(
+        "_id", _hash_bucket(F.col("tok"), salt, buckets).alias("bucket")
+    )
+    wdf = dsir_weight_table(
+        target, docs, id_col, text_col, buckets=buckets, salt=salt, bigrams=bigrams
     )
     return (
         corpus_toks.join(F.broadcast(wdf), "bucket")

@@ -375,6 +375,44 @@ def streaming_ohlc(
     )
 
 
+def prepare_dsir_gate(
+    target_docs: DataFrame,
+    raw_docs: DataFrame,
+    store: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    salt: str = "dsir",
+    bigrams: bool = False,
+) -> None:
+    """One-time setup for the corpus stream's DSIR quality gate
+    (round-9, the FOURTH cross-batch modality): freeze the DSIR
+    codebook — sampling.dsir_weight_table(target, raw) — at
+    ``<store>/dsir_wq``, the frozen-quantizer pattern the embedding
+    ingest uses. The table is ``buckets`` rows (~64 KiB at 4096) and
+    self-describing (salt/buckets/bigrams ride as columns) so the
+    per-batch gate needs no side-channel config. Freezing matters at
+    scale: the alternative — recounting the accepted corpus's feature
+    distribution every batch — is corpus-sized work per batch and a
+    moving acceptance bar (docs drop or pass depending on WHEN they
+    arrive); the frozen proposal keeps the gate a pure function of
+    the document, replay-idempotent by construction."""
+    from orestes_spark.operators import sampling as _s
+
+    wdf = _s.dsir_weight_table(
+        target_docs, raw_docs, id_col, text_col, buckets=buckets, salt=salt,
+        bigrams=bigrams,
+    )
+    (
+        wdf.withColumn("salt", F.lit(salt))
+        .withColumn("buckets", F.lit(buckets))
+        .withColumn("bigrams", F.lit(bigrams))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{store}/dsir_wq")
+    )
+
+
 def make_corpus_batch_processor(
     store: str,
     id_col: str = "doc_id",
@@ -385,6 +423,7 @@ def make_corpus_batch_processor(
     rows_per_band: int = 2,
     span_k: int | None = None,
     span_max_frac: float = 0.5,
+    dsir_floor: float | None = None,
 ):
     """foreachBatch processor for continuous corpus construction with
     CROSS-BATCH near-dedup (exposed as a factory so replay semantics
@@ -419,6 +458,21 @@ def make_corpus_batch_processor(
     ``repeated_spans`` owns that analysis); the gate is strictly
     batch-vs-accepted-corpus, like the other two.
 
+    ``dsir_floor`` arms the FOURTH cross-batch modality (round 9):
+    the QUALITY gate. The first three gates are all duplication
+    judgments; this one drops documents whose content is
+    off-TARGET-distribution however novel — per-feature mean DSIR
+    log-ratio under the FROZEN codebook ``prepare_dsir_gate`` wrote
+    at ``<store>/dsir_wq`` (arming without preparing raises: a
+    quality gate that silently passes everything is worse than none).
+    The mean (not the sum) is the floor statistic so long documents
+    aren't privileged; documents with zero features pass (no
+    evidence). Per-batch cost: one ~64 KiB broadcast join onto the
+    batch token stream + one groupBy(id) — fixed-size state, zero
+    corpus reads, so unlike the dedup gates it needs no epoch
+    partitioning and no backfill when armed on a pre-existing store
+    (the codebook is setup-time state, not accepted-corpus state).
+
     Epoch-keyed subdirectories written with mode("overwrite") make
     replays idempotent: a re-offered epoch overwrites its own output
     instead of appending duplicates (no marker file needed — the
@@ -428,6 +482,7 @@ def make_corpus_batch_processor(
     docs_path = f"{store}/docs"
     bands_path = f"{store}/bands"
     kgrams_path = f"{store}/kgrams"
+    dsir_wq_path = f"{store}/dsir_wq"
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -525,6 +580,38 @@ def make_corpus_batch_processor(
                     .select(id_col)
                 )
                 kept = kept.join(drops, id_col, "left_anti")
+        if dsir_floor is not None:
+            from orestes_spark.operators import sampling as _s
+
+            wfs, wbase = _fs_and_path(spark, dsir_wq_path)
+            if not wfs.exists(wbase):
+                raise RuntimeError(
+                    f"dsir_floor is armed but no codebook exists at {dsir_wq_path};"
+                    " run prepare_dsir_gate(target_docs, raw_docs, store) first —"
+                    " a quality gate that silently passes everything is worse"
+                    " than none"
+                )
+            # lineage cut for the same reason as the span gate: the
+            # gate references `kept` twice (token stream + anti-join)
+            kept = kept.localCheckpoint()
+            wq = spark.read.parquet(dsir_wq_path)
+            meta = wq.select("salt", "buckets", "bigrams").first()
+            toks = _s._dsir_toks(kept, id_col, text_col, bool(meta["bigrams"]))
+            scored = (
+                toks.select(
+                    "_id",
+                    _s._hash_bucket(
+                        F.col("tok"), meta["salt"], int(meta["buckets"])
+                    ).alias("bucket"),
+                )
+                .join(F.broadcast(wq.select("bucket", "wq")), "bucket")
+                .groupBy("_id")
+                .agg((F.sum("wq") / F.count(F.lit(1)) / 1e9).alias("_mean_lr"))
+            )
+            drops = scored.where(F.col("_mean_lr") < dsir_floor).select(
+                F.col("_id").alias(id_col)
+            )
+            kept = kept.join(drops, id_col, "left_anti")
         kept = kept.localCheckpoint()  # one compute, two/three sinks
         # stage-then-rename: each sink's epoch dir appears atomically
         # to concurrent readers (a reader can still observe docs'
@@ -558,10 +645,12 @@ def start_corpus_ingest(
     checkpoint: str | None = None,
     span_k: int | None = None,
     span_max_frac: float = 0.5,
+    dsir_floor: float | None = None,
 ):
     """Continuous corpus construction with CROSS-BATCH near-dedup —
-    see make_corpus_batch_processor for the per-batch algorithm and
-    the optional ``span_k`` duplicated-text-fraction gate.
+    see make_corpus_batch_processor for the per-batch algorithm, the
+    optional ``span_k`` duplicated-text-fraction gate, and the
+    optional ``dsir_floor`` frozen-codebook quality gate.
 
     Delivery contract: epoch-keyed subdirectories written with
     mode("overwrite") make replays idempotent — a re-offered epoch
@@ -581,6 +670,7 @@ def start_corpus_ingest(
         rows_per_band,
         span_k,
         span_max_frac,
+        dsir_floor,
     )
     return (
         docs_stream.writeStream.foreachBatch(process)

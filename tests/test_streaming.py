@@ -1587,3 +1587,68 @@ def test_corpus_ingest_span_gate_backfills_pre_existing_store(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(f"{store}/docs").select("doc_id").collect()
     )
     assert kept == [1, 2]
+
+
+def test_corpus_ingest_dsir_gate_drops_off_target_docs(spark, tmp_path):
+    """Fourth cross-batch modality (round 9): the QUALITY gate. The
+    three dedup gates all pass a document that is merely off-target —
+    novel junk sails through. With a frozen DSIR codebook and a
+    dsir_floor, junk drops by per-feature mean log-ratio while
+    target-like docs pass, replays are idempotent (the gate is a pure
+    function of doc + frozen codebook), and the decision is identical
+    whenever the doc arrives (no moving acceptance bar)."""
+    from orestes_spark.streaming.ingest import (
+        make_corpus_batch_processor,
+        prepare_dsir_gate,
+    )
+
+    store = str(tmp_path / "dsir_store")
+    ddl = "doc_id LONG, text STRING"
+    tvoc = "alpha beta gamma delta epsilon zeta eta theta"
+    target = spark.createDataFrame([(100 + i, tvoc) for i in range(5)], ddl)
+    raw = spark.createDataFrame(
+        [(200, tvoc), (201, "xray yankee zulu quebec victor whiskey foxtrot golf")],
+        ddl,
+    )
+    prepare_dsir_gate(target, raw, store)
+    process = make_corpus_batch_processor(store, dsir_floor=0.0)
+
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),          # target-like: passes
+         (2, "xray yankee zulu quebec victor")],          # off-target: drops
+        ddl,
+    )
+    process(b0, 0)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(f"{store}/docs").collect())
+    assert kept == [1]
+
+    # a LATER batch gets the same bar (frozen codebook, no drift) and
+    # mixed docs judge by MEAN, not length
+    b1 = spark.createDataFrame(
+        [(3, "zeta eta theta alpha"),                     # target-like: passes
+         (4, "whiskey foxtrot golf yankee zulu quebec victor xray")],  # drops
+        ddl,
+    )
+    process(b1, 1)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(f"{store}/docs").collect())
+    assert kept == [1, 3]
+
+    # crash-replay of epoch 1: same decisions, no duplicates
+    process(b1, 1)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(f"{store}/docs").collect())
+    assert kept == [1, 3]
+
+
+def test_corpus_ingest_dsir_gate_requires_prepared_codebook(spark, tmp_path):
+    """Arming dsir_floor without prepare_dsir_gate must fail LOUDLY on
+    the first batch — a quality gate that silently passes everything
+    is worse than none (the engine's loud-failure convention)."""
+    import pytest as _pytest
+
+    from orestes_spark.streaming.ingest import make_corpus_batch_processor
+
+    store = str(tmp_path / "dsir_unprepared")
+    process = make_corpus_batch_processor(store, dsir_floor=0.0)
+    batch = spark.createDataFrame([(1, "alpha beta")], "doc_id LONG, text STRING")
+    with _pytest.raises(RuntimeError, match="prepare_dsir_gate"):
+        process(batch, 0)

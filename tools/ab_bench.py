@@ -117,7 +117,36 @@ def run_one(tree: str, out: str) -> None:
     print(json.dumps(res))
 
 
+def _check_comparable_locations(tree_a: str, tree_b: str) -> None:
+    """Round-9 (verdict #7): encode the round-8 A/B lesson in the
+    harness. Runs 1-2 of the four-run r7-vs-r8 A/B burned a window on
+    a LOCATION confound — one arm in /root/repo, one in /tmp — that
+    produced a one-directional ~9% tilt which survived arm-swapping
+    and vanished only when both trees sat under /tmp (the
+    identical-code location control in SCALING.md pinned it). Both
+    arms must live under the same parent mount; by convention, two
+    /tmp worktrees (git worktree add --detach /tmp/<name> <commit>)."""
+    a, b = os.path.realpath(tree_a), os.path.realpath(tree_b)
+    pa, pb = os.path.dirname(a.rstrip("/")), os.path.dirname(b.rstrip("/"))
+    if pa != pb:
+        raise SystemExit(
+            f"ab_bench: refusing to compare trees under different parents\n"
+            f"  A: {a}\n  B: {b}\n"
+            "The round-8 location control showed a ~9% one-directional tilt"
+            " from tree location alone. Put BOTH arms in sibling /tmp"
+            " worktrees:  git worktree add --detach /tmp/<name> <commit>"
+        )
+    if not pa.startswith(tempfile.gettempdir()):
+        print(
+            f"ab_bench: WARNING — arms live under {pa}, not"
+            f" {tempfile.gettempdir()}; tmpfs-vs-disk page-cache effects are"
+            " on you (the measured-clean convention is two /tmp worktrees)",
+            file=sys.stderr,
+        )
+
+
 def drive(tree_a: str, tree_b: str, reps: int, out_dir: str) -> None:
+    _check_comparable_locations(tree_a, tree_b)
     os.makedirs(out_dir, exist_ok=True)
     runs: dict[str, list[dict]] = {"A": [], "B": []}
     for rep in range(reps):
