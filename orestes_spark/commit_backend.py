@@ -615,6 +615,42 @@ class LeaseFence:
         return f"maint:{self.space}", fenced_version(self.fence, self._seq)
 
 
+class ConcurrentWriterError(RuntimeError):
+    """A live lease holder exists (or a concurrent stealer won the
+    tie-break) — the table-format twin of the engine's POSIX
+    ConcurrentWriterError on the link-lock path."""
+
+
+def fenced_maintenance(lease: "TableFormatWriterLease", space: str, owner: str, op: str):
+    """Context manager for the remove/compact cycle
+    (lib/orestes-remover.js:16-53 semantics) on the table-format tier:
+    acquire → yield a LeaseFence whose ``next_txn()`` pairs ride every
+    data commit (DeltaPartitionSwap.swap(txn=...)) → release, which
+    raises LeaseStolenError if a contender overtook the fence
+    mid-cycle. Raises ConcurrentWriterError when the lease is held —
+    retry/backoff policy stays with the caller, same as
+    engine._writer_lock. Usage::
+
+        with fenced_maintenance(lease, "default", "remover-1", "compact") as f:
+            swap.swap(compacted_df, pred, txn=f.next_txn())
+    """
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        handle = lease.acquire(owner, op)
+        if handle is None:
+            raise ConcurrentWriterError(
+                f"writer lease for space '{space}' is held; {owner} must retry"
+            )
+        yield LeaseFence(space, handle)
+        # release AFTER the caller's commits; an overtaken fence raises
+        # LeaseStolenError here so a stalled cycle cannot report success
+        lease.release(handle)
+
+    return _cm()
+
+
 def cas_append(read_max_seq, try_commit, rows: list[dict], conflict_types, attempts: int = 64):
     """Stamp ``rows`` with the next values of a PERSISTED monotonic
     sequence and commit, retrying on optimistic-concurrency conflicts:

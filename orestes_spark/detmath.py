@@ -17,7 +17,7 @@ any conforming engine. Both engines evaluate the exact same expression
 text, so the result is bit-identical by construction — no shared libm
 required.
 
-Algorithm (``detln_steps``): for x in [2^-60, 2^6]
+Algorithm (``detln_steps``): for x in [2^-60, 2^20]
   1. e = the exponent with m = x * 2^-e in [1/sqrt(2), sqrt(2)), via a
      67-branch comparison CASE against literal branch boundaries
      (Python ``repr`` doubles; both engines' literal parsers are
@@ -34,9 +34,10 @@ Algorithm (``detln_steps``): for x in [2^-60, 2^6]
      one add — all correctly rounded).
 
 Accuracy is ~1e-12 relative-to-m plus correctly-rounded assembly —
-noise-grade, NOT a general math library. Range covers the Gumbel
-pipeline's needs: uniforms u = (2h+1)/2^53 in [2^-53, 1) and
-exponentials E = -ln(u) in (~1.1e-16, 37].
+noise-grade, NOT a general math library. Range covers the module's
+consumers: Gumbel uniforms u = (2h+1)/2^53 in [2^-53, 1) and
+exponentials E = -ln(u) in (~1.1e-16, 37], and entropy's per-type
+token counts up to 2^20.
 
 The generated text uses only shared SQL: CASE/WHEN, comparisons,
 arithmetic, CAST(... AS DOUBLE). Spark consumes it via ``F.expr``,
@@ -51,15 +52,17 @@ import math
 #: literal parsers reproduce the identical bits.
 LN2 = repr(math.log(2.0))
 
-_E_HI, _E_LO = 6, -60  # supported x range: [2^-60, 2^6]
+_E_HI, _E_LO = 20, -60  # supported x range: [2^-60, 2^20]
 
 
 def detln_steps(x_col: str, out_col: str) -> list[tuple[str, str]]:
     """[(column_name, sql_text)] steps computing ``out_col`` =
-    deterministic ln(``x_col``) for x in [2^-60, 2^6]. Each step may
-    reference previous steps' columns; apply in order (helpers
-    below). Out-of-range x clamps to the nearest exponent branch —
-    still deterministic, just less accurate; callers keep x in range."""
+    deterministic ln(``x_col``) for x in [2^-60, 2^20] (the high end
+    covers per-type token counts for entropy; the low end covers
+    53-bit hash uniforms). Each step may reference previous steps'
+    columns; apply in order (helpers below). Out-of-range x clamps to
+    the nearest exponent branch — still deterministic, just less
+    accurate; callers keep x in range."""
     p = f"{out_col}__"
     rsqrt2 = math.sqrt(0.5)
     e_branches = " ".join(

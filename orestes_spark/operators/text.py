@@ -394,3 +394,53 @@ def bigram_rarity(
         .join(scored, id_col, "left")
         .select(id_col, "n_bigrams", "rare_ratio")
     )
+
+
+def token_entropy(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the token histogram —
+    H = ln(n) − (1/n)·Σ_types c·ln(c) — the classic repetitiveness /
+    information-density quality feature (low H = boilerplate or
+    keyword stuffing; complements repetition_metrics' n-gram ratios
+    and the type-token diversity diagnostics by weighting types by
+    FREQUENCY). Output: (id, n_tokens, n_types, entropy).
+
+    First per-row cross-engine transcendental in the text family,
+    enabled by detmath (round-9): every ln is the fixed-precision
+    IEEE-only series, so Spark and a DuckDB oracle produce
+    bit-identical doubles. Float-sum ORDER across types would still
+    diverge between engines, so the per-type terms are quantized to
+    integer nanos (floor(x·1e9 + 0.5) — exact on both engines; terms
+    are >= 0) and summed as exact integers, the DSIR discipline. The
+    quantized term stays under 2^53 for per-type counts up to ~6.5e5
+    and detln's range covers counts to 2^20 — beyond that the result
+    degrades in accuracy, never in determinism.
+
+    Scale shape: one groupBy(id, tok) count, map-side detln
+    expressions, one groupBy(id) integer sum — linear, no joins, no
+    driver state."""
+    from orestes_spark import detmath
+
+    tc = (
+        docs.select(F.col(id_col).alias("_id"), F.explode(_tokens(F.col(text_col))).alias("tok"))
+        .groupBy("_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cd", F.col("c").cast("double"))
+    )
+    tc = detmath.apply_steps_spark(tc, detmath.detln_steps("cd", "lnc"))
+    tc = tc.withColumn(
+        "term", F.floor(F.col("cd") * F.col("lnc") * 1e9 + 0.5).cast("long")
+    )
+    agg = tc.groupBy("_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("term").alias("_s"),
+    ).withColumn("nd", F.col("n_tokens").cast("double"))
+    agg = detmath.apply_steps_spark(agg, detmath.detln_steps("nd", "lnn"))
+    return agg.select(
+        F.col("_id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.round(
+            F.col("lnn") - (F.col("_s").cast("double") / 1e9) / F.col("nd"), 6
+        ).alias("entropy"),
+    )

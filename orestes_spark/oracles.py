@@ -1261,3 +1261,29 @@ FROM {stepped}
 ORDER BY dsir_logratio + _g DESC, doc_id
 LIMIT {n}
 """
+
+
+def token_entropy_sql() -> str:
+    r"""Twin of text.token_entropy: identical tokenization, detmath's
+    shared ln expression text on per-type counts and on n, per-type
+    terms quantized floor(x*1e9 + 0.5) and integer-summed (float-sum
+    order never crosses engines), one rounded display step."""
+    from orestes_spark import detmath
+
+    tc = r"""SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c,
+       CAST(count(*) AS DOUBLE) AS cd
+FROM (SELECT doc_id, u.tok AS tok FROM documents,
+      (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok) u)
+GROUP BY 1, 2"""
+    lnc = detmath.wrap_steps_sql(tc, detmath.detln_steps("cd", "lnc"))
+    agg = f"""SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CAST(floor(cd * lnc * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS _s,
+       CAST(sum(c) AS DOUBLE) AS nd
+FROM {lnc} GROUP BY 1"""
+    lnn = detmath.wrap_steps_sql(agg, detmath.detln_steps("nd", "lnn"))
+    return f"""
+SELECT doc_id, n_tokens, n_types,
+       round(lnn - (CAST(_s AS DOUBLE) / 1e9) / nd, 6) AS entropy
+FROM {lnn}
+"""

@@ -4668,6 +4668,20 @@ def doc_ngram_diversity(spark, sf_dir):
     )
 
 
+@register("doc_token_entropy", oracles.token_entropy_sql())
+def doc_token_entropy(spark, sf_dir):
+    """Per-doc Shannon entropy of the token histogram — the
+    frequency-weighted repetitiveness/information-density quality
+    feature (text.token_entropy). First per-row transcendental in an
+    oracle-hashed query: every ln is detmath's IEEE-only series
+    (bit-identical across engines) and the per-type terms integer-sum
+    in nano units, so even the float entropy column hash-matches.
+    Linear: one (id, tok) count agg + map-side expressions."""
+    from orestes_spark.operators import text
+
+    return text.token_entropy(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 @register("doc_dsir_bigram", oracles.dsir_sql(bigrams=True))
 def doc_dsir_bigram(spark, sf_dir):
     """DSIR with the paper's default feature set — hashed unigrams AND

