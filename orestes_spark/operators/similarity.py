@@ -1960,3 +1960,69 @@ def kmeans_cosine(
             v.join(assigned, "_id").select(F.col("cluster").alias("label"), "vec")
         ).localCheckpoint()
     return _assign_to_centroids(v, cents).select(F.col("_id").alias(id_col), "cluster")
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Embedding-space eval-set decontamination: every corpus vector
+    whose cosine against ANY eval vector reaches ``threshold`` —
+    the paraphrase-robust third modality of the leak-scan family
+    (text.decontaminate catches n-gram overlap,
+    dedup.substring_contamination catches verbatim copies; a
+    reworded eval answer evades both and lands here). Output one row
+    per contaminated corpus vector: (id, n_eval_hits, eval_id,
+    cosine) — hit count plus the best-matching eval doc, ranked by
+    full-precision cosine with eval-id tie-break.
+
+    Scale shape: the eval side is BROADCAST — an eval set is
+    fixed-size by definition, it does not grow with the corpus — so
+    this is one corpus scan with a map-side |corpus|×|eval| score
+    and one per-corpus-id window; no corpus shuffle before the
+    (threshold-pruned) rank. This is the exact brute-force baseline;
+    at very large eval sets, pre-filter candidates with the LSH/IVF
+    routes exactly as cosine_topk composes with them. Determinism:
+    ``quantize`` runs the integer-dot tier (same discipline as
+    cosine_topk)."""
+    as_long = quantize is not None
+    c = with_norm(
+        corpus.select(
+            F.col(id_col).alias("cid"), quantized(F.col(vec_col), quantize).alias("cvec")
+        ),
+        "cvec",
+        as_long,
+    ).withColumnRenamed("_norm2", "cn2")
+    q = with_norm(
+        eval_set.select(
+            F.col(id_col).alias("qid"), quantized(F.col(vec_col), quantize).alias("qvec")
+        ),
+        "qvec",
+        as_long,
+    ).withColumnRenamed("_norm2", "qn2")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cid") != F.col("qid"))
+        .select(
+            "cid",
+            "qid",
+            _cos_expr(
+                _dot(F.col("cvec"), F.col("qvec"), as_long), F.col("cn2"), F.col("qn2")
+            ).alias("_cos"),
+        )
+        .where(F.round(F.col("_cos"), 6) >= threshold)
+    )
+    by_id = Window.partitionBy("cid")
+    ranked = scored.withColumn(
+        "rank", F.row_number().over(by_id.orderBy(F.col("_cos").desc(), F.col("qid")))
+    ).withColumn("n_eval_hits", F.count(F.lit(1)).over(by_id))
+    return ranked.where(F.col("rank") == 1).select(
+        F.col("cid").alias(id_col),
+        F.col("n_eval_hits").cast("long").alias("n_eval_hits"),
+        F.col("qid").alias("eval_id"),
+        F.round("_cos", 6).alias("cosine"),
+    )

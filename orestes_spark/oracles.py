@@ -1287,3 +1287,33 @@ SELECT doc_id, n_tokens, n_types,
        round(lnn - (CAST(_s AS DOUBLE) / 1e9) / nd, 6) AS entropy
 FROM {lnn}
 """
+
+
+def emb_decontaminate_sql(threshold: float = 0.3, eval_mod: int = 97) -> str:
+    """Twin of similarity.semantic_decontaminate with eval =
+    vec_id % eval_mod == 0: integer-quantized dots, full-precision
+    cosine rank with eval-id tie-break, rounded threshold and
+    display — the emb-family determinism recipe."""
+    return f"""
+WITH {_QUANT_VECS},
+dots AS (
+  SELECT a.vec_id AS cid, b.vec_id AS qid, sum(a.x * b.x) AS dot
+  FROM u a JOIN u b ON a.i = b.i
+  WHERE b.vec_id % {eval_mod} = 0 AND a.vec_id % {eval_mod} <> 0
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT cid, qid, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS c
+  FROM dots JOIN norms na ON na.vec_id = cid JOIN norms nb ON nb.vec_id = qid
+  WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= {threshold}
+),
+ranked AS (
+  SELECT cid, qid, c,
+         row_number() OVER (PARTITION BY cid ORDER BY c DESC, qid) AS rank,
+         count(*) OVER (PARTITION BY cid) AS n
+  FROM scored
+)
+SELECT cid AS vec_id, CAST(n AS BIGINT) AS n_eval_hits, qid AS eval_id,
+       round(c, 6) AS cosine
+FROM ranked WHERE rank = 1
+"""

@@ -4668,6 +4668,22 @@ def doc_ngram_diversity(spark, sf_dir):
     )
 
 
+@register("emb_decontaminate", oracles.emb_decontaminate_sql())
+def emb_decontaminate(spark, sf_dir):
+    """Embedding-space eval-set decontamination (the leak-scan
+    family's paraphrase-robust third modality, next to
+    doc_decontaminate's n-gram overlap and doc_substring_decontam's
+    verbatim containment): corpus vectors with cosine >= 0.3 against
+    any vec_id % 97 eval vector, with hit count and best-matching
+    eval id. Broadcast eval side (an eval set doesn't grow with the
+    corpus), integer-quantized dots, one threshold-pruned per-id
+    window — similarity.semantic_decontaminate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    eval_set = e.where(F.col("vec_id") % 97 == 0)
+    corpus = e.where(F.col("vec_id") % 97 != 0)
+    return similarity.semantic_decontaminate(corpus, eval_set, threshold=0.3, quantize=1000)
+
+
 @register("doc_token_entropy", oracles.token_entropy_sql())
 def doc_token_entropy(spark, sf_dir):
     """Per-doc Shannon entropy of the token histogram — the

@@ -700,3 +700,34 @@ def test_kmeans_cosine_iteration_moves_assignments(spark):
     one = {r["vec_id"]: r["cluster"] for r in kmeans_cosine(df, k=2, iters=1, quantize=1000).collect()}
     two = {r["vec_id"]: r["cluster"] for r in kmeans_cosine(df, k=2, iters=2, quantize=1000).collect()}
     assert one != two, "second pass changed nothing — centroid update is dead code"
+
+
+def test_semantic_decontaminate_flags_paraphrase_neighbors(spark):
+    """A corpus vector colinear with an eval vector is flagged with
+    that eval id as best match; orthogonal vectors pass; hit counts
+    aggregate across multiple eval hits."""
+    from orestes_spark.operators.similarity import semantic_decontaminate
+
+    ddl = "vec_id LONG, embedding ARRAY<FLOAT>"
+    eval_set = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.8, 0.6, 0.0, 0.0])], ddl
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0, 0.0]),   # colinear with eval 100, cos 0.8 vs 101
+            (2, [0.0, 0.0, 0.0, 3.0]),   # orthogonal to both: clean
+            (3, [0.0, 1.0, 0.0, 0.0]),   # cos 0.6 vs 101 only
+        ],
+        ddl,
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(
+            corpus, eval_set, threshold=0.5, quantize=1000
+        ).collect()
+    }
+    assert set(rows) == {1, 3}
+    assert rows[1]["n_eval_hits"] == 2 and rows[1]["eval_id"] == 100
+    assert rows[1]["cosine"] == 1.0
+    assert rows[3]["n_eval_hits"] == 1 and rows[3]["eval_id"] == 101
+    assert abs(rows[3]["cosine"] - 0.6) < 1e-6
