@@ -251,14 +251,34 @@ class DeltaEpochSink:
             .save(self.table_path)
         )
 
-    def claim_fence(self, stream_ns: str, fence: int, floor: int) -> None:
+    def claim_fence(
+        self, stream_ns: str, fence: int, floor: int, schema: str | None = None
+    ) -> None:
         """Commit an EMPTY claim at ``fenced_version(fence, floor+1)``
         right after acquiring the lease and reading the floor: raises
         the data table's fence watermark while preserving the floor,
         so every zombie commit is refused from this instant — not just
         from this holder's first data commit. A zero-row append still
-        carries its SetTransaction action, which is all the claim is."""
-        empty = self.spark.createDataFrame([], self.visible().schema)
+        carries its SetTransaction action, which is all the claim is.
+
+        ``schema`` (review finding r9): on a BRAND-NEW deployment the
+        table does not exist yet — reading it for its schema would
+        fail exactly inside the window the claim exists to close — so
+        the first-ever claimer passes its batch schema (DDL string)
+        and the empty claim commit creates the table with it."""
+        try:
+            table_schema = self.visible().schema
+        except Exception:
+            if schema is None:
+                raise ValueError(
+                    f"no Delta table at {self.table_path} yet; the first-ever"
+                    " claim must pass schema= (the stream's batch DDL) so the"
+                    " empty claim commit can create the table — reading the"
+                    " schema back would fail precisely inside the pre-first-"
+                    "commit window the claim closes"
+                )
+            table_schema = schema
+        empty = self.spark.createDataFrame([], table_schema)
         (
             empty.write.format("delta")
             .mode("append")
@@ -575,8 +595,9 @@ class LeaseFence:
     round-8 mapping table promised in prose). Two shapes:
 
     - ``epoch_txn(stream_ns, epoch_id)`` — streaming epoch commits;
-      the version is ``fenced_version(fence, epoch_id)``, so the data
-      table's watermark refuses a zombie's replayed epoch once any
+      the version is ``fenced_version(fence, epoch_id + 1)`` (seq 0
+      is the reserved fence-claim slot), so the data table's
+      watermark refuses a zombie's replayed epoch once any
       higher-fence writer has committed (see DeltaEpochSink.commit_epoch
       and the fencing-arithmetic notes above fenced_version).
     - ``next_txn()`` — maintenance commits (the remove/compact cycle,
@@ -643,9 +664,24 @@ def fenced_maintenance(lease: "TableFormatWriterLease", space: str, owner: str, 
             raise ConcurrentWriterError(
                 f"writer lease for space '{space}' is held; {owner} must retry"
             )
-        yield LeaseFence(space, handle)
-        # release AFTER the caller's commits; an overtaken fence raises
-        # LeaseStolenError here so a stalled cycle cannot report success
+        try:
+            yield LeaseFence(space, handle)
+        except BaseException:
+            # Release even when the body fails (review finding r9):
+            # each cycle recomputes its work from the current snapshot,
+            # so releasing after a failed cycle is safe — while NOT
+            # releasing turns every transient swap error into a
+            # lease_ms-long maintenance outage. The body's exception is
+            # the story: a concurrent LeaseStolenError here is subsumed
+            # (the cycle is aborting either way) and must not mask it.
+            try:
+                lease.release(handle)
+            except Exception:
+                pass
+            raise
+        # clean exit: release AFTER the caller's commits; an overtaken
+        # fence raises LeaseStolenError here so a stalled cycle cannot
+        # report success
         lease.release(handle)
 
     return _cm()
@@ -734,6 +770,23 @@ class DeltaLeaseLog:
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS delta.`{table_path}` ({cols}) USING delta"
         )
+        # CREATE IF NOT EXISTS silently keeps a pre-existing table's
+        # schema: a log created by the round-8 CDF-based code has no
+        # seq column, and limping on would brick the first read() with
+        # a bare KeyError (review finding r9). Fail loudly with the
+        # migration instead.
+        live_cols = set(
+            spark.read.format("delta").load(table_path).columns
+        )
+        if "seq" not in live_cols:
+            raise RuntimeError(
+                f"lease log at {table_path} predates the persisted-seq"
+                " schema (it has no 'seq' column — the old change-data-feed"
+                " layout). Migrate with the holder's lease HELD: read the"
+                " old log via its change feed, keep only rows at the top"
+                " fence, write them with their _commit_version as 'seq' to"
+                " a NEW table path, and point every writer at it."
+            )
 
     def read(self) -> list[dict]:
         out = []
@@ -776,17 +829,27 @@ class DeltaLeaseLog:
             self._conflicts or (),
         )
 
-    def prune(self, below_fence: int) -> None:
+    def prune(self, below_fence: int, attempts: int = 8) -> None:
         """Bound the log: drop rows below ``below_fence`` (typically
         the caller's own acquired fence — the protocol only ever
-        consults the top fence). Safe against concurrent appends: a
-        DELETE of old-fence rows cannot conflict with the single-row
-        appends, which always land at the current fence or above."""
+        consults the top fence). Concurrent appends CAN conflict with
+        this delete (review finding r9): every append is a read-write
+        replaceWhere transaction whose max(seq) read spans the files
+        the delete rewrites, so Delta may fail one side with a
+        concurrent-delete/append exception — the appender retries via
+        cas_append, and prune retries here; the retry is safe because
+        deleting already-dead fences is idempotent."""
         from delta.tables import DeltaTable
 
-        DeltaTable.forPath(self.spark, self.table_path).delete(
-            f"fence < {int(below_fence)}"
-        )
+        for i in range(attempts):
+            try:
+                DeltaTable.forPath(self.spark, self.table_path).delete(
+                    f"fence < {int(below_fence)}"
+                )
+                return
+            except self._conflicts or ():
+                if i == attempts - 1:
+                    raise
 
 
 class DeltaPartitionSwap:

@@ -1198,18 +1198,20 @@ def span_index(
 
     ``buckets`` (round-9, closing the docstring's own "prunable
     further" note): adds a hash-range bucket column ``hb = pmod(h,
-    buckets)``. Write the index ``partitionBy("hb")`` and pass the
-    same ``buckets`` to ``incremental_repeated_spans``: the per-batch
-    probe then PARTITION-PRUNES the index scan to the buckets the
-    batch's k-grams actually land in — a small batch touches a few
-    buckets, so per-batch index I/O drops from the full index to
-    |touched buckets|/|buckets| of it, instead of flat
-    corpus-proportional bytes every batch."""
+    buckets)`` plus the self-describing bucket count ``nb`` (one
+    constant int column — free under parquet RLE; the dsir_wq
+    codebook's pattern, so a probe can never silently prune with the
+    WRONG modulus). Write the index ``partitionBy("hb")``; the
+    ``incremental_repeated_spans`` probe then PARTITION-PRUNES the
+    index scan to the buckets the batch's k-grams actually land in —
+    a small batch touches a few buckets, so per-batch index I/O drops
+    from the full index to |touched buckets|/|buckets| of it, instead
+    of flat corpus-proportional bytes every batch."""
     idx = _kgram_starts(docs, id_col, text_col, k).select("h").distinct()
     if buckets:
         idx = idx.withColumn(
             "hb", F.pmod(F.col("h"), F.lit(int(buckets))).cast("int")
-        )
+        ).withColumn("nb", F.lit(int(buckets)))
     return idx
 
 
@@ -1242,25 +1244,44 @@ def incremental_repeated_spans(
     batch flags against that broadcast hit set. Per-batch cost: one
     index scan, zero corpus shuffles.
 
-    ``buckets`` (round-9; must match the ``span_index`` build): the
-    probe first collects the batch's touched hash-range buckets — a
-    driver list bounded by ``buckets``, never by batch or corpus
-    size — and filters the index on ``hb IN (...)`` with literals, so
-    a partitioned-by-``hb`` parquet index is PARTITION-PRUNED at the
-    scan: per-batch index I/O is |touched buckets|/|buckets| of the
-    index instead of all of it."""
+    ``buckets`` (round-9): the probe collects the batch's touched
+    hash-range buckets — a driver list bounded by ``buckets``, never
+    by batch or corpus size — and filters the index on ``hb IN
+    (...)`` with literals, so a partitioned-by-``hb`` parquet index
+    is PARTITION-PRUNED at the scan: per-batch index I/O is
+    |touched buckets|/|buckets| of the index instead of all of it.
+    The modulus is read from the index's self-describing ``nb``
+    column; an explicit ``buckets`` that disagrees raises rather than
+    silently pruning with the wrong modulus (which would drop genuine
+    hits — an under-reporting decontamination gate). The batch k-gram
+    stream is checkpointed first so the touched-bucket collect and
+    the two semi-joins share ONE tokenize+hash pass."""
     kg = _kgram_starts(new_docs, id_col, text_col, k)
-    batch_hashes = kg.select("h").distinct()
-    if buckets:
+    prune_nb: int | None = None
+    if "nb" in index.columns:
+        meta = index.select("nb").first()
+        prune_nb = int(meta["nb"]) if meta is not None else None
+        if buckets and prune_nb is not None and int(buckets) != prune_nb:
+            raise ValueError(
+                f"span index was built with buckets={prune_nb} but the probe"
+                f" was asked for buckets={int(buckets)}: pruning with the"
+                " wrong modulus silently drops genuine repeated spans"
+            )
+        index = index.drop("nb")
+    elif buckets and "hb" in index.columns:
+        prune_nb = int(buckets)  # pre-nb index: trust the caller
+    if prune_nb:
+        kg = kg.localCheckpoint(eager=True)  # one pass feeds collect + joins
         touched = [
             r[0]
-            for r in batch_hashes.select(
-                F.pmod(F.col("h"), F.lit(int(buckets))).cast("int").alias("hb")
+            for r in kg.select(
+                F.pmod(F.col("h"), F.lit(prune_nb)).cast("int").alias("hb")
             )
             .distinct()
             .collect()
         ]
         index = index.where(F.col("hb").isin(touched))
+    batch_hashes = kg.select("h").distinct()
     hits = index.select("h").join(F.broadcast(batch_hashes), "h", "left_semi")
     flagged = kg.join(F.broadcast(hits), "h", "left_semi").select("_id", "pos")
     return _merge_flagged_spans(flagged, id_col, k)

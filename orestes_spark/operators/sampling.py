@@ -35,6 +35,37 @@ def _hash_bucket(id_col: Column, salt: str, buckets: int = _BUCKETS) -> Column:
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
 
 
+def _hash_u53(id_col: Column, salt: str) -> Column:
+    """Uniform u = (2h+1)/2^53 in (0, 1) from the salted md5 — 13 hex
+    chars = 52 bits, so 2h+1 < 2^53 is an exactly-representable odd
+    integer and the division by 2^53 is exact. The _hash_bucket
+    companion for CONTINUOUS noise (Gumbel-top-k); ``hash_u53_sql``
+    is its DuckDB twin — the two must stay byte-equivalent, which is
+    why they live here as the one home of the contract (review
+    finding r9: the expression had been inlined at two call sites)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), id_col.cast("string")).cast("binary")),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (2 * h + 1).cast("double") / F.lit(9007199254740992.0)
+
+
+def hash_u53_sql(id_expr: str, salt: str) -> str:
+    """DuckDB expression text twin of ``_hash_u53`` (same bits)."""
+    return (
+        "CAST(2 * CAST('0x' || substr(md5('"
+        + salt
+        + ":' || "
+        + id_expr
+        + "), 1, 13) AS BIGINT) + 1 AS DOUBLE) / 9007199254740992.0"
+    )
+
+
 def deterministic_stratified_sample(
     df: DataFrame,
     id_col: str,
@@ -444,22 +475,7 @@ def dsir_resample(
     w = dsir_logratio_weights(
         docs, target, id_col, text_col, buckets=buckets, salt=salt, bigrams=bigrams
     )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(f"{noise_salt}:"), F.col(id_col).cast("string")
-                ).cast("binary")
-            ),
-            1,
-            13,
-        ),
-        16,
-        10,
-    ).cast("long")
-    scored = w.withColumn(
-        "_u", (2 * h + 1).cast("double") / F.lit(9007199254740992.0)
-    )
+    scored = w.withColumn("_u", _hash_u53(F.col(id_col), noise_salt))
     scored = detmath.apply_steps_spark(scored, detmath.gumbel_steps("_u", "_g"))
     scored = scored.withColumn("_key", F.col("dsir_logratio") + F.col("_g"))
     return (

@@ -1244,14 +1244,16 @@ def dsir_sample_sql(
     engines by construction — only IEEE +,-,*,/ and comparisons), and
     the top-n by logweight + noise with doc_id tie-break."""
     from orestes_spark import detmath
+    from orestes_spark.operators.sampling import hash_u53_sql
 
     n_col = "n_feats" if bigrams else "n_tokens"
     weights = dsir_sql(buckets, target_mod, salt, bigrams)
     noise_in = (
-        "SELECT *, CAST(2 * CAST('0x' || substr(md5('"
-        + noise_salt
-        + ":' || doc_id), 1, 13) AS BIGINT) + 1 AS DOUBLE)"
-        " / 9007199254740992.0 AS _u FROM (" + weights + ")"
+        "SELECT *, "
+        + hash_u53_sql("doc_id", noise_salt)
+        + " AS _u FROM ("
+        + weights
+        + ")"
     )
     stepped = detmath.wrap_steps_sql(noise_in, detmath.gumbel_steps("_u", "_g"))
     return f"""

@@ -405,6 +405,13 @@ def test_fenced_maintenance_context_manager():
                 assert data.commit(["c2"], *f2.next_txn())
             assert not data.commit(["c1-stale"], *f1.next_txn())
     assert data.rows == ["c1", "c2"]
+    # body failure releases the lease (review finding r9): a transient
+    # swap error must not turn into a lease_ms-long maintenance outage
+    with pytest.raises(OSError):
+        with fenced_maintenance(l, "default", "remover-1", "compact"):
+            raise OSError("transient swap failure")
+    with fenced_maintenance(l, "default", "remover-2", "compact") as f3:
+        assert data.commit(["c3"], *f3.next_txn())  # immediately acquirable
 
 
 class _Conflict(Exception):
