@@ -432,3 +432,70 @@ def test_keep_first_strip_preserves_every_duplicated_kgram(spark, texts):
         assert r["n_removed"] == len(toks) - n_kept
         # protection can only SAVE tokens relative to remove-all
         assert r["n_removed"] <= both[d]["n_removed"]
+
+
+# ----------------------------------------------------- detmath spec ---
+
+
+def _py_detln(x: float) -> float:
+    """Auditable pure-Python SPEC of detmath's generated expression:
+    the same branch boundaries, the same operation order, the same
+    double literals — so any engine that evaluates the SQL text with
+    correctly-rounded IEEE doubles must reproduce these exact bits."""
+    import math
+
+    from orestes_spark.detmath import LN2, _E_HI, _E_LO
+
+    rsqrt2 = math.sqrt(0.5)
+    e = _E_LO
+    for k in range(_E_HI, _E_LO, -1):
+        if x >= float(repr(2.0 ** k * rsqrt2)):
+            e = k
+            break
+    m = x * float(repr(2.0 ** -e))
+    z = (m - 1.0) / (m + 1.0)
+    zz = z * z
+    c = [float(repr(2.0 / (2 * j + 1))) for j in range(7)]
+    horner = c[-1]
+    for cj in reversed(c[:-1]):
+        horner = cj + zz * horner
+    return z * horner + float(e) * float(LN2)
+
+
+@given(
+    st.floats(
+        min_value=2.0 ** -60, max_value=2.0 ** 20, allow_nan=False, allow_infinity=False
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_detln_python_spec_tracks_libm(x):
+    """The spec's approximation error stays noise-grade across the
+    full supported range (relative to max(1, |ln x|) so x near 1 —
+    where ln crosses 0 — is judged on absolute error)."""
+    import math
+
+    got, want = _py_detln(x), math.log(x)
+    assert abs(got - want) <= 1e-9 * max(1.0, abs(want))
+
+
+def test_detln_duckdb_matches_python_spec_bitwise():
+    """20k log-uniform points: DuckDB's evaluation of the generated
+    expression text is BIT-identical to the Python spec — with the
+    existing Spark-vs-DuckDB test this pins all three pairwise."""
+    import math
+    import random
+    import struct
+
+    import duckdb
+
+    from orestes_spark.detmath import detln_steps, wrap_steps_sql
+
+    rng = random.Random(9)
+    xs = [2.0 ** rng.uniform(-60, 20) for _ in range(20_000)]
+    inner = "SELECT UNNEST(?) AS x"
+    q = f"SELECT x, lnx FROM {wrap_steps_sql(inner, detln_steps('x', 'lnx'))}"
+    rows = duckdb.execute(q, [xs]).fetchall()
+    assert len(rows) == len(xs)
+    for x, lnx in rows:
+        assert struct.pack("<d", lnx) == struct.pack("<d", _py_detln(x)), x
+        assert abs(lnx - math.log(x)) <= 1e-9 * max(1.0, abs(math.log(x)))
