@@ -424,6 +424,7 @@ def make_corpus_batch_processor(
     span_k: int | None = None,
     span_max_frac: float = 0.5,
     dsir_floor: float | None = None,
+    span_buckets: int | None = None,
 ):
     """foreachBatch processor for continuous corpus construction with
     CROSS-BATCH near-dedup (exposed as a factory so replay semantics
@@ -457,6 +458,19 @@ def make_corpus_batch_processor(
     deliberately NOT judged here (the batch operator
     ``repeated_spans`` owns that analysis); the gate is strictly
     batch-vs-accepted-corpus, like the other two.
+
+    ``span_buckets`` (round-9, the streaming twin of the batch span
+    index's hash-range bucketing): the ``<store>/kgrams`` epochs are
+    written ``partitionBy(hb)`` with the self-describing ``nb``
+    modulus, and the per-batch probe partition-prunes the index scan
+    to the buckets the batch touches — exactly where pruning matters
+    most, because a streaming micro-batch is small relative to the
+    accepted corpus, so per-batch index I/O drops to the touched
+    fraction instead of re-scanning every epoch's k-grams. The tree's
+    layout must be consistent: arming (or changing) span_buckets over
+    an existing kgrams tree with a different layout raises loudly —
+    migrate by running ``compact_corpus_store(span_buckets=...)``
+    with the stream stopped, which rewrites the baseline bucketed.
 
     ``dsir_floor`` arms the FOURTH cross-batch modality (round 9):
     the QUALITY gate. The first three gates are all duplication
@@ -555,17 +569,26 @@ def make_corpus_batch_processor(
                     .select(id_col, text_col)
                 )
                 _write_epoch_atomic(
-                    _d.span_index(prior, id_col, text_col, k=span_k),
+                    _d.span_index(prior, id_col, text_col, k=span_k, buckets=span_buckets),
                     f"{kgrams_path}/epoch=-1",
+                    partition_by="hb" if span_buckets else None,
                 )
             if kfs.exists(kbase):
-                kindex = (
-                    spark.read.parquet(kgrams_path)
-                    .filter(F.col("epoch") != epoch_id)
-                    .select("h")
+                kdf = spark.read.parquet(kgrams_path)
+                if bool(span_buckets) != ("hb" in kdf.columns):
+                    raise RuntimeError(
+                        f"kgrams tree at {kgrams_path} is"
+                        f" {'bucketed' if 'hb' in kdf.columns else 'unbucketed'}"
+                        f" but span_buckets={span_buckets}: a mixed layout is"
+                        " unreadable. Stop the stream and run"
+                        " compact_corpus_store(span_buckets=...) to migrate"
+                        " the tree, then restart with matching settings."
+                    )
+                kindex = kdf.filter(F.col("epoch") != epoch_id).select(
+                    *[c for c in ("h", "hb", "nb") if c in kdf.columns]
                 )
                 spans = _d.incremental_repeated_spans(
-                    kept, kindex, id_col, text_col, k=span_k
+                    kept, kindex, id_col, text_col, k=span_k, buckets=span_buckets
                 )
                 dup = spans.groupBy(id_col).agg(F.sum("span_len").alias("_dup"))
                 ntok = kept.select(
@@ -626,8 +649,9 @@ def make_corpus_batch_processor(
         )
         if span_k is not None:
             _write_epoch_atomic(
-                _d.span_index(kept, id_col, text_col, k=span_k),
+                _d.span_index(kept, id_col, text_col, k=span_k, buckets=span_buckets),
                 f"{kgrams_path}/epoch={epoch_id}",
+                partition_by="hb" if span_buckets else None,
             )
 
     return process
@@ -646,6 +670,7 @@ def start_corpus_ingest(
     span_k: int | None = None,
     span_max_frac: float = 0.5,
     dsir_floor: float | None = None,
+    span_buckets: int | None = None,
 ):
     """Continuous corpus construction with CROSS-BATCH near-dedup —
     see make_corpus_batch_processor for the per-batch algorithm, the
@@ -671,6 +696,7 @@ def start_corpus_ingest(
         span_k,
         span_max_frac,
         dsir_floor,
+        span_buckets,
     )
     return (
         docs_stream.writeStream.foreachBatch(process)
@@ -1145,6 +1171,7 @@ def compact_corpus_store(
     store: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    span_buckets: int | None = None,
 ) -> dict:
     """Offline compaction for a ``start_corpus_ingest`` store: collapse
     the per-epoch docs/bands partitions into one ``epoch=-1`` baseline
@@ -1165,6 +1192,11 @@ def compact_corpus_store(
     DISTINCT-deduped ``epoch=-1`` baseline the same way (epochs can
     legitimately repeat a hash — distinct docs sharing a window — so
     compaction is also the dedup pass the per-epoch layout defers).
+    ``span_buckets`` rewrites that baseline hash-range-bucketed
+    (hb/nb, partitionBy) — the MIGRATION path for arming or changing
+    a stream's ``span_buckets``: the whole tree becomes one
+    consistent layout in one compaction; omit it to write (or revert
+    to) the unbucketed layout.
 
     Returns {"docs": n, "bands": m} (+ "kgrams" when present)."""
     import os
@@ -1185,7 +1217,24 @@ def compact_corpus_store(
     mapping = {"docs": docs_path, "bands": bands_path}
     if has_kgrams:
         kgrams = spark.read.parquet(kgrams_path).select("h").distinct().localCheckpoint()
-        kgrams.write.parquet(f"{tmp}/kgrams/epoch=-1")
+        if span_buckets:
+            # migration/rebucket path (round-9): the compacted baseline
+            # is written hash-range-bucketed with the self-describing
+            # modulus, so a stream restarted with span_buckets=N probes
+            # it partition-pruned — and an unbucketed (or differently
+            # bucketed) tree becomes consistent in one compaction.
+            from pyspark.sql import functions as _F
+
+            (
+                kgrams.withColumn(
+                    "hb", _F.pmod(_F.col("h"), _F.lit(int(span_buckets))).cast("int")
+                )
+                .withColumn("nb", _F.lit(int(span_buckets)))
+                .write.partitionBy("hb")
+                .parquet(f"{tmp}/kgrams/epoch=-1")
+            )
+        else:
+            kgrams.write.parquet(f"{tmp}/kgrams/epoch=-1")
         out["kgrams"] = kgrams.count()
         mapping["kgrams"] = kgrams_path
     _swap_trees(tmp, mapping)

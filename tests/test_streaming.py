@@ -1652,3 +1652,74 @@ def test_corpus_ingest_dsir_gate_requires_prepared_codebook(spark, tmp_path):
     batch = spark.createDataFrame([(1, "alpha beta")], "doc_id LONG, text STRING")
     with _pytest.raises(RuntimeError, match="prepare_dsir_gate"):
         process(batch, 0)
+
+
+def test_corpus_ingest_span_gate_bucketed_matches_unbucketed(spark, tmp_path):
+    """span_buckets (round-9): the bucketed kgrams layout makes the
+    SAME gate decisions as the unbucketed one — pruning only skips
+    buckets the batch has no k-grams in — and the tree is written
+    partitioned by hb with the self-describing nb modulus."""
+    import os
+
+    from orestes_spark.streaming.ingest import make_corpus_batch_processor
+
+    ddl = "doc_id LONG, text STRING"
+    a_toks = [f"a{i}" for i in range(30)]
+    a = " ".join(a_toks)
+    b = " ".join(a_toks[5:21] + [f"b{i}" for i in range(10)])  # padded copier
+    c = " ".join(a_toks[0:6] + [f"c{i}" for i in range(20)])   # small copy: passes
+    d = " ".join(f"d{i}" for i in range(20))                    # unrelated
+
+    kept_by_mode = {}
+    for mode, buckets in (("plain", None), ("bucketed", 8)):
+        store = str(tmp_path / f"span_{mode}")
+        p = make_corpus_batch_processor(
+            store, span_k=6, span_max_frac=0.5, span_buckets=buckets
+        )
+        p(spark.createDataFrame([(1, a)], ddl), 0)
+        p(spark.createDataFrame([(2, b), (3, c), (4, d)], ddl), 1)
+        p(spark.createDataFrame([(2, b), (3, c), (4, d)], ddl), 1)  # replay
+        kept_by_mode[mode] = sorted(
+            r["doc_id"] for r in spark.read.parquet(f"{store}/docs").collect()
+        )
+    assert kept_by_mode["plain"] == kept_by_mode["bucketed"] == [1, 3, 4]
+    # bucketed layout is real: hb partition dirs + nb rides the rows
+    bk = str(tmp_path / "span_bucketed/kgrams")
+    assert any(e.startswith("hb=") for e in os.listdir(f"{bk}/epoch=0"))
+    kdf = spark.read.parquet(bk)
+    assert {"h", "hb", "nb"} <= set(kdf.columns)
+    assert kdf.select("nb").first()["nb"] == 8
+
+
+def test_corpus_ingest_span_buckets_layout_mismatch_raises(spark, tmp_path):
+    """Arming span_buckets over an existing UNBUCKETED kgrams tree (or
+    vice versa) must fail loudly — a mixed tree is unreadable — and
+    compact_corpus_store(span_buckets=) is the migration: after it,
+    the bucketed stream restarts cleanly and still drops a copier of
+    a pre-migration doc."""
+    import pytest as _pytest
+
+    from orestes_spark.streaming.ingest import (
+        compact_corpus_store,
+        make_corpus_batch_processor,
+    )
+
+    ddl = "doc_id LONG, text STRING"
+    store = str(tmp_path / "span_migrate")
+    a_toks = [f"a{i}" for i in range(30)]
+    plain = make_corpus_batch_processor(store, span_k=6, span_max_frac=0.5)
+    plain(spark.createDataFrame([(1, " ".join(a_toks))], ddl), 0)
+
+    armed = make_corpus_batch_processor(
+        store, span_k=6, span_max_frac=0.5, span_buckets=8
+    )
+    batch1 = spark.createDataFrame(
+        [(2, " ".join(a_toks[5:21] + [f"b{i}" for i in range(10)]))], ddl
+    )
+    with _pytest.raises(RuntimeError, match="compact_corpus_store"):
+        armed(batch1, 1)
+
+    compact_corpus_store(spark, store, span_buckets=8)
+    armed(batch1, 1)  # copier of the epoch<=-1 doc: still dropped
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(f"{store}/docs").collect())
+    assert kept == [1]
