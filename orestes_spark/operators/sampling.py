@@ -119,6 +119,68 @@ def mixture_plan(
     )
 
 
+def temperature_mixture_plan(
+    docs: DataFrame,
+    strata_col: str,
+    token_count: Column,
+    temperature: float,
+) -> DataFrame:
+    """Temperature-scaled mixture plan — the multilingual-pretraining
+    sampling-temperature knob (XLM-R/mT5): target share_s ∝ p_s^(1/T)
+    where p_s is the stratum's natural token share. T=1 keeps natural
+    proportions, T→∞ approaches uniform; in between it up-weights
+    low-resource strata without letting them dominate. Unlike
+    ``mixture_plan`` (explicit target shares) the targets here are
+    DERIVED from the measured distribution, so the operator pairs a
+    corpus-scale token count with one bounded driver step.
+
+    Determinism: pow is transcendental, so — the DSIR codebook
+    discipline — the per-stratum math runs ONCE on the driver over the
+    collected aggregate (bounded by the stratum count, never corpus
+    rows): weights nano-quantized half-away-from-zero and
+    integer-summed (float-sum order never crosses engines), shares and
+    rates derived with the exact op order the DuckDB twin uses —
+    CPython and DuckDB share libm, so pow agrees bit-for-bit (the
+    proven dsir ln precedent). Output: (stratum, n_docs, n_tokens,
+    share, sample_rate), full-precision (identical bits need no
+    rounding); feed ``sample_rate`` to
+    deterministic_stratified_sample to execute the plan."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    expo = 1.0 / float(temperature)
+    rows = (
+        docs.groupBy(F.col(strata_col).alias("stratum"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(token_count).alias("n_tokens"))
+        .collect()
+    )
+    total = sum(r["n_tokens"] for r in rows)
+    wq = {
+        r["stratum"]: int(
+            Decimal(math.pow(r["n_tokens"] / total, expo) * 1e9).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+        for r in rows
+    }
+    sw = sum(wq.values())
+    out = [
+        (
+            r["stratum"],
+            r["n_docs"],
+            r["n_tokens"],
+            wq[r["stratum"]] / sw,
+            min(1.0, wq[r["stratum"]] / sw * total / r["n_tokens"]),
+        )
+        for r in rows
+    ]
+    return docs.sparkSession.createDataFrame(
+        out, "stratum STRING, n_docs BIGINT, n_tokens BIGINT, share DOUBLE, sample_rate DOUBLE"
+    )
+
+
 def mixture_sample(
     docs: DataFrame,
     id_col: str,

@@ -1782,6 +1782,40 @@ def doc_mixture_plan(spark, sf_dir):
 
 
 @register(
+    "doc_mixture_temperature",
+    rf"""WITH per AS (
+         SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY 1
+       ),
+       tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per),
+       w AS (
+         SELECT stratum, n_docs, n_tokens,
+                CAST(round(pow(CAST(n_tokens AS DOUBLE) / t, {1.0 / 3.0!r}) * 1e9) AS BIGINT) AS wq
+         FROM per CROSS JOIN tot
+       ),
+       sw AS (SELECT CAST(sum(wq) AS BIGINT) AS s FROM w)
+       SELECT stratum, n_docs, n_tokens,
+              wq / s AS share,
+              least(1.0, wq / s * t / n_tokens) AS sample_rate
+       FROM w CROSS JOIN sw CROSS JOIN tot""",
+)
+def doc_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled mixture plan at T=3 (the XLM-R-style knob):
+    per-language target shares DERIVED as p^(1/T) of the measured
+    token distribution, vs doc_mixture_plan's explicit 0.2 targets.
+    pow is transcendental, so the bounded per-stratum math runs on
+    the driver (CPython libm == DuckDB libm, the dsir discipline)
+    with nano-quantized integer-summed weights —
+    sampling.temperature_mixture_plan."""
+    from orestes_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return sampling.temperature_mixture_plan(d, "lang", toks, temperature=3.0)
+
+
+@register(
     "doc_rag_chunks",
     r"""WITH t AS (
           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks

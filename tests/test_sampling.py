@@ -313,3 +313,34 @@ def test_detmath_ln_bit_identical_to_duckdb(spark):
         assert struct.pack("<d", su) == struct.pack("<d", u)
         assert struct.pack("<d", sg) == struct.pack("<d", g)
         assert abs(sg - (-math.log(-math.log(u)))) < 1e-9
+
+
+def test_temperature_mixture_plan_limits_and_monotonicity(spark):
+    """T=1 reproduces natural shares; larger T moves shares toward
+    uniform (low-resource stratum strictly gains); rates stay in
+    (0, 1] and the plan is deterministic across runs."""
+    from orestes_spark.operators.sampling import temperature_mixture_plan
+
+    docs = spark.createDataFrame(
+        [(i, "en", "w " * 90) for i in range(9)]
+        + [(100, "sw", "w " * 10)],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+
+    def shares(t):
+        return {
+            r["stratum"]: (r["share"], r["sample_rate"])
+            for r in temperature_mixture_plan(docs, "lang", toks, t).collect()
+        }
+
+    s1 = shares(1.0)  # natural token shares: en 810/820, sw 10/820
+    assert abs(s1["en"][0] - 810 / 820) < 1e-6 and abs(s1["sw"][0] - 10 / 820) < 1e-6
+    # natural mix: keep (essentially) all — the nano-quantized weights
+    # put rates within 1e-9 of 1, not exactly 1
+    assert s1["en"][1] > 1 - 1e-6 and s1["sw"][1] > 1 - 1e-6
+    s3, s100 = shares(3.0), shares(100.0)
+    assert s1["sw"][0] < s3["sw"][0] < s100["sw"][0]  # low-resource gains with T
+    assert abs(s100["sw"][0] - 0.5) < 0.02            # T->inf: uniform
+    assert s3["en"][1] < 1.0  # the dominant stratum is downsampled at T=3
+    assert shares(3.0) == s3  # deterministic
