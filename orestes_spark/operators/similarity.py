@@ -423,6 +423,33 @@ def ivf_topk(
     query whose true neighbor sits just across the nearest-cell border
     is recovered at nprobe ≥ 2). Output (query_id, neighbor_id,
     cosine, rank)."""
+    scored = _ivf_scored(corpus, queries, id_col, vec_col, label_col, quantize, nprobe)
+    w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            F.round("_cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def _ivf_scored(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    quantize: int | None,
+    nprobe: int,
+) -> DataFrame:
+    """ivf_topk's routing + scoring stage, shared with the IVF
+    decontamination path (round-9): (qid, cid, _cos) for every corpus
+    member of each query's nprobe probed cells. Each (qid, cid) pair
+    appears at most once — a corpus member lives in exactly one cell."""
     as_long = quantize is not None
     cents = label_centroid_sums(corpus, id_col, vec_col, label_col, quantize)
     q = with_norm(
@@ -460,7 +487,7 @@ def ivf_topk(
         "cvec",
         as_long,
     ).withColumnRenamed("_norm2", "cn2")
-    scored = (
+    return (
         c.join(F.broadcast(assigned), "label")
         .where(F.col("cid") != F.col("qid"))
         .select(
@@ -469,17 +496,6 @@ def ivf_topk(
             _cos_expr(
                 _dot(F.col("qvec"), F.col("cvec"), as_long), F.col("qn2"), F.col("cn2")
             ).alias("_cos"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), F.col("cid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("cid").alias("neighbor_id"),
-            F.round("_cos", 6).alias("cosine"),
-            "rank",
         )
     )
 
@@ -2016,6 +2032,41 @@ def semantic_decontaminate(
         )
         .where(F.round(F.col("_cos"), 6) >= threshold)
     )
+    by_id = Window.partitionBy("cid")
+    ranked = scored.withColumn(
+        "rank", F.row_number().over(by_id.orderBy(F.col("_cos").desc(), F.col("qid")))
+    ).withColumn("n_eval_hits", F.count(F.lit(1)).over(by_id))
+    return ranked.where(F.col("rank") == 1).select(
+        F.col("cid").alias(id_col),
+        F.col("n_eval_hits").cast("long").alias("n_eval_hits"),
+        F.col("qid").alias("eval_id"),
+        F.round("_cos", 6).alias("cosine"),
+    )
+
+
+def semantic_decontaminate_ivf(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "cluster",
+    threshold: float = 0.3,
+    quantize: int | None = None,
+    nprobe: int = 2,
+) -> DataFrame:
+    """The IVF-routed scale path of ``semantic_decontaminate``: each
+    eval query probes only its ``nprobe`` nearest trained cells, so
+    the scored volume is |eval| × (probed fraction of the corpus)
+    instead of the brute-force |eval| × |corpus| — the same
+    inverted-file economics as ivf_topk, reusing its routing/scoring
+    stage verbatim. Corpus vectors in cells no eval query probes are
+    UNEXAMINED: nprobe is the recall dial, measured the same way
+    emb_ivf_recall measures it for search. Same output contract as
+    the exact operator: (id, n_eval_hits, eval_id, cosine) — but
+    n_eval_hits counts only hits from probed cells."""
+    scored = _ivf_scored(
+        corpus, eval_set, id_col, vec_col, label_col, quantize, nprobe
+    ).where(F.round(F.col("_cos"), 6) >= threshold)
     by_id = Window.partitionBy("cid")
     ranked = scored.withColumn(
         "rank", F.row_number().over(by_id.orderBy(F.col("_cos").desc(), F.col("qid")))

@@ -1319,3 +1319,66 @@ SELECT cid AS vec_id, CAST(n AS BIGINT) AS n_eval_hits, qid AS eval_id,
        round(c, 6) AS cosine
 FROM ranked WHERE rank = 1
 """
+
+
+def emb_decontam_ivf_sql(
+    threshold: float = 0.3,
+    eval_mod: int = 97,
+    nprobe: int = 2,
+    cells: int = 8,
+    iters: int = 2,
+) -> str:
+    """Twin of similarity.semantic_decontaminate_ivf over the shared
+    trained quantizer: the k-means CTEs label the FULL embedding set
+    (exactly _kmeans_cells_for), eval queries (vec_id % eval_mod = 0)
+    route to their nprobe best cells by centroid cosine, and only
+    probed cells' corpus members are scored/thresholded — then the
+    per-corpus-id best-hit rank of emb_decontaminate_sql."""
+    return f"""
+WITH {_QUANT_VECS},
+{_kmeans_ctes(cells, iters)},
+labeled AS (SELECT vec_id, cluster AS label FROM assigned{iters - 1}),
+csumsf AS (
+  -- routing centroids sum over CORPUS members only: the Spark side
+  -- recomputes label_centroid_sums from the corpus argument, which
+  -- excludes the eval set
+  SELECT l.label, u.i, sum(u.x) AS s
+  FROM u JOIN labeled l ON l.vec_id = u.vec_id
+  WHERE l.vec_id % {eval_mod} <> 0
+  GROUP BY 1, 2),
+cnormf AS (SELECT label, sqrt(sum(s * s)) AS cn FROM csumsf GROUP BY 1),
+qassign AS (
+  SELECT qid, label FROM (
+    SELECT a.vec_id AS qid, c.label,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY sum(a.x * c.s) / any_value(cn.cn) DESC, c.label
+           ) AS rn
+    FROM u a JOIN csumsf c ON c.i = a.i JOIN cnormf cn ON cn.label = c.label
+    WHERE a.vec_id % {eval_mod} = 0
+    GROUP BY a.vec_id, c.label
+  ) WHERE rn <= {nprobe}
+),
+dots AS (
+  SELECT b.vec_id AS cid, qa.qid, sum(a.x * b.x) AS dot
+  FROM qassign qa
+  JOIN u a ON a.vec_id = qa.qid
+  JOIN labeled lb ON lb.label = qa.label AND lb.vec_id % {eval_mod} <> 0
+  JOIN u b ON b.vec_id = lb.vec_id AND b.i = a.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT cid, qid, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS c
+  FROM dots JOIN norms na ON na.vec_id = cid JOIN norms nb ON nb.vec_id = qid
+  WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= {threshold}
+),
+ranked AS (
+  SELECT cid, qid, c,
+         row_number() OVER (PARTITION BY cid ORDER BY c DESC, qid) AS rank,
+         count(*) OVER (PARTITION BY cid) AS n
+  FROM scored
+)
+SELECT cid AS vec_id, CAST(n AS BIGINT) AS n_eval_hits, qid AS eval_id,
+       round(c, 6) AS cosine
+FROM ranked WHERE rank = 1
+"""

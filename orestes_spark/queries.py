@@ -4718,6 +4718,25 @@ def emb_decontaminate(spark, sf_dir):
     return similarity.semantic_decontaminate(corpus, eval_set, threshold=0.3, quantize=1000)
 
 
+@register("emb_decontam_ivf", oracles.emb_decontam_ivf_sql())
+def emb_decontam_ivf(spark, sf_dir):
+    """The IVF-routed scale path of emb_decontaminate: eval queries
+    probe only their nprobe=2 nearest trained cells (the shared
+    artifact:kmeans_cells quantizer), so the scored volume is
+    |eval| × probed-fraction instead of |eval| × |corpus| — at 100 TB
+    the brute-force scan becomes this plus the emb_ivf_recall-style
+    recall probe. Unprobed cells' vectors are unexamined by design;
+    nprobe is the recall dial."""
+    e = load_table(spark, sf_dir, "embeddings")
+    eval_set = e.where(F.col("vec_id") % 97 == 0)
+    corpus = e.where(F.col("vec_id") % 97 != 0).join(
+        _kmeans_cells_for(spark, sf_dir), "vec_id"
+    )
+    return similarity.semantic_decontaminate_ivf(
+        corpus, eval_set, threshold=0.3, quantize=1000, nprobe=2
+    )
+
+
 @register("doc_token_entropy", oracles.token_entropy_sql())
 def doc_token_entropy(spark, sf_dir):
     """Per-doc Shannon entropy of the token histogram — the

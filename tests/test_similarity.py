@@ -731,3 +731,38 @@ def test_semantic_decontaminate_flags_paraphrase_neighbors(spark):
     assert rows[1]["cosine"] == 1.0
     assert rows[3]["n_eval_hits"] == 1 and rows[3]["eval_id"] == 101
     assert abs(rows[3]["cosine"] - 0.6) < 1e-6
+
+
+def test_semantic_decontaminate_ivf_is_probed_subset_of_exact(spark):
+    """The IVF route can only UNDER-report relative to the exact scan
+    (unprobed cells are unexamined): flagged ids are a subset, and per
+    flagged id both the hit count and the best cosine are bounded by
+    the exact operator's."""
+    from orestes_spark.operators.similarity import (
+        kmeans_cosine,
+        semantic_decontaminate,
+        semantic_decontaminate_ivf,
+    )
+
+    ddl = "vec_id LONG, embedding ARRAY<FLOAT>"
+    rows = [
+        (i, [1.0 + 0.01 * i, 0.1 * (i % 3), 0.0, 0.0]) for i in range(8)
+    ] + [(i, [0.0, 0.0, 1.0 + 0.01 * i, 0.1 * (i % 2)]) for i in range(8, 16)]
+    e = spark.createDataFrame(rows, ddl)
+    eval_set = e.where(F.col("vec_id") % 8 == 0)   # one per natural cluster
+    corpus = e.where(F.col("vec_id") % 8 != 0)
+    cells = kmeans_cosine(e, k=2, iters=2, quantize=1000)
+    exact = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(corpus, eval_set, threshold=0.9, quantize=1000).collect()
+    }
+    ivf = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate_ivf(
+            corpus.join(cells, "vec_id"), eval_set, threshold=0.9, quantize=1000, nprobe=1
+        ).collect()
+    }
+    assert ivf and set(ivf) <= set(exact)
+    for vid, r in ivf.items():
+        assert r["n_eval_hits"] <= exact[vid]["n_eval_hits"]
+        assert r["cosine"] <= exact[vid]["cosine"]

@@ -32,7 +32,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from orestes_spark.session import get_spark
 
 
-def main(n_batches: int = 10) -> None:
+def main(n_batches: int = 10, span_buckets: int | None = None) -> None:
     from orestes_spark.streaming.ingest import (
         make_corpus_batch_processor,
         prepare_dsir_gate,
@@ -42,6 +42,8 @@ def main(n_batches: int = 10) -> None:
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
     store = tempfile.mkdtemp(prefix="gate_soak_") + "/store"
     ddl = "doc_id LONG, text STRING"
+    if span_buckets:
+        print(f"(span gate bucketed: span_buckets={span_buckets})")
 
     tvoc = [f"t{i}" for i in range(40)]
     jvoc = [f"j{i}" for i in range(40)]
@@ -53,7 +55,7 @@ def main(n_batches: int = 10) -> None:
     )
     prepare_dsir_gate(target, raw, store)
     process = make_corpus_batch_processor(
-        store, span_k=6, span_max_frac=0.5, dsir_floor=0.0
+        store, span_k=6, span_max_frac=0.5, dsir_floor=0.0, span_buckets=span_buckets
     )
 
     def novel_text(doc: int) -> str:
@@ -92,4 +94,7 @@ def main(n_batches: int = 10) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 10,
+        int(sys.argv[2]) if len(sys.argv) > 2 else None,
+    )
