@@ -265,18 +265,25 @@ class DeltaEpochSink:
         table does not exist yet — reading it for its schema would
         fail exactly inside the window the claim exists to close — so
         the first-ever claimer passes its batch schema (DDL string)
-        and the empty claim commit creates the table with it."""
-        try:
+        and the empty claim commit creates the table with it. The
+        missing-table case is detected with DeltaTable.isDeltaTable,
+        NOT by catching read errors: a transient read failure on an
+        EXISTING table must propagate (retryable), never be
+        misdiagnosed as "table absent" and papered over with the
+        caller's possibly-drifted DDL."""
+        from delta.tables import DeltaTable
+
+        if DeltaTable.isDeltaTable(self.spark, self.table_path):
             table_schema = self.visible().schema
-        except Exception:
-            if schema is None:
-                raise ValueError(
-                    f"no Delta table at {self.table_path} yet; the first-ever"
-                    " claim must pass schema= (the stream's batch DDL) so the"
-                    " empty claim commit can create the table — reading the"
-                    " schema back would fail precisely inside the pre-first-"
-                    "commit window the claim closes"
-                )
+        elif schema is None:
+            raise ValueError(
+                f"no Delta table at {self.table_path} yet; the first-ever"
+                " claim must pass schema= (the stream's batch DDL) so the"
+                " empty claim commit can create the table — reading the"
+                " schema back would fail precisely inside the pre-first-"
+                "commit window the claim closes"
+            )
+        else:
             table_schema = schema
         empty = self.spark.createDataFrame([], table_schema)
         (

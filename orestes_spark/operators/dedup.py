@@ -1209,10 +1209,20 @@ def span_index(
     of flat corpus-proportional bytes every batch."""
     idx = _kgram_starts(docs, id_col, text_col, k).select("h").distinct()
     if buckets:
-        idx = idx.withColumn(
-            "hb", F.pmod(F.col("h"), F.lit(int(buckets))).cast("int")
-        ).withColumn("nb", F.lit(int(buckets)))
+        idx = span_bucketize(idx, buckets)
     return idx
+
+
+def span_bucketize(idx: DataFrame, buckets: int) -> DataFrame:
+    """ONE home for the span index's hash-range bucket contract
+    (review finding r9 — compaction had a second inline copy):
+    ``hb = pmod(h, buckets)`` plus the self-describing modulus ``nb``.
+    Everything that writes span-index rows — span_index itself and
+    compact_corpus_store's rebucket path — must go through here so
+    the probe's pruning/validation sees one consistent encoding."""
+    return idx.withColumn(
+        "hb", F.pmod(F.col("h"), F.lit(int(buckets))).cast("int")
+    ).withColumn("nb", F.lit(int(buckets)))
 
 
 def incremental_repeated_spans(
@@ -1259,8 +1269,20 @@ def incremental_repeated_spans(
     kg = _kgram_starts(new_docs, id_col, text_col, k)
     prune_nb: int | None = None
     if "nb" in index.columns:
-        meta = index.select("nb").first()
-        prune_nb = int(meta["nb"]) if meta is not None else None
+        # DISTINCT, not first(): a mixed-modulus index (two shard
+        # indexes unioned, or a rebucketing compaction racing a live
+        # stream) must fail loudly — pruning any of it with one
+        # arbitrary epoch's modulus silently drops genuine hits. The
+        # distinct agg is map-side-partial over one RLE-constant
+        # column, the price of a self-describing index.
+        nbs = sorted(r[0] for r in index.select("nb").distinct().collect() if r[0] is not None)
+        if len(nbs) > 1:
+            raise ValueError(
+                f"span index mixes bucket moduli {nbs}: it was assembled from"
+                " differently-bucketed builds — rebucket it through one"
+                " compaction before probing"
+            )
+        prune_nb = int(nbs[0]) if nbs else None
         if buckets and prune_nb is not None and int(buckets) != prune_nb:
             raise ValueError(
                 f"span index was built with buckets={prune_nb} but the probe"

@@ -156,6 +156,16 @@ def temperature_mixture_plan(
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(token_count).alias("n_tokens"))
         .collect()
     )
+    # A stratum contributing zero (or NULL — all token counts null)
+    # tokens has nothing to sample and no defined share: drop it from
+    # the plan rather than dividing by it (review finding r9; the SQL
+    # twin filters n_tokens > 0 identically).
+    rows = [r for r in rows if r["n_tokens"]]
+    if not rows:
+        return docs.sparkSession.createDataFrame(
+            [],
+            "stratum STRING, n_docs BIGINT, n_tokens BIGINT, share DOUBLE, sample_rate DOUBLE",
+        )
     total = sum(r["n_tokens"] for r in rows)
     wq = {
         r["stratum"]: int(

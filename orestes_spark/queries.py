@@ -1787,6 +1787,7 @@ def doc_mixture_plan(spark, sf_dir):
          SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
          FROM documents GROUP BY 1
+         HAVING n_tokens > 0
        ),
        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per),
        w AS (

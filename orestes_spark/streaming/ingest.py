@@ -1220,16 +1220,15 @@ def compact_corpus_store(
         if span_buckets:
             # migration/rebucket path (round-9): the compacted baseline
             # is written hash-range-bucketed with the self-describing
-            # modulus, so a stream restarted with span_buckets=N probes
-            # it partition-pruned — and an unbucketed (or differently
-            # bucketed) tree becomes consistent in one compaction.
-            from pyspark.sql import functions as _F
+            # modulus (dedup.span_bucketize — the one home of the
+            # hb/nb contract), so a stream restarted with
+            # span_buckets=N probes it partition-pruned — and an
+            # unbucketed (or differently bucketed) tree becomes
+            # consistent in one compaction.
+            from orestes_spark.operators.dedup import span_bucketize
 
             (
-                kgrams.withColumn(
-                    "hb", _F.pmod(_F.col("h"), _F.lit(int(span_buckets))).cast("int")
-                )
-                .withColumn("nb", _F.lit(int(span_buckets)))
+                span_bucketize(kgrams, span_buckets)
                 .write.partitionBy("hb")
                 .parquet(f"{tmp}/kgrams/epoch=-1")
             )

@@ -514,3 +514,22 @@ def test_strip_keep_first_protects_canonical_from_overlapping_flags(spark):
     # corpus-wide: at least one intact copy of each duplicated window
     kept_texts = " | ".join(rows[d]["clean_text"] for d in rows)
     assert "p1 q2 q3 q4 q5 q6" in kept_texts and "q2 q3 q4 q5 q6 q7" in kept_texts
+
+
+def test_incremental_spans_mixed_modulus_index_raises(spark):
+    """An index assembled from differently-bucketed builds must fail
+    loudly: pruning any of it with one arbitrary modulus would
+    silently drop genuine repeated spans."""
+    import pytest as _pytest
+
+    corpus = spark.createDataFrame(
+        [(1, "c1 c2 c3 c4 c5 c6 filler words here")], "doc_id LONG, text STRING"
+    )
+    batch = spark.createDataFrame(
+        [(10, "x c1 c2 c3 c4 c5 c6 y")], "doc_id LONG, text STRING"
+    )
+    mixed = dedup.span_index(corpus, "doc_id", "text", k=6, buckets=4).unionByName(
+        dedup.span_index(corpus, "doc_id", "text", k=6, buckets=8)
+    )
+    with _pytest.raises(ValueError, match="mixes bucket moduli"):
+        dedup.incremental_repeated_spans(batch, mixed, "doc_id", "text", k=6).collect()

@@ -344,3 +344,22 @@ def test_temperature_mixture_plan_limits_and_monotonicity(spark):
     assert abs(s100["sw"][0] - 0.5) < 0.02            # T->inf: uniform
     assert s3["en"][1] < 1.0  # the dominant stratum is downsampled at T=3
     assert shares(3.0) == s3  # deterministic
+
+
+def test_temperature_mixture_plan_drops_zero_token_strata(spark):
+    """A stratum with zero (or all-NULL) tokens has nothing to sample
+    and no defined share: it is dropped from the plan instead of
+    dividing by it (the SQL twin filters n_tokens > 0 identically)."""
+    from orestes_spark.operators.sampling import temperature_mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a b c"), (2, "xx", ""), (3, "yy", None)],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    toks = F.when(
+        F.length(F.trim(F.col("text"))) > 0,
+        F.size(F.split(F.trim(F.col("text")), r"\s+")),
+    ).otherwise(F.lit(0))
+    rows = temperature_mixture_plan(docs, "lang", toks, 2.0).collect()
+    assert {r["stratum"] for r in rows} == {"en"}
+    assert rows[0]["share"] == 1.0

@@ -173,7 +173,12 @@ def bucket_pruning(spark=None) -> None:
         ).count()
         t_pruned = time.perf_counter() - t0
         t0 = time.perf_counter()
-        dedup.incremental_repeated_spans(batch, idx, "doc_id", "text", k=8).count()
+        # the FULL baseline must really scan everything: drop the
+        # self-describing columns or the probe auto-detects nb and
+        # prunes, silently measuring the pruned path twice
+        dedup.incremental_repeated_spans(
+            batch, idx.drop("hb", "nb"), "doc_id", "text", k=8
+        ).count()
         t_full = time.perf_counter() - t0
         print(
             f"| {n:,} | {total_b / 2**20:.1f} | {len(touched)}/{buckets} "
