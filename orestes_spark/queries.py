@@ -4719,6 +4719,53 @@ def emb_decontaminate(spark, sf_dir):
     return similarity.semantic_decontaminate(corpus, eval_set, threshold=0.3, quantize=1000)
 
 
+@register(
+    "doc_gopher_rules",
+    r"""WITH t AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 len(toks) AS n,
+                 len(array_to_string(toks, '')) AS chars,
+                 len(list_filter(toks, x -> NOT regexp_matches(x, '[a-z0-9]'))) AS n_symbol,
+                 len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+                 list_max(list_transform(toks, x -> len(x))) AS max_len
+          FROM t
+        ),
+        v AS (
+          SELECT doc_id, n,
+                 list_filter([
+                   CASE WHEN n < 10 OR n > 100000 THEN 'word_count' END,
+                   CASE WHEN chars < 3 * n OR chars > 10 * n THEN 'mean_word_len' END,
+                   CASE WHEN 10 * n_symbol >= n THEN 'symbol_ratio' END,
+                   CASE WHEN 5 * n_alpha < 4 * n THEN 'alpha_frac' END,
+                   CASE WHEN max_len > 30 THEN 'max_word_len' END
+                 ], x -> x IS NOT NULL) AS failed
+          FROM m
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               CAST(len(failed) AS INT) AS n_rules_failed,
+               -- DuckDB renders the empty list's CSV as NULL; Spark's
+               -- concat_ws gives '' — align on ''
+               coalesce(array_to_string(failed, ','), '') AS failed_rules,
+               len(failed) = 0 AS keep
+        FROM v""",
+)
+def doc_gopher_rules(spark, sf_dir):
+    """Gopher-style named-rule quality filter (Rae et al. 2021):
+    per-doc keep verdict + which rules failed, every threshold
+    compared in integer form so no float boundary exists for engines
+    to disagree on (text.gopher_rules). One scan, higher-order array
+    expressions, no shuffle — the auditable decision layer on top of
+    doc_quality's raw gate columns."""
+    from orestes_spark.operators import text
+
+    return text.gopher_rules(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 @register("emb_decontam_ivf", oracles.emb_decontam_ivf_sql())
 def emb_decontam_ivf(spark, sf_dir):
     """The IVF-routed scale path of emb_decontaminate: eval queries

@@ -213,3 +213,29 @@ def test_token_entropy_known_values(spark):
     assert abs(rows[2]["entropy"] - round(math.log(4), 6)) <= 1e-6
     expect3 = math.log(3) - (2 * math.log(2)) / 3
     assert abs(rows[3]["entropy"] - round(expect3, 6)) <= 1e-6
+
+
+def test_gopher_rules_named_verdicts(spark):
+    """Each rule trips on its planted violation and names itself; a
+    clean doc keeps with an empty failed_rules CSV."""
+    from orestes_spark.operators.text import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            (1, "this corpus document looks perfectly ordinary and readable to the filter today"),
+            (2, "too short"),                                   # word_count
+            (3, " ".join(["ab"] * 12)),                          # mean_word_len (low)
+            (4, " ".join(["#!"] * 3 + ["normal"] * 9)),          # symbol_ratio (25%)
+            (5, " ".join(["123"] * 5 + ["words"] * 7)),          # alpha_frac (58%)
+            (6, "x" * 40 + " " + " ".join(["fine"] * 11)),       # max_word_len
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in gopher_rules(docs, "doc_id", "text").collect()}
+    assert rows[1]["keep"] is True and rows[1]["failed_rules"] == ""
+    assert rows[2]["keep"] is False and "word_count" in rows[2]["failed_rules"]
+    assert "mean_word_len" in rows[3]["failed_rules"]
+    assert "symbol_ratio" in rows[4]["failed_rules"]
+    assert "alpha_frac" in rows[5]["failed_rules"]
+    assert "max_word_len" in rows[6]["failed_rules"]
+    assert rows[6]["n_rules_failed"] >= 1
