@@ -286,33 +286,56 @@ class DeltaEpochSink:
         else:
             table_schema = schema
         empty = self.spark.createDataFrame([], table_schema)
+        claimed = fenced_version(fence, floor + 1)
         (
             empty.write.format("delta")
             .mode("append")
             .option("txnAppId", stream_ns)
-            .option("txnVersion", fenced_version(fence, floor + 1))
+            .option("txnVersion", claimed)
             .save(self.table_path)
         )
+        # Read-back (round-10 ADVICE): the claim's entire job is the
+        # SetTransaction action a zero-row append carries — if this
+        # Delta version elides empty commits, the claim silently did
+        # nothing and the pre-first-commit zombie window stays open.
+        # Fail loudly instead of assuming.
+        after = self._txn_watermark(stream_ns)
+        if after is None or after < claimed:
+            raise RuntimeError(
+                f"claim_fence({stream_ns!r}, fence={fence}) did not advance"
+                f" the table's transaction watermark (now {after}, claimed"
+                f" {claimed}): this Delta version appears to elide zero-row"
+                " commits' SetTransaction actions, so the fence claim is a"
+                " no-op and a zombie writer can still land one stale commit"
+                " before this holder's first epoch. Upgrade delta-spark or"
+                " replace the empty claim with a 1-row commit to a sentinel"
+                " partition."
+            )
 
-    def resume_epoch_floor(self, stream_ns: str) -> int:
-        """Highest epoch id any fence ever committed for ``stream_ns``
-        (-1 if none): the floor a NEW fence holder must not re-commit
-        at or below. Reads the Delta snapshot's per-app transaction
-        watermark — the same number commit_epoch's txnVersion advances.
-        delta-spark exposes no public Python accessor for it, so this
-        goes through the Scala DeltaLog (import-gated, like the rest
-        of this adapter); the always-on protocol tests exercise the
-        identical contract against the in-memory twin's watermark."""
+    def _txn_watermark(self, stream_ns: str) -> int | None:
+        """The Delta snapshot's per-app transaction watermark — the
+        number commit_epoch's txnVersion advances. delta-spark exposes
+        no public Python accessor for it, so this goes through the
+        Scala DeltaLog (import-gated, like the rest of this adapter);
+        the always-on protocol tests exercise the identical contract
+        against the in-memory twin's watermark."""
         jlog = self.spark._jvm.org.apache.spark.sql.delta.DeltaLog.forTable(
             self.spark._jsparkSession, self.table_path
         )
         it = jlog.update().setTransactions().iterator()
-        floor = -1
+        wm = None
         while it.hasNext():
             t = it.next()
             if t.appId() == stream_ns:
-                floor = max(floor, epoch_floor(t.version()))
-        return floor
+                v = int(t.version())
+                wm = v if wm is None else max(wm, v)
+        return wm
+
+    def resume_epoch_floor(self, stream_ns: str) -> int:
+        """Highest epoch id any fence ever committed for ``stream_ns``
+        (-1 if none): the floor a NEW fence holder must not re-commit
+        at or below. Decoded from the per-app transaction watermark."""
+        return epoch_floor(self._txn_watermark(stream_ns))
 
     def visible(self):
         """Snapshot read — committed epochs only, by construction.
@@ -696,23 +719,36 @@ def fenced_maintenance(lease: "TableFormatWriterLease", space: str, owner: str, 
 
 def cas_append(read_max_seq, try_commit, rows: list[dict], conflict_types, attempts: int = 64):
     """Stamp ``rows`` with the next values of a PERSISTED monotonic
-    sequence and commit, retrying on optimistic-concurrency conflicts:
-    read max(seq), write rows at seq+1.. armed so that a concurrent
-    commit of the same seq range conflicts and exactly one writer wins
-    (``DeltaLeaseLog.append`` arms this with a ``replaceWhere`` on the
-    claimed range — a read-write transaction, so Delta's conflict
-    detection fails the loser, unlike blind appends which never
-    conflict). Extracted as a pure function so the retry/stamping
-    logic is tested always-on with injected conflicts, delta-spark
-    installed or not. Returns the stamped rows."""
+    sequence and commit, retrying until the rows actually LAND: read
+    max(seq), attempt an insert-if-absent at seq+1... A rival racing
+    the same seq loses in one of two ways, and the loop must handle
+    BOTH (round-10 ADVICE — the round-9 replaceWhere design handled
+    only the second and silently DELETED the rival's row in the
+    first):
+
+    - rival committed BEFORE the attempt's table snapshot: the
+      insert-if-absent sees the rival's row at the claimed seq and
+      inserts nothing — no transaction overlap, so NO conflict is
+      raised; ``try_commit`` returns False and we retry at a fresh
+      seq;
+    - rival commits BETWEEN the snapshot and our commit: optimistic
+      conflict detection fails our commit (the rival's added file
+      matches our read predicate over the claimed range); the
+      conflict exception lands here and we retry.
+
+    ``try_commit(stamped, claimed_seq) -> bool`` returns True only
+    when the claimed rows are verifiably in the log (read-back, not
+    hope). Extracted as a pure function so the retry/stamping logic
+    is tested always-on with injected losses of both kinds,
+    delta-spark installed or not. Returns the stamped rows."""
     for _ in range(attempts):
         nxt = read_max_seq() + 1
         stamped = [{**r, "seq": nxt + i} for i, r in enumerate(rows)]
         try:
-            try_commit(stamped, nxt)
-            return stamped
+            if try_commit(stamped, nxt):
+                return stamped
         except conflict_types:
-            continue
+            pass
     raise RuntimeError("lease-log CAS append: retries exhausted under contention")
 
 
@@ -738,15 +774,47 @@ class DeltaLeaseLog:
     which OPTIMIZE/VACUUM are genuinely safe.
 
     ``seq`` is minted by compare-and-swap (``cas_append``): read
-    max(seq), commit the row at seq+1 as an ``overwrite`` with
-    ``replaceWhere seq >= <claimed>`` — a read-write transaction over
-    the claimed range, so when two contenders race the same seq,
-    Delta's optimistic conflict detection (the winner's added file
-    matches the loser's read predicate) fails the loser's commit and
-    it retries at the next seq. Commit order and seq order therefore
-    agree, which is all the first-commit-wins tie-break needs. The
-    (app_id, version) idempotency pair rides on each attempt, so a
-    crashed-and-replayed append is still skipped by the table."""
+    max(seq), then INSERT-IF-ABSENT the row at seq+1 via
+    ``DeltaTable.merge`` with a target-side condition pinned to the
+    claimed seq and ``whenNotMatchedInsert`` only (round-10, replacing
+    the round-9 ``replaceWhere`` overwrite). The merge shape is the
+    load-bearing choice: an append-only log must NEVER be written
+    with an operation that can delete, because the max(seq) read and
+    the write are separate transactions — a rival that commits the
+    claimed seq BEFORE the write transaction's snapshot does not
+    overlap it, Delta raises no conflict, and a ``replaceWhere
+    seq >= claimed`` overwrite would silently DELETE the rival's
+    committed acquire/heartbeat (split-brain: both contenders then
+    win their read-backs at the same fence). With merge the same
+    race is benign by construction:
+
+    - rival committed BEFORE our snapshot → its row MATCHES our
+      source row on seq, the merge inserts nothing, and the
+      post-commit read-back sees a row that is not ours →
+      ``cas_append`` retries at a fresh seq; the rival's row is
+      untouched (merge has no whenMatched clause — it CANNOT delete
+      or update anything, ever);
+    - rival commits BETWEEN our snapshot and our commit → the merge's
+      recorded read predicate (``t.seq = <claimed>``) overlaps the
+      rival's added file, Delta's optimistic conflict detection fails
+      OUR commit (ConcurrentAppendException), and ``cas_append``
+      retries.
+
+    Either way commit order and seq order agree, which is all the
+    first-commit-wins tie-break needs. Success is decided by
+    READ-BACK (the row at the claimed seq is field-identical to
+    ours), never by assuming the commit landed. The (app_id, version)
+    idempotency pair rides each attempt as the
+    ``spark.databricks.delta.write.txnAppId/txnVersion`` session
+    configs (delta.io "Idempotent writes"); where a Delta version
+    does not honor them for MERGE, the read-back still makes a
+    crashed-and-replayed single-row append harmless — the replay
+    mints a fresh seq and lands a duplicate row, which the protocol's
+    judge/tie-break semantics tolerate (duplicate acquire by the same
+    owner at the same fence, duplicate hb, duplicate release are all
+    no-ops for judgment). Run the Delta integration tests against the
+    pinned delta-spark version before relying on this adapter in a
+    deployment (they skip where the package is absent)."""
 
     SCHEMA = "seq LONG, fence LONG, owner STRING, op STRING, kind STRING, ts_ms LONG, lease_ms LONG"
     _COLS = ("seq", "fence", "owner", "op", "kind", "ts_ms", "lease_ms")
@@ -814,21 +882,63 @@ class DeltaLeaseLog:
         )
         return row[0] if row[0] is not None else 0
 
-    def _try_commit(self, stamped: list[dict], claimed_seq: int, app_id: str, version: int) -> None:
-        df = self.spark.createDataFrame(
-            [tuple(r[c] for c in self._COLS) for r in stamped], self.SCHEMA
+    def _try_commit(self, stamped: list[dict], claimed_seq: int, app_id: str, version: int) -> bool:
+        """One insert-if-absent attempt at the claimed seq. True only
+        when the read-back shows OUR row at that seq (see the class
+        docstring for why merge + read-back, never a replaceWhere
+        overwrite, is the only safe shape here)."""
+        from delta.tables import DeltaTable
+
+        row = stamped[0]
+        src = self.spark.createDataFrame(
+            [tuple(row[c] for c in self._COLS)], self.SCHEMA
         )
-        (
-            df.coalesce(1)
-            .write.format("delta")
-            .mode("overwrite")
-            .option("replaceWhere", f"seq >= {int(claimed_seq)}")
-            .option("txnAppId", app_id)
-            .option("txnVersion", version)
-            .save(self.table_path)
+        target = DeltaTable.forPath(self.spark, self.table_path)
+        confs = {
+            "spark.databricks.delta.write.txnAppId": app_id,
+            "spark.databricks.delta.write.txnVersion": str(version),
+        }
+        saved = {}
+        for k in confs:
+            try:
+                saved[k] = self.spark.conf.get(k)
+            except Exception:
+                saved[k] = None
+        for k, v in confs.items():
+            self.spark.conf.set(k, v)
+        try:
+            (
+                target.alias("t")
+                .merge(src.alias("s"), f"t.seq = s.seq AND t.seq = {int(claimed_seq)}")
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    self.spark.conf.unset(k)
+                else:
+                    self.spark.conf.set(k, v)
+        got = (
+            self.spark.read.format("delta")
+            .load(self.table_path)
+            .where(f"seq = {int(claimed_seq)}")
+            .collect()
         )
+        if not got:
+            return False  # pruned/elided commit — claim a fresh seq
+        landed = got[0].asDict()
+        return all(landed[c] == row[c] for c in self._COLS)
 
     def append(self, rows: list[dict], app_id: str, version: int) -> None:
+        if len(rows) != 1:
+            # The merge mints exactly one seq per transaction; a
+            # multi-row batch could land PARTIALLY when a rival holds
+            # one of the claimed seqs (merge inserts each not-matched
+            # source row independently). The lease protocol only ever
+            # appends single rows, so refuse loudly rather than risk
+            # orphan stamps.
+            raise ValueError("DeltaLeaseLog.append commits exactly one row per call")
         cas_append(
             self._max_seq,
             lambda stamped, claimed: self._try_commit(stamped, claimed, app_id, version),
@@ -841,7 +951,7 @@ class DeltaLeaseLog:
         the caller's own acquired fence — the protocol only ever
         consults the top fence). Concurrent appends CAN conflict with
         this delete (review finding r9): every append is a read-write
-        replaceWhere transaction whose max(seq) read spans the files
+        MERGE transaction whose seq read predicate may span the files
         the delete rewrites, so Delta may fail one side with a
         concurrent-delete/append exception — the appender retries via
         cas_append, and prune retries here; the retry is safe because

@@ -435,6 +435,7 @@ def test_cas_append_stamps_and_retries():
             raise _Conflict()
         committed.append((claimed, stamped))
         state["max"] = stamped[-1]["seq"]
+        return True
 
     rows = cas_append(read_max, try_commit, [{"owner": "a"}], (_Conflict,))
     assert rows == [{"owner": "a", "seq": 7}]  # claims 5 and 6 lost to rivals
@@ -448,6 +449,92 @@ def test_cas_append_stamps_and_retries():
             (_Conflict,),
             attempts=3,
         )
+    # a try_commit that keeps reporting "did not land" (rival always
+    # beat us to the claimed seq BEFORE our snapshot — no conflict is
+    # ever raised in that case) must also exhaust, not spin
+    with pytest.raises(RuntimeError):
+        cas_append(read_max, lambda s, c: False, [{"owner": "c"}], (_Conflict,), attempts=3)
+
+
+class MemoryMergeSeqLog:
+    """Honest in-memory twin of DeltaLeaseLog's round-10 commit shape
+    (merge insert-if-absent + read-back), modeling BOTH ways a rival
+    can take the claimed seq — the round-9 twin modeled every race as
+    a conflict exception, which over-promised: a rival that commits
+    BEFORE the write transaction's snapshot does not overlap it, so
+    Delta raises no conflict at all. Semantics mirrored here:
+
+    - ``rival_before_snapshot``: the rival's row is already in the
+      snapshot the merge reads → our source row MATCHES on seq, the
+      merge inserts NOTHING and touches NOTHING (no whenMatched
+      clause), and the read-back returns the rival's row → False;
+    - ``rival_after_snapshot``: the rival commits between our snapshot
+      and our commit → the merge's read predicate over the claimed seq
+      overlaps the rival's added file → ConcurrentAppendException
+      (modeled as _Conflict).
+    """
+
+    def __init__(self):
+        self.by_seq: dict[int, dict] = {}
+        self.rival_before_snapshot: list[dict] = []
+        self.rival_after_snapshot: list[dict] = []
+
+    def max_seq(self) -> int:
+        return max(self.by_seq, default=0)
+
+    def _land_rival(self, rows_at: list[dict], claimed: int) -> None:
+        if rows_at:
+            self.by_seq[claimed] = {**rows_at.pop(0), "seq": claimed}
+
+    def try_commit(self, stamped: list[dict], claimed: int) -> bool:
+        self._land_rival(self.rival_before_snapshot, claimed)
+        if claimed in self.by_seq:  # visible in the merge's snapshot
+            return False  # matched → insert nothing, delete NOTHING
+        if self.rival_after_snapshot:
+            self._land_rival(self.rival_after_snapshot, claimed)
+            raise _Conflict()  # added file matches our read predicate
+        self.by_seq[claimed] = dict(stamped[0])
+        return True
+
+    def append(self, row: dict) -> list[dict]:
+        return cas_append(self.max_seq, self.try_commit, [row], (_Conflict,))
+
+
+def test_cas_merge_pre_snapshot_rival_row_survives():
+    # THE round-10 ADVICE race: a rival commits the claimed seq before
+    # our write transaction's snapshot — no conflict fires. The
+    # round-9 replaceWhere-overwrite DELETED the rival's committed
+    # acquire here (split-brain); the merge shape must keep the
+    # rival's row byte-intact and retry us onto a fresh seq.
+    log = MemoryMergeSeqLog()
+    rival = {"owner": "rival", "kind": "acquire", "fence": 3}
+    log.rival_before_snapshot.append(rival)
+    ours = log.append({"owner": "us", "kind": "acquire", "fence": 3})
+    assert log.by_seq[1] == {**rival, "seq": 1}  # rival's row untouched
+    assert ours == [{"owner": "us", "kind": "acquire", "fence": 3, "seq": 2}]
+    assert log.by_seq[2] == ours[0]
+
+
+def test_cas_merge_post_snapshot_rival_conflicts_and_retries():
+    log = MemoryMergeSeqLog()
+    rival = {"owner": "rival", "kind": "hb", "fence": 3}
+    log.rival_after_snapshot.append(rival)
+    ours = log.append({"owner": "us", "kind": "hb", "fence": 3})
+    assert log.by_seq[1] == {**rival, "seq": 1}
+    assert ours[0]["seq"] == 2 and log.by_seq[2] == ours[0]
+
+
+def test_cas_merge_storm_of_rivals_still_lands():
+    # Mixed storm: three pre-snapshot rivals and two post-snapshot
+    # conflicts interleaved; every rival row survives and ours lands
+    # at the first genuinely free seq.
+    log = MemoryMergeSeqLog()
+    log.rival_before_snapshot = [{"owner": f"pre{i}"} for i in range(3)]
+    log.rival_after_snapshot = [{"owner": f"post{i}"} for i in range(2)]
+    ours = log.append({"owner": "us"})
+    owners = {r["owner"] for r in log.by_seq.values()}
+    assert owners == {"pre0", "pre1", "pre2", "post0", "post1", "us"}
+    assert ours[0]["seq"] == 6 == log.max_seq()
 
 
 def test_acquire_read_back_refuses_overtaken_fence():
