@@ -124,6 +124,7 @@ def temperature_mixture_plan(
     strata_col: str,
     token_count: Column,
     temperature: float,
+    max_strata: int = 10_000,
 ) -> DataFrame:
     """Temperature-scaled mixture plan — the multilingual-pretraining
     sampling-temperature knob (XLM-R/mT5): target share_s ∝ p_s^(1/T)
@@ -144,18 +145,42 @@ def temperature_mixture_plan(
     proven dsir ln precedent). Output: (stratum, n_docs, n_tokens,
     share, sample_rate), full-precision (identical bits need no
     rounding); feed ``sample_rate`` to
-    deterministic_stratified_sample to execute the plan."""
+    deterministic_stratified_sample to execute the plan.
+
+    Rates are max-renormalized (round-10 ADVICE): a raw per-stratum
+    rate is share_s / p_s (the up/down-weight factor), and for any
+    T > 1 the most up-weighted stratum's raw rate EXCEEDS 1 — a
+    per-stratum ``min(1.0, ...)`` cap would silently execute a
+    mixture that deviates from the p^(1/T) targets while the ``share``
+    column still reported them. Dividing every raw rate by the MAX
+    raw rate instead pins the most up-weighted stratum at exactly 1.0
+    and scales the rest proportionally, so executing the plan yields
+    token counts ∝ share at the largest corpus size feasible without
+    upsampling (realized_tokens_s = rate_s·n_tokens_s ∝ share_s).
+
+    ``max_strata`` (round-10): the per-stratum math collects one row
+    per stratum to the driver — correct for mixture strata (dozens of
+    languages/domains), a silent OOM for a caller that passes a
+    high-cardinality column (doc ids, URLs). Count is checked BEFORE
+    materializing; over the cap raises loudly."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
     expo = 1.0 / float(temperature)
-    rows = (
-        docs.groupBy(F.col(strata_col).alias("stratum"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(token_count).alias("n_tokens"))
-        .collect()
+    per = docs.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(token_count).alias("n_tokens")
     )
+    rows = per.limit(max_strata + 1).collect()
+    if len(rows) > max_strata:
+        raise ValueError(
+            f"temperature_mixture_plan collected more than max_strata="
+            f"{max_strata} distinct values of {strata_col!r}: mixture"
+            " strata are languages/domains (dozens), not a"
+            " high-cardinality key — pass a coarser column, or raise"
+            " max_strata if the cardinality is genuinely intended"
+        )
     # A stratum contributing zero (or NULL — all token counts null)
     # tokens has nothing to sample and no defined share: drop it from
     # the plan rather than dividing by it (review finding r9; the SQL
@@ -176,13 +201,18 @@ def temperature_mixture_plan(
         for r in rows
     }
     sw = sum(wq.values())
+    # raw rate = share / natural share; ÷ max keeps proportions exact
+    # with the largest stratum pinned at 1.0 (no upsampling). Op order
+    # mirrors the DuckDB twin exactly — every step is one IEEE op.
+    raw = {r["stratum"]: wq[r["stratum"]] / sw * total / r["n_tokens"] for r in rows}
+    max_raw = max(raw.values())
     out = [
         (
             r["stratum"],
             r["n_docs"],
             r["n_tokens"],
             wq[r["stratum"]] / sw,
-            min(1.0, wq[r["stratum"]] / sw * total / r["n_tokens"]),
+            raw[r["stratum"]] / max_raw,
         )
         for r in rows
     ]

@@ -422,8 +422,13 @@ def ivf_topk(
     the corpus, and nprobe is the recall/cost dial (a boundary-zone
     query whose true neighbor sits just across the nearest-cell border
     is recovered at nprobe ≥ 2). Output (query_id, neighbor_id,
-    cosine, rank)."""
-    scored = _ivf_scored(corpus, queries, id_col, vec_col, label_col, quantize, nprobe)
+    cosine, rank). Queries here are typically drawn FROM the corpus
+    (self-search), so a vector is never its own neighbor
+    (exclude_same_id=True)."""
+    scored = _ivf_scored(
+        corpus, queries, id_col, vec_col, label_col, quantize, nprobe,
+        exclude_same_id=True,
+    )
     w = Window.partitionBy("qid").orderBy(F.col("_cos").desc(), F.col("cid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -445,11 +450,17 @@ def _ivf_scored(
     label_col: str,
     quantize: int | None,
     nprobe: int,
+    exclude_same_id: bool,
 ) -> DataFrame:
     """ivf_topk's routing + scoring stage, shared with the IVF
     decontamination path (round-9): (qid, cid, _cos) for every corpus
     member of each query's nprobe probed cells. Each (qid, cid) pair
-    appears at most once — a corpus member lives in exactly one cell."""
+    appears at most once — a corpus member lives in exactly one cell.
+    ``exclude_same_id`` drops cid == qid pairs — correct for
+    self-search (queries ⊆ corpus under ONE id namespace), WRONG for
+    decontamination where corpus and eval ids come from different
+    namespaces and a coincidental collision must not exempt a genuine
+    hit (round-10 ADVICE)."""
     as_long = quantize is not None
     cents = label_centroid_sums(corpus, id_col, vec_col, label_col, quantize)
     q = with_norm(
@@ -487,16 +498,15 @@ def _ivf_scored(
         "cvec",
         as_long,
     ).withColumnRenamed("_norm2", "cn2")
-    return (
-        c.join(F.broadcast(assigned), "label")
-        .where(F.col("cid") != F.col("qid"))
-        .select(
-            "qid",
-            "cid",
-            _cos_expr(
-                _dot(F.col("qvec"), F.col("cvec"), as_long), F.col("qn2"), F.col("cn2")
-            ).alias("_cos"),
-        )
+    joined = c.join(F.broadcast(assigned), "label")
+    if exclude_same_id:
+        joined = joined.where(F.col("cid") != F.col("qid"))
+    return joined.select(
+        "qid",
+        "cid",
+        _cos_expr(
+            _dot(F.col("qvec"), F.col("cvec"), as_long), F.col("qn2"), F.col("cn2")
+        ).alias("_cos"),
     )
 
 
@@ -1985,6 +1995,7 @@ def semantic_decontaminate(
     vec_col: str = "embedding",
     threshold: float = 0.3,
     quantize: int | None = None,
+    eval_is_subset: bool = False,
 ) -> DataFrame:
     """Embedding-space eval-set decontamination: every corpus vector
     whose cosine against ANY eval vector reaches ``threshold`` —
@@ -2004,7 +2015,15 @@ def semantic_decontaminate(
     at very large eval sets, pre-filter candidates with the LSH/IVF
     routes exactly as cosine_topk composes with them. Determinism:
     ``quantize`` runs the integer-dot tier (same discipline as
-    cosine_topk)."""
+    cosine_topk).
+
+    Id namespaces (round-10 ADVICE): corpus ids and eval ids need NOT
+    be disjoint — by default a coincidental cid == qid collision is
+    scored like any other pair, because exempting it would silently
+    skip a genuine contamination hit. Set ``eval_is_subset=True`` only
+    when the eval set is literally drawn from the corpus under ONE id
+    namespace, where a vector matching itself is a tautology, not a
+    leak."""
     as_long = quantize is not None
     c = with_norm(
         corpus.select(
@@ -2020,9 +2039,11 @@ def semantic_decontaminate(
         "qvec",
         as_long,
     ).withColumnRenamed("_norm2", "qn2")
+    pairs = c.crossJoin(F.broadcast(q))
+    if eval_is_subset:
+        pairs = pairs.where(F.col("cid") != F.col("qid"))
     scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("cid") != F.col("qid"))
+        pairs
         .select(
             "cid",
             "qid",
@@ -2053,6 +2074,7 @@ def semantic_decontaminate_ivf(
     threshold: float = 0.3,
     quantize: int | None = None,
     nprobe: int = 2,
+    eval_is_subset: bool = False,
 ) -> DataFrame:
     """The IVF-routed scale path of ``semantic_decontaminate``: each
     eval query probes only its ``nprobe`` nearest trained cells, so
@@ -2063,9 +2085,13 @@ def semantic_decontaminate_ivf(
     UNEXAMINED: nprobe is the recall dial, measured the same way
     emb_ivf_recall measures it for search. Same output contract as
     the exact operator: (id, n_eval_hits, eval_id, cosine) — but
-    n_eval_hits counts only hits from probed cells."""
+    n_eval_hits counts only hits from probed cells. Like the exact
+    operator, corpus/eval ids need not be disjoint (round-10 ADVICE):
+    ``eval_is_subset=True`` is only for an eval set drawn from the
+    corpus under one id namespace."""
     scored = _ivf_scored(
-        corpus, eval_set, id_col, vec_col, label_col, quantize, nprobe
+        corpus, eval_set, id_col, vec_col, label_col, quantize, nprobe,
+        exclude_same_id=eval_is_subset,
     ).where(F.round(F.col("_cos"), 6) >= threshold)
     by_id = Window.partitionBy("cid")
     ranked = scored.withColumn(

@@ -1795,11 +1795,17 @@ def doc_mixture_plan(spark, sf_dir):
                 CAST(round(pow(CAST(n_tokens AS DOUBLE) / t, {1.0 / 3.0!r}) * 1e9) AS BIGINT) AS wq
          FROM per CROSS JOIN tot
        ),
-       sw AS (SELECT CAST(sum(wq) AS BIGINT) AS s FROM w)
-       SELECT stratum, n_docs, n_tokens,
-              wq / s AS share,
-              least(1.0, wq / s * t / n_tokens) AS sample_rate
-       FROM w CROSS JOIN sw CROSS JOIN tot""",
+       sw AS (SELECT CAST(sum(wq) AS BIGINT) AS s FROM w),
+       raw AS (
+         SELECT stratum, n_docs, n_tokens,
+                wq / s AS share,
+                wq / s * t / n_tokens AS raw_rate
+         FROM w CROSS JOIN sw CROSS JOIN tot
+       ),
+       mx AS (SELECT max(raw_rate) AS m FROM raw)
+       SELECT stratum, n_docs, n_tokens, share,
+              raw_rate / m AS sample_rate
+       FROM raw CROSS JOIN mx""",
 )
 def doc_mixture_temperature(spark, sf_dir):
     """Temperature-scaled mixture plan at T=3 (the XLM-R-style knob):
@@ -1807,8 +1813,10 @@ def doc_mixture_temperature(spark, sf_dir):
     token distribution, vs doc_mixture_plan's explicit 0.2 targets.
     pow is transcendental, so the bounded per-stratum math runs on
     the driver (CPython libm == DuckDB libm, the dsir discipline)
-    with nano-quantized integer-summed weights —
-    sampling.temperature_mixture_plan."""
+    with nano-quantized integer-summed weights; rates are
+    max-renormalized so the executed mixture matches the reported
+    shares exactly instead of silently capping the up-weighted
+    strata (round-10) — sampling.temperature_mixture_plan."""
     from orestes_spark.operators import sampling
 
     d = load_table(spark, sf_dir, "documents")

@@ -346,6 +346,50 @@ def test_temperature_mixture_plan_limits_and_monotonicity(spark):
     assert shares(3.0) == s3  # deterministic
 
 
+def test_temperature_mixture_plan_realized_mixture_matches_shares(spark):
+    """Round-10 ADVICE: the old per-stratum min(1.0, ...) cap silently
+    executed a mixture that deviated from the p^(1/T) targets (every
+    up-weighted stratum capped for T>1 while 'share' reported the
+    target). Max-renormalized rates must make the realized token mix
+    (rate·n_tokens) proportional to share EXACTLY, with the most
+    up-weighted stratum pinned at rate 1.0."""
+    from orestes_spark.operators.sampling import temperature_mixture_plan
+
+    docs = spark.createDataFrame(
+        [(i, "en", "w " * 90) for i in range(9)]
+        + [(100, "sw", "w " * 10), (101, "de", "w " * 30)],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    rows = {r["stratum"]: r for r in temperature_mixture_plan(docs, "lang", toks, 3.0).collect()}
+    # sw is the most up-weighted (smallest natural share): rate exactly 1
+    assert rows["sw"]["sample_rate"] == 1.0
+    assert all(0 < r["sample_rate"] <= 1.0 for r in rows.values())
+    # realized tokens ∝ share, same constant across strata
+    ratios = {
+        s: r["sample_rate"] * r["n_tokens"] / r["share"] for s, r in rows.items()
+    }
+    vals = list(ratios.values())
+    assert all(abs(v - vals[0]) / vals[0] < 1e-9 for v in vals), ratios
+
+
+def test_temperature_mixture_plan_strata_cardinality_guard(spark):
+    """A high-cardinality strata column must raise loudly instead of
+    collecting unbounded rows to the driver (round-10 watch-item)."""
+    import pytest
+
+    from orestes_spark.operators.sampling import temperature_mixture_plan
+
+    docs = spark.range(50).selectExpr(
+        "id AS doc_id", "CAST(id AS STRING) AS url", "'a b c' AS text"
+    )
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    with pytest.raises(ValueError, match="max_strata"):
+        temperature_mixture_plan(docs, "url", toks, 2.0, max_strata=10)
+    # at or under the cap it works
+    assert temperature_mixture_plan(docs, "url", toks, 2.0, max_strata=50).count() == 50
+
+
 def test_temperature_mixture_plan_drops_zero_token_strata(spark):
     """A stratum with zero (or all-NULL) tokens has nothing to sample
     and no defined share: it is dropped from the plan instead of

@@ -733,6 +733,59 @@ def test_semantic_decontaminate_flags_paraphrase_neighbors(spark):
     assert abs(rows[3]["cosine"] - 0.6) < 1e-6
 
 
+def test_semantic_decontaminate_id_collision_is_not_exempt(spark):
+    """Round-10 ADVICE: corpus and eval ids come from DIFFERENT
+    namespaces in real decontamination, so a coincidental id collision
+    must still be scanned — the old inherited cid != qid filter
+    silently exempted exactly the contaminated pair. eval_is_subset
+    restores the self-search semantics when explicitly asked for."""
+    from orestes_spark.operators.similarity import semantic_decontaminate
+
+    ddl = "vec_id LONG, embedding ARRAY<FLOAT>"
+    eval_set = spark.createDataFrame([(7, [1.0, 0.0, 0.0, 0.0])], ddl)
+    corpus = spark.createDataFrame(
+        [
+            (7, [2.0, 0.0, 0.0, 0.0]),  # contaminated AND id-colliding
+            (8, [0.0, 0.0, 0.0, 1.0]),  # clean
+        ],
+        ddl,
+    )
+    flagged = semantic_decontaminate(
+        corpus, eval_set, threshold=0.9, quantize=1000
+    ).collect()
+    assert [(r["vec_id"], r["eval_id"]) for r in flagged] == [(7, 7)]
+    # explicit subset mode: the collision is a self-match, exempt again
+    assert (
+        semantic_decontaminate(
+            corpus, eval_set, threshold=0.9, quantize=1000, eval_is_subset=True
+        ).count()
+        == 0
+    )
+
+
+def test_semantic_decontaminate_ivf_id_collision_is_not_exempt(spark):
+    from orestes_spark.operators.similarity import semantic_decontaminate_ivf
+
+    ddl = "vec_id LONG, embedding ARRAY<FLOAT>, cluster LONG"
+    eval_set = spark.createDataFrame(
+        [(7, [1.0, 0.0, 0.0, 0.0], 0)], ddl
+    ).drop("cluster")
+    corpus = spark.createDataFrame(
+        [(7, [2.0, 0.0, 0.0, 0.0], 0), (8, [0.0, 0.0, 0.0, 1.0], 1)], ddl
+    )
+    flagged = semantic_decontaminate_ivf(
+        corpus, eval_set, threshold=0.9, quantize=1000, nprobe=1
+    ).collect()
+    assert [(r["vec_id"], r["eval_id"]) for r in flagged] == [(7, 7)]
+    assert (
+        semantic_decontaminate_ivf(
+            corpus, eval_set, threshold=0.9, quantize=1000, nprobe=1,
+            eval_is_subset=True,
+        ).count()
+        == 0
+    )
+
+
 def test_semantic_decontaminate_ivf_is_probed_subset_of_exact(spark):
     """The IVF route can only UNDER-report relative to the exact scan
     (unprobed cells are unexamined): flagged ids are a subset, and per
