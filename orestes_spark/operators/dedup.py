@@ -1206,7 +1206,14 @@ def span_index(
     index scan to the buckets the batch's k-grams actually land in —
     a small batch touches a few buckets, so per-batch index I/O drops
     from the full index to |touched buckets|/|buckets| of it, instead
-    of flat corpus-proportional bytes every batch."""
+    of flat corpus-proportional bytes every batch.
+
+    Config guidance (measured, SCALING.md "bucket_pruning" table): the
+    win is real only when a batch touches a FRACTION of the buckets —
+    size ``buckets`` well above the k-gram count of a typical batch.
+    A batch that touches ~all buckets (e.g. 20% of the corpus in one
+    batch at buckets=16) still pays the touched-bucket collect and
+    prunes nothing; for that regime leave ``buckets=None``."""
     idx = _kgram_starts(docs, id_col, text_col, k).select("h").distinct()
     if buckets:
         idx = span_bucketize(idx, buckets)

@@ -499,3 +499,144 @@ def gopher_rules(
         F.concat_ws(",", v["failed"]).alias("failed_rules"),
         (F.size(v["failed"]) == 0).alias("keep"),
     )
+
+
+def train_quality_model(
+    docs: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str = "label",
+    buckets: int = 4096,
+    salt: str = "qm",
+    bigrams: bool = False,
+) -> DataFrame:
+    """Train the MODEL-BASED quality classifier — the trained-scorer
+    layer every production pretraining pipeline runs on top of the
+    heuristic stack (GPT-3 appendix A; DCLM, Li et al. 2024;
+    FineWeb-Edu): a Naive-Bayes log-odds model over hashed n-gram
+    features, the linear-classifier shape fastText (Joulin et al.
+    2016) popularized for reference-vs-crawl filtering. ``labels``
+    is the labeled seed — (id, label BOOLEAN), label TRUE =
+    reference-quality — typically a curated corpus vs a raw-crawl
+    sample; only ids present in ``labels`` train the model.
+
+    Output is a self-describing, persistable model artifact of
+    ``buckets`` rows: (bucket, wq, pq, nb, bg, salt) where ``wq`` =
+    nano-quantized ln(P(bucket|pos)/P(bucket|neg)) under add-one
+    smoothed multinomials (EXACTLY the DSIR codebook —
+    ``sampling.dsir_weight_table(pos, neg)`` is reused verbatim, so
+    the classifier and the importance sampler share one featurization
+    and one cross-engine determinism proof), ``pq`` = the
+    nano-quantized class-prior log-odds ln((n_pos+1)/(n_neg+1)), and
+    ``nb``/``bg``/``salt`` pin the bucket modulus / feature set /
+    hash salt so scoring can never silently featurize differently
+    than training (the span index's ``nb`` convention). ~64 KiB at
+    the default 4096 buckets — broadcastable anywhere.
+
+    Determinism: every ln runs ONCE on the driver over integer counts
+    (CPython libm == DuckDB libm — the proven dsir recipe); all
+    distributed work is integer counting. Raises when either class is
+    empty — a one-class "classifier" is a constant, not a model."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from orestes_spark.operators.sampling import dsir_weight_table
+
+    lab = labels.select(
+        F.col(id_col).alias("_lid"), F.col(label_col).cast("boolean").alias("_lab")
+    )
+    seed = docs.join(lab, F.col(id_col) == F.col("_lid"))
+    n_pos = seed.where(F.col("_lab")).count()
+    n_neg = seed.where(~F.col("_lab")).count()
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"quality model needs BOTH classes in the labeled seed: got"
+            f" {n_pos} positive / {n_neg} negative rows after joining"
+            f" labels onto docs"
+        )
+    w = dsir_weight_table(
+        seed.where(F.col("_lab")),
+        seed.where(~F.col("_lab")),
+        id_col,
+        text_col,
+        buckets=buckets,
+        salt=salt,
+        bigrams=bigrams,
+    )
+    pq = int(
+        Decimal(math.log((n_pos + 1) / (n_neg + 1)) * 1e9).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP
+        )
+    )
+    return w.select(
+        "bucket",
+        "wq",
+        F.lit(pq).cast("long").alias("pq"),
+        F.lit(int(buckets)).alias("nb"),
+        F.lit(1 if bigrams else 0).alias("bg"),
+        F.lit(salt).alias("salt"),
+    )
+
+
+def score_quality_model(docs: DataFrame, model: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Score every document with a trained quality model
+    (``train_quality_model``): nb_logodds = prior + Σ_features
+    ln-odds(bucket), keep = nb_logodds >= 0 — the per-doc verdict a
+    DCLM-style pipeline thresholds on. Featurization (bucket modulus,
+    unigram/bigram set, hash salt) is read from the model's
+    self-describing columns; a model frame mixing configurations
+    raises instead of silently mis-hashing.
+
+    Scale shape: the model is a ``buckets``-row broadcast; scoring is
+    one token explode → hash → broadcast join → per-doc INTEGER sum
+    (map-side combinable) with one final display round — no ln ever
+    evaluates in the distributed plan, so the scores hash-match a SQL
+    twin bit-for-bit. keep is decided on the integer sum (no float
+    boundary)."""
+    from orestes_spark.operators.sampling import _dsir_toks, _hash_bucket
+
+    meta = model.select("nb", "pq", "bg", "salt").distinct().collect()
+    if len(meta) != 1:
+        raise ValueError(
+            f"model frame mixes {len(meta)} featurization configs"
+            " (distinct nb/pq/bg/salt rows) — pass exactly one trained model"
+        )
+    nb, pq, bg, salt = meta[0]["nb"], meta[0]["pq"], meta[0]["bg"], meta[0]["salt"]
+    n_col = "n_feats" if bg else "n_tokens"
+    toks = _dsir_toks(docs, id_col, text_col, bool(bg)).select(
+        "_id", _hash_bucket(F.col("tok"), salt, nb).alias("bucket")
+    )
+    scored = (
+        toks.join(F.broadcast(model.select("bucket", "wq")), "bucket")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias(n_col), F.sum("wq").alias("_s"))
+    )
+    total = F.lit(int(pq)) + F.col("_s")
+    return scored.select(
+        F.col("_id").alias(id_col),
+        F.col(n_col).cast("long").alias(n_col),
+        F.round(total.cast("double") / 1e9, 6).alias("nb_logodds"),
+        (total >= 0).alias("keep"),
+    )
+
+
+def quality_model_scores(
+    docs: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str = "label",
+    buckets: int = 4096,
+    salt: str = "qm",
+    bigrams: bool = False,
+) -> DataFrame:
+    """Train-and-score in one call: the complete model-based quality
+    gate (train_quality_model → score_quality_model). Train on the
+    labeled seed, score EVERY doc in ``docs`` — including held-out
+    ones, which is the point: the model generalizes the seed labels
+    to the rest of the corpus through token-distribution similarity."""
+    model = train_quality_model(
+        docs, labels, id_col, text_col, label_col, buckets, salt, bigrams
+    )
+    return score_quality_model(docs, model, id_col, text_col)

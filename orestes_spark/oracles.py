@@ -1265,6 +1265,56 @@ LIMIT {n}
 """
 
 
+def quality_model_sql(
+    buckets: int = 4096, seed_mod: int = 3, salt: str = "qm"
+) -> str:
+    r"""Twin of text.quality_model_scores with the fixture seed:
+    labeled docs = doc_id % seed_mod == 0, label = (lang = 'en') —
+    the reference-vs-crawl stand-in this synthetic corpus supports.
+    Identical hashed buckets (md5 prefix), add-one multinomials with
+    the dsir_sql double-division order, ln on bit-identical arguments
+    (shared libm), nano-quantized weights + prior, and an exact
+    integer per-doc sum; keep decided on the INTEGER total."""
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, u.tok AS tok FROM documents,
+  (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok) u
+),
+b AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('{salt}:' || tok), 1, 8) AS BIGINT) % {buckets} AS bucket
+  FROM toks
+),
+seed AS (SELECT doc_id, lang = 'en' AS label FROM documents WHERE doc_id % {seed_mod} = 0),
+pc AS (SELECT bucket, count(*) AS c FROM b JOIN seed USING (doc_id) WHERE label GROUP BY 1),
+nc AS (SELECT bucket, count(*) AS c FROM b JOIN seed USING (doc_id) WHERE NOT label GROUP BY 1),
+tot AS (SELECT
+  (SELECT count(*) FROM b JOIN seed USING (doc_id) WHERE label) AS dp,
+  (SELECT count(*) FROM b JOIN seed USING (doc_id) WHERE NOT label) AS dn,
+  (SELECT count(*) FROM seed WHERE label) AS np,
+  (SELECT count(*) FROM seed WHERE NOT label) AS nn),
+w AS (
+  SELECT g.bucket,
+         CAST(round(ln(
+            (CAST(COALESCE(pc.c, 0) + 1 AS DOUBLE) / (tot.dp + {buckets}))
+            / (CAST(COALESCE(nc.c, 0) + 1 AS DOUBLE) / (tot.dn + {buckets}))
+         ) * 1e9) AS BIGINT) AS wq
+  FROM (SELECT UNNEST(generate_series(0, {buckets - 1})) AS bucket) g
+  CROSS JOIN tot
+  LEFT JOIN pc ON pc.bucket = g.bucket
+  LEFT JOIN nc ON nc.bucket = g.bucket
+),
+prior AS (
+  SELECT CAST(round(ln(CAST(np + 1 AS DOUBLE) / (nn + 1)) * 1e9) AS BIGINT) AS pq
+  FROM tot)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(prior.pq + sum(w.wq) AS DOUBLE) / 1e9, 6) AS nb_logodds,
+       prior.pq + sum(w.wq) >= 0 AS keep
+FROM b JOIN w ON w.bucket = b.bucket CROSS JOIN prior
+GROUP BY b.doc_id, prior.pq
+"""
+
+
 def token_entropy_sql() -> str:
     r"""Twin of text.token_entropy: identical tokenization, detmath's
     shared ln expression text on per-type counts and on n, per-type

@@ -4774,6 +4774,28 @@ def doc_gopher_rules(spark, sf_dir):
     return text.gopher_rules(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@register("doc_quality_model", oracles.quality_model_sql())
+def doc_quality_model(spark, sf_dir):
+    """MODEL-BASED quality scoring (the trained layer above the
+    heuristic stack — GPT-3 appendix A / DCLM / FineWeb-Edu):
+    Naive-Bayes log-odds over hashed unigram features, trained on a
+    labeled seed (doc_id % 3 == 0; label = lang='en', the
+    reference-vs-crawl stand-in this synthetic corpus supports) and
+    scoring EVERY doc — held-out docs get classified by token-
+    distribution similarity, which is the model's whole point. The
+    weight table is literally the DSIR codebook (shared
+    featurization + shared determinism proof); the prior rides the
+    model artifact; keep is decided on the integer nano-sum —
+    text.quality_model_scores."""
+    from orestes_spark.operators import text
+
+    d = load_table(spark, sf_dir, "documents")
+    labels = d.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", (F.col("lang") == "en").alias("label")
+    )
+    return text.quality_model_scores(d, labels, "doc_id", "text")
+
+
 @register("emb_decontam_ivf", oracles.emb_decontam_ivf_sql())
 def emb_decontam_ivf(spark, sf_dir):
     """The IVF-routed scale path of emb_decontaminate: eval queries

@@ -239,3 +239,79 @@ def test_gopher_rules_named_verdicts(spark):
     assert "alpha_frac" in rows[5]["failed_rules"]
     assert "max_word_len" in rows[6]["failed_rules"]
     assert rows[6]["n_rules_failed"] >= 1
+
+
+def test_quality_model_separates_planted_labels(spark):
+    """The DCLM-style trained scorer: train NB log-odds on a labeled
+    seed of clean-prose vs spam-gibberish docs, then score HELD-OUT
+    docs of both kinds — the model must separate them (positive
+    log-odds for prose-like, negative for spam-like) purely from
+    hashed token distributions."""
+    from orestes_spark.operators.text import quality_model_scores
+
+    prose = "the quick study found that careful reading of the report improves results and the team agreed"
+    spam = "buy cheap pills viagra casino winner click here free money jackpot xxx lottery prize claim now"
+    docs = spark.createDataFrame(
+        # seed: ids 0-5 labeled; held-out: ids 10-13 unlabeled
+        [
+            (0, prose), (1, prose + " again today"), (2, "members read the careful report and the study"),
+            (3, spam), (4, spam + " bonus bonus"), (5, "casino jackpot winner free pills click claim xxx"),
+            (10, "the careful team report and the study results"),   # held-out good
+            (11, "reading the report improves the team results"),    # held-out good
+            (12, "free casino pills jackpot click winner money"),    # held-out spam
+            (13, "xxx lottery prize claim cheap viagra bonus"),      # held-out spam
+        ],
+        "doc_id LONG, text STRING",
+    )
+    labels = spark.createDataFrame(
+        [(0, True), (1, True), (2, True), (3, False), (4, False), (5, False)],
+        "doc_id LONG, label BOOLEAN",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in quality_model_scores(docs, labels, "doc_id", "text").collect()
+    }
+    assert set(rows) == {0, 1, 2, 3, 4, 5, 10, 11, 12, 13}
+    for good in (10, 11):
+        assert rows[good]["keep"] is True and rows[good]["nb_logodds"] > 0
+    for bad in (12, 13):
+        assert rows[bad]["keep"] is False and rows[bad]["nb_logodds"] < 0
+    # seed docs classify consistently with their own labels too
+    assert rows[0]["nb_logodds"] > 0 > rows[3]["nb_logodds"]
+
+
+def test_quality_model_artifact_self_describes_and_validates(spark):
+    """The model artifact pins its featurization (nb/bg/salt) and the
+    prior; scoring with a mixed-config frame raises; a one-class seed
+    raises at train time."""
+    import pytest
+
+    from orestes_spark.operators.text import (
+        score_quality_model,
+        train_quality_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "good clean text"), (1, "bad spam text")],
+        "doc_id LONG, text STRING",
+    )
+    labels = spark.createDataFrame(
+        [(0, True), (1, False)], "doc_id LONG, label BOOLEAN"
+    )
+    m = train_quality_model(docs, labels, "doc_id", "text", buckets=64)
+    assert m.count() == 64
+    meta = m.select("nb", "bg", "salt").distinct().collect()
+    assert len(meta) == 1 and meta[0]["nb"] == 64 and meta[0]["salt"] == "qm"
+    # a persisted-then-reloaded model scores identically (artifact is
+    # plain columns, no driver state)
+    scored = {r["doc_id"]: r["nb_logodds"] for r in score_quality_model(docs, m, "doc_id", "text").collect()}
+    assert scored[0] > 0 > scored[1]
+    mixed = m.union(
+        train_quality_model(docs, labels, "doc_id", "text", buckets=64, salt="other")
+    )
+    with pytest.raises(ValueError, match="featurization"):
+        score_quality_model(docs, mixed, "doc_id", "text")
+    with pytest.raises(ValueError, match="BOTH classes"):
+        train_quality_model(
+            docs, labels.where("label"), "doc_id", "text", buckets=64
+        )
