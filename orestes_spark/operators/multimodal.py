@@ -1,12 +1,23 @@
 """Multimodal columns: images/audio/video as opaque BINARY + typed
 metadata, processed with Arrow-batched pandas transforms.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBS: ``decode_image``/``decode_audio`` raise NotImplementedError
-unless a codec library is importable, and ``fake_decode_meta`` provides
-a deterministic md5-derived stand-in so the Spark-side plumbing —
-schema, ``mapInPandas`` batch shape, partition behavior — is real and
-testable end-to-end.
+Decode tiers (round-10 — the stub is closed for stdlib-decodable
+formats):
+
+- **REAL stdlib decode**: WAV (RIFF/WAVE PCM via ``wave`` +
+  ``array``/``struct``), PPM (binary P6 header + raw RGB), and BMP
+  (BITMAPINFOHEADER) need no codec library — ``decode_audio`` /
+  ``decode_image`` parse them for real, and ``wav_metadata`` /
+  ``ppm_metadata`` compute their outputs from ACTUALLY-DECODED
+  samples/pixels. The synthetic fixtures (``attach_wav_binary`` /
+  ``attach_ppm_binary``) build genuine WAV/PPM payloads whose
+  parameters derive from an md5 of the text, so a DuckDB oracle can
+  state the expected metadata in closed form — the hash-match then
+  certifies the full synthesize→decode round-trip.
+- **Honest stub**: formats that genuinely need a codec library
+  (JPEG/PNG/MP3...) still raise NotImplementedError unless PIL is
+  importable, and ``fake_decode_meta`` remains the deterministic
+  stand-in for plumbing tests.
 
 Scale notes: binary payloads ride through Arrow record batches;
 ``mapInPandas`` processes a partition as an iterator of batches so one
@@ -47,26 +58,283 @@ def attach_fake_binary(docs: DataFrame, id_col: str, text_col: str, modality: st
     )
 
 
-def decode_image(content: bytes):  # pragma: no cover - stub
-    """Real decode, gated on a codec library being present.
+def decode_image(content: bytes) -> dict:
+    """REAL image decode for the stdlib-parseable formats, codec-gated
+    stub for the rest (round-10, closing the round-3 environment
+    stub for everything a header struct can decode):
 
-    Container audit (round 3, 2026-08): PIL, cv2, and imageio all
-    remain unavailable (`import` raises ModuleNotFoundError), so this
-    stays an honest environment stub; the Spark-side plumbing (schema,
-    Arrow batching, partitioning) is real and oracle-tested via
-    fake_decode_meta."""
+    - **PPM (binary P6)**: full decode — header (width, height,
+      maxval) plus the raw RGB pixel plane, returned as
+      ``{"format": "ppm", "width", "height", "maxval", "pixels"}``.
+    - **BMP (BITMAPINFOHEADER)**: header decode — ``{"format":
+      "bmp", "width", "height", "bpp"}`` from the little-endian
+      struct at offsets 18/22/28.
+    - anything else (JPEG/PNG/...): genuinely needs a codec library;
+      raises NotImplementedError unless PIL is importable (container
+      audit round 3: PIL/cv2/imageio all absent)."""
+    if content[:2] == b"P6":
+        # header = "P6\n<w> <h>\n<maxval>\n" then w*h*3 raw bytes.
+        # Whitespace handling follows the spec: tokens separated by
+        # any whitespace run; no comment support (the synthesizer
+        # never emits comments, and a '#' here should fail loudly).
+        head, _, _ = content.partition(b"\n")
+        rest = content[len(head) + 1 :]
+        dims, _, rest = rest.partition(b"\n")
+        maxval_b, _, pixels = rest.partition(b"\n")
+        w, h = (int(x) for x in dims.split())
+        maxval = int(maxval_b)
+        if len(pixels) < 3 * w * h:
+            raise ValueError(f"P6 payload truncated: {len(pixels)} < {3 * w * h}")
+        return {
+            "format": "ppm",
+            "width": w,
+            "height": h,
+            "maxval": maxval,
+            "pixels": pixels[: 3 * w * h],
+        }
+    if content[:2] == b"BM":
+        import struct as _struct
+
+        if len(content) < 30:
+            raise ValueError("BMP header truncated")
+        w, h = _struct.unpack_from("<ii", content, 18)
+        (bpp,) = _struct.unpack_from("<H", content, 28)
+        return {"format": "bmp", "width": w, "height": abs(h), "bpp": bpp}
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "image decode requires a codec library (PIL) not present in this "
-            "container; use fake_decode_meta for plumbing tests"
+            "decode for this image format requires a codec library (PIL)"
+            " not present in this container; WAV/PPM/BMP decode natively,"
+            " fake_decode_meta covers plumbing tests for the rest"
         ) from e
     import io
 
     from PIL import Image
 
-    return Image.open(io.BytesIO(content))
+    return {"format": "pil", "image": Image.open(io.BytesIO(content))}
+
+
+def decode_audio(content: bytes) -> dict:
+    """REAL stdlib WAV decode (round-10): RIFF/WAVE PCM via ``wave``,
+    16-bit samples unpacked with ``array`` — no codec library needed.
+    Returns {"format": "wav", "channels", "sampwidth", "framerate",
+    "n_frames", "duration_ms", "peak", "rms"} where peak/rms are
+    computed from the ACTUAL decoded samples (integer rms:
+    isqrt(Σs²/n), exact for the fixtures' square waves). Non-RIFF
+    payloads raise NotImplementedError — MP3/OGG/... genuinely need a
+    codec library."""
+    import io
+    import math
+    import sys
+    import wave
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "audio decode without a codec library supports WAV (RIFF) only"
+        )
+    with wave.open(io.BytesIO(content), "rb") as w:
+        channels = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        framerate = w.getframerate()
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    if sampwidth != 2:
+        raise NotImplementedError("only 16-bit PCM WAV is decoded natively")
+    import array as _array
+
+    samples = _array.array("h")
+    samples.frombytes(raw)
+    if sys.byteorder == "big":  # pragma: no cover - platform guard
+        samples.byteswap()
+    n = len(samples)
+    peak = max((abs(s) for s in samples), default=0)
+    rms = int(math.isqrt(sum(s * s for s in samples) // n)) if n else 0
+    return {
+        "format": "wav",
+        "channels": channels,
+        "sampwidth": sampwidth,
+        "framerate": framerate,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // framerate,
+        "peak": peak,
+        "rms": rms,
+    }
+
+
+_WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def _wav_params(text: str) -> tuple[int, int, int, int]:
+    """(amplitude, framerate, n_frames, half_period) from md5('wav:'+
+    text) — each field a closed-form function of the hex digest, so a
+    SQL oracle can state the expected decode output without parsing
+    bytes."""
+    h = hashlib.md5(f"wav:{text}".encode()).hexdigest()
+    amp = 1000 + int(h[:4], 16) % 20000
+    rate = _WAV_RATES[int(h[4:6], 16) % 4]
+    n_frames = 100 + int(h[6:10], 16) % 2000
+    half_period = 2 + int(h[10:12], 16) % 30
+    return amp, rate, n_frames, half_period
+
+
+def synth_wav(text: str) -> bytes:
+    """A GENUINE 16-bit PCM mono WAV payload: a square wave whose
+    amplitude/rate/length/period derive from md5('wav:'+text) via
+    ``_wav_params``. Every sample is exactly ±amp (no zero crossing
+    values), so the decoded peak and integer rms BOTH equal amp — the
+    closed form the oracle states."""
+    import io
+    import struct as _struct
+    import wave
+
+    amp, rate, n_frames, half = _wav_params(text)
+    frames = b"".join(
+        _struct.pack("<h", amp if (i // half) % 2 == 0 else -amp)
+        for i in range(n_frames)
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def attach_wav_binary(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Real WAV payload column (synth_wav of the text) — the audio
+    twin of attach_fake_binary, built in Arrow batches."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["_mid"].astype("int64"),
+                    "modality": "audio",
+                    "mime": "audio/x-wav",
+                    "content": pdf["_txt"].map(synth_wav),
+                }
+            )
+
+    src = docs.select(
+        F.col(id_col).cast("long").alias("_mid"), F.col(text_col).alias("_txt")
+    )
+    return src.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def wav_metadata(media: DataFrame) -> DataFrame:
+    """Audio metadata from REAL decode: every output column comes out
+    of ``decode_audio`` running on the actual payload bytes (header
+    fields AND sample-derived peak/rms). Binary column dropped from
+    the output, per the module convention."""
+    schema = (
+        "media_id LONG, n_bytes LONG, channels INT, sampwidth INT, "
+        "framerate INT, n_frames LONG, duration_ms LONG, peak LONG, rms LONG"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = pdf["content"].map(decode_audio)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "channels": metas.map(lambda m: m["channels"]).astype("int32"),
+                    "sampwidth": metas.map(lambda m: m["sampwidth"]).astype("int32"),
+                    "framerate": metas.map(lambda m: m["framerate"]).astype("int32"),
+                    "n_frames": metas.map(lambda m: m["n_frames"]).astype("int64"),
+                    "duration_ms": metas.map(lambda m: m["duration_ms"]).astype("int64"),
+                    "peak": metas.map(lambda m: m["peak"]).astype("int64"),
+                    "rms": metas.map(lambda m: m["rms"]).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema)
+
+
+def _ppm_params(text: str) -> tuple[int, int, bytes]:
+    """(width, height, 16-byte pixel pattern) from md5 digests of the
+    text. Width is a multiple of 16 so the RGB plane size 3·w·h is
+    too — the pixel plane is the pattern tiled exactly, making the
+    decoded pixel SUM the closed form pattern_sum · (3wh/16)."""
+    h = hashlib.md5(f"ppm:{text}".encode()).hexdigest()
+    width = 16 * (1 + int(h[:2], 16) % 8)
+    height = 1 + int(h[2:4], 16) % 24
+    pattern = hashlib.md5(f"px:{text}".encode()).digest()
+    return width, height, pattern
+
+
+def synth_ppm(text: str) -> bytes:
+    """A GENUINE binary-PPM (P6) payload with md5-derived dimensions
+    and a tiled 16-byte pixel pattern (see _ppm_params)."""
+    w, h, pattern = _ppm_params(text)
+    n = 3 * w * h
+    return f"P6\n{w} {h}\n255\n".encode() + pattern * (n // 16)
+
+
+def attach_ppm_binary(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Real PPM payload column (synth_ppm of the text) — the image
+    twin of attach_fake_binary."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["_mid"].astype("int64"),
+                    "modality": "image",
+                    "mime": "image/x-portable-pixmap",
+                    "content": pdf["_txt"].map(synth_ppm),
+                }
+            )
+
+    src = docs.select(
+        F.col(id_col).cast("long").alias("_mid"), F.col(text_col).alias("_txt")
+    )
+    return src.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def ppm_metadata(media: DataFrame) -> DataFrame:
+    """Image metadata from REAL decode: dimensions from the parsed P6
+    header, pixel_sum summed over the ACTUAL decoded RGB plane."""
+    schema = (
+        "media_id LONG, n_bytes LONG, width INT, height INT, "
+        "maxval INT, pixel_sum LONG"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = pdf["content"].map(decode_image)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "width": metas.map(lambda m: m["width"]).astype("int32"),
+                    "height": metas.map(lambda m: m["height"]).astype("int32"),
+                    "maxval": metas.map(lambda m: m["maxval"]).astype("int32"),
+                    "pixel_sum": metas.map(lambda m: sum(m["pixels"])).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema)
+
+
+def resize_ppm(content: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for P6 payloads: decode, sample
+    source pixels at floor(i·src/dst) per axis, re-encode as P6. The
+    real kernel the fake_resize stub stood in for."""
+    m = decode_image(content)
+    if m.get("format") != "ppm":
+        raise ValueError("resize_ppm requires a P6 payload")
+    sw, sh, px = m["width"], m["height"], m["pixels"]
+    out = bytearray()
+    for y in range(height):
+        sy = y * sh // height
+        row = sy * sw * 3
+        for x in range(width):
+            sx = x * sw // width
+            out += px[row + sx * 3 : row + sx * 3 + 3]
+    return f"P6\n{width} {height}\n{m['maxval']}\n".encode() + bytes(out)
 
 
 def fake_decode_meta(content: bytes) -> tuple[int, int, int]:
@@ -134,13 +402,21 @@ def fake_resize(content: bytes, width: int, height: int) -> bytes:
 
 
 def resize(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Batch resize via mapInPandas: content is replaced by the resized
-    payload (decode stubbed — fake_resize), target dims become columns.
-    Per-row independent → no shuffle; payloads stream through bounded
-    Arrow batches exactly like extract_metadata."""
+    """Batch resize via mapInPandas: content is replaced by the
+    resized payload, target dims become columns. P6 payloads get the
+    REAL nearest-neighbor kernel (resize_ppm, round-10); formats that
+    still need a codec library fall back to the deterministic
+    fake_resize stand-in so the plumbing stays drivable. Per-row
+    independent → no shuffle; payloads stream through bounded Arrow
+    batches exactly like extract_metadata."""
     schema = (
         "media_id LONG, modality STRING, mime STRING, width INT, height INT, content BINARY"
     )
+
+    def one(b: bytes) -> bytes:
+        if b[:2] == b"P6":
+            return resize_ppm(b, width, height)
+        return fake_resize(b, width, height)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -151,7 +427,7 @@ def resize(media: DataFrame, width: int, height: int) -> DataFrame:
                     "mime": pdf["mime"],
                     "width": pd.Series([width] * len(pdf), dtype="int32"),
                     "height": pd.Series([height] * len(pdf), dtype="int32"),
-                    "content": pdf["content"].map(lambda b: fake_resize(b, width, height)),
+                    "content": pdf["content"].map(one),
                 }
             )
 

@@ -641,6 +641,66 @@ FROM m, (SELECT UNNEST(generate_series(0, duration_ms // {every_ms})) AS i) u
 """
 
 
+def wav_meta_sql() -> str:
+    """Closed-form twin of multimodal.wav_metadata over synth_wav
+    payloads: the synth derives (amp, rate, n_frames) from
+    md5('wav:'+text) and emits a pure ±amp square wave through the
+    stdlib wave writer (44-byte canonical header), so every REAL
+    decode output — header fields, n_bytes, and the sample-derived
+    peak/rms (both exactly amp) — is stateable in SQL. A hash match
+    therefore certifies the synthesize→decode round-trip."""
+    return """
+WITH m AS (SELECT doc_id, md5('wav:' || text) AS h FROM documents),
+p AS (SELECT doc_id,
+        1000 + CAST('0x' || substr(h, 1, 4) AS BIGINT) % 20000 AS amp,
+        CASE CAST('0x' || substr(h, 5, 2) AS BIGINT) % 4
+          WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+          ELSE 44100 END AS rate,
+        100 + CAST('0x' || substr(h, 7, 4) AS BIGINT) % 2000 AS n_frames
+      FROM m)
+SELECT doc_id AS media_id,
+       CAST(44 + 2 * n_frames AS BIGINT) AS n_bytes,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(2 AS INTEGER) AS sampwidth,
+       CAST(rate AS INTEGER) AS framerate,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_frames * 1000 // rate AS BIGINT) AS duration_ms,
+       CAST(amp AS BIGINT) AS peak,
+       CAST(amp AS BIGINT) AS rms
+FROM p
+"""
+
+
+def ppm_meta_sql() -> str:
+    """Closed-form twin of multimodal.ppm_metadata over synth_ppm
+    payloads: md5-derived dimensions (width a multiple of 16) and a
+    tiled 16-byte pixel pattern make the REAL decoder's pixel SUM
+    equal pattern_sum · (3wh/16), and n_bytes the exact header length
+    plus the RGB plane."""
+    return """
+WITH m AS (SELECT doc_id, md5('ppm:' || text) AS h, md5('px:' || text) AS hp
+           FROM documents),
+p AS (SELECT doc_id, hp,
+        16 * (1 + CAST('0x' || substr(h, 1, 2) AS BIGINT) % 8) AS w,
+        1 + CAST('0x' || substr(h, 3, 2) AS BIGINT) % 24 AS ht
+      FROM m),
+ps AS (
+  SELECT doc_id, sum(CAST('0x' || substr(hp, 2 * u.j + 1, 2) AS BIGINT)) AS psum
+  FROM p, (SELECT UNNEST(generate_series(0, 15)) AS j) u
+  GROUP BY doc_id
+)
+SELECT p.doc_id AS media_id,
+       CAST(length('P6' || chr(10) || CAST(w AS VARCHAR) || ' ' ||
+                   CAST(ht AS VARCHAR) || chr(10) || '255' || chr(10))
+            + 3 * w * ht AS BIGINT) AS n_bytes,
+       CAST(w AS INTEGER) AS width,
+       CAST(ht AS INTEGER) AS height,
+       CAST(255 AS INTEGER) AS maxval,
+       CAST(ps.psum * (3 * w * ht // 16) AS BIGINT) AS pixel_sum
+FROM p JOIN ps ON ps.doc_id = p.doc_id
+"""
+
+
 def emb_ivf_topk_sql(k: int = 5, num_queries: int = 10, nprobe: int = 1) -> str:
     return f"""
 WITH {_QUANT_VECS},

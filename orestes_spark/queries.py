@@ -2130,6 +2130,32 @@ def multimodal_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(media, every_ms=1000)
 
 
+@register("multimodal_wav_meta", oracles.wav_meta_sql())
+def multimodal_wav_meta(spark, sf_dir):
+    """REAL audio decode (round-10, closing the decode stub for
+    stdlib formats): genuine 16-bit PCM WAV payloads synthesized per
+    doc (square wave, md5-derived params), then DECODED BACK with the
+    stdlib wave/array kernel inside mapInPandas — header fields AND
+    sample-computed peak/rms. The oracle states the same metadata in
+    closed form from the md5, so the hash match certifies the
+    synthesize→decode round-trip — multimodal.wav_metadata."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_wav_binary(d, "doc_id", "text")
+    return multimodal.wav_metadata(media)
+
+
+@register("multimodal_ppm_meta", oracles.ppm_meta_sql())
+def multimodal_ppm_meta(spark, sf_dir):
+    """REAL image decode: genuine binary-PPM (P6) payloads per doc,
+    parsed back by the stdlib header/pixel decoder — dimensions from
+    the actual header, pixel_sum over the actual RGB plane
+    (md5-pattern-tiled, so the oracle states it in closed form) —
+    multimodal.ppm_metadata."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_ppm_binary(d, "doc_id", "text")
+    return multimodal.ppm_metadata(media)
+
+
 @register(
     "multimodal_features",
     """WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
