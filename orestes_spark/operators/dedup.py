@@ -1232,6 +1232,158 @@ def span_bucketize(idx: DataFrame, buckets: int) -> DataFrame:
     ).withColumn("nb", F.lit(int(buckets)))
 
 
+def _bloom_positions(h: Column, m: int, hashes: int) -> Column:
+    """The ``hashes`` Bloom bit positions of a 64-bit hash, as an
+    array column — Kirsch-Mitzenmacher double hashing
+    g_j = (h1 + j·h2) mod m with h1 = pmod(h, m) and
+    h2 = pmod(h >> 17, m-1) + 1. Every op (pmod, arithmetic shift)
+    has identical semantics in Spark SQL, Python ints, and numpy
+    int64, so the probe's vectorized membership test computes the
+    SAME positions the build set — the no-false-negative property the
+    exactness argument rests on."""
+    h1 = F.pmod(h, F.lit(m))
+    h2 = F.pmod(F.shiftright(h, 17), F.lit(m - 1)) + F.lit(1)
+    return F.array(*[F.pmod(h1 + F.lit(j) * h2, F.lit(m)) for j in range(int(hashes))])
+
+
+def span_bloom(index: DataFrame, bits: int = 1 << 20, hashes: int = 4) -> DataFrame:
+    """Per-bucket Bloom sidecar for a persisted span index (round-10):
+    one (hb, nb, mbits, kh, blob) row per hash-range bucket, ``blob``
+    = ``bits`` Bloom bits over the bucket's distinct k-gram hashes.
+    At 100 TB the distinct-hash index is TBs; bucket pruning already
+    cuts probe I/O to touched buckets, and the sidecar cuts it again:
+    a mostly-NOVEL ingest batch (the common dedup case) has almost no
+    Bloom-passing hashes, so the exact semi-join scans only the
+    buckets holding genuine repeats (plus the false-positive trickle)
+    instead of every touched partition. Exactness is untouched — the
+    Bloom is a PRE-filter with no false negatives; the exact semi-join
+    still decides every hit.
+
+    Layout self-describes like the index's ``nb``: ``mbits``/``kh``
+    ride every row, and the probe validates them against each other
+    and against the index modulus before trusting a single skipped
+    byte. Sizing: ``bits`` is PER BUCKET — aim for ~10 bits per
+    distinct hash in the largest bucket (~1% false positives at
+    kh=4); the whole sidecar is nb·bits/8 bytes and the probe only
+    collects the touched buckets' blobs.
+
+    Build shape (distributed, bounded): explode each hash into kh bit
+    positions, integer bit_or per (hb, word) — output bounded by
+    nb·bits/64 rows regardless of corpus size — then per-bucket blob
+    assembly over those word rows via applyInPandas."""
+    import struct as _struct
+
+    import pandas as pd
+
+    m, kk = int(bits), int(hashes)
+    if m % 64 or m < 64:
+        raise ValueError(f"bits must be a positive multiple of 64: {m}")
+    if not 1 <= kk <= 16:
+        raise ValueError(f"hashes must be in [1, 16]: {kk}")
+    if "hb" in index.columns and "nb" in index.columns:
+        nbs = sorted(r[0] for r in index.select("nb").distinct().collect() if r[0] is not None)
+        if len(nbs) != 1:
+            raise ValueError(f"span index mixes bucket moduli {nbs}; rebucket before sidecar build")
+        nb = int(nbs[0])
+        src = index.select("h", "hb")
+    else:
+        nb = 1  # unbucketed index: one corpus-wide blob
+        src = index.select("h", F.lit(0).alias("hb"))
+    pos = src.select(
+        "hb", F.explode(_bloom_positions(F.col("h"), m, kk)).alias("p")
+    )
+    words = pos.select(
+        "hb",
+        F.shiftright(F.col("p"), 6).cast("int").alias("word"),
+        F.expr("shiftleft(1L, cast(pmod(p, 64) as int))").alias("mask"),
+    ).groupBy("hb", "word").agg(F.bit_or("mask").alias("bits"))
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        blob = bytearray(m // 8)
+        for w, b in zip(pdf["word"], pdf["bits"]):
+            _struct.pack_into("<q", blob, int(w) * 8, int(b))
+        return pd.DataFrame(
+            {
+                "hb": [int(pdf["hb"].iloc[0])],
+                "nb": [nb],
+                "mbits": [m],
+                "kh": [kk],
+                "blob": [bytes(blob)],
+            }
+        )
+
+    return words.groupBy("hb").applyInPandas(
+        assemble, "hb INT, nb INT, mbits LONG, kh INT, blob BINARY"
+    )
+
+
+def _bloom_prefilter(kg_hashes: DataFrame, bloom: DataFrame, expect_nb: int | None):
+    """Filter a distinct batch-hash frame through a span_bloom sidecar:
+    returns (survivors DataFrame, bnb). Collects ONLY the touched
+    buckets' blobs (bounded by nb·mbits/8 bytes, never by batch or
+    corpus), broadcasts them, and tests membership with a vectorized
+    Arrow-batched kernel — numpy int64 reproduces the build's pmod /
+    arithmetic-shift semantics exactly, so a true hit can never be
+    filtered (no false negatives). Validates the sidecar's
+    self-described layout against the index modulus first."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    meta = bloom.select("nb", "mbits", "kh").distinct().collect()
+    if len(meta) != 1:
+        raise ValueError(
+            "bloom sidecar mixes layouts (distinct nb/mbits/kh rows) — "
+            "rebuild it in one span_bloom pass"
+        )
+    bnb, m, kk = int(meta[0]["nb"]), int(meta[0]["mbits"]), int(meta[0]["kh"])
+    if expect_nb is not None and bnb != expect_nb:
+        raise ValueError(
+            f"bloom sidecar was built over buckets={bnb} but the index"
+            f" has buckets={expect_nb}: a mismatched modulus routes hashes"
+            " to the wrong blob and silently drops genuine repeats"
+        )
+    spark = kg_hashes.sparkSession
+    touched = [
+        r[0]
+        for r in kg_hashes.select(
+            F.pmod(F.col("h"), F.lit(bnb)).cast("int").alias("hb")
+        ).distinct().collect()
+    ]
+    blobs = {
+        int(r["hb"]): bytes(r["blob"])
+        for r in bloom.where(F.col("hb").isin(touched)).select("hb", "blob").collect()
+    }
+    blobs_bc = spark.sparkContext.broadcast(blobs)
+
+    # no type hints: the module's `from __future__ import annotations`
+    # stringifies them and pyspark's resolver can't see the local
+    # pandas import; the explicit returnType carries the contract
+    @pandas_udf("boolean")
+    def bloom_pass(hs):
+        bl = blobs_bc.value
+        h = hs.to_numpy(dtype=np.int64)
+        hb = np.mod(h, bnb)
+        res = np.zeros(len(h), dtype=bool)
+        for b in np.unique(hb):
+            blob = bl.get(int(b))
+            if blob is None:
+                continue  # bucket absent from sidecar: no index hash there
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            idx = np.nonzero(hb == b)[0]
+            hh = h[idx]
+            h1 = np.mod(hh, m)
+            h2 = np.mod(hh >> 17, m - 1) + 1
+            ok = np.ones(len(idx), dtype=bool)
+            for j in range(kk):
+                p = np.mod(h1 + j * h2, m)
+                ok &= ((arr[p >> 3] >> (p & 7)) & 1).astype(bool)
+            res[idx] = ok
+        return pd.Series(res)
+
+    return kg_hashes.where(bloom_pass(F.col("h"))), bnb
+
+
 def incremental_repeated_spans(
     new_docs: DataFrame,
     index: DataFrame,
@@ -1239,6 +1391,7 @@ def incremental_repeated_spans(
     text_col: str,
     k: int = 8,
     buckets: int | None = None,
+    bloom: DataFrame | None = None,
 ) -> DataFrame:
     """Per-ingest ExactSubstr decontamination: merged coverage spans
     (id, span_start, span_end, span_len) of every >=k-token window in
@@ -1272,7 +1425,19 @@ def incremental_repeated_spans(
     silently pruning with the wrong modulus (which would drop genuine
     hits — an under-reporting decontamination gate). The batch k-gram
     stream is checkpointed first so the touched-bucket collect and
-    the two semi-joins share ONE tokenize+hash pass."""
+    the two semi-joins share ONE tokenize+hash pass.
+
+    ``bloom`` (round-10): a ``span_bloom`` sidecar consulted FIRST —
+    the batch hash set is pre-filtered through the touched buckets'
+    Bloom blobs before any index byte is read, and the index scan is
+    then pruned to the buckets with at least one SURVIVING hash. For
+    a mostly-novel batch (the common ingest case) almost nothing
+    survives, so the exact semi-join scans near-zero index partitions
+    instead of every touched one. Exactness preserved: the Bloom has
+    no false negatives (identical position arithmetic on both sides)
+    and the exact semi-join still decides every hit; an all-pass or
+    absent sidecar degrades to the round-9 behavior, never to a
+    wrong answer."""
     kg = _kgram_starts(new_docs, id_col, text_col, k)
     prune_nb: int | None = None
     if "nb" in index.columns:
@@ -1299,18 +1464,24 @@ def incremental_repeated_spans(
         index = index.drop("nb")
     elif buckets and "hb" in index.columns:
         prune_nb = int(buckets)  # pre-nb index: trust the caller
-    if prune_nb:
+    if prune_nb or bloom is not None:
         kg = kg.localCheckpoint(eager=True)  # one pass feeds collect + joins
+    batch_hashes = kg.select("h").distinct()
+    if bloom is not None:
+        batch_hashes, bnb = _bloom_prefilter(batch_hashes, bloom, prune_nb)
+        # the surviving set feeds a bucket re-collect AND the semi-join
+        batch_hashes = batch_hashes.localCheckpoint(eager=True)
+        prune_nb = prune_nb or (bnb if "hb" in index.columns else None)
+    if prune_nb:
         touched = [
             r[0]
-            for r in kg.select(
+            for r in batch_hashes.select(
                 F.pmod(F.col("h"), F.lit(prune_nb)).cast("int").alias("hb")
             )
             .distinct()
             .collect()
         ]
         index = index.where(F.col("hb").isin(touched))
-    batch_hashes = kg.select("h").distinct()
     hits = index.select("h").join(F.broadcast(batch_hashes), "h", "left_semi")
     flagged = kg.join(F.broadcast(hits), "h", "left_semi").select("_id", "pos")
     return _merge_flagged_spans(flagged, id_col, k)

@@ -1439,6 +1439,7 @@ _NEARDUP_PAIRS: dict[str, "DataFrame"] = {}
 _NEARDUP_COMPONENTS: dict[str, "DataFrame"] = {}
 _BAND_INDEXES: dict[str, str] = {}
 _SPAN_INDEXES: dict[str, str] = {}
+_SPAN_BLOOMS: dict[str, str] = {}
 _KMEANS_CELLS: dict[str, "DataFrame"] = {}
 
 
@@ -1501,6 +1502,24 @@ def _span_index_for(spark, sf_dir) -> str:
     return path
 
 
+def _span_bloom_for(spark, sf_dir) -> str:
+    """Build (once per process per sf_dir) the Bloom sidecar over the
+    persisted span index (dedup.span_bloom, round-10) — the second
+    tier of probe pruning: bucket pruning bounds I/O to touched
+    partitions, the sidecar skips the touched partitions that hold no
+    Bloom-passing batch hash. Sized at 2^17 bits/bucket (~16 KiB —
+    generous for the sf0.1 per-bucket distinct-hash counts)."""
+    import tempfile
+
+    path = _SPAN_BLOOMS.get(sf_dir)
+    if path is None:
+        idx = spark.read.parquet(_span_index_for(spark, sf_dir))
+        path = tempfile.mkdtemp(prefix="orestes_span_bloom_") + "/bloom"
+        dedup.span_bloom(idx, bits=1 << 17, hashes=4).write.parquet(path)
+        _SPAN_BLOOMS[sf_dir] = path
+    return path
+
+
 def _kmeans_cells_for(spark, sf_dir):
     """Train (once per process per sf_dir) the coarse quantizer's cell
     assignment — kmeans_cosine(k=8, iters=2, quantize=1000) — and
@@ -1546,6 +1565,9 @@ def build_shared_artifacts(spark, sf_dir, invalidate: bool = True) -> dict[str, 
         old = _SPAN_INDEXES.pop(sf_dir, None)
         if old:
             shutil.rmtree(os.path.dirname(old), ignore_errors=True)
+        old = _SPAN_BLOOMS.pop(sf_dir, None)
+        if old:
+            shutil.rmtree(os.path.dirname(old), ignore_errors=True)
         old = _SEM_INDEXES.pop(sf_dir, None)
         if old:
             shutil.rmtree(old, ignore_errors=True)
@@ -1563,6 +1585,9 @@ def build_shared_artifacts(spark, sf_dir, invalidate: bool = True) -> dict[str, 
     t0 = _time.perf_counter()
     _span_index_for(spark, sf_dir)
     out["span_kgram_index"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    _span_bloom_for(spark, sf_dir)
+    out["span_bloom_sidecar"] = round(_time.perf_counter() - t0, 3)
     t0 = _time.perf_counter()
     _sem_index_for(spark, sf_dir)
     out["semantic_index"] = round(_time.perf_counter() - t0, 3)
@@ -1584,7 +1609,8 @@ ARTIFACT_CONSUMERS = {
     ],
     "neardup_components": ["doc_dedup_clusters", "doc_dedup_keep_best"],
     "lsh_band_index": ["doc_incremental_neardup"],
-    "span_kgram_index": ["doc_incremental_span"],
+    "span_kgram_index": ["doc_incremental_span", "doc_incremental_span_bloom"],
+    "span_bloom_sidecar": ["doc_incremental_span_bloom"],
     "semantic_index": ["emb_incremental_semdedup", "emb_incremental_arrow"],
     "kmeans_cells": ["emb_kmeans_assign", "emb_ivf_trained", "emb_ivf_recall"],
 }
@@ -4906,6 +4932,26 @@ def doc_incremental_span(spark, sf_dir):
     idx = spark.read.parquet(_span_index_for(spark, sf_dir))
     return dedup.incremental_repeated_spans(
         batch, idx, "doc_id", "text", k=8, buckets=_SPAN_BUCKETS
+    )
+
+
+@register("doc_incremental_span_bloom", oracles.incremental_span_sql(k=8, new_mod=5))
+def doc_incremental_span_bloom(spark, sf_dir):
+    """doc_incremental_span with the Bloom sidecar consulted first
+    (dedup.span_bloom, round-10): the batch hash set is pre-filtered
+    through the touched buckets' per-bucket Bloom blobs BEFORE any
+    index byte is read, and the exact semi-join then scans only the
+    buckets with a surviving hash. Same oracle as the plain probe —
+    the sidecar is a pure pre-filter (no false negatives, exact join
+    decides every hit), so the SPANS ARE IDENTICAL; the hash match
+    proves exactness-preservation, the scanned-bytes drop is measured
+    in tools/span_dedup_scaling.py."""
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.where(F.col("doc_id") % 5 == 0)
+    idx = spark.read.parquet(_span_index_for(spark, sf_dir))
+    bloom = spark.read.parquet(_span_bloom_for(spark, sf_dir))
+    return dedup.incremental_repeated_spans(
+        batch, idx, "doc_id", "text", k=8, buckets=_SPAN_BUCKETS, bloom=bloom
     )
 
 

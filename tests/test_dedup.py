@@ -533,3 +533,107 @@ def test_incremental_spans_mixed_modulus_index_raises(spark):
     )
     with _pytest.raises(ValueError, match="mixes bucket moduli"):
         dedup.incremental_repeated_spans(batch, mixed, "doc_id", "text", k=6).collect()
+
+
+def test_span_bloom_prefilter_exact_parity_and_filtering(spark):
+    """Round-10 Bloom sidecar: the bloom-assisted probe flags the
+    IDENTICAL spans (pre-filter has no false negatives), a mostly-
+    novel batch's hash set shrinks to near-nothing before the index
+    is touched, and the sidecar layout self-describes."""
+    import tempfile
+
+    cspan = "c1 c2 c3 c4 c5 c6"
+    corpus = spark.createDataFrame(
+        [(1, f"{cspan} corpus filler words here today ok"),
+         (2, "entirely unrelated corpus content with nothing shared at all")],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [(10, f"lead in {cspan} trailing words"),
+         (20, "wholly novel material that matches no corpus window at all today")],
+        "doc_id LONG, text STRING",
+    )
+    d = tempfile.mkdtemp(prefix="span_bloom_test_")
+    dedup.span_index(corpus, "doc_id", "text", k=6, buckets=4).write.partitionBy(
+        "hb"
+    ).parquet(f"{d}/idx")
+    idx = spark.read.parquet(f"{d}/idx")
+    dedup.span_bloom(idx, bits=1 << 12, hashes=4).write.parquet(f"{d}/bloom")
+    bloom = spark.read.parquet(f"{d}/bloom")
+    assert {r["mbits"] for r in bloom.select("mbits").distinct().collect()} == {1 << 12}
+
+    plain = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.incremental_repeated_spans(
+            batch, idx, "doc_id", "text", k=6, buckets=4
+        ).collect()
+    }
+    with_bloom = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.incremental_repeated_spans(
+            batch, idx, "doc_id", "text", k=6, buckets=4, bloom=bloom
+        ).collect()
+    }
+    assert with_bloom == plain == {(10, 2, 8)}
+
+    # direct prefilter check: the true-hit hash survives, and the
+    # novel doc's hashes are (almost) all filtered before any join
+    from orestes_spark.operators.dedup import _bloom_prefilter, _kgram_starts
+
+    kg = _kgram_starts(batch, "doc_id", "text", 6)
+    survivors, bnb = _bloom_prefilter(kg.select("h").distinct(), bloom, 4)
+    n_all = kg.select("h").distinct().count()
+    n_surv = survivors.count()
+    assert bnb == 4
+    assert n_surv >= 1  # the genuine repeat is never filtered
+    assert n_surv < n_all  # novel hashes dropped pre-join
+
+    # an all-novel batch survives with ~zero hashes -> zero spans
+    novel = spark.createDataFrame(
+        [(30, "completely fresh words never indexed anywhere in this corpus")],
+        "doc_id LONG, text STRING",
+    )
+    assert (
+        dedup.incremental_repeated_spans(
+            novel, idx, "doc_id", "text", k=6, buckets=4, bloom=bloom
+        ).count()
+        == 0
+    )
+
+
+def test_span_bloom_layout_validation(spark):
+    import pytest as _pytest
+
+    corpus = spark.createDataFrame(
+        [(1, "c1 c2 c3 c4 c5 c6 filler words here")], "doc_id LONG, text STRING"
+    )
+    batch = spark.createDataFrame(
+        [(10, "x c1 c2 c3 c4 c5 c6 y")], "doc_id LONG, text STRING"
+    )
+    idx4 = dedup.span_index(corpus, "doc_id", "text", k=6, buckets=4)
+    idx8 = dedup.span_index(corpus, "doc_id", "text", k=6, buckets=8)
+    bloom8 = dedup.span_bloom(idx8, bits=1 << 12)
+    # sidecar modulus must match the index modulus
+    with _pytest.raises(ValueError, match="mismatched modulus|wrong blob"):
+        dedup.incremental_repeated_spans(
+            batch, idx4, "doc_id", "text", k=6, bloom=bloom8
+        ).collect()
+    # mixed-layout sidecar refuses
+    mixed = bloom8.unionByName(dedup.span_bloom(idx8, bits=1 << 13))
+    with _pytest.raises(ValueError, match="mixes layouts"):
+        dedup.incremental_repeated_spans(
+            batch, idx8, "doc_id", "text", k=6, bloom=mixed
+        ).collect()
+    # bits must be a multiple of 64; hashes bounded
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        dedup.span_bloom(idx4, bits=100)
+    # unbucketed index -> one corpus-wide blob, parity preserved
+    idx_plain = dedup.span_index(corpus, "doc_id", "text", k=6)
+    bloom_plain = dedup.span_bloom(idx_plain, bits=1 << 12)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.incremental_repeated_spans(
+            batch, idx_plain, "doc_id", "text", k=6, bloom=bloom_plain
+        ).collect()
+    }
+    assert got == {(10, 1, 7)}

@@ -187,7 +187,101 @@ def bucket_pruning(spark=None) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def bloom_pruning(spark=None) -> None:
+    """Round-10 (verdict #3): the Bloom sidecar on top of bucket
+    pruning. Same one-document probe shape as bucket_pruning, but the
+    batch hash set is pre-filtered through the touched buckets' Bloom
+    blobs BEFORE the index scan, so the exact semi-join only reads
+    buckets holding a SURVIVING hash. For this mostly-novel batch the
+    surviving set collapses to the few true boilerplate hits (+ the
+    ~p false-positive trickle), so scanned bytes drop from the
+    touched-partition bound to near-zero while the spans stay
+    IDENTICAL (asserted). Reported per corpus size: touched vs
+    surviving buckets/bytes, probe wall with bucket pruning alone vs
+    with the sidecar, and the sidecar's own size + build time."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    if spark is None:
+        spark = get_spark("span-dedup-scaling")
+    buckets = 256
+    boiler = " ".join(f"s{i}" for i in range(10))
+    batch = spark.range(1).selectExpr(
+        "id + 10000000 AS doc_id",
+        f"concat('{boiler} ', "
+        + ", ' ', ".join(f"'w{j}', id * {2 * j + 1}" for j in range(100))
+        + ") AS text",
+    ).localCheckpoint()
+    print()
+    print(
+        "| corpus (docs) | index MiB | sidecar MiB (build s) | touched bkts/MiB "
+        "| surviving bkts/MiB | probe s pruned | probe s bloom | spans |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
+    for mult in (1, 4, 16):
+        n = 20_000 * mult
+        corpus = spark.range(n).selectExpr(
+            "id AS doc_id",
+            f"concat('{boiler} ', 'u', id, ' x', id * 7, ' y', id * 13, ' z', id * 29) AS text",
+        )
+        d = tempfile.mkdtemp(prefix="span_idx_bloom_")
+        dedup.span_index(corpus, "doc_id", "text", k=8, buckets=buckets).write.partitionBy(
+            "hb"
+        ).parquet(f"{d}/idx")
+        idx = spark.read.parquet(f"{d}/idx")
+        total_b = sum(p.stat().st_size for p in Path(f"{d}/idx").rglob("*.parquet"))
+        t0 = time.perf_counter()
+        dedup.span_bloom(idx, bits=1 << 17, hashes=4).write.parquet(f"{d}/bloom")
+        t_build = time.perf_counter() - t0
+        bloom = spark.read.parquet(f"{d}/bloom")
+        bloom_b = sum(p.stat().st_size for p in Path(f"{d}/bloom").rglob("*.parquet"))
+
+        kg = dedup._kgram_starts(batch, "doc_id", "text", 8).localCheckpoint()
+        hb_of = F.pmod(F.col("h"), F.lit(buckets)).cast("int").alias("hb")
+        touched = sorted(
+            r[0] for r in kg.select(hb_of).distinct().collect()
+        )
+        survivors, _ = dedup._bloom_prefilter(kg.select("h").distinct(), bloom, buckets)
+        surviving = sorted(r[0] for r in survivors.select(hb_of).distinct().collect())
+
+        def part_bytes(bks):
+            return sum(
+                p.stat().st_size
+                for hb in bks
+                for p in Path(f"{d}/idx/hb={hb}").rglob("*.parquet")
+            )
+
+        t0 = time.perf_counter()
+        plain = dedup.incremental_repeated_spans(
+            batch, idx, "doc_id", "text", k=8, buckets=buckets
+        ).collect()
+        t_pruned = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        with_bloom = dedup.incremental_repeated_spans(
+            batch, idx, "doc_id", "text", k=8, buckets=buckets, bloom=bloom
+        ).collect()
+        t_bloom = time.perf_counter() - t0
+        assert {tuple(r) for r in with_bloom} == {tuple(r) for r in plain}, "bloom changed the spans"
+        print(
+            f"| {n:,} | {total_b / 2**20:.1f} | {bloom_b / 2**20:.2f} ({t_build:.1f}) "
+            f"| {len(touched)}/{part_bytes(touched) / 2**20:.2f} "
+            f"| {len(surviving)}/{part_bytes(surviving) / 2**20:.3f} "
+            f"| {t_pruned:.2f} | {t_bloom:.2f} | {len(with_bloom)} == {len(plain)} |"
+        )
+        shutil.rmtree(d, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
-    incremental()
-    bucket_pruning()
+    import sys as _sys
+
+    if len(_sys.argv) > 1:
+        {"main": main, "incremental": incremental,
+         "bucket_pruning": bucket_pruning, "bloom_pruning": bloom_pruning}[_sys.argv[1]]()
+    else:
+        main()
+        incremental()
+        bucket_pruning()
+        bloom_pruning()
