@@ -863,6 +863,109 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
 
 
+def incremental_components(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Per-ingest update of a PERSISTED component labeling (round-10
+    verdict #4): given the corpus's current (node, component) store —
+    ``connected_components`` output, read back from parquet — and the
+    batch's NEW near-dup pairs (within-batch ∪ batch-vs-corpus, from
+    ``minhash_lsh_dedup`` + ``incremental_neardup``), return the label
+    DELTA: one (node, component) row for every node whose label is
+    new or changed. The caller folds it into the store
+    (``apply_component_delta``); cluster ids stay BYTE-IDENTICAL to a
+    full recompute over the union of all pairs ever seen, because
+    min-reachable-label is associative: a stored component label IS
+    the min of its member set, so merging at the level of component
+    REPRESENTATIVES computes the same global min as re-propagating
+    over every historical edge.
+
+    Scale shape — nothing corpus-sized moves:
+    - the batch's touched labels come from ONE semi-join of the store
+      against the broadcast endpoint set (batch-sized result);
+    - label propagation runs on the component MERGE graph (one node
+      per distinct touched component, one edge per new cross-component
+      pair) — bounded by the batch's edge count, never by corpus size
+      or historical cluster populations;
+    - the delta then relabels only the members of LOSING components
+      (one broadcast join of the merge map against the store) — a
+      frontier-sized scan the store layout can partition-prune, plus
+      the brand-new nodes.
+    A corpus-sized recompute (the r9 ``neardup_components`` artifact)
+    touches |corpus| rows per batch; this touches |batch edges| +
+    |losing-component members|."""
+    e = new_pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).distinct().localCheckpoint(eager=True)
+    touched = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    known = labels.join(F.broadcast(touched), "node", "left_semi").localCheckpoint(
+        eager=True
+    )
+    fresh = touched.join(F.broadcast(known), "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    ).localCheckpoint(eager=True)
+    cur = known.unionByName(fresh)
+    rep = (
+        e.join(
+            F.broadcast(cur.select(F.col("node").alias("src"), F.col("component").alias("ca"))),
+            "src",
+        )
+        .join(
+            F.broadcast(cur.select(F.col("node").alias("dst"), F.col("component").alias("cb"))),
+            "dst",
+        )
+        .where(F.col("ca") != F.col("cb"))
+        .select("ca", "cb")
+        .distinct()
+    )
+    if not rep.take(1):
+        # every new edge lands inside one existing component; only the
+        # brand-new nodes (if any) enter the store — with no
+        # cross-component edge a fresh node keeps itself as label
+        return fresh.select(
+            "node", "component", F.lit(None).cast("long").alias("prev_component")
+        )
+    cc = connected_components(rep, "ca", "cb", max_iterations)
+    merge = cc.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("component"), F.col("component").alias("_new")
+    ).localCheckpoint(eager=True)
+    relabeled_store = labels.join(F.broadcast(merge), "component").select(
+        "node",
+        F.col("_new").alias("component"),
+        # prev_component lets a component-partitioned store prune its
+        # rewrite to exactly the losing components' partitions
+        F.col("component").alias("prev_component"),
+    )
+    fresh_final = (
+        fresh.join(F.broadcast(merge), "component", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("_new"), F.col("component")).alias("component"),
+            F.lit(None).cast("long").alias("prev_component"),
+        )
+    )
+    return relabeled_store.unionByName(fresh_final)
+
+
+def apply_component_delta(labels: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold an ``incremental_components`` delta into the label store:
+    changed/new rows replace, everything else carries. One anti-join
+    on node — at write time a component-partitioned store uses the
+    delta's ``prev_component`` column instead, rewriting only the
+    touched partitions (see tools/incremental_cc_soak.py for the
+    dynamic-partition-overwrite shape)."""
+    rows = delta.select("node", "component")
+    return labels.join(rows, "node", "left_anti").unionByName(rows)
+
+
 def dedup_keep_best(
     docs: DataFrame,
     id_col: str,

@@ -1608,7 +1608,7 @@ ARTIFACT_CONSUMERS = {
         "doc_dedup_keep_list",
     ],
     "neardup_components": ["doc_dedup_clusters", "doc_dedup_keep_best"],
-    "lsh_band_index": ["doc_incremental_neardup"],
+    "lsh_band_index": ["doc_incremental_neardup", "doc_incremental_components"],
     "span_kgram_index": ["doc_incremental_span", "doc_incremental_span_bloom"],
     "span_bloom_sidecar": ["doc_incremental_span_bloom"],
     "semantic_index": ["emb_incremental_semdedup", "emb_incremental_arrow"],
@@ -1666,6 +1666,55 @@ def doc_dedup_clusters(spark, sf_dir):
     propagation (dedup.connected_components) vs the oracle's recursive
     CTE transitive closure."""
     return _components_for(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+@register(
+    "doc_incremental_components",
+    f"""WITH RECURSIVE pairs AS ({oracles.minhash_neardup_sql()}),
+        nodes AS (
+          SELECT DISTINCT id FROM (
+            SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+          )
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, label) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.src, r.label FROM reach r JOIN edges e ON r.node = e.dst
+        )
+        SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY 1""",
+)
+def doc_incremental_components(spark, sf_dir):
+    """INCREMENTAL connected components (round-10 verdict #4): the
+    corpus label store (CC over doc_id % 5 != 0 pairs) is updated
+    with ONE ingest batch's new edges — within-batch LSH pairs plus
+    batch-vs-index pairs from incremental_neardup — by merging at the
+    level of component REPRESENTATIVES (dedup.incremental_components):
+    label propagation runs on the tiny component-merge graph, never
+    the corpus, and only losing components' members relabel. The
+    oracle is the SAME full-corpus recursive-CTE closure as
+    doc_dedup_clusters — the hash match IS the byte-identical-to-
+    batch-recompute claim, valid because LSH banding is per-document
+    (full pair set = corpus-internal ∪ batch-internal ∪ cross) and
+    min-reachable-label is associative over component merges."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 5 != 0)
+    batch = d.where(F.col("doc_id") % 5 == 0)
+    store = dedup.connected_components(
+        dedup.minhash_lsh_dedup(corpus, "doc_id", "text")
+    )
+    idx = spark.read.parquet(_band_index_for(spark, sf_dir))
+    cross = dedup.incremental_neardup(batch, corpus, idx, "doc_id", "text").select(
+        F.col("id_new").alias("id_a"), F.col("id_corpus").alias("id_b")
+    )
+    within = dedup.minhash_lsh_dedup(batch, "doc_id", "text").select("id_a", "id_b")
+    delta = dedup.incremental_components(store, cross.unionByName(within))
+    return dedup.apply_component_delta(store, delta).select(
         F.col("node").alias("doc_id"), "component"
     )
 

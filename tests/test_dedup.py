@@ -637,3 +637,58 @@ def test_span_bloom_layout_validation(spark):
         ).collect()
     }
     assert got == {(10, 1, 7)}
+
+
+def _cc_pairs(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a LONG, id_b LONG")
+
+
+def test_incremental_components_matches_full_recompute(spark):
+    """Round-10 verdict #4: folding batch deltas into a persisted
+    label store yields labels BYTE-IDENTICAL to a full recompute over
+    the union of all pairs — including cross-batch chain merges, a
+    late-arriving new global minimum, and a batch whose edges land
+    entirely inside one existing component."""
+    store_pairs = _cc_pairs(spark, [(10, 11), (20, 21), (30, 31)])
+    labels = dedup.connected_components(store_pairs)
+
+    # batch 1: chain-merge two existing components through a new node
+    b1 = _cc_pairs(spark, [(11, 40), (40, 20)])
+    labels = dedup.apply_component_delta(
+        labels, dedup.incremental_components(labels, b1)
+    ).localCheckpoint()
+    # batch 2: a NEW node with a smaller id than every member becomes
+    # the component min (late-arriving global minimum)
+    b2 = _cc_pairs(spark, [(1, 30)])
+    labels = dedup.apply_component_delta(
+        labels, dedup.incremental_components(labels, b2)
+    ).localCheckpoint()
+    # batch 3: edge entirely inside an existing component (no-op) plus
+    # a fresh two-node island
+    b3 = _cc_pairs(spark, [(10, 21), (50, 51)])
+    delta3 = dedup.incremental_components(labels, b3)
+    labels = dedup.apply_component_delta(labels, delta3)
+
+    everything = store_pairs.unionByName(b1).unionByName(b2).unionByName(b3)
+    full = dedup.connected_components(everything)
+    got = {(r["node"], r["component"]) for r in labels.collect()}
+    want = {(r["node"], r["component"]) for r in full.collect()}
+    assert got == want
+    assert (1, 1) in got and (30, 1) in got and (31, 1) in got
+    assert (10, 10) in got and (21, 10) in got and (40, 10) in got
+    assert (50, 50) in got and (51, 50) in got
+    # batch-3 delta carries ONLY the fresh island (the in-component
+    # edge relabels nothing)
+    assert {(r["node"], r["component"]) for r in delta3.collect()} == {(50, 50), (51, 50)}
+
+
+def test_incremental_components_all_inside_one_component(spark):
+    """The rep-graph-empty path: every new edge joins nodes already
+    sharing a component -> empty delta, store unchanged."""
+    labels = dedup.connected_components(_cc_pairs(spark, [(5, 6), (6, 7)]))
+    delta = dedup.incremental_components(labels, _cc_pairs(spark, [(5, 7)]))
+    assert delta.count() == 0
+    merged = dedup.apply_component_delta(labels, delta)
+    assert {(r["node"], r["component"]) for r in merged.collect()} == {
+        (5, 5), (6, 5), (7, 5),
+    }
