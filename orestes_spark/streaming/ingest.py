@@ -174,6 +174,87 @@ def _write_epoch_atomic(
         raise RuntimeError(f"epoch commit rename failed: {staging} -> {final_dir}")
 
 
+class LatePointPolicy:
+    """The engine's STANCE on late points, made explicit (round-10
+    verdict #5 — SURVEY §2.5 leaves event-time semantics "ours to
+    define"; the reference accepts any timestamp you post):
+
+    - **accept (the default — no policy object at all)**: reference
+      parity. A point whose ``time_ms`` lies far in the past is
+      written into its (old) time bucket; reads see it immediately,
+      retention/rollup treat it like any other point. Correct, but a
+      deployment whose compaction/rollup assumes "old buckets stop
+      changing" has no bound on how far back a writer can reach.
+    - **bounded lateness (this object)**: a persisted per-stream
+      event-time WATERMARK — ``wm = max(wm, batch_max_time_ms −
+      delay_ms)``, advanced after each committed epoch — and points
+      older than the watermark are REFUSED at ingest: routed to the
+      errors sink as ``late point past watermark`` rows when an
+      errors sink exists (auditable, replayable downstream), dropped
+      otherwise. Old buckets then provably stop changing once the
+      watermark passes them, which is what makes tiered retention and
+      "compact once, final forever" policies sound at 100 TB.
+
+    Semantics match Structured Streaming's lagging watermark: a batch
+    is filtered against the watermark as of the END OF THE PREVIOUS
+    epoch; its own max event time only advances the watermark for
+    later epochs (so a single batch can never filter itself).
+    Durability/replay: the watermark file is written atomically
+    (write-temp → fsync → replace, the PosixCommitBackend manifest
+    discipline) AFTER the epoch's commit marker, guarded by the epoch
+    seq so a replay can never regress or double-advance it. A crash
+    between marker and watermark write loses one advance — harmless:
+    the watermark is a monotone lower bound and the next epoch's max
+    re-advances it (documented-lag, never wrong filtering)."""
+
+    def __init__(self, delay_ms: int, wm_dir: str):
+        import pathlib
+
+        if delay_ms < 0:
+            raise ValueError(f"delay_ms must be >= 0: {delay_ms}")
+        self.delay_ms = int(delay_ms)
+        self.path = pathlib.Path(wm_dir) / "watermark.json"
+
+    def current(self) -> int | None:
+        """Watermark as of the last committed advance (None = no epoch
+        has advanced it yet → nothing is late)."""
+        import json
+
+        try:
+            return int(json.loads(self.path.read_text())["wm_ms"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _state(self) -> tuple[int | None, int]:
+        import json
+
+        try:
+            d = json.loads(self.path.read_text())
+            return int(d["wm_ms"]), int(d.get("seq", -1))
+        except (OSError, ValueError, KeyError):
+            return None, -1
+
+    def advance(self, batch_max_ms: int | None, epoch_id: int) -> None:
+        """Monotone, epoch-guarded advance — idempotent under replay
+        (a seq at or below the stored one is a no-op)."""
+        import json
+        import os
+
+        wm, seq = self._state()
+        if epoch_id <= seq or batch_max_ms is None:
+            return
+        new_wm = batch_max_ms - self.delay_ms
+        if wm is not None:
+            new_wm = max(wm, new_wm)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = self.path.parent / f".tmp-{self.path.name}"
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"wm_ms": int(new_wm), "seq": int(epoch_id)}))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.path)
+
+
 def make_batch_processor(
     engine: OrestesEngine,
     space: str = "default",
@@ -181,6 +262,7 @@ def make_batch_processor(
     epochs_dir: str | None = None,
     auto_compact_files: int | None = None,
     stream_ns: str | None = None,
+    late_policy: LatePointPolicy | None = None,
 ):
     """foreachBatch processor: validate → errors sink → append, with
     committed-epoch tracking. When ``epochs_dir`` is set, an epoch that
@@ -206,6 +288,25 @@ def make_batch_processor(
             if fs.exists(marker):
                 return
         valid, errors = validation.split_valid(canonicalize(batch_df))
+        if late_policy is not None:
+            wm = late_policy.current()
+            if wm is not None:
+                valid = valid.localCheckpoint(eager=True)  # one pass feeds both splits
+                late_rows = valid.where(F.col("time_ms") < wm)
+                if errors_path is not None:
+                    # same (time_ms, value, tags, error, epoch) shape
+                    # as the validation errors sink — late points are
+                    # auditable data, not silent drops
+                    (
+                        late_rows.withColumn(
+                            "error",
+                            F.lit(f"late point past watermark ({wm})"),
+                        )
+                        .withColumn("epoch", F.lit(epoch_id))
+                        .write.mode("append")
+                        .parquet(errors_path)
+                    )
+                valid = valid.where(F.col("time_ms") >= wm)
         if errors_path is not None:
             (
                 errors.withColumn("epoch", F.lit(epoch_id))
@@ -225,6 +326,12 @@ def make_batch_processor(
         if marker is not None:
             fs.mkdirs(d)
             fs.create(marker, True).close()
+        if late_policy is not None:
+            # AFTER the commit marker: a crash before this line loses
+            # one advance (self-healing lag), never makes a replay
+            # filter differently than the original run did
+            mx = valid.agg(F.max("time_ms")).collect()[0][0]
+            late_policy.advance(mx, epoch_id)
         if auto_compact_files is not None:
             engine.compact_if(space, max_files=auto_compact_files)
 
@@ -239,6 +346,7 @@ def start_ingest(
     errors_path: str | None = None,
     trigger_once: bool = False,
     auto_compact_files: int | None = None,
+    max_lateness_ms: int | None = None,
 ) -> StreamingQuery:
     """Run a streaming ingest into ``space``. ``source`` is any
     streaming DataFrame with (time, value, tags) — e.g.
@@ -248,8 +356,23 @@ def start_ingest(
     for the exact delivery guarantee). ``auto_compact_files`` arms
     post-commit auto-compaction of any bucket that accumulates more
     than that many files (micro-batch appends create a file or more
-    per epoch; without a compaction policy scan throughput decays)."""
+    per epoch; without a compaction policy scan throughput decays).
+    ``max_lateness_ms`` arms the bounded-lateness stance (see
+    LatePointPolicy — requires a checkpoint, since the watermark is
+    per-stream state that must survive restarts); leaving it None
+    keeps reference parity (every timestamp accepted into its
+    bucket)."""
     epochs_dir = f"{checkpoint}/orestes_committed_epochs" if checkpoint else None
+    late_policy = None
+    if max_lateness_ms is not None:
+        if checkpoint is None:
+            raise ValueError(
+                "max_lateness_ms needs a checkpoint: the late-point"
+                " watermark is per-stream state and must survive restarts"
+            )
+        late_policy = LatePointPolicy(
+            max_lateness_ms, f"{checkpoint}/orestes_watermark"
+        )
     process_batch = make_batch_processor(
         engine,
         space,
@@ -263,6 +386,7 @@ def start_ingest(
         # markers/rollup partials (see _stream_epoch_key /
         # _canonical_stream_ns, incl. the one-epoch upgrade caveat).
         stream_ns=_canonical_stream_ns(checkpoint) if checkpoint else None,
+        late_policy=late_policy,
     )
     writer = source.writeStream.foreachBatch(process_batch).outputMode("append")
     if checkpoint is not None:
