@@ -501,6 +501,120 @@ def gopher_rules(
     )
 
 
+def train_bpe(
+    docs: DataFrame, id_col: str, text_col: str, num_merges: int = 12
+) -> DataFrame:
+    """Train a REAL byte-pair-encoding merge table on the corpus
+    (round-10 verdict #6 — ``bpe_ish`` counts token pieces with a
+    rank-free regex; mixture planning and packing are denominated in
+    tokens, so heuristic counts drift from real tokenizers). Classic
+    Sennrich-style training over the word-TYPE table: start from
+    per-character symbols, then ``num_merges`` rounds of (count
+    adjacent symbol pairs weighted by word frequency → pick the most
+    frequent, ties by (left, right) binary order → merge it
+    everywhere). Output: (rank, left, right, merged) — the persistable
+    tokenizer artifact.
+
+    Scale shape: each round is ONE distributed pair-count aggregation
+    over the word-type table (|vocabulary| rows, not corpus tokens —
+    types are counted once up front) plus a 1-row argmax collect;
+    merge application is a single codegen'd string ``replace`` on the
+    padded symbol string. Rounds are bounded by ``num_merges``; the
+    type table is localCheckpointed per round so lineage stays flat.
+
+    Determinism across engines, engineered like the rest of the
+    module: symbols live in a space-padded string (`` a b c ``), a
+    merge applies as ``replace(s, ' l r ', ' lr ')`` — Spark's
+    StringReplace and DuckDB's replace share left-to-right
+    non-overlapping scan-past-the-replacement semantics, so both
+    engines segment identically (this differs from canonical BPE only
+    inside symbol RUNS like ``aaaa``, where one round merges the
+    first pair then skips the shared neighbor; the planted-case test
+    pins the behavior). Pair counts are exploded adjacent pairs
+    (overlaps counted, the canonical get_stats rule); the argmax is
+    integer counts + binary string order — no float anywhere."""
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1: {num_merges}")
+    spark = docs.sparkSession
+    types = (
+        docs.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s"),
+            "cnt",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str]] = []
+    for rank in range(int(num_merges)):
+        toks = types.select("cnt", F.split(F.trim(F.col("s")), " ").alias("t"))
+        pairs = toks.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.size("t") - 1),
+                    F.slice(F.col("t"), 2, F.size("t") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            raise ValueError(
+                f"corpus exhausted after {rank} merges — every word is a"
+                f" single symbol; ask for num_merges <= {rank}"
+            )
+        l, r = best[0]["l"], best[0]["r"]
+        merges.append((rank, l, r, l + r))
+        types = types.select(
+            F.replace(F.col("s"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")).alias("s"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank INT, left STRING, right STRING, merged STRING"
+    )
+
+
+def bpe_segment_counts(
+    docs: DataFrame, merges: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Apply a trained merge table (``train_bpe``) and count real BPE
+    tokens per document: (id, n_words, n_bpe_tokens). Application is
+    the collected merge list (tiny — the tokenizer artifact) chained
+    as codegen'd ``replace`` calls over each word's padded symbol
+    string — pure JVM expressions per word occurrence, zero joins,
+    one final groupBy(id)."""
+    rows = sorted(
+        ((r["rank"], r["left"], r["right"]) for r in merges.collect()),
+    )
+    s = F.concat(F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    for _, l, r in rows:
+        s = F.replace(s, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+    return (
+        docs.select(F.col(id_col).alias("_id"), F.explode(_tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .select("_id", F.size(F.split(F.trim(s), " ")).alias("nsym"))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("nsym").alias("n_bpe_tokens"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def train_quality_model(
     docs: DataFrame,
     labels: DataFrame,

@@ -1375,6 +1375,53 @@ GROUP BY b.doc_id, prior.pq
 """
 
 
+def bpe_trained_sql(num_merges: int = 12) -> str:
+    r"""Twin of text.train_bpe + bpe_segment_counts: the SAME training
+    loop unrolled as ``num_merges`` generated CTE rounds — per round,
+    exploded adjacent symbol pairs over the word-type table, integer
+    argmax with (count DESC, left, right) binary-order tie-break, and
+    the merge applied with ``replace`` on the space-padded symbol
+    string (DuckDB's replace and Spark's StringReplace share
+    left-to-right non-overlapping scan-past-the-replacement
+    semantics, so the segmentations agree everywhere, including
+    inside symbol runs)."""
+    rounds = []
+    for n in range(num_merges):
+        rounds.append(
+            f""",
+p{n} AS (
+  SELECT list_extract(t, u.i) AS l, list_extract(t, u.i + 1) AS r,
+         CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt, string_split(trim(s), ' ') AS t FROM t{n}),
+       UNNEST(range(1, len(t))) AS u(i)
+  GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1
+),
+t{n + 1} AS (
+  SELECT w, cnt, replace(s, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ') AS s
+  FROM t{n} CROSS JOIN p{n}
+)"""
+        )
+    return rf"""
+WITH words AS (
+  SELECT doc_id, u.tok AS w FROM documents,
+  (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok) u
+  WHERE u.tok <> ''
+),
+t0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+         ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s
+  FROM words GROUP BY 1
+){''.join(rounds)},
+seg AS (
+  SELECT w, len(string_split(trim(s), ' ')) AS nsym FROM t{num_merges}
+)
+SELECT words.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(seg.nsym) AS BIGINT) AS n_bpe_tokens
+FROM words JOIN seg USING (w)
+GROUP BY 1
+"""
+
+
 def token_entropy_sql() -> str:
     r"""Twin of text.token_entropy: identical tokenization, detmath's
     shared ln expression text on per-type counts and on n, per-type

@@ -4897,6 +4897,24 @@ def doc_quality_model(spark, sf_dir):
     return text.quality_model_scores(d, labels, "doc_id", "text")
 
 
+@register("doc_bpe_trained", oracles.bpe_trained_sql(num_merges=12))
+def doc_bpe_trained(spark, sf_dir):
+    """REAL trained BPE (round-10 verdict #6): 12 Sennrich-style
+    merges trained on the corpus word-type table (one distributed
+    pair-count agg + a 1-row argmax per round), applied as chained
+    codegen'd replaces, yielding per-doc true-tokenizer counts —
+    the token denomination mixture planning and packing should run
+    on, vs bpe_ish's rank-free regex. The oracle retrains the SAME
+    12 rounds as generated CTEs, so the hash match certifies both
+    the learned merge table and the segmentation
+    (text.train_bpe + text.bpe_segment_counts)."""
+    from orestes_spark.operators import text
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = text.train_bpe(d, "doc_id", "text", num_merges=12)
+    return text.bpe_segment_counts(d, merges, "doc_id", "text")
+
+
 @register("emb_decontam_ivf", oracles.emb_decontam_ivf_sql())
 def emb_decontam_ivf(spark, sf_dir):
     """The IVF-routed scale path of emb_decontaminate: eval queries

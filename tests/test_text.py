@@ -315,3 +315,43 @@ def test_quality_model_artifact_self_describes_and_validates(spark):
         train_quality_model(
             docs, labels.where("label"), "doc_id", "text", buckets=64
         )
+
+
+def test_train_bpe_planted_merges(spark):
+    """Classic planted case: with 'low' x5, 'lower' x2, 'lowest' x2
+    the first merges must be (l,o) then (lo,w) — 'low' appears in
+    every word — and segmentation applies them greedily left-to-right.
+    Also pins the run behavior: merging (a,a) on 'aaaa' yields
+    [aa, a, a] under the shared replace semantics (scan continues past
+    each replacement), the documented cross-engine rule."""
+    from orestes_spark.operators.text import bpe_segment_counts, train_bpe
+
+    docs = spark.createDataFrame(
+        [(i, "low") for i in range(5)]
+        + [(10, "lower"), (11, "lower"), (20, "lowest"), (21, "lowest")],
+        "doc_id LONG, text STRING",
+    )
+    m = train_bpe(docs, "doc_id", "text", num_merges=2)
+    got = [(r["rank"], r["left"], r["right"], r["merged"]) for r in m.orderBy("rank").collect()]
+    assert got == [(0, "l", "o", "lo"), (1, "lo", "w", "low")]
+    counts = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_segment_counts(docs, m, "doc_id", "text").collect()
+    }
+    assert counts[0] == (1, 1)       # low -> [low]
+    assert counts[10] == (1, 3)      # lower -> [low, e, r]
+    assert counts[20] == (1, 4)      # lowest -> [low, e, s, t]
+
+    runs = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id LONG, text STRING")
+    m2 = train_bpe(runs, "doc_id", "text", num_merges=1)
+    assert [(r["left"], r["right"]) for r in m2.collect()] == [("a", "a")]
+    c2 = bpe_segment_counts(runs, m2, "doc_id", "text").collect()[0]
+    assert (c2["n_words"], c2["n_bpe_tokens"]) == (2, 6)  # [aa,a,a] per word
+
+    import pytest
+
+    with pytest.raises(ValueError, match="corpus exhausted"):
+        train_bpe(
+            spark.createDataFrame([(1, "x y")], "doc_id LONG, text STRING"),
+            "doc_id", "text", num_merges=1,
+        )
