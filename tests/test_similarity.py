@@ -819,3 +819,69 @@ def test_semantic_decontaminate_ivf_is_probed_subset_of_exact(spark):
     for vid, r in ivf.items():
         assert r["n_eval_hits"] <= exact[vid]["n_eval_hits"]
         assert r["cosine"] <= exact[vid]["cosine"]
+
+
+def test_pq_requantize_if_recall_floor_trigger(spark, tmp_path):
+    """Round-10 verdict #9: the persisted PQ index gets a MEASURED
+    drift trigger. Index trained on cluster A stays healthy (probe
+    above floor, zero writes); after the corpus doubles with a
+    different distribution the probe drops, the trigger retrains, and
+    recall recovers. The auto-retrained index is content-identical to
+    a manual pq_index_write over the same corpus (deterministic
+    seeded training)."""
+    from orestes_spark.operators.similarity import (
+        pq_index_recall,
+        pq_index_topk,
+        pq_index_write,
+        pq_requantize_if,
+    )
+
+    ddl = "vec_id LONG, embedding ARRAY<FLOAT>"
+    base = spark.createDataFrame(
+        [(i, [1.0 + 0.01 * (i % 7), 0.1 * (i % 3), 0.01 * i, 0.0]) for i in range(64)],
+        ddl,
+    ).localCheckpoint()
+    path = str(tmp_path / "pq")
+    pq_index_write(base, path, m=4, ks=8)
+    healthy = pq_requantize_if(
+        spark, path, base, recall_floor=0.4, probe_mod=7, m=4, ks=8
+    )
+    assert "retrained" not in healthy and healthy["recall"] >= 0.4
+
+    # drift: a second, orthogonal cluster the old codebooks never saw
+    drifted = base.unionByName(
+        spark.createDataFrame(
+            [(100 + i, [0.0, 0.01 * (i % 5), 1.0 + 0.02 * (i % 9), 2.0 + 0.03 * i]) for i in range(64)],
+            ddl,
+        )
+    ).localCheckpoint()
+    before = pq_index_recall(spark, path, drifted, k=5, probe_mod=7)
+    res = pq_requantize_if(
+        spark, path, drifted, recall_floor=0.95, probe_mod=7, m=4, ks=8
+    )
+    assert res.get("retrained") is True
+    assert res["recall_after"] > res["recall_before"]
+    assert abs(res["recall_before"] - before) < 1e-9
+
+    # auto vs manual: content-identical codebooks and codes
+    manual = str(tmp_path / "pq_manual")
+    pq_index_write(drifted, manual, m=4, ks=8)
+    for tree in ("codebooks", "codes"):
+        a = {tuple(map(str, r)) for r in spark.read.parquet(f"{path}/{tree}").collect()}
+        b = {tuple(map(str, r)) for r in spark.read.parquet(f"{manual}/{tree}").collect()}
+        assert a == b, tree
+    # and the two indexes answer identically
+    q = drifted.where(F.col("vec_id") % 10 == 0)
+    ra = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in pq_index_topk(spark, path, q, k=3).collect()}
+    rb = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in pq_index_topk(spark, manual, q, k=3).collect()}
+    assert ra == rb
+
+    # leftover guard
+    import os
+    import pytest
+
+    os.makedirs(f"{path}/codes.old")
+    with pytest.raises(RuntimeError, match="leftover"):
+        pq_requantize_if(
+            spark, path, drifted, recall_floor=1.1, probe_mod=7, m=4, ks=8
+        )
