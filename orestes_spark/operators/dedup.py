@@ -389,6 +389,7 @@ def minhash_band_index(
     shingle_size: int = 3,
     num_hashes: int = 8,
     rows_per_band: int = 2,
+    buckets: int | None = None,
 ) -> DataFrame:
     """The persisted LSH index of a corpus: (band, bval, _id) rows.
     Built once per corpus (or maintained per ingest batch) and written
@@ -396,9 +397,53 @@ def minhash_band_index(
     against it with cost ∝ batch + candidates — the only corpus-sized
     artifact incremental dedup ever touches is this index, never the
     text. At 100 TB that is the difference between re-shingling the
-    corpus per batch and an equi-join against a prebuilt table."""
+    corpus per batch and an equi-join against a prebuilt table.
+
+    ``buckets`` (round-10, completing the span index's treatment for
+    the LSH side): adds ``hb = pmod(xxhash64(band, bval), buckets)``
+    plus the self-describing modulus ``nb`` (see ``band_bucketize``).
+    Write the index ``partitionBy("hb")``; ``incremental_neardup``
+    then partition-prunes its candidate scan to the buckets the
+    batch's band keys land in, and ``band_bloom`` adds the per-bucket
+    pre-filter on top."""
     arrays = token_shingle_arrays(docs, id_col, text_col, shingle_size)
-    return minhash_band_rows(minhash_signatures(arrays, num_hashes), num_hashes, rows_per_band)
+    idx = minhash_band_rows(minhash_signatures(arrays, num_hashes), num_hashes, rows_per_band)
+    if buckets:
+        idx = band_bucketize(idx, buckets)
+    return idx
+
+
+def _band_key_hash() -> Column:
+    """ONE home for the LSH index's bucket/Bloom key: the 64-bit hash
+    of the (band, bval) composite. Build and probe must agree on it
+    exactly, or pruning would silently drop genuine candidates."""
+    return F.xxhash64(F.col("band"), F.col("bval"))
+
+
+def band_bucketize(idx: DataFrame, buckets: int) -> DataFrame:
+    """Hash-range bucket contract of the LSH band index — the
+    ``span_bucketize`` twin over the composite (band, bval) key."""
+    return idx.withColumn(
+        "hb", F.pmod(_band_key_hash(), F.lit(int(buckets))).cast("int")
+    ).withColumn("nb", F.lit(int(buckets)))
+
+
+def band_bloom(index: DataFrame, bits: int = 1 << 20, hashes: int = 4) -> DataFrame:
+    """Per-bucket Bloom sidecar for the persisted LSH band index —
+    ``span_bloom``'s twin keyed on xxhash64(band, bval). Same layout
+    (hb, nb, mbits, kh, blob), same exactness argument: the sidecar
+    only pre-filters the BATCH's band keys; the candidate equi-join
+    and exact-Jaccard verify still decide every pair."""
+    if "hb" in index.columns and "nb" in index.columns:
+        nbs = sorted(r[0] for r in index.select("nb").distinct().collect() if r[0] is not None)
+        if len(nbs) != 1:
+            raise ValueError(f"band index mixes bucket moduli {nbs}; rebucket before sidecar build")
+        nb = int(nbs[0])
+        src = index.select(_band_key_hash().alias("h"), "hb")
+    else:
+        nb = 1
+        src = index.select(_band_key_hash().alias("h"), F.lit(0).alias("hb"))
+    return _bloom_build(src, nb, bits, hashes)
 
 
 def incremental_neardup(
@@ -411,6 +456,8 @@ def incremental_neardup(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    buckets: int | None = None,
+    bloom: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dups of a NEW batch against an indexed corpus:
     (id_new, id_corpus, jaccard ≥ threshold).
@@ -422,11 +469,59 @@ def incremental_neardup(
     scan to the handful of corpus rows that banded with the batch), so
     per-batch cost is independent of corpus size. Id spaces must be
     disjoint across the two sides; within-batch duplicates are
-    ``minhash_lsh_dedup(new_docs)``'s job, not this operator's."""
+    ``minhash_lsh_dedup(new_docs)``'s job, not this operator's.
+
+    ``buckets`` / ``bloom`` (round-10 — the span probe's two pruning
+    tiers applied to the LSH side): with a ``band_bucketize``d index
+    written partitionBy("hb"), the candidate scan partition-prunes to
+    the buckets the batch's band keys touch; a ``band_bloom`` sidecar
+    then pre-filters the batch's band keys BEFORE any index byte is
+    read, so a mostly-novel batch scans only the buckets holding a
+    surviving key. Both validate the self-described layout (mixed or
+    mismatched moduli raise) and neither can drop a genuine pair —
+    the Bloom has no false negatives and the exact-Jaccard verify
+    still decides everything."""
     new_arrays = token_shingle_arrays(new_docs, id_col, text_col, shingle_size).localCheckpoint()
     new_banded = minhash_band_rows(
         minhash_signatures(new_arrays, num_hashes), num_hashes, rows_per_band
     )
+    prune_nb: int | None = None
+    if "nb" in index.columns:
+        nbs = sorted(r[0] for r in index.select("nb").distinct().collect() if r[0] is not None)
+        if len(nbs) > 1:
+            raise ValueError(
+                f"band index mixes bucket moduli {nbs}: rebucket it through"
+                " one build before probing"
+            )
+        prune_nb = int(nbs[0]) if nbs else None
+        if buckets and prune_nb is not None and int(buckets) != prune_nb:
+            raise ValueError(
+                f"band index was built with buckets={prune_nb} but the probe"
+                f" was asked for buckets={int(buckets)}: pruning with the"
+                " wrong modulus silently drops genuine near-dup pairs"
+            )
+        index = index.drop("nb")
+    elif buckets and "hb" in index.columns:
+        prune_nb = int(buckets)
+    if prune_nb or bloom is not None:
+        new_banded = new_banded.localCheckpoint(eager=True)
+    keys = new_banded.select(_band_key_hash().alias("h"), "band", "bval").distinct()
+    if bloom is not None:
+        surviving, bnb = _bloom_prefilter(keys, bloom, prune_nb)
+        surviving = surviving.localCheckpoint(eager=True)
+        new_banded = new_banded.join(
+            F.broadcast(surviving.select("band", "bval")), ["band", "bval"], "left_semi"
+        )
+        keys = surviving
+        prune_nb = prune_nb or (bnb if "hb" in index.columns else None)
+    if prune_nb:
+        touched = [
+            r[0]
+            for r in keys.select(
+                F.pmod(F.col("h"), F.lit(prune_nb)).cast("int").alias("hb")
+            ).distinct().collect()
+        ]
+        index = index.where(F.col("hb").isin(touched))
     cands = (
         new_banded.alias("n")
         .join(index.alias("i"), ["band", "bval"])
@@ -1374,15 +1469,6 @@ def span_bloom(index: DataFrame, bits: int = 1 << 20, hashes: int = 4) -> DataFr
     positions, integer bit_or per (hb, word) — output bounded by
     nb·bits/64 rows regardless of corpus size — then per-bucket blob
     assembly over those word rows via applyInPandas."""
-    import struct as _struct
-
-    import pandas as pd
-
-    m, kk = int(bits), int(hashes)
-    if m % 64 or m < 64:
-        raise ValueError(f"bits must be a positive multiple of 64: {m}")
-    if not 1 <= kk <= 16:
-        raise ValueError(f"hashes must be in [1, 16]: {kk}")
     if "hb" in index.columns and "nb" in index.columns:
         nbs = sorted(r[0] for r in index.select("nb").distinct().collect() if r[0] is not None)
         if len(nbs) != 1:
@@ -1392,6 +1478,22 @@ def span_bloom(index: DataFrame, bits: int = 1 << 20, hashes: int = 4) -> DataFr
     else:
         nb = 1  # unbucketed index: one corpus-wide blob
         src = index.select("h", F.lit(0).alias("hb"))
+    return _bloom_build(src, nb, bits, hashes)
+
+
+def _bloom_build(src: DataFrame, nb: int, bits: int, hashes: int) -> DataFrame:
+    """Shared Bloom-blob builder for any (h, hb) key frame — span
+    k-gram hashes and LSH band keys both route here (round-10). See
+    span_bloom for the semantics and sizing guidance."""
+    import struct as _struct
+
+    import pandas as pd
+
+    m, kk = int(bits), int(hashes)
+    if m % 64 or m < 64:
+        raise ValueError(f"bits must be a positive multiple of 64: {m}")
+    if not 1 <= kk <= 16:
+        raise ValueError(f"hashes must be in [1, 16]: {kk}")
     pos = src.select(
         "hb", F.explode(_bloom_positions(F.col("h"), m, kk)).alias("p")
     )

@@ -692,3 +692,78 @@ def test_incremental_components_all_inside_one_component(spark):
     assert {(r["node"], r["component"]) for r in merged.collect()} == {
         (5, 5), (6, 5), (7, 5),
     }
+
+
+def test_band_index_bucketing_and_bloom_parity(spark):
+    """Round-10: the LSH band index gets the span index's two pruning
+    tiers. Bucketed+bloomed probe returns IDENTICAL pairs through real
+    partitioned parquet; a novel batch yields zero pairs; layout
+    mismatches raise."""
+    import tempfile
+
+    import pytest as _pytest
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, dup), (2, "totally different corpus text with its own words here now")],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [(10, dup), (11, "novel content sharing nothing with anything indexed today")],
+        "doc_id LONG, text STRING",
+    )
+    plain_idx = dedup.minhash_band_index(corpus, "doc_id", "text")
+    plain = {
+        (r["id_new"], r["id_corpus"])
+        for r in dedup.incremental_neardup(batch, corpus, plain_idx, "doc_id", "text").collect()
+    }
+    assert plain == {(10, 1)}
+
+    d = tempfile.mkdtemp(prefix="band_idx_test_")
+    dedup.minhash_band_index(corpus, "doc_id", "text", buckets=8).write.partitionBy(
+        "hb"
+    ).parquet(f"{d}/idx")
+    idx = spark.read.parquet(f"{d}/idx")
+    dedup.band_bloom(idx, bits=1 << 12, hashes=4).write.parquet(f"{d}/bloom")
+    bloom = spark.read.parquet(f"{d}/bloom")
+
+    pruned = {
+        (r["id_new"], r["id_corpus"])
+        for r in dedup.incremental_neardup(
+            batch, corpus, idx, "doc_id", "text", buckets=8
+        ).collect()
+    }
+    bloomed = {
+        (r["id_new"], r["id_corpus"])
+        for r in dedup.incremental_neardup(
+            batch, corpus, idx, "doc_id", "text", buckets=8, bloom=bloom
+        ).collect()
+    }
+    assert pruned == bloomed == plain
+
+    novel = spark.createDataFrame(
+        [(30, "fresh words never seen by the index in any band at all")],
+        "doc_id LONG, text STRING",
+    )
+    assert (
+        dedup.incremental_neardup(
+            novel, corpus, idx, "doc_id", "text", buckets=8, bloom=bloom
+        ).count()
+        == 0
+    )
+
+    # layout validation: wrong probe modulus, mixed index, wrong sidecar
+    with _pytest.raises(ValueError, match="buckets=8"):
+        dedup.incremental_neardup(batch, corpus, idx, "doc_id", "text", buckets=4).collect()
+    mixed = dedup.minhash_band_index(corpus, "doc_id", "text", buckets=4).unionByName(
+        dedup.minhash_band_index(corpus, "doc_id", "text", buckets=8)
+    )
+    with _pytest.raises(ValueError, match="mixes bucket moduli"):
+        dedup.incremental_neardup(batch, corpus, mixed, "doc_id", "text").collect()
+    bloom4 = dedup.band_bloom(
+        dedup.minhash_band_index(corpus, "doc_id", "text", buckets=4), bits=1 << 12
+    )
+    with _pytest.raises(ValueError, match="mismatched modulus|wrong blob"):
+        dedup.incremental_neardup(
+            batch, corpus, idx, "doc_id", "text", buckets=8, bloom=bloom4
+        ).collect()
