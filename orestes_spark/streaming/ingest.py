@@ -537,6 +537,35 @@ def prepare_dsir_gate(
     )
 
 
+def prepare_quality_gate(
+    docs: DataFrame,
+    labels: DataFrame,
+    store: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+    buckets: int = 4096,
+    salt: str = "qm",
+    bigrams: bool = False,
+) -> None:
+    """One-time setup for the corpus stream's MODEL-BASED quality gate
+    (round-10, the FIFTH cross-batch modality): train the Naive-Bayes
+    log-odds classifier (text.train_quality_model — the DCLM-style
+    reference-vs-crawl scorer) on the labeled seed and FREEZE its
+    self-describing artifact at ``<store>/quality_model`` — the same
+    frozen-proposal pattern as prepare_dsir_gate, and for the same
+    reason: a model retrained on the accepted corpus every batch is
+    corpus-sized work per batch AND a moving acceptance bar. The
+    frozen model keeps the gate a pure function of the document —
+    replay-idempotent, ~64 KiB broadcast, zero corpus reads."""
+    from orestes_spark.operators import text as _t
+
+    model = _t.train_quality_model(
+        docs, labels, id_col, text_col, label_col, buckets, salt, bigrams
+    )
+    model.coalesce(1).write.mode("overwrite").parquet(f"{store}/quality_model")
+
+
 def make_corpus_batch_processor(
     store: str,
     id_col: str = "doc_id",
@@ -549,6 +578,7 @@ def make_corpus_batch_processor(
     span_max_frac: float = 0.5,
     dsir_floor: float | None = None,
     span_buckets: int | None = None,
+    quality_floor: float | None = None,
 ):
     """foreachBatch processor for continuous corpus construction with
     CROSS-BATCH near-dedup (exposed as a factory so replay semantics
@@ -621,6 +651,7 @@ def make_corpus_batch_processor(
     bands_path = f"{store}/bands"
     kgrams_path = f"{store}/kgrams"
     dsir_wq_path = f"{store}/dsir_wq"
+    qmodel_path = f"{store}/quality_model"
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -759,6 +790,34 @@ def make_corpus_batch_processor(
                 F.col("_id").alias(id_col)
             )
             kept = kept.join(drops, id_col, "left_anti")
+        if quality_floor is not None:
+            # FIFTH modality (round-10): the MODEL-BASED quality gate.
+            # dsir_floor judges distribution-closeness to a target
+            # corpus; this one is the trained CLASSIFIER verdict
+            # (reference-vs-crawl log-odds) — drop docs whose NB
+            # log-odds under the FROZEN model falls below the floor
+            # (floor 0.0 = the classifier's own keep boundary). Same
+            # discipline as the DSIR gate: arming without preparing
+            # raises; per-batch cost is one ~64 KiB broadcast join +
+            # one integer groupBy(id); replay-idempotent because the
+            # frozen model makes the verdict a pure function of the
+            # document.
+            from orestes_spark.operators import text as _t
+
+            qfs, qbase = _fs_and_path(spark, qmodel_path)
+            if not qfs.exists(qbase):
+                raise RuntimeError(
+                    f"quality_floor is armed but no model exists at"
+                    f" {qmodel_path}; run prepare_quality_gate(docs, labels,"
+                    " store) first — a quality gate that silently passes"
+                    " everything is worse than none"
+                )
+            kept = kept.localCheckpoint()  # gate references kept twice
+            scored = _t.score_quality_model(
+                kept, spark.read.parquet(qmodel_path), id_col, text_col
+            )
+            drops = scored.where(F.col("nb_logodds") < quality_floor).select(id_col)
+            kept = kept.join(drops, id_col, "left_anti")
         kept = kept.localCheckpoint()  # one compute, two/three sinks
         # stage-then-rename: each sink's epoch dir appears atomically
         # to concurrent readers (a reader can still observe docs'
@@ -795,11 +854,13 @@ def start_corpus_ingest(
     span_max_frac: float = 0.5,
     dsir_floor: float | None = None,
     span_buckets: int | None = None,
+    quality_floor: float | None = None,
 ):
     """Continuous corpus construction with CROSS-BATCH near-dedup —
     see make_corpus_batch_processor for the per-batch algorithm, the
-    optional ``span_k`` duplicated-text-fraction gate, and the
-    optional ``dsir_floor`` frozen-codebook quality gate.
+    optional ``span_k`` duplicated-text-fraction gate, the optional
+    ``dsir_floor`` frozen-codebook quality gate, and the optional
+    ``quality_floor`` frozen-classifier gate (round-10).
 
     Delivery contract: epoch-keyed subdirectories written with
     mode("overwrite") make replays idempotent — a re-offered epoch
@@ -821,6 +882,7 @@ def start_corpus_ingest(
         span_max_frac,
         dsir_floor,
         span_buckets,
+        quality_floor,
     )
     return (
         docs_stream.writeStream.foreachBatch(process)

@@ -1857,3 +1857,55 @@ def test_late_point_soak_matches_lagging_watermark_spec(spark, engine, tmp_path)
         .where(F.col("error").startswith("late point")).collect()
     }
     assert late_rows == set(expect_late) and late_rows  # stragglers really refused
+
+
+def test_corpus_ingest_quality_model_gate(spark, tmp_path):
+    """FIFTH cross-batch modality (round-10): the MODEL-BASED quality
+    gate. A frozen NB classifier trained on a labeled prose-vs-spam
+    seed drops spam-like docs at the keep boundary (floor 0.0) while
+    prose-like docs pass; later batches get the SAME bar (frozen
+    model); replays are idempotent; arming without preparing raises."""
+    import pytest
+
+    from orestes_spark.streaming.ingest import (
+        make_corpus_batch_processor,
+        prepare_quality_gate,
+    )
+
+    store = str(tmp_path / "qm_store")
+    ddl = "doc_id LONG, text STRING"
+    prose = "the quick study found that careful reading of the report improves results"
+    spam = "buy cheap pills casino winner click here free money jackpot prize claim"
+    seed = spark.createDataFrame(
+        [(100, prose), (101, prose + " again"), (102, spam), (103, spam + " now")],
+        ddl,
+    )
+    labels = spark.createDataFrame(
+        [(100, True), (101, True), (102, False), (103, False)],
+        "doc_id LONG, label BOOLEAN",
+    )
+    # arming before preparing fails loudly
+    unprepared = make_corpus_batch_processor(store, quality_floor=0.0)
+    with pytest.raises(RuntimeError, match="prepare_quality_gate"):
+        unprepared(spark.createDataFrame([(1, prose)], ddl), 0)
+
+    prepare_quality_gate(seed, labels, store)
+    process = make_corpus_batch_processor(store, quality_floor=0.0)
+    b0 = spark.createDataFrame(
+        [(1, "careful reading of the report improves the study results"),  # prose-like
+         (2, "free casino pills jackpot click winner money prize")],        # spam-like
+        ddl,
+    )
+    process(b0, 0)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(f"{store}/docs").collect())
+    assert kept == [1]
+    # same frozen bar for a later batch; replay idempotent
+    b1 = spark.createDataFrame(
+        [(3, "the team report and the careful study"),
+         (4, "cheap pills casino claim winner jackpot")],
+        ddl,
+    )
+    process(b1, 1)
+    process(b1, 1)  # replay
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(f"{store}/docs").collect())
+    assert kept == [1, 3]
