@@ -545,6 +545,10 @@ def train_bpe(
             F.concat(F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s"),
             "cnt",
         )
+        # the type table is vocabulary-sized (tiny next to the corpus);
+        # 12 rounds × 32 near-empty tasks is pure scheduler overhead,
+        # so shrink it once before the round loop
+        .coalesce(4)
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, str]] = []

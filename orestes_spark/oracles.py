@@ -1205,13 +1205,19 @@ FROM probe
 """
 
 
-def incremental_span_sql(k: int = 8, new_mod: int = 5) -> str:
+def incremental_span_sql(k: int = 8, new_mod: int = 5, batch_mod: int | None = None) -> str:
     """Twin of dedup.incremental_repeated_spans over the documents
     table with the corpus/new split ``doc_id % new_mod`` (== 0 → new
     batch, != 0 → indexed corpus, same convention as
     incremental_neardup_sql): the index is the corpus's DISTINCT
     k-gram set; batch windows flag by membership; islands merge as in
-    span_dedup_sql."""
+    span_dedup_sql. ``batch_mod`` (round-10) narrows the BATCH to
+    ``doc_id % batch_mod == 0`` while the index keeps the new_mod
+    split — valid whenever new_mod divides batch_mod, the
+    small-ingest-batch regime the Bloom-sidecar probe is built for."""
+    bm = batch_mod or new_mod
+    if bm % new_mod:
+        raise ValueError(f"batch_mod {bm} must be a multiple of new_mod {new_mod}")
     leads = ", ".join(f"lead(tok,{j}) OVER w" for j in range(1, k))
     return f"""
 WITH {_SPAN_TOKS},
@@ -1225,7 +1231,7 @@ valid AS (SELECT doc_id, start, g FROM kg WHERE lastt IS NOT NULL),
 idx AS (SELECT DISTINCT g FROM valid WHERE doc_id % {new_mod} != 0),
 fl AS (
   SELECT v.doc_id, v.start FROM valid v JOIN idx USING (g)
-  WHERE v.doc_id % {new_mod} = 0),
+  WHERE v.doc_id % {bm} = 0),
 {_span_island_sql(k)}
 """
 

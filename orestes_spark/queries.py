@@ -5002,19 +5002,24 @@ def doc_incremental_span(spark, sf_dir):
     )
 
 
-@register("doc_incremental_span_bloom", oracles.incremental_span_sql(k=8, new_mod=5))
+@register(
+    "doc_incremental_span_bloom",
+    oracles.incremental_span_sql(k=8, new_mod=5, batch_mod=50),
+)
 def doc_incremental_span_bloom(spark, sf_dir):
     """doc_incremental_span with the Bloom sidecar consulted first
-    (dedup.span_bloom, round-10): the batch hash set is pre-filtered
-    through the touched buckets' per-bucket Bloom blobs BEFORE any
-    index byte is read, and the exact semi-join then scans only the
-    buckets with a surviving hash. Same oracle as the plain probe —
-    the sidecar is a pure pre-filter (no false negatives, exact join
-    decides every hit), so the SPANS ARE IDENTICAL; the hash match
-    proves exactness-preservation, the scanned-bytes drop is measured
-    in tools/span_dedup_scaling.py."""
+    (dedup.span_bloom, round-10), in the SMALL-ingest-batch regime the
+    sidecar is built for (batch = doc_id % 50 == 0, a subset of the
+    plain probe's batch against the SAME % 5 != 0 index): the batch
+    hash set is pre-filtered through the touched buckets' Bloom blobs
+    BEFORE any index byte is read, and the exact semi-join then scans
+    only the buckets with a surviving hash. The sidecar is a pure
+    pre-filter (no false negatives, exact join decides every hit), so
+    the oracle is the plain membership semantics — the hash match
+    proves exactness-preservation; the scanned-bytes drop is measured
+    in tools/span_dedup_scaling.py bloom_pruning."""
     d = load_table(spark, sf_dir, "documents")
-    batch = d.where(F.col("doc_id") % 5 == 0)
+    batch = d.where(F.col("doc_id") % 50 == 0)
     idx = spark.read.parquet(_span_index_for(spark, sf_dir))
     bloom = spark.read.parquet(_span_bloom_for(spark, sf_dir))
     return dedup.incremental_repeated_spans(
