@@ -803,21 +803,32 @@ class DeltaLeaseLog:
     Either way commit order and seq order agree, which is all the
     first-commit-wins tie-break needs. Success is decided by
     READ-BACK (the row at the claimed seq is field-identical to
-    ours), never by assuming the commit landed. The (app_id, version)
-    idempotency pair rides each attempt as the
-    ``spark.databricks.delta.write.txnAppId/txnVersion`` session
-    configs (delta.io "Idempotent writes"); where a Delta version
-    does not honor them for MERGE, the read-back still makes a
-    crashed-and-replayed single-row append harmless — the replay
-    mints a fresh seq and lands a duplicate row, which the protocol's
-    judge/tie-break semantics tolerate (duplicate acquire by the same
-    owner at the same fence, duplicate hb, duplicate release are all
-    no-ops for judgment). Run the Delta integration tests against the
-    pinned delta-spark version before relying on this adapter in a
-    deployment (they skip where the package is absent)."""
+    ours), never by assuming the commit landed.
 
-    SCHEMA = "seq LONG, fence LONG, owner STRING, op STRING, kind STRING, ts_ms LONG, lease_ms LONG"
-    _COLS = ("seq", "fence", "owner", "op", "kind", "ts_ms", "lease_ms")
+    (app_id, version) idempotency is SELF-CARRIED (round-10 review):
+    every row stores its ``app_id``/``app_version``, and ``append``
+    first checks ``max(app_version) where app_id`` — the watermark
+    record IS the row, so it exists iff the commit landed, atomically.
+    The round-10 first draft rode Delta's txnAppId/txnVersion session
+    configs instead, which is wrong in BOTH directions: if a Delta
+    version ignores them for MERGE there is no idempotency at all,
+    and if it honors them a replayed append (same version, fresh
+    claimed seq) is skipped as a duplicate on every retry — the
+    read-back finds nothing and cas_append exhausts and raises on
+    what should be an idempotent no-op; worse, a matched-no-insert
+    race loss could burn the version without landing the row. Run the
+    Delta integration tests against the pinned delta-spark version
+    before relying on this adapter in a deployment (they skip where
+    the package is absent)."""
+
+    SCHEMA = (
+        "seq LONG, fence LONG, owner STRING, op STRING, kind STRING,"
+        " ts_ms LONG, lease_ms LONG, app_id STRING, app_version LONG"
+    )
+    _COLS = (
+        "seq", "fence", "owner", "op", "kind", "ts_ms", "lease_ms",
+        "app_id", "app_version",
+    )
 
     def __init__(self, spark, table_path: str):
         import importlib
@@ -847,20 +858,20 @@ class DeltaLeaseLog:
         )
         # CREATE IF NOT EXISTS silently keeps a pre-existing table's
         # schema: a log created by the round-8 CDF-based code has no
-        # seq column, and limping on would brick the first read() with
-        # a bare KeyError (review finding r9). Fail loudly with the
-        # migration instead.
+        # seq column (and a round-10-draft log no app_id column), and
+        # limping on would brick the first read()/append() (review
+        # findings r9/r10). Fail loudly with the migration instead.
         live_cols = set(
             spark.read.format("delta").load(table_path).columns
         )
-        if "seq" not in live_cols:
+        if "seq" not in live_cols or "app_id" not in live_cols:
             raise RuntimeError(
-                f"lease log at {table_path} predates the persisted-seq"
-                " schema (it has no 'seq' column — the old change-data-feed"
-                " layout). Migrate with the holder's lease HELD: read the"
-                " old log via its change feed, keep only rows at the top"
-                " fence, write them with their _commit_version as 'seq' to"
-                " a NEW table path, and point every writer at it."
+                f"lease log at {table_path} predates the current schema"
+                " (persisted 'seq' + self-carried 'app_id'/'app_version'"
+                " idempotency columns). Migrate with the holder's lease"
+                " HELD: read the old log, keep only rows at the top fence,"
+                " rewrite them under the new schema to a NEW table path,"
+                " and point every writer at it."
             )
 
     def read(self) -> list[dict]:
@@ -882,11 +893,13 @@ class DeltaLeaseLog:
         )
         return row[0] if row[0] is not None else 0
 
-    def _try_commit(self, stamped: list[dict], claimed_seq: int, app_id: str, version: int) -> bool:
+    def _try_commit(self, stamped: list[dict], claimed_seq: int) -> bool:
         """One insert-if-absent attempt at the claimed seq. True only
         when the read-back shows OUR row at that seq (see the class
         docstring for why merge + read-back, never a replaceWhere
-        overwrite, is the only safe shape here)."""
+        overwrite, is the only safe shape here). No txn session
+        configs: idempotency is self-carried by the row's
+        app_id/app_version columns (class docstring)."""
         from delta.tables import DeltaTable
 
         row = stamped[0]
@@ -894,31 +907,12 @@ class DeltaLeaseLog:
             [tuple(row[c] for c in self._COLS)], self.SCHEMA
         )
         target = DeltaTable.forPath(self.spark, self.table_path)
-        confs = {
-            "spark.databricks.delta.write.txnAppId": app_id,
-            "spark.databricks.delta.write.txnVersion": str(version),
-        }
-        saved = {}
-        for k in confs:
-            try:
-                saved[k] = self.spark.conf.get(k)
-            except Exception:
-                saved[k] = None
-        for k, v in confs.items():
-            self.spark.conf.set(k, v)
-        try:
-            (
-                target.alias("t")
-                .merge(src.alias("s"), f"t.seq = s.seq AND t.seq = {int(claimed_seq)}")
-                .whenNotMatchedInsertAll()
-                .execute()
-            )
-        finally:
-            for k, v in saved.items():
-                if v is None:
-                    self.spark.conf.unset(k)
-                else:
-                    self.spark.conf.set(k, v)
+        (
+            target.alias("t")
+            .merge(src.alias("s"), f"t.seq = s.seq AND t.seq = {int(claimed_seq)}")
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
         got = (
             self.spark.read.format("delta")
             .load(self.table_path)
@@ -926,7 +920,7 @@ class DeltaLeaseLog:
             .collect()
         )
         if not got:
-            return False  # pruned/elided commit — claim a fresh seq
+            return False  # rival pruned/raced — claim a fresh seq
         landed = got[0].asDict()
         return all(landed[c] == row[c] for c in self._COLS)
 
@@ -939,10 +933,26 @@ class DeltaLeaseLog:
             # appends single rows, so refuse loudly rather than risk
             # orphan stamps.
             raise ValueError("DeltaLeaseLog.append commits exactly one row per call")
+        from pyspark.sql import functions as F
+
+        # self-carried idempotency watermark (review round-10): the
+        # watermark record IS the committed row, so it advances exactly
+        # when the append landed — no dependence on whether a Delta
+        # version honors txn session configs for MERGE
+        wm_row = (
+            self.spark.read.format("delta")
+            .load(self.table_path)
+            .where(F.col("app_id") == app_id)
+            .agg(F.max("app_version"))
+            .collect()[0]
+        )
+        if wm_row[0] is not None and version <= wm_row[0]:
+            return  # idempotent replay: the original commit already landed
+        stamped_rows = [{**r, "app_id": app_id, "app_version": int(version)} for r in rows]
         cas_append(
             self._max_seq,
-            lambda stamped, claimed: self._try_commit(stamped, claimed, app_id, version),
-            rows,
+            self._try_commit,
+            stamped_rows,
             self._conflicts or (),
         )
 

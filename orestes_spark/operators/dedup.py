@@ -413,6 +413,33 @@ def minhash_band_index(
     return idx
 
 
+def _validated_nb(index, what: str, buckets: int | None = None) -> int | None:
+    """ONE home for the self-describing bucket-modulus contract
+    (review round-10: four hand-rolled copies had already diverged).
+    Returns the index's single nb (None when the index carries none),
+    raising on a mixed-modulus frame and on an explicit ``buckets``
+    that disagrees — pruning with the wrong modulus silently drops
+    genuine hits, the one failure a decontamination gate must never
+    have."""
+    if "nb" not in index.columns:
+        return None
+    nbs = sorted(r[0] for r in index.select("nb").distinct().collect() if r[0] is not None)
+    if len(nbs) > 1:
+        raise ValueError(
+            f"{what} mixes bucket moduli {nbs}: it was assembled from"
+            " differently-bucketed builds — rebucket it through one"
+            " compaction/build before using it"
+        )
+    nb = int(nbs[0]) if nbs else None
+    if buckets and nb is not None and int(buckets) != nb:
+        raise ValueError(
+            f"{what} was built with buckets={nb} but the caller asked for"
+            f" buckets={int(buckets)}: pruning with the wrong modulus"
+            " silently drops genuine hits"
+        )
+    return nb
+
+
 def _band_key_hash() -> Column:
     """ONE home for the LSH index's bucket/Bloom key: the 64-bit hash
     of the (band, bval) composite. Build and probe must agree on it
@@ -434,11 +461,8 @@ def band_bloom(index: DataFrame, bits: int = 1 << 20, hashes: int = 4) -> DataFr
     (hb, nb, mbits, kh, blob), same exactness argument: the sidecar
     only pre-filters the BATCH's band keys; the candidate equi-join
     and exact-Jaccard verify still decide every pair."""
-    if "hb" in index.columns and "nb" in index.columns:
-        nbs = sorted(r[0] for r in index.select("nb").distinct().collect() if r[0] is not None)
-        if len(nbs) != 1:
-            raise ValueError(f"band index mixes bucket moduli {nbs}; rebucket before sidecar build")
-        nb = int(nbs[0])
+    nb = _validated_nb(index, "band index") if "hb" in index.columns else None
+    if nb is not None:
         src = index.select(_band_key_hash().alias("h"), "hb")
     else:
         nb = 1
@@ -485,24 +509,11 @@ def incremental_neardup(
     new_banded = minhash_band_rows(
         minhash_signatures(new_arrays, num_hashes), num_hashes, rows_per_band
     )
-    prune_nb: int | None = None
+    prune_nb = _validated_nb(index, "band index", buckets)
     if "nb" in index.columns:
-        nbs = sorted(r[0] for r in index.select("nb").distinct().collect() if r[0] is not None)
-        if len(nbs) > 1:
-            raise ValueError(
-                f"band index mixes bucket moduli {nbs}: rebucket it through"
-                " one build before probing"
-            )
-        prune_nb = int(nbs[0]) if nbs else None
-        if buckets and prune_nb is not None and int(buckets) != prune_nb:
-            raise ValueError(
-                f"band index was built with buckets={prune_nb} but the probe"
-                f" was asked for buckets={int(buckets)}: pruning with the"
-                " wrong modulus silently drops genuine near-dup pairs"
-            )
         index = index.drop("nb")
     elif buckets and "hb" in index.columns:
-        prune_nb = int(buckets)
+        prune_nb = int(buckets)  # pre-nb index: trust the caller
     if prune_nb or bloom is not None:
         new_banded = new_banded.localCheckpoint(eager=True)
     keys = new_banded.select(_band_key_hash().alias("h"), "band", "bval").distinct()
@@ -513,7 +524,11 @@ def incremental_neardup(
             F.broadcast(surviving.select("band", "bval")), ["band", "bval"], "left_semi"
         )
         keys = surviving
-        prune_nb = prune_nb or (bnb if "hb" in index.columns else None)
+        # prune_nb stays as established from the index/caller only: a
+        # sidecar's own nb must never become the pruning modulus of an
+        # index that did not self-describe it (review round-10: an
+        # hb-without-nb index + an nb=1 corpus-wide sidecar would
+        # otherwise prune to hb=0 alone and drop genuine pairs)
     if prune_nb:
         touched = [
             r[0]
@@ -1469,11 +1484,8 @@ def span_bloom(index: DataFrame, bits: int = 1 << 20, hashes: int = 4) -> DataFr
     positions, integer bit_or per (hb, word) — output bounded by
     nb·bits/64 rows regardless of corpus size — then per-bucket blob
     assembly over those word rows via applyInPandas."""
-    if "hb" in index.columns and "nb" in index.columns:
-        nbs = sorted(r[0] for r in index.select("nb").distinct().collect() if r[0] is not None)
-        if len(nbs) != 1:
-            raise ValueError(f"span index mixes bucket moduli {nbs}; rebucket before sidecar build")
-        nb = int(nbs[0])
+    nb = _validated_nb(index, "span index") if "hb" in index.columns else None
+    if nb is not None:
         src = index.select("h", "hb")
     else:
         nb = 1  # unbucketed index: one corpus-wide blob
@@ -1644,28 +1656,11 @@ def incremental_repeated_spans(
     absent sidecar degrades to the round-9 behavior, never to a
     wrong answer."""
     kg = _kgram_starts(new_docs, id_col, text_col, k)
-    prune_nb: int | None = None
+    # DISTINCT nb, not first() (see _validated_nb): a mixed-modulus
+    # index must fail loudly — pruning any of it with one arbitrary
+    # epoch's modulus silently drops genuine hits.
+    prune_nb = _validated_nb(index, "span index", buckets)
     if "nb" in index.columns:
-        # DISTINCT, not first(): a mixed-modulus index (two shard
-        # indexes unioned, or a rebucketing compaction racing a live
-        # stream) must fail loudly — pruning any of it with one
-        # arbitrary epoch's modulus silently drops genuine hits. The
-        # distinct agg is map-side-partial over one RLE-constant
-        # column, the price of a self-describing index.
-        nbs = sorted(r[0] for r in index.select("nb").distinct().collect() if r[0] is not None)
-        if len(nbs) > 1:
-            raise ValueError(
-                f"span index mixes bucket moduli {nbs}: it was assembled from"
-                " differently-bucketed builds — rebucket it through one"
-                " compaction before probing"
-            )
-        prune_nb = int(nbs[0]) if nbs else None
-        if buckets and prune_nb is not None and int(buckets) != prune_nb:
-            raise ValueError(
-                f"span index was built with buckets={prune_nb} but the probe"
-                f" was asked for buckets={int(buckets)}: pruning with the"
-                " wrong modulus silently drops genuine repeated spans"
-            )
         index = index.drop("nb")
     elif buckets and "hb" in index.columns:
         prune_nb = int(buckets)  # pre-nb index: trust the caller
@@ -1676,7 +1671,8 @@ def incremental_repeated_spans(
         batch_hashes, bnb = _bloom_prefilter(batch_hashes, bloom, prune_nb)
         # the surviving set feeds a bucket re-collect AND the semi-join
         batch_hashes = batch_hashes.localCheckpoint(eager=True)
-        prune_nb = prune_nb or (bnb if "hb" in index.columns else None)
+        # prune_nb stays as established from the index/caller only —
+        # never adopted from the sidecar (see incremental_neardup)
     if prune_nb:
         touched = [
             r[0]

@@ -83,6 +83,15 @@ def decode_image(content: bytes) -> dict:
         maxval_b, _, pixels = rest.partition(b"\n")
         w, h = (int(x) for x in dims.split())
         maxval = int(maxval_b)
+        if maxval > 255:
+            # PPM spec: maxval > 255 switches to 2 bytes per sample;
+            # slicing 3wh bytes would silently return half the plane
+            # misread as 1-byte samples — refuse instead (review
+            # round-10; mirrors the WAV path's sampwidth gate)
+            raise NotImplementedError(
+                f"P6 maxval {maxval} > 255 uses 2-byte samples; only"
+                " 1-byte-per-sample PPM decodes natively"
+            )
         if len(pixels) < 3 * w * h:
             raise ValueError(f"P6 payload truncated: {len(pixels)} < {3 * w * h}")
         return {

@@ -2001,30 +2001,40 @@ def pq_requantize_if(
     one probe and zero writes. Returns {"recall": r} when above the
     floor, else {"recall_before", "recall_after", "retrained": True}.
     Single-writer contract like the other offline jobs: run with
-    searches paused or between epochs."""
-    import os
+    searches paused or between epochs.
 
+    Swap discipline (review round-10): the WHOLE index directory
+    swaps as a unit — new trees are written to the sibling
+    ``<path>.retrain``, then ``path → <path>.old``, ``<path>.retrain
+    → path``, drop ``.old``. A crash at any point leaves the complete
+    old index, the complete new one, or a momentarily-ABSENT index
+    (readers fail loudly) plus an ``.old`` to rename back — never a
+    readable index whose codebooks and codes disagree, which a
+    per-tree swap could produce. The swap is os.rename-based, so the
+    path must be POSIX-local (same boundary and error as the
+    embedding store's offline jobs)."""
+    import os
+    import shutil
+
+    from orestes_spark.streaming.ingest import _require_posix_store
+
+    path = _require_posix_store(path, "pq_requantize_if")
     recall = pq_index_recall(
         spark, path, corpus, id_col, vec_col, k, probe_mod, quantize
     )
     if recall >= recall_floor:
         return {"recall": recall}
-    tmp = f"{path}/.retrain"
-    for leftover in (tmp, f"{path}/codebooks.old", f"{path}/codes.old"):
+    tmp, old = f"{path}.retrain", f"{path}.old"
+    for leftover in (tmp, old):
         if os.path.exists(leftover):
             raise RuntimeError(
                 f"pq_requantize_if: leftover {leftover!r} from a previous"
                 " crash — finish or remove it by hand before retraining"
             )
     pq_index_write(corpus, tmp, id_col, vec_col, m, ks, seed)
-    for tree in ("codebooks", "codes"):
-        os.rename(f"{path}/{tree}", f"{path}/{tree}.old")
-        os.rename(f"{tmp}/{tree}", f"{path}/{tree}")
-    for tree in ("codebooks", "codes"):
-        import shutil
-
-        shutil.rmtree(f"{path}/{tree}.old", ignore_errors=True)
-    os.rmdir(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
     after = pq_index_recall(
         spark, path, corpus, id_col, vec_col, k, probe_mod, quantize
     )

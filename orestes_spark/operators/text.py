@@ -664,9 +664,12 @@ def train_quality_model(
     lab = labels.select(
         F.col(id_col).alias("_lid"), F.col(label_col).cast("boolean").alias("_lab")
     )
-    seed = docs.join(lab, F.col(id_col) == F.col("_lid"))
-    n_pos = seed.where(F.col("_lab")).count()
-    n_neg = seed.where(~F.col("_lab")).count()
+    # one compute for three consumers (two class splits feed
+    # dsir_weight_table, plus the class counts — review round-10: the
+    # join otherwise re-executes per action)
+    seed = docs.join(lab, F.col(id_col) == F.col("_lid")).localCheckpoint(eager=True)
+    by_class = {r["_lab"]: r["n"] for r in seed.groupBy("_lab").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_pos, n_neg = by_class.get(True, 0), by_class.get(False, 0)
     if n_pos == 0 or n_neg == 0:
         raise ValueError(
             f"quality model needs BOTH classes in the labeled seed: got"
@@ -711,7 +714,14 @@ def score_quality_model(docs: DataFrame, model: DataFrame, id_col: str, text_col
     (map-side combinable) with one final display round — no ln ever
     evaluates in the distributed plan, so the scores hash-match a SQL
     twin bit-for-bit. keep is decided on the integer sum (no float
-    boundary)."""
+    boundary).
+
+    TOTAL over the input (review round-10): every doc in ``docs``
+    gets a verdict row. A doc whose tokenization yields no feature
+    rows at all (NULL text — an empty string still yields one empty
+    token) scores PRIOR-ONLY, the principled Naive-Bayes answer for
+    zero evidence; without this, a no-feature doc silently vanished
+    from the output and sailed through any gate built on it."""
     from orestes_spark.operators.sampling import _dsir_toks, _hash_bucket
 
     meta = model.select("nb", "pq", "bg", "salt").distinct().collect()
@@ -730,10 +740,11 @@ def score_quality_model(docs: DataFrame, model: DataFrame, id_col: str, text_col
         .groupBy("_id")
         .agg(F.count(F.lit(1)).alias(n_col), F.sum("wq").alias("_s"))
     )
-    total = F.lit(int(pq)) + F.col("_s")
-    return scored.select(
+    ids = docs.select(F.col(id_col).alias("_id")).distinct()
+    total = F.lit(int(pq)) + F.coalesce(F.col("_s"), F.lit(0))
+    return ids.join(scored, "_id", "left").select(
         F.col("_id").alias(id_col),
-        F.col(n_col).cast("long").alias(n_col),
+        F.coalesce(F.col(n_col), F.lit(0)).cast("long").alias(n_col),
         F.round(total.cast("double") / 1e9, 6).alias("nb_logodds"),
         (total >= 0).alias("keep"),
     )

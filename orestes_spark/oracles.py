@@ -1372,12 +1372,18 @@ w AS (
 ),
 prior AS (
   SELECT CAST(round(ln(CAST(np + 1 AS DOUBLE) / (nn + 1)) * 1e9) AS BIGINT) AS pq
-  FROM tot)
-SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(CAST(prior.pq + sum(w.wq) AS DOUBLE) / 1e9, 6) AS nb_logodds,
-       prior.pq + sum(w.wq) >= 0 AS keep
-FROM b JOIN w ON w.bucket = b.bucket CROSS JOIN prior
-GROUP BY b.doc_id, prior.pq
+  FROM tot),
+per AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(w.wq) AS BIGINT) AS s
+  FROM b JOIN w ON w.bucket = b.bucket GROUP BY 1)
+-- LEFT JOIN: every doc gets a verdict; a doc with no feature rows
+-- (NULL text) scores prior-only, mirroring score_quality_model
+SELECT d.doc_id,
+       CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(CAST(prior.pq + coalesce(per.s, 0) AS DOUBLE) / 1e9, 6) AS nb_logodds,
+       prior.pq + coalesce(per.s, 0) >= 0 AS keep
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id CROSS JOIN prior
 """
 
 

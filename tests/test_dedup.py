@@ -767,3 +767,45 @@ def test_band_index_bucketing_and_bloom_parity(spark):
         dedup.incremental_neardup(
             batch, corpus, idx, "doc_id", "text", buckets=8, bloom=bloom4
         ).collect()
+
+
+def test_bloom_never_adopts_sidecar_modulus_for_legacy_index(spark):
+    """Review round-10 finding: a pre-nb bucketed index (hb, no nb)
+    probed with buckets=None plus an nb=1 corpus-wide sidecar must NOT
+    adopt the sidecar's modulus for pruning — that would keep only
+    hb=0 and silently drop genuine repeated spans. No pruning happens;
+    the spans stay complete."""
+    cspan = "c1 c2 c3 c4 c5 c6"
+    corpus = spark.createDataFrame(
+        [(1, f"{cspan} corpus filler words here today ok")],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [(10, f"lead in {cspan} trailing words")], "doc_id LONG, text STRING"
+    )
+    # legacy shape: bucketed hb but no self-describing nb column
+    legacy = dedup.span_index(corpus, "doc_id", "text", k=6, buckets=4).drop("nb")
+    # sidecar built over the legacy index: span_bloom sees no nb and
+    # builds ONE corpus-wide blob (nb=1)
+    bloom = dedup.span_bloom(legacy, bits=1 << 12)
+    assert bloom.select("nb").distinct().collect()[0][0] == 1
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.incremental_repeated_spans(
+            batch, legacy, "doc_id", "text", k=6, bloom=bloom
+        ).collect()
+    }
+    assert got == {(10, 2, 8)}  # nothing pruned away
+    # band-side twin of the same rule
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    bcorpus = spark.createDataFrame([(1, dup)], "doc_id LONG, text STRING")
+    bbatch = spark.createDataFrame([(10, dup)], "doc_id LONG, text STRING")
+    blegacy = dedup.minhash_band_index(bcorpus, "doc_id", "text", buckets=4).drop("nb")
+    bbloom = dedup.band_bloom(blegacy, bits=1 << 12)
+    pairs = {
+        (r["id_new"], r["id_corpus"])
+        for r in dedup.incremental_neardup(
+            bbatch, bcorpus, blegacy, "doc_id", "text", bloom=bbloom
+        ).collect()
+    }
+    assert pairs == {(10, 1)}

@@ -146,3 +146,14 @@ def test_bmp_header_decode():
     ) + b"\x00" * 24
     m = multimodal.decode_image(header)
     assert m == {"format": "bmp", "width": w, "height": h, "bpp": bpp}
+
+
+def test_ppm_two_byte_maxval_refused():
+    """Review round-10: maxval > 255 means 2-byte samples (PPM spec);
+    decoding it as 1-byte samples would silently halve and misread the
+    plane — refuse like the WAV path refuses sampwidth != 2."""
+    import pytest
+
+    payload = b"P6\n2 2\n65535\n" + bytes(24)
+    with pytest.raises(NotImplementedError, match="2-byte samples"):
+        multimodal.decode_image(payload)

@@ -355,3 +355,30 @@ def test_train_bpe_planted_merges(spark):
             spark.createDataFrame([(1, "x y")], "doc_id LONG, text STRING"),
             "doc_id", "text", num_merges=1,
         )
+
+
+def test_quality_model_scores_are_total_over_input(spark):
+    """Review round-10: a doc with NO feature rows (NULL text) must
+    still get a verdict — prior-only, the Naive-Bayes zero-evidence
+    answer — instead of silently vanishing and bypassing any gate
+    built on the scores. Empty-string docs score normally (one empty
+    token)."""
+    from orestes_spark.operators.text import quality_model_scores
+
+    docs = spark.createDataFrame(
+        [(0, "good clean prose text"), (1, "bad spam junk text"),
+         (2, None), (3, "")],
+        "doc_id LONG, text STRING",
+    )
+    labels = spark.createDataFrame(
+        [(0, True), (1, False)], "doc_id LONG, label BOOLEAN"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in quality_model_scores(docs, labels, "doc_id", "text", buckets=64).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}  # TOTAL: all four docs verdict'd
+    assert rows[2]["n_tokens"] == 0
+    # prior-only: equal seed class counts -> prior log-odds 0 -> keep
+    assert rows[2]["nb_logodds"] == 0.0 and rows[2]["keep"] is True
+    assert rows[3]["n_tokens"] == 1  # the empty token still hashes
