@@ -1164,6 +1164,52 @@ def substring_contamination(
     )
 
 
+def shingle_containment(
+    probe: DataFrame,
+    base: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Cross-corpus containment (Broder's C(A,B) = |S(A) ∩ S(B)| /
+    |S(A)|, computed EXACTLY): for every probe document, the fraction
+    of its distinct n-token shingles that appear anywhere in the base
+    corpus — the train/test overlap scan run before trusting an eval
+    split, and the asymmetric complement of ``jaccard_pairs`` (a short
+    quote inside a long base doc scores ~1.0 here but near 0 on
+    Jaccard). Output: (id, n_shingles, n_matched, containment), one
+    row per probe doc with >= n tokens.
+
+    Determinism: the ratio is rounded by the integer half-away
+    identity (2m*1e6 + t) div (2t) — real shingle counts hit exact
+    decimal ties (e.g. 7/128) where float round() diverges across
+    engines. Scale shape: per-doc distinct shingles explode in the
+    scan; the base side reduces to DISTINCT shingles (map-side
+    partial); one shuffle equi-join probe-shingles x base-shingles,
+    then a per-doc count — linear in corpus tokens, no pair stage.
+    At 100 TB the join key would be xxhash64(shingle) (the span-index
+    discipline: 8-byte keys, same collision story as minhash bands);
+    the string key here keeps the oracle twin exact."""
+    p = token_shingles(probe, id_col, text_col, n)
+    b = token_shingles(base, id_col, text_col, n).select("sh").distinct()
+    j = p.join(b.withColumn("_hit", F.lit(1)), "sh", "left")
+    agg = j.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("_hit").alias("n_matched"),
+    )
+    return agg.select(
+        F.col("_id").alias(id_col),
+        "n_shingles",
+        "n_matched",
+        (
+            F.expr(
+                "(2 * n_matched * 1000000 + n_shingles) div (2 * n_shingles)"
+            ).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("containment"),
+    )
+
+
 # --------------------------------------------- span-level exact dedup ---
 
 

@@ -1401,6 +1401,53 @@ def label_centroids(
     )
 
 
+def dimension_stats(
+    vectors: DataFrame, vec_col: str, quantize: int = 1000
+) -> DataFrame:
+    """(dim, n, mean, std, vmin, vmax) — per-dimension distribution
+    diagnostics over the whole embedding column: the embedding-health
+    monitor real pipelines run before trusting a vector table (a dead
+    dimension shows std ~ 0; a scale-drifted encoder shows mean/extent
+    shifts; anisotropy shows up as a few dominant dims).
+
+    Exactness: components quantize to integers (round(x * quantize)),
+    so count / sum / sum-of-squares / min / max are all exact integer
+    aggregates; the population variance numerator n*Sxx - Sx^2 is an
+    exact BIGINT, and the only float ops are one division per stat and
+    one correctly-rounded sqrt — IEEE-identical on both engines, which
+    is what lets the DuckDB twin hash-match. BIGINT headroom: |x_q| <=
+    Q, so n*Sxx <= n^2 * Q^2 must stay under 2^63 — at Q=1000 that is
+    ~3e6 rows per dim; past that, lift Sx/Sxx to DECIMAL(38,0) (same
+    plan, wider partials).
+
+    Scale shape: one posexplode (rows x dims, computed in the scan) and
+    one groupBy(dim) with map-side partial aggregation — the shuffle
+    carries |partitions| x |dims| partial rows, never the corpus; the
+    final reduce is |dims| rows. No collect, no window."""
+    q = vectors.select(quantized(F.col(vec_col), quantize).alias("v"))
+    exploded = q.select(F.posexplode("v").alias("i", "x"))
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    var_num = (n * sxx - sx * sx).cast("double")
+    return (
+        exploded.groupBy((F.col("i") + 1).cast("int").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+        .select(
+            "dim",
+            "n",
+            F.round(sx.cast("double") / (n * float(quantize)), 6).alias("mean"),
+            F.round(F.sqrt(var_num) / (n * float(quantize)), 6).alias("std"),
+            F.round(F.col("mn").cast("double") / quantize, 6).alias("vmin"),
+            F.round(F.col("mx").cast("double") / quantize, 6).alias("vmax"),
+        )
+    )
+
+
 # ------------------------------------------------- product quantization ---
 
 

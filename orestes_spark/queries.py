@@ -3123,6 +3123,39 @@ def emb_label_centroids(spark, sf_dir):
     return similarity.label_centroids(e, "embedding", "label", quantize=1000)
 
 
+@register(
+    "emb_dim_stats",
+    """WITH q AS (
+         SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         FROM embeddings
+       ),
+       u AS (SELECT UNNEST(v) AS x, generate_subscripts(v, 1) AS i FROM q),
+       a AS (
+         SELECT CAST(i AS INTEGER) AS dim, count(*) AS n,
+                sum(x) AS sx, sum(x * x) AS sxx, min(x) AS mn, max(x) AS mx
+         FROM u GROUP BY 1
+       )
+       SELECT dim, n,
+              round(CAST(sx AS DOUBLE) / (n * 1000.0), 6) AS mean,
+              round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / (n * 1000.0), 6) AS std,
+              round(CAST(mn AS DOUBLE) / 1000, 6) AS vmin,
+              round(CAST(mx AS DOUBLE) / 1000, 6) AS vmax
+       FROM a""",
+)
+def emb_dim_stats(spark, sf_dir):
+    """Embedding-space health diagnostics: per-dimension n/mean/std/
+    min/max over the whole vector table — the monitor that catches
+    dead dimensions (std ~ 0), encoder scale drift, and anisotropy
+    before any ANN index is trained on the column. Exact integer
+    sums/sum-of-squares under milli-unit quantization; the only float
+    ops are one division per stat and a correctly-rounded sqrt, so the
+    DuckDB twin hash-matches. One groupBy(dim) with map-side partials
+    — the shuffle carries |partitions| x |dims| rows, never the
+    corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.dimension_stats(e, "embedding", quantize=1000)
+
+
 @register("emb_ivf_topk", oracles.emb_ivf_topk_sql())
 def emb_ivf_topk(spark, sf_dir):
     """IVF-style ANN: label partitions as the coarse quantizer; queries
@@ -4468,6 +4501,151 @@ def ts_ewma(spark, sf_dir):
     )
 
 
+def _bollinger_sql(w: int = 8) -> str:
+    """Oracle for ts_bollinger: micro-unit anchors, exact integer
+    window sums/sum-of-squares, then INTEGER rounding of both stats —
+    ma via the half-away-from-zero floor-division identity, sd via a
+    corrected integer sqrt (the float sqrt is only a hint, fixed up by
+    exact integer comparisons) — because n <= 8 makes true decimal
+    ties COMMON (s/n lands on half-micros; for n=2 the variance
+    numerator is a perfect square so sd does too), and Spark/DuckDB
+    round ties differently on floats. Bands recombine the two already
+    exact micro quantities; their sum is a 1e-6 multiple, so the final
+    float round has no tie to disagree on."""
+    ma_u = "CASE WHEN s >= 0 THEN (2*s + n) // (2*n) ELSE -((-2*s + n) // (2*n)) END"
+    return f"""WITH hourly AS (
+          SELECT event_type, CAST(floor({_EV_MS} / {_HOUR}) AS BIGINT) AS hour,
+                 CAST(CAST(round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
+                           AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v6
+          FROM events GROUP BY 1, 2
+        ),
+        win AS (
+          SELECT event_type, hour,
+                 count(*) OVER w AS n, sum(v6) OVER w AS s, sum(v6 * v6) OVER w AS ss
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+        ),
+        ex AS (
+          SELECT event_type, hour, n, s, (n * ss - s * s) AS num,
+                 {ma_u} AS ma_u
+          FROM win
+        ),
+        sq AS (
+          SELECT *, CAST(floor(sqrt(CAST(4 * num AS DOUBLE))) AS BIGINT) AS m0 FROM ex
+        ),
+        isq AS (
+          SELECT *, CASE WHEN CAST(m0 + 1 AS HUGEINT) * (m0 + 1) <= 4 * num THEN m0 + 1
+                         WHEN CAST(m0 AS HUGEINT) * m0 > 4 * num THEN m0 - 1
+                         ELSE m0 END AS msq
+          FROM sq
+        ),
+        st AS (SELECT *, ((msq // n) + 1) // 2 AS sd_u FROM isq)
+        SELECT event_type, hour,
+               CAST(ma_u AS DOUBLE) / 1000000.0 AS ma,
+               CAST(sd_u AS DOUBLE) / 1000000.0 AS sd,
+               round(CAST(ma_u AS DOUBLE) / 1000000.0
+                     + 2.0 * (CAST(sd_u AS DOUBLE) / 1000000.0), 6) AS upper_band,
+               round(CAST(ma_u AS DOUBLE) / 1000000.0
+                     - 2.0 * (CAST(sd_u AS DOUBLE) / 1000000.0), 6) AS lower_band
+        FROM st"""
+
+
+@register("ts_bollinger", _bollinger_sql())
+def ts_bollinger(spark, sf_dir):
+    """Bollinger bands per series: 8-point moving average with
+    +/- 2 sigma envelopes over the hourly rollup — the volatility
+    monitor next to ts_moving_avg (level) and ts_ewma (smoothing); a
+    point outside its band is the classic breakout/anomaly signal.
+    Determinism is ENGINEERED around two facts. (1) micro-unit (not
+    milli) anchors: a 2-decimal-data hourly average like 261.65/4 =
+    65.4125 is an exact TIE at the 3rd decimal, where Spark's
+    HALF_UP-on-exact-value and DuckDB's float-side round disagree; at
+    6 decimals short-decimal inputs cannot tie. (2) with n <= 8, the
+    FINAL stats tie constantly — s/n lands on half-micros, and for
+    n=2 the variance numerator 2(a^2+b^2)-(a+b)^2 = (a-b)^2 is a
+    perfect square, so sd = |a-b|/2 half-ties whenever a-b is odd —
+    so neither stat may ever reach a float round(). ma rounds by the
+    integer identity (2s+n) div (2n) (half away from zero,
+    sign-split); sd by a CORRECTED INTEGER SQRT: m0 = floor(float
+    sqrt(4*num)) is only a hint (correctly-rounded sqrt puts it
+    within +/-1), fixed up by exact integer comparisons in
+    DECIMAL(38,0) (the DuckDB twin uses HUGEINT), then
+    sd_u = ((isqrt(4*num) div n) + 1) div 2 — the closed form of
+    round-half-up(sqrt(num)/n). The bands recombine two exact micro
+    quantities, so their float round has no tie to disagree on.
+    Headroom: v6^2 must fit int64 (|hourly avg| < ~3e3 here); larger
+    magnitudes move the squares to decimal partials. One window
+    shuffle on the series key; the 8-row frame resolves in one pass
+    over the sorted partition."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_millis("ts").alias("time_ms"), "value"
+    )
+    hourly = ev.groupBy(
+        "event_type", F.floor(F.col("time_ms") / _HOUR).cast("long").alias("hour")
+    ).agg(
+        (
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).cast("decimal(18,6)")
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("v6")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    win = hourly.select(
+        "event_type",
+        "hour",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v6").over(w).alias("s"),
+        F.sum(F.col("v6") * F.col("v6")).over(w).alias("ss"),
+    )
+    ex = win.select(
+        "event_type",
+        "hour",
+        "n",
+        F.expr(
+            "CASE WHEN s >= 0 THEN (2*s + n) div (2*n)"
+            " ELSE -((-2*s + n) div (2*n)) END"
+        ).alias("ma_u"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("ss").cast("decimal(38,0)")
+            - F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)")
+        ).alias("num"),
+    )
+    sq = ex.withColumn(
+        "m0", F.floor(F.sqrt((F.lit(4) * F.col("num")).cast("double"))).cast("long")
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    isq = sq.withColumn(
+        "msq",
+        F.when(
+            d38(F.col("m0") + 1) * d38(F.col("m0") + 1) <= F.lit(4) * F.col("num"),
+            F.col("m0") + 1,
+        )
+        .when(d38(F.col("m0")) * d38(F.col("m0")) > F.lit(4) * F.col("num"), F.col("m0") - 1)
+        .otherwise(F.col("m0")),
+    )
+    st = isq.withColumn("sd_u", F.expr("((msq div n) + 1) div 2"))
+    ma = F.col("ma_u").cast("double") / F.lit(1_000_000.0)
+    sd = F.col("sd_u").cast("double") / F.lit(1_000_000.0)
+    return st.select(
+        "event_type",
+        "hour",
+        ma.alias("ma"),
+        sd.alias("sd"),
+        F.round(ma + F.lit(2.0) * sd, 6).alias("upper_band"),
+        F.round(ma - F.lit(2.0) * sd, 6).alias("lower_band"),
+    )
+
+
 @register("emb_kmeans_assign", oracles.emb_kmeans_sql(k=8, iters=2))
 def emb_kmeans_assign(spark, sf_dir):
     """TRAINED coarse quantizer: Lloyd k-means under cosine (k=8, two
@@ -4496,6 +4674,48 @@ def emb_ivf_trained(spark, sf_dir):
     return similarity.ivf_topk(
         corpus, e.where(F.col("vec_id") < 10), label_col="cluster", k=5, quantize=1000
     )
+
+
+@register(
+    "doc_containment",
+    r"""WITH toks AS (
+          SELECT doc_id, u.tok AS tok, u.pos AS pos FROM documents,
+          (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+                  generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos) u
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+                           lead(tok, 3) OVER w, lead(tok, 4) OVER w) AS sh
+          FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+          QUALIFY lead(tok, 4) OVER w IS NOT NULL
+        ),
+        b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 <> 0),
+        p AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 = 0),
+        j AS (
+          SELECT p.doc_id, count(*) AS n_shingles, count(b.sh) AS n_matched
+          FROM p LEFT JOIN b ON b.sh = p.sh GROUP BY 1
+        )
+        SELECT doc_id, n_shingles, n_matched,
+               CAST((2 * n_matched * 1000000 + n_shingles) // (2 * n_shingles) AS DOUBLE)
+                 / 1000000.0 AS containment
+        FROM j""",
+)
+def doc_containment(spark, sf_dir):
+    """Exact cross-corpus containment C(A,B) per eval-slice doc
+    (doc_id % 20 == 0 plays the held-out set, the module's split
+    convention): what fraction of each eval doc's distinct 5-token
+    shingles appears ANYWHERE in the training corpus — the
+    train/test-overlap rate real eval hygiene reports quote (the
+    asymmetric measure: a verbatim quote scores ~1 here while Jaccard
+    dilutes it by the base doc's size). dedup.shingle_containment:
+    distinct-shingle explode + one equi-join + per-doc counts, linear
+    in corpus tokens, ratio rounded by the integer half-away identity
+    (shingle counts like 128 produce exact float-round ties)."""
+    d = load_table(spark, sf_dir, "documents")
+    probe = d.where(F.col("doc_id") % 20 == 0)
+    base = d.where(F.col("doc_id") % 20 != 0)
+    return dedup.shingle_containment(probe, base, "doc_id", "text", n=5)
 
 
 @register(

@@ -809,3 +809,46 @@ def test_bloom_never_adopts_sidecar_modulus_for_legacy_index(spark):
         ).collect()
     }
     assert pairs == {(10, 1)}
+
+
+def test_shingle_containment_planted(spark):
+    base_rows = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "one two three four five six seven eight nine"),
+    ]
+    probe_rows = [
+        # verbatim slice of base doc 100 -> full containment
+        (1, "alpha beta gamma delta epsilon zeta"),
+        # nothing shared with any base doc
+        (2, "red orange yellow green blue indigo violet"),
+        # first 5-shingle matches base 101, the rest do not
+        (3, "one two three four five banana cherry mango kiwi"),
+        (4, "tiny doc"),  # < 5 tokens: no row
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id LONG, text STRING")
+    probe = spark.createDataFrame(probe_rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: r
+        for r in dedup.shingle_containment(probe, base, "doc_id", "text", n=5).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1]["containment"] == 1.0 and got[1]["n_matched"] == got[1]["n_shingles"] == 2
+    assert got[2]["containment"] == 0.0 and got[2]["n_matched"] == 0
+    assert got[3]["n_shingles"] == 5 and got[3]["n_matched"] == 1
+    assert got[3]["containment"] == 0.2
+
+
+def test_shingle_containment_integer_tie_rounding(spark):
+    # 3 matched of 128 shingles = 0.0234375 -> exact tie at 6 decimals;
+    # the integer identity must round half AWAY (0.023438), on both engines.
+    toks = [f"t{i}" for i in range(132)]  # 128 distinct 5-shingles
+    probe = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id LONG, text STRING"
+    )
+    base = spark.createDataFrame(
+        [(50, " ".join(toks[:7]))],  # shares exactly shingles at pos 1..3
+        "doc_id LONG, text STRING",
+    )
+    row = dedup.shingle_containment(probe, base, "doc_id", "text", n=5).collect()[0]
+    assert row["n_shingles"] == 128 and row["n_matched"] == 3
+    assert row["containment"] == 0.023438

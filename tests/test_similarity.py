@@ -102,6 +102,29 @@ def test_ivf_topk_assigned_partition_only(spark):
     assert all(r["cosine"] > 0.9 for r in got)
 
 
+def test_dimension_stats_match_numpy(vecs):
+    df, data = vecs
+    got = {r["dim"]: r for r in similarity.dimension_stats(df, "embedding", quantize=1000).collect()}
+    q = np.round(data.astype("float64") * 1000)
+    for d in range(16):
+        col = q[:, d]
+        r = got[d + 1]
+        assert r["n"] == len(col)
+        assert r["mean"] == round(float(col.sum() / len(col)) / 1000, 6)
+        var_num = len(col) * (col * col).sum() - col.sum() ** 2
+        assert r["std"] == round(float(np.sqrt(var_num)) / (len(col) * 1000.0), 6)
+        assert r["vmin"] == round(float(col.min()) / 1000, 6)
+        assert r["vmax"] == round(float(col.max()) / 1000, 6)
+
+
+def test_dimension_stats_dead_dimension(spark):
+    rows = [(i, [1.5, float(i)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = {r["dim"]: r for r in similarity.dimension_stats(df, "embedding").collect()}
+    assert got[1]["std"] == 0.0 and got[1]["mean"] == 1.5
+    assert got[2]["vmin"] == 0.0 and got[2]["vmax"] == 5.0
+
+
 def test_label_centroids_match_numpy(spark):
     import numpy as np
 
