@@ -769,3 +769,140 @@ def quality_model_scores(
         docs, labels, id_col, text_col, label_col, buckets, salt, bigrams
     )
     return score_quality_model(docs, model, id_col, text_col)
+
+
+# ------------------------------------------------ trained bigram LM ---
+
+
+def _bigram_id_pairs(docs: DataFrame, id_col: str, text_col: str, vocab: dict[str, int]) -> DataFrame:
+    """(_id, p, c) — consecutive-token bigrams mapped through the
+    vocab (OOV -> id 0): the zip-shift idiom forms the pairs in the
+    scan, the 256-entry literal map resolves ids with no join."""
+    split_expr = F.split(normalize_text(F.col(text_col)), r"\s+")
+
+    def pairs(tk: F.Column) -> F.Column:
+        m = F.size(tk)
+        return F.when(
+            m >= 2,
+            F.zip_with(
+                F.slice(tk, 1, m - 1),
+                F.slice(tk, 2, m - 1),
+                lambda a, c: F.struct(a.alias("pt"), c.alias("ct")),
+            ),
+        )
+
+    exploded = docs.select(
+        F.col(id_col).alias("_id"), F.explode(bind(split_expr, pairs)).alias("pr")
+    )
+    vmap = F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
+    return exploded.select(
+        "_id",
+        F.coalesce(vmap[F.col("pr.pt")], F.lit(0)).alias("p"),
+        F.coalesce(vmap[F.col("pr.ct")], F.lit(0)).alias("c"),
+    )
+
+
+def train_bigram_lm(
+    target: DataFrame, id_col: str, text_col: str, vocab_size: int = 256
+):
+    """Train a bigram language model on the reference corpus — the
+    deterministic stand-in for the KenLM n-gram models CCNet (Wenzek
+    et al. 2020) filters crawls with: top-``vocab_size`` unigram vocab
+    (count desc, token asc — a total order both engines share; OOV is
+    id 0), bigram counts over vocab ids, add-one smoothing over the
+    nominal V+1 alphabet, p(c|p) = (cnt(p,c)+1) / (ctx(p)+V+1).
+
+    Returns (pairs_df, fallback_df): (p, c, wq) for OBSERVED bigrams
+    and (p, fq) for the per-context unseen-pair floor, both with
+    nano-quantized ln probabilities computed ONCE on the driver
+    (CPython libm == DuckDB libm — the dsir discipline; no
+    distributed plan ever evaluates ln). Bounded driver state BY
+    CONSTRUCTION, not by corpus size: distinct id pairs can never
+    exceed (V+1)^2 = ~66k at the default, however large the training
+    corpus — the groupBy reduces corpus tokens to at most that many
+    rows before the collect."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    spark = target.sparkSession
+    v_rows = (
+        target.select(
+            F.explode(F.split(normalize_text(F.col(text_col)), r"\s+")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(vocab_size)
+        .collect()
+    )
+    vocab = {r["tok"]: i + 1 for i, r in enumerate(v_rows)}
+    counts = {
+        (r["p"], r["c"]): r["cc"]
+        for r in _bigram_id_pairs(target, id_col, text_col, vocab)
+        .groupBy("p", "c")
+        .agg(F.count(F.lit(1)).alias("cc"))
+        .collect()
+    }
+    ctx: dict[int, int] = {}
+    for (p, _c), cc in counts.items():
+        ctx[p] = ctx.get(p, 0) + cc
+    denom_add = vocab_size + 1
+
+    def nano_ln(x: float) -> int:
+        return int(Decimal(math.log(x) * 1e9).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    pair_rows = [
+        (p, c, nano_ln((cc + 1) / (ctx[p] + denom_add))) for (p, c), cc in counts.items()
+    ]
+    fb_rows = [
+        (p, nano_ln(1 / (ctx.get(p, 0) + denom_add))) for p in range(vocab_size + 1)
+    ]
+    pairs_df = spark.createDataFrame(pair_rows or [(0, 0, 0)], "p INT, c INT, wq LONG")
+    if not pair_rows:  # degenerate empty-target model: no observed pairs
+        pairs_df = pairs_df.where(F.lit(False))
+    fb_df = spark.createDataFrame(fb_rows, "p INT, fq LONG")
+    return vocab, pairs_df, fb_df
+
+
+def bigram_lm_nll(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 256,
+) -> DataFrame:
+    """Per-document average negative log-likelihood under a bigram LM
+    trained on ``target`` — the CCNet perplexity filter's score (low
+    avg_nll = fluent/reference-like; high = noise), as a first-class
+    corpus operator. Output: (id, n_bigrams, avg_nll) for every doc
+    with >= 2 tokens; avg_nll is in nats (log-perplexity — exp is
+    monotone, so gating on avg_nll IS gating on perplexity).
+
+    Determinism: token-level work is exact integer sums of the
+    nano-quantized driver-side ln codebook (train_bigram_lm); the
+    per-doc average rounds by the integer half-away identity — real
+    nano sums land on exact half-micro ties where float round()
+    diverges across engines. Scale shape: one scan of the corpus
+    (bigrams formed in the scan, ids via a literal map), two
+    broadcast joins against the <=66k-row codebook, one groupBy(doc)
+    — linear, shuffle only on the doc key."""
+    vocab, pairs_df, fb_df = train_bigram_lm(target, id_col, text_col, vocab_size)
+    scored = (
+        _bigram_id_pairs(docs, id_col, text_col, vocab)
+        .join(F.broadcast(pairs_df), ["p", "c"], "left")
+        .join(F.broadcast(fb_df), ["p"])
+        .select("_id", F.coalesce(F.col("wq"), F.col("fq")).alias("w"))
+    )
+    agg = scored.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("w").alias("s")
+    )
+    return agg.select(
+        F.col("_id").alias(id_col),
+        "n_bigrams",
+        (
+            F.expr("(2 * (-s) + n_bigrams * 1000) div (2 * n_bigrams * 1000)").cast(
+                "double"
+            )
+            / F.lit(1_000_000.0)
+        ).alias("avg_nll"),
+    )

@@ -3733,6 +3733,90 @@ def doc_chunk_dedup(spark, sf_dir):
 
 
 @register(
+    "events_rfm_segments",
+    """WITH per AS (
+         SELECT user_id, count(*) AS frequency,
+                CAST(CAST(round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6)
+                          AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m6,
+                max(epoch_ms(CAST(ts AS TIMESTAMP))) AS last_ms
+         FROM events GROUP BY 1
+       ),
+       g AS (SELECT max(last_ms) AS gmax FROM per),
+       r AS (
+         SELECT p.*, CAST((g.gmax - p.last_ms) // 86400000 AS BIGINT) AS recency_days
+         FROM per p CROSS JOIN g
+       ),
+       t AS (
+         SELECT *,
+                ntile(4) OVER (ORDER BY recency_days, user_id) AS r_quartile,
+                ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_quartile,
+                ntile(4) OVER (ORDER BY m6 DESC, user_id) AS m_quartile
+         FROM r
+       )
+       SELECT user_id, recency_days, frequency,
+              CAST(m6 AS DOUBLE) / 1000000.0 AS monetary,
+              r_quartile, f_quartile, m_quartile,
+              concat_ws('-', r_quartile, f_quartile, m_quartile) AS segment
+       FROM t""",
+)
+def events_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation — recency / frequency / monetary
+    quartiles per user (quartile 1 = best on every axis: most recent,
+    most active, highest spend; segment '1-1-1' = champions, '4-4-4'
+    = churned), the standard behavioral-cohort cut next to
+    events_retention_cohorts. All three quartiles come from
+    plans.ranking.with_global_ntile — range-partition + local ranks +
+    exact offsets — because a bare ntile() OVER (ORDER BY ...) plans
+    the single-partition global sort this repo bans; user_id
+    tiebreaks make each total order deterministic. Monetary sums in
+    DECIMAL then pins to micro-unit BIGINT (float sums are
+    order-dependent); recency is exact integer day math against the
+    corpus max, broadcast as a single row."""
+    from orestes_spark.plans.ranking import with_global_ntile
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("frequency"),
+        (
+            F.round(F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 6)
+            .cast("decimal(18,6)")
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("m6"),
+        F.max(F.unix_millis("ts")).alias("last_ms"),
+    )
+    gmax = per.agg(F.max("last_ms").alias("gmax"))
+    per = per.crossJoin(F.broadcast(gmax)).withColumn(
+        "recency_days", F.expr("(gmax - last_ms) div 86400000").cast("long")
+    )
+    per = with_global_ntile(
+        per, 4, [F.col("recency_days"), F.col("user_id")], tile_col="r_quartile"
+    )
+    per = with_global_ntile(
+        per, 4, [F.col("frequency").desc(), F.col("user_id")], tile_col="f_quartile"
+    )
+    per = with_global_ntile(
+        per, 4, [F.col("m6").desc(), F.col("user_id")], tile_col="m_quartile"
+    )
+    return per.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        (F.col("m6").cast("double") / F.lit(1_000_000.0)).alias("monetary"),
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
+        F.concat_ws(
+            "-",
+            F.col("r_quartile").cast("string"),
+            F.col("f_quartile").cast("string"),
+            F.col("m_quartile").cast("string"),
+        ).alias("segment"),
+    )
+
+
+@register(
     "events_retention_cohorts",
     f"""WITH act AS (
           SELECT user_id, CAST(floor({_EV_MS} / {_DAY_MS}) AS BIGINT) AS day
@@ -5097,6 +5181,73 @@ def doc_gopher_rules(spark, sf_dir):
     from orestes_spark.operators import text
 
     return text.gopher_rules(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "doc_lm_perplexity",
+    r"""WITH toks AS (
+          SELECT doc_id, u.tok AS tok, u.pos AS pos FROM documents,
+          (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+                  generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos) u
+        ),
+        tg AS (SELECT * FROM toks WHERE doc_id % 20 = 0),
+        vocab AS (
+          SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS id
+          FROM tg GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 256
+        ),
+        tgid AS (
+          SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
+          FROM tg t LEFT JOIN vocab v ON v.tok = t.tok
+        ),
+        tgbg AS (
+          SELECT lag(id) OVER w AS p, id AS c
+          FROM tgid WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+          QUALIFY lag(id) OVER w IS NOT NULL
+        ),
+        cnt AS (SELECT p, c, count(*) AS cc FROM tgbg GROUP BY 1, 2),
+        ctx AS (SELECT p, sum(cc) AS cp FROM cnt GROUP BY 1),
+        corp AS (SELECT * FROM toks WHERE doc_id % 20 <> 0),
+        corpid AS (
+          SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
+          FROM corp t LEFT JOIN vocab v ON v.tok = t.tok
+        ),
+        corpbg AS (
+          SELECT doc_id, lag(id) OVER w AS p, id AS c
+          FROM corpid WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+          QUALIFY lag(id) OVER w IS NOT NULL
+        ),
+        scored AS (
+          SELECT b.doc_id,
+                 CAST(round(ln(
+                   CAST(COALESCE(cnt.cc, 0) + 1 AS DOUBLE) / (COALESCE(ctx.cp, 0) + 257)
+                 ) * 1e9) AS BIGINT) AS w
+          FROM corpbg b
+          LEFT JOIN cnt ON cnt.p = b.p AND cnt.c = b.c
+          LEFT JOIN ctx ON ctx.p = b.p
+        ),
+        agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(w) AS s FROM scored GROUP BY 1)
+        SELECT doc_id, n_bigrams,
+               CAST(((2 * (-s) + n_bigrams * 1000) // (2 * n_bigrams * 1000)) AS DOUBLE)
+                 / 1000000.0 AS avg_nll
+        FROM agg""",
+)
+def doc_lm_perplexity(spark, sf_dir):
+    """Language-model perplexity filtering (CCNet, Wenzek et al. 2020
+    — the KenLM layer): every raw doc scored by average negative
+    log-likelihood under a bigram LM TRAINED on the reference slice
+    (doc_id % 20 == 0, the module's held-out convention); low avg_nll
+    = reference-like fluency, high = noise — the standard gate next to
+    the heuristic stack and the DSIR importance weights (this is the
+    likelihood-under-target half of DSIR's ratio, as its own named
+    operator). Vocab = top-256 target unigrams (OOV id 0), add-one
+    bigram smoothing; every ln is driver-side (dsir discipline), all
+    distributed math integer-exact, final average by the integer
+    half-away identity. Codebook bounded by (V+1)^2 ids by
+    construction — never corpus-sized (text.train_bigram_lm)."""
+    d = load_table(spark, sf_dir, "documents")
+    target = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    return text.bigram_lm_nll(corpus, target, "doc_id", "text", vocab_size=256)
 
 
 @register("doc_quality_model", oracles.quality_model_sql())

@@ -382,3 +382,49 @@ def test_quality_model_scores_are_total_over_input(spark):
     # prior-only: equal seed class counts -> prior log-odds 0 -> keep
     assert rows[2]["nb_logodds"] == 0.0 and rows[2]["keep"] is True
     assert rows[3]["n_tokens"] == 1  # the empty token still hashes
+
+
+def test_bigram_lm_separates_fluent_from_noise(spark):
+    """A doc made of the target's bigrams scores a lower avg_nll than
+    a doc of never-seen tokens (all OOV->OOV fallback floor)."""
+    from orestes_spark.operators.text import bigram_lm_nll
+
+    target = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the cat ran") for i in range(5)],
+        "doc_id LONG, text STRING",
+    )
+    docs = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat"),       # target-like
+            (101, "zzz qqq www uuu vvv kkk"),       # pure OOV noise
+            (102, "solo"),                           # 1 token: no bigrams
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_nll(docs, target, "doc_id", "text", vocab_size=16).collect()}
+    assert set(rows) == {100, 101}  # <2-token doc has no row
+    assert rows[100]["n_bigrams"] == 5 and rows[101]["n_bigrams"] == 5
+    assert rows[100]["avg_nll"] < rows[101]["avg_nll"]
+    # OOV->OOV bigrams all hit the same fallback: ln(1/(ctx(0)+V+1));
+    # ctx(0)=0 here because every target token is in-vocab
+    import math
+    expected = round(-round(math.log(1 / 17) * 1e9) / 1e9, 6)
+    assert abs(rows[101]["avg_nll"] - expected) < 2e-6
+
+
+def test_bigram_lm_observed_pair_probability(spark):
+    """Exact probability check: one training doc 'a b a b' gives
+    ctx(a)=2 with cnt(a,b)=2 -> p(b|a)=(2+1)/(2+V+1)."""
+    import math
+
+    from orestes_spark.operators.text import bigram_lm_nll
+
+    target = spark.createDataFrame([(0, "a b a b a")], "doc_id LONG, text STRING")
+    docs = spark.createDataFrame([(1, "a b")], "doc_id LONG, text STRING")
+    row = bigram_lm_nll(docs, target, "doc_id", "text", vocab_size=4).collect()[0]
+    # vocab: a (3 occurrences, id 1), b (2, id 2); cnt(a,b)=2 and
+    # ctx(a) = 2 (bigrams whose PREVIOUS token is a) -> p(b|a)=3/7
+    p = (2 + 1) / (2 + 5)
+    nano = round(math.log(p) * 1e9)
+    assert row["n_bigrams"] == 1
+    assert row["avg_nll"] == round(-nano / 1e9, 6) or abs(row["avg_nll"] + nano / 1e9) < 2e-6
