@@ -3733,6 +3733,60 @@ def doc_chunk_dedup(spark, sf_dir):
 
 
 @register(
+    "events_stickiness",
+    """WITH au AS (
+         SELECT DISTINCT CAST(floor(epoch_ms(CAST(ts AS TIMESTAMP)) / 86400000) AS BIGINT) AS day,
+                user_id
+         FROM events
+       ),
+       dau AS (SELECT day, count(*) AS dau FROM au GROUP BY 1),
+       expd AS (
+         SELECT day + g.i AS wday, user_id
+         FROM au CROSS JOIN (SELECT UNNEST(generate_series(0, 27)) AS i) g
+       ),
+       mau AS (SELECT wday, count(DISTINCT user_id) AS mau FROM expd GROUP BY 1)
+       SELECT d.day, d.dau, m.mau,
+              CAST(((2 * d.dau * 1000000 + m.mau) // (2 * m.mau)) AS DOUBLE)
+                / 1000000.0 AS stickiness
+       FROM dau d JOIN mau m ON m.wday = d.day""",
+)
+def events_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per day — the engagement ratio product
+    analytics quotes next to events_rolling_wau: daily actives over
+    28-day-window actives ending that day. The rolling distinct count
+    uses the bounded-explode idiom (each (day, user) activity row
+    contributes to exactly 28 window days — a x28 row multiplier,
+    NOT a window-function distinct, which neither engine supports and
+    a self-join would quadratically shuffle); both counts are exact
+    integers and the ratio rounds by the integer half-away identity
+    (dau/mau fractions land on exact ties). Scale shape: two hash
+    group-bys with map-side partials; the explode multiplier is the
+    window length, a constant."""
+    ev = load_table(spark, sf_dir, "events")
+    au = ev.select(
+        F.floor(F.unix_millis("ts") / 86_400_000).cast("long").alias("day"),
+        "user_id",
+    ).distinct()
+    dau = au.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    expd = au.select(
+        "day", "user_id", F.explode(F.sequence(F.lit(0), F.lit(27))).alias("i")
+    ).select((F.col("day") + F.col("i")).alias("wday"), "user_id")
+    mau = expd.groupBy("wday").agg(F.count_distinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, dau["day"] == mau["wday"])
+        .select(
+            "day",
+            "dau",
+            "mau",
+            (
+                F.expr("(2 * dau * 1000000 + mau) div (2 * mau)").cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("stickiness"),
+        )
+    )
+
+
+@register(
     "events_rfm_segments",
     """WITH per AS (
          SELECT user_id, count(*) AS frequency,
@@ -5183,9 +5237,7 @@ def doc_gopher_rules(spark, sf_dir):
     return text.gopher_rules(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@register(
-    "doc_lm_perplexity",
-    r"""WITH toks AS (
+_LM_PPL_SQL = r"""WITH toks AS (
           SELECT doc_id, u.tok AS tok, u.pos AS pos FROM documents,
           (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok,
                   generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos) u
@@ -5229,8 +5281,10 @@ def doc_gopher_rules(spark, sf_dir):
         SELECT doc_id, n_bigrams,
                CAST(((2 * (-s) + n_bigrams * 1000) // (2 * n_bigrams * 1000)) AS DOUBLE)
                  / 1000000.0 AS avg_nll
-        FROM agg""",
-)
+        FROM agg"""
+
+
+@register("doc_lm_perplexity", _LM_PPL_SQL)
 def doc_lm_perplexity(spark, sf_dir):
     """Language-model perplexity filtering (CCNet, Wenzek et al. 2020
     — the KenLM layer): every raw doc scored by average negative
@@ -5248,6 +5302,47 @@ def doc_lm_perplexity(spark, sf_dir):
     target = d.where(F.col("doc_id") % 20 == 0)
     corpus = d.where(F.col("doc_id") % 20 != 0)
     return text.bigram_lm_nll(corpus, target, "doc_id", "text", vocab_size=256)
+
+
+@register(
+    "doc_ccnet_buckets",
+    f"""WITH ppl AS ({_LM_PPL_SQL}),
+        t AS (
+          SELECT *, ntile(3) OVER (ORDER BY avg_nll, doc_id) AS bucket_id FROM ppl
+        )
+        SELECT doc_id, n_bigrams, avg_nll, bucket_id,
+               CASE bucket_id WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM t""",
+)
+def doc_ccnet_buckets(spark, sf_dir):
+    """CCNet's actual published output (Wenzek et al. 2020 §4.3): the
+    corpus split into head / middle / tail TERTILES of LM perplexity
+    — head is the reference-like third kept for pretraining, tail the
+    noise third dropped or down-weighted. Composes the trained bigram
+    LM scorer with the distributed exact-rank ntile (range-partition
+    + local ranks + offsets — no single-partition global sort);
+    avg_nll + doc_id is a total order, so the tertile assignment is
+    deterministic on both engines."""
+    from orestes_spark.plans.ranking import with_global_ntile
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    scored = text.bigram_lm_nll(corpus, target, "doc_id", "text", vocab_size=256)
+    tiled = with_global_ntile(
+        scored, 3, [F.col("avg_nll"), F.col("doc_id")], tile_col="bucket_id"
+    )
+    return tiled.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_nll",
+        "bucket_id",
+        F.when(F.col("bucket_id") == 1, "head")
+        .when(F.col("bucket_id") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
 
 
 @register("doc_quality_model", oracles.quality_model_sql())
