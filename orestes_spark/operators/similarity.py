@@ -1448,6 +1448,70 @@ def dimension_stats(
     )
 
 
+def centroid_drift(
+    slice_a: DataFrame,
+    slice_b: DataFrame,
+    vec_col: str,
+    label_col: str,
+    quantize: int = 1000,
+) -> DataFrame:
+    """(label, n_a, n_b, drift) — L2 distance between the two slices'
+    per-label centroids: the embedding drift monitor (re-encoded
+    corpus vs original, this week's crawl vs last's — a label whose
+    centroid moved is a class whose representation shifted; pairs
+    with dimension_stats' per-dim view). Labels present in BOTH
+    slices only (a one-sided label has no drift to measure).
+
+    Determinism: component sums are exact integers under quantization;
+    the per-dim mean differences and their squared sum are floats, but
+    accumulated by an explicit LEFT FOLD over a dim-SORTED array
+    (F.aggregate — the oracle mirrors with list_reduce over list(...
+    ORDER BY dim)), so every engine adds the same correctly-rounded
+    doubles in the same order — bit-identical without the big-decimal
+    machinery an exact integer path would need at (sum*count)^2
+    magnitudes.
+
+    Scale shape: two posexplode scans + two (label, dim) group-bys
+    with map-side partials; the collect_list is per label x |dims|
+    elements — bounded by the dimensionality, never the corpus."""
+    def prep(df: DataFrame, tag: str):
+        q = df.select(
+            F.col(label_col).alias("label"), quantized(F.col(vec_col), quantize).alias("v")
+        )
+        cnt = q.groupBy("label").agg(F.count(F.lit(1)).alias(f"n_{tag}"))
+        sums = (
+            q.select("label", F.posexplode("v").alias("i", "x"))
+            .groupBy("label", "i")
+            .agg(F.sum("x").alias(f"sx_{tag}"))
+        )
+        return cnt, sums
+
+    cnt_a, sums_a = prep(slice_a, "a")
+    cnt_b, sums_b = prep(slice_b, "b")
+    per_dim = sums_a.join(sums_b, ["label", "i"])
+    arr = per_dim.groupBy("label").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("i"), F.col("sx_a"), F.col("sx_b")))
+        ).alias("ds")
+    )
+    j = arr.join(F.broadcast(cnt_a), "label").join(F.broadcast(cnt_b), "label")
+    diff = lambda s: (  # noqa: E731
+        s["sx_a"].cast("double") / F.col("n_a")
+        - s["sx_b"].cast("double") / F.col("n_b")
+    )
+    sq_sum = F.aggregate(
+        F.transform(F.col("ds"), lambda s: diff(s) * diff(s)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    return j.select(
+        "label",
+        "n_a",
+        "n_b",
+        F.round(F.sqrt(sq_sum) / quantize, 6).alias("drift"),
+    )
+
+
 # ------------------------------------------------- product quantization ---
 
 

@@ -3156,6 +3156,61 @@ def emb_dim_stats(spark, sf_dir):
     return similarity.dimension_stats(e, "embedding", quantize=1000)
 
 
+@register(
+    "emb_centroid_drift",
+    """WITH qa AS (
+         SELECT label,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         FROM embeddings WHERE vec_id % 2 = 0
+       ),
+       qb AS (
+         SELECT label,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         FROM embeddings WHERE vec_id % 2 <> 0
+       ),
+       na AS (SELECT label, count(*) AS n_a FROM qa GROUP BY 1),
+       nb AS (SELECT label, count(*) AS n_b FROM qb GROUP BY 1),
+       ua AS (SELECT label, UNNEST(v) AS x, generate_subscripts(v, 1) AS i FROM qa),
+       ub AS (SELECT label, UNNEST(v) AS x, generate_subscripts(v, 1) AS i FROM qb),
+       sa AS (SELECT label, i, sum(x) AS sxa FROM ua GROUP BY 1, 2),
+       sb AS (SELECT label, i, sum(x) AS sxb FROM ub GROUP BY 1, 2),
+       ar AS (
+         SELECT sa.label,
+                list(struct_pack(sxa := sa.sxa, sxb := sb.sxb) ORDER BY sa.i) AS ds
+         FROM sa JOIN sb ON sb.label = sa.label AND sb.i = sa.i
+         GROUP BY 1
+       ),
+       j AS (
+         SELECT ar.label, na.n_a, nb.n_b, ds
+         FROM ar JOIN na ON na.label = ar.label JOIN nb ON nb.label = ar.label
+       )
+       SELECT label, n_a, n_b,
+              round(sqrt(list_reduce(
+                list_transform(ds, s ->
+                  (CAST(s.sxa AS DOUBLE) / n_a - CAST(s.sxb AS DOUBLE) / n_b)
+                  * (CAST(s.sxa AS DOUBLE) / n_a - CAST(s.sxb AS DOUBLE) / n_b)),
+                (a, b) -> a + b)) / 1000, 6) AS drift
+       FROM j""",
+)
+def emb_centroid_drift(spark, sf_dir):
+    """Embedding drift monitor: L2 distance between per-label
+    centroids of two corpus halves (vec_id parity plays re-encoded vs
+    original / this-crawl vs last-crawl) — the check that catches a
+    silently updated encoder or a shifted class before stale ANN
+    centroids degrade recall (pairs with emb_dim_stats' per-dimension
+    view). Integer-exact component sums; the float mean-difference
+    accumulation is a deterministic left fold over dim-sorted arrays,
+    mirrored by the oracle's list_reduce (similarity.centroid_drift)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.centroid_drift(
+        e.where(F.col("vec_id") % 2 == 0),
+        e.where(F.col("vec_id") % 2 != 0),
+        "embedding",
+        "label",
+        quantize=1000,
+    )
+
+
 @register("emb_ivf_topk", oracles.emb_ivf_topk_sql())
 def emb_ivf_topk(spark, sf_dir):
     """IVF-style ANN: label partitions as the coarse quantizer; queries

@@ -915,3 +915,35 @@ def test_pq_requantize_if_recall_floor_trigger(spark, tmp_path):
         pq_requantize_if(
             spark, "s3a://bucket/pq", drifted, recall_floor=1.1, probe_mod=7
         )
+
+
+def test_centroid_drift_matches_numpy(vecs):
+    df, data = vecs
+    df2 = df.withColumn("label", (F.col("vec_id") % 3).cast("int"))
+    got = {
+        r["label"]: r
+        for r in similarity.centroid_drift(
+            df2.where("vec_id % 2 = 0"), df2.where("vec_id % 2 != 0"),
+            "embedding", "label", quantize=1000,
+        ).collect()
+    }
+    q = np.round(data.astype("float64") * 1000)
+    for lbl in (0, 1, 2):
+        ids_a = [i for i in range(40) if i % 2 == 0 and i % 3 == lbl]
+        ids_b = [i for i in range(40) if i % 2 == 1 and i % 3 == lbl]
+        ca = q[ids_a].sum(axis=0) / len(ids_a)
+        cb = q[ids_b].sum(axis=0) / len(ids_b)
+        exp = float(np.sqrt(((ca - cb) ** 2).sum())) / 1000
+        r = got[lbl]
+        assert r["n_a"] == len(ids_a) and r["n_b"] == len(ids_b)
+        assert abs(r["drift"] - exp) < 1e-5
+
+
+def test_centroid_drift_zero_for_identical_slices(spark):
+    rows = [(i, [1.0, 2.0, 3.0], 0) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    out = similarity.centroid_drift(
+        df.where("vec_id % 2 = 0"), df.where("vec_id % 2 != 0"),
+        "embedding", "label",
+    ).collect()
+    assert len(out) == 1 and out[0]["drift"] == 0.0
