@@ -121,3 +121,69 @@ def with_global_cumsum(
         .withColumn(cumsum_col, (F.col("_off") + F.col("_lcs")).cast("long"))
         .drop("_pid", "_lcs", "_off")
     )
+
+
+def with_grouped_ntile(
+    df: DataFrame,
+    k: int,
+    group_cols: list[str],
+    order_cols: list[Column],
+    tile_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group ntile(k) — `ntile(k) OVER (PARTITION BY group ORDER
+    BY ...)` semantics when the GROUPS are few but each group is
+    corpus-sized (per-metric quartiles, per-stratum tertiles): one
+    range partition over (group, order) ranks every group in a single
+    pass, instead of one single-partition window — or one
+    with_global_ntile round trip — per group.
+
+    Same exact-offset construction as with_global_rank, with offsets
+    and totals computed per (partition, group): the driver collect is
+    |partitions| x |groups| rows, so the contract is a BOUNDED group
+    count (metrics, strata — not user ids); order_cols + group must be
+    a total order for determinism. The ntile arithmetic is columnar
+    (each group has its own n): first n%k tiles get ceil(n/k) rows —
+    identical to the SQL function, per group."""
+    p = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    gcols = [F.col(g) for g in group_cols]
+    tagged = df.repartitionByRange(p, *gcols, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    local = tagged.withColumn("_lrn", F.row_number().over(w)).localCheckpoint()
+    counts = local.groupBy("_pid", *group_cols).agg(F.count(F.lit(1)).alias("_n")).collect()
+    by_group: dict[tuple, list[tuple[int, int]]] = {}
+    for r in counts:
+        by_group.setdefault(tuple(r[g] for g in group_cols), []).append((r["_pid"], r["_n"]))
+    off_rows, tot_rows = [], []
+    for g, lst in by_group.items():
+        acc = 0
+        for pid, n in sorted(lst):
+            off_rows.append((*g, pid, acc))
+            acc += n
+        tot_rows.append((*g, acc))
+    if not off_rows:
+        return df.withColumn(tile_col, F.lit(None).cast("int"))
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(off_rows, group_cols + ["_pid", "_off"])
+    tot_df = spark.createDataFrame(tot_rows, group_cols + ["_gn"])
+    ranked = (
+        local.join(F.broadcast(off_df), group_cols + ["_pid"])
+        .join(F.broadcast(tot_df), group_cols)
+        .withColumn("_grank", (F.col("_off") + F.col("_lrn")).cast("long"))
+    )
+    ranked = ranked.withColumn("_q", F.expr(f"_gn div {int(k)}")).withColumn(
+        "_r", F.col("_gn") - F.col("_q") * k
+    )
+    # Integer div keeps ranks exact past 2^53; q == 0 never reaches
+    # the ELSE branch (boundary == n there), so its div-by-zero is
+    # never evaluated for such groups.
+    tile = F.expr(
+        "CASE WHEN _grank <= _r * (_q + 1)"
+        " THEN (_grank - 1) div (_q + 1) + 1"
+        " ELSE _r + ((_grank - 1) - _r * (_q + 1)) div _q + 1 END"
+    )
+    return ranked.withColumn(tile_col, tile.cast("int")).drop(
+        "_pid", "_lrn", "_off", "_gn", "_grank", "_q", "_r"
+    )

@@ -3873,15 +3873,20 @@ def events_rfm_segments(spark, sf_dir):
     quartiles per user (quartile 1 = best on every axis: most recent,
     most active, highest spend; segment '1-1-1' = champions, '4-4-4'
     = churned), the standard behavioral-cohort cut next to
-    events_retention_cohorts. All three quartiles come from
-    plans.ranking.with_global_ntile — range-partition + local ranks +
-    exact offsets — because a bare ntile() OVER (ORDER BY ...) plans
-    the single-partition global sort this repo bans; user_id
-    tiebreaks make each total order deterministic. Monetary sums in
-    DECIMAL then pins to micro-unit BIGINT (float sums are
-    order-dependent); recency is exact integer day math against the
-    corpus max, broadcast as a single row."""
-    from orestes_spark.plans.ranking import with_global_ntile
+    events_retention_cohorts. All three quartiles come from ONE
+    plans.ranking.with_grouped_ntile pass: the per-user frame melts
+    to (metric, val, user) rows — descending metrics encoded by
+    negation so one ascending order serves all three — and a single
+    range partition ranks every metric at once, instead of three
+    ntile round-trips (3x range shuffle + checkpoint + collect; the
+    melt costs a 3x row multiplier on the SMALL per-user frame). A
+    bare ntile() OVER (ORDER BY ...) would plan the single-partition
+    global sort this repo bans; user_id tiebreaks make each total
+    order deterministic. Monetary sums in DECIMAL then pins to
+    micro-unit BIGINT (float sums are order-dependent); recency is
+    exact integer day math against the corpus max, broadcast as a
+    single row."""
+    from orestes_spark.plans.ranking import with_grouped_ntile
 
     ev = load_table(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(
@@ -3899,15 +3904,25 @@ def events_rfm_segments(spark, sf_dir):
     per = per.crossJoin(F.broadcast(gmax)).withColumn(
         "recency_days", F.expr("(gmax - last_ms) div 86400000").cast("long")
     )
-    per = with_global_ntile(
-        per, 4, [F.col("recency_days"), F.col("user_id")], tile_col="r_quartile"
+    melted = per.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("r").alias("metric"), F.col("recency_days").alias("val")),
+                F.struct(F.lit("f").alias("metric"), (-F.col("frequency")).alias("val")),
+                F.struct(F.lit("m").alias("metric"), (-F.col("m6")).alias("val")),
+            )
+        ).alias("e"),
+    ).select("user_id", F.col("e.metric").alias("metric"), F.col("e.val").alias("val"))
+    tiled = with_grouped_ntile(
+        melted, 4, ["metric"], [F.col("val"), F.col("user_id")], tile_col="qt"
     )
-    per = with_global_ntile(
-        per, 4, [F.col("frequency").desc(), F.col("user_id")], tile_col="f_quartile"
+    quarts = tiled.groupBy("user_id").agg(
+        F.max(F.when(F.col("metric") == "r", F.col("qt"))).alias("r_quartile"),
+        F.max(F.when(F.col("metric") == "f", F.col("qt"))).alias("f_quartile"),
+        F.max(F.when(F.col("metric") == "m", F.col("qt"))).alias("m_quartile"),
     )
-    per = with_global_ntile(
-        per, 4, [F.col("m6").desc(), F.col("user_id")], tile_col="m_quartile"
-    )
+    per = per.join(quarts, "user_id")
     return per.select(
         "user_id",
         "recency_days",

@@ -357,6 +357,35 @@ def test_global_rank_and_ntile_match_window_functions(spark):
             assert got_tile[i] == exp[i][1], (n, k, i)
 
 
+def test_grouped_ntile_matches_partitioned_window(spark):
+    """with_grouped_ntile must equal ntile(k) OVER (PARTITION BY g
+    ORDER BY ...) — uneven group sizes, a singleton group, and an
+    n < k group all at once."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from orestes_spark.plans.ranking import with_grouped_ntile
+
+    rows = (
+        [("a", i, float((i * 37) % 19)) for i in range(100)]
+        + [("b", i, float((i * 11) % 7)) for i in range(13)]
+        + [("c", 0, 5.0)]                    # singleton group
+        + [("d", i, float(i)) for i in range(2)]  # n < k
+    )
+    df = spark.createDataFrame(rows, "g STRING, id LONG, v DOUBLE")
+    order = [F.col("v").desc(), F.col("id")]
+    w = Window.partitionBy("g").orderBy(*order)
+    exp = {
+        (r["g"], r["id"]): r["nt"]
+        for r in df.withColumn("nt", F.ntile(4).over(w)).collect()
+    }
+    got = {
+        (r["g"], r["id"]): r["tile"]
+        for r in with_grouped_ntile(df, 4, ["g"], order, num_partitions=4).collect()
+    }
+    assert got == exp
+
+
 def test_quartiles_plan_has_no_single_partition_exchange(spark):
     """customer_value_quartiles must never plan a global
     single-partition sort — the distributed rank path keeps every
