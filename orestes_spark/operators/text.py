@@ -866,10 +866,11 @@ def train_bigram_lm(
 
 def bigram_lm_nll(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     id_col: str,
     text_col: str,
     vocab_size: int = 256,
+    model: tuple | None = None,
 ) -> DataFrame:
     """Per-document average negative log-likelihood under a bigram LM
     trained on ``target`` — the CCNet perplexity filter's score (low
@@ -885,8 +886,16 @@ def bigram_lm_nll(
     diverges across engines. Scale shape: one scan of the corpus
     (bigrams formed in the scan, ids via a literal map), two
     broadcast joins against the <=66k-row codebook, one groupBy(doc)
-    — linear, shuffle only on the doc key."""
-    vocab, pairs_df, fb_df = train_bigram_lm(target, id_col, text_col, vocab_size)
+    — linear, shuffle only on the doc key.
+
+    Pass ``model`` (a train_bigram_lm result) to score against a
+    PRETRAINED codebook — the persisted-index shape: the LM is an
+    artifact trained once and read by every consumer, not retrained
+    per query; ``target`` is ignored (and may be None) then."""
+    if model is not None:
+        vocab, pairs_df, fb_df = model
+    else:
+        vocab, pairs_df, fb_df = train_bigram_lm(target, id_col, text_col, vocab_size)
     scored = (
         _bigram_id_pairs(docs, id_col, text_col, vocab)
         .join(F.broadcast(pairs_df), ["p", "c"], "left")

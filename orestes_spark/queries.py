@@ -1441,6 +1441,31 @@ _BAND_INDEXES: dict[str, str] = {}
 _SPAN_INDEXES: dict[str, str] = {}
 _SPAN_BLOOMS: dict[str, str] = {}
 _KMEANS_CELLS: dict[str, "DataFrame"] = {}
+_BIGRAM_LMS: dict[str, tuple] = {}
+
+
+def _bigram_lm_for(spark, sf_dir):
+    """Train (once per process per sf_dir) the reference bigram LM on
+    the doc_id % 20 == 0 slice and checkpoint its codebook frames —
+    the persisted-LM shape (CCNet ships trained KenLM files; consumers
+    read, never retrain). doc_lm_perplexity and doc_ccnet_buckets both
+    score against this artifact; training is deterministic, so the
+    shared checkpoint is byte-identical to an inline retrain."""
+    m = _BIGRAM_LMS.get(sf_dir)
+    if m is None or m[1].sparkSession is not spark:
+        from orestes_spark.operators.text import train_bigram_lm
+
+        d = load_table(spark, sf_dir, "documents")
+        vocab, pairs_df, fb_df = train_bigram_lm(
+            d.where(F.col("doc_id") % 20 == 0), "doc_id", "text", vocab_size=256
+        )
+        m = (
+            vocab,
+            pairs_df.localCheckpoint(eager=True),
+            fb_df.localCheckpoint(eager=True),
+        )
+        _BIGRAM_LMS[sf_dir] = m
+    return m
 
 
 def _neardup_pairs_for(spark, sf_dir):
@@ -1572,6 +1597,7 @@ def build_shared_artifacts(spark, sf_dir, invalidate: bool = True) -> dict[str, 
         if old:
             shutil.rmtree(old, ignore_errors=True)
         _KMEANS_CELLS.pop(sf_dir, None)
+        _BIGRAM_LMS.pop(sf_dir, None)
     out: dict[str, float] = {}
     t0 = _time.perf_counter()
     _neardup_pairs_for(spark, sf_dir)
@@ -1594,6 +1620,9 @@ def build_shared_artifacts(spark, sf_dir, invalidate: bool = True) -> dict[str, 
     t0 = _time.perf_counter()
     _kmeans_cells_for(spark, sf_dir)
     out["kmeans_cells"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    _bigram_lm_for(spark, sf_dir)
+    out["bigram_lm"] = round(_time.perf_counter() - t0, 3)
     return out
 
 
@@ -1614,6 +1643,7 @@ ARTIFACT_CONSUMERS = {
     "span_bloom_sidecar": ["doc_incremental_span_bloom"],
     "semantic_index": ["emb_incremental_semdedup", "emb_incremental_arrow"],
     "kmeans_cells": ["emb_kmeans_assign", "emb_ivf_trained", "emb_ivf_recall"],
+    "bigram_lm": ["doc_lm_perplexity", "doc_ccnet_buckets"],
 }
 
 
@@ -5369,9 +5399,10 @@ def doc_lm_perplexity(spark, sf_dir):
     half-away identity. Codebook bounded by (V+1)^2 ids by
     construction — never corpus-sized (text.train_bigram_lm)."""
     d = load_table(spark, sf_dir, "documents")
-    target = d.where(F.col("doc_id") % 20 == 0)
     corpus = d.where(F.col("doc_id") % 20 != 0)
-    return text.bigram_lm_nll(corpus, target, "doc_id", "text", vocab_size=256)
+    return text.bigram_lm_nll(
+        corpus, None, "doc_id", "text", model=_bigram_lm_for(spark, sf_dir)
+    )
 
 
 @register(
@@ -5397,9 +5428,10 @@ def doc_ccnet_buckets(spark, sf_dir):
     from orestes_spark.plans.ranking import with_global_ntile
 
     d = load_table(spark, sf_dir, "documents")
-    target = d.where(F.col("doc_id") % 20 == 0)
     corpus = d.where(F.col("doc_id") % 20 != 0)
-    scored = text.bigram_lm_nll(corpus, target, "doc_id", "text", vocab_size=256)
+    scored = text.bigram_lm_nll(
+        corpus, None, "doc_id", "text", model=_bigram_lm_for(spark, sf_dir)
+    )
     tiled = with_global_ntile(
         scored, 3, [F.col("avg_nll"), F.col("doc_id")], tile_col="bucket_id"
     )
