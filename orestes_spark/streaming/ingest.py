@@ -566,6 +566,40 @@ def prepare_quality_gate(
     model.coalesce(1).write.mode("overwrite").parquet(f"{store}/quality_model")
 
 
+def prepare_ppl_gate(
+    target_docs: DataFrame,
+    store: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 256,
+) -> None:
+    """One-time setup for the corpus stream's PERPLEXITY gate (the
+    SIXTH cross-batch modality): train the bigram LM on the reference
+    corpus (text.train_bigram_lm — the CCNet KenLM stand-in) and
+    FREEZE its codebook under ``<store>/bigram_lm`` as three frames:
+    vocab (tok, id), pairs (p, c, wq), fb (p, fq). Same frozen-model
+    discipline as the DSIR and classifier gates — a model retrained
+    per batch is corpus-sized work and a moving acceptance bar; the
+    frozen LM keeps the verdict a pure function of the document,
+    replay-idempotent. Self-describing: vocab_size = |fb| - 1, so the
+    per-batch gate needs no side-channel config. Total artifact size
+    is <= (V+1)^2 pair rows — broadcastable."""
+    from orestes_spark.operators.text import train_bigram_lm
+
+    vocab, pairs_df, fb_df = train_bigram_lm(
+        target_docs, id_col, text_col, vocab_size
+    )
+    spark = target_docs.sparkSession
+    vdf = spark.createDataFrame(
+        list(vocab.items()) or [("", 0)], "tok STRING, id INT"
+    )
+    if not vocab:
+        vdf = vdf.where(F.lit(False))
+    vdf.coalesce(1).write.mode("overwrite").parquet(f"{store}/bigram_lm/vocab")
+    pairs_df.coalesce(1).write.mode("overwrite").parquet(f"{store}/bigram_lm/pairs")
+    fb_df.coalesce(1).write.mode("overwrite").parquet(f"{store}/bigram_lm/fb")
+
+
 def make_corpus_batch_processor(
     store: str,
     id_col: str = "doc_id",
@@ -579,6 +613,7 @@ def make_corpus_batch_processor(
     dsir_floor: float | None = None,
     span_buckets: int | None = None,
     quality_floor: float | None = None,
+    ppl_ceiling: float | None = None,
 ):
     """foreachBatch processor for continuous corpus construction with
     CROSS-BATCH near-dedup (exposed as a factory so replay semantics
@@ -652,6 +687,7 @@ def make_corpus_batch_processor(
     kgrams_path = f"{store}/kgrams"
     dsir_wq_path = f"{store}/dsir_wq"
     qmodel_path = f"{store}/quality_model"
+    lm_path = f"{store}/bigram_lm"
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -818,6 +854,40 @@ def make_corpus_batch_processor(
             )
             drops = scored.where(F.col("nb_logodds") < quality_floor).select(id_col)
             kept = kept.join(drops, id_col, "left_anti")
+        if ppl_ceiling is not None:
+            # SIXTH modality: the PERPLEXITY gate. The classifier gate
+            # judges reference-vs-crawl log-odds over hashed features;
+            # this one is sequence fluency — drop docs whose average
+            # negative log-likelihood under the FROZEN bigram LM
+            # (prepare_ppl_gate) exceeds the ceiling, the CCNet tail
+            # cut. Arming unprepared raises (same discipline as the
+            # other quality gates); docs with < 2 tokens have no
+            # bigrams and PASS (no evidence — the dsir gate's
+            # zero-feature convention). Per-batch cost: one bounded
+            # broadcast codebook join + one integer groupBy(id).
+            from orestes_spark.operators import text as _t
+
+            lfs, lbase = _fs_and_path(spark, f"{lm_path}/fb")
+            if not lfs.exists(lbase):
+                raise RuntimeError(
+                    f"ppl_ceiling is armed but no bigram LM exists at"
+                    f" {lm_path}; run prepare_ppl_gate(target_docs, store)"
+                    " first — a quality gate that silently passes"
+                    " everything is worse than none"
+                )
+            kept = kept.localCheckpoint()  # gate references kept twice
+            vocab = {
+                r["tok"]: r["id"]
+                for r in spark.read.parquet(f"{lm_path}/vocab").collect()
+            }
+            model = (
+                vocab,
+                spark.read.parquet(f"{lm_path}/pairs"),
+                spark.read.parquet(f"{lm_path}/fb"),
+            )
+            scored = _t.bigram_lm_nll(kept, None, id_col, text_col, model=model)
+            drops = scored.where(F.col("avg_nll") > ppl_ceiling).select(id_col)
+            kept = kept.join(drops, id_col, "left_anti")
         kept = kept.localCheckpoint()  # one compute, two/three sinks
         # stage-then-rename: each sink's epoch dir appears atomically
         # to concurrent readers (a reader can still observe docs'
@@ -855,12 +925,14 @@ def start_corpus_ingest(
     dsir_floor: float | None = None,
     span_buckets: int | None = None,
     quality_floor: float | None = None,
+    ppl_ceiling: float | None = None,
 ):
     """Continuous corpus construction with CROSS-BATCH near-dedup —
     see make_corpus_batch_processor for the per-batch algorithm, the
     optional ``span_k`` duplicated-text-fraction gate, the optional
-    ``dsir_floor`` frozen-codebook quality gate, and the optional
-    ``quality_floor`` frozen-classifier gate (round-10).
+    ``dsir_floor`` frozen-codebook quality gate, the optional
+    ``quality_floor`` frozen-classifier gate (round-10), and the
+    optional ``ppl_ceiling`` frozen-bigram-LM fluency gate.
 
     Delivery contract: epoch-keyed subdirectories written with
     mode("overwrite") make replays idempotent — a re-offered epoch
@@ -883,6 +955,7 @@ def start_corpus_ingest(
         dsir_floor,
         span_buckets,
         quality_floor,
+        ppl_ceiling,
     )
     return (
         docs_stream.writeStream.foreachBatch(process)

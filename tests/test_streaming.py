@@ -1909,3 +1909,51 @@ def test_corpus_ingest_quality_model_gate(spark, tmp_path):
     process(b1, 1)  # replay
     kept = sorted(r["doc_id"] for r in spark.read.parquet(f"{store}/docs").collect())
     assert kept == [1, 3]
+
+
+def test_corpus_ingest_ppl_gate(spark, tmp_path):
+    """SIXTH cross-batch modality: the PERPLEXITY gate. A frozen
+    bigram LM trained on a reference corpus drops high-avg-NLL
+    (non-fluent) docs at the ceiling while target-like docs pass;
+    later batches see the SAME frozen bar; replays are idempotent;
+    short (<2-token) docs pass on no evidence; arming without
+    preparing raises."""
+    import pytest
+
+    from orestes_spark.streaming.ingest import (
+        make_corpus_batch_processor,
+        prepare_ppl_gate,
+    )
+
+    store = str(tmp_path / "ppl_store")
+    ddl = "doc_id LONG, text STRING"
+    ref = "the cat sat on the mat and the dog ran to the cat on the mat"
+    target = spark.createDataFrame([(i, ref) for i in range(100, 105)], ddl)
+
+    unprepared = make_corpus_batch_processor(store, ppl_ceiling=5.0)
+    with pytest.raises(RuntimeError, match="prepare_ppl_gate"):
+        unprepared(spark.createDataFrame([(1, ref)], ddl), 0)
+
+    prepare_ppl_gate(target, store, vocab_size=16)
+    # fluent doc scores ~1.28, pure-OOV noise ~2.83 (= ln(V+1) with
+    # ctx(0)=0): the ceiling sits between them
+    process = make_corpus_batch_processor(store, ppl_ceiling=2.0)
+    b0 = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),                    # fluent under the LM
+         (2, "zzz qqq www uuu vvv kkk yyy xxx ppp"),       # OOV noise: high NLL
+         (3, "solo")],                                       # no bigrams: passes
+        ddl,
+    )
+    process(b0, 0)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(f"{store}/docs").collect())
+    assert kept == [1, 3]
+    # frozen bar for a later batch + idempotent replay
+    b1 = spark.createDataFrame(
+        [(4, "the dog ran to the mat"),
+         (5, "jjj hhh ggg fff ddd sss aaa lll mmm")],
+        ddl,
+    )
+    process(b1, 1)
+    process(b1, 1)  # replay
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(f"{store}/docs").collect())
+    assert kept == [1, 3, 4]
