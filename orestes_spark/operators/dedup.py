@@ -1210,6 +1210,77 @@ def shingle_containment(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    salt: str = "winnow",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    MOSS algorithm): from each sliding window of ``w`` consecutive
+    k-gram hashes, keep the minimum (ties to the RIGHTMOST position),
+    then dedupe — the fingerprint set with the paper's guarantee that
+    any match of length >= w + k - 1 tokens shares at least one
+    fingerprint, at ~2/(w+1) the density of the full hash stream.
+    Complements ``text.fingerprints``' mod-p sampling, whose density
+    is right on average but can miss arbitrarily long matches.
+    Output: (id, pos, fp) — one row per selected fingerprint, pos =
+    1-based token index of the k-gram's first token.
+
+    Determinism: hash = the sampling module's portable md5-prefix;
+    min-with-rightmost-tie is ONE integer min over the packed key
+    h * 2^24 + (2^24 - pos) (larger pos => smaller key at equal h),
+    decoded after the distinct — both engines run identical integer
+    ops. Contract: pos < 2^24 (a 16M-token single document overflows
+    the packing; web documents are orders of magnitude below).
+
+    Scale shape: k-grams and keys are built in the scan; ONE window
+    shuffle on the doc key (the frame is w rows over the doc-sorted
+    stream); the distinct is a hash aggregate on (id, key). Linear in
+    corpus tokens — same class as the span-index build."""
+    split_expr = F.split(normalize_text(F.col(text_col)), r"\s+")
+
+    def grams(tk: F.Column) -> F.Column:
+        m = F.size(tk)
+        length = m - (k - 1)
+        acc = F.slice(tk, k, length)
+        for j in range(k - 2, -1, -1):
+            acc = F.zip_with(
+                F.slice(tk, j + 1, length), acc, lambda a, b: F.concat_ws(" ", a, b)
+            )
+        return F.when(m >= k, acc)
+
+    exploded = ensure_min_parallelism(docs).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(bind(split_expr, grams)).alias("pos0", "g"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col("g")).cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    pos = F.col("pos0") + 1
+    keyed = exploded.select(
+        "_id", pos.alias("pos"), (h * F.lit(16_777_216) + (F.lit(16_777_216) - pos)).alias("key")
+    )
+    wd = Window.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
+    win = keyed.select(
+        "_id",
+        F.min("key").over(wd).alias("mk"),
+        F.count(F.lit(1)).over(wd).alias("c"),
+    )
+    sel = win.where(F.col("c") == w).select("_id", "mk").distinct()
+    return sel.select(
+        F.col("_id").alias(id_col),
+        (F.lit(16_777_216) - F.col("mk") % 16_777_216).cast("long").alias("pos"),
+        F.expr("mk div 16777216").alias("fp"),
+    )
+
+
 # --------------------------------------------- span-level exact dedup ---
 
 

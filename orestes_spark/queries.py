@@ -4915,6 +4915,84 @@ def emb_ivf_trained(spark, sf_dir):
 
 
 @register(
+    "doc_length_profile",
+    r"""WITH n AS (
+          SELECT source,
+                 len(string_split_regex(trim(lower(text)), '\s+')) AS nt
+          FROM documents
+        )
+        SELECT source, CAST((nt // 16) * 16 AS BIGINT) AS bucket_lo,
+               count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
+               min(nt) AS min_tokens, max(nt) AS max_tokens
+        FROM n GROUP BY 1, 2""",
+)
+def doc_length_profile(spark, sf_dir):
+    """Token-length histogram per source at 16-token granularity —
+    the corpus-shape monitor run before setting packing lengths and
+    Gopher min/max-token thresholds (a source whose mass shifts
+    buckets between crawls changed its extraction). One scan (the
+    token count comes from the split in the scan), one groupBy with
+    map-side partials; all-integer outputs, nothing to round."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = F.size(F.split(dedup.normalize_text(F.col("text")), r"\s+"))
+    n = d.select("source", nt.alias("nt"))
+    return (
+        n.groupBy("source", (F.expr("(nt div 16) * 16")).cast("long").alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.min("nt").alias("min_tokens"),
+            F.max("nt").alias("max_tokens"),
+        )
+    )
+
+
+@register(
+    "doc_winnowing",
+    r"""WITH toks AS (
+          SELECT doc_id, u.tok AS tok, u.pos AS pos FROM documents,
+          (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+                  generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos) u
+        ),
+        kg AS (
+          SELECT doc_id, pos,
+                 concat_ws(' ', tok, lead(tok, 1) OVER w2, lead(tok, 2) OVER w2,
+                           lead(tok, 3) OVER w2, lead(tok, 4) OVER w2) AS g
+          FROM toks WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+          QUALIFY lead(tok, 4) OVER w2 IS NOT NULL
+        ),
+        keyed AS (
+          SELECT doc_id, pos,
+                 CAST('0x' || substr(md5('winnow:' || g), 1, 8) AS BIGINT) * 16777216
+                   + (16777216 - pos) AS key
+          FROM kg
+        ),
+        win AS (
+          SELECT doc_id, min(key) OVER wf AS mk, count(*) OVER wf AS c
+          FROM keyed
+          WINDOW wf AS (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+        ),
+        sel AS (SELECT DISTINCT doc_id, mk FROM win WHERE c = 4)
+        SELECT doc_id, CAST(16777216 - (mk % 16777216) AS BIGINT) AS pos,
+               mk // 16777216 AS fp
+        FROM sel""",
+)
+def doc_winnowing(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm; k=5, w=4): per sliding window of 4 consecutive
+    5-gram hashes keep the rightmost minimum — guaranteed to share a
+    fingerprint with ANY copied passage of >= w+k-1 = 8 tokens, at
+    ~2/(w+1) the density of the full hash stream, which mod-p
+    sampling (doc_fingerprint) cannot promise. The min-with-
+    rightmost-tie is one integer min over a packed (hash, -pos) key;
+    one window shuffle on the doc key, linear in corpus tokens
+    (dedup.winnow_fingerprints)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprints(d, "doc_id", "text", k=5, w=4)
+
+
+@register(
     "doc_containment",
     r"""WITH toks AS (
           SELECT doc_id, u.tok AS tok, u.pos AS pos FROM documents,

@@ -852,3 +852,40 @@ def test_shingle_containment_integer_tie_rounding(spark):
     row = dedup.shingle_containment(probe, base, "doc_id", "text", n=5).collect()[0]
     assert row["n_shingles"] == 128 and row["n_matched"] == 3
     assert row["containment"] == 0.023438
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The paper's guarantee: any copied passage of >= w+k-1 tokens
+    shares at least one fingerprint between the two documents; and
+    density is far below the full k-gram stream."""
+    import numpy.random as npr
+
+    rng = npr.default_rng(3)
+    words = [f"w{i}" for i in range(200)]
+    a_toks = [words[rng.integers(0, 200)] for _ in range(60)]
+    passage = a_toks[20:40]  # 20 >= w+k-1 = 8 tokens, copied verbatim
+    b_toks = [words[rng.integers(0, 200)] for _ in range(15)] + passage + [
+        words[rng.integers(0, 200)] for _ in range(15)
+    ]
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_toks)), (2, " ".join(b_toks))], "doc_id LONG, text STRING"
+    )
+    fps = dedup.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
+    rows = fps.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+        assert 1 <= r["pos"] <= 60
+    assert by_doc[1] & by_doc[2], "copied 20-token passage must share a fingerprint"
+    # density: selected fingerprints are a strict sample of the k-gram stream
+    assert len(by_doc[1]) < 60 - 5 + 1
+    # every doc with >= w full windows yields at least one fingerprint
+    assert len(by_doc[1]) >= 1 and len(by_doc[2]) >= 1
+
+
+def test_winnowing_short_doc_yields_nothing(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f")],  # 2 kgrams at k=5 -> no full w=4 window
+        "doc_id LONG, text STRING",
+    )
+    assert dedup.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4).count() == 0
