@@ -1281,6 +1281,58 @@ def winnow_fingerprints(
     )
 
 
+def winnow_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+    salt: str = "winnow",
+) -> DataFrame:
+    """(id_a, id_b, n_shared) — document pairs sharing >=
+    ``min_shared`` winnowing fingerprints: the MOSS match-detection
+    step over ``winnow_fingerprints``, with the detection guarantee
+    the fingerprints carry (any copied passage of >= w+k-1 tokens
+    shares a print, so a pair of docs with a copied passage ALWAYS
+    surfaces — modulo the max_df cut below; min_shared=2 filters
+    single-hash coincidences).
+
+    ``max_df`` drops fingerprints appearing in more than that many
+    docs before the self-join — the module's standard stop-key
+    discipline (candidate_pairs' max_bucket, ngram_jaccard's max_df):
+    a boilerplate print shared by 10k docs would otherwise fan out
+    10k^2/2 pairs. Dropped prints are corpus-wide boilerplate, which
+    is exactly what a match report should ignore; the trade is
+    documented, not silent.
+
+    Scale shape: fingerprint build is linear; df is one groupBy; the
+    pair stage is an equi-join on fp with per-fp fan-out bounded by
+    max_df^2 — the banded-LSH cost envelope."""
+    fps = (
+        winnow_fingerprints(docs, id_col, text_col, k=k, w=w, salt=salt)
+        .select(F.col(id_col).alias("_id"), "fp")
+        .distinct()
+    )
+    df_ok = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    kept = fps.join(df_ok, "fp")
+    a = kept.select(F.col("fp"), F.col("_id").alias("id_a"))
+    b = kept.select(F.col("fp"), F.col("_id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 # --------------------------------------------- span-level exact dedup ---
 
 

@@ -4947,9 +4947,7 @@ def doc_length_profile(spark, sf_dir):
     )
 
 
-@register(
-    "doc_winnowing",
-    r"""WITH toks AS (
+_WINNOW_SQL = r"""WITH toks AS (
           SELECT doc_id, u.tok AS tok, u.pos AS pos FROM documents,
           (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS tok,
                   generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos) u
@@ -4976,8 +4974,31 @@ def doc_length_profile(spark, sf_dir):
         sel AS (SELECT DISTINCT doc_id, mk FROM win WHERE c = 4)
         SELECT doc_id, CAST(16777216 - (mk % 16777216) AS BIGINT) AS pos,
                mk // 16777216 AS fp
-        FROM sel""",
+        FROM sel"""
+
+
+@register(
+    "doc_winnow_pairs",
+    f"""WITH wfp AS ({_WINNOW_SQL}),
+        d AS (SELECT DISTINCT doc_id, fp FROM wfp),
+        ok AS (SELECT fp FROM d GROUP BY fp HAVING count(*) <= 50),
+        kept AS (SELECT d.doc_id, d.fp FROM d JOIN ok ON ok.fp = d.fp)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM kept a JOIN kept b ON b.fp = a.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2""",
 )
+def doc_winnow_pairs(spark, sf_dir):
+    """MOSS match detection: document pairs sharing >= 2 winnowing
+    fingerprints — the guaranteed-detection complement of the MinHash
+    pair family (a copied passage of >= w+k-1 tokens ALWAYS shares a
+    print; MinHash only probably does). Stop-print discipline: prints
+    in > 50 docs are corpus boilerplate and are cut before the
+    self-join, bounding per-print fan-out (dedup.winnow_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_pairs(d, "doc_id", "text", k=5, w=4, min_shared=2, max_df=50)
+
+
+@register("doc_winnowing", _WINNOW_SQL)
 def doc_winnowing(spark, sf_dir):
     """Winnowing document fingerprints (Schleimer et al. 2003, the
     MOSS algorithm; k=5, w=4): per sliding window of 4 consecutive

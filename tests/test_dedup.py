@@ -889,3 +889,34 @@ def test_winnowing_short_doc_yields_nothing(spark):
         "doc_id LONG, text STRING",
     )
     assert dedup.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4).count() == 0
+
+
+def test_winnow_pairs_detects_copied_passage(spark):
+    import numpy.random as npr
+
+    rng = npr.default_rng(9)
+    words = [f"w{i}" for i in range(500)]
+    mk = lambda n: [words[rng.integers(0, 500)] for _ in range(n)]
+    a = mk(60)
+    b = mk(15) + a[10:40] + mk(15)      # 30-token copied passage
+    c = mk(60)                           # unrelated
+    docs = spark.createDataFrame(
+        [(1, " ".join(a)), (2, " ".join(b)), (3, " ".join(c))],
+        "doc_id LONG, text STRING",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in dedup.winnow_pairs(docs, "doc_id", "text", min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnow_pairs_max_df_cuts_boilerplate(spark):
+    # one identical doc in 6 copies: every print has df 6 > max_df 5
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta iota kappa") for i in range(6)],
+        "doc_id LONG, text STRING",
+    )
+    assert dedup.winnow_pairs(docs, "doc_id", "text", max_df=5).count() == 0
+    assert dedup.winnow_pairs(docs, "doc_id", "text", max_df=6).count() == 15

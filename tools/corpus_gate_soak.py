@@ -1,9 +1,10 @@
 """Corpus-ingest gate soak → the SCALING.md streaming-gates row.
 
-The claim under test (round 9): with ALL FOUR cross-batch modalities
-armed — MinHash near-dup, incremental near-dup vs the band index, the
-span duplicated-text gate, and the frozen-codebook DSIR quality
-gate — per-batch wall stays ~flat as the accepted corpus grows,
+The claim under test (round 9, extended round 10): with FIVE
+cross-batch modalities armed — MinHash near-dup, incremental near-dup
+vs the band index, the span duplicated-text gate, the frozen-codebook
+DSIR quality gate, and the frozen-bigram-LM perplexity gate —
+per-batch wall stays ~flat as the accepted corpus grows,
 because each gate's per-batch work is batch-sized (broadcast
 batch-hash probes, fixed-size codebook join), never corpus-sized.
 The DSIR gate specifically must add a CONSTANT per batch: its state
@@ -11,9 +12,11 @@ is the frozen ~64 KiB codebook, read per batch, with zero
 corpus-dependent terms.
 
 Each batch: 300 novel docs (pass all gates) + 50 off-target docs
-(DSIR drops) + 25 verbatim-padded copiers of earlier batches (span
-gate drops; they sail under the MinHash threshold) + 25 near-dup
-re-sends (minhash/incremental drop). Batch composition is constant,
+(DSIR drops) + 25 all-OOV noise docs (the perplexity gate drops: every
+bigram lands on the unseen-context floor ln(1/(V+1))) + 25
+verbatim-padded copiers of earlier batches (span gate drops; they sail
+under the MinHash threshold) + 25 near-dup re-sends
+(minhash/incremental drop). Batch composition is constant,
 so wall growth could only come from corpus-sized state — which is
 the thing the design forbids.
 
@@ -36,6 +39,7 @@ def main(n_batches: int = 10, span_buckets: int | None = None) -> None:
     from orestes_spark.streaming.ingest import (
         make_corpus_batch_processor,
         prepare_dsir_gate,
+        prepare_ppl_gate,
     )
 
     spark = get_spark("corpus-gate-soak")
@@ -54,8 +58,14 @@ def main(n_batches: int = 10, span_buckets: int | None = None) -> None:
         [(20_000_000, " ".join(tvoc)), (20_000_001, " ".join(jvoc))], ddl
     )
     prepare_dsir_gate(target, raw, store)
+    prepare_ppl_gate(target, store, vocab_size=256)
+    # pass-docs score ~5.08 avg-NLL under this LM (5 seen bigrams +
+    # 14 OOV-floor ones), pure-OOV noise ~5.55 (= ln(257)): the
+    # ceiling sits between, and both values are deterministic
+    # constants of the fixed batch composition.
     process = make_corpus_batch_processor(
-        store, span_k=6, span_max_frac=0.5, dsir_floor=0.0, span_buckets=span_buckets
+        store, span_k=6, span_max_frac=0.5, dsir_floor=0.0,
+        span_buckets=span_buckets, ppl_ceiling=5.3,
     )
 
     def novel_text(doc: int) -> str:
@@ -72,6 +82,10 @@ def main(n_batches: int = 10, span_buckets: int | None = None) -> None:
         rows += [
             (base + 400 + i, " ".join(jvoc) + f" z{base + i}") for i in range(50)
         ]  # off-target → DSIR gate
+        rows += [
+            (base + 600 + i, " ".join(f"q{base + i}n{j}" for j in range(20)))
+            for i in range(25)
+        ]  # all-OOV noise → perplexity gate
         if b > 0:
             prev = (b - 1) * 1000
             rows += [
