@@ -1416,9 +1416,10 @@ def dimension_stats(
     exact BIGINT, and the only float ops are one division per stat and
     one correctly-rounded sqrt — IEEE-identical on both engines, which
     is what lets the DuckDB twin hash-match. BIGINT headroom: |x_q| <=
-    Q, so n*Sxx <= n^2 * Q^2 must stay under 2^63 — at Q=1000 that is
-    ~3e6 rows per dim; past that, lift Sx/Sxx to DECIMAL(38,0) (same
-    plan, wider partials).
+    Q * max|x| (~Q for unit-normalized embeddings), and n*Sxx <=
+    n^2 * max|x_q|^2 must stay under 2^63 — ~3e6 rows per dim at
+    Q=1000 and unit components; past that, lift Sx/Sxx to
+    DECIMAL(38,0) (same plan, wider partials).
 
     Scale shape: one posexplode (rows x dims, computed in the scan) and
     one groupBy(dim) with map-side partial aggregation — the shuffle

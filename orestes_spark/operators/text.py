@@ -812,8 +812,9 @@ def train_bigram_lm(
     id 0), bigram counts over vocab ids, add-one smoothing over the
     nominal V+1 alphabet, p(c|p) = (cnt(p,c)+1) / (ctx(p)+V+1).
 
-    Returns (pairs_df, fallback_df): (p, c, wq) for OBSERVED bigrams
-    and (p, fq) for the per-context unseen-pair floor, both with
+    Returns (vocab, pairs_df, fallback_df): the tok -> id dict, then
+    (p, c, wq) for OBSERVED bigrams and (p, fq) for the per-context
+    unseen-pair floor, the frames carrying
     nano-quantized ln probabilities computed ONCE on the driver
     (CPython libm == DuckDB libm — the dsir discipline; no
     distributed plan ever evaluates ln). Bounded driver state BY
