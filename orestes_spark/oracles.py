@@ -373,6 +373,64 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def emb_lsh_recall_sql(
+    k: int = 5, num_queries: int = 10, num_planes: int = 8, dims: int = 64
+) -> str:
+    """Recall@k of the LSH-bucketed search vs exact quantized cosine —
+    completes the probe family (emb_pq_recall measures the PQ dial,
+    emb_ivf_recall the nprobe dial, this one the num_planes dial):
+    emb_topk_lsh_sql's bucketed approx CTEs plus the exact ranking
+    and the shared probe/agg tail. A query whose bucket holds fewer
+    than k others simply contributes fewer approx rows — misses count
+    against recall, which is the metric's point."""
+    return f"""
+WITH {_QUANT_VECS},
+{_bucketed_vecs(num_planes, dims)},
+adots AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x * b.x) AS dot
+  FROM u a
+  JOIN buckets ba ON ba.vec_id = a.vec_id
+  JOIN buckets bb ON bb.bucket = ba.bucket AND bb.vec_id != a.vec_id
+  JOIN u b ON b.vec_id = bb.vec_id AND b.i = a.i
+  WHERE a.vec_id < {num_queries}
+  GROUP BY 1, 2
+),
+approx AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY dot / (sqrt(na.n2) * sqrt(nb.n2)) DESC, cid) AS rank
+    FROM adots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid
+  ) WHERE rank <= {k}
+),
+edots AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x * b.x) AS dot
+  FROM u a JOIN u b ON a.i = b.i AND a.vec_id != b.vec_id
+  WHERE a.vec_id < {num_queries}
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY dot / (sqrt(na.n2) * sqrt(nb.n2)) DESC, cid) AS rank
+    FROM edots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid
+  ) WHERE rank <= {k}
+),
+probe AS (
+  SELECT e.qid, e.cid, p.cid AS hit
+  FROM exact e LEFT JOIN approx p ON p.qid = e.qid AND p.cid = e.cid
+)
+SELECT {k} AS k,
+       CAST(count(*) / {k} AS BIGINT) AS n_queries,
+       count(hit) AS hits,
+       round(count(hit) / count(*), 4) AS recall
+FROM probe
+"""
+
+
 def emb_pq_topk_sql(
     k: int = 5, num_queries: int = 10, m: int = 4, ks: int = 16, dims: int = 64
 ) -> str:

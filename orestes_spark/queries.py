@@ -2211,6 +2211,39 @@ def emb_topk_lsh(spark, sf_dir):
     return similarity.cosine_topk_lsh(e, e.where(F.col("vec_id") < 10), k=5, quantize=1000)
 
 
+@register("emb_lsh_recall", oracles.emb_lsh_recall_sql())
+def emb_lsh_recall(spark, sf_dir):
+    """ANN quality instrumentation for the LSH path: recall@5 of the
+    hyperplane-bucketed search vs the exact quantized cosine ranking —
+    the num_planes dial measured the way emb_ivf_recall measures
+    nprobe and emb_pq_recall measures m/ks, completing the probe
+    family (every ANN route in the engine now has an oracle-checked
+    recall row). A query whose bucket holds fewer than k neighbors
+    contributes misses — that collapse is precisely what the probe
+    exists to catch."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(e, queries, k=5, quantize=1000).select(
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    )
+    approx = similarity.cosine_topk_lsh(e, queries, k=5, quantize=1000).select(
+        F.col("query_id").alias("l_qid"), F.col("neighbor_id").alias("l_nid")
+    )
+    probed = exact.join(
+        approx,
+        (F.col("qid") == F.col("l_qid")) & (F.col("nid") == F.col("l_nid")),
+        "left_outer",
+    )
+    return probed.agg(
+        F.count(F.lit(1)).alias("total"), F.count("l_nid").alias("hits")
+    ).select(
+        F.lit(5).alias("k"),
+        (F.col("total") / 5).cast("long").alias("n_queries"),
+        "hits",
+        F.round(F.col("hits") / F.col("total"), 4).alias("recall"),
+    )
+
+
 @register("emb_highsim_pairs", oracles.emb_highsim_pairs_sql())
 def emb_highsim_pairs(spark, sf_dir):
     """Embedding near-dup pairs: LSH candidates + cosine ≥ 0.3."""
