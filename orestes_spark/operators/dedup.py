@@ -1240,6 +1240,8 @@ def winnow_fingerprints(
     shuffle on the doc key (the frame is w rows over the doc-sorted
     stream); the distinct is a hash aggregate on (id, key). Linear in
     corpus tokens — same class as the span-index build."""
+    from orestes_spark.operators.sampling import hash_prefix_long
+
     split_expr = F.split(normalize_text(F.col(text_col)), r"\s+")
 
     def grams(tk: F.Column) -> F.Column:
@@ -1256,13 +1258,7 @@ def winnow_fingerprints(
         F.col(id_col).alias("_id"),
         F.posexplode(bind(split_expr, grams)).alias("pos0", "g"),
     )
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{salt}:"), F.col("g")).cast("binary")), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = hash_prefix_long(F.col("g"), salt)
     pos = F.col("pos0") + 1
     keyed = exploded.select(
         "_id", pos.alias("pos"), (h * F.lit(16_777_216) + (F.lit(16_777_216) - pos)).alias("key")

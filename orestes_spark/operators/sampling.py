@@ -25,14 +25,21 @@ from pyspark.sql import functions as F
 _BUCKETS = 10_000
 
 
+def hash_prefix_long(col: Column, salt: str) -> Column:
+    """The raw portable hash: md5 of the salted value, first 8 hex
+    chars parsed base-16 — a uniform value in [0, 2^32) that fits a
+    LONG exactly and parses identically on both engines (Spark
+    conv(_,16,10), DuckDB CAST('0x'||_)). ONE home for the
+    portable-hash contract: _hash_bucket mods it down, and every
+    consumer (sampling buckets, winnowing fingerprints) and oracle
+    twin mirrors exactly this expression."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), col.cast("string")).cast("binary"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
 def _hash_bucket(id_col: Column, salt: str, buckets: int = _BUCKETS) -> Column:
-    """Uniform [0, buckets) bucket from md5 of the salted value — the
-    first 8 hex chars parsed base-16 (fits a LONG exactly; both
-    engines parse identically: Spark conv(_,16,10), DuckDB
-    CAST('0x'||_)). ONE home for the portable-hash contract: every
-    sampling-family oracle twin mirrors exactly this expression."""
-    h = F.md5(F.concat(F.lit(f"{salt}:"), id_col.cast("string")).cast("binary"))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
+    """Uniform [0, buckets) bucket: hash_prefix_long mod buckets."""
+    return hash_prefix_long(id_col, salt) % buckets
 
 
 def _hash_u53(id_col: Column, salt: str) -> Column:

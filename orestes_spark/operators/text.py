@@ -777,7 +777,10 @@ def quality_model_scores(
 def _bigram_id_pairs(docs: DataFrame, id_col: str, text_col: str, vocab: dict[str, int]) -> DataFrame:
     """(_id, p, c) — consecutive-token bigrams mapped through the
     vocab (OOV -> id 0): the zip-shift idiom forms the pairs in the
-    scan, the 256-entry literal map resolves ids with no join."""
+    scan (behind the module's input-parallelism scan guard — a
+    compacted single-row-group parquet would otherwise explode every
+    token on one partition), the 256-entry literal map resolves ids
+    with no join."""
     split_expr = F.split(normalize_text(F.col(text_col)), r"\s+")
 
     def pairs(tk: F.Column) -> F.Column:
@@ -791,7 +794,7 @@ def _bigram_id_pairs(docs: DataFrame, id_col: str, text_col: str, vocab: dict[st
             ),
         )
 
-    exploded = docs.select(
+    exploded = ensure_min_parallelism(docs).select(
         F.col(id_col).alias("_id"), F.explode(bind(split_expr, pairs)).alias("pr")
     )
     vmap = F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
@@ -827,7 +830,7 @@ def train_bigram_lm(
 
     spark = target.sparkSession
     v_rows = (
-        target.select(
+        ensure_min_parallelism(target).select(
             F.explode(F.split(normalize_text(F.col(text_col)), r"\s+")).alias("tok")
         )
         .groupBy("tok")

@@ -142,7 +142,8 @@ def with_grouped_ntile(
     and totals computed per (partition, group): the driver collect is
     |partitions| x |groups| rows, so the contract is a BOUNDED group
     count (metrics, strata — not user ids); order_cols + group must be
-    a total order for determinism. The ntile arithmetic is columnar
+    a total order for determinism, and group values must be non-NULL
+    (a NULL group raises — see the in-body note). The ntile arithmetic is columnar
     (each group has its own n): first n%k tiles get ceil(n/k) rows —
     identical to the SQL function, per group."""
     p = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -155,7 +156,19 @@ def with_grouped_ntile(
     counts = local.groupBy("_pid", *group_cols).agg(F.count(F.lit(1)).alias("_n")).collect()
     by_group: dict[tuple, list[tuple[int, int]]] = {}
     for r in counts:
-        by_group.setdefault(tuple(r[g] for g in group_cols), []).append((r["_pid"], r["_n"]))
+        g = tuple(r[c] for c in group_cols)
+        if any(v is None for v in g):
+            # The offset/total equi-joins are null-unsafe, so a NULL
+            # group would silently VANISH from the output where SQL
+            # ntile would tile it as its own partition. The check is
+            # free — counts are already on the driver.
+            raise ValueError(
+                f"with_grouped_ntile: NULL in group columns {group_cols}"
+                f" (group {g}): null groups would be dropped by the"
+                " offset joins, diverging from PARTITION BY semantics."
+                " Filter or fill the group column first."
+            )
+        by_group.setdefault(g, []).append((r["_pid"], r["_n"]))
     off_rows, tot_rows = [], []
     for g, lst in by_group.items():
         acc = 0

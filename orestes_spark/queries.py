@@ -4845,10 +4845,12 @@ def ts_bollinger(spark, sf_dir):
     sd_u = ((isqrt(4*num) div n) + 1) div 2 — the closed form of
     round-half-up(sqrt(num)/n). The bands recombine two exact micro
     quantities, so their float round has no tie to disagree on.
-    Headroom: v6^2 must fit int64 (|hourly avg| < ~3e3 here); larger
-    magnitudes move the squares to decimal partials. One window
-    shuffle on the series key; the 8-row frame resolves in one pass
-    over the sorted partition."""
+    The squares and their window sum run in DECIMAL(38,0) end to end
+    (the DuckDB side is HUGEINT), so the magnitude headroom is
+    effectively unbounded — an int64 sum of 8 squares would overflow
+    at |hourly avg| ~1.07e3, inside the range where each square alone
+    fits (review finding). One window shuffle on the series key; the
+    8-row frame resolves in one pass over the sorted partition."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.unix_millis("ts").alias("time_ms"), "value"
     )
@@ -4871,12 +4873,18 @@ def ts_bollinger(spark, sf_dir):
         .orderBy("hour")
         .rowsBetween(-7, Window.currentRow)
     )
+    # squares and their window sum run in DECIMAL(38,0): an int64 sum
+    # of 8 squares overflows at |hourly avg| ~1.07e3 — INSIDE the
+    # range where each square alone still fits — and Spark's ANSI
+    # overflow would abort where the oracle's HUGEINT window sum
+    # succeeds (round-10 session-2 review finding).
+    v6d = F.col("v6").cast("decimal(38,0)")
     win = hourly.select(
         "event_type",
         "hour",
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum("v6").over(w).alias("s"),
-        F.sum(F.col("v6") * F.col("v6")).over(w).alias("ss"),
+        F.sum(v6d * v6d).over(w).alias("ss"),
     )
     ex = win.select(
         "event_type",

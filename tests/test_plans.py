@@ -386,6 +386,22 @@ def test_grouped_ntile_matches_partitioned_window(spark):
     assert got == exp
 
 
+def test_grouped_ntile_raises_on_null_group(spark):
+    """A NULL group value would silently vanish through the
+    null-unsafe offset joins where SQL ntile tiles it as its own
+    partition — the helper must refuse loudly instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from orestes_spark.plans.ranking import with_grouped_ntile
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), (None, 2, 2.0)], "g STRING, id LONG, v DOUBLE"
+    )
+    with pytest.raises(ValueError, match="NULL in group columns"):
+        with_grouped_ntile(df, 4, ["g"], [F.col("v"), F.col("id")]).collect()
+
+
 def test_quartiles_plan_has_no_single_partition_exchange(spark):
     """customer_value_quartiles must never plan a global
     single-partition sort — the distributed rank path keeps every

@@ -59,13 +59,17 @@ def main(n_batches: int = 10, span_buckets: int | None = None) -> None:
     )
     prepare_dsir_gate(target, raw, store)
     prepare_ppl_gate(target, store, vocab_size=256)
-    # pass-docs score ~5.08 avg-NLL under this LM (5 seen bigrams +
-    # 14 OOV-floor ones), pure-OOV noise ~5.55 (= ln(257)): the
-    # ceiling sits between, and both values are deterministic
-    # constants of the fixed batch composition.
+    # Deterministic cohort NLLs under this LM: novel pass-docs ~5.08,
+    # span-gate copiers ~5.28 (they must PASS the ppl gate to reach
+    # the span gate that owns them), pure-OOV noise ~5.55 (= ln(257)
+    # with ctx(0)=0). The ceiling sits at the copier/noise MIDPOINT
+    # (margin ~0.13 nats each side; the original 5.3 cleared the
+    # copiers by only 0.019 — one padding-token tweak away from the
+    # ppl gate silently eating the span gate's cohort while the
+    # accepted count still read 300: review finding).
     process = make_corpus_batch_processor(
         store, span_k=6, span_max_frac=0.5, dsir_floor=0.0,
-        span_buckets=span_buckets, ppl_ceiling=5.3,
+        span_buckets=span_buckets, ppl_ceiling=5.42,
     )
 
     def novel_text(doc: int) -> str:
