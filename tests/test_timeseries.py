@@ -323,3 +323,40 @@ def test_ewma_constant_series_and_latest_dominance(spark):
     last_hour = max(h for (et, h) in out if et == "spike")
     assert out[("spike", last_hour)] > 50.0  # newest point carries >= half the mass
     assert out[("spike", last_hour - 1)] == 0.0
+
+
+def test_bollinger_constant_series_and_large_magnitude(spark):
+    """ts_bollinger registry entry. Two regressions pinned: (1) a
+    constant series gives sd 0 and bands == ma; (2) hourly averages
+    around 2,000 — where each micro-unit square fits int64 but an
+    8-row window SUM of squares does not — must compute, not overflow
+    (the squares run in DECIMAL(38,0); pre-fix this threw
+    ARITHMETIC_OVERFLOW under ANSI)."""
+    import os
+    import tempfile
+
+    from orestes_spark.queries import QUERIES
+
+    base = 1_704_067_200_000
+    rows = []
+    for h in range(12):
+        rows.append((h * 2 + 1, base + h * 3_600_000, "flat", 7.25))
+        rows.append((h * 2 + 2, base + h * 3_600_000, "big", 2000.0 + (h % 3)))
+    df = spark.createDataFrame(
+        [(i, ts, et, v, "0", "{}") for (i, ts, et, v) in rows],
+        "event_id LONG, ts_ms LONG, event_type STRING, value DOUBLE, user_id STRING, props STRING",
+    ).selectExpr(
+        "event_id", "timestamp_millis(ts_ms) AS ts", "CAST(user_id AS LONG) AS user_id",
+        "event_type", "value", "props",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {(r["event_type"], r["hour"]): r for r in QUERIES["ts_bollinger"](spark, d).collect()}
+    flat = [v for (et, _), v in out.items() if et == "flat"]
+    assert all(r["sd"] == 0.0 and r["ma"] == 7.25 for r in flat)
+    assert all(r["upper_band"] == r["lower_band"] == 7.25 for r in flat)
+    big = [v for (et, _), v in out.items() if et == "big"]
+    assert len(big) == 12  # no overflow abort
+    assert all(1999.0 < r["ma"] < 2003.0 and 0.0 <= r["sd"] < 2.0 for r in big)
+    for r in big:
+        assert r["upper_band"] >= r["ma"] >= r["lower_band"]
