@@ -1273,16 +1273,16 @@ def doc_token_count(spark, sf_dir):
     )
 
 
-@register(
-    "doc_quality",
-    r"""SELECT doc_id,
+_DOC_QUALITY_SQL = r"""SELECT doc_id,
                round(length(replace(text, ' ', '')) * 1.0
                      / len(string_split_regex(trim(text), '\s+')), 6) AS avg_token_len,
                round(len(list_filter(string_split_regex(trim(text), '\s+'),
                                      x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) * 1.0
                      / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio
-        FROM documents""",
-)
+        FROM documents"""
+
+
+@register("doc_quality", _DOC_QUALITY_SQL)
 def doc_quality(spark, sf_dir):
     """Quality scoring: avg token length + stopword ratio (the
     heuristics LLM-data pipelines gate on)."""
@@ -5430,9 +5430,7 @@ def emb_decontaminate(spark, sf_dir):
     return similarity.semantic_decontaminate(corpus, eval_set, threshold=0.3, quantize=1000)
 
 
-@register(
-    "doc_gopher_rules",
-    r"""WITH t AS (
+_GOPHER_SQL = r"""WITH t AS (
           SELECT doc_id,
                  string_split_regex(trim(lower(text)), '\s+') AS toks
           FROM documents
@@ -5463,8 +5461,10 @@ def emb_decontaminate(spark, sf_dir):
                -- concat_ws gives '' — align on ''
                coalesce(array_to_string(failed, ','), '') AS failed_rules,
                len(failed) = 0 AS keep
-        FROM v""",
-)
+        FROM v"""
+
+
+@register("doc_gopher_rules", _GOPHER_SQL)
 def doc_gopher_rules(spark, sf_dir):
     """Gopher-style named-rule quality filter (Rae et al. 2021):
     per-doc keep verdict + which rules failed, every threshold
@@ -5607,6 +5607,98 @@ def doc_quality_model(spark, sf_dir):
         "doc_id", (F.col("lang") == "en").alias("label")
     )
     return text.quality_model_scores(d, labels, "doc_id", "text")
+
+
+def _quality_report_sql() -> str:
+    """Oracle for doc_quality_report: the five quality signals'
+    oracle SQLs embedded verbatim as CTE subqueries (nested WITHs are
+    scoped, so their internal CTE names cannot collide) joined on
+    doc_id — any drift in a component oracle drifts this one with it,
+    which is the point: the report card certifies the COMPOSITION."""
+    from orestes_spark import oracles as _o
+
+    return f"""WITH heur AS ({_DOC_QUALITY_SQL}),
+        gph AS ({_GOPHER_SQL}),
+        qmod AS ({_o.quality_model_sql()}),
+        ds AS ({_o.dsir_sql()}),
+        ppl AS ({_LM_PPL_SQL}),
+        j AS (
+          SELECT h.doc_id,
+                 h.stopword_ratio >= 0.04 AS keep_heuristic,
+                 g.keep AS keep_gopher,
+                 q.nb_logodds >= -4.8 AS keep_model,
+                 coalesce(d.dsir_logratio >= -66.0, TRUE) AS keep_dsir,
+                 coalesce(p.avg_nll <= 4.95, TRUE) AS keep_ppl
+          FROM heur h
+          JOIN gph g ON g.doc_id = h.doc_id
+          JOIN qmod q ON q.doc_id = h.doc_id
+          LEFT JOIN ds d ON d.doc_id = h.doc_id
+          LEFT JOIN ppl p ON p.doc_id = h.doc_id
+        ),
+        j2 AS (
+          SELECT *,
+                 CAST(keep_heuristic AS INT) + CAST(keep_gopher AS INT)
+                 + CAST(keep_model AS INT) + CAST(keep_dsir AS INT)
+                 + CAST(keep_ppl AS INT) AS n_pass
+          FROM j
+        )
+        SELECT doc_id, keep_heuristic, keep_gopher, keep_model, keep_dsir,
+               keep_ppl, n_pass, n_pass = 5 AS keep_all
+        FROM j2"""
+
+
+@register("doc_quality_report", _quality_report_sql())
+def doc_quality_report(spark, sf_dir):
+    """The per-document quality REPORT CARD: all five quality
+    modalities' verdicts side by side — heuristic (stopword floor),
+    Gopher named rules, the trained NB classifier, DSIR
+    target-closeness, and bigram-LM perplexity — plus n_pass and the
+    unanimous keep_all. This is the artifact FineWeb-style filter
+    ablations are computed from (which gate fires on which doc, and
+    how correlated the gates are); the thresholds here are tuned to
+    split THIS synthetic corpus and stand in for the
+    validation-ablated values a production pipeline would configure.
+    Unscored docs pass their gate on no evidence (LEFT joins +
+    coalesce — the streaming gates' convention). Composes the five
+    registered scorers (shared LM artifact; each is one scan family),
+    joined on the doc key."""
+    heur = doc_quality(spark, sf_dir).select(
+        "doc_id", (F.col("stopword_ratio") >= 0.04).alias("keep_heuristic")
+    )
+    gph = doc_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_gopher")
+    )
+    qmod = doc_quality_model(spark, sf_dir).select(
+        "doc_id", (F.col("nb_logodds") >= -4.8).alias("keep_model")
+    )
+    ds = doc_dsir_weights(spark, sf_dir).select(
+        "doc_id", (F.col("dsir_logratio") >= -66.0).alias("_kd")
+    )
+    ppl = doc_lm_perplexity(spark, sf_dir).select(
+        "doc_id", (F.col("avg_nll") <= 4.95).alias("_kp")
+    )
+    j = (
+        heur.join(gph, "doc_id")
+        .join(qmod, "doc_id")
+        .join(ds, "doc_id", "left")
+        .join(ppl, "doc_id", "left")
+        .select(
+            "doc_id",
+            "keep_heuristic",
+            "keep_gopher",
+            "keep_model",
+            F.coalesce(F.col("_kd"), F.lit(True)).alias("keep_dsir"),
+            F.coalesce(F.col("_kp"), F.lit(True)).alias("keep_ppl"),
+        )
+    )
+    n_pass = sum(
+        F.col(c).cast("int")
+        for c in ("keep_heuristic", "keep_gopher", "keep_model", "keep_dsir", "keep_ppl")
+    )
+    return j.select(
+        "*",
+        n_pass.alias("n_pass"),
+    ).withColumn("keep_all", F.col("n_pass") == 5)
 
 
 @register("doc_bpe_trained", oracles.bpe_trained_sql(num_merges=12))
