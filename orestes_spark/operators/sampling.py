@@ -486,12 +486,13 @@ def dsir_weight_table(
 
 def dsir_logratio_weights(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     id_col: str,
     text_col: str,
     buckets: int = 4096,
     salt: str = "dsir",
     bigrams: bool = False,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every raw
@@ -526,8 +527,16 @@ def dsir_logratio_weights(
     corpus_toks = _dsir_toks(docs, id_col, text_col, bigrams).select(
         "_id", _hash_bucket(F.col("tok"), salt, buckets).alias("bucket")
     )
-    wdf = dsir_weight_table(
-        target, docs, id_col, text_col, buckets=buckets, salt=salt, bigrams=bigrams
+    # ``weights``: a precomputed dsir_weight_table — the persisted-
+    # codebook shape (train once, read by every consumer); ``target``
+    # may be None then. Must have been built with the SAME buckets/
+    # salt/bigrams or the hashes will not line up.
+    wdf = (
+        weights
+        if weights is not None
+        else dsir_weight_table(
+            target, docs, id_col, text_col, buckets=buckets, salt=salt, bigrams=bigrams
+        )
     )
     return (
         corpus_toks.join(F.broadcast(wdf), "bucket")
@@ -543,7 +552,7 @@ def dsir_logratio_weights(
 
 def dsir_resample(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     id_col: str,
     text_col: str,
     n: int,
@@ -551,6 +560,7 @@ def dsir_resample(
     salt: str = "dsir",
     noise_salt: str = "gumbel",
     bigrams: bool = False,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """The RESAMPLING step of DSIR (Xie et al. 2023) that
     ``dsir_logratio_weights`` stops short of: deterministically select
@@ -582,7 +592,8 @@ def dsir_resample(
 
     n_col = "n_feats" if bigrams else "n_tokens"
     w = dsir_logratio_weights(
-        docs, target, id_col, text_col, buckets=buckets, salt=salt, bigrams=bigrams
+        docs, target, id_col, text_col, buckets=buckets, salt=salt, bigrams=bigrams,
+        weights=weights,
     )
     scored = w.withColumn("_u", _hash_u53(F.col(id_col), noise_salt))
     scored = detmath.apply_steps_spark(scored, detmath.gumbel_steps("_u", "_g"))

@@ -1442,6 +1442,54 @@ _SPAN_INDEXES: dict[str, str] = {}
 _SPAN_BLOOMS: dict[str, str] = {}
 _KMEANS_CELLS: dict[str, "DataFrame"] = {}
 _BIGRAM_LMS: dict[str, tuple] = {}
+_DSIR_WQS: dict[tuple, "DataFrame"] = {}
+_NB_MODELS: dict[str, "DataFrame"] = {}
+
+
+def _dsir_wq_for(spark, sf_dir, bigrams: bool = False):
+    """Train (once per process per sf_dir per feature set) the DSIR
+    codebook — sampling.dsir_weight_table over the module's standard
+    target/raw split — and checkpoint it: the persisted-codebook shape
+    (CCNet/DSIR ship trained importance tables; consumers read, never
+    recount). doc_dsir_weights, doc_dsir_sample (unigram) and
+    doc_dsir_bigram (bigram) score against these artifacts; the
+    streaming gate keeps its own store-frozen copy."""
+    key = (sf_dir, bigrams)
+    w = _DSIR_WQS.get(key)
+    if w is None or w.sparkSession is not spark:
+        from orestes_spark.operators import sampling
+
+        d = load_table(spark, sf_dir, "documents")
+        w = sampling.dsir_weight_table(
+            d.where(F.col("doc_id") % 20 == 0),
+            d.where(F.col("doc_id") % 20 != 0),
+            "doc_id",
+            "text",
+            bigrams=bigrams,
+        ).localCheckpoint(eager=True)
+        _DSIR_WQS[key] = w
+    return w
+
+
+def _nb_model_for(spark, sf_dir):
+    """Train (once per process per sf_dir) the NB quality-classifier
+    artifact on the doc_id % 3 labeled seed and checkpoint it —
+    doc_quality_model and doc_quality_report both score against it
+    instead of retraining the identical deterministic model inline
+    (the kmeans_cells/bigram_lm precedent)."""
+    m = _NB_MODELS.get(sf_dir)
+    if m is None or m.sparkSession is not spark:
+        from orestes_spark.operators import text as _t
+
+        d = load_table(spark, sf_dir, "documents")
+        labels = d.where(F.col("doc_id") % 3 == 0).select(
+            "doc_id", (F.col("lang") == "en").alias("label")
+        )
+        m = _t.train_quality_model(d, labels, "doc_id", "text").localCheckpoint(
+            eager=True
+        )
+        _NB_MODELS[sf_dir] = m
+    return m
 
 
 def _bigram_lm_for(spark, sf_dir):
@@ -1598,6 +1646,9 @@ def build_shared_artifacts(spark, sf_dir, invalidate: bool = True) -> dict[str, 
             shutil.rmtree(old, ignore_errors=True)
         _KMEANS_CELLS.pop(sf_dir, None)
         _BIGRAM_LMS.pop(sf_dir, None)
+        _DSIR_WQS.pop((sf_dir, False), None)
+        _DSIR_WQS.pop((sf_dir, True), None)
+        _NB_MODELS.pop(sf_dir, None)
     out: dict[str, float] = {}
     t0 = _time.perf_counter()
     _neardup_pairs_for(spark, sf_dir)
@@ -1623,6 +1674,13 @@ def build_shared_artifacts(spark, sf_dir, invalidate: bool = True) -> dict[str, 
     t0 = _time.perf_counter()
     _bigram_lm_for(spark, sf_dir)
     out["bigram_lm"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    _dsir_wq_for(spark, sf_dir, bigrams=False)
+    _dsir_wq_for(spark, sf_dir, bigrams=True)
+    out["dsir_codebooks"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    _nb_model_for(spark, sf_dir)
+    out["nb_quality_model"] = round(_time.perf_counter() - t0, 3)
     return out
 
 
@@ -1643,7 +1701,9 @@ ARTIFACT_CONSUMERS = {
     "span_bloom_sidecar": ["doc_incremental_span_bloom"],
     "semantic_index": ["emb_incremental_semdedup", "emb_incremental_arrow"],
     "kmeans_cells": ["emb_kmeans_assign", "emb_ivf_trained", "emb_ivf_recall"],
-    "bigram_lm": ["doc_lm_perplexity", "doc_ccnet_buckets"],
+    "bigram_lm": ["doc_lm_perplexity", "doc_ccnet_buckets", "doc_quality_report"],
+    "dsir_codebooks": ["doc_dsir_weights", "doc_dsir_bigram", "doc_dsir_sample", "doc_quality_report"],
+    "nb_quality_model": ["doc_quality_model", "doc_quality_report"],
 }
 
 
@@ -5329,9 +5389,10 @@ def doc_dsir_weights(spark, sf_dir):
     from orestes_spark.operators import sampling
 
     d = load_table(spark, sf_dir, "documents")
-    target = d.where(F.col("doc_id") % 20 == 0)
     corpus = d.where(F.col("doc_id") % 20 != 0)
-    return sampling.dsir_logratio_weights(corpus, target, "doc_id", "text")
+    return sampling.dsir_logratio_weights(
+        corpus, None, "doc_id", "text", weights=_dsir_wq_for(spark, sf_dir)
+    )
 
 
 @register(
@@ -5603,10 +5664,7 @@ def doc_quality_model(spark, sf_dir):
     from orestes_spark.operators import text
 
     d = load_table(spark, sf_dir, "documents")
-    labels = d.where(F.col("doc_id") % 3 == 0).select(
-        "doc_id", (F.col("lang") == "en").alias("label")
-    )
-    return text.quality_model_scores(d, labels, "doc_id", "text")
+    return text.score_quality_model(d, _nb_model_for(spark, sf_dir), "doc_id", "text")
 
 
 def _quality_report_sql() -> str:
@@ -5761,9 +5819,11 @@ def doc_dsir_bigram(spark, sf_dir):
     from orestes_spark.operators import sampling
 
     d = load_table(spark, sf_dir, "documents")
-    target = d.where(F.col("doc_id") % 20 == 0)
     corpus = d.where(F.col("doc_id") % 20 != 0)
-    return sampling.dsir_logratio_weights(corpus, target, "doc_id", "text", bigrams=True)
+    return sampling.dsir_logratio_weights(
+        corpus, None, "doc_id", "text", bigrams=True,
+        weights=_dsir_wq_for(spark, sf_dir, bigrams=True),
+    )
 
 
 @register("doc_dsir_sample", oracles.dsir_sample_sql(n=100))
@@ -5780,9 +5840,10 @@ def doc_dsir_sample(spark, sf_dir):
     from orestes_spark.operators import sampling
 
     d = load_table(spark, sf_dir, "documents")
-    target = d.where(F.col("doc_id") % 20 == 0)
     corpus = d.where(F.col("doc_id") % 20 != 0)
-    return sampling.dsir_resample(corpus, target, "doc_id", "text", n=100)
+    return sampling.dsir_resample(
+        corpus, None, "doc_id", "text", n=100, weights=_dsir_wq_for(spark, sf_dir)
+    )
 
 
 @register("doc_incremental_span", oracles.incremental_span_sql(k=8, new_mod=5))
