@@ -1166,10 +1166,11 @@ def substring_contamination(
 
 def shingle_containment(
     probe: DataFrame,
-    base: DataFrame,
+    base: DataFrame | None,
     id_col: str,
     text_col: str,
     n: int = 5,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus containment (Broder's C(A,B) = |S(A) ∩ S(B)| /
     |S(A)|, computed EXACTLY): for every probe document, the fraction
@@ -1189,10 +1190,48 @@ def shingle_containment(
     then a per-doc count — linear in corpus tokens, no pair stage.
     At 100 TB the join key would be xxhash64(shingle) (the span-index
     discipline: 8-byte keys, same collision story as minhash bands);
-    the string key here keeps the oracle twin exact."""
+    the string key here keeps the oracle twin exact.
+
+    ``index`` (round-11, VERDICT r10 #8 — containment at index
+    scale): pass a PERSISTED distinct-k-gram hash index built by
+    ``span_index(base, ..., k=n, buckets=...)`` instead of ``base``
+    (which may then be None) and the base side is never re-shingled:
+    the probe's shingles hash to 8-byte xxhash64 keys, the index scan
+    PARTITION-PRUNES to the hash-range buckets the probe actually
+    touches (the incremental-span discipline — the touched-bucket
+    list is one tiny distinct-collect over the batch-sized probe),
+    and one left equi-join on ``h`` replaces the corpus-wide
+    distinct-shingle build. Results are identical to the direct route
+    up to 64-bit hash collisions, which can only ADD a match (~2^-64
+    per probe shingle — the same accepted story as every hash-keyed
+    operator here). Contract: the index must have been built with
+    k = n over the SAME base corpus; a bucketed index self-describes
+    its modulus (``nb``) and mixed moduli raise."""
     p = token_shingles(probe, id_col, text_col, n)
-    b = token_shingles(base, id_col, text_col, n).select("sh").distinct()
-    j = p.join(b.withColumn("_hit", F.lit(1)), "sh", "left")
+    if index is not None:
+        # probe shingles feed the touched-bucket collect AND the join:
+        # checkpoint so the tokenize+explode runs once (batch-sized).
+        ph = p.select("_id", F.xxhash64("sh").alias("h")).localCheckpoint()
+        nb = _validated_nb(index, "containment index")
+        hits = index
+        if nb:
+            touched = [
+                r[0]
+                for r in ph.select(
+                    F.pmod(F.col("h"), F.lit(nb)).cast("int").alias("hb")
+                )
+                .distinct()
+                .collect()
+            ]
+            hits = hits.where(F.col("hb").isin(touched))
+        # span_index rows are globally distinct h by construction, so
+        # the left join cannot fan a probe shingle out.
+        j = ph.join(hits.select("h").withColumn("_hit", F.lit(1)), "h", "left")
+    else:
+        if base is None:
+            raise ValueError("shingle_containment: pass base or index")
+        b = token_shingles(base, id_col, text_col, n).select("sh").distinct()
+        j = p.join(b.withColumn("_hit", F.lit(1)), "sh", "left")
     agg = j.groupBy("_id").agg(
         F.count(F.lit(1)).alias("n_shingles"),
         F.count("_hit").alias("n_matched"),
@@ -1234,7 +1273,10 @@ def winnow_fingerprints(
     h * 2^24 + (2^24 - pos) (larger pos => smaller key at equal h),
     decoded after the distinct — both engines run identical integer
     ops. Contract: pos < 2^24 (a 16M-token single document overflows
-    the packing; web documents are orders of magnitude below).
+    the packing; web documents are orders of magnitude below) —
+    ENFORCED: an oversized doc raises through raise_error in the key
+    expression instead of silently corrupting pos/fp (round-11, the
+    repo's loud-failure discipline).
 
     Scale shape: k-grams and keys are built in the scan; ONE window
     shuffle on the doc key (the frame is w rows over the doc-sorted
@@ -1260,9 +1302,19 @@ def winnow_fingerprints(
     )
     h = hash_prefix_long(F.col("g"), salt)
     pos = F.col("pos0") + 1
-    keyed = exploded.select(
-        "_id", pos.alias("pos"), (h * F.lit(16_777_216) + (F.lit(16_777_216) - pos)).alias("key")
+    key = F.when(
+        pos < F.lit(16_777_216),
+        h * F.lit(16_777_216) + (F.lit(16_777_216) - pos),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "winnow_fingerprints: doc %s has >= 2^24 tokens; "
+                "pos overflows the packed key",
+                F.col("_id").cast("string"),
+            )
+        )
     )
+    keyed = exploded.select("_id", pos.alias("pos"), key.alias("key"))
     wd = Window.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
     win = keyed.select(
         "_id",
@@ -1289,11 +1341,16 @@ def winnow_pairs(
 ) -> DataFrame:
     """(id_a, id_b, n_shared) — document pairs sharing >=
     ``min_shared`` winnowing fingerprints: the MOSS match-detection
-    step over ``winnow_fingerprints``, with the detection guarantee
-    the fingerprints carry (any copied passage of >= w+k-1 tokens
-    shares a print, so a pair of docs with a copied passage ALWAYS
-    surfaces — modulo the max_df cut below; min_shared=2 filters
-    single-hash coincidences).
+    step over ``winnow_fingerprints``. The winnowing guarantee (any
+    copied passage of >= w+k-1 tokens shares at least ONE print) only
+    turns into a pair-detection guarantee at ``min_shared=1``: the
+    default ``min_shared=2`` trades that away to filter single-hash
+    coincidences, so a minimal-length copied passage that happens to
+    contribute exactly one shared print is (deliberately) dropped.
+    Pass ``min_shared=1`` when the hard guarantee matters more than
+    coincidence noise; passages long enough to yield 2+ prints
+    (roughly >= w+k tokens plus one window) surface at the default.
+    The max_df cut below is the other documented exception.
 
     ``max_df`` drops fingerprints appearing in more than that many
     docs before the self-join — the module's standard stop-key

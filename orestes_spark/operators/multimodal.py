@@ -262,6 +262,149 @@ def wav_metadata(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema)
 
 
+def _wavq_params(text: str) -> tuple[int, int, int, int, int, int]:
+    """(amp, rate, active, lead, trail, half_period) from
+    md5('wavq:'+text) — the audio-quality fixture's closed-form
+    parameter set. amp spans 1000..31999 so a deterministic slice of
+    docs clips at the default 30000 threshold; lead/trail are
+    0..199-frame silence pads."""
+    h = hashlib.md5(f"wavq:{text}".encode()).hexdigest()
+    amp = 1000 + int(h[:4], 16) % 31000
+    rate = _WAV_RATES[int(h[4:6], 16) % 4]
+    active = 200 + int(h[6:10], 16) % 2000
+    lead = int(h[10:12], 16) % 200
+    trail = int(h[12:14], 16) % 200
+    half = 2 + int(h[14:16], 16) % 30
+    return amp, rate, active, lead, trail, half
+
+
+def synth_wav_q(text: str) -> bytes:
+    """A GENUINE 16-bit PCM mono WAV with md5-derived leading silence,
+    a pure +-amp square-wave active region, and trailing silence (see
+    _wavq_params) — the fixture whose clipping / loudness / silence
+    metrics an oracle can state in closed form."""
+    import io
+    import struct as _struct
+    import wave
+
+    amp, rate, active, lead, trail, half = _wavq_params(text)
+    frames = (
+        b"\x00\x00" * lead
+        + b"".join(
+            _struct.pack("<h", amp if (i // half) % 2 == 0 else -amp)
+            for i in range(active)
+        )
+        + b"\x00\x00" * trail
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def attach_wav_quality_binary(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Real silence-padded WAV payload column (synth_wav_q of the
+    text) — the audio-quality fixture attach."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["_mid"].astype("int64"),
+                    "modality": "audio",
+                    "mime": "audio/x-wav",
+                    "content": pdf["_txt"].map(synth_wav_q),
+                }
+            )
+
+    src = docs.select(
+        F.col(id_col).cast("long").alias("_mid"), F.col(text_col).alias("_txt")
+    )
+    return src.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def audio_quality_metrics(
+    content: bytes, clip_thresh: int = 30000, silence_thresh: int = 100
+) -> dict:
+    """Per-payload audio-quality gates from REAL decoded PCM — the
+    audio analogues of the Gopher text rules: clipping fraction
+    (|s| >= clip_thresh, reported as exact integer ppm), RMS loudness
+    (integer isqrt, exact), and leading/trailing silence run lengths
+    (|s| <= silence_thresh) in ms. All-integer math so a SQL oracle
+    hashes the same values."""
+    import io
+    import math
+    import sys
+    import wave
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "audio decode without a codec library supports WAV (RIFF) only"
+        )
+    with wave.open(io.BytesIO(content), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise NotImplementedError("audio_quality_metrics: 16-bit mono PCM only")
+        rate = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    import array as _array
+
+    samples = _array.array("h")
+    samples.frombytes(raw)
+    if sys.byteorder == "big":  # pragma: no cover - platform guard
+        samples.byteswap()
+    clipped = sum(1 for s in samples if abs(s) >= clip_thresh)
+    rms = int(math.isqrt(sum(s * s for s in samples) // n)) if n else 0
+    lead = 0
+    for s in samples:
+        if abs(s) > silence_thresh:
+            break
+        lead += 1
+    trail = 0
+    for s in reversed(samples):
+        if abs(s) > silence_thresh:
+            break
+        trail += 1
+    if lead == len(samples):  # fully silent: one run, not two
+        trail = 0
+    return {
+        "n_samples": n,
+        "clipped": clipped,
+        "clip_ppm": 1_000_000 * clipped // n if n else 0,
+        "rms": rms,
+        "lead_ms": lead * 1000 // rate,
+        "trail_ms": trail * 1000 // rate,
+    }
+
+
+def audio_quality(
+    media: DataFrame, clip_thresh: int = 30000, silence_thresh: int = 100
+) -> DataFrame:
+    """(media_id, n_samples, clipped, clip_ppm, rms, lead_ms,
+    trail_ms) — audio-quality gates computed from ACTUAL decoded
+    samples inside mapInPandas; per-row independent, no shuffle,
+    binary column dropped from the output per the module convention."""
+    schema = (
+        "media_id LONG, n_samples LONG, clipped LONG, clip_ppm LONG, "
+        "rms LONG, lead_ms LONG, trail_ms LONG"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = pdf["content"].map(
+                lambda b: audio_quality_metrics(b, clip_thresh, silence_thresh)
+            )
+            out = {"media_id": pdf["media_id"].astype("int64")}
+            for k in ("n_samples", "clipped", "clip_ppm", "rms", "lead_ms", "trail_ms"):
+                out[k] = metas.map(lambda m, k=k: m[k]).astype("int64")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema)
+
+
 def _ppm_params(text: str) -> tuple[int, int, bytes]:
     """(width, height, 16-byte pixel pattern) from md5 digests of the
     text. Width is a multiple of 16 so the RGB plane size 3·w·h is
@@ -344,6 +487,121 @@ def resize_ppm(content: bytes, width: int, height: int) -> bytes:
             sx = x * sw // width
             out += px[row + sx * 3 : row + sx * 3 + 3]
     return f"P6\n{width} {height}\n{m['maxval']}\n".encode() + bytes(out)
+
+
+def dhash64(content: bytes) -> int:
+    """64-bit difference hash (dHash) over REAL decoded pixels — the
+    perceptual image fingerprint every multimodal training pipeline
+    dedups on: nearest-neighbor-sample the image to a 9x8 grayscale
+    grid (gray = (r+g+b)//3, integer), set bit y*8+x when
+    gray(x+1,y) > gray(x,y). Robust by construction to uniform
+    resizes (the sample grid composes with nearest-neighbor floors:
+    floor(floor(n*a)/n) = floor(a), so a k-times upscale hashes
+    IDENTICALLY) and to brightness shifts that preserve ordering.
+    Returned as a signed 64-bit int (bit 63 -> sign), the same packing
+    as dedup.simhash_column — so the signature drops straight into
+    simhash_near_pairs' banded-Hamming candidate machinery."""
+    m = decode_image(content)
+    if m.get("format") != "ppm":
+        raise NotImplementedError("dhash64 requires a natively-decoded P6 payload")
+    w, h, px = m["width"], m["height"], m["pixels"]
+
+    def gray(x: int, y: int) -> int:
+        o = 3 * (y * w + x)
+        return (px[o] + px[o + 1] + px[o + 2]) // 3
+
+    sig = 0
+    for y in range(8):
+        sy = y * h // 8
+        row = [gray(x * w // 9, sy) for x in range(9)]
+        for x in range(8):
+            if row[x + 1] > row[x]:
+                sig |= 1 << (y * 8 + x)
+    if sig >= 1 << 63:
+        sig -= 1 << 64
+    return sig
+
+
+def dhash_signatures(media: DataFrame) -> DataFrame:
+    """(_id, simhash) — dHash signatures for a binary media frame via
+    Arrow-batched mapInPandas (decode is per-row independent: no
+    shuffle). Column names match dedup.simhash_signatures' output so
+    dedup.simhash_near_pairs consumes it unchanged — perceptual
+    near-dup pairs are then banded-Hamming candidates + exact
+    bit_count verify, never an all-pairs scan."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["media_id"].astype("int64"),
+                    "simhash": pdf["content"].map(dhash64).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, "_id LONG, simhash LONG")
+
+
+def _ppm_img_params(text: str) -> tuple[int, int, bytes]:
+    """(width, height, 16-byte pixel pattern) for the dHash fixtures:
+    width is ODD (9..127) so the tiled pattern's byte offset
+    3*(y*w+x) mod 16 varies BY ROW (3w odd => invertible mod 16) —
+    the _ppm_params multiple-of-16 widths would make every row
+    sample identical grays and collapse the dHash to 8 repeated
+    bytes (256 effective values => spurious cross-doc collisions)."""
+    h = hashlib.md5(f"ppi:{text}".encode()).hexdigest()
+    width = 9 + 2 * (int(h[:2], 16) % 60)
+    height = 8 + int(h[2:4], 16) % 24
+    pattern = hashlib.md5(f"pxi:{text}".encode()).digest()
+    return width, height, pattern
+
+
+def synth_ppm_img(text: str) -> bytes:
+    """A GENUINE P6 payload with md5-derived odd width and a 16-byte
+    pixel pattern tiled over the plane (see _ppm_img_params) — every
+    pixel value is a closed-form function of (x, y), so a SQL oracle
+    can state the exact dHash."""
+    w, h, pattern = _ppm_img_params(text)
+    n = 3 * w * h
+    plane = pattern * (n // 16 + 1)
+    return f"P6\n{w} {h}\n255\n".encode() + plane[:n]
+
+
+def attach_ppm_pair(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """TWO real image rows per doc: media_id 2*id = the base P6
+    payload (synth_ppm_img), media_id 2*id+1 = its REAL 2x
+    nearest-neighbor upscale (resize_ppm) — a planted near-identical
+    image pair per document, the fixture a perceptual-dedup operator
+    must surface. The variant goes through the actual resize kernel,
+    so a downstream dHash match certifies the whole
+    synthesize->resize->decode->hash chain, not an assumed identity."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            base = pdf["_txt"].map(synth_ppm_img)
+
+            def upscaled(b: bytes) -> bytes:
+                m = decode_image(b)
+                return resize_ppm(b, 2 * m["width"], 2 * m["height"])
+
+            out = pd.DataFrame(
+                {
+                    "media_id": pd.concat(
+                        [2 * pdf["_mid"], 2 * pdf["_mid"] + 1], ignore_index=True
+                    ).astype("int64"),
+                    "modality": "image",
+                    "mime": "image/x-portable-pixmap",
+                    "content": pd.concat(
+                        [base, base.map(upscaled)], ignore_index=True
+                    ),
+                }
+            )
+            yield out
+
+    src = docs.select(
+        F.col(id_col).cast("long").alias("_mid"), F.col(text_col).alias("_txt")
+    )
+    return src.mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def fake_decode_meta(content: bytes) -> tuple[int, int, int]:

@@ -531,6 +531,10 @@ def dsir_logratio_weights(
     # codebook shape (train once, read by every consumer); ``target``
     # may be None then. Must have been built with the SAME buckets/
     # salt/bigrams or the hashes will not line up.
+    if weights is None and target is None:
+        raise ValueError(
+            "dsir_logratio_weights: pass target (to train) or weights (pretrained)"
+        )
     wdf = (
         weights
         if weights is not None

@@ -1412,14 +1412,15 @@ def dimension_stats(
 
     Exactness: components quantize to integers (round(x * quantize)),
     so count / sum / sum-of-squares / min / max are all exact integer
-    aggregates; the population variance numerator n*Sxx - Sx^2 is an
-    exact BIGINT, and the only float ops are one division per stat and
-    one correctly-rounded sqrt — IEEE-identical on both engines, which
-    is what lets the DuckDB twin hash-match. BIGINT headroom: |x_q| <=
-    Q * max|x| (~Q for unit-normalized embeddings), and n*Sxx <=
-    n^2 * max|x_q|^2 must stay under 2^63 — ~3e6 rows per dim at
-    Q=1000 and unit components; past that, lift Sx/Sxx to
-    DECIMAL(38,0) (same plan, wider partials).
+    aggregates; the Sx/Sxx partials are widened to DECIMAL(38,0)
+    (round-11, same fix class as ts_bollinger) so the population
+    variance numerator n*Sxx - Sx^2 stays exact far past the BIGINT
+    ceiling (~3e6 rows/dim at Q=1000) — at 100-TB scale (n ~ 1e12,
+    |x_q| ~ Q) n*Sxx <= 1e30, comfortably inside DECIMAL(38,0). The
+    only float ops are one division per stat and one correctly-rounded
+    sqrt — IEEE-identical on both engines, which is what lets the
+    DuckDB twin hash-match. Plan shape is unchanged: still one hash
+    aggregate, just wider partials.
 
     Scale shape: one posexplode (rows x dims, computed in the scan) and
     one groupBy(dim) with map-side partial aggregation — the shuffle
@@ -1428,13 +1429,13 @@ def dimension_stats(
     q = vectors.select(quantized(F.col(vec_col), quantize).alias("v"))
     exploded = q.select(F.posexplode("v").alias("i", "x"))
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
-    var_num = (n * sxx - sx * sx).cast("double")
+    var_num = (n.cast("decimal(38,0)") * sxx - sx * sx).cast("double")
     return (
         exploded.groupBy((F.col("i") + 1).cast("int").alias("dim"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
             F.min("x").alias("mn"),
             F.max("x").alias("mx"),
         )

