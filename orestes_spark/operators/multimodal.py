@@ -604,6 +604,313 @@ def attach_ppm_pair(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return src.mapInPandas(batches, MEDIA_SCHEMA)
 
 
+def _video_params(text: str) -> tuple[int, int, int]:
+    """(n_frames, width, height) for the synthetic video fixtures:
+    2-4 frames, constant odd width (the dHash row-variation argument
+    of _ppm_img_params), md5-derived."""
+    h = hashlib.md5(f"pvd:{text}".encode()).hexdigest()
+    n_frames = 2 + int(h[:2], 16) % 3
+    width = 9 + 2 * (int(h[2:4], 16) % 60)
+    height = 8 + int(h[4:6], 16) % 24
+    return n_frames, width, height
+
+
+def synth_video(text: str) -> bytes:
+    """A GENUINE multi-frame container: ``PV<n>\\n`` then n complete
+    P6 payloads back to back (each self-sizing via its own header).
+    Frame k's pixel plane tiles the 16-byte pattern
+    md5('pvf:<text>:<k>'), so every frame's dHash is stateable in
+    closed form by a SQL oracle."""
+    n, w, h = _video_params(text)
+    parts = [f"PV{n}\n".encode()]
+    plane_len = 3 * w * h
+    for k in range(n):
+        pattern = hashlib.md5(f"pvf:{text}:{k}".encode()).digest()
+        plane = (pattern * (plane_len // 16 + 1))[:plane_len]
+        parts.append(f"P6\n{w} {h}\n255\n".encode() + plane)
+    return b"".join(parts)
+
+
+def decode_video(content: bytes) -> list[bytes]:
+    """REAL container demux: parse the ``PV<n>`` header, then walk the
+    concatenated P6 frames by decoding each frame's own header for its
+    plane size — returns the list of standalone P6 payloads. Raises on
+    anything that is not this container (real codecs need a library,
+    same stance as decode_image/decode_audio)."""
+    if content[:2] != b"PV":
+        raise NotImplementedError(
+            "video decode without a codec library supports the PV/P6"
+            " concatenation container only"
+        )
+    head, _, rest = content.partition(b"\n")
+    n = int(head[2:])
+    frames: list[bytes] = []
+    off = 0
+    for _ in range(n):
+        if rest[off : off + 2] != b"P6":
+            raise ValueError(f"PV container corrupt at offset {off}")
+        p1 = rest.index(b"\n", off) + 1
+        p2 = rest.index(b"\n", p1) + 1
+        p3 = rest.index(b"\n", p2) + 1
+        w, h = (int(x) for x in rest[p1:p2].split())
+        end = p3 + 3 * w * h
+        frames.append(bytes(rest[off:end]))
+        off = end
+    if off != len(rest):
+        raise ValueError("PV container has trailing bytes")
+    return frames
+
+
+def attach_video_pair(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """TWO real video rows per doc: media_id 2*id = the base PV
+    container (synth_video), 2*id+1 = the variant with EVERY frame
+    2x-upscaled through the real resize kernel — the planted
+    near-identical video pair a perceptual video dedup must surface."""
+
+    def upscaled(b: bytes) -> bytes:
+        frames = decode_video(b)
+        out = [f"PV{len(frames)}\n".encode()]
+        for fr in frames:
+            m = decode_image(fr)
+            out.append(resize_ppm(fr, 2 * m["width"], 2 * m["height"]))
+        return b"".join(out)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            base = pdf["_txt"].map(synth_video)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.concat(
+                        [2 * pdf["_mid"], 2 * pdf["_mid"] + 1], ignore_index=True
+                    ).astype("int64"),
+                    "modality": "video",
+                    "mime": "video/x-pv",
+                    "content": pd.concat(
+                        [base, base.map(upscaled)], ignore_index=True
+                    ),
+                }
+            )
+
+    src = docs.select(
+        F.col(id_col).cast("long").alias("_mid"), F.col(text_col).alias("_txt")
+    )
+    return src.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def video_frame_dhash(media: DataFrame) -> DataFrame:
+    """(media_id, frame_idx, simhash) — demux each PV container and
+    dHash every frame's ACTUAL decoded pixels inside mapInPandas (one
+    exploded row per frame; per-row independent, no shuffle). The
+    video twin of dhash_signatures."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids: list[int] = []
+            idxs: list[int] = []
+            sigs: list[int] = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for k, fr in enumerate(decode_video(bytes(content))):
+                    mids.append(int(mid))
+                    idxs.append(k)
+                    sigs.append(dhash64(fr))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "simhash": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        batches, "media_id LONG, frame_idx INT, simhash LONG"
+    )
+
+
+def aligned_near_pairs(
+    rows: DataFrame,
+    idx_col: str,
+    sig_col: str,
+    min_matched: int = 2,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """(id_a, id_b, n_matched) — media pairs whose ALIGNED units
+    (video frames, audio envelope windows, ...) share >=
+    ``min_matched`` identical signatures. The candidate stage is one
+    equi-SELF-JOIN on (idx, signature) — signature equality IS the
+    band, so there is never an all-pairs stage; ``max_bucket`` drops
+    degenerate buckets (e.g. a black frame / silent window shared by
+    millions of files) before the join, the simhash_near_pairs
+    stop-key discipline (default never triggers at test scale, so the
+    oracle twins stay exact)."""
+    f = rows.select("media_id", idx_col, sig_col)
+    if max_bucket is not None:
+        sizes = f.groupBy(idx_col, sig_col).agg(F.count(F.lit(1)).alias("_bn"))
+        keep = sizes.where(
+            (F.col("_bn") > 1) & (F.col("_bn") <= max_bucket)
+        ).select(idx_col, sig_col)
+        f = f.join(keep, [idx_col, sig_col], "left_semi")
+    a, b = f.alias("a"), f.alias("b")
+    return (
+        a.join(b, [idx_col, sig_col])
+        .where(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .where(F.col("n_matched") >= min_matched)
+    )
+
+
+def video_near_pairs(
+    frames: DataFrame, min_frames: int = 2, max_bucket: int = 10_000
+) -> DataFrame:
+    """Video pairs sharing >= ``min_frames`` aligned frame dHashes —
+    the frame-level perceptual dedup every multimodal pipeline runs
+    on video (a re-encoded/upscaled copy matches frame for frame;
+    unrelated videos share none). See aligned_near_pairs."""
+    return aligned_near_pairs(frames, "frame_idx", "simhash", min_frames, max_bucket)
+
+
+def _wav_seg_params(text: str) -> tuple[int, list[int]]:
+    """(n_segments, [segment amplitudes]) for the audio near-dup
+    fixtures: 3-5 segments of SEG_FRAMES frames each, per-segment
+    amplitude md5-derived — the loudness ENVELOPE is the perceptual
+    identity; waveform micro-structure (square-wave period) is not."""
+    s = 3 + int(hashlib.md5(f"wsn:{text}".encode()).hexdigest()[:2], 16) % 3
+    amps = [
+        1000 + int(hashlib.md5(f"wa:{text}:{k}".encode()).hexdigest()[:4], 16) % 30000
+        for k in range(s)
+    ]
+    return s, amps
+
+
+SEG_FRAMES = 400  # envelope window = segment length, exact integer RMS
+
+
+def synth_wav_segments(text: str, half_salt: str = "h1") -> bytes:
+    """A GENUINE 16-bit PCM mono WAV of n_segments x SEG_FRAMES
+    frames: segment k is a pure +-amp_k square wave whose HALF-PERIOD
+    derives from (half_salt, text) — two renders with different
+    half_salt have different sample bytes but the IDENTICAL per-window
+    RMS envelope (every sample is +-amp_k), which is exactly the
+    invariance an envelope fingerprint must capture."""
+    import io
+    import struct as _struct
+    import wave
+
+    _, amps = _wav_seg_params(text)
+    half = 2 + int(hashlib.md5(f"wh{half_salt}:{text}".encode()).hexdigest()[:2], 16) % 14
+    frames = b"".join(
+        _struct.pack("<h", amp if (i // half) % 2 == 0 else -amp)
+        for amp in amps
+        for i in range(SEG_FRAMES)
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def attach_wav_pair(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """TWO real audio rows per doc: media_id 2*id and 2*id+1 are the
+    SAME loudness envelope rendered with different square-wave
+    periods (different bytes, same perceptual profile) — the planted
+    near-identical audio pair an envelope dedup must surface."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.concat(
+                        [2 * pdf["_mid"], 2 * pdf["_mid"] + 1], ignore_index=True
+                    ).astype("int64"),
+                    "modality": "audio",
+                    "mime": "audio/x-wav",
+                    "content": pd.concat(
+                        [
+                            pdf["_txt"].map(lambda t: synth_wav_segments(t, "h1")),
+                            pdf["_txt"].map(lambda t: synth_wav_segments(t, "h2")),
+                        ],
+                        ignore_index=True,
+                    ),
+                }
+            )
+
+    src = docs.select(
+        F.col(id_col).cast("long").alias("_mid"), F.col(text_col).alias("_txt")
+    )
+    return src.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def audio_envelope(media: DataFrame, window_frames: int = SEG_FRAMES) -> DataFrame:
+    """(media_id, win_idx, rms) — the loudness-envelope fingerprint
+    from REAL decoded PCM: integer RMS (isqrt(sum(s^2)//len)) per
+    ``window_frames`` window, one exploded row per window, computed
+    inside mapInPandas (per-row independent, no shuffle). The audio
+    twin of video_frame_dhash; feed aligned_near_pairs for near-dup
+    detection."""
+    import io
+    import math
+    import sys as _sys
+    import wave
+
+    def env_of(content: bytes) -> list[int]:
+        if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+            raise NotImplementedError(
+                "audio decode without a codec library supports WAV (RIFF) only"
+            )
+        with wave.open(io.BytesIO(content), "rb") as w:
+            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                raise NotImplementedError("audio_envelope: 16-bit mono PCM only")
+            raw = w.readframes(w.getnframes())
+        import array as _array
+
+        samples = _array.array("h")
+        samples.frombytes(raw)
+        if _sys.byteorder == "big":  # pragma: no cover - platform guard
+            samples.byteswap()
+        out = []
+        for off in range(0, len(samples), window_frames):
+            win = samples[off : off + window_frames]
+            out.append(int(math.isqrt(sum(s * s for s in win) // len(win))))
+        return out
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids: list[int] = []
+            idxs: list[int] = []
+            rms: list[int] = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for k, r in enumerate(env_of(bytes(content))):
+                    mids.append(int(mid))
+                    idxs.append(k)
+                    rms.append(r)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int32"),
+                    "rms": pd.Series(rms, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, "media_id LONG, win_idx INT, rms LONG")
+
+
+def audio_near_pairs(
+    env: DataFrame, min_windows: int = 2, max_bucket: int = 10_000
+) -> DataFrame:
+    """Audio pairs sharing >= ``min_windows`` aligned envelope-window
+    RMS values — near-dup detection robust to waveform micro-structure
+    (re-rendered copies match window for window; unrelated audio
+    shares none). See aligned_near_pairs."""
+    return aligned_near_pairs(env, "win_idx", "rms", min_windows, max_bucket)
+
+
 def fake_decode_meta(content: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for decode: md5-derived (width, height,
     duration_ms). Matches the SQL-expressible oracle."""

@@ -811,6 +811,92 @@ WHERE bit_count(xor(a.dh, b.dh)) <= {max_hamming}
 """
 
 
+def video_pairs_sql(min_frames: int = 2) -> str:
+    """Closed-form twin of multimodal.video_frame_dhash +
+    video_near_pairs over attach_video_pair payloads: per-frame tiled
+    patterns make every frame's dHash stateable from md5 substrings
+    (the phash_pairs_sql cell math, keyed by (doc, frame)); the
+    2x-upscaled variant hashes identically per frame by the floor
+    identity, which the Spark side proves by actually resizing and
+    re-demuxing. Candidates are (frame_idx, dh) equality — stated
+    directly here, exactly the operator's join key."""
+    return f"""
+WITH m AS (SELECT doc_id, text, md5('pvd:' || text) AS h FROM documents),
+p AS (SELECT doc_id, text,
+        2 + CAST('0x' || substr(h, 1, 2) AS BIGINT) % 3 AS nf,
+        9 + 2 * (CAST('0x' || substr(h, 3, 2) AS BIGINT) % 60) AS w,
+        8 + CAST('0x' || substr(h, 5, 2) AS BIGINT) % 24 AS ht
+      FROM m),
+fr AS (SELECT doc_id, w, ht, u.k AS k,
+              md5('pvf:' || text || ':' || CAST(u.k AS VARCHAR)) AS hp
+       FROM p, (SELECT UNNEST(generate_series(0, 3)) AS k) u
+       WHERE u.k < nf),
+cells AS (
+  SELECT doc_id, k, hp, gx.x AS x, gy.y AS y,
+         3 * ((y * ht // 8) * w + (x * w // 9)) AS o
+  FROM fr, (SELECT UNNEST(generate_series(0, 8)) AS x) gx,
+       (SELECT UNNEST(generate_series(0, 7)) AS y) gy),
+grays AS (
+  SELECT doc_id, k, x, y,
+         (CAST('0x' || substr(hp, 2 * ((o) % 16) + 1, 2) AS BIGINT)
+        + CAST('0x' || substr(hp, 2 * ((o + 1) % 16) + 1, 2) AS BIGINT)
+        + CAST('0x' || substr(hp, 2 * ((o + 2) % 16) + 1, 2) AS BIGINT)) // 3 AS g
+  FROM cells),
+bits AS (
+  SELECT a.doc_id, a.k, a.y * 8 + a.x AS i
+  FROM grays a JOIN grays b
+    ON b.doc_id = a.doc_id AND b.k = a.k AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8 AND b.g > a.g),
+sig0 AS (
+  SELECT fr.doc_id, fr.k,
+         CAST(coalesce(sum(CASE WHEN i = 63 THEN -9223372036854775808
+                                ELSE (CAST(1 AS BIGINT) << i) END), 0)
+              AS BIGINT) AS dh
+  FROM fr LEFT JOIN bits ON bits.doc_id = fr.doc_id AND bits.k = fr.k
+  GROUP BY fr.doc_id, fr.k),
+sig AS (SELECT 2 * doc_id AS mid, k, dh FROM sig0
+        UNION ALL
+        SELECT 2 * doc_id + 1 AS mid, k, dh FROM sig0),
+matched AS (
+  SELECT a.mid AS id_a, b.mid AS id_b, count(*) AS nm
+  FROM sig a JOIN sig b ON b.k = a.k AND b.dh = a.dh AND a.mid < b.mid
+  GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(nm AS BIGINT) AS n_matched
+FROM matched WHERE nm >= {min_frames}
+"""
+
+
+def audio_pairs_sql(min_windows: int = 2) -> str:
+    """Closed-form twin of multimodal.audio_envelope +
+    audio_near_pairs over attach_wav_pair payloads: each segment is a
+    pure +-amp square wave, so the per-window integer RMS is EXACTLY
+    the md5-derived segment amplitude — both renders (different
+    square-wave periods, different bytes) state the identical
+    envelope, which the Spark side proves by actually decoding the
+    PCM of both."""
+    return f"""
+WITH m AS (SELECT doc_id, text, md5('wsn:' || text) AS h FROM documents),
+p AS (SELECT doc_id, text,
+        3 + CAST('0x' || substr(h, 1, 2) AS BIGINT) % 3 AS s
+      FROM m),
+seg AS (SELECT doc_id, u.k AS k,
+        1000 + CAST('0x' || substr(
+            md5('wa:' || text || ':' || CAST(u.k AS VARCHAR)), 1, 4)
+          AS BIGINT) % 30000 AS amp
+        FROM p, (SELECT UNNEST(generate_series(0, 4)) AS k) u
+        WHERE u.k < s),
+env AS (SELECT 2 * doc_id AS mid, k, amp FROM seg
+        UNION ALL
+        SELECT 2 * doc_id + 1 AS mid, k, amp FROM seg),
+matched AS (
+  SELECT a.mid AS id_a, b.mid AS id_b, count(*) AS nm
+  FROM env a JOIN env b ON b.k = a.k AND b.amp = a.amp AND a.mid < b.mid
+  GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(nm AS BIGINT) AS n_matched
+FROM matched WHERE nm >= {min_windows}
+"""
+
+
 def audio_quality_sql(clip_thresh: int = 30000) -> str:
     """Closed-form twin of multimodal.audio_quality over synth_wav_q
     payloads: lead silence + pure +-amp square wave + trail silence

@@ -2388,6 +2388,42 @@ def multimodal_phash_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(sig, max_hamming=3, bits=64, band_bits=16)
 
 
+@register("multimodal_video_pairs", oracles.video_pairs_sql())
+def multimodal_video_pairs(spark, sf_dir):
+    """Video near-dup pairs by per-frame perceptual hash (round-11):
+    real multi-frame PV/P6 containers per doc plus their REAL
+    frame-by-frame 2x upscales (attach_video_pair), demuxed and
+    dHashed from actually-decoded pixels (video_frame_dhash), then
+    pairs sharing >= 2 aligned frame hashes (video_near_pairs — the
+    (frame_idx, hash) equality join IS the band, no all-pairs stage).
+    Every planted base/upscale pair surfaces with n_matched =
+    n_frames; exact-dup texts pair across docs; unrelated videos
+    share nothing."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_video_pair(d, "doc_id", "text")
+    return multimodal.video_near_pairs(
+        multimodal.video_frame_dhash(media), min_frames=2
+    )
+
+
+@register("multimodal_audio_pairs", oracles.audio_pairs_sql())
+def multimodal_audio_pairs(spark, sf_dir):
+    """Audio near-dup pairs by loudness-envelope fingerprint
+    (round-11, completing the per-modality dedup family: text
+    MinHash/SimHash/span, image dHash, video frame-dHash, audio
+    envelope): each doc gets TWO real PCM renders of the same
+    segment-amplitude profile with different waveform micro-structure
+    (attach_wav_pair); audio_envelope computes integer per-window RMS
+    from the ACTUAL decoded samples; aligned_near_pairs surfaces
+    pairs sharing >= 2 aligned windows — the planted re-render pairs
+    match on every window, unrelated audio on none."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_wav_pair(d, "doc_id", "text")
+    return multimodal.audio_near_pairs(
+        multimodal.audio_envelope(media), min_windows=2
+    )
+
+
 @register("multimodal_audio_quality", oracles.audio_quality_sql())
 def multimodal_audio_quality(spark, sf_dir):
     """Audio-quality gates from REAL decoded PCM (round-11, VERDICT

@@ -277,3 +277,61 @@ def test_audio_quality_planted_fixtures(spark):
     assert q["n_samples"] == lead + active + trail
     assert q["clipped"] == (active if amp >= 30000 else 0)
     assert q["lead_ms"] == lead * 1000 // rate
+
+
+def test_video_container_demux_and_frame_dhash(spark):
+    """The PV/P6 container round-trips: synth -> demux yields n
+    self-sizing P6 frames; a frame-by-frame 2x upscale matches per
+    frame on dHash; corrupt containers fail loudly; the end-to-end
+    pair query shape surfaces every planted base/variant pair with
+    n_matched = n_frames and no unrelated cross pair."""
+    import pytest
+
+    v = multimodal.synth_video("some video doc")
+    n, w, h = multimodal._video_params("some video doc")
+    frames = multimodal.decode_video(v)
+    assert len(frames) == n
+    for fr in frames:
+        m = multimodal.decode_image(fr)
+        assert (m["width"], m["height"]) == (w, h)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_video(b"\x00\x00\x01\xba mpeg needs a codec")
+    with pytest.raises(ValueError, match="trailing"):
+        multimodal.decode_video(v + b"junk")
+
+    docs = spark.createDataFrame(
+        [(i, f"video document {i} {'x ' * i}") for i in range(5)],
+        "doc_id LONG, text STRING",
+    )
+    media = multimodal.attach_video_pair(docs, "doc_id", "text")
+    pairs = multimodal.video_near_pairs(
+        multimodal.video_frame_dhash(media), min_frames=2
+    )
+    got = {(r["id_a"], r["id_b"]): r["n_matched"] for r in pairs.collect()}
+    for i in range(5):
+        nf = multimodal._video_params(f"video document {i} {'x ' * i}")[0]
+        assert got.get((2 * i, 2 * i + 1)) == nf
+    assert not {k for k in got if k[0] // 2 != k[1] // 2}
+
+
+def test_audio_envelope_near_dup_pairs(spark):
+    """Audio near-dup by envelope fingerprint: two renders of the
+    same loudness profile with different waveform periods have
+    different BYTES but identical integer per-window RMS, so every
+    planted pair surfaces on all windows; unrelated audio shares
+    none."""
+    t = "an audio doc"
+    a = multimodal.synth_wav_segments(t, "h1")
+    b = multimodal.synth_wav_segments(t, "h2")
+    assert a != b  # genuinely different samples
+    docs = spark.createDataFrame(
+        [(i, f"audio doc number {i}") for i in range(5)],
+        "doc_id LONG, text STRING",
+    )
+    media = multimodal.attach_wav_pair(docs, "doc_id", "text")
+    pairs = multimodal.audio_near_pairs(multimodal.audio_envelope(media))
+    got = {(r["id_a"], r["id_b"]): r["n_matched"] for r in pairs.collect()}
+    for i in range(5):
+        nf = multimodal._wav_seg_params(f"audio doc number {i}")[0]
+        assert got.get((2 * i, 2 * i + 1)) == nf
+    assert not {k for k in got if k[0] // 2 != k[1] // 2}

@@ -2058,3 +2058,73 @@ def test_text_gate_retrain_if_trigger_noop_and_recovery(spark, tmp_path):
         [(7, "nova comet nebula"), (8, "quasar meteor pulsar nova")], ddl), 3)
     kept = sorted(r["doc_id"] for r in spark.read.parquet(f"{store}/docs").collect())
     assert 7 in kept and 8 in kept
+
+
+def test_text_gate_retrain_if_ppl_and_quality_paths(spark, tmp_path):
+    """The drift trigger's OTHER two artifact paths (round-11): a
+    shifted corpus under the frozen bigram LM (all-OOV → ceiling
+    drops) and under the frozen NB quality model both trigger on
+    measured acceptance, retrain from current reference data with the
+    config read from the OLD artifact (featurization can't silently
+    change), and atomically swap — the bigram_lm swap moves the whole
+    three-frame directory as a unit."""
+    from orestes_spark.streaming.ingest import (
+        make_corpus_batch_processor,
+        prepare_ppl_gate,
+        prepare_quality_gate,
+        text_gate_retrain_if,
+    )
+
+    ddl = "doc_id LONG, text STRING"
+    ref_a = "the cat sat on the mat and the dog ran to the cat on the mat"
+    ref_b = "nova quasar comet nova pulsar comet nova quasar comet nova"
+
+    # --- ppl path ---
+    store = str(tmp_path / "ppl_drift")
+    target_a = spark.createDataFrame([(100 + i, ref_a) for i in range(5)], ddl)
+    prepare_ppl_gate(target_a, store, vocab_size=16)
+    process = make_corpus_batch_processor(store, ppl_ceiling=2.0)
+    process(spark.createDataFrame(
+        [(1, "nova quasar comet nova"), (2, "comet nova pulsar comet quasar")],
+        ddl), 0)
+    assert spark.read.parquet(f"{store}/docs").count() == 0  # all dropped
+    res = text_gate_retrain_if(spark, store, accept_floor=0.5, window=2)
+    assert res["ppl"]["rate"] == 0.0 and res["ppl"]["triggered"]
+    assert not res["ppl"]["retrained"]  # no source supplied
+    target_b = spark.createDataFrame([(200 + i, ref_b) for i in range(5)], ddl)
+    res = text_gate_retrain_if(spark, store, accept_floor=0.5, window=2, ppl=target_b)
+    assert res["ppl"]["retrained"]
+    # vocab_size carried from the old artifact: 16 + 1 fallback rows
+    assert spark.read.parquet(f"{store}/bigram_lm/fb").count() == 17
+    process(spark.createDataFrame(
+        [(3, "nova quasar comet nova pulsar")], ddl), 1)
+    kept = [r["doc_id"] for r in spark.read.parquet(f"{store}/docs").collect()]
+    assert kept == [3]  # recovery under the retrained LM
+
+    # --- quality (NB classifier) path ---
+    qstore = str(tmp_path / "q_drift")
+    docs = spark.createDataFrame(
+        [(i, ref_a + f" v{i}") for i in range(6)]
+        + [(10 + i, ref_b + f" w{i}") for i in range(6)], ddl)
+    labels = spark.createDataFrame(
+        [(i, True) for i in range(6)] + [(10 + i, False) for i in range(6)],
+        "doc_id LONG, label BOOLEAN",
+    )
+    prepare_quality_gate(docs, labels, qstore, buckets=512, salt="qdrift")
+    qproc = make_corpus_batch_processor(qstore, quality_floor=0.0)
+    qproc(spark.createDataFrame(
+        [(20, "nova quasar comet pulsar"), (21, "comet pulsar nova quasar nova")],
+        ddl), 0)
+    assert spark.read.parquet(f"{qstore}/docs").count() == 0
+    flipped = labels.select("doc_id", (~labels["label"]).alias("label"))
+    res = text_gate_retrain_if(
+        spark, qstore, accept_floor=0.5, window=1, quality=(docs, flipped)
+    )
+    assert res["quality"]["triggered"] and res["quality"]["retrained"]
+    # featurization pinned from the old artifact
+    m = spark.read.parquet(f"{qstore}/quality_model").select("nb", "salt").first()
+    assert (m["nb"], m["salt"]) == (512, "qdrift")
+    qproc(spark.createDataFrame(
+        [(22, "nova quasar comet pulsar nebula")], ddl), 1)
+    kept = [r["doc_id"] for r in spark.read.parquet(f"{qstore}/docs").collect()]
+    assert kept == [22]
