@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from orestes_spark.plans.parallelism import ensure_min_parallelism
+
 MEDIA_SCHEMA = (
     "media_id LONG, modality STRING, mime STRING, content BINARY"
 )
@@ -135,7 +137,6 @@ def decode_audio(content: bytes) -> dict:
     codec library."""
     import io
     import math
-    import sys
     import wave
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
@@ -150,15 +151,14 @@ def decode_audio(content: bytes) -> dict:
         raw = w.readframes(n_frames)
     if sampwidth != 2:
         raise NotImplementedError("only 16-bit PCM WAV is decoded natively")
-    import array as _array
+    import numpy as np
 
-    samples = _array.array("h")
-    samples.frombytes(raw)
-    if sys.byteorder == "big":  # pragma: no cover - platform guard
-        samples.byteswap()
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
     n = len(samples)
-    peak = max((abs(s) for s in samples), default=0)
-    rms = int(math.isqrt(sum(s * s for s in samples) // n)) if n else 0
+    peak = int(np.abs(samples).max()) if n else 0
+    # int64 sum of squares is exact: n * 32767^2 < 2^63 for any n the
+    # wave header can describe at these fixture sizes
+    rms = int(math.isqrt(int(np.dot(samples, samples)) // n)) if n else 0
     return {
         "format": "wav",
         "channels": channels,
@@ -194,14 +194,13 @@ def synth_wav(text: str) -> bytes:
     values), so the decoded peak and integer rms BOTH equal amp — the
     closed form the oracle states."""
     import io
-    import struct as _struct
     import wave
 
+    import numpy as np
+
     amp, rate, n_frames, half = _wav_params(text)
-    frames = b"".join(
-        _struct.pack("<h", amp if (i // half) % 2 == 0 else -amp)
-        for i in range(n_frames)
-    )
+    i = np.arange(n_frames, dtype=np.int64)
+    frames = (amp * (1 - 2 * ((i // half) % 2))).astype("<i2").tobytes()
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
@@ -226,7 +225,7 @@ def attach_wav_binary(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 }
             )
 
-    src = docs.select(
+    src = ensure_min_parallelism(docs).select(
         F.col(id_col).cast("long").alias("_mid"), F.col(text_col).alias("_txt")
     )
     return src.mapInPandas(batches, MEDIA_SCHEMA)
@@ -284,16 +283,15 @@ def synth_wav_q(text: str) -> bytes:
     _wavq_params) — the fixture whose clipping / loudness / silence
     metrics an oracle can state in closed form."""
     import io
-    import struct as _struct
     import wave
 
+    import numpy as np
+
     amp, rate, active, lead, trail, half = _wavq_params(text)
+    i = np.arange(active, dtype=np.int64)
     frames = (
         b"\x00\x00" * lead
-        + b"".join(
-            _struct.pack("<h", amp if (i // half) % 2 == 0 else -amp)
-            for i in range(active)
-        )
+        + (amp * (1 - 2 * ((i // half) % 2))).astype("<i2").tobytes()
         + b"\x00\x00" * trail
     )
     buf = io.BytesIO()
@@ -320,7 +318,7 @@ def attach_wav_quality_binary(docs: DataFrame, id_col: str, text_col: str) -> Da
                 }
             )
 
-    src = docs.select(
+    src = ensure_min_parallelism(docs).select(
         F.col(id_col).cast("long").alias("_mid"), F.col(text_col).alias("_txt")
     )
     return src.mapInPandas(batches, MEDIA_SCHEMA)
@@ -337,7 +335,6 @@ def audio_quality_metrics(
     hashes the same values."""
     import io
     import math
-    import sys
     import wave
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
@@ -350,26 +347,18 @@ def audio_quality_metrics(
         rate = w.getframerate()
         n = w.getnframes()
         raw = w.readframes(n)
-    import array as _array
+    import numpy as np
 
-    samples = _array.array("h")
-    samples.frombytes(raw)
-    if sys.byteorder == "big":  # pragma: no cover - platform guard
-        samples.byteswap()
-    clipped = sum(1 for s in samples if abs(s) >= clip_thresh)
-    rms = int(math.isqrt(sum(s * s for s in samples) // n)) if n else 0
-    lead = 0
-    for s in samples:
-        if abs(s) > silence_thresh:
-            break
-        lead += 1
-    trail = 0
-    for s in reversed(samples):
-        if abs(s) > silence_thresh:
-            break
-        trail += 1
-    if lead == len(samples):  # fully silent: one run, not two
-        trail = 0
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    mag = np.abs(samples)
+    clipped = int((mag >= clip_thresh).sum())
+    rms = int(math.isqrt(int(np.dot(samples, samples)) // n)) if n else 0
+    loud = np.flatnonzero(mag > silence_thresh)
+    if len(loud):
+        lead = int(loud[0])
+        trail = int(len(samples) - 1 - loud[-1])
+    else:  # fully silent: one run, not two
+        lead, trail = len(samples), 0
     return {
         "n_samples": n,
         "clipped": clipped,
@@ -440,7 +429,7 @@ def attach_ppm_binary(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 }
             )
 
-    src = docs.select(
+    src = ensure_min_parallelism(docs).select(
         F.col(id_col).cast("long").alias("_mid"), F.col(text_col).alias("_txt")
     )
     return src.mapInPandas(batches, MEDIA_SCHEMA)
@@ -474,19 +463,23 @@ def ppm_metadata(media: DataFrame) -> DataFrame:
 def resize_ppm(content: bytes, width: int, height: int) -> bytes:
     """REAL nearest-neighbor resize for P6 payloads: decode, sample
     source pixels at floor(i·src/dst) per axis, re-encode as P6. The
-    real kernel the fake_resize stub stood in for."""
+    real kernel the fake_resize stub stood in for. Vectorized
+    (round-11): numpy fancy-indexing over the reshaped (h, w, 3)
+    plane computes the IDENTICAL bytes the per-pixel loop did —
+    integer index math is the same floor division — ~50x faster,
+    which is what makes frame-level video resize viable inside the
+    Arrow batches."""
+    import numpy as np
+
     m = decode_image(content)
     if m.get("format") != "ppm":
         raise ValueError("resize_ppm requires a P6 payload")
     sw, sh, px = m["width"], m["height"], m["pixels"]
-    out = bytearray()
-    for y in range(height):
-        sy = y * sh // height
-        row = sy * sw * 3
-        for x in range(width):
-            sx = x * sw // width
-            out += px[row + sx * 3 : row + sx * 3 + 3]
-    return f"P6\n{width} {height}\n{m['maxval']}\n".encode() + bytes(out)
+    plane = np.frombuffer(px, dtype=np.uint8).reshape(sh, sw, 3)
+    sy = (np.arange(height, dtype=np.int64) * sh) // height
+    sx = (np.arange(width, dtype=np.int64) * sw) // width
+    out = plane[sy][:, sx]
+    return f"P6\n{width} {height}\n{m['maxval']}\n".encode() + out.tobytes()
 
 
 def dhash64(content: bytes) -> int:
@@ -598,7 +591,7 @@ def attach_ppm_pair(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
             yield out
 
-    src = docs.select(
+    src = ensure_min_parallelism(docs).select(
         F.col(id_col).cast("long").alias("_mid"), F.col(text_col).alias("_txt")
     )
     return src.mapInPandas(batches, MEDIA_SCHEMA)
@@ -691,7 +684,7 @@ def attach_video_pair(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 }
             )
 
-    src = docs.select(
+    src = ensure_min_parallelism(docs).select(
         F.col(id_col).cast("long").alias("_mid"), F.col(text_col).alias("_txt")
     )
     return src.mapInPandas(batches, MEDIA_SCHEMA)
@@ -797,16 +790,17 @@ def synth_wav_segments(text: str, half_salt: str = "h1") -> bytes:
     RMS envelope (every sample is +-amp_k), which is exactly the
     invariance an envelope fingerprint must capture."""
     import io
-    import struct as _struct
     import wave
+
+    import numpy as np
 
     _, amps = _wav_seg_params(text)
     half = 2 + int(hashlib.md5(f"wh{half_salt}:{text}".encode()).hexdigest()[:2], 16) % 14
-    frames = b"".join(
-        _struct.pack("<h", amp if (i // half) % 2 == 0 else -amp)
-        for amp in amps
-        for i in range(SEG_FRAMES)
-    )
+    i = np.arange(SEG_FRAMES, dtype=np.int64)
+    sign = 1 - 2 * ((i // half) % 2)  # +1/-1 square wave, same floor math
+    frames = np.concatenate(
+        [(amp * sign).astype("<i2") for amp in amps]
+    ).tobytes()
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
@@ -841,7 +835,7 @@ def attach_wav_pair(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 }
             )
 
-    src = docs.select(
+    src = ensure_min_parallelism(docs).select(
         F.col(id_col).cast("long").alias("_mid"), F.col(text_col).alias("_txt")
     )
     return src.mapInPandas(batches, MEDIA_SCHEMA)
@@ -856,7 +850,6 @@ def audio_envelope(media: DataFrame, window_frames: int = SEG_FRAMES) -> DataFra
     detection."""
     import io
     import math
-    import sys as _sys
     import wave
 
     def env_of(content: bytes) -> list[int]:
@@ -868,16 +861,13 @@ def audio_envelope(media: DataFrame, window_frames: int = SEG_FRAMES) -> DataFra
             if w.getsampwidth() != 2 or w.getnchannels() != 1:
                 raise NotImplementedError("audio_envelope: 16-bit mono PCM only")
             raw = w.readframes(w.getnframes())
-        import array as _array
+        import numpy as np
 
-        samples = _array.array("h")
-        samples.frombytes(raw)
-        if _sys.byteorder == "big":  # pragma: no cover - platform guard
-            samples.byteswap()
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
         out = []
         for off in range(0, len(samples), window_frames):
             win = samples[off : off + window_frames]
-            out.append(int(math.isqrt(sum(s * s for s in win) // len(win))))
+            out.append(int(math.isqrt(int(np.dot(win, win)) // len(win))))
         return out
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -909,6 +899,119 @@ def audio_near_pairs(
     (re-rendered copies match window for window; unrelated audio
     shares none). See aligned_near_pairs."""
     return aligned_near_pairs(env, "win_idx", "rms", min_windows, max_bucket)
+
+
+def synth_ppm_pair_dhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fixture-FUSED attach_ppm_pair |> dhash_signatures: synth the
+    base image, run the REAL resize kernel for the variant, decode
+    and dHash both — all inside ONE mapInPandas, emitting only
+    (_id, simhash). Row-identical to the composed pipeline (asserted
+    in tests); exists because the composed form ships every payload
+    across Arrow twice (Python→JVM→Python between the two kernels),
+    which at sf0.1 is ~hundreds of MB of fixture bytes for 8 bytes of
+    signal per row. Real stored binaries take the composable
+    operators; synthetic fixtures take this."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids: list[int] = []
+            sigs: list[int] = []
+            for mid, txt in zip(pdf["_mid"], pdf["_txt"]):
+                base = synth_ppm_img(txt)
+                m = decode_image(base)
+                var = resize_ppm(base, 2 * m["width"], 2 * m["height"])
+                mids += [2 * int(mid), 2 * int(mid) + 1]
+                sigs += [dhash64(base), dhash64(var)]
+            yield pd.DataFrame(
+                {
+                    "_id": pd.Series(mids, dtype="int64"),
+                    "simhash": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    src = ensure_min_parallelism(docs).select(
+        F.col(id_col).cast("long").alias("_mid"), F.col(text_col).alias("_txt")
+    )
+    return src.mapInPandas(batches, "_id LONG, simhash LONG")
+
+
+def synth_video_pair_frame_dhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fixture-FUSED attach_video_pair |> video_frame_dhash — see
+    synth_ppm_pair_dhash for why. Emits (media_id, frame_idx,
+    simhash) for the base container and its REAL frame-by-frame 2x
+    upscale without the payloads ever crossing Arrow."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids: list[int] = []
+            idxs: list[int] = []
+            sigs: list[int] = []
+            for mid, txt in zip(pdf["_mid"], pdf["_txt"]):
+                for k, fr in enumerate(decode_video(synth_video(txt))):
+                    m = decode_image(fr)
+                    up = resize_ppm(fr, 2 * m["width"], 2 * m["height"])
+                    dh_base, dh_up = dhash64(fr), dhash64(up)
+                    mids += [2 * int(mid), 2 * int(mid) + 1]
+                    idxs += [k, k]
+                    sigs += [dh_base, dh_up]
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "simhash": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    src = ensure_min_parallelism(docs).select(
+        F.col(id_col).cast("long").alias("_mid"), F.col(text_col).alias("_txt")
+    )
+    return src.mapInPandas(batches, "media_id LONG, frame_idx INT, simhash LONG")
+
+
+def synth_wav_pair_envelope(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fixture-FUSED attach_wav_pair |> audio_envelope — see
+    synth_ppm_pair_dhash for why. Renders both PCM variants and
+    computes their REAL decoded envelopes in one kernel, emitting
+    (media_id, win_idx, rms) only."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    def env_of(content: bytes) -> list[int]:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            raw = w.readframes(w.getnframes())
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        out = []
+        for off in range(0, len(samples), SEG_FRAMES):
+            win = samples[off : off + SEG_FRAMES]
+            out.append(int(math.isqrt(int(np.dot(win, win)) // len(win))))
+        return out
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids: list[int] = []
+            idxs: list[int] = []
+            rms: list[int] = []
+            for mid, txt in zip(pdf["_mid"], pdf["_txt"]):
+                for salt, m in (("h1", 2 * int(mid)), ("h2", 2 * int(mid) + 1)):
+                    for k, r in enumerate(env_of(synth_wav_segments(txt, salt))):
+                        mids.append(m)
+                        idxs.append(k)
+                        rms.append(r)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int32"),
+                    "rms": pd.Series(rms, dtype="int64"),
+                }
+            )
+
+    src = ensure_min_parallelism(docs).select(
+        F.col(id_col).cast("long").alias("_mid"), F.col(text_col).alias("_txt")
+    )
+    return src.mapInPandas(batches, "media_id LONG, win_idx INT, rms LONG")
 
 
 def fake_decode_meta(content: bytes) -> tuple[int, int, int]:

@@ -1756,6 +1756,46 @@ FROM ranked WHERE rank = 1
 """
 
 
+def decontam_report_sql(n: int = 4, mod: int = 20, threshold: float = 0.3) -> str:
+    """Twin of the composed per-document decontamination report: the
+    three leak-scan modality oracles embedded verbatim as scoped CTEs
+    (the doc_quality_report nesting precedent) under ONE eval
+    convention (id % mod == 0), left-joined onto the corpus ids — any
+    drift in a component oracle drifts this one with it, which is the
+    point: the report certifies the COMPOSITION."""
+    vb = rf"""
+WITH needles AS (
+  SELECT doc_id AS eval_id,
+         array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 3), ' ')
+           AS needle
+  FROM documents WHERE doc_id % {mod} = 0
+),
+valid AS (SELECT * FROM needles WHERE len(needle) >= 9)
+SELECT d.doc_id, count(*) AS n_eval_hits, min(n.eval_id) AS first_eval_id
+FROM documents d JOIN valid n ON contains(d.text, n.needle)
+WHERE d.doc_id % {mod} <> 0
+GROUP BY 1"""
+    return f"""
+WITH ov AS ({decontaminate_sql(n, mod)}),
+vb AS ({vb}),
+em AS ({emb_decontaminate_sql(threshold, mod)}),
+corpus AS (SELECT doc_id FROM documents WHERE doc_id % {mod} <> 0)
+SELECT c.doc_id,
+       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(coalesce(vb.n_eval_hits, 0) AS BIGINT) AS n_verbatim,
+       vb.first_eval_id AS verbatim_eval_id,
+       CAST(coalesce(em.n_eval_hits, 0) AS BIGINT) AS n_emb_hits,
+       em.eval_id AS emb_eval_id,
+       em.cosine AS best_cosine,
+       (coalesce(ov.n_overlap, 0) > 0 OR coalesce(vb.n_eval_hits, 0) > 0
+        OR coalesce(em.n_eval_hits, 0) > 0) AS flagged
+FROM corpus c
+LEFT JOIN ov ON ov.doc_id = c.doc_id
+LEFT JOIN vb ON vb.doc_id = c.doc_id
+LEFT JOIN em ON em.vec_id = c.doc_id
+"""
+
+
 def emb_decontam_ivf_sql(
     threshold: float = 0.3,
     eval_mod: int = 97,

@@ -2383,8 +2383,7 @@ def multimodal_phash_pairs(spark, sf_dir):
     analogue of doc_simhash_pairs, closing the one dedup modality the
     family lacked."""
     d = load_table(spark, sf_dir, "documents")
-    media = multimodal.attach_ppm_pair(d, "doc_id", "text")
-    sig = multimodal.dhash_signatures(media)
+    sig = multimodal.synth_ppm_pair_dhash(d, "doc_id", "text")
     return dedup.simhash_near_pairs(sig, max_hamming=3, bits=64, band_bits=16)
 
 
@@ -2400,10 +2399,8 @@ def multimodal_video_pairs(spark, sf_dir):
     n_frames; exact-dup texts pair across docs; unrelated videos
     share nothing."""
     d = load_table(spark, sf_dir, "documents")
-    media = multimodal.attach_video_pair(d, "doc_id", "text")
-    return multimodal.video_near_pairs(
-        multimodal.video_frame_dhash(media), min_frames=2
-    )
+    frames = multimodal.synth_video_pair_frame_dhash(d, "doc_id", "text")
+    return multimodal.video_near_pairs(frames, min_frames=2)
 
 
 @register("multimodal_audio_pairs", oracles.audio_pairs_sql())
@@ -2418,10 +2415,8 @@ def multimodal_audio_pairs(spark, sf_dir):
     pairs sharing >= 2 aligned windows — the planted re-render pairs
     match on every window, unrelated audio on none."""
     d = load_table(spark, sf_dir, "documents")
-    media = multimodal.attach_wav_pair(d, "doc_id", "text")
-    return multimodal.audio_near_pairs(
-        multimodal.audio_envelope(media), min_windows=2
-    )
+    env = multimodal.synth_wav_pair_envelope(d, "doc_id", "text")
+    return multimodal.audio_near_pairs(env, min_windows=2)
 
 
 @register("multimodal_audio_quality", oracles.audio_quality_sql())
@@ -5611,6 +5606,81 @@ def emb_decontaminate(spark, sf_dir):
     eval_set = e.where(F.col("vec_id") % 97 == 0)
     corpus = e.where(F.col("vec_id") % 97 != 0)
     return similarity.semantic_decontaminate(corpus, eval_set, threshold=0.3, quantize=1000)
+
+
+@register("doc_decontam_report", oracles.decontam_report_sql())
+def doc_decontam_report(spark, sf_dir):
+    """Per-document DECONTAMINATION report card (round-11 — the
+    doc_quality_report of the leak-scan family): for every corpus doc
+    under ONE eval convention (id % 20 == 0 plays the eval set, the
+    module's split convention), all three modalities in one row —
+    4-token shingle overlap count (dedup.benchmark_overlap), verbatim
+    eval-prefix containment count + first hit
+    (dedup.substring_contamination), and embedding-cosine proximity
+    (similarity.semantic_decontaminate, vec_id ≡ doc_id: one
+    embedding per document) — plus the composite ``flagged`` verdict
+    an eval-hygiene pipeline gates on. Scale shape: three linear
+    corpus scans (the eval side is broadcast-bounded in each — an
+    eval set does not grow with the corpus), then id-keyed left
+    joins; no pair stage anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    bench_ids = d.where(F.col("doc_id") % 20 == 0).select("doc_id")
+    overlap = dedup.benchmark_overlap(d, "doc_id", "text", bench_ids, n=4)
+    needles = (
+        d.where(F.col("doc_id") % 20 == 0)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.array_join(
+                F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 3), " "
+            ).alias("needle"),
+        )
+        .where(F.length("needle") >= 9)
+    )
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    verbatim = dedup.substring_contamination(corpus, "doc_id", "text", needles)
+    emb = similarity.semantic_decontaminate(
+        e.where(F.col("vec_id") % 20 != 0),
+        e.where(F.col("vec_id") % 20 == 0),
+        threshold=0.3,
+        quantize=1000,
+    ).withColumnRenamed("vec_id", "doc_id")
+    rep = (
+        corpus.select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .join(
+            verbatim.select(
+                "doc_id",
+                F.col("n_eval_hits").alias("_nv"),
+                F.col("first_eval_id").alias("verbatim_eval_id"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(
+            emb.select(
+                "doc_id",
+                F.col("n_eval_hits").alias("_ne"),
+                F.col("eval_id").alias("emb_eval_id"),
+                F.col("cosine").alias("best_cosine"),
+            ),
+            "doc_id",
+            "left",
+        )
+    )
+    n_ov = F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+    n_vb = F.coalesce(F.col("_nv"), F.lit(0)).cast("long")
+    n_em = F.coalesce(F.col("_ne"), F.lit(0)).cast("long")
+    return rep.select(
+        "doc_id",
+        n_ov.alias("n_overlap"),
+        n_vb.alias("n_verbatim"),
+        "verbatim_eval_id",
+        n_em.alias("n_emb_hits"),
+        "emb_eval_id",
+        "best_cosine",
+        ((n_ov > 0) | (n_vb > 0) | (n_em > 0)).alias("flagged"),
+    )
 
 
 _GOPHER_SQL = r"""WITH t AS (

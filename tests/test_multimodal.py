@@ -335,3 +335,46 @@ def test_audio_envelope_near_dup_pairs(spark):
         nf = multimodal._wav_seg_params(f"audio doc number {i}")[0]
         assert got.get((2 * i, 2 * i + 1)) == nf
     assert not {k for k in got if k[0] // 2 != k[1] // 2}
+
+
+def test_fused_fixture_kernels_match_composed_pipelines(spark):
+    """The fused fixture kernels (synth+hash in one mapInPandas, no
+    payload across Arrow) must be ROW-IDENTICAL to the composed
+    attach |> decode pipelines they shortcut — image dHash, video
+    frame dHash, and audio envelope."""
+    docs = spark.createDataFrame(
+        [(i, f"fused kernel doc {i} {'pad ' * (i % 3)}") for i in range(4)],
+        "doc_id LONG, text STRING",
+    )
+    fused = sorted(
+        tuple(r) for r in multimodal.synth_ppm_pair_dhash(docs, "doc_id", "text").collect()
+    )
+    composed = sorted(
+        tuple(r)
+        for r in multimodal.dhash_signatures(
+            multimodal.attach_ppm_pair(docs, "doc_id", "text")
+        ).collect()
+    )
+    assert fused == composed
+    fused_v = sorted(
+        tuple(r)
+        for r in multimodal.synth_video_pair_frame_dhash(docs, "doc_id", "text").collect()
+    )
+    composed_v = sorted(
+        tuple(r)
+        for r in multimodal.video_frame_dhash(
+            multimodal.attach_video_pair(docs, "doc_id", "text")
+        ).collect()
+    )
+    assert fused_v == composed_v
+    fused_a = sorted(
+        tuple(r)
+        for r in multimodal.synth_wav_pair_envelope(docs, "doc_id", "text").collect()
+    )
+    composed_a = sorted(
+        tuple(r)
+        for r in multimodal.audio_envelope(
+            multimodal.attach_wav_pair(docs, "doc_id", "text")
+        ).collect()
+    )
+    assert fused_a == composed_a
