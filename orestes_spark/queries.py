@@ -1714,6 +1714,7 @@ ARTIFACT_CONSUMERS = {
         "doc_quality_model",
         "doc_quality_report",
         "doc_quality_model_eval",
+        "doc_curriculum_shards",
     ],
 }
 
@@ -5877,6 +5878,36 @@ def doc_quality_model_eval(spark, sf_dir):
     )
     return text.quality_model_eval(
         d, labels, _nb_model_for(spark, sf_dir), "doc_id", "text"
+    )
+
+
+@register(
+    "doc_curriculum_shards",
+    f"""WITH q AS ({oracles.quality_model_sql()})
+SELECT doc_id, nb_logodds,
+       CAST(ntile(8) OVER (ORDER BY nb_logodds DESC, doc_id) AS INTEGER) AS shard
+FROM q""",
+)
+def doc_curriculum_shards(spark, sf_dir):
+    """Quality-ordered CURRICULUM shard assignment (round-11): every
+    doc lands in one of 8 shards by descending trained-model quality
+    score (shard 1 = cleanest) — the data-ordering step of
+    curriculum-style training schedules, and the shard key a loader
+    consumes directly. Ordering is the shared NB artifact's score
+    with a doc_id tiebreak; the ntile itself is the distributed
+    exact-rank path (plans.ranking.with_global_ntile: range-partition
+    + per-partition offsets), NOT `ntile() OVER (ORDER BY ...)`,
+    whose plan is a single-partition global sort — at 100 TB the
+    whole corpus would funnel through one task."""
+    from orestes_spark.operators import text
+    from orestes_spark.plans.ranking import with_global_ntile
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = text.score_quality_model(
+        d, _nb_model_for(spark, sf_dir), "doc_id", "text"
+    ).select("doc_id", "nb_logodds")
+    return with_global_ntile(
+        scored, 8, [F.col("nb_logodds").desc(), F.col("doc_id")], tile_col="shard"
     )
 
 
