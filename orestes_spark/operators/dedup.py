@@ -843,6 +843,78 @@ def simhash_near_pairs(
     )
 
 
+def simhash_band_index(
+    sig: DataFrame, bits: int = 64, band_bits: int = 16
+) -> DataFrame:
+    """(band, bval, _id, simhash) — the persistable banded index of a
+    simhash-family signature frame (text SimHash or image/video dHash:
+    anything packed the _sig_from_votes way), using EXACTLY the band
+    split simhash_near_pairs computes inline. Build once over the
+    accepted corpus, write to parquet, probe per ingest batch with
+    ``incremental_simhash_pairs`` — the signature twin of
+    minhash_band_index."""
+    bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    stack_args = ", ".join(
+        f"{b}, cast(shiftrightunsigned(simhash, {b * band_bits}) & {mask} as long)"
+        for b in range(bands)
+    )
+    return sig.select(
+        "_id", "simhash", F.expr(f"stack({bands}, {stack_args}) as (band, bval)")
+    )
+
+
+def incremental_simhash_pairs(
+    new_sig: DataFrame,
+    index: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    band_bits: int = 16,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """(id_new, id_corpus, hamming) — per-ingest near-dup detection
+    for simhash-family signatures against a PERSISTED
+    ``simhash_band_index``: the new batch is banded (batch-sized
+    work), candidates come from one equi-join on (band, bval) against
+    the corpus-sized index, and the exact bit_count verify runs
+    inline on the carried signatures. Pigeonhole keeps this exact
+    while bands > max_hamming. ``max_bucket`` drops the batch's
+    degenerate band buckets before the join (the simhash_near_pairs
+    stop-key; a corpus-side hot bucket is the index builder's
+    concern). This is the 100-TB ingest shape for perceptual image /
+    video-frame dedup: a re-encoded copy of an already-indexed image
+    surfaces without ever rescanning the corpus."""
+    bands = bits // band_bits
+    if bands <= max_hamming:
+        raise ValueError(
+            f"pigeonhole needs more than max_hamming={max_hamming} bands; "
+            f"got {bands} ({bits} bits / {band_bits}-bit bands)"
+        )
+    banded = simhash_band_index(new_sig, bits, band_bits).localCheckpoint()
+    if max_bucket is not None:
+        keep = (
+            banded.groupBy("band", "bval")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .where(F.col("_bn") <= max_bucket)
+            .select("band", "bval")
+        )
+        banded = banded.join(keep, ["band", "bval"], "left_semi")
+    n, i = banded.alias("n"), index.alias("i")
+    return (
+        n.join(i, ["band", "bval"])
+        .where(F.col("n._id") != F.col("i._id"))
+        .select(
+            F.col("n._id").alias("id_new"),
+            F.col("i._id").alias("id_corpus"),
+            F.bit_count(
+                F.col("n.simhash").bitwiseXOR(F.col("i.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def benchmark_overlap(
     docs: DataFrame,
     id_col: str,

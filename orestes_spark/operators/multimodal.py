@@ -935,6 +935,44 @@ def synth_ppm_pair_dhash(docs: DataFrame, id_col: str, text_col: str) -> DataFra
     return src.mapInPandas(batches, "_id LONG, simhash LONG")
 
 
+def synth_ppm_dhash(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    upscale: bool = False,
+    id_offset: int = 0,
+) -> DataFrame:
+    """Fixture kernel: ONE dHash row per doc — the base synthetic
+    image, or (``upscale=True``) its REAL 2x nearest-neighbor
+    upscale, with ``id_offset`` added to the id (a re-encoded copy
+    arriving under a NEW media id — the incremental-dedup fixture).
+    Emits (_id, simhash) only; see synth_ppm_pair_dhash for why the
+    payload never crosses Arrow."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids: list[int] = []
+            sigs: list[int] = []
+            for mid, txt in zip(pdf["_mid"], pdf["_txt"]):
+                img = synth_ppm_img(txt)
+                if upscale:
+                    m = decode_image(img)
+                    img = resize_ppm(img, 2 * m["width"], 2 * m["height"])
+                mids.append(int(mid) + id_offset)
+                sigs.append(dhash64(img))
+            yield pd.DataFrame(
+                {
+                    "_id": pd.Series(mids, dtype="int64"),
+                    "simhash": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    src = docs.select(
+        F.col(id_col).cast("long").alias("_mid"), F.col(text_col).alias("_txt")
+    )
+    return src.mapInPandas(batches, "_id LONG, simhash LONG")
+
+
 def synth_video_pair_frame_dhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Fixture-FUSED attach_video_pair |> video_frame_dhash — see
     synth_ppm_pair_dhash for why. Emits (media_id, frame_idx,

@@ -773,7 +773,20 @@ def phash_pairs_sql(max_hamming: int = 3) -> str:
     set — and the oracle corpus is 2 rows/doc, small enough to state
     directly."""
     return f"""
-WITH m AS (SELECT doc_id, md5('ppi:' || text) AS h, md5('pxi:' || text) AS hp
+WITH {DHASH_SIG0_CTES},
+sig AS (SELECT 2 * doc_id AS mid, dh FROM sig0
+        UNION ALL
+        SELECT 2 * doc_id + 1 AS mid, dh FROM sig0)
+SELECT a.mid AS id_a, b.mid AS id_b, bit_count(xor(a.dh, b.dh)) AS hamming
+FROM sig a JOIN sig b ON a.mid < b.mid
+WHERE bit_count(xor(a.dh, b.dh)) <= {max_hamming}
+"""
+
+
+# Shared CTE chain: per-document dHash-64 of the synth_ppm_img fixture
+# in closed form (tiled 16-byte pattern, odd width) — used by the
+# image-pair and incremental-phash oracles.
+DHASH_SIG0_CTES = """m AS (SELECT doc_id, md5('ppi:' || text) AS h, md5('pxi:' || text) AS hp
            FROM documents),
 p AS (SELECT doc_id, hp,
         9 + 2 * (CAST('0x' || substr(h, 1, 2) AS BIGINT) % 60) AS w,
@@ -801,13 +814,25 @@ sig0 AS (
                                 ELSE (CAST(1 AS BIGINT) << i) END), 0)
               AS BIGINT) AS dh
   FROM p LEFT JOIN bits ON bits.doc_id = p.doc_id
-  GROUP BY p.doc_id),
-sig AS (SELECT 2 * doc_id AS mid, dh FROM sig0
-        UNION ALL
-        SELECT 2 * doc_id + 1 AS mid, dh FROM sig0)
-SELECT a.mid AS id_a, b.mid AS id_b, bit_count(xor(a.dh, b.dh)) AS hamming
-FROM sig a JOIN sig b ON a.mid < b.mid
-WHERE bit_count(xor(a.dh, b.dh)) <= {max_hamming}
+  GROUP BY p.doc_id)"""
+
+
+def incremental_phash_sql(max_hamming: int = 3, probe_mod: int = 5) -> str:
+    """Twin of the incremental perceptual-dedup probe: every doc_id %
+    probe_mod == 0 doc's 2x-upscaled re-encode (arriving under id +
+    1,000,000) probed against the banded signature index of ALL base
+    images. The upscale's dHash equals the base dHash (floor
+    identity — proven on the Spark side by actually resizing), so the
+    oracle joins sig0 against itself; banding is pigeonhole-exact at
+    4 bands / Hamming 3, so plain Hamming <= h is the same set."""
+    return f"""
+WITH {DHASH_SIG0_CTES}
+SELECT 1000000 + a.doc_id AS id_new, b.doc_id AS id_corpus,
+       bit_count(xor(a.dh, b.dh)) AS hamming
+FROM sig0 a JOIN sig0 b
+  ON a.doc_id % {probe_mod} = 0
+ AND 1000000 + a.doc_id <> b.doc_id
+ AND bit_count(xor(a.dh, b.dh)) <= {max_hamming}
 """
 
 

@@ -1644,6 +1644,9 @@ def build_shared_artifacts(spark, sf_dir, invalidate: bool = True) -> dict[str, 
         old = _CONTAINMENT_INDEXES.pop(sf_dir, None)
         if old:
             shutil.rmtree(os.path.dirname(old), ignore_errors=True)
+        old = _PHASH_INDEXES.pop(sf_dir, None)
+        if old:
+            shutil.rmtree(os.path.dirname(old), ignore_errors=True)
         old = _SEM_INDEXES.pop(sf_dir, None)
         if old:
             shutil.rmtree(old, ignore_errors=True)
@@ -1671,6 +1674,9 @@ def build_shared_artifacts(spark, sf_dir, invalidate: bool = True) -> dict[str, 
     t0 = _time.perf_counter()
     _containment_index_for(spark, sf_dir)
     out["containment_kgram_index"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    _phash_index_for(spark, sf_dir)
+    out["phash_band_index"] = round(_time.perf_counter() - t0, 3)
     t0 = _time.perf_counter()
     _sem_index_for(spark, sf_dir)
     out["semantic_index"] = round(_time.perf_counter() - t0, 3)
@@ -1706,6 +1712,7 @@ ARTIFACT_CONSUMERS = {
     "span_kgram_index": ["doc_incremental_span", "doc_incremental_span_bloom"],
     "span_bloom_sidecar": ["doc_incremental_span_bloom"],
     "containment_kgram_index": ["doc_containment_indexed"],
+    "phash_band_index": ["multimodal_incremental_phash"],
     "semantic_index": ["emb_incremental_semdedup", "emb_incremental_arrow"],
     "kmeans_cells": ["emb_kmeans_assign", "emb_ivf_trained", "emb_ivf_recall"],
     "bigram_lm": ["doc_lm_perplexity", "doc_ccnet_buckets", "doc_quality_report"],
@@ -2402,6 +2409,52 @@ def multimodal_video_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     frames = multimodal.synth_video_pair_frame_dhash(d, "doc_id", "text")
     return multimodal.video_near_pairs(frames, min_frames=2)
+
+
+_PHASH_INDEXES: dict[str, str] = {}
+
+
+def _phash_index_for(spark, sf_dir) -> str:
+    """Build (once per process per sf_dir) the banded dHash signature
+    index of EVERY base image (dedup.simhash_band_index over the
+    fused fixture kernel) and write it to parquet — the persisted
+    perceptual-dedup artifact an image-ingest deployment maintains,
+    mirroring _band_index_for."""
+    import tempfile
+
+    path = _PHASH_INDEXES.get(sf_dir)
+    if path is None:
+        d = load_table(spark, sf_dir, "documents")
+        sig = multimodal.synth_ppm_dhash(d, "doc_id", "text")
+        path = tempfile.mkdtemp(prefix="orestes_phash_idx_") + "/bands"
+        dedup.simhash_band_index(sig, bits=64, band_bits=16).write.parquet(path)
+        _PHASH_INDEXES[sf_dir] = path
+    return path
+
+
+@register("multimodal_incremental_phash", oracles.incremental_phash_sql())
+def multimodal_incremental_phash(spark, sf_dir):
+    """INCREMENTAL perceptual image dedup (round-11 — the per-ingest
+    shape for the image modality, mirroring doc_incremental_neardup):
+    every doc_id % 5 == 0 document's REAL 2x-upscaled re-encode
+    arrives as a new ingest batch under a fresh media id; its dHash
+    probes the PERSISTED banded signature index of all base images
+    (dedup.incremental_simhash_pairs — batch-sized banding, one
+    equi-join on (band, bval) against the corpus-sized index, inline
+    bit_count verify). Every probe surfaces its own source image at
+    Hamming 0 without the corpus ever being rescanned — the
+    re-encoded-copy catch a 100-TB image pipeline runs on every
+    batch."""
+    d = load_table(spark, sf_dir, "documents")
+    index = spark.read.parquet(_phash_index_for(spark, sf_dir))
+    probes = multimodal.synth_ppm_dhash(
+        d.where(F.col("doc_id") % 5 == 0),
+        "doc_id",
+        "text",
+        upscale=True,
+        id_offset=1_000_000,
+    )
+    return dedup.incremental_simhash_pairs(probes, index, max_hamming=3)
 
 
 @register("multimodal_audio_pairs", oracles.audio_pairs_sql())

@@ -378,3 +378,37 @@ def test_fused_fixture_kernels_match_composed_pipelines(spark):
         ).collect()
     )
     assert fused_a == composed_a
+
+
+def test_incremental_phash_probe_against_persisted_index(spark, tmp_path):
+    """The per-ingest perceptual-dedup shape: a persisted banded
+    signature index of the accepted images; a new batch containing a
+    re-encoded (2x-upscaled) copy and a genuinely novel image — the
+    copy surfaces at Hamming 0 against its source, the novel image
+    surfaces nothing, and the corpus is never rescanned."""
+    from orestes_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"indexed image {i} {'t ' * (i % 4)}") for i in range(8)],
+        "doc_id LONG, text STRING",
+    )
+    sig = multimodal.synth_ppm_dhash(docs, "doc_id", "text")
+    path = str(tmp_path / "phash_bands")
+    dedup.simhash_band_index(sig, bits=64, band_bits=16).write.parquet(path)
+    index = spark.read.parquet(path)
+
+    copies = multimodal.synth_ppm_dhash(
+        docs.where("doc_id = 3"), "doc_id", "text", upscale=True, id_offset=100
+    )
+    novel = multimodal.synth_ppm_dhash(
+        spark.createDataFrame([(200, "a never-indexed image")], "doc_id LONG, text STRING"),
+        "doc_id",
+        "text",
+    )
+    probes = copies.unionByName(novel)
+    got = {
+        (r["id_new"], r["id_corpus"]): r["hamming"]
+        for r in dedup.incremental_simhash_pairs(probes, index).collect()
+    }
+    assert got.get((103, 3)) == 0
+    assert not any(k[0] == 200 for k in got)
