@@ -1137,6 +1137,107 @@ def start_corpus_ingest(
     )
 
 
+def make_media_batch_processor(
+    store: str,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    max_hamming: int = 3,
+    bits: int = 64,
+    band_bits: int = 16,
+):
+    """foreachBatch processor for continuous MEDIA (image) ingest with
+    cross-batch PERCEPTUAL dedup (round-11) — the dHash twin of the
+    corpus stream's MinHash gate: each micro-batch of binary images is
+    (a) near-deduped within itself (banded-Hamming pairs, greedy
+    keep-min — the dedup_keep_list policy) and (b) probed against the
+    durable banded signature index of everything accepted so far
+    (``dedup.incremental_simhash_pairs`` — a re-encoded/resized copy
+    of an indexed image never re-enters). Survivors append their
+    media rows to ``<store>/media`` and their band rows
+    (``dedup.simhash_band_index``) to ``<store>/phash_bands``.
+
+    Replay/dedup contract is the corpus processor's verbatim:
+    epoch-keyed partitions written atomically (stage-then-rename),
+    index reads exclude the replaying epoch's own partition, and
+    same-id re-deliveries drop against the index before the
+    perceptual probe. Per-batch cost: one decode+dHash pass over the
+    batch (8 bytes of signature per image thereafter — the payload
+    never rides the dedup joins), one equi-join against the
+    corpus-sized index. At 100 TB of images the index is
+    |corpus| x 4 band rows of 24 bytes — TB-scale corpus, GB-scale
+    index."""
+    from orestes_spark.operators import dedup as _d
+    from orestes_spark.operators import multimodal as _mm
+
+    media_path = f"{store}/media"
+    bands_path = f"{store}/phash_bands"
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = (
+            batch.select(
+                F.col(id_col).cast("long").alias("media_id"),
+                F.col(content_col).alias("content"),
+            )
+            .dropDuplicates(["media_id"])
+            .localCheckpoint()
+        )
+        sig = _mm.dhash_signatures(batch).localCheckpoint()
+        pairs_in = _d.simhash_near_pairs(sig, max_hamming, bits, band_bits)
+        kept_ids = sig.select("_id").join(
+            pairs_in.select(F.col("id_b").alias("_id")).distinct(), "_id", "left_anti"
+        )
+        kept_sig = sig.join(kept_ids, "_id", "left_semi")
+        fs, base = _fs_and_path(spark, bands_path)
+        if fs.exists(base):
+            index = spark.read.parquet(bands_path).filter(F.col("epoch") != epoch_id)
+            # same-id re-delivery first (at-least-once upstream)
+            kept_sig = kept_sig.join(
+                index.select("_id").distinct(), "_id", "left_anti"
+            )
+            pairs = _d.incremental_simhash_pairs(
+                kept_sig, index, max_hamming, bits, band_bits
+            )
+            kept_sig = kept_sig.join(
+                pairs.select(F.col("id_new").alias("_id")).distinct(),
+                "_id",
+                "left_anti",
+            )
+        kept_sig = kept_sig.localCheckpoint()  # one compute, two sinks
+        kept_media = batch.join(
+            kept_sig.select(F.col("_id").alias("media_id")), "media_id", "left_semi"
+        )
+        _write_epoch_atomic(kept_media, f"{media_path}/epoch={epoch_id}")
+        _write_epoch_atomic(
+            _d.simhash_band_index(kept_sig, bits, band_bits),
+            f"{bands_path}/epoch={epoch_id}",
+        )
+
+    return process
+
+
+def start_media_ingest(
+    media_stream: DataFrame,
+    store: str,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    max_hamming: int = 3,
+    checkpoint: str | None = None,
+):
+    """Continuous image-corpus construction with cross-batch
+    perceptual dedup — see make_media_batch_processor. Same delivery
+    contract as start_corpus_ingest (epoch-keyed overwrite partitions,
+    replay-safe index reads)."""
+    process = make_media_batch_processor(
+        store, id_col, content_col, max_hamming
+    )
+    return (
+        media_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint or f"{store}/_checkpoint")
+        .start()
+    )
+
+
 def streaming_sessionize(
     points: DataFrame,
     gap: str = "30 minutes",

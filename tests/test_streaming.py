@@ -2128,3 +2128,54 @@ def test_text_gate_retrain_if_ppl_and_quality_paths(spark, tmp_path):
         [(22, "nova quasar comet pulsar nebula")], ddl), 1)
     kept = [r["doc_id"] for r in spark.read.parquet(f"{qstore}/docs").collect()]
     assert kept == [22]
+
+
+def test_media_ingest_cross_batch_perceptual_dedup(spark, tmp_path):
+    """Round-11: the MEDIA ingest gate — within-batch banded-Hamming
+    keep-min, cross-batch probe of the durable dHash band index (a
+    2x-resized re-encode of an accepted image never re-enters),
+    same-id re-delivery drop, and epoch-replay idempotence."""
+    from orestes_spark.operators import multimodal as mm
+    from orestes_spark.streaming.ingest import make_media_batch_processor
+
+    store = str(tmp_path / "media_store")
+    process = make_media_batch_processor(store)
+
+    def img(text):
+        return mm.synth_ppm_img(text)
+
+    def up(payload):
+        m = mm.decode_image(payload)
+        return mm.resize_ppm(payload, 2 * m["width"], 2 * m["height"])
+
+    ddl = "media_id LONG, content BINARY"
+    a, b = img("first image"), img("second image")
+    # batch 0: two originals + an in-batch near-dup of A under a
+    # higher id -> keep-min keeps 1, drops 3
+    process(spark.createDataFrame([(1, a), (2, b), (3, up(a))], ddl), 0)
+    kept = sorted(
+        r["media_id"] for r in spark.read.parquet(f"{store}/media").collect()
+    )
+    assert kept == [1, 2]
+
+    # batch 1: a resized re-encode of B (new id) -> cross-batch drop;
+    # a same-id re-delivery of 1 -> drop; a novel image -> accepted
+    c = img("third, novel image")
+    process(spark.createDataFrame([(10, up(b)), (1, a), (11, c)], ddl), 1)
+    kept = sorted(
+        r["media_id"] for r in spark.read.parquet(f"{store}/media").collect()
+    )
+    assert kept == [1, 2, 11]
+
+    # crash-replay of epoch 1: same decisions, no duplicates
+    process(spark.createDataFrame([(10, up(b)), (1, a), (11, c)], ddl), 1)
+    kept = sorted(
+        r["media_id"] for r in spark.read.parquet(f"{store}/media").collect()
+    )
+    assert kept == [1, 2, 11]
+    # the band index carries exactly the accepted ids
+    idx_ids = sorted(
+        r["_id"]
+        for r in spark.read.parquet(f"{store}/phash_bands").select("_id").distinct().collect()
+    )
+    assert idx_ids == [1, 2, 11]
