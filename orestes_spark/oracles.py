@@ -836,17 +836,11 @@ FROM sig0 a JOIN sig0 b
 """
 
 
-def video_pairs_sql(min_frames: int = 2) -> str:
-    """Closed-form twin of multimodal.video_frame_dhash +
-    video_near_pairs over attach_video_pair payloads: per-frame tiled
-    patterns make every frame's dHash stateable from md5 substrings
-    (the phash_pairs_sql cell math, keyed by (doc, frame)); the
-    2x-upscaled variant hashes identically per frame by the floor
-    identity, which the Spark side proves by actually resizing and
-    re-demuxing. Candidates are (frame_idx, dh) equality — stated
-    directly here, exactly the operator's join key."""
-    return f"""
-WITH m AS (SELECT doc_id, text, md5('pvd:' || text) AS h FROM documents),
+# Shared CTE chain: per-(document, frame) dHash-64 of the synth_video
+# fixture in closed form (per-frame tiled patterns, the
+# DHASH_SIG0_CTES cell math keyed by (doc, frame)) — used by the
+# video-pair and incremental-video oracles.
+VIDEO_SIG0_CTES = """m AS (SELECT doc_id, text, md5('pvd:' || text) AS h FROM documents),
 p AS (SELECT doc_id, text,
         2 + CAST('0x' || substr(h, 1, 2) AS BIGINT) % 3 AS nf,
         9 + 2 * (CAST('0x' || substr(h, 3, 2) AS BIGINT) % 60) AS w,
@@ -878,7 +872,20 @@ sig0 AS (
                                 ELSE (CAST(1 AS BIGINT) << i) END), 0)
               AS BIGINT) AS dh
   FROM fr LEFT JOIN bits ON bits.doc_id = fr.doc_id AND bits.k = fr.k
-  GROUP BY fr.doc_id, fr.k),
+  GROUP BY fr.doc_id, fr.k)"""
+
+
+def video_pairs_sql(min_frames: int = 2) -> str:
+    """Closed-form twin of multimodal.video_frame_dhash +
+    video_near_pairs over attach_video_pair payloads: per-frame tiled
+    patterns make every frame's dHash stateable from md5 substrings
+    (the phash_pairs_sql cell math, keyed by (doc, frame)); the
+    2x-upscaled variant hashes identically per frame by the floor
+    identity, which the Spark side proves by actually resizing and
+    re-demuxing. Candidates are (frame_idx, dh) equality — stated
+    directly here, exactly the operator's join key."""
+    return f"""
+WITH {VIDEO_SIG0_CTES},
 sig AS (SELECT 2 * doc_id AS mid, k, dh FROM sig0
         UNION ALL
         SELECT 2 * doc_id + 1 AS mid, k, dh FROM sig0),
@@ -891,6 +898,26 @@ FROM matched WHERE nm >= {min_frames}
 """
 
 
+def incremental_video_sql(min_frames: int = 2, probe_mod: int = 5) -> str:
+    """Twin of the incremental video-dedup probe: every doc_id %
+    probe_mod == 0 doc's REAL frame-by-frame 2x upscale arrives as a
+    new ingest batch under id + 1,000,000 and is matched against the
+    persisted unit index of ALL base containers. Each upscaled
+    frame's dHash equals its base frame's (floor identity — proven on
+    the Spark side by actually resizing and re-demuxing), so the
+    oracle joins sig0 against itself on (frame, dh) — exactly the
+    operator's aligned-unit key."""
+    return f"""
+WITH {VIDEO_SIG0_CTES}
+SELECT 1000000 + a.doc_id AS id_new, b.doc_id AS id_corpus,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM sig0 a JOIN sig0 b
+  ON a.doc_id % {probe_mod} = 0 AND b.k = a.k AND b.dh = a.dh
+ AND 1000000 + a.doc_id <> b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_frames}
+"""
+
+
 def audio_pairs_sql(min_windows: int = 2) -> str:
     """Closed-form twin of multimodal.audio_envelope +
     audio_near_pairs over attach_wav_pair payloads: each segment is a
@@ -900,16 +927,7 @@ def audio_pairs_sql(min_windows: int = 2) -> str:
     envelope, which the Spark side proves by actually decoding the
     PCM of both."""
     return f"""
-WITH m AS (SELECT doc_id, text, md5('wsn:' || text) AS h FROM documents),
-p AS (SELECT doc_id, text,
-        3 + CAST('0x' || substr(h, 1, 2) AS BIGINT) % 3 AS s
-      FROM m),
-seg AS (SELECT doc_id, u.k AS k,
-        1000 + CAST('0x' || substr(
-            md5('wa:' || text || ':' || CAST(u.k AS VARCHAR)), 1, 4)
-          AS BIGINT) % 30000 AS amp
-        FROM p, (SELECT UNNEST(generate_series(0, 4)) AS k) u
-        WHERE u.k < s),
+WITH {AUDIO_SEG_CTES},
 env AS (SELECT 2 * doc_id AS mid, k, amp FROM seg
         UNION ALL
         SELECT 2 * doc_id + 1 AS mid, k, amp FROM seg),
@@ -919,6 +937,122 @@ matched AS (
   GROUP BY 1, 2)
 SELECT id_a, id_b, CAST(nm AS BIGINT) AS n_matched
 FROM matched WHERE nm >= {min_windows}
+"""
+
+
+# Shared CTE chain: per-(document, window) envelope amplitude of the
+# synth_wav_segments fixture in closed form (each segment is a pure
+# +-amp square wave, so the per-window integer RMS IS the md5-derived
+# segment amplitude) — used by the audio-pair and incremental-audio
+# oracles.
+AUDIO_SEG_CTES = """m AS (SELECT doc_id, text, md5('wsn:' || text) AS h FROM documents),
+p AS (SELECT doc_id, text,
+        3 + CAST('0x' || substr(h, 1, 2) AS BIGINT) % 3 AS s
+      FROM m),
+seg AS (SELECT doc_id, u.k AS k,
+        1000 + CAST('0x' || substr(
+            md5('wa:' || text || ':' || CAST(u.k AS VARCHAR)), 1, 4)
+          AS BIGINT) % 30000 AS amp
+        FROM p, (SELECT UNNEST(generate_series(0, 4)) AS k) u
+        WHERE u.k < s)"""
+
+
+def incremental_audio_sql(min_windows: int = 2, probe_mod: int = 5) -> str:
+    """Twin of the incremental audio-dedup probe: every doc_id %
+    probe_mod == 0 doc is RE-RENDERED with different waveform
+    micro-structure (the h2 half-salt), arrives under id + 1,000,000,
+    and is matched against the persisted envelope index of ALL base
+    renders. Both renders state the identical integer envelope (pure
+    square waves — RMS == amp exactly), so the oracle joins seg
+    against itself on (window, amp) — exactly the operator's
+    aligned-unit key."""
+    return f"""
+WITH {AUDIO_SEG_CTES}
+SELECT 1000000 + a.doc_id AS id_new, b.doc_id AS id_corpus,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM seg a JOIN seg b
+  ON a.doc_id % {probe_mod} = 0 AND b.k = a.k AND b.amp = a.amp
+ AND 1000000 + a.doc_id <> b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_windows}
+"""
+
+
+# Record fixture shared by the cross-modal pair oracles: two
+# (image, caption) records per doc — rid 2*doc_id = base image +
+# verbatim caption; rid 2*doc_id+1 = the REAL 2x re-encode (dHash
+# identical by the floor identity) + a PARAPHRASED caption (first
+# token dropped — high but non-1.0 Jaccard), except every third doc
+# whose variant caption is a genuinely different single token (the
+# same-image-different-caption pair that must be KEPT).
+CROSS_MODAL_REC_CTE = r"""rec AS (
+  SELECT 2 * doc_id AS rid, doc_id, text AS caption FROM documents
+  UNION ALL
+  SELECT 2 * doc_id + 1 AS rid, doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'zz' || md5('unrel:' || text)
+              ELSE array_to_string(list_slice(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     2, 100000000), ' ')
+         END AS caption
+  FROM documents
+)"""
+
+
+def cross_modal_pair_sql(
+    max_hamming: int = 3, threshold: float = 0.5, kept: bool = False
+) -> str:
+    """Closed-form twin of multimodal.cross_modal_pair_matches /
+    cross_modal_pair_dedup over the CROSS_MODAL_REC_CTE fixture: both
+    records of a doc share the base image's dHash (the upscale hashes
+    identically — proven on the Spark side by actually resizing), so
+    the image side is all-pairs Hamming <= max_hamming over sig0
+    values; the caption side is exact 3-token-shingle Jaccard over
+    the stated captions, computed ONLY for image-near pairs — valid
+    because image banding is pigeonhole-complete at the defaults, so
+    the joint result set is exactly {hamming <= h AND jaccard >= t}
+    regardless of the operator's candidate union."""
+    select = (
+        "SELECT rid FROM rec WHERE rid NOT IN (SELECT id_b FROM matches)"
+        if kept
+        else "SELECT id_a, id_b, hamming, jaccard FROM matches"
+    )
+    return f"""
+WITH {DHASH_SIG0_CTES},
+{CROSS_MODAL_REC_CTE},
+rsig AS (SELECT r.rid, r.caption, s.dh
+         FROM rec r JOIN sig0 s ON s.doc_id = r.doc_id),
+himg AS (
+  SELECT a.rid AS id_a, b.rid AS id_b,
+         bit_count(xor(a.dh, b.dh)) AS hamming
+  FROM rsig a JOIN rsig b ON a.rid < b.rid
+  WHERE bit_count(xor(a.dh, b.dh)) <= {max_hamming}),
+toks AS (
+  SELECT rid, u.tok AS tok, u.pos AS pos FROM rec,
+  (SELECT UNNEST(string_split_regex(trim(lower(caption)), '\\s+')) AS tok,
+          generate_subscripts(string_split_regex(trim(lower(caption)), '\\s+'), 1) AS pos) u
+),
+shing AS (
+  SELECT DISTINCT rid, concat_ws(' ', tok,
+      lead(tok, 1) OVER (PARTITION BY rid ORDER BY pos),
+      lead(tok, 2) OVER (PARTITION BY rid ORDER BY pos)) AS sh
+  FROM toks
+  QUALIFY lead(tok, 2) OVER (PARTITION BY rid ORDER BY pos) IS NOT NULL
+),
+sizes AS (SELECT rid, count(*) AS nn FROM shing GROUP BY 1),
+inter AS (
+  SELECT h.id_a, h.id_b, count(*) AS i
+  FROM himg h
+  JOIN shing sa ON sa.rid = h.id_a
+  JOIN shing sb ON sb.rid = h.id_b AND sb.sh = sa.sh
+  GROUP BY 1, 2),
+matches AS (
+  SELECT h.id_a, h.id_b, h.hamming,
+         round(i * 1.0 / (na.nn + nb.nn - i), 6) AS jaccard
+  FROM himg h
+  JOIN inter ON inter.id_a = h.id_a AND inter.id_b = h.id_b
+  JOIN sizes na ON na.rid = h.id_a
+  JOIN sizes nb ON nb.rid = h.id_b
+  WHERE round(i * 1.0 / (na.nn + nb.nn - i), 6) >= {threshold})
+{select}
 """
 
 

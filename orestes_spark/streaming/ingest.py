@@ -657,7 +657,12 @@ def text_gate_retrain_if(
     between epochs), like every offline job here.
 
     Returns {gate: {"rate": r, "epochs": k, "triggered": bool,
-    "retrained": bool}} for every gate with recorded stats."""
+    "retrained": bool}} for every gate with recorded stats. A gate
+    that scored ZERO docs across the window (earlier gates consumed
+    everything — a fully-collapsed stream) reports rate=None and
+    triggered=True with reason="no_scored_docs" instead of a healthy
+    default (ADVICE r11: n=0 must surface drift, not mask it); it is
+    never retrained, since the collapse is upstream of the gate."""
     stats = read_gate_stats(spark, store)
     out: dict[str, dict] = {}
     retrains: dict[str, tuple] = {}
@@ -687,16 +692,36 @@ def text_gate_retrain_if(
         .collect()
     ):
         gate, n, d = r["gate"], int(r["n"]), int(r["d"])
-        rate = (n - d) / n if n else 1.0
-        triggered = rate < accept_floor or rate > accept_ceiling
-        out[gate] = {
-            "rate": round(rate, 6),
-            "epochs": int(r["k"]),
-            "triggered": triggered,
-            "retrained": False,
-        }
+        if n:
+            rate = (n - d) / n
+            triggered = rate < accept_floor or rate > accept_ceiling
+            entry = {
+                "rate": round(rate, 6),
+                "epochs": int(r["k"]),
+                "triggered": triggered,
+                "retrained": False,
+            }
+        else:
+            # Zero scored docs across the window (ADVICE r11): earlier
+            # gates consumed everything before this one scored a single
+            # document. Defaulting to a healthy rate here would MASK
+            # drift in a fully-collapsed stream — exactly the state a
+            # staleness policy exists to surface — so report rate=None
+            # and trigger with a distinct reason instead.
+            triggered = True
+            entry = {
+                "rate": None,
+                "epochs": int(r["k"]),
+                "triggered": True,
+                "reason": "no_scored_docs",
+                "retrained": False,
+            }
+        out[gate] = entry
         src = {"dsir": dsir, "quality": quality, "ppl": ppl}.get(gate)
-        if triggered and src is not None:
+        # no_scored_docs never retrains even with a source: the gate
+        # saw zero documents, so the collapse is upstream of it and a
+        # new artifact changes nothing — surface it, don't churn.
+        if triggered and n and src is not None:
             retrains[gate] = src
     if not retrains:
         return out
@@ -1144,8 +1169,10 @@ def make_media_batch_processor(
     max_hamming: int = 3,
     bits: int = 64,
     band_bits: int = 16,
+    modality: str = "image",
+    min_matched: int = 2,
 ):
-    """foreachBatch processor for continuous MEDIA (image) ingest with
+    """foreachBatch processor for continuous MEDIA ingest with
     cross-batch PERCEPTUAL dedup (round-11) — the dHash twin of the
     corpus stream's MinHash gate: each micro-batch of binary images is
     (a) near-deduped within itself (banded-Hamming pairs, greedy
@@ -1165,7 +1192,36 @@ def make_media_batch_processor(
     never rides the dedup joins), one equi-join against the
     corpus-sized index. At 100 TB of images the index is
     |corpus| x 4 band rows of 24 bytes — TB-scale corpus, GB-scale
-    index."""
+    index.
+
+    Exactness caveat (ADVICE r11): the drop side is exact — pigeonhole
+    banding + bit_count verify have no false negatives — ONLY while no
+    band bucket exceeds the pair stages' ``max_bucket`` stop-key
+    (default 10k); a batch whose every shared band is degenerate
+    (e.g. millions of black frames) has those buckets dropped, and
+    both pair stages log the cut when it happens.
+
+    ``modality`` (round-12, VERDICT r11 #1 — completing the modality x
+    streaming matrix): "image" is the banded-dHash path above;
+    "video" and "audio" route to the ALIGNED-UNIT gate — per-frame
+    dHash / per-window envelope RMS units (multimodal.video_frame_dhash
+    / audio_envelope over the real decoded payloads), in-batch
+    aligned_near_pairs keep-min, cross-batch
+    incremental_aligned_pairs against the durable unit index at
+    ``<store>/unit_sigs`` (a re-encoded/re-rendered copy of indexed
+    media never re-enters; >= ``min_matched`` aligned units = a
+    match, so 1-unit files never match anything). Replay/re-delivery
+    contract identical; max_hamming/bits/band_bits apply to the image
+    path only."""
+    if modality in ("video", "audio"):
+        return _make_aligned_media_processor(
+            store, id_col, content_col, modality, min_matched
+        )
+    if modality != "image":
+        raise ValueError(
+            f"unknown media modality {modality!r}: expected image, video,"
+            " or audio"
+        )
     from orestes_spark.operators import dedup as _d
     from orestes_spark.operators import multimodal as _mm
 
@@ -1216,6 +1272,82 @@ def make_media_batch_processor(
     return process
 
 
+def _make_aligned_media_processor(
+    store: str,
+    id_col: str,
+    content_col: str,
+    modality: str,
+    min_matched: int,
+):
+    """The aligned-unit media gate behind make_media_batch_processor's
+    video/audio modalities (round-12): unit signatures — per-frame
+    dHash64 or per-window envelope RMS, both from REAL decoded
+    payloads — are this gate's whole dedup state, 12-16 bytes per
+    unit. Survivors append media rows to ``<store>/media`` and unit
+    rows to ``<store>/unit_sigs``; the durable unit index is what
+    every later batch probes (multimodal.incremental_aligned_pairs:
+    one equi-join on (idx, sig) — signature equality IS the band — so
+    per-batch cost never touches corpus payload bytes). Epoch-atomic
+    writes, replaying-epoch exclusion, and same-id re-delivery drops
+    are the image path's contract verbatim. At 100 TB of video the
+    unit index is |frames| x 16 B — TB-scale corpus, tens-of-GB-scale
+    index, partitionable by epoch exactly like the band trees."""
+    from orestes_spark.operators import multimodal as _mm
+
+    idx_col, sig_col = (
+        ("frame_idx", "simhash") if modality == "video" else ("win_idx", "rms")
+    )
+    unit_fn = (
+        _mm.video_frame_dhash if modality == "video" else _mm.audio_envelope
+    )
+    media_path = f"{store}/media"
+    units_path = f"{store}/unit_sigs"
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = (
+            batch.select(
+                F.col(id_col).cast("long").alias("media_id"),
+                F.col(content_col).alias("content"),
+            )
+            .dropDuplicates(["media_id"])
+            .localCheckpoint()
+        )
+        units = unit_fn(batch).localCheckpoint()
+        pairs_in = _mm.aligned_near_pairs(units, idx_col, sig_col, min_matched)
+        kept_ids = units.select("media_id").distinct().join(
+            pairs_in.select(F.col("id_b").alias("media_id")).distinct(),
+            "media_id",
+            "left_anti",
+        )
+        kept_units = units.join(kept_ids, "media_id", "left_semi")
+        fs, base = _fs_and_path(spark, units_path)
+        if fs.exists(base):
+            index = spark.read.parquet(units_path).filter(
+                F.col("epoch") != epoch_id
+            )
+            # same-id re-delivery first (at-least-once upstream)
+            kept_units = kept_units.join(
+                index.select("media_id").distinct(), "media_id", "left_anti"
+            )
+            pairs = _mm.incremental_aligned_pairs(
+                kept_units, index, idx_col, sig_col, min_matched
+            )
+            kept_units = kept_units.join(
+                pairs.select(F.col("id_new").alias("media_id")).distinct(),
+                "media_id",
+                "left_anti",
+            )
+        kept_units = kept_units.localCheckpoint()  # one compute, two sinks
+        kept_media = batch.join(
+            kept_units.select("media_id").distinct(), "media_id", "left_semi"
+        )
+        _write_epoch_atomic(kept_media, f"{media_path}/epoch={epoch_id}")
+        _write_epoch_atomic(kept_units, f"{units_path}/epoch={epoch_id}")
+
+    return process
+
+
 def start_media_ingest(
     media_stream: DataFrame,
     store: str,
@@ -1223,13 +1355,17 @@ def start_media_ingest(
     content_col: str = "content",
     max_hamming: int = 3,
     checkpoint: str | None = None,
+    modality: str = "image",
+    min_matched: int = 2,
 ):
-    """Continuous image-corpus construction with cross-batch
-    perceptual dedup — see make_media_batch_processor. Same delivery
-    contract as start_corpus_ingest (epoch-keyed overwrite partitions,
-    replay-safe index reads)."""
+    """Continuous media-corpus construction with cross-batch
+    perceptual dedup — see make_media_batch_processor (``modality``
+    picks the image banded-dHash gate or the video/audio aligned-unit
+    gate). Same delivery contract as start_corpus_ingest (epoch-keyed
+    overwrite partitions, replay-safe index reads)."""
     process = make_media_batch_processor(
-        store, id_col, content_col, max_hamming
+        store, id_col, content_col, max_hamming,
+        modality=modality, min_matched=min_matched,
     )
     return (
         media_stream.writeStream.foreachBatch(process)
@@ -1749,7 +1885,24 @@ def compact_corpus_store(
     out = {"docs": n_docs, "bands": n_bands}
     mapping = {"docs": docs_path, "bands": bands_path}
     if has_kgrams:
-        kgrams = spark.read.parquet(kgrams_path).select("h").distinct().localCheckpoint()
+        kg_src = spark.read.parquet(kgrams_path)
+        kgrams = kg_src.select("h").distinct().localCheckpoint()
+        if "kg" in kg_src.columns:
+            # preserve the self-describing k-gram size (round-12): the
+            # compacted baseline must keep validating probes' k. A
+            # mid-migration tree may hold pre-kg epochs (nulls) — one
+            # surviving value is the stream's k; two distinct ones is
+            # real corruption and must raise, not compact.
+            kgs = sorted(
+                r[0] for r in kg_src.select("kg").distinct().collect() if r[0] is not None
+            )
+            if len(kgs) > 1:
+                raise ValueError(
+                    f"corpus store kgrams tree mixes k-gram sizes {kgs};"
+                    " it cannot be compacted into one probe-able baseline"
+                )
+            if kgs:
+                kgrams = kgrams.withColumn("kg", F.lit(int(kgs[0])))
         if span_buckets:
             # migration/rebucket path (round-9): the compacted baseline
             # is written hash-range-bucketed with the self-describing

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from orestes_spark.operators import dedup
 
@@ -959,3 +960,160 @@ def test_shingle_containment_indexed_matches_direct(spark, tmp_path):
     assert direct[100][1] > 0 and direct[101][1] == 0
     with _pytest.raises(ValueError, match="base or index"):
         dedup.shingle_containment(probe, None, "doc_id", "text", n=5)
+
+
+def test_span_index_self_describing_k_mismatch_raises(spark):
+    """Round-12 (ADVICE r11): a span/containment index probed with the
+    wrong k would join DISJOINT xxhash64 key spaces and silently
+    report zero hits — the under-reporting failure a decontamination
+    gate must never have. The index now carries its k-gram size
+    (``kg``) and every probe raises on disagreement; a pre-kg index
+    (column dropped) still works on the docstring contract."""
+    corpus = spark.createDataFrame(
+        [(1, "c1 c2 c3 c4 c5 c6 filler words here")], "doc_id LONG, text STRING"
+    )
+    batch = spark.createDataFrame(
+        [(10, "x c1 c2 c3 c4 c5 c6 y")], "doc_id LONG, text STRING"
+    )
+    idx6 = dedup.span_index(corpus, "doc_id", "text", k=6)
+    with pytest.raises(ValueError, match="built with k=6"):
+        dedup.incremental_repeated_spans(batch, idx6, "doc_id", "text", k=5)
+    with pytest.raises(ValueError, match="built with k=6"):
+        dedup.shingle_containment(batch, None, "doc_id", "text", n=5, index=idx6)
+    # a frame unioned from builds with different k is unusable with ANY k
+    mixed = idx6.unionByName(dedup.span_index(corpus, "doc_id", "text", k=5))
+    with pytest.raises(ValueError, match="mixes k-gram sizes"):
+        dedup.incremental_repeated_spans(batch, mixed, "doc_id", "text", k=6)
+    # matching k passes and flags the planted span
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.incremental_repeated_spans(
+            batch, idx6, "doc_id", "text", k=6
+        ).collect()
+    }
+    assert got == {(10, 1, 7)}
+    # legacy kg-less index: validated by docstring contract as before
+    legacy = idx6.drop("kg")
+    got_legacy = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.incremental_repeated_spans(
+            batch, legacy, "doc_id", "text", k=6
+        ).collect()
+    }
+    assert got_legacy == got
+
+
+def test_incremental_simhash_pairs_logs_max_bucket_drop(spark, caplog):
+    """Round-12 (ADVICE r11): the incremental probe's max_bucket cut
+    is logged like simhash_near_pairs' — a dropped degenerate bucket
+    is a recall event the operator must see, not a silent one."""
+    import logging
+
+    # 4 batch images sharing every band value (identical signature)
+    # against an indexed corpus twin: max_bucket=3 drops the bucket.
+    sig = spark.createDataFrame(
+        [(i, 0x1234567812345678) for i in range(4)], "_id LONG, simhash LONG"
+    )
+    corpus_sig = spark.createDataFrame(
+        [(100, 0x1234567812345678)], "_id LONG, simhash LONG"
+    )
+    index = dedup.simhash_band_index(corpus_sig, bits=64, band_bits=16)
+    with caplog.at_level(logging.WARNING, logger="orestes_spark.operators.dedup"):
+        got = dedup.incremental_simhash_pairs(
+            sig, index, max_hamming=3, bits=64, band_bits=16, max_bucket=3
+        ).collect()
+    assert got == []  # every band bucket over the cap -> no candidates
+    assert any("incremental_simhash_pairs" in r.message for r in caplog.records)
+    # under the default cap the planted match is found and nothing logs
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="orestes_spark.operators.dedup"):
+        got = dedup.incremental_simhash_pairs(
+            sig, index, max_hamming=3, bits=64, band_bits=16
+        ).collect()
+    assert {(r["id_new"], r["id_corpus"]) for r in got} == {(i, 100) for i in range(4)}
+    assert not caplog.records
+
+
+def test_incremental_winnow_pairs_against_persisted_index(spark, tmp_path):
+    """Round-12 (VERDICT r11 #2): the MOSS family's persisted-index
+    incremental probe — a batch doc copying a passage from an indexed
+    corpus doc is caught WITHOUT re-winnowing the corpus; unrelated
+    batch docs are not; results are identical through parquet with
+    bucket pruning; and a mismatched probe config raises instead of
+    silently reporting zero."""
+    copied = " ".join(f"c{i}" for i in range(12))
+    corpus = spark.createDataFrame(
+        [
+            (1, f"{copied} and some corpus trailing words here"),
+            (2, "entirely different corpus content with nothing shared at all"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, f"prefix words then {copied} tail"),
+            (20, "wholly novel batch material matching no indexed document"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    idx = dedup.winnow_index(corpus, "doc_id", "text", k=5, w=4)
+    got = {
+        (r["id_new"], r["id_corpus"])
+        for r in dedup.incremental_winnow_pairs(
+            batch, idx, "doc_id", "text", k=5, w=4, min_shared=2
+        ).collect()
+    }
+    assert got == {(10, 1)}
+    # identical through parquet + partition-pruned probe
+    d = str(tmp_path / "widx")
+    dedup.winnow_index(corpus, "doc_id", "text", k=5, w=4, buckets=4).write.partitionBy(
+        "hb"
+    ).parquet(d)
+    bidx = spark.read.parquet(d)
+    got_b = {
+        (r["id_new"], r["id_corpus"])
+        for r in dedup.incremental_winnow_pairs(
+            batch, bidx, "doc_id", "text", k=5, w=4, min_shared=2, buckets=4
+        ).collect()
+    }
+    assert got_b == got
+    # config disagreement raises (disjoint fingerprint spaces)
+    with pytest.raises(ValueError, match="built with k=5"):
+        dedup.incremental_winnow_pairs(batch, idx, "doc_id", "text", k=6, w=4)
+    with pytest.raises(ValueError, match="built with w=4"):
+        dedup.incremental_winnow_pairs(batch, idx, "doc_id", "text", k=5, w=6)
+    with pytest.raises(ValueError, match="built with salt='winnow'"):
+        dedup.incremental_winnow_pairs(
+            batch, idx, "doc_id", "text", k=5, w=4, salt="other"
+        )
+    with pytest.raises(ValueError, match="buckets=4"):
+        dedup.incremental_winnow_pairs(
+            batch, bidx, "doc_id", "text", k=5, w=4, buckets=8
+        )
+    # a re-delivered id (batch doc already indexed) never self-pairs
+    redeliver = corpus.where(F.col("doc_id") == 1)
+    self_pairs = dedup.incremental_winnow_pairs(
+        redeliver, idx, "doc_id", "text", k=5, w=4, min_shared=2
+    ).collect()
+    assert all(r["id_new"] != r["id_corpus"] for r in self_pairs)
+
+
+def test_winnow_index_build_max_df_cuts_boilerplate(spark):
+    """The build-time stop-print cut: a print in > max_df corpus docs
+    never enters the index, so the probe cannot fan out on it."""
+    boiler = " ".join(f"b{i}" for i in range(10))
+    corpus = spark.createDataFrame(
+        [(i, f"{boiler} doc {i} specific extra tokens q{i} r{i} s{i}") for i in range(5)],
+        "doc_id LONG, text STRING",
+    )
+    full = dedup.winnow_index(corpus, "doc_id", "text", k=5, w=4, max_df=None)
+    cut = dedup.winnow_index(corpus, "doc_id", "text", k=5, w=4, max_df=3)
+    full_fps = {r["fp"] for r in full.select("fp").distinct().collect()}
+    cut_fps = {r["fp"] for r in cut.select("fp").distinct().collect()}
+    assert cut_fps < full_fps  # boilerplate prints dropped
+    dfs = {
+        r["fp"]: r["c"]
+        for r in full.groupBy("fp").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert all(dfs[fp] <= 3 for fp in cut_fps)
+    assert any(dfs[fp] > 3 for fp in full_fps - cut_fps)

@@ -947,3 +947,25 @@ def test_centroid_drift_zero_for_identical_slices(spark):
         "embedding", "label",
     ).collect()
     assert len(out) == 1 and out[0]["drift"] == 0.0
+
+
+def test_dimension_stats_square_past_bigint_ceiling(spark):
+    """Round-12 (ADVICE r11): the per-element square is computed IN
+    decimal, not BIGINT-then-cast — components whose quantized value
+    exceeds ~3.03e9 (|x_q|^2 > 2^63) must still produce exact stats.
+    x_q = {5e9, 1e10}: n=2, Sx=1.5e10, Sxx=1.25e20 (overflows BIGINT),
+    var_num = 2*1.25e20 - 2.25e20 = 2.5e19, sqrt = 5e9."""
+    df = spark.createDataFrame(
+        [(1, [0.5]), (2, [1.0])], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    got = {
+        r["dim"]: r
+        for r in similarity.dimension_stats(
+            df, "embedding", quantize=10_000_000_000
+        ).collect()
+    }
+    r = got[1]
+    assert r["n"] == 2
+    assert r["mean"] == 0.75
+    assert r["std"] == 0.25
+    assert r["vmin"] == 0.5 and r["vmax"] == 1.0

@@ -1549,6 +1549,13 @@ def test_compact_corpus_store_collapses_kgrams_and_keeps_span_gate(spark, tmp_pa
     assert out["docs"] == 2 and out["kgrams"] == n_distinct
     eps = {p for p in os.listdir(f"{store}/kgrams") if p.startswith("epoch=")}
     assert eps == {"epoch=-1"}
+    # round-12: the self-describing k-gram size survives compaction,
+    # so post-compaction probes still validate k (ADVICE r11 class)
+    kgs = {
+        r[0]
+        for r in spark.read.parquet(f"{store}/kgrams").select("kg").distinct().collect()
+    }
+    assert kgs == {6}
 
     # the copier is still caught against the compacted baseline
     copier = " ".join(a_toks[5:21] + [f"z{i}" for i in range(10)])
@@ -2179,3 +2186,111 @@ def test_media_ingest_cross_batch_perceptual_dedup(spark, tmp_path):
         for r in spark.read.parquet(f"{store}/phash_bands").select("_id").distinct().collect()
     )
     assert idx_ids == [1, 2, 11]
+
+
+def test_text_gate_retrain_if_zero_scored_window_surfaces(spark, tmp_path):
+    """Round-12 (ADVICE r11): a gate that scored ZERO docs across the
+    window (everything consumed upstream — a fully-collapsed stream)
+    must surface, not report a healthy 1.0: rate=None, triggered=True
+    with reason="no_scored_docs", and never retrained (the collapse
+    is upstream of the gate, so a new artifact changes nothing)."""
+    from orestes_spark.streaming.ingest import text_gate_retrain_if
+
+    store = str(tmp_path / "collapsed_store")
+    spark.createDataFrame(
+        [("quality", 0, 0), ("dsir", 4, 1)],
+        "gate STRING, n_scored LONG, n_dropped LONG",
+    ).write.parquet(f"{store}/gate_stats/epoch=0")
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    labels = spark.createDataFrame([(1, 1)], "doc_id LONG, label INT")
+    res = text_gate_retrain_if(
+        spark, store, accept_floor=0.5, window=3, quality=(docs, labels)
+    )
+    q = res["quality"]
+    assert q["rate"] is None
+    assert q["triggered"] is True
+    assert q["reason"] == "no_scored_docs"
+    assert q["retrained"] is False
+    # the scored gate still evaluates normally (3/4 above the floor)
+    assert res["dsir"]["rate"] == 0.75 and res["dsir"]["triggered"] is False
+    import os
+
+    assert not os.path.exists(f"{store}/.gate_retrain")  # no churn
+
+
+def test_media_ingest_video_modality_cross_batch_dedup(spark, tmp_path):
+    """Round-12 (VERDICT r11 #1): the VIDEO media gate — within-batch
+    aligned-frame keep-min, cross-batch probe of the durable unit
+    index (a frame-by-frame 2x upscale of an accepted container never
+    re-enters), same-id re-delivery drop, epoch-replay idempotence."""
+    from orestes_spark.operators import multimodal as mm
+    from orestes_spark.streaming.ingest import make_media_batch_processor
+
+    store = str(tmp_path / "video_store")
+    process = make_media_batch_processor(store, modality="video")
+
+    def upv(payload):
+        # a real re-encode: demux, 2x-upscale every frame through the
+        # real resize kernel, remux into a fresh PV container
+        frames = mm.decode_video(payload)
+        outs = []
+        for fr in frames:
+            m = mm.decode_image(fr)
+            outs.append(mm.resize_ppm(fr, 2 * m["width"], 2 * m["height"]))
+        return f"PV{len(outs)}\n".encode() + b"".join(outs)
+
+    ddl = "media_id LONG, content BINARY"
+    a, b = mm.synth_video("first clip"), mm.synth_video("second clip")
+    # batch 0: two originals + an in-batch upscaled dup of A
+    process(spark.createDataFrame([(1, a), (2, b), (3, upv(a))], ddl), 0)
+    kept = sorted(r["media_id"] for r in spark.read.parquet(f"{store}/media").collect())
+    assert kept == [1, 2]
+
+    # batch 1: upscaled re-encode of B (new id) -> cross-batch drop;
+    # same-id re-delivery of 1 -> drop; novel clip -> accepted
+    c = mm.synth_video("third, novel clip")
+    process(spark.createDataFrame([(10, upv(b)), (1, a), (11, c)], ddl), 1)
+    kept = sorted(r["media_id"] for r in spark.read.parquet(f"{store}/media").collect())
+    assert kept == [1, 2, 11]
+
+    # crash-replay of epoch 1: same decisions, no duplicates
+    process(spark.createDataFrame([(10, upv(b)), (1, a), (11, c)], ddl), 1)
+    kept = sorted(r["media_id"] for r in spark.read.parquet(f"{store}/media").collect())
+    assert kept == [1, 2, 11]
+    idx_ids = sorted(
+        r["media_id"]
+        for r in spark.read.parquet(f"{store}/unit_sigs")
+        .select("media_id").distinct().collect()
+    )
+    assert idx_ids == [1, 2, 11]
+
+
+def test_media_ingest_audio_modality_cross_batch_dedup(spark, tmp_path):
+    """Round-12 (VERDICT r11 #1): the AUDIO media gate — a re-render
+    with different waveform micro-structure (same loudness envelope)
+    is dropped in-batch and cross-batch; novel audio is accepted;
+    replay is idempotent."""
+    from orestes_spark.operators import multimodal as mm
+    from orestes_spark.streaming.ingest import make_media_batch_processor
+
+    store = str(tmp_path / "audio_store")
+    process = make_media_batch_processor(store, modality="audio")
+
+    ddl = "media_id LONG, content BINARY"
+    a1 = mm.synth_wav_segments("first track", "h1")
+    a2 = mm.synth_wav_segments("first track", "h2")  # re-render of a1
+    b1 = mm.synth_wav_segments("second track", "h1")
+    process(spark.createDataFrame([(1, a1), (2, b1), (3, a2)], ddl), 0)
+    kept = sorted(r["media_id"] for r in spark.read.parquet(f"{store}/media").collect())
+    assert kept == [1, 2]
+
+    b2 = mm.synth_wav_segments("second track", "h2")
+    c1 = mm.synth_wav_segments("third, novel track", "h1")
+    process(spark.createDataFrame([(10, b2), (1, a1), (11, c1)], ddl), 1)
+    kept = sorted(r["media_id"] for r in spark.read.parquet(f"{store}/media").collect())
+    assert kept == [1, 2, 11]
+
+    process(spark.createDataFrame([(10, b2), (1, a1), (11, c1)], ddl), 1)
+    kept = sorted(r["media_id"] for r in spark.read.parquet(f"{store}/media").collect())
+    assert kept == [1, 2, 11]

@@ -74,7 +74,9 @@ def main(n_batches: int = 10) -> None:
         ids = {r["media_id"] for r in spark.read.parquet(f"{store}/media").collect()}
         new_ids = [m for m, _ in novel if m in ids]
         # the DROP side is exact by construction (pigeonhole banding +
-        # bit_count verify have no false negatives): every planted
+        # bit_count verify have no false negatives WHILE no band bucket
+        # exceeds the pair stages' max_bucket stop-key — never hit at
+        # soak scale, and the stages log the cut if it fires): every planted
         # re-encode, in-batch dup, and re-delivery MUST be rejected
         assert not any(e * 1000 + 500 + j in ids for j in range(40))
         assert not any(e * 1000 + 800 + j in ids for j in range(20))
