@@ -92,6 +92,89 @@ def deterministic_stratified_sample(
     return df.where(_hash_bucket(F.col(id_col), salt) < thresh)
 
 
+def stratified_topk(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    k: int,
+    salt: str = "topk",
+    oversample: float = 8.0,
+    max_strata: int = 10_000,
+) -> DataFrame:
+    """Exact k-per-stratum deterministic sample: the min(n, k) rows
+    with the SMALLEST salted id hashes per stratum, plus their 1-based
+    ``pos`` in hash order — the fixed-size companion of the rate-based
+    deterministic_stratified_sample (eval sets, per-domain audits,
+    few-shot pools want "exactly k docs per source", not a rate).
+
+    Identical to ``row_number() OVER (PARTITION BY stratum ORDER BY
+    hash, id) <= k`` — but NOT executed that way: at corpus scale that
+    window sorts every stratum in full. Instead a per-stratum hash
+    threshold (~oversample·k/n of the hash range, from one count
+    aggregate) prefilters to ~oversample·k survivor rows per stratum
+    BEFORE the rank window, so the sort input is sample-sized, not
+    corpus-sized. The prefilter is exact whenever >= min(n, k)
+    survivors remain (the k smallest hashes all sit below any
+    threshold that admits k rows); the shortfall probability at
+    oversample=8 is Chernoff-negligible, and a post-check compares
+    per-stratum picked counts against min(n, k) and re-ranks ONLY
+    starved strata with the filter off — so the output equals the
+    plain-window semantics unconditionally, never probabilistically.
+
+    ``max_strata`` mirrors temperature_mixture_plan: per-stratum
+    thresholds collect one row per stratum; a high-cardinality column
+    raises loudly before materializing."""
+    import math
+
+    if k <= 0:
+        raise ValueError(f"k must be >= 1, got {k}")
+    per = df.groupBy(F.col(strata_col).alias("_stratum")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    rows = per.limit(max_strata + 1).collect()
+    if len(rows) > max_strata:
+        raise ValueError(
+            f"stratified_topk collected more than max_strata={max_strata}"
+            f" distinct values of {strata_col!r}: strata are"
+            " sources/languages (dozens), not a high-cardinality key"
+        )
+    full = 1 << 32
+    thresh = {
+        r["_stratum"]: full
+        if r["_n"] <= oversample * k
+        else int(math.ceil(full * oversample * k / r["_n"]))
+        for r in rows
+    }
+    expected = {r["_stratum"]: min(r["_n"], k) for r in rows}
+
+    def ranked(src: DataFrame) -> DataFrame:
+        w = Window.partitionBy(strata_col).orderBy(
+            hash_prefix_long(F.col(id_col), salt), F.col(id_col)
+        )
+        return src.withColumn("pos", F.row_number().over(w)).where(
+            F.col("pos") <= k
+        )
+
+    tcol: Column = F.lit(full)
+    for s, t in sorted(thresh.items()):
+        tcol = F.when(F.col(strata_col) == s, F.lit(t)).otherwise(tcol)
+    picked = ranked(
+        df.where(hash_prefix_long(F.col(id_col), salt) < tcol)
+    ).localCheckpoint(eager=True)
+    got = {
+        r["_stratum"]: r["_got"]
+        for r in picked.groupBy(F.col(strata_col).alias("_stratum"))
+        .agg(F.count(F.lit(1)).alias("_got"))
+        .collect()
+    }
+    starved = [s for s, want in expected.items() if got.get(s, 0) < want]
+    if not starved:
+        return picked
+    # Exactness fallback: re-rank ONLY the starved strata unfiltered.
+    redo = ranked(df.where(F.col(strata_col).isin(starved)))
+    return picked.where(~F.col(strata_col).isin(starved)).unionByName(redo)
+
+
 def mixture_plan(
     docs: DataFrame,
     strata_col: str,

@@ -5,7 +5,7 @@ no Python in the loop) and engine-portable for oracle checking.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from orestes_spark.operators.dedup import bind, normalize_text
@@ -113,6 +113,148 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 # backreferences).
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
 PHONE_PATTERN = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+# Dialect-safe subset (no \b, no backrefs): identical leftmost
+# non-overlapping matching under Java regex and RE2.
+IPV4_PATTERN = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+SSN_PATTERN = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+CARD_PATTERN = r"[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}"
+
+
+def _luhn_sum(ds: Column, n: int) -> Column:
+    """Luhn-weighted digit sum of the first ``n`` digits of a digit
+    string: for a 16-digit PAN (check digit at position 16), the
+    doubled positions are the ODD 1-indexed ones (even positions from
+    the right); a digit doubled past 9 contributes 2d-9. The same
+    parity rule applied to n=15 yields the check-digit equation
+    ck = (10 - sum15 % 10) % 10 — both the validator (n=16) and the
+    fixture synthesizer (n=15) call this one home.
+    ``luhn_sum_sql`` is the byte-equivalent DuckDB twin."""
+    total = None
+    for p in range(1, n + 1):
+        d = F.substring(ds, p, 1).cast("int")
+        term = F.when(2 * d > 9, 2 * d - 9).otherwise(2 * d) if p % 2 == 1 else d
+        total = term if total is None else total + term
+    return total
+
+
+def luhn_sum_sql(var: str, n: int) -> str:
+    """DuckDB expression-text twin of ``_luhn_sum`` over ``var``."""
+    return " + ".join(
+        (
+            f"CASE WHEN 2*CAST(substr({var},{p},1) AS INT) > 9"
+            f" THEN 2*CAST(substr({var},{p},1) AS INT) - 9"
+            f" ELSE 2*CAST(substr({var},{p},1) AS INT) END"
+            if p % 2 == 1
+            else f"CAST(substr({var},{p},1) AS INT)"
+        )
+        for p in range(1, n + 1)
+    )
+
+
+def pii_classes(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Multi-class PII detection report — the audit layer above the
+    two-class pii_scrub: per doc, counts of email / phone / IPv4 /
+    SSN-format / card-format matches plus ``n_luhn`` (card-format
+    matches whose 16 digits pass the Luhn mod-10 check — the
+    discriminator that separates real PANs from arbitrary digit runs)
+    and an ``any_pii`` routing verdict. Pattern-level by design (an
+    IPv4 octet may exceed 255, an SSN area may be invalid): the
+    counts are a redaction-routing signal, and validity beyond syntax
+    is the Luhn column's job for cards only. One map-side projection,
+    no shuffle — at 100 TB this is a scan-speed tagger like
+    quality_scores."""
+    t = F.col(text_col)
+
+    def n_matches(pattern: str) -> Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pattern), F.lit(0)))
+
+    cards = F.transform(
+        F.regexp_extract_all(t, F.lit(CARD_PATTERN), F.lit(0)),
+        lambda s: F.regexp_replace(s, "[ -]", ""),
+    )
+    luhn_ok = F.size(
+        F.filter(
+            cards,
+            lambda ds: (F.length(ds) == 16) & (_luhn_sum(ds, 16) % 10 == 0),
+        )
+    )
+    counts = {
+        "n_emails": n_matches(EMAIL_PATTERN),
+        "n_phones": n_matches(PHONE_PATTERN),
+        "n_ipv4": n_matches(IPV4_PATTERN),
+        "n_ssn": n_matches(SSN_PATTERN),
+        "n_cards": F.size(cards),
+    }
+    out = ensure_min_parallelism(docs).select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in counts.items()],
+        luhn_ok.alias("n_luhn"),
+    )
+    total = sum(F.col(name) for name in counts)
+    return out.withColumn("any_pii", total > 0)
+
+
+def plant_pii_block(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic PII fixture: append a closed-form contact block
+    derived from the doc id (the synthetic corpus contains no natural
+    PII, so detection queries would be all-zero evidence without it —
+    same discipline as multimodal's synth fixtures, where the oracle
+    states the planted payload in closed form). Plants: email at
+    id%3=0, SSN at id%5=0, IPv4 at id%7=0, 16-digit card at id%4=0 —
+    Luhn-VALID except at id%8=0, where the check digit is off by one
+    (the validator must split these). Items are ' | '-separated so
+    digit runs never concatenate across classes. Returns (id_col,
+    text_col) with the block appended; the DuckDB twin lives in the
+    doc_pii_classes oracle."""
+    did = F.col(id_col)
+    d9 = F.lpad(did.cast("string"), 9, "0")
+    ssn = F.concat_ws(
+        "-", F.substring(d9, 1, 3), F.substring(d9, 4, 2), F.substring(d9, 6, 4)
+    )
+    ip = F.concat_ws(
+        ".",
+        (did % 254 + 1).cast("string"),
+        ((did * 7 + 13) % 256).cast("string"),
+        ((did * 31 + 7) % 256).cast("string"),
+        (did % 200 + 1).cast("string"),
+    )
+    pan15 = F.concat(
+        F.lit("4"), F.lpad((did % 100000000000000).cast("string"), 14, "0")
+    )
+    staged = docs.select(
+        did.alias(id_col),
+        F.col(text_col),
+        ssn.alias("_ssn"),
+        ip.alias("_ip"),
+        pan15.alias("_pan15"),
+    ).withColumn("_ck", (10 - _luhn_sum(F.col("_pan15"), 15) % 10) % 10)
+    pan = F.concat(
+        F.col("_pan15"),
+        F.when(F.col(id_col) % 8 == 0, (F.col("_ck") + 1) % 10)
+        .otherwise(F.col("_ck"))
+        .cast("string"),
+    )
+    block = F.concat(
+        F.col(text_col),
+        F.when(
+            F.col(id_col) % 3 == 0,
+            F.concat(
+                F.lit(" | contact user"),
+                F.col(id_col).cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col(id_col) % 5 == 0, F.concat(F.lit(" | ssn "), F.col("_ssn"))).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col(id_col) % 7 == 0, F.concat(F.lit(" | host "), F.col("_ip"))).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col(id_col) % 4 == 0, F.concat(F.lit(" | card "), pan)).otherwise(
+            F.lit("")
+        ),
+    )
+    return staged.select(F.col(id_col), block.alias(text_col))
 
 
 def bpe_ish_token_count(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

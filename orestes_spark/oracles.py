@@ -109,6 +109,66 @@ WHERE round(i * 1.0 / (na.n + nb.n - i), 6) >= {threshold}
 """
 
 
+def neardup_recall_sql(
+    num_hashes: int = 8, rows_per_band: int = 2, threshold: float = 0.5
+) -> str:
+    """Recall probe of the MinHash-LSH banded route vs exact-Jaccard
+    ground truth — extends the ANN probe family's "every approximate
+    route carries a measured recall row" discipline (emb_lsh_recall /
+    emb_ivf_recall / emb_pq_recall) to the text dedup family. Ground
+    truth = every pair with exact token-shingle Jaccard >= threshold
+    (inverted-index co-occurrence join: exact for threshold > 0, since
+    J >= t > 0 requires a shared shingle). Caught = banded candidates
+    that survive the same exact verify — by construction a subset of
+    truth, so recall = caught/truth and (n_cands - n_caught) is the
+    wasted-verify cost the band count dial trades against recall."""
+    sig_cols = ",\n         ".join(
+        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(num_hashes)
+    )
+    bands = num_hashes // rows_per_band
+    band_selects = " UNION ALL ".join(
+        "SELECT _id, {b} AS band, concat({cols}) AS bval FROM sig".format(
+            b=b,
+            cols=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {TOKEN_SHINGLES},
+sig AS (
+  SELECT _id, {sig_cols}
+  FROM shingles GROUP BY _id
+),
+banded AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT a._id AS id_a, b._id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bval = b.bval AND a._id < b._id
+),
+sizes AS (SELECT _id, count(*) AS n FROM shingles GROUP BY 1),
+inter_all AS (
+  SELECT a._id AS id_a, b._id AS id_b, count(*) AS i
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a._id < b._id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT ia.id_a, ia.id_b
+  FROM inter_all ia
+  JOIN sizes na ON na._id = ia.id_a JOIN sizes nb ON nb._id = ia.id_b
+  WHERE round(ia.i * 1.0 / (na.n + nb.n - ia.i), 6) >= {threshold}
+),
+caught AS (
+  SELECT t.id_a, t.id_b
+  FROM truth t JOIN cands c ON c.id_a = t.id_a AND c.id_b = t.id_b
+)
+SELECT
+  (SELECT count(*) FROM truth) AS n_true,
+  (SELECT count(*) FROM cands) AS n_cands,
+  (SELECT count(*) FROM caught) AS n_caught,
+  round((SELECT count(*) FROM caught) * 1.0
+        / greatest((SELECT count(*) FROM truth), 1), 6) AS recall
+"""
+
+
 def token_shingles_cte(n: int) -> str:
     """Parameterized twin of TOKEN_SHINGLES for n-token shingles."""
     leads = ", ".join(

@@ -1770,6 +1770,44 @@ def doc_incremental_neardup(spark, sf_dir):
     return dedup.incremental_neardup(new, corpus, index, "doc_id", "text")
 
 
+@register("doc_neardup_recall", oracles.neardup_recall_sql())
+def doc_neardup_recall(spark, sf_dir):
+    """Measured recall of the LSH banded route vs exact-Jaccard ground
+    truth (round-12) — the text-dedup twin of emb_lsh_recall /
+    emb_ivf_recall / emb_pq_recall, closing the "every approximate
+    route has a recall row" discipline over the MinHash family. Truth
+    is the inverted-index exact pair set (co-occurrence-bounded, exact
+    for threshold > 0 because J >= t > 0 needs a shared shingle);
+    caught re-runs the production verify (dedup.verify_jaccard) over
+    the band candidates, so the number measured is the number shipped.
+    One row: n_true / n_cands / n_caught / recall — the band-count
+    dial's feedback metric, (n_cands - n_caught) its verify-cost side.
+    At 100 TB this probe runs on a sampled slice (truth is exact
+    ground truth — per-shingle df bounds its join, same cost class as
+    the decontamination scans), while the banded route it certifies
+    stays the corpus-scale path."""
+    d = load_table(spark, sf_dir, "documents")
+    arrays = dedup.token_shingle_arrays(d, "doc_id", "text", 3).localCheckpoint()
+    sig = dedup.minhash_signatures(arrays, 8)
+    cands = dedup.minhash_band_candidates(sig, 8, 2).localCheckpoint(eager=True)
+    shingles = arrays.select("_id", F.explode("shingles").alias("sh"))
+    truth = dedup.jaccard_pairs(shingles, 0.5)
+    caught = dedup.verify_jaccard(arrays, cands, 0.5, "shingles")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(F.broadcast(cands.agg(F.count(F.lit(1)).alias("n_cands"))))
+        .crossJoin(F.broadcast(caught.agg(F.count(F.lit(1)).alias("n_caught"))))
+        .select(
+            "n_true",
+            "n_cands",
+            "n_caught",
+            F.round(
+                F.col("n_caught") / F.greatest(F.col("n_true"), F.lit(1)), 6
+            ).alias("recall"),
+        )
+    )
+
+
 @register(
     "doc_dedup_clusters",
     f"""WITH RECURSIVE pairs AS ({oracles.minhash_neardup_sql()}),
@@ -1870,6 +1908,35 @@ def doc_sample_stratified(spark, sf_dir):
     return sampling.deterministic_stratified_sample(
         d, "doc_id", "lang", {"en": 0.5}
     ).select("doc_id", "lang")
+
+
+@register(
+    "doc_sample_topk",
+    """SELECT source, doc_id, pos FROM (
+         SELECT source, doc_id,
+                row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY CAST('0x' || substr(md5('topk:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+                           doc_id) AS pos
+         FROM documents
+       ) WHERE pos <= 20""",
+)
+def doc_sample_topk(spark, sf_dir):
+    """Exact 20-per-source deterministic sample (round-12) — the
+    fixed-size companion of doc_sample_stratified (eval sets and
+    per-domain audit pools want exactly k docs per source, not a
+    rate). The oracle states the plain-window semantics; the operator
+    executes the scale path: a per-stratum hash threshold prefilters
+    to ~8k survivors per source before the rank window, with an
+    exactness post-check that re-ranks only starved strata — identical
+    rows, sample-sized sort input instead of corpus-sized
+    (sampling.stratified_topk)."""
+    from orestes_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_topk(d, "doc_id", "source", 20).select(
+        "source", "doc_id", "pos"
+    )
 
 
 @register(
@@ -2210,6 +2277,68 @@ def doc_pii_scrub(spark, sf_dir):
     (byte-for-byte oracle-verified scrub)."""
     d = load_table(spark, sf_dir, "documents")
     return text.pii_scrub(d, "doc_id", "text")
+
+
+def _pii_classes_sql() -> str:
+    """DuckDB twin of plant_pii_block + pii_classes (round-12): the
+    planted contact block is stated in closed form from doc_id (the
+    synthetic corpus has no natural PII), then the five class
+    detectors + the Luhn filter run over the planted text. The Luhn
+    sums are generated from text.luhn_sum_sql — the same one-home
+    expression the Spark validator/synthesizer use."""
+    luhn15 = text.luhn_sum_sql("pan15", 15)
+    luhn16 = text.luhn_sum_sql("ds", 16)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         lpad(CAST(doc_id AS VARCHAR), 9, '0') AS d9,
+         '4' || lpad(CAST(doc_id % 100000000000000 AS VARCHAR), 14, '0') AS pan15,
+         CAST(doc_id % 254 + 1 AS VARCHAR) || '.' || CAST((doc_id*7+13) % 256 AS VARCHAR)
+           || '.' || CAST((doc_id*31+7) % 256 AS VARCHAR) || '.' || CAST(doc_id % 200 + 1 AS VARCHAR) AS ip
+  FROM documents
+),
+ck AS (SELECT *, (10 - ({luhn15}) % 10) % 10 AS ckd FROM base),
+planted AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN ' | contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' | ssn ' || substr(d9,1,3) || '-' || substr(d9,4,2) || '-' || substr(d9,6,4) ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' | host ' || ip ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN ' | card ' || pan15 || CAST(CASE WHEN doc_id % 8 = 0 THEN (ckd+1)%10 ELSE ckd END AS VARCHAR) ELSE '' END
+    AS ptext
+  FROM ck
+),
+counts AS (
+  SELECT doc_id,
+    len(regexp_extract_all(ptext, '{text.EMAIL_PATTERN}')) AS n_emails,
+    len(regexp_extract_all(ptext, '{text.PHONE_PATTERN}')) AS n_phones,
+    len(regexp_extract_all(ptext, '{text.IPV4_PATTERN}')) AS n_ipv4,
+    len(regexp_extract_all(ptext, '{text.SSN_PATTERN}')) AS n_ssn,
+    len(regexp_extract_all(ptext, '{text.CARD_PATTERN}')) AS n_cards,
+    len(list_filter(
+      list_transform(regexp_extract_all(ptext, '{text.CARD_PATTERN}'),
+                     s -> regexp_replace(s, '[ -]', '', 'g')),
+      ds -> length(ds) = 16 AND ({luhn16}) % 10 = 0)) AS n_luhn
+  FROM planted
+)
+SELECT doc_id, n_emails, n_phones, n_ipv4, n_ssn, n_cards, n_luhn,
+       (n_emails + n_phones + n_ipv4 + n_ssn + n_cards) > 0 AS any_pii
+FROM counts"""
+
+
+@register("doc_pii_classes", _pii_classes_sql())
+def doc_pii_classes(spark, sf_dir):
+    """Multi-class PII audit (round-12): email / phone / IPv4 / SSN /
+    card-format counts + Luhn-validated card count + any_pii verdict,
+    over docs carrying the deterministic planted contact block
+    (text.plant_pii_block — the corpus has no natural PII; the oracle
+    states the planted payload AND the detection in closed form, so
+    the hash match certifies the synthesize→detect chain including
+    the valid/invalid Luhn split at id%8). Scan-speed map-side tagger
+    — no shuffle (text.pii_classes)."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = text.plant_pii_block(d, "doc_id", "text")
+    return text.pii_classes(planted, "doc_id", "text")
 
 
 @register("doc_lang_id", oracles.lang_id_sql())

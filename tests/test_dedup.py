@@ -1117,3 +1117,25 @@ def test_winnow_index_build_max_df_cuts_boilerplate(spark):
     }
     assert all(dfs[fp] <= 3 for fp in cut_fps)
     assert any(dfs[fp] > 3 for fp in full_fps - cut_fps)
+
+
+def test_neardup_recall_probe_caught_subset_of_truth(spark):
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base), (2, base + " extra"), (3, "completely different words here")] + [
+        (10 + i, f"filler document number {i} with its own unique tokens {i * 7}")
+        for i in range(10)
+    ]
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    arrays = dedup.token_shingle_arrays(d, "doc_id", "text", 3)
+    sig = dedup.minhash_signatures(arrays, 8)
+    cands = dedup.minhash_band_candidates(sig, 8, 2)
+    shingles = arrays.select("_id", F.explode("shingles").alias("sh"))
+    truth = dedup.jaccard_pairs(shingles, 0.5)
+    caught = dedup.verify_jaccard(arrays, cands, 0.5, "shingles")
+    truth_set = {(r["id_a"], r["id_b"]) for r in truth.collect()}
+    caught_set = {(r["id_a"], r["id_b"]) for r in caught.collect()}
+    assert (1, 2) in truth_set
+    assert caught_set <= truth_set  # verify can only confirm true pairs
+    assert (1, 2) in caught_set  # 8-hash/4-band LSH catches a 0.8-Jaccard pair

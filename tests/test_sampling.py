@@ -407,3 +407,70 @@ def test_temperature_mixture_plan_drops_zero_token_strata(spark):
     rows = temperature_mixture_plan(docs, "lang", toks, 2.0).collect()
     assert {r["stratum"] for r in rows} == {"en"}
     assert rows[0]["share"] == 1.0
+
+
+def test_stratified_topk_matches_plain_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from orestes_spark.operators import sampling
+
+    rows = [(i, "big" if i % 3 else "small") for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id LONG, src STRING")
+    got = sampling.stratified_topk(d, "doc_id", "src", 10)
+    w = Window.partitionBy("src").orderBy(
+        sampling.hash_prefix_long(F.col("doc_id"), "topk"), F.col("doc_id")
+    )
+    want = (
+        d.withColumn("pos", F.row_number().over(w)).where(F.col("pos") <= 10)
+    )
+    assert sorted(map(tuple, got.select("src", "doc_id", "pos").collect())) == sorted(
+        map(tuple, want.select("src", "doc_id", "pos").collect())
+    )
+    # deterministic across invocations
+    again = sampling.stratified_topk(d, "doc_id", "src", 10)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_stratified_topk_starved_fallback_is_exact(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from orestes_spark.operators import sampling
+
+    d = spark.createDataFrame(
+        [(i, "only") for i in range(500)], "doc_id LONG, src STRING"
+    )
+    # oversample so tiny the prefilter threshold admits ~0 rows —
+    # forces the starved-strata re-rank; output must still equal the
+    # plain-window semantics exactly.
+    got = sampling.stratified_topk(d, "doc_id", "src", 25, oversample=0.01)
+    w = Window.partitionBy("src").orderBy(
+        sampling.hash_prefix_long(F.col("doc_id"), "topk"), F.col("doc_id")
+    )
+    want = d.withColumn("pos", F.row_number().over(w)).where(F.col("pos") <= 25)
+    assert sorted(map(tuple, got.select("doc_id", "pos").collect())) == sorted(
+        map(tuple, want.select("doc_id", "pos").collect())
+    )
+
+
+def test_stratified_topk_small_stratum_keeps_all(spark):
+    from orestes_spark.operators import sampling
+
+    d = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id LONG, src STRING"
+    )
+    got = sampling.stratified_topk(d, "doc_id", "src", 5)
+    assert got.count() == 3  # min(n, k) per stratum
+
+
+def test_stratified_topk_cardinality_guard(spark):
+    import pytest as _pytest
+
+    from orestes_spark.operators import sampling
+
+    d = spark.createDataFrame(
+        [(i, str(i)) for i in range(30)], "doc_id LONG, src STRING"
+    )
+    with _pytest.raises(ValueError, match="max_strata"):
+        sampling.stratified_topk(d, "doc_id", "src", 2, max_strata=10)

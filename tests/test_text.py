@@ -463,3 +463,58 @@ def test_quality_model_eval_separation_and_degradation(spark):
         docs, labels, bad_model, "doc_id", "text"
     ).collect()[0]
     assert bad["accuracy"] <= 0.1  # verdicts inverted — the report catches it
+
+
+def test_pii_classes_counts_and_luhn_split(spark):
+    rows = [
+        (1, "pay 4111111111111111 or 4111111111111112 today"),
+        (2, "mail me at a.b+c@example.org and 10.0.0.1 ssn 123-45-6789"),
+        (3, "call +1 (415) 555-0199 now"),
+        (4, "no pii here at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in text.pii_classes(d, "doc_id", "text").collect()}
+    # 4111111111111111 is Luhn-valid, ...12 is not; both match the format.
+    assert got[1]["n_cards"] == 2 and got[1]["n_luhn"] == 1
+    assert got[2]["n_emails"] == 1 and got[2]["n_ipv4"] == 1 and got[2]["n_ssn"] == 1
+    assert got[3]["n_phones"] == 1
+    assert not got[4]["any_pii"]
+    assert got[1]["any_pii"] and got[2]["any_pii"] and got[3]["any_pii"]
+
+
+def _luhn_valid(pan: str) -> bool:
+    total = 0
+    for i, ch in enumerate(reversed(pan)):
+        d = int(ch)
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def test_plant_pii_block_closed_form(spark):
+    ids = [24, 12, 15, 21, 11]  # %8=0 invalid card, %4-not-%8 valid card, ssn, ip, none
+    d = spark.createDataFrame([(i, "base text") for i in ids], "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r["text"] for r in text.plant_pii_block(d, "doc_id", "text").collect()}
+    assert got[11] == "base text"
+    assert "user24@example.com" in got[24]  # 24 % 3 == 0
+    assert "ssn 000-00-0015" in got[15]
+    assert "host 22." in got[21]  # 21 % 254 + 1
+    import re
+
+    for i in (24, 12):
+        (pan,) = re.findall(r"card ([0-9]{16})", got[i])
+        assert _luhn_valid(pan) == (i % 8 != 0)
+    # detection over the planted block agrees with the plant schedule
+    det = {
+        r["doc_id"]: r
+        for r in text.pii_classes(
+            text.plant_pii_block(d, "doc_id", "text"), "doc_id", "text"
+        ).collect()
+    }
+    assert det[24]["n_cards"] == 1 and det[24]["n_luhn"] == 0
+    assert det[12]["n_cards"] == 1 and det[12]["n_luhn"] == 1
+    assert det[15]["n_ssn"] == 1 and det[21]["n_ipv4"] == 1
+    assert not det[11]["any_pii"]
