@@ -1793,18 +1793,25 @@ def doc_neardup_recall(spark, sf_dir):
     shingles = arrays.select("_id", F.explode("shingles").alias("sh"))
     truth = dedup.jaccard_pairs(shingles, 0.5)
     caught = dedup.verify_jaccard(arrays, cands, 0.5, "shingles")
-    return (
-        truth.agg(F.count(F.lit(1)).alias("n_true"))
-        .crossJoin(F.broadcast(cands.agg(F.count(F.lit(1)).alias("n_cands"))))
-        .crossJoin(F.broadcast(caught.agg(F.count(F.lit(1)).alias("n_caught"))))
-        .select(
-            "n_true",
-            "n_cands",
-            "n_caught",
-            F.round(
-                F.col("n_caught") / F.greatest(F.col("n_true"), F.lit(1)), 6
-            ).alias("recall"),
-        )
+    # One tagged union → one aggregation: all three counts map-side
+    # combine into a single final reduce (1 single-partition exchange
+    # carrying one row, not 3 — the repo's pinned plan invariant).
+    tagged = (
+        truth.select(F.lit("t").alias("w"))
+        .unionByName(cands.select(F.lit("c").alias("w")))
+        .unionByName(caught.select(F.lit("g").alias("w")))
+    )
+    return tagged.agg(
+        F.sum((F.col("w") == "t").cast("long")).alias("n_true"),
+        F.sum((F.col("w") == "c").cast("long")).alias("n_cands"),
+        F.sum((F.col("w") == "g").cast("long")).alias("n_caught"),
+    ).select(
+        "n_true",
+        "n_cands",
+        "n_caught",
+        F.round(F.col("n_caught") / F.greatest(F.col("n_true"), F.lit(1)), 6).alias(
+            "recall"
+        ),
     )
 
 
@@ -5026,6 +5033,117 @@ def ts_seasonal_baseline(spark, sf_dir):
 
 
 @register(
+    "ts_stl_decompose",
+    f"""WITH hourly AS (
+          SELECT event_type,
+                 CAST(floor({_EV_MS} / {_HOUR}) AS BIGINT) AS hour,
+                 round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS v
+          FROM events GROUP BY 1, 2
+        ),
+        tr AS (
+          SELECT event_type, hour, v,
+                 round(CAST(sum(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE) / 25, 6) AS trend,
+                 count(*) OVER w AS wn,
+                 min(hour) OVER w AS wlo,
+                 max(hour) OVER w AS whi
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        ),
+        det AS (
+          SELECT event_type, hour, v, trend,
+                 CAST(round(v - trend, 6) AS DECIMAL(18,6)) AS detr
+          FROM tr
+          WHERE wn = 25 AND wlo = hour - 12 AND whi = hour + 12
+        ),
+        seas AS (
+          SELECT event_type, hour % 24 AS hod,
+                 round(CAST(sum(detr) AS DOUBLE) / count(*), 6) AS seasonal
+          FROM det GROUP BY 1, 2
+        )
+        SELECT d.event_type, d.hour, d.v, d.trend, s.seasonal,
+               round(CAST(d.detr AS DOUBLE) - s.seasonal, 6) AS resid
+        FROM det d JOIN seas s ON s.event_type = d.event_type AND s.hod = d.hour % 24""",
+)
+def ts_stl_decompose(spark, sf_dir):
+    """STL-lite seasonal decomposition per series (round-12): hourly
+    anchors → trend = centered 25-hour moving average (FULL,
+    gap-validated windows only: count 25 AND the frame's min/max hour
+    exactly hour±12, so a missing hour can never smear the trend
+    across a gap) → seasonal = per-(series, hour-of-day) mean of the
+    detrended values → residual. The additive v = trend + seasonal +
+    resid decomposition that anomaly gates and forecast baselines
+    consume. Exactness follows the ts_seasonal_baseline discipline:
+    6dp-double anchors, decimal re-entry before every order-sensitive
+    sum, one rounded double step per output. Cost: one (series, hour)
+    aggregate, one series-partitioned window, one 24-row-per-series
+    seasonal aggregate broadcast back — no corpus-sized shuffle beyond
+    the anchor aggregation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_millis("ts").alias("time_ms"), "value"
+    )
+    hourly = ev.groupBy(
+        "event_type", F.floor(F.col("time_ms") / _HOUR).cast("long").alias("hour")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("v")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-12, 12)
+    )
+    tr = hourly.select(
+        "event_type",
+        "hour",
+        "v",
+        F.round(F.sum(F.col("v").cast("decimal(18,6)")).over(w).cast("double") / 25, 6).alias(
+            "trend"
+        ),
+        F.count(F.lit(1)).over(w).alias("wn"),
+        F.min("hour").over(w).alias("wlo"),
+        F.max("hour").over(w).alias("whi"),
+    )
+    det = tr.where(
+        (F.col("wn") == 25)
+        & (F.col("wlo") == F.col("hour") - 12)
+        & (F.col("whi") == F.col("hour") + 12)
+    ).select(
+        "event_type",
+        "hour",
+        "v",
+        "trend",
+        F.round(F.col("v") - F.col("trend"), 6).cast("decimal(18,6)").alias("detr"),
+    )
+    seas = (
+        det.groupBy(
+            F.col("event_type").alias("s_event_type"),
+            (F.col("hour") % 24).alias("hod"),
+        )
+        .agg(
+            F.round(F.sum("detr").cast("double") / F.count(F.lit(1)), 6).alias(
+                "seasonal"
+            )
+        )
+    )
+    return det.join(
+        F.broadcast(seas),
+        (F.col("event_type") == F.col("s_event_type"))
+        & (F.col("hod") == F.col("hour") % 24),
+    ).select(
+        "event_type",
+        "hour",
+        "v",
+        "trend",
+        "seasonal",
+        F.round(F.col("detr").cast("double") - F.col("seasonal"), 6).alias("resid"),
+    )
+
+
+@register(
     "ts_downsample_m4",
     f"""WITH ev AS (
           SELECT event_type,
@@ -6409,6 +6527,72 @@ def doc_quality_report(spark, sf_dir):
         "*",
         n_pass.alias("n_pass"),
     ).withColumn("keep_all", F.col("n_pass") == 5)
+
+
+def _keep_manifest_sql() -> str:
+    """Oracle for doc_keep_manifest: the quality report card, the
+    MinHash keep-list pair set, and the decontamination report card
+    embedded verbatim as scoped CTEs (the established nesting
+    precedent), resolved to one reason per doc by the SAME ordered
+    CASE the Spark side applies."""
+    return f"""WITH qr AS ({_quality_report_sql()}),
+        pairs AS ({oracles.minhash_neardup_sql()}),
+        dec AS ({oracles.decontam_report_sql()}),
+        m AS (
+          SELECT d.doc_id,
+                 CASE
+                   WHEN d.doc_id % 20 = 0 THEN 'eval_holdout'
+                   WHEN NOT coalesce(q.keep_all, TRUE) THEN 'quality'
+                   WHEN d.doc_id IN (SELECT id_b FROM pairs) THEN 'duplicate'
+                   WHEN coalesce(dc.flagged, FALSE) THEN 'contaminated'
+                   ELSE 'kept'
+                 END AS reason
+          FROM documents d
+          LEFT JOIN qr q ON q.doc_id = d.doc_id
+          LEFT JOIN dec dc ON dc.doc_id = d.doc_id
+        )
+        SELECT doc_id, reason, reason = 'kept' AS keep FROM m"""
+
+
+@register("doc_keep_manifest", _keep_manifest_sql())
+def doc_keep_manifest(spark, sf_dir):
+    """The END-TO-END per-document pipeline manifest (round-12): one
+    row per corpus doc with the final keep/drop verdict and the FIRST
+    gate that dropped it, in production precedence order —
+    eval_holdout (the id%20 eval convention all decontam queries
+    share) → quality (the five-signal report card's unanimous
+    keep_all) → duplicate (the MinHash keep-list's greedy loser set,
+    doc_dedup_keep_list's convention) → contaminated (the three-
+    modality decontam report's flagged) → kept. This is the artifact
+    a training run ships alongside its corpus: every exclusion
+    auditable to a named gate, reproducible from the same frozen
+    artifacts (shared NB/DSIR/LM models, shared pair graph — all
+    charged once as bench artifact lines). Composition cost only:
+    every leg is an already-audited query; the manifest adds three
+    left joins on the doc key."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    qr = doc_quality_report(spark, sf_dir).select("doc_id", "keep_all")
+    dup = (
+        _neardup_pairs_for(spark, sf_dir)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    dec = doc_decontam_report(spark, sf_dir).select("doc_id", "flagged")
+    reason = (
+        F.when(F.col("doc_id") % 20 == 0, F.lit("eval_holdout"))
+        .when(~F.coalesce(F.col("keep_all"), F.lit(True)), F.lit("quality"))
+        .when(F.coalesce(F.col("_dup"), F.lit(False)), F.lit("duplicate"))
+        .when(F.coalesce(F.col("flagged"), F.lit(False)), F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        d.join(qr, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .select("doc_id", reason.alias("reason"))
+        .withColumn("keep", F.col("reason") == "kept")
+    )
 
 
 @register("doc_bpe_trained", oracles.bpe_trained_sql(num_merges=12))
