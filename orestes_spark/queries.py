@@ -5144,6 +5144,92 @@ def ts_stl_decompose(spark, sf_dir):
 
 
 @register(
+    "ts_changepoint_cusum",
+    f"""WITH hourly AS (
+          SELECT event_type,
+                 CAST(floor({_EV_MS} / {_HOUR}) AS BIGINT) AS hour,
+                 round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS v
+          FROM events GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT event_type,
+                 round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu,
+                 count(*) AS n_hours
+          FROM hourly GROUP BY 1
+        ),
+        c AS (
+          SELECT h.event_type, h.hour, m.n_hours,
+                 sum(CAST(round(h.v - m.mu, 6) AS DECIMAL(18,6)))
+                   OVER (PARTITION BY h.event_type ORDER BY h.hour) AS s
+          FROM hourly h JOIN m ON m.event_type = h.event_type
+        ),
+        r AS (
+          SELECT event_type, hour, n_hours,
+                 round(CAST(abs(s) AS DOUBLE), 6) AS abs_cusum,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(s) DESC, hour) AS rk
+          FROM c
+        )
+        SELECT event_type, hour AS cp_hour, abs_cusum AS max_abs_cusum, n_hours
+        FROM r WHERE rk = 1""",
+)
+def ts_changepoint_cusum(spark, sf_dir):
+    """CUSUM changepoint detection per series (round-12): hourly
+    anchors → cumulative sum of deviations from the series mean → the
+    hour of maximum |CUSUM| is the most likely level-shift point (the
+    classic Page/Pettitt estimator shape every monitoring stack
+    ships). Deterministic tie-break (earliest hour at equal |S|);
+    deviations re-enter decimal before the running sum so partial
+    order can't flip the hash; the argmax is a per-series rank window
+    over series-sized rows — no global sort. One (series, hour)
+    aggregate + one series aggregate joined back + one window."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_millis("ts").alias("time_ms"), "value"
+    )
+    hourly = ev.groupBy(
+        "event_type", F.floor(F.col("time_ms") / _HOUR).cast("long").alias("hour")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("v")
+    )
+    m = hourly.groupBy(F.col("event_type").alias("m_event_type")).agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("mu"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    wsum = Window.partitionBy("event_type").orderBy("hour")
+    c = (
+        hourly.join(F.broadcast(m), F.col("event_type") == F.col("m_event_type"))
+        .select(
+            "event_type",
+            "hour",
+            "n_hours",
+            F.round(F.col("v") - F.col("mu"), 6).cast("decimal(18,6)").alias("dev"),
+        )
+        .withColumn("s", F.sum("dev").over(wsum))
+    )
+    wrk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.col("hour")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(wrk))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("hour").alias("cp_hour"),
+            F.round(F.abs(F.col("s")).cast("double"), 6).alias("max_abs_cusum"),
+            "n_hours",
+        )
+    )
+
+
+@register(
     "ts_downsample_m4",
     f"""WITH ev AS (
           SELECT event_type,

@@ -772,6 +772,7 @@ def make_corpus_batch_processor(
     span_buckets: int | None = None,
     quality_floor: float | None = None,
     ppl_ceiling: float | None = None,
+    rejects: bool = False,
 ):
     """foreachBatch processor for continuous corpus construction with
     CROSS-BATCH near-dedup (exposed as a factory so replay semantics
@@ -834,6 +835,22 @@ def make_corpus_batch_processor(
     partitioning and no backfill when armed on a pre-existing store
     (the codebook is setup-time state, not accepted-corpus state).
 
+    ``rejects`` (round-12, the streaming twin of doc_keep_manifest):
+    record every dropped doc to ``<store>/rejects/epoch=<id>`` as
+    (id, reason) — reason being the FIRST gate that dropped it, by
+    construction: each gate only ever sees survivors of the gates
+    before it, so its drop set IS the first-drop set and no
+    precedence logic exists to get wrong. Reasons, in gate order:
+    ``batch_neardup`` (within-batch minhash loser), ``redelivery``
+    (already-accepted id re-sent), ``corpus_neardup`` (near-dup of an
+    indexed doc), ``span_dup``, ``dsir``, ``quality``, ``ppl``.
+    Epoch-keyed overwrite = replay-idempotent like every sink here;
+    off by default (zero overhead), and when armed the added cost is
+    one semi-join per firing gate over already-checkpointed frames
+    plus one batch-sized write. This is the audit trail a curation
+    pipeline owes its operators: every exclusion attributable to a
+    named gate, queryable per epoch, without re-running anything.
+
     Epoch-keyed subdirectories written with mode("overwrite") make
     replays idempotent: a re-offered epoch overwrites its own output
     instead of appending duplicates (no marker file needed — the
@@ -863,13 +880,23 @@ def make_corpus_batch_processor(
             or ppl_ceiling is not None
         )
         stats_rows: list[tuple[str, int, int]] = []
+        rej: list[DataFrame] = []
+
+        def note_rejects(ids: DataFrame, reason: str) -> None:
+            if rejects:
+                rej.append(
+                    ids.select(F.col(ids.columns[0]).alias(id_col))
+                    .distinct()
+                    .withColumn("reason", F.lit(reason))
+                )
+
         n_in = batch.count() if record_stats else 0
         pairs_in = _d.minhash_lsh_dedup(
             batch, id_col, text_col, shingle_size, num_hashes, rows_per_band, threshold
         )
-        kept = batch.join(
-            pairs_in.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_anti"
-        )
+        in_drops = pairs_in.select(F.col("id_b").alias(id_col)).distinct()
+        note_rejects(in_drops, "batch_neardup")
+        kept = batch.join(in_drops, id_col, "left_anti")
         fs, base = _fs_and_path(spark, bands_path)
         if fs.exists(base):
             # Exclude THIS epoch's own partition from the index/corpus
@@ -897,16 +924,16 @@ def make_corpus_batch_processor(
             # requires disjoint id spaces — it drops same-id pairs as
             # self-matches — so an already-accepted id must be
             # filtered here or it would silently re-append.
-            kept = kept.join(
-                index.select(F.col("_id").alias(id_col)).distinct(), id_col, "left_anti"
-            )
+            seen_ids = index.select(F.col("_id").alias(id_col)).distinct()
+            note_rejects(kept.join(seen_ids, id_col, "left_semi"), "redelivery")
+            kept = kept.join(seen_ids, id_col, "left_anti")
             pairs = _d.incremental_neardup(
                 kept, corpus, index, id_col, text_col,
                 shingle_size, num_hashes, rows_per_band, threshold,
             )
-            kept = kept.join(
-                pairs.select(F.col("id_new").alias(id_col)).distinct(), id_col, "left_anti"
-            )
+            cx_drops = pairs.select(F.col("id_new").alias(id_col)).distinct()
+            note_rejects(cx_drops, "corpus_neardup")
+            kept = kept.join(cx_drops, id_col, "left_anti")
         if span_k is not None:
             # Cut the lineage BEFORE the gate: it references `kept`
             # several times (batch k-grams twice, token counts, the
@@ -965,6 +992,7 @@ def make_corpus_batch_processor(
                     .where(F.col("_dup") >= F.lit(span_max_frac) * F.col("_n"))
                     .select(id_col)
                 )
+                note_rejects(drops, "span_dup")
                 kept = kept.join(drops, id_col, "left_anti")
         if dsir_floor is not None:
             from orestes_spark.operators import sampling as _s
@@ -1001,6 +1029,7 @@ def make_corpus_batch_processor(
             ).first()
             stats_rows.append(("dsir", int(_st["n"]), int(_st["d"] or 0)))
             drops = scored.where(_cond).select(F.col("_id").alias(id_col))
+            note_rejects(drops, "dsir")
             kept = kept.join(drops, id_col, "left_anti")
         if quality_floor is not None:
             # FIFTH modality (round-10): the MODEL-BASED quality gate.
@@ -1035,6 +1064,7 @@ def make_corpus_batch_processor(
             ).first()
             stats_rows.append(("quality", int(_st["n"]), int(_st["d"] or 0)))
             drops = scored.where(_cond).select(id_col)
+            note_rejects(drops, "quality")
             kept = kept.join(drops, id_col, "left_anti")
         if ppl_ceiling is not None:
             # SIXTH modality: the PERPLEXITY gate. The classifier gate
@@ -1077,6 +1107,7 @@ def make_corpus_batch_processor(
             ).first()
             stats_rows.append(("ppl", int(_st["n"]), int(_st["d"] or 0)))
             drops = scored.where(_cond).select(id_col)
+            note_rejects(drops, "ppl")
             kept = kept.join(drops, id_col, "left_anti")
         kept = kept.localCheckpoint()  # one compute, two/three sinks
         # stage-then-rename: each sink's epoch dir appears atomically
@@ -1104,6 +1135,11 @@ def make_corpus_batch_processor(
                 ),
                 f"{store}/gate_stats/epoch={epoch_id}",
             )
+        if rejects:
+            rejected = rej[0]
+            for r in rej[1:]:
+                rejected = rejected.unionByName(r)
+            _write_epoch_atomic(rejected, f"{store}/rejects/epoch={epoch_id}")
 
     return process
 
@@ -1124,6 +1160,7 @@ def start_corpus_ingest(
     span_buckets: int | None = None,
     quality_floor: float | None = None,
     ppl_ceiling: float | None = None,
+    rejects: bool = False,
 ):
     """Continuous corpus construction with CROSS-BATCH near-dedup —
     see make_corpus_batch_processor for the per-batch algorithm, the
@@ -1154,6 +1191,7 @@ def start_corpus_ingest(
         span_buckets,
         quality_floor,
         ppl_ceiling,
+        rejects,
     )
     return (
         docs_stream.writeStream.foreachBatch(process)

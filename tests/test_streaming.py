@@ -2294,3 +2294,66 @@ def test_media_ingest_audio_modality_cross_batch_dedup(spark, tmp_path):
     process(spark.createDataFrame([(10, b2), (1, a1), (11, c1)], ddl), 1)
     kept = sorted(r["media_id"] for r in spark.read.parquet(f"{store}/media").collect())
     assert kept == [1, 2, 11]
+
+
+def test_corpus_rejects_manifest_records_first_drop_reason(spark, tmp_path):
+    """The rejects sink (round-12, streaming twin of doc_keep_manifest):
+    every dropped doc lands in <store>/rejects with the FIRST gate
+    that dropped it — within-batch minhash loser, re-delivered
+    accepted id, and cross-batch near-dup each get their named
+    reason; accepted docs never appear."""
+    from orestes_spark.streaming.ingest import make_corpus_batch_processor
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    other = "completely different content about spark query engines and shuffles"
+    store = str(tmp_path / "store")
+    ddl = "doc_id LONG, text STRING"
+    process = make_corpus_batch_processor(store, rejects=True)
+
+    # epoch 0: exact in-batch dup (2 loses to 1) + an unrelated accept
+    process(spark.createDataFrame([(1, base), (2, base), (10, other)], ddl), 0)
+    # epoch 1: near-copy of accepted doc 1 + re-delivery of id 10
+    process(spark.createDataFrame([(20, near), (10, other)], ddl), 1)
+
+    rej = {
+        (r["doc_id"], r["epoch"]): r["reason"]
+        for r in spark.read.parquet(f"{store}/rejects").collect()
+    }
+    assert rej == {
+        (2, 0): "batch_neardup",
+        (10, 1): "redelivery",
+        (20, 1): "corpus_neardup",
+    }
+    accepted = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{store}/docs").collect()
+    )
+    assert accepted == [1, 10]
+
+
+def test_corpus_rejects_manifest_replay_idempotent_and_gate_reasons(spark, tmp_path):
+    """A replayed epoch overwrites its own rejects partition (no
+    duplicate audit rows), and a frozen-gate drop carries the gate's
+    name as its reason."""
+    from orestes_spark.streaming.ingest import (
+        make_corpus_batch_processor,
+        prepare_dsir_gate,
+    )
+
+    tgt = [(100 + i, f"spark shuffle partition join optimizer stage {i}") for i in range(8)]
+    raw = tgt + [(200 + i, f"casino bonus lottery jackpot winner prize {i}") for i in range(8)]
+    ddl = "doc_id LONG, text STRING"
+    store = str(tmp_path / "store")
+    prepare_dsir_gate(
+        spark.createDataFrame(tgt, ddl), spark.createDataFrame(raw, ddl), store
+    )
+    process = make_corpus_batch_processor(store, dsir_floor=0.0, rejects=True)
+    batch = spark.createDataFrame(
+        [(1, "spark shuffle partition join optimizer stage work"),
+         (2, "casino bonus lottery jackpot winner prize money")],
+        ddl,
+    )
+    process(batch, 0)
+    process(batch, 0)  # replay: same epoch re-offered
+    rows = spark.read.parquet(f"{store}/rejects").collect()
+    assert [(r["doc_id"], r["reason"], r["epoch"]) for r in rows] == [(2, "dsir", 0)]
