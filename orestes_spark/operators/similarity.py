@@ -1456,6 +1456,88 @@ def dimension_stats(
     )
 
 
+def pca_power_direction(
+    vectors: DataFrame, id_col: str, vec_col: str, quantize: int = 100
+) -> DataFrame:
+    """Dominant principal direction of the (un-centered) second-moment
+    matrix M = Σ x·xᵀ by TWO integer-exact power-iteration steps —
+    the anisotropy monitor that completes the embedding-health family
+    (dimension_stats sees per-dim spread, centroid_drift sees
+    per-label shift; this sees the shared dominant direction — the
+    "cone effect" that makes raw cosine similarities collapse and
+    that whitening exists to remove). Output one row per dimension:
+    (dim, v_share = v2_j / max|v2| in [-1, 1], explained_share =
+    Rayleigh(v1) / trace(M) — the fraction of total second moment the
+    dominant direction carries, constant across rows).
+
+    Exactness: components quantize to integers; with v0 = 1⃗ the two
+    steps are v1_j = Σ_r x_rj·s_r (s_r the row sum) and
+    v2_j = Σ_r x_rj·(x_r·v1) — every product and sum exact in
+    DECIMAL(38,0) (the DuckDB twin rides HUGEINT; both exact, and
+    only the final rounded-double shares cross the hash). Magnitude
+    bound at Q=100, d=64: v2 ~ n²·Q⁴·d² — inside DECIMAL(38,0) to
+    n ~ 1e8 rows; past that, overflow raises LOUDLY under ANSI (run
+    the probe on a hash-sampled slice, the diagnostic's normal mode
+    at corpus scale — direction estimates converge long before 1e8).
+
+    Scale shape: the corpus is touched twice (row sums + dot
+    products), each a posexplode + groupBy with map-side partials;
+    the per-dim frames are d rows. Two single-partition exchanges
+    (the d-row scalar reduce and the trace), inside the repo's pinned
+    ≤2 invariant."""
+    ex = (
+        vectors.select(
+            F.col(id_col).alias("_rid"), quantized(F.col(vec_col), quantize).alias("v")
+        )
+        .select("_rid", F.posexplode("v").alias("i", "x"))
+        .localCheckpoint()
+    )
+    d38 = "decimal(38,0)"
+    s = ex.groupBy("_rid").agg(F.sum("x").alias("s"))
+    v1 = (
+        ex.join(s, "_rid")
+        .groupBy("i")
+        .agg(F.sum((F.col("x") * F.col("s")).cast(d38)).alias("w"))
+        .localCheckpoint()
+    )
+    dots = (
+        ex.join(v1, "i")
+        .groupBy("_rid")
+        .agg(F.sum(F.col("x").cast(d38) * F.col("w")).alias("d2"))
+    )
+    v2 = (
+        ex.join(dots, "_rid")
+        .groupBy("i")
+        .agg(F.sum(F.col("x").cast(d38) * F.col("d2")).alias("w2"))
+        .localCheckpoint()
+    )
+    scal = (
+        v1.join(v2, "i")
+        .agg(
+            F.max(F.abs(F.col("w2"))).alias("maxabs"),
+            F.sum(F.col("w") * F.col("w2")).alias("dot12"),
+            F.sum(F.col("w") * F.col("w")).alias("dot11"),
+        )
+    )
+    trace = ex.agg(F.sum(F.col("x") * F.col("x")).alias("tr"))
+    return (
+        v2.crossJoin(F.broadcast(scal))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            (F.col("i") + 1).cast("int").alias("dim"),
+            F.round(
+                F.col("w2").cast("double") / F.col("maxabs").cast("double"), 6
+            ).alias("v_share"),
+            F.round(
+                F.col("dot12").cast("double")
+                / F.col("dot11").cast("double")
+                / F.col("tr").cast("double"),
+                6,
+            ).alias("explained_share"),
+        )
+    )
+
+
 def centroid_drift(
     slice_a: DataFrame,
     slice_b: DataFrame,

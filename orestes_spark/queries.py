@@ -3680,6 +3680,49 @@ def emb_label_centroids(spark, sf_dir):
 
 
 @register(
+    "emb_pca_power",
+    """WITH q AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS v
+         FROM embeddings
+       ),
+       u AS (SELECT vec_id, UNNEST(v) AS x, generate_subscripts(v, 1) AS i FROM q),
+       s AS (SELECT vec_id, sum(x) AS s FROM u GROUP BY 1),
+       v1 AS (
+         SELECT u.i, sum(CAST(u.x * s.s AS HUGEINT)) AS w
+         FROM u JOIN s USING (vec_id) GROUP BY 1
+       ),
+       dots AS (
+         SELECT u.vec_id, sum(CAST(u.x AS HUGEINT) * v1.w) AS d2
+         FROM u JOIN v1 ON v1.i = u.i GROUP BY 1
+       ),
+       v2 AS (
+         SELECT u.i, sum(CAST(u.x AS HUGEINT) * dots.d2) AS w2
+         FROM u JOIN dots USING (vec_id) GROUP BY 1
+       ),
+       scal AS (
+         SELECT max(abs(v2.w2)) AS maxabs, sum(v1.w * v2.w2) AS dot12,
+                sum(v1.w * v1.w) AS dot11
+         FROM v1 JOIN v2 ON v2.i = v1.i
+       ),
+       tr AS (SELECT sum(x * x) AS tr FROM u)
+       SELECT CAST(v2.i AS INTEGER) AS dim,
+              round(CAST(w2 AS DOUBLE) / CAST(maxabs AS DOUBLE), 6) AS v_share,
+              round(CAST(dot12 AS DOUBLE) / CAST(dot11 AS DOUBLE) / CAST(tr AS DOUBLE), 6)
+                AS explained_share
+       FROM v2, scal, tr""",
+)
+def emb_pca_power(spark, sf_dir):
+    """Dominant principal direction by integer-exact power iteration
+    (round-12): the anisotropy/"cone effect" monitor completing the
+    embedding-health family — per-dim share of the dominant direction
+    plus the fraction of total second moment it explains. Spark rides
+    DECIMAL(38,0), the oracle HUGEINT — both exact, only rounded
+    doubles cross the hash (similarity.pca_power_direction)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.pca_power_direction(e, "vec_id", "embedding", quantize=100)
+
+
+@register(
     "emb_dim_stats",
     """WITH q AS (
          SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v

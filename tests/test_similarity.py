@@ -969,3 +969,40 @@ def test_dimension_stats_square_past_bigint_ceiling(spark):
     assert r["mean"] == 0.75
     assert r["std"] == 0.25
     assert r["vmin"] == 0.5 and r["vmax"] == 1.0
+
+
+def test_pca_power_direction_matches_numpy(spark):
+    """Planted anisotropy: dim 1 carries most of the energy. The
+    operator's two power steps must match the same two steps computed
+    by numpy on the same quantized integers, bit-for-bit on the
+    rounded shares, and the dominant dim must get |v_share| = 1."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 0.05, size=(200, 8))
+    base[:, 0] += rng.choice([-1.0, 1.0], size=200) * 0.9  # dominant dim
+    rows = [(int(i), [float(v) for v in base[i]]) for i in range(200)]
+    d = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = {
+        r["dim"]: (r["v_share"], r["explained_share"])
+        for r in similarity.pca_power_direction(
+            d, "vec_id", "embedding", quantize=100
+        ).collect()
+    }
+    x = np.array(
+        [[round(float(np.float32(v)) * 100) for v in base[i]] for i in range(200)],
+        dtype=object,
+    )
+    s = x.sum(axis=1)
+    v1 = (x * s[:, None]).sum(axis=0)
+    d2 = (x * v1[None, :]).sum(axis=1)
+    v2 = (x * d2[:, None]).sum(axis=0)
+    maxabs = max(abs(int(w)) for w in v2)
+    tr = int((x * x).sum())
+    dot12 = int(sum(int(a) * int(b) for a, b in zip(v1, v2)))
+    dot11 = int(sum(int(a) * int(a) for a in v1))
+    for j in range(8):
+        assert got[j + 1][0] == round(float(int(v2[j])) / float(maxabs), 6)
+        assert got[j + 1][1] == round(float(dot12) / float(dot11) / float(tr), 6)
+    assert abs(got[1][0]) == 1.0  # the planted dominant dim
+    assert got[1][1] > 0.5  # it explains most of the second moment
