@@ -1039,14 +1039,20 @@ def cross_modal_pair_dedup(
     max_hamming: int = 3,
     threshold: float = 0.5,
     shingle_size: int = 3,
+    matches: DataFrame | None = None,
 ) -> DataFrame:
     """Keep-list of the cross-modal pair dedup: every record id minus
     the id_b side of each joint match (greedy keep-min — the
     dedup_keep_list policy applied to (image, caption) records). One
-    column (``id_col``), one row per surviving training pair."""
-    matches = cross_modal_pair_matches(
-        sig, captions, id_col, text_col, max_hamming, threshold, shingle_size
-    )
+    column (``id_col``), one row per surviving training pair.
+    ``matches`` accepts a precomputed cross_modal_pair_matches frame
+    (the shared-artifact shape: the match graph is built once and
+    consumed by the report AND the keep-list, like the text family's
+    neardup_pair_graph)."""
+    if matches is None:
+        matches = cross_modal_pair_matches(
+            sig, captions, id_col, text_col, max_hamming, threshold, shingle_size
+        )
     return (
         captions.select(F.col(id_col))
         .distinct()

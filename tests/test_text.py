@@ -518,3 +518,33 @@ def test_plant_pii_block_closed_form(spark):
     assert det[12]["n_cards"] == 1 and det[12]["n_luhn"] == 1
     assert det[15]["n_ssn"] == 1 and det[21]["n_ipv4"] == 1
     assert not det[11]["any_pii"]
+
+
+def test_pii_luhn_validator_matches_python_reference(spark):
+    """Hypothesis sweep: the Column-expression Luhn validator agrees
+    with the textbook Python implementation on arbitrary 16-digit
+    strings (the dialect-shared contract _luhn_sum / luhn_sum_sql is
+    generated from)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    collected: list[str] = []
+
+    @settings(
+        max_examples=30, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    @given(st.text(alphabet="0123456789", min_size=16, max_size=16))
+    def gather(pan):
+        collected.append(pan)
+
+    gather()
+    pans = sorted(set(collected) | {"4111111111111111", "0000000000000000"})
+    d = spark.createDataFrame(
+        [(i, f"card {p}") for i, p in enumerate(pans)], "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: r["n_luhn"]
+        for r in text.pii_classes(d, "doc_id", "text").collect()
+    }
+    for i, p in enumerate(pans):
+        assert got[i] == (1 if _luhn_valid(p) else 0), p
