@@ -1117,23 +1117,30 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        # round-12 opt: the convergence probe used to be a separate
+        # new-vs-old label JOIN + count job per iteration; the changed
+        # flag is computable inline in the same projection that
+        # produces the new label, so the probe becomes a count over
+        # the already-checkpointed frame — one join and one shuffle
+        # fewer per iteration, same fixpoint.
         new_labels = (
             labels.join(neigh, labels.node == neigh.src, "left_outer")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                    "label"
+                    "_new_label"
                 ),
+                "label",
+            )
+            .select(
+                "node",
+                F.col("_new_label").alias("label"),
+                (F.col("_new_label") != F.col("label")).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("_chg")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select(F.col("node"), F.col("label").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")

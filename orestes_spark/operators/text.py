@@ -720,10 +720,19 @@ def train_bpe(
             )
         l, r = best[0]["l"], best[0]["r"]
         merges.append((rank, l, r, l + r))
+        # round-12 opt: LAZY per-round checkpoint. The eager form ran a
+        # dedicated materialization job per round (12 extra jobs per
+        # training run) just to pin one codegen'd string replace;
+        # eager=False keeps the lineage truncation but lets the NEXT
+        # round's argmax job materialize the checkpoint as a side
+        # effect — one job per round instead of two (measured 4.39 vs
+        # 4.75 s min-of-4 under matched low-steal weather). Dropping
+        # the checkpoint entirely was measured WORSE (5.3-8.2 s): the
+        # growing replace chain re-plans and re-compiles per round.
         types = types.select(
             F.replace(F.col("s"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")).alias("s"),
             "cnt",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "rank INT, left STRING, right STRING, merged STRING"
     )

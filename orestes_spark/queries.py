@@ -4295,9 +4295,17 @@ def emb_semantic_dedup(spark, sf_dir):
     """SemDeDup (arXiv:2303.09540): coarse-cluster by nearest label
     centroid, drop any vector with a ≥0.35-cosine pair at a lower id
     inside its cluster. Pairwise work is Σ|cluster|², not |corpus|² —
-    the clustering IS the 100-TB bound."""
+    the clustering IS the 100-TB bound.
+
+    Round-12 opt (guide §4.2): routed to the vectorized GEMM kernel
+    (one numpy matmul per cluster via applyInPandas) instead of the
+    interpreted per-element zip_with/aggregate verify — integer-exact
+    under quantize, test-pinned bit-equal to the expression path
+    (test_semantic_dedup_arrow_equals_expression_path), same DuckDB
+    oracle; measured 3.5 → 1.7 s at sf0.1. similarity.semantic_dedup
+    remains the expression-path reference implementation."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.semantic_dedup(e, threshold=0.35, quantize=1000)
+    return similarity.semantic_dedup_arrow(e, threshold=0.35, quantize=1000)
 
 
 _SEM_INDEXES: dict[str, str] = {}
@@ -4341,11 +4349,19 @@ def emb_incremental_semdedup(spark, sf_dir):
     applies the keep-lowest rule with index members ranking as kept.
     This is the per-ingest embedding-dedup shape at 100 TB: batch-
     sized work against a corpus-sized index, never corpus² — the
-    embedding mirror of doc_incremental_neardup."""
+    embedding mirror of doc_incremental_neardup.
+
+    Round-12 opt (guide §4.2): routed to the sliced-GEMM kernel
+    (cogrouped applyInPandas, one numpy matmul per cell) instead of
+    the per-element expression verify — integer-exact under quantize,
+    test-pinned equal (test_incremental_semantic_dedup_arrow_equals_
+    expression), same oracle; measured 1.9 → 1.25 s at sf0.1.
+    similarity.incremental_semantic_dedup remains the expression-path
+    reference implementation."""
     e = load_table(spark, sf_dir, "embeddings")
     new = e.where(F.col("vec_id") % 5 == 0)
     root = _sem_index_for(spark, sf_dir)
-    return similarity.incremental_semantic_dedup(
+    return similarity.incremental_semantic_dedup_arrow(
         new,
         spark.read.parquet(root + "/index"),
         threshold=0.35,
