@@ -845,10 +845,6 @@ def simhash_near_pairs(
             f"got {bands} ({bits} bits / {band_bits}-bit bands)"
         )
     mask = (1 << band_bits) - 1
-    # sig feeds the banding once (uncapped) or twice (size histogram +
-    # join input, capped) — materialize so the 32-vote signature
-    # expression never recomputes.
-    sig = sig.localCheckpoint()
     stack_args = ", ".join(
         f"{b}, cast(shiftrightunsigned(simhash, {b * band_bits}) & {mask} as long)"
         for b in range(bands)
@@ -859,44 +855,62 @@ def simhash_near_pairs(
     banded = sig.select(
         "_id", "simhash", F.expr(f"stack({bands}, {stack_args}) as (band, bval)")
     )
+    obs = None
     if max_bucket is not None:
-        # Size first (a count shuffle of (band,bval) keys), then
-        # self-join only the surviving buckets: the quadratic fan-out
-        # is bounded by construction. The size
-        # histogram is materialized ONCE (one row per occupied band
-        # bucket — already an aggregate, far smaller than the corpus)
-        # and reused by both the drop-log probe and the semi-join;
-        # recomputing it per consumer would double the banding shuffle
-        # (measured +1.5-2s per call at sf0.1, and at 100 TB the
-        # second pass is a full extra scan of the banded corpus).
-        sizes = (
-            banded.groupBy("band", "bval")
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .localCheckpoint()
-        )
-        hot = sizes.where(F.col("_bn") > max_bucket)
-        hot_rows = hot.orderBy(F.col("_bn").desc()).limit(5).collect()
-        if hot_rows:
-            import logging
+        # Bucket sizes as a window count over the banding's own
+        # (band, bval) exchange — no separate size-histogram pass over
+        # the banded corpus, no semi-join back. (Round 12: the prior
+        # shape ran a sizes aggregation + checkpoint + top-5 collect +
+        # semi-join per call — two extra jobs and, at 100 TB, a full
+        # extra scan of the banded corpus just to apply the cap.) The
+        # `_bn > 1` cut also drops singleton buckets, which can emit
+        # no pairs, before the join. The drop-log probe rides the same
+        # pass as a CollectMetrics observation: the eager checkpoint
+        # below materializes it, so the warning still fires at
+        # construction time with zero dedicated jobs.
+        from uuid import uuid4
 
-            logging.getLogger(__name__).warning(
-                "simhash_near_pairs: dropping band buckets over max_bucket=%d "
-                "(largest: %s) — near-pairs confined to dropped buckets are missed",
-                max_bucket,
-                [(r["band"], r["_bn"]) for r in hot_rows],
+        from pyspark.sql import Observation, Window
+
+        obs = Observation(f"simhash_cap_{uuid4().hex}")
+        w = Window.partitionBy("band", "bval")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .observe(
+                obs,
+                F.max("_bn").alias("max_bucket_seen"),
+                F.sum((F.col("_bn") > max_bucket).cast("long")).alias("rows_dropped"),
             )
-        keep = sizes.where((F.col("_bn") > 1) & (F.col("_bn") <= max_bucket)).select(
-            "band", "bval"
+            .where((F.col("_bn") > 1) & (F.col("_bn") <= max_bucket))
+            .drop("_bn")
         )
-        banded = banded.join(keep, ["band", "bval"], "left_semi")
+    # One materialization of the capped banding: the signature
+    # expression (or an expensive upstream like the image-decode
+    # dHash) computes exactly once, and both self-join sides read the
+    # checkpoint — the planner does NOT reliably reuse the banding
+    # exchange across the join sides (AQE's broadcast conversion
+    # rewrites one side), so without this the whole sig pipeline ran
+    # twice.
+    banded = banded.localCheckpoint()
+    if obs is not None and (obs.get.get("max_bucket_seen") or 0) > max_bucket:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "simhash_near_pairs: dropped band buckets over max_bucket=%d "
+            "(largest: %d, %d banded rows cut) — near-pairs confined to "
+            "dropped buckets are missed",
+            max_bucket,
+            obs.get["max_bucket_seen"],
+            obs.get["rows_dropped"],
+        )
     # Candidate pairs as an equi-SELF-JOIN on the band key, not
     # collect_list + array fan-out: higher-order array functions run
     # on Catalyst's interpreted path (no whole-stage codegen), which
     # made the 2M-candidate emission at sf0.1 ~6x slower than the
     # join that produces the identical rows fully codegen'd. The self
     # join also keeps a hot bucket as many ROWS (AQE skew-split
-    # handles a degenerate band) instead of one giant array row, and
-    # ReuseExchange reads the banding shuffle once for both sides.
+    # handles a degenerate band) instead of one giant array row; both
+    # sides read the banding checkpoint above.
     # id_a < id_b orders each pair; the Hamming verify runs inline on
     # the carried signatures BEFORE the distinct, so the only
     # post-join exchange carries true near-pairs, not candidates.

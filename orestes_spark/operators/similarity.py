@@ -58,6 +58,48 @@ def _dot(a: F.Column, b: F.Column, as_long: bool) -> F.Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, v: acc + v)
 
 
+# --- single-parse SQL twins of the expression builders (round 12) ---
+#
+# Building the HOF expression trees through the Column DSL costs one
+# py4j round-trip per operator: lsh_bucket alone issued ~600 JVM calls
+# (8 planes x 64-component array literals), which measured as 1.4-1.6 s
+# of DRIVER-side construction per cosine_topk_lsh call — twice the
+# query's actual execution time. Each builder below emits the SAME
+# expression as its Column twin but as one SQL string handed to a
+# single F.expr parse. Runtime plans are identical (verified on the
+# oracle); only construction collapses.
+
+
+def _q_sql(col_sql: str, quantize: int | None) -> str:
+    if quantize is None:
+        return f"transform({col_sql}, x -> cast(x as double))"
+    return (
+        f"transform({col_sql}, x -> cast(round(cast(x as double) * {quantize})"
+        " as bigint))"
+    )
+
+
+def _dot_sql(a_sql: str, b_sql: str, as_long: bool) -> str:
+    zero = "cast(0 as bigint)" if as_long else "cast(0 as double)"
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y), {zero},"
+        " (acc, v) -> acc + v)"
+    )
+
+
+def _bucket_sql(col_sql: str, planes: list[list[int]], as_long: bool) -> str:
+    elem = "bigint" if as_long else "double"
+    terms = []
+    for p, plane in enumerate(planes):
+        arr = f"cast(array({', '.join(str(c) for c in plane)}) as array<{elem}>)"
+        proj = _dot_sql(col_sql, arr, as_long)
+        terms.append(
+            f"(case when {proj} >= 0 then cast({2 ** p} as bigint)"
+            " else cast(0 as bigint) end)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def _cos_expr(dot: F.Column, n2a: F.Column, n2b: F.Column) -> F.Column:
     """Cosine with the ORACLE's zero-norm semantics: Spark 4's ANSI
     `/` raises DIVIDE_BY_ZERO on a zero divisor even for doubles;
@@ -90,16 +132,14 @@ def cosine_topk(
     excluded. The query side is broadcast — the corpus never shuffles
     until the (tiny) per-query aggregation."""
     as_long = quantize is not None
-    c = with_norm(
-        corpus.select(F.col(id_col).alias("cid"), quantized(F.col(vec_col), quantize).alias("cvec")),
-        "cvec",
-        as_long,
-    ).withColumnRenamed("_norm2", "cn2")
-    q = with_norm(
-        queries.select(F.col(id_col).alias("qid"), quantized(F.col(vec_col), quantize).alias("qvec")),
-        "qvec",
-        as_long,
-    ).withColumnRenamed("_norm2", "qn2")
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.expr(_q_sql(f"`{vec_col}`", quantize)).alias("cvec"),
+    ).select("cid", "cvec", F.expr(_dot_sql("cvec", "cvec", as_long)).alias("cn2"))
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.expr(_q_sql(f"`{vec_col}`", quantize)).alias("qvec"),
+    ).select("qid", "qvec", F.expr(_dot_sql("qvec", "qvec", as_long)).alias("qn2"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("cid") != F.col("qid"))
@@ -107,7 +147,7 @@ def cosine_topk(
             "qid",
             "cid",
             _cos_expr(
-                _dot(F.col("qvec"), F.col("cvec"), as_long), F.col("qn2"), F.col("cn2")
+                F.expr(_dot_sql("qvec", "cvec", as_long)), F.col("qn2"), F.col("cn2")
             ).alias("_cos"),
         )
     )
@@ -293,30 +333,36 @@ def cosine_topk_lsh(
     num_planes: int = 8,
     quantize: int | None = None,
     seed: str = "orestes",
+    dims: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
-    bucket. Recall < 1 by design; same output schema as cosine_topk."""
-    dims = len(corpus.select(vec_col).first()[0])
+    bucket. Recall < 1 by design; same output schema as cosine_topk.
+
+    ``dims`` skips the one-row dimensionality probe job when the
+    caller already knows the vector width (the plane table depends
+    only on dims, not data)."""
+    if dims is None:
+        dims = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(num_planes, dims, seed)
     as_long = quantize is not None
-    c = with_norm(
-        corpus.select(
-            F.col(id_col).alias("cid"),
-            quantized(F.col(vec_col), quantize).alias("cvec"),
-            lsh_bucket(quantized(F.col(vec_col), quantize), planes, as_long).alias("bucket"),
-        ),
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.expr(_q_sql(f"`{vec_col}`", quantize)).alias("cvec"),
+    ).select(
+        "cid",
         "cvec",
-        as_long,
-    ).withColumnRenamed("_norm2", "cn2")
-    q = with_norm(
-        queries.select(
-            F.col(id_col).alias("qid"),
-            quantized(F.col(vec_col), quantize).alias("qvec"),
-            lsh_bucket(quantized(F.col(vec_col), quantize), planes, as_long).alias("bucket"),
-        ),
+        F.expr(_bucket_sql("cvec", planes, as_long)).alias("bucket"),
+        F.expr(_dot_sql("cvec", "cvec", as_long)).alias("cn2"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.expr(_q_sql(f"`{vec_col}`", quantize)).alias("qvec"),
+    ).select(
+        "qid",
         "qvec",
-        as_long,
-    ).withColumnRenamed("_norm2", "qn2")
+        F.expr(_bucket_sql("qvec", planes, as_long)).alias("bucket"),
+        F.expr(_dot_sql("qvec", "qvec", as_long)).alias("qn2"),
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("cid") != F.col("qid"))
@@ -324,7 +370,7 @@ def cosine_topk_lsh(
             "qid",
             "cid",
             _cos_expr(
-                _dot(F.col("qvec"), F.col("cvec"), as_long), F.col("qn2"), F.col("cn2")
+                F.expr(_dot_sql("qvec", "cvec", as_long)), F.col("qn2"), F.col("cn2")
             ).alias("_cos"),
         )
     )
@@ -349,20 +395,23 @@ def embedding_near_dups(
     num_planes: int = 8,
     quantize: int | None = None,
     seed: str = "orestes",
+    dims: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH bucket candidates →
-    exact cosine verify ≥ threshold. Output (id_a, id_b, cosine)."""
-    dims = len(vectors.select(vec_col).first()[0])
+    exact cosine verify ≥ threshold. Output (id_a, id_b, cosine).
+    ``dims`` skips the one-row dimensionality probe when known."""
+    if dims is None:
+        dims = len(vectors.select(vec_col).first()[0])
     planes = hyperplanes(num_planes, dims, seed)
     as_long = quantize is not None
-    v = with_norm(
-        vectors.select(
-            F.col(id_col).alias("_id"),
-            quantized(F.col(vec_col), quantize).alias("vec"),
-            lsh_bucket(quantized(F.col(vec_col), quantize), planes, as_long).alias("bucket"),
-        ),
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.expr(_q_sql(f"`{vec_col}`", quantize)).alias("vec"),
+    ).select(
+        "_id",
         "vec",
-        as_long,
+        F.expr(_bucket_sql("vec", planes, as_long)).alias("bucket"),
+        F.expr(_dot_sql("vec", "vec", as_long)).alias("_norm2"),
     )
     a = v.toDF("id_a", "vec_a", "bucket", "n2_a")
     b = v.toDF("id_b", "vec_b", "bucket", "n2_b")
@@ -374,7 +423,7 @@ def embedding_near_dups(
             "id_b",
             F.round(
                 _cos_expr(
-                    _dot(F.col("vec_a"), F.col("vec_b"), as_long),
+                    F.expr(_dot_sql("vec_a", "vec_b", as_long)),
                     F.col("n2_a"),
                     F.col("n2_b"),
                 ),

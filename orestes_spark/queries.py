@@ -1444,6 +1444,20 @@ _KMEANS_CELLS: dict[str, "DataFrame"] = {}
 _BIGRAM_LMS: dict[str, tuple] = {}
 _DSIR_WQS: dict[tuple, "DataFrame"] = {}
 _NB_MODELS: dict[str, "DataFrame"] = {}
+_EMB_DIMS: dict[str, int] = {}
+
+
+def _emb_dims_for(spark, sf_dir) -> int:
+    """Vector width of the embeddings table, probed once per process
+    per sf_dir (round 12): the LSH-family operators each ran a
+    one-row .first() job per CALL just to size the plane table — a
+    scalar that cannot change between calls over the same input."""
+    dims = _EMB_DIMS.get(sf_dir)
+    if dims is None:
+        e = load_table(spark, sf_dir, "embeddings")
+        dims = len(e.select("embedding").first()[0])
+        _EMB_DIMS[sf_dir] = dims
+    return dims
 
 
 def _dsir_wq_for(spark, sf_dir, bigrams: bool = False):
@@ -2449,7 +2463,10 @@ def emb_topk_lsh(spark, sf_dir):
     """LSH-bucketed approximate top-5 (8 random hyperplanes) — the
     scale path; oracle mirrors the same deterministic planes."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk_lsh(e, e.where(F.col("vec_id") < 10), k=5, quantize=1000)
+    return similarity.cosine_topk_lsh(
+        e, e.where(F.col("vec_id") < 10), k=5, quantize=1000,
+        dims=_emb_dims_for(spark, sf_dir),
+    )
 
 
 @register("emb_lsh_recall", oracles.emb_lsh_recall_sql())
@@ -2467,7 +2484,9 @@ def emb_lsh_recall(spark, sf_dir):
     exact = similarity.cosine_topk(e, queries, k=5, quantize=1000).select(
         F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
     )
-    approx = similarity.cosine_topk_lsh(e, queries, k=5, quantize=1000).select(
+    approx = similarity.cosine_topk_lsh(
+        e, queries, k=5, quantize=1000, dims=_emb_dims_for(spark, sf_dir)
+    ).select(
         F.col("query_id").alias("l_qid"), F.col("neighbor_id").alias("l_nid")
     )
     probed = exact.join(
@@ -2489,7 +2508,9 @@ def emb_lsh_recall(spark, sf_dir):
 def emb_highsim_pairs(spark, sf_dir):
     """Embedding near-dup pairs: LSH candidates + cosine ≥ 0.3."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dups(e, threshold=0.3, quantize=1000)
+    return similarity.embedding_near_dups(
+        e, threshold=0.3, quantize=1000, dims=_emb_dims_for(spark, sf_dir)
+    )
 
 
 from orestes_spark.operators import multimodal  # noqa: E402
