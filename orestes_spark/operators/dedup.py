@@ -701,7 +701,7 @@ def _sig_from_votes(votes: F.Column, bits: int) -> F.Column:
     return bind(votes, tosig)
 
 
-def simhash_column(text_col: F.Column, bits: int = 32, hash_fn: str = "md5") -> F.Column:
+def simhash_column(text_col: F.Column | str, bits: int = 32, hash_fn: str = "md5") -> F.Column:
     """The SimHash signature as a column expression over ``text_col`` —
     usable on batch AND streaming frames (no shuffle, no state).
     Signature bit i = sign of the +1/-1 vote sum over all tokens (with
@@ -727,75 +727,60 @@ def simhash_column(text_col: F.Column, bits: int = 32, hash_fn: str = "md5") -> 
         raise ValueError("simhash bits must be in [1, 64]")
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"unknown simhash hash_fn {hash_fn!r}")
-    split_expr = F.split(normalize_text(text_col), r"\s+")
+    # Round 12: the expression is generated as ONE SQL string handed to
+    # a single F.expr parse. The previous Column-DSL construction of
+    # the same tree (per-bit transform/zip_with lambdas, a 32/64-term
+    # signature sum) issued one py4j round-trip per node — measured
+    # 0.43 s (32-bit) / 0.9 s (64-bit) of driver-side build time per
+    # call. The emitted expression is node-for-node the tree the DSL
+    # built (same md5 hex-digit parity via translate+conv, same vote
+    # fold, same bind() lambda-variable sharing so tokens and hash
+    # masks evaluate once), so the DuckDB oracle is unchanged.
+    if isinstance(text_col, str):
+        txt = f"`{text_col}`"
+    else:
+        # both in-repo callers pass plain columns; a computed Column
+        # round-trips through its SQL form
+        txt = text_col._jc.expr().sql()
+    split_sql = f"split(trim(lower({txt})), '\\\\s+')"
+
+    def mask(salt: str, var: str = "t") -> str:
+        return (
+            f"cast(conv(translate(md5(cast(concat('{salt}', {var}) as binary)), "
+            "'13579bdf02468ace', '1111111100000000'), 2, 10) as bigint)"
+        )
 
     if hash_fn == "xxhash64":
-        hashes = lambda tk: F.transform(tk, lambda t: F.xxhash64(t))
-
-        def sig_of(hs: F.Column) -> F.Column:
-            votes = F.aggregate(
-                hs,
-                F.array_repeat(F.lit(0), bits),
-                lambda acc, h: F.zip_with(
-                    acc,
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(bits - 1)),
-                        lambda i: F.bit_get(h, i).cast("int") * 2 - 1,
-                    ),
-                    lambda a, b: a + b,
-                ),
-            )
-            return _sig_from_votes(votes, bits)
-
+        hs_body = "transform(tk, t -> xxhash64(t))"
+        bit_of = "bit_get(m, i)"
+    elif bits <= 32:
+        hs_body = f"transform(tk, t -> {mask('sh:')})"
+        bit_of = "bit_get(m, 31 - i)"
     else:
-        # Hex-digit parity, vectorized: translate() rewrites the 32 hex
-        # digits of the md5 to a '0'/'1' parity string, conv(_, 2, 10)
-        # packs it into one LONG mask per md5 — digit i's parity lands
-        # at bit (31 - i). One translate+conv per token replaces 32
-        # substring+instr calls; the vote fold then runs on integer
-        # bit_get like the xxhash64 path. Semantics are unchanged
-        # (same parity-of-hex-digit definition), so the DuckDB oracle
-        # needs no update.
-        def _parity_mask(h: F.Column) -> F.Column:
-            return F.conv(F.translate(h, "13579bdf02468ace", "1111111100000000"), 2, 10).cast(
-                "long"
-            )
+        hs_body = f"transform(tk, t -> array({mask('sh:')}, {mask('sh2:')}))"
+        bit_of = "bit_get(element_at(m, cast(i / 32 as int) + 1), 31 - (i % 32))"
 
-        if bits <= 32:
-            hashes = lambda tk: F.transform(
-                tk, lambda t: _parity_mask(F.md5(F.concat(F.lit("sh:"), t).cast("binary")))
-            )
-            bit_of = lambda mask, i: F.bit_get(mask, 31 - i)
-        else:
-            hashes = lambda tk: F.transform(
-                tk,
-                lambda t: F.array(
-                    _parity_mask(F.md5(F.concat(F.lit("sh:"), t).cast("binary"))),
-                    _parity_mask(F.md5(F.concat(F.lit("sh2:"), t).cast("binary"))),
-                ),
-            )
-            bit_of = lambda masks, i: F.bit_get(
-                F.element_at(masks, (i / 32).cast("int") + 1), 31 - i % 32
-            )
-
-        def sig_of(hs: F.Column) -> F.Column:
-            votes = F.aggregate(
-                hs,
-                F.array_repeat(F.lit(0), bits),
-                lambda acc, m: F.zip_with(
-                    acc,
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(bits - 1)),
-                        lambda i: bit_of(m, i).cast("int") * 2 - 1,
-                    ),
-                    lambda a, b: a + b,
-                ),
-            )
-            return _sig_from_votes(votes, bits)
-
-    # double bind: tokens once, then the hash array once (the per-bit
-    # vote aggregates each reference it).
-    return bind(bind(split_expr, hashes), sig_of)
+    votes_sql = (
+        f"aggregate(hs, array_repeat(0, {bits}), "
+        f"(acc, m) -> zip_with(acc, transform(sequence(0, {bits - 1}), "
+        f"i -> (cast({bit_of} as int) * 2 - 1)), (a, b) -> a + b))"
+    )
+    terms = ["cast(0 as bigint)"]
+    for i in range(bits):
+        weight = -(2**63) if i == 63 else 2**i
+        terms.append(
+            f"(case when vs[{i}] >= 0 then cast({weight} as bigint)"
+            " else cast(0 as bigint) end)"
+        )
+    tosig_sql = " + ".join(terms)
+    # double bind: tokens once, then the hash array once, then the
+    # votes array once (each downstream lambda references its bound
+    # variable; a select alias would be re-inlined by CollapseProject).
+    sig_sql = f"element_at(transform(array({votes_sql}), vs -> {tosig_sql}), 1)"
+    hs_sql = f"element_at(transform(array({split_sql}), tk -> {hs_body}), 1)"
+    return F.expr(
+        f"element_at(transform(array({hs_sql}), hs -> {sig_sql}), 1)"
+    )
 
 
 def simhash_signatures(
@@ -808,7 +793,7 @@ def simhash_signatures(
     ``hash_fn``: "md5" (engine-portable, the oracle path) or
     "xxhash64" (single JVM hash per token, ~4x faster — the
     production path). See simhash_column."""
-    sig = simhash_column(F.col(text_col), bits, hash_fn)  # validates args first
+    sig = simhash_column(text_col, bits, hash_fn)  # validates args first
     return ensure_min_parallelism(docs).select(F.col(id_col).alias("_id"), sig.alias("simhash"))
 
 

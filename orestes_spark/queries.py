@@ -1004,18 +1004,22 @@ def tpch_q2(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    # Checkpointed: the frame feeds both the per-part min and the
-    # equality probe — without it the lineitem groupBy runs twice
-    # (verified: 12 exchanges, 0 reused → 6 with the checkpoint).
-    cost = (
-        _partsupp(spark, sf_dir)
-        .join(F.broadcast(eu), F.col("ps_suppkey") == eu.s_suppkey)
-        .localCheckpoint()
+    # Round 12: the per-part min was a groupBy + equality self-join
+    # over a checkpointed frame (the checkpoint existed only so the
+    # frame's lineitem aggregation would not run twice — one eager
+    # job per call). A min window over ps_partkey computes the same
+    # min in the frame's own exchange and the equality probe becomes
+    # a filter: one pass, no checkpoint, no self-join; ties keep all
+    # achieving rows exactly as the join did.
+    cost = _partsupp(spark, sf_dir).join(
+        F.broadcast(eu), F.col("ps_suppkey") == eu.s_suppkey
     )
-    mn = cost.groupBy(F.col("ps_partkey").alias("mk")).agg(F.min("ps_supplycost").alias("mc"))
+    wmin = Window.partitionBy("ps_partkey")
+    cost = cost.withColumn("_mc", F.min("ps_supplycost").over(wmin)).where(
+        F.col("ps_supplycost") == F.col("_mc")
+    )
     return (
         cost.join(F.broadcast(p), cost.ps_partkey == p.p_partkey)
-        .join(mn, (F.col("ps_partkey") == F.col("mk")) & (F.col("ps_supplycost") == F.col("mc")))
         .select(
             F.round(_dec("s_acctbal"), 2).cast("double").alias("s_acctbal"),
             "s_name",
@@ -1206,23 +1210,27 @@ def tpch_q21(spark, sf_dir):
     three."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    # Round 12: the exactly-one-late-supplier count was a groupBy +
+    # join back onto a checkpointed late frame (the checkpoint only
+    # prevented the join re-running the aggregation — one eager job
+    # per call); a count window over l_orderkey computes it in the
+    # frame's own partitioning and the probe becomes a filter.
     late = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .where(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.lit(1).alias("_one"))
         .drop("_one")
-        .localCheckpoint()
     )
-    latecnt = late.groupBy(F.col("l_orderkey").alias("lk")).agg(F.count(F.lit(1)).alias("nl"))
+    wl = Window.partitionBy("l_orderkey")
+    late = late.withColumn("_nl", F.count(F.lit(1)).over(wl)).where(F.col("_nl") == 1)
     allsup = li.groupBy(F.col("l_orderkey").alias("ak")).agg(
         F.countDistinct("l_suppkey").alias("ns")
     )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
     return (
-        late.join(latecnt, (late.l_orderkey == F.col("lk")) & (F.col("nl") == 1))
-        .join(allsup, (late.l_orderkey == F.col("ak")) & (F.col("ns") >= 2))
+        late.join(allsup, (late.l_orderkey == F.col("ak")) & (F.col("ns") >= 2))
         .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name")
@@ -1504,6 +1512,27 @@ def _nb_model_for(spark, sf_dir):
         )
         _NB_MODELS[sf_dir] = m
     return m
+
+
+_NB_METAS: dict[str, tuple] = {}
+
+
+def _nb_meta_for(spark, sf_dir) -> tuple:
+    """(nb, pq, bg, salt) of the shared NB artifact, collected once
+    per process (round 12): the self-describing columns are constant
+    over the checkpointed model, so re-collecting them per scoring
+    call was a pure extra job."""
+    meta = _NB_METAS.get(sf_dir)
+    if meta is None:
+        rows = _nb_model_for(spark, sf_dir).select("nb", "pq", "bg", "salt").distinct().collect()
+        if len(rows) != 1:
+            raise ValueError(
+                f"model frame mixes {len(rows)} featurization configs"
+                " (distinct nb/pq/bg/salt rows) — pass exactly one trained model"
+            )
+        meta = (rows[0]["nb"], rows[0]["pq"], rows[0]["bg"], rows[0]["salt"])
+        _NB_METAS[sf_dir] = meta
+    return meta
 
 
 def _bigram_lm_for(spark, sf_dir):
@@ -6681,37 +6710,139 @@ def doc_quality_report(spark, sf_dir):
     split THIS synthetic corpus and stand in for the
     validation-ablated values a production pipeline would configure.
     Unscored docs pass their gate on no evidence (LEFT joins +
-    coalesce — the streaming gates' convention). Composes the five
-    registered scorers (shared LM artifact; each is one scan family),
-    joined on the doc key."""
-    heur = doc_quality(spark, sf_dir).select(
-        "doc_id", (F.col("stopword_ratio") >= 0.04).alias("keep_heuristic")
+    coalesce — the streaming gates' convention).
+
+    Round-12 FUSION: the composed form ran five separate scans of the
+    corpus (each scorer re-read and re-tokenized every document) and a
+    five-way join on the doc key. All five verdicts are functions of
+    one token stream plus three broadcast codebooks, so the fused plan
+    is ONE scan → per-row heuristic/Gopher verdicts carried through
+    ONE (prev, cur) token explode → broadcast joins against the NB,
+    DSIR and bigram-LM codebooks → ONE groupBy(doc_id). Every leg's
+    arithmetic is copied expression-for-expression from its scorer
+    operator (doc_quality / text.gopher_rules /
+    text.score_quality_model / sampling.dsir_logratio_weights /
+    text.bigram_lm_nll — those stay the per-leg reference
+    implementations, pinned by their own queries), and the unscored-
+    doc conventions (eval holdout, <2-token docs) become explicit
+    CASEs with the same outcomes the LEFT joins produced. Same oracle
+    SQL; at 100 TB this is 1 corpus pass instead of 5."""
+    from orestes_spark.operators.dedup import bind, normalize_text
+    from orestes_spark.operators.sampling import _hash_bucket
+    from orestes_spark.plans.parallelism import ensure_min_parallelism
+
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    nb, pq, bg, salt = _nb_meta_for(spark, sf_dir)
+    if bg:
+        raise ValueError(
+            "fused doc_quality_report assumes the unigram NB artifact"
+            " (got a bigram-featurized model) — re-derive the fusion or"
+            " compose the scorers"
+        )
+    model = _nb_model_for(spark, sf_dir).select("bucket", F.col("wq").alias("_wqm"))
+    wdf = _dsir_wq_for(spark, sf_dir).select("bucket", F.col("wq").alias("_wds"))
+    vocab, pairs_df, fb_df = _bigram_lm_for(spark, sf_dir)
+
+    # --- per-row legs (doc_quality + gopher_rules expressions) ---
+    toks_h = F.split(F.trim(F.col("text")), r"\s+")  # doc_quality: trim only
+    stop = F.array([F.lit(s) for s in ["the", "a", "and", "of", "to", "in"]])
+    kh = (
+        F.round(
+            F.size(F.filter(toks_h, lambda x: F.array_contains(stop, x)))
+            * 1.0
+            / F.size(toks_h),
+            6,
+        )
+        >= 0.04
     )
-    gph = doc_gopher_rules(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("keep_gopher")
+
+    def _gopher_keep(tk):
+        n = F.size(tk)
+        chars = F.length(F.concat_ws("", tk))
+        n_symbol = F.size(F.filter(tk, lambda x: ~x.rlike("[a-z0-9]")))
+        n_alpha = F.size(F.filter(tk, lambda x: x.rlike("[a-z]")))
+        max_len = F.array_max(F.transform(tk, F.length))
+        fails = F.array(
+            F.when((n < 10) | (n > 100_000), F.lit("word_count")),
+            F.when((chars < 3 * n) | (chars > 10 * n), F.lit("mean_word_len")),
+            F.when(10 * n_symbol >= n, F.lit("symbol_ratio")),
+            F.when(5 * n_alpha < 4 * n, F.lit("alpha_frac")),
+            F.when(max_len > 30, F.lit("max_word_len")),
+        )
+        return F.size(F.filter(fails, lambda x: x.isNotNull())) == 0
+
+    toks = F.split(normalize_text(F.col("text")), r"\s+")
+    kg = bind(toks, _gopher_keep)
+
+    # --- one (prev, cur) token stream for the three codebook legs ---
+    pair_structs = bind(
+        toks,
+        lambda tk: F.transform(
+            F.sequence(F.lit(1), F.size(tk)),
+            lambda i: F.struct(
+                F.element_at(tk, i).alias("cur"),
+                F.when(i > 1, F.element_at(tk, i - 1)).alias("prv"),
+            ),
+        ),
     )
-    qmod = doc_quality_model(spark, sf_dir).select(
-        "doc_id", (F.col("nb_logodds") >= -4.8).alias("keep_model")
+    rows = d.select(
+        "doc_id", kh.alias("_kh"), kg.alias("_kg"), F.explode(pair_structs).alias("pr")
     )
-    ds = doc_dsir_weights(spark, sf_dir).select(
-        "doc_id", (F.col("dsir_logratio") >= -66.0).alias("_kd")
+    vmap = F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
+    feats = rows.select(
+        "doc_id",
+        "_kh",
+        "_kg",
+        _hash_bucket(F.col("pr.cur"), salt, nb).alias("_bqm"),
+        _hash_bucket(F.col("pr.cur"), "dsir", 4096).alias("_bds"),
+        F.when(
+            F.col("pr.prv").isNotNull(), F.coalesce(vmap[F.col("pr.prv")], F.lit(0))
+        ).alias("p"),
+        F.coalesce(vmap[F.col("pr.cur")], F.lit(0)).alias("c"),
     )
-    ppl = doc_lm_perplexity(spark, sf_dir).select(
-        "doc_id", (F.col("avg_nll") <= 4.95).alias("_kp")
-    )
-    j = (
-        heur.join(gph, "doc_id")
-        .join(qmod, "doc_id")
-        .join(ds, "doc_id", "left")
-        .join(ppl, "doc_id", "left")
+    scored = (
+        feats.join(F.broadcast(model), feats["_bqm"] == model["bucket"], "left")
+        .drop("bucket")
+        .join(F.broadcast(wdf), feats["_bds"] == wdf["bucket"], "left")
+        .drop("bucket")
+        .join(F.broadcast(pairs_df), ["p", "c"], "left")
+        .join(F.broadcast(fb_df), ["p"], "left")
         .select(
             "doc_id",
-            "keep_heuristic",
-            "keep_gopher",
-            "keep_model",
-            F.coalesce(F.col("_kd"), F.lit(True)).alias("keep_dsir"),
-            F.coalesce(F.col("_kp"), F.lit(True)).alias("keep_ppl"),
+            "_kh",
+            "_kg",
+            "_wqm",
+            "_wds",
+            F.when(F.col("p").isNotNull(), F.coalesce(F.col("wq"), F.col("fq"))).alias(
+                "_wpp"
+            ),
         )
+    )
+    g = scored.groupBy("doc_id").agg(
+        F.first("_kh").alias("_kh"),
+        F.first("_kg").alias("_kg"),
+        F.sum("_wqm").alias("_sqm"),
+        F.sum("_wds").alias("_sds"),
+        F.count("_wpp").alias("_nbg"),
+        F.sum("_wpp").alias("_spp"),
+    )
+    is_eval = F.col("doc_id") % 20 == 0
+    nb_total = F.lit(int(pq)) + F.coalesce(F.col("_sqm"), F.lit(0))
+    avg_nll = (
+        F.expr("(2 * (-_spp) + _nbg * 1000) div (2 * _nbg * 1000)").cast("double")
+        / F.lit(1_000_000.0)
+    )
+    j = g.select(
+        "doc_id",
+        F.col("_kh").alias("keep_heuristic"),
+        F.col("_kg").alias("keep_gopher"),
+        (F.round(nb_total.cast("double") / 1e9, 6) >= -4.8).alias("keep_model"),
+        F.when(is_eval, F.lit(True))
+        .otherwise(F.round(F.col("_sds") / 1e9, 6) >= -66.0)
+        .alias("keep_dsir"),
+        F.when(is_eval | (F.col("_nbg") == 0), F.lit(True))
+        .otherwise(avg_nll <= 4.95)
+        .alias("keep_ppl"),
     )
     n_pass = sum(
         F.col(c).cast("int")

@@ -445,7 +445,7 @@ def streaming_near_dedup(
     no oracle twin (batch simhash_signatures has the md5 oracle)."""
     from orestes_spark.operators.dedup import simhash_column
 
-    sig = simhash_column(F.col(text_col), bits=bits, hash_fn="xxhash64")
+    sig = simhash_column(text_col, bits=bits, hash_fn="xxhash64")
     return (
         docs.withColumn("simhash", sig)
         .withWatermark(time_col, watermark)
