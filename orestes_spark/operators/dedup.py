@@ -1450,56 +1450,96 @@ def winnow_fingerprints(
     expression instead of silently corrupting pos/fp (round-11, the
     repo's loud-failure discipline).
 
-    Scale shape: k-grams and keys are built in the scan; ONE window
-    shuffle on the doc key (the frame is w rows over the doc-sorted
-    stream); the distinct is a hash aggregate on (id, key). Linear in
-    corpus tokens — same class as the span-index build."""
+    Scale shape (round-12 opt): selection is MAP-SIDE — per document
+    the k-gram keys, the w-window minima and the distinct are all
+    array expressions in the scan projection, so the operator has NO
+    shuffle at all (the previous shape paid one full-token window
+    exchange plus a distinct exchange; a doc's window frame never
+    crosses documents, so the shuffle only re-established an order
+    the scan already had). Linear in corpus tokens, zero Exchange."""
+    sel = _winnow_selected_keys(F.col(text_col), F.col(id_col), k, w, salt)
+    return (
+        ensure_min_parallelism(docs)
+        .select(F.col(id_col).alias("_id"), F.explode(sel).alias("mk"))
+        .select(
+            F.col("_id").alias(id_col),
+            (F.lit(16_777_216) - F.col("mk") % 16_777_216).cast("long").alias("pos"),
+            F.expr("mk div 16777216").alias("fp"),
+        )
+    )
+
+
+def _winnow_selected_keys(
+    text_col: F.Column, id_col: F.Column, k: int, w: int, salt: str
+) -> F.Column:
+    """ARRAY<LONG> of the DISTINCT winnow-selected packed keys
+    (h * 2^24 + (2^24 - pos)) of one document — the per-row core of
+    ``winnow_fingerprints``: key stream, w-window minima and distinct
+    as array expressions (docs with < w complete windows select
+    nothing, matching the window form's full-frame filter). The >=
+    2^24-token overflow still fails loudly inside the key lambda."""
     from orestes_spark.operators.sampling import hash_prefix_long
 
-    split_expr = F.split(normalize_text(F.col(text_col)), r"\s+")
+    split_expr = F.split(normalize_text(text_col), r"\s+")
 
-    def grams(tk: F.Column) -> F.Column:
+    def keys_of(tk: F.Column) -> F.Column:
         m = F.size(tk)
-        # round-12 opt: transform over the start sequence replaced the
-        # k-deep zip_with chain — see token_shingle_arrays.
         return F.when(
             m >= k,
             F.transform(
                 F.sequence(F.lit(1), m - (k - 1)),
-                lambda i: F.array_join(F.slice(tk, i, k), " "),
+                lambda i: F.when(
+                    i < F.lit(16_777_216),
+                    hash_prefix_long(F.array_join(F.slice(tk, i, k), " "), salt)
+                    * F.lit(16_777_216)
+                    + (F.lit(16_777_216) - i),
+                ).otherwise(
+                    F.raise_error(
+                        F.format_string(
+                            "winnow_fingerprints: doc %s has >= 2^24 tokens; "
+                            "pos overflows the packed key",
+                            id_col.cast("string"),
+                        )
+                    )
+                ),
             ),
         )
 
-    exploded = ensure_min_parallelism(docs).select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(bind(split_expr, grams)).alias("pos0", "g"),
-    )
-    h = hash_prefix_long(F.col("g"), salt)
-    pos = F.col("pos0") + 1
-    key = F.when(
-        pos < F.lit(16_777_216),
-        h * F.lit(16_777_216) + (F.lit(16_777_216) - pos),
-    ).otherwise(
-        F.raise_error(
-            F.format_string(
-                "winnow_fingerprints: doc %s has >= 2^24 tokens; "
-                "pos overflows the packed key",
-                F.col("_id").cast("string"),
-            )
+    def sel_of(ks: F.Column) -> F.Column:
+        n = F.size(ks)
+        return F.when(
+            n >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - (w - 1)),
+                    lambda j: F.array_min(F.slice(ks, j, w)),
+                )
+            ),
         )
+
+    return bind(bind(split_expr, keys_of), sel_of)
+
+
+def winnow_doc_prints(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    salt: str = "winnow",
+) -> DataFrame:
+    """(_id, fp) — the DISTINCT winnow fingerprint set per document:
+    ``winnow_fingerprints`` with positions dropped and the per-doc
+    dedupe done in-array (round-12 opt), so the pair/index consumers
+    skip the (id, fp) distinct exchange they all used to pay."""
+    sel = _winnow_selected_keys(F.col(text_col), F.col(id_col), k, w, salt)
+    # keys are non-negative (< 2^56), so the shift IS `div 2^24` —
+    # float division would lose mantissa bits at this magnitude
+    dfp = bind(
+        sel, lambda s: F.array_distinct(F.transform(s, lambda x: F.shiftright(x, 24)))
     )
-    keyed = exploded.select("_id", pos.alias("pos"), key.alias("key"))
-    wd = Window.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
-    win = keyed.select(
-        "_id",
-        F.min("key").over(wd).alias("mk"),
-        F.count(F.lit(1)).over(wd).alias("c"),
-    )
-    sel = win.where(F.col("c") == w).select("_id", "mk").distinct()
-    return sel.select(
-        F.col("_id").alias(id_col),
-        (F.lit(16_777_216) - F.col("mk") % 16_777_216).cast("long").alias("pos"),
-        F.expr("mk div 16777216").alias("fp"),
+    return ensure_min_parallelism(docs).select(
+        F.col(id_col).alias("_id"), F.explode(dfp).alias("fp")
     )
 
 
@@ -1534,14 +1574,18 @@ def winnow_pairs(
     is exactly what a match report should ignore; the trade is
     documented, not silent.
 
-    Scale shape: fingerprint build is linear; df is one groupBy; the
-    pair stage is an equi-join on fp with per-fp fan-out bounded by
-    max_df^2 — the banded-LSH cost envelope."""
-    fps = (
-        winnow_fingerprints(docs, id_col, text_col, k=k, w=w, salt=salt)
-        .select(F.col(id_col).alias("_id"), "fp")
-        .distinct()
-    )
+    Scale shape: fingerprint build is linear and shuffle-free
+    (winnow_doc_prints — per-doc selection and dedupe are array
+    expressions in the scan); df is one groupBy; the pair stage is an
+    equi-join on fp with per-fp fan-out bounded by max_df^2 — the
+    banded-LSH cost envelope."""
+    # Checkpoint: the print set fans out to the df cut AND both self-
+    # join sides; the old shuffled form recomputed it behind a reused
+    # distinct-exchange, the shuffle-free form has no exchange to
+    # reuse, so one explicit materialization replaces 2-3 recomputes
+    # (prints are ~2/(w+1) of the token stream — far smaller than the
+    # text they index).
+    fps = winnow_doc_prints(docs, id_col, text_col, k=k, w=w, salt=salt).localCheckpoint()
     df_ok = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -1600,11 +1644,10 @@ def winnow_index(
     pmod(fp, buckets)`` + modulus ``nb``); write ``partitionBy("hb")``
     and the probe partition-prunes its scan to the buckets the
     batch's prints land in."""
-    fps = (
-        winnow_fingerprints(docs, id_col, text_col, k=k, w=w, salt=salt)
-        .select(F.col(id_col).alias("_id"), "fp")
-        .distinct()
-    )
+    # one materialization feeds the df cut and the index rows (see
+    # winnow_pairs — the shuffle-free print build has no reusable
+    # exchange)
+    fps = winnow_doc_prints(docs, id_col, text_col, k=k, w=w, salt=salt).localCheckpoint()
     if max_df is not None:
         df_ok = (
             fps.groupBy("fp")
@@ -1675,21 +1718,21 @@ def incremental_winnow_pairs(
     prune_nb = _validated_layout(index, "winnow index", buckets, k=k, w=w, salt=salt)
     if prune_nb is None and buckets and "hb" in index.columns:
         prune_nb = int(buckets)  # pre-nb index: trust the caller
-    batch_fps = (
-        winnow_fingerprints(new_docs, id_col, text_col, k=k, w=w, salt=salt)
-        .select(F.col(id_col).alias("_id"), "fp")
-        .distinct()
-    )
+    # ONE winnow pass over the batch text, df cut included, in ONE
+    # materialized job (round-12): the shuffle-free print build has no
+    # reusable exchange, so any second consumer would re-run it; the
+    # batch-side df cut is a count window over the batch-sized print
+    # frame (one small shuffle) instead of the old agg + join-back,
+    # and the single eager checkpoint then feeds the touched-bucket
+    # collect and the pair join with zero replays.
+    batch_fps = winnow_doc_prints(new_docs, id_col, text_col, k=k, w=w, salt=salt)
     if max_df is not None:
-        df_ok = (
-            batch_fps.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("_df"))
+        wfp = Window.partitionBy("fp")
+        batch_fps = (
+            batch_fps.withColumn("_df", F.count(F.lit(1)).over(wfp))
             .where(F.col("_df") <= max_df)
-            .select("fp")
+            .drop("_df")
         )
-        batch_fps = batch_fps.join(df_ok, "fp")
-    # one winnow pass feeds the touched-bucket collect, the broadcast
-    # key set, and the final pair join
     batch_fps = batch_fps.localCheckpoint(eager=True)
     idx = index
     if prune_nb:
@@ -1702,11 +1745,14 @@ def incremental_winnow_pairs(
             .collect()
         ]
         idx = idx.where(F.col("hb").isin(touched))
-    hits = idx.select("fp", F.col("_id").alias("id_corpus")).join(
-        F.broadcast(batch_fps.select("fp").distinct()), "fp"
-    )
+    # ONE broadcast of the batch-sized print frame into the pruned
+    # index scan (round-12: the previous two-step — semi-join the
+    # index to batch keys, then broadcast the HIT frame back — built
+    # two broadcasts per call, and the hits side it shipped is the
+    # larger one: |batch prints| x max_df rows vs |batch prints|).
     return (
-        batch_fps.join(F.broadcast(hits), "fp")
+        idx.select("fp", F.col("_id").alias("id_corpus"))
+        .join(F.broadcast(batch_fps), "fp")
         .where(F.col("_id") != F.col("id_corpus"))
         .groupBy(F.col("_id").alias("id_new"), "id_corpus")
         .agg(F.count(F.lit(1)).alias("n_shared"))
