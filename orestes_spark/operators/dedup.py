@@ -1402,8 +1402,19 @@ def shingle_containment(
     else:
         if base is None:
             raise ValueError("shingle_containment: pass base or index")
-        b = token_shingles(base, id_col, text_col, n).select("sh").distinct()
-        j = p.join(b.withColumn("_hit", F.lit(1)), "sh", "left")
+        # Join on the shingle's xxhash64, not the string (round-12):
+        # the equi-join only needs identity, and the 8-byte key cuts
+        # the shuffled bytes of BOTH sides severalfold vs n-token
+        # strings — the same 64-bit-collision story as the indexed
+        # route and every hash-keyed operator here (a collision can
+        # only ADD a match, ~2^-64 per probe shingle).
+        ph = p.select("_id", F.xxhash64("sh").alias("h"))
+        b = (
+            token_shingles(base, id_col, text_col, n)
+            .select(F.xxhash64("sh").alias("h"))
+            .distinct()
+        )
+        j = ph.join(b.withColumn("_hit", F.lit(1)), "h", "left")
     agg = j.groupBy("_id").agg(
         F.count(F.lit(1)).alias("n_shingles"),
         F.count("_hit").alias("n_matched"),
@@ -1807,56 +1818,69 @@ def _span_flags(
     min_count: int,
     max_count: int | None,
     keep_first: bool,
-) -> tuple[DataFrame, DataFrame | None]:
-    """(flagged, canon): flagged window starts (_id, pos) for the
-    span-dedup family, plus — under ``keep_first`` — the CANONICAL
-    occurrence of each duplicated k-gram (first by (doc, pos)), which
-    ``strip_repeated_spans`` protects from removal. See
-    ``repeated_spans`` for the semantics and scale notes."""
+) -> DataFrame:
+    """Duplicated window starts (_id, pos, _canon) for the span-dedup
+    family. ``_canon`` is True only under ``keep_first`` and only on
+    each duplicated k-gram's CANONICAL occurrence (first by (doc,
+    pos)), which ``strip_repeated_spans`` protects from removal and
+    ``repeated_spans`` exempts from flagging. See ``repeated_spans``
+    for the semantics and scale notes.
+
+    Round-12 shape: the duplicate test is a count (and, under
+    keep_first, a min-struct) WINDOW over the k-gram hash, not a
+    groupBy + join-back. The old shape tokenized and exploded the
+    corpus twice (two Generate subtrees — the planner does not reuse
+    the exchange across the self-join's sides) and carried every
+    duplicated hash through a join build side: a broadcast at bench
+    scale, corpus-proportional at 100 TB. The window computes the
+    per-hash count in the one token-scale exchange the flags need
+    anyway — one explode, one shuffle, no join, no broadcast; flagged
+    and canonical rows ride one frame so consumers that need both
+    never re-derive the window."""
     kg = _kgram_starts(docs, id_col, text_col, k)
-    agg = [F.count(F.lit(1)).alias("_c")]
+    w = Window.partitionBy("h")
+    cols = [F.col("_id"), F.col("pos"), F.count(F.lit(1)).over(w).alias("_c")]
     if keep_first:
-        agg.append(F.min(F.struct("_id", "pos")).alias("_first"))
-    counts = kg.groupBy("h").agg(*agg)
-    rep = counts.where(F.col("_c") >= min_count)
+        cols.append(F.min(F.struct("_id", "pos")).over(w).alias("_first"))
+    dup = F.col("_c") >= min_count
     if max_count is not None:
-        rep = rep.where(F.col("_c") <= max_count)
+        dup = dup & (F.col("_c") <= max_count)
+    occ = kg.select(*cols).where(dup)
     if keep_first:
-        flagged = (
-            kg.join(rep.select("h", "_first"), "h")
-            .where(
-                ~(
-                    (F.col("_id") == F.col("_first._id"))
-                    & (F.col("pos") == F.col("_first.pos"))
-                )
-            )
-            .select("_id", "pos")
+        is_first = (F.col("_id") == F.col("_first._id")) & (
+            F.col("pos") == F.col("_first.pos")
         )
-    else:
-        flagged = kg.join(rep.select("h"), "h", "left_semi").select("_id", "pos")
-    canon = rep.select(F.col("_first._id").alias("_id"), F.col("_first.pos").alias("pos")) if keep_first else None
-    return flagged, canon
+        return occ.select("_id", "pos", is_first.alias("_canon"))
+    return occ.select("_id", "pos", F.lit(False).alias("_canon"))
 
 
-def _merge_flagged_spans(flagged: DataFrame, id_col: str, k: int) -> DataFrame:
+def _merge_flagged_spans(
+    flagged: DataFrame, id_col: str, k: int, kind_col: str | None = None
+) -> DataFrame:
     """Gaps-and-islands merge of flagged window starts into maximal
     coverage intervals — ONE copy of the logic, shared by the batch
     and incremental span operators (a semantics change here changes
-    both paths together, by construction)."""
-    w = Window.partitionBy("_id").orderBy("pos")
+    both paths together, by construction). ``kind_col`` (round-12)
+    merges several flag families in one window pass — each kind's
+    islands are independent (the kind joins the partition key), so
+    the result is row-identical to one merge call per kind, at one
+    shuffle instead of one per kind."""
+    keys = ["_id"] + ([kind_col] if kind_col else [])
+    w = Window.partitionBy(*keys).orderBy("pos")
     prev_end = F.max(F.col("pos") + k).over(w.rowsBetween(Window.unboundedPreceding, -1))
     isl = flagged.withColumn(
         "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
     ).withColumn("_island", F.sum("_new").over(w))
+    out = [
+        F.col("_id").alias(id_col),
+        F.col("_s").cast("long").alias("span_start"),
+        F.col("_e").cast("long").alias("span_end"),
+        (F.col("_e") - F.col("_s")).cast("long").alias("span_len"),
+    ] + ([F.col(kind_col)] if kind_col else [])
     return (
-        isl.groupBy("_id", "_island")
+        isl.groupBy(*keys, "_island")
         .agg(F.min("pos").alias("_s"), (F.max("pos") + k).alias("_e"))
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("_s").cast("long").alias("span_start"),
-            F.col("_e").cast("long").alias("span_end"),
-            (F.col("_e") - F.col("_s")).cast("long").alias("span_len"),
-        )
+        .select(*out)
     )
 
 
@@ -1913,8 +1937,10 @@ def repeated_spans(
     it PROTECTS every token inside a canonical window from removal,
     which is what actually guarantees the corpus keeps at least one
     intact copy of every duplicated k-gram."""
-    flagged, _ = _span_flags(docs, id_col, text_col, k, min_count, max_count, keep_first)
-    return _merge_flagged_spans(flagged, id_col, k)
+    occ = _span_flags(docs, id_col, text_col, k, min_count, max_count, keep_first)
+    return _merge_flagged_spans(
+        occ.where(~F.col("_canon")).select("_id", "pos"), id_col, k
+    )
 
 
 def strip_repeated_spans(
@@ -1941,11 +1967,24 @@ def strip_repeated_spans(
     The span table is per-document tiny by construction, so it joins
     back as (id -> array<struct>) and the strip is one higher-order
     filter over the token array — no per-token shuffle."""
-    flagged, canon = _span_flags(docs, id_col, text_col, k, min_count, max_count, keep_first)
-    spans = _merge_flagged_spans(flagged, id_col, k)
-    sp = spans.groupBy(id_col).agg(
-        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
-    )
+    occ = _span_flags(docs, id_col, text_col, k, min_count, max_count, keep_first)
+    if keep_first:
+        # Flagged coverage and canonical protection merge in ONE
+        # gaps-and-islands pass (the kind joins the partition key) and
+        # collect in ONE per-doc agg — the old two-subtree shape
+        # recomputed the k-gram window once per span family.
+        merged = _merge_flagged_spans(occ, id_col, k, kind_col="_canon")
+        iv = F.struct("span_start", "span_end")
+        sp = merged.groupBy(id_col).agg(
+            F.collect_list(F.when(~F.col("_canon"), iv)).alias("_spans"),
+            F.collect_list(F.when(F.col("_canon"), iv)).alias("_prot"),
+        )
+    else:
+        sp = (
+            _merge_flagged_spans(occ.select("_id", "pos"), id_col, k)
+            .groupBy(id_col)
+            .agg(F.collect_list(F.struct("span_start", "span_end")).alias("_spans"))
+        )
     toks_df = docs.select(
         F.col(id_col), F.split(normalize_text(F.col(text_col)), r"\s+").alias("_toks")
     )
@@ -1956,7 +1995,7 @@ def strip_repeated_spans(
             F.col(col_name), lambda s: (i >= s["span_start"]) & (i < s["span_end"])
         )
 
-    if canon is not None:
+    if keep_first:
         # Canonical-window PROTECTION (the half that makes keep_first's
         # guarantee true): a flagged window can overlap a canonical one
         # — e.g. 'q r s t u v' flagged in the same doc whose 'p q r s
@@ -1964,10 +2003,6 @@ def strip_repeated_spans(
         # the canonical tokens, leaving ZERO intact copies corpus-wide.
         # Protected tokens are never removed, so each duplicated
         # k-gram's canonical occurrence survives verbatim.
-        prot = _merge_flagged_spans(canon, id_col, k).groupBy(id_col).agg(
-            F.collect_list(F.struct("span_start", "span_end")).alias("_prot")
-        )
-        j = j.join(prot, id_col, "left")
 
         def strip_token(i: F.Column) -> F.Column:
             protected = F.when(
