@@ -298,12 +298,28 @@ def verify_jaccard(
 
 
 def jaccard_pairs(
-    shingles: DataFrame, threshold: float, candidates: DataFrame | None = None
+    shingles: DataFrame, threshold: float, candidates: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over exploded (id, sh) sets — the all-pairs
     inverted-index form (quadratic in per-shingle doc frequency; prefer
-    the bucketed operators for large corpora)."""
-    sizes = shingles.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    the bucketed operators for large corpora).
+
+    ``sizes`` (round-12 opt): an optional precomputed (_id, n)
+    distinct-set-size table. A caller that still holds the per-doc
+    shingle ARRAYS should pass ``arrays.select("_id", size(...))`` —
+    a map-side projection — instead of letting this function
+    re-aggregate the size from the token-scale exploded stream (one
+    full groupBy exchange, and the planner duplicates the subtree for
+    the id_a and id_b join sides, so it costs TWO). Callers may also
+    pre-hash ``sh`` to 64-bit (xxhash64) so the inverted-index join
+    shuffles 8-byte keys instead of shingle strings — same
+    collision story as the containment family: a collision can only
+    perturb one pair's intersection count with probability ~2^-64."""
+    if sizes is None:
+        sizes = shingles.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    else:
+        sizes = sizes.toDF("_id", "n")
     if candidates is None:
         inter = (
             shingles.alias("a")

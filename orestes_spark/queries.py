@@ -1838,8 +1838,17 @@ def doc_neardup_recall(spark, sf_dir):
     arrays = dedup.token_shingle_arrays(d, "doc_id", "text", 3).localCheckpoint()
     sig = dedup.minhash_signatures(arrays, 8)
     cands = dedup.minhash_band_candidates(sig, 8, 2).localCheckpoint(eager=True)
-    shingles = arrays.select("_id", F.explode("shingles").alias("sh"))
-    truth = dedup.jaccard_pairs(shingles, 0.5)
+    # Round-12 opt (guide §2.3 — shuffle narrower types, §1.2 — don't
+    # re-aggregate what a projection already knows): the exact-truth
+    # inverted index joins on the 64-bit shingle hash instead of the
+    # shingle string, and the per-doc set sizes come from size() over
+    # the checkpointed arrays — dropping both groupBy-size subtrees
+    # (the planner built one per join side) from the truth leg.
+    shingles = arrays.select(
+        "_id", F.explode("shingles").alias("s")
+    ).select("_id", F.xxhash64("s").alias("sh"))
+    sizes = arrays.select("_id", F.size("shingles"))
+    truth = dedup.jaccard_pairs(shingles, 0.5, sizes=sizes)
     caught = dedup.verify_jaccard(arrays, cands, 0.5, "shingles")
     # One tagged union → one aggregation: all three counts map-side
     # combine into a single final reduce (1 single-partition exchange
