@@ -6784,6 +6784,8 @@ def doc_quality_report(spark, sf_dir):
     kg = bind(toks, _gopher_keep)
 
     # --- one (prev, cur) token stream for the three codebook legs ---
+    # (NOT fused with kg into one bound struct: the two GetStructField
+    # reads re-evaluate the struct — measured 0.89 s vs 0.77 s split.)
     pair_structs = bind(
         toks,
         lambda tk: F.transform(
@@ -6794,9 +6796,28 @@ def doc_quality_report(spark, sf_dir):
             ),
         ),
     )
-    rows = d.select(
-        "doc_id", kh.alias("_kh"), kg.alias("_kg"), F.explode(pair_structs).alias("pr")
+    # Round-12 opt (guide §1.3 plan shape): the per-DOC legs must be
+    # projected BELOW the explode. `select(kh, kg, explode(ps))` plans
+    # as Project[kh, kg, pr] ABOVE Generate — both array expressions
+    # re-evaluated once per TOKEN row (O(doc_len) work each, so the
+    # scan went quadratic per doc; measured 0.13 s → 0.96 s at sf0.1
+    # when the legs joined the explode's projection). A pre-projection
+    # pins them to one evaluation per doc; Generate passes the two
+    # booleans through.
+    # explode_outer, not explode: InferFiltersFromGenerate would add a
+    # size(_ps) > 0 filter that predicate-pushdown rewrites into the
+    # full pair-struct chain AT THE SCAN — below the parallelism
+    # repartition, so the whole corpus re-tokenized twice, half of it
+    # in the scan's task count. The outer explode infers nothing; the
+    # explicit pr-null filter above the Generate is the same row set
+    # (split() of non-null text never yields an empty struct array,
+    # null text yields null pr either way).
+    pre = d.select(
+        "doc_id", kh.alias("_kh"), kg.alias("_kg"), pair_structs.alias("_ps")
     )
+    rows = pre.select(
+        "doc_id", "_kh", "_kg", F.explode_outer("_ps").alias("pr")
+    ).where(F.col("pr").isNotNull())
     vmap = F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
     feats = rows.select(
         "doc_id",
