@@ -94,9 +94,16 @@ def token_shingle_arrays(
 
     split_expr = F.split(normalize_text(F.col(text_col)), r"\s+")
     src = ensure_min_parallelism(docs) if guard else docs
-    return src.select(
+    # The null-shingles drop is expressed as the CHEAP precondition
+    # (token count >= n), not isNotNull on the built array: predicate
+    # pushdown substitutes the alias, so the array form re-ran the
+    # whole shingle build inside a Filter at the parquet scan — which
+    # is a single task on row-group-packed input (round-12 opt, guide
+    # §1.3). The conditions are equivalent: shingles is null iff the
+    # build's size-guard CASE fails, i.e. iff size(split) < n.
+    return src.where(F.size(split_expr) >= n).select(
         F.col(id_col).alias("_id"), bind(split_expr, build).alias("shingles")
-    ).where(F.col("shingles").isNotNull())
+    )
 
 
 def char_ngram_arrays(docs: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
@@ -123,15 +130,34 @@ def char_ngram_arrays(docs: DataFrame, id_col: str, text_col: str, n: int = 5) -
 # Exploded views (kept for composability/tests).
 
 
+def explode_col(df: DataFrame, array_col: str, out: str, *keep: str) -> DataFrame:
+    """``select(keep…, explode(array_col) as out)`` WITHOUT the
+    InferFiltersFromGenerate re-evaluation trap (round-12 opt): a
+    plain explode of a projected array column makes the optimizer
+    infer ``size(col) > 0 AND isnotnull(col)``, and predicate
+    pushdown then substitutes the column's defining expression — so
+    an expensive build (shingling, k-grams) re-runs twice inside a
+    Filter at the parquet scan, which row-group packing makes a
+    single task. explode_outer infers nothing; the explicit
+    null-filter on the GENERATED column is the same row set (outer
+    rows from null/empty arrays surface as null elements, and the
+    builders never emit null elements) and cannot be pushed below
+    the Generate."""
+    return (
+        df.select(*keep, F.explode_outer(array_col).alias(out))
+        .where(F.col(out).isNotNull())
+    )
+
+
 def token_shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    return token_shingle_arrays(docs, id_col, text_col, n).select(
-        "_id", F.explode("shingles").alias("sh")
+    return explode_col(
+        token_shingle_arrays(docs, id_col, text_col, n), "shingles", "sh", "_id"
     )
 
 
 def char_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
-    return char_ngram_arrays(docs, id_col, text_col, n).select(
-        "_id", F.explode("grams").alias("sh")
+    return explode_col(
+        char_ngram_arrays(docs, id_col, text_col, n), "grams", "sh", "_id"
     )
 
 
@@ -1062,16 +1088,21 @@ def benchmark_overlap(
     ids = ensure_min_parallelism(docs).select(
         F.col(id_col).alias("_id"), F.col(text_col)
     )
-    bench_grams = (
+    bench_grams = explode_col(
         token_shingle_arrays(
             ids.join(bench, "_id", "left_semi"), "_id", text_col, n, guard=False
-        )
-        .select(F.explode("shingles").alias("sh"))
-        .distinct()
+        ),
+        "shingles",
+        "sh",
+    ).distinct()
+    corpus = explode_col(
+        token_shingle_arrays(
+            ids.join(bench, "_id", "left_anti"), "_id", text_col, n, guard=False
+        ),
+        "shingles",
+        "sh",
+        "_id",
     )
-    corpus = token_shingle_arrays(
-        ids.join(bench, "_id", "left_anti"), "_id", text_col, n, guard=False
-    ).select("_id", F.explode("shingles").alias("sh"))
     return (
         corpus.join(bench_grams, "sh")
         .groupBy(F.col("_id").alias("doc_id"))
@@ -1821,7 +1852,10 @@ def _kgram_starts(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFr
     return (
         ensure_min_parallelism(docs)
         .select(F.col(id_col).alias("_id"), bind(split_expr, build).alias("grams"))
-        .select("_id", F.posexplode("grams").alias("pos", "g"))
+        .select("_id", F.posexplode_outer("grams").alias("pos", "g"))
+        .where(F.col("g").isNotNull())  # see explode_col: outer explode
+        # + generated-column filter, so InferFiltersFromGenerate cannot
+        # re-run the k-gram build twice in a Filter at the 1-task scan
         .select("_id", "pos", F.xxhash64("g").alias("h"))
     )
 

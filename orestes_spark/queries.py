@@ -4916,8 +4916,8 @@ def doc_novelty(spark, sf_dir):
     one shingle shuffle for the min-id, one join back — with no
     candidate-pair stage at all."""
     d = load_table(spark, sf_dir, "documents")
-    ex = dedup.token_shingle_arrays(d, "doc_id", "text", 3).select(
-        "_id", F.explode("shingles").alias("sh")
+    ex = dedup.explode_col(
+        dedup.token_shingle_arrays(d, "doc_id", "text", 3), "shingles", "sh", "_id"
     )
     firsts = ex.groupBy("sh").agg(F.min("_id").alias("first_id"))
     return (
@@ -6328,7 +6328,7 @@ def doc_ngram_diversity(spark, sf_dir):
             ),
         )
 
-    toks = arrays.select("source", F.explode("_toks").alias("tok"))
+    toks = dedup.explode_col(arrays, "_toks", "tok", "source")
     bg = arrays.select(
         "source", F.explode(dedup.bind(F.col("_toks"), bigrams)).alias("g")
     )
