@@ -34,7 +34,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from orestes_spark.plans.parallelism import ensure_min_parallelism
@@ -735,13 +735,25 @@ def aligned_near_pairs(
     millions of files) before the join, the simhash_near_pairs
     stop-key discipline (default never triggers at test scale, so the
     oracle twins stay exact)."""
-    f = rows.select("media_id", idx_col, sig_col)
+    # One checkpoint, every reader (round-12 opt, guide §1.2/§2.4):
+    # the bucket-size aggregate, its semi-join and BOTH self-join
+    # sides each re-ran the upstream — for the media families that
+    # upstream is the decode+dHash Python kernel, so the plan held
+    # FOUR MapInPandas nodes doing identical work. The checkpointed
+    # frame is three fixed-width columns per unit — batch-scale,
+    # never payload-scale. The bucket cap is then a COUNT WINDOW over
+    # the (idx, sig) exchange the self-join needs anyway (the
+    # simhash_near_pairs discipline) instead of a groupBy +
+    # broadcast semi-join — one less aggregate pass and no broadcast;
+    # _bn > 1 also drops singleton buckets before the join.
+    f = rows.select("media_id", idx_col, sig_col).localCheckpoint()
     if max_bucket is not None:
-        sizes = f.groupBy(idx_col, sig_col).agg(F.count(F.lit(1)).alias("_bn"))
-        keep = sizes.where(
-            (F.col("_bn") > 1) & (F.col("_bn") <= max_bucket)
-        ).select(idx_col, sig_col)
-        f = f.join(keep, [idx_col, sig_col], "left_semi")
+        w = Window.partitionBy(idx_col, sig_col)
+        f = (
+            f.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .where((F.col("_bn") > 1) & (F.col("_bn") <= max_bucket))
+            .drop("_bn")
+        )
     a, b = f.alias("a"), f.alias("b")
     return (
         a.join(b, [idx_col, sig_col])
