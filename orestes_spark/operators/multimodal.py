@@ -941,15 +941,19 @@ def incremental_aligned_pairs(
     id_new != id_corpus guard drops exact self-pairs from re-delivered
     ids; within-batch dups are ``aligned_near_pairs(new_units)``'s
     job, the module's standard incremental split."""
+    # Round-12 opt: the batch's bucket sizes are a count window over
+    # the checkpointed unit frame, not a second checkpointed groupBy —
+    # one eager materialization job less per probe; the hot-bucket
+    # log reads the same windowed frame (batch-sized collect).
     f = new_units.select("media_id", idx_col, sig_col).localCheckpoint()
     if max_bucket is not None:
-        sizes = (
-            f.groupBy(idx_col, sig_col)
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .localCheckpoint()
+        fw = f.withColumn(
+            "_bn", F.count(F.lit(1)).over(Window.partitionBy(idx_col, sig_col))
         )
         hot_rows = (
-            sizes.where(F.col("_bn") > max_bucket)
+            fw.where(F.col("_bn") > max_bucket)
+            .select(idx_col, sig_col, "_bn")
+            .distinct()
             .orderBy(F.col("_bn").desc())
             .limit(5)
             .collect()
@@ -964,8 +968,7 @@ def incremental_aligned_pairs(
                 max_bucket,
                 [(r[idx_col], r["_bn"]) for r in hot_rows],
             )
-        keep = sizes.where(F.col("_bn") <= max_bucket).select(idx_col, sig_col)
-        f = f.join(keep, [idx_col, sig_col], "left_semi")
+        f = fw.where(F.col("_bn") <= max_bucket).drop("_bn")
     n, i = f.alias("n"), index.select("media_id", idx_col, sig_col).alias("i")
     return (
         n.join(i, [idx_col, sig_col])

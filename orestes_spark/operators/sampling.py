@@ -486,15 +486,22 @@ def train_val_test_split(
     )
 
 
-def _dsir_toks(df: DataFrame, id_col: str, text_col: str, bigrams: bool) -> DataFrame:
+def _dsir_toks(
+    df: DataFrame, id_col: str, text_col: str, bigrams: bool, total: bool = False
+) -> DataFrame:
     """(_id, tok) feature stream for DSIR: whitespace unigrams, plus
-    space-joined bigrams when ``bigrams`` (the paper's default set)."""
+    space-joined bigrams when ``bigrams`` (the paper's default set).
+    ``total=True`` keeps one (id, NULL) row for docs whose
+    tokenization yields no array at all (NULL text) — the outer
+    explode lets a TOTAL-coverage scorer aggregate every doc in one
+    pass instead of joining verdicts back onto a distinct-id frame."""
     from orestes_spark.operators.dedup import bind, normalize_text
 
     split_expr = F.split(normalize_text(F.col(text_col)), r"\s+")
+    explode = F.explode_outer if total else F.explode
     if not bigrams:
         return df.select(
-            F.col(id_col).alias("_id"), F.explode(split_expr).alias("tok")
+            F.col(id_col).alias("_id"), explode(split_expr).alias("tok")
         )
 
     def feats(tk: Column) -> Column:
@@ -510,7 +517,7 @@ def _dsir_toks(df: DataFrame, id_col: str, text_col: str, bigrams: bool) -> Data
         return F.concat(tk, F.coalesce(bg, F.array()))
 
     return df.select(
-        F.col(id_col).alias("_id"), F.explode(bind(split_expr, feats)).alias("tok")
+        F.col(id_col).alias("_id"), explode(bind(split_expr, feats)).alias("tok")
     )
 
 

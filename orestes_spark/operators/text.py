@@ -883,17 +883,24 @@ def score_quality_model(docs: DataFrame, model: DataFrame, id_col: str, text_col
         )
     nb, pq, bg, salt = meta[0]["nb"], meta[0]["pq"], meta[0]["bg"], meta[0]["salt"]
     n_col = "n_feats" if bg else "n_tokens"
-    toks = _dsir_toks(docs, id_col, text_col, bool(bg)).select(
+    # Round-12 opt (guide §2.4): total coverage used to be a distinct
+    # id frame LEFT-joined onto the aggregated scores — one extra
+    # corpus exchange plus a sort-merge join whose only job was
+    # re-attaching prior-only rows. The outer token explode keeps a
+    # (id, NULL) row for zero-feature docs, the model join flips to
+    # LEFT, and count(wq) reproduces the inner join's row count
+    # (model weights are never null) — so ONE groupBy covers every
+    # doc and the join-back disappears.
+    toks = _dsir_toks(docs, id_col, text_col, bool(bg), total=True).select(
         "_id", _hash_bucket(F.col("tok"), salt, nb).alias("bucket")
     )
     scored = (
-        toks.join(F.broadcast(model.select("bucket", "wq")), "bucket")
+        toks.join(F.broadcast(model.select("bucket", "wq")), "bucket", "left")
         .groupBy("_id")
-        .agg(F.count(F.lit(1)).alias(n_col), F.sum("wq").alias("_s"))
+        .agg(F.count("wq").alias(n_col), F.sum("wq").alias("_s"))
     )
-    ids = docs.select(F.col(id_col).alias("_id")).distinct()
     total = F.lit(int(pq)) + F.coalesce(F.col("_s"), F.lit(0))
-    return ids.join(scored, "_id", "left").select(
+    return scored.select(
         F.col("_id").alias(id_col),
         F.coalesce(F.col(n_col), F.lit(0)).cast("long").alias(n_col),
         F.round(total.cast("double") / 1e9, 6).alias("nb_logodds"),

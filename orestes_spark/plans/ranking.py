@@ -35,11 +35,26 @@ def with_global_rank(
     WHERE the partition cuts land varies run to run, but local-rank +
     exact offsets make the global rank identical regardless."""
     p = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    tagged = df.repartitionByRange(p, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
-    local = tagged.withColumn("_lrn", F.row_number().over(w)).localCheckpoint()
+    # Round-12 opt (guide §2.4 — remove shuffles outright): the local
+    # rank used to be row_number() OVER (PARTITION BY _pid ORDER BY
+    # order) — but range partitioning does not satisfy that window's
+    # hashpartitioning(_pid) requirement, so the plan re-shuffled the
+    # ENTIRE frame a second time just to re-group rows that were
+    # already grouped. sortWithinPartitions establishes the local
+    # order on the range exchange itself, and
+    # monotonically_increasing_id() — whose documented layout is
+    # (partitionId << 33) + rowIndexInPartition — yields the same
+    # local row number masked to the low 33 bits, with zero
+    # additional exchanges. Valid for < 2^33 rows per partition
+    # (~8.5e9 — far above any sane partition).
+    tagged = df.repartitionByRange(p, *order_cols).sortWithinPartitions(*order_cols)
+    local = tagged.select(
+        "*",
+        F.spark_partition_id().alias("_pid"),
+        (
+            F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)) + 1
+        ).alias("_lrn"),
+    ).localCheckpoint()
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
     offsets, acc = [], 0
     for r in sorted(counts, key=lambda r: r["_pid"]):
