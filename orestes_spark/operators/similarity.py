@@ -1534,44 +1534,61 @@ def pca_power_direction(
     the per-dim frames are d rows. Two single-partition exchanges
     (the d-row scalar reduce and the trace), inside the repo's pinned
     ≤2 invariant."""
-    ex = (
-        vectors.select(
-            F.col(id_col).alias("_rid"), quantized(F.col(vec_col), quantize).alias("v")
-        )
-        .select("_rid", F.posexplode("v").alias("i", "x"))
-        .localCheckpoint()
-    )
+    # Round-12 opt (guide §2.4 — remove shuffles outright): the old
+    # shape checkpointed the exploded (row, dim, x) frame and ran each
+    # power step as groupBy(_rid) + join-back — four row-scale
+    # exchanges plus joins. Every per-ROW quantity is an array fold
+    # computable in the scan projection: the row sum s_r rides the
+    # first pass, and the second pass's dot x_r·v1 folds against the
+    # LITERAL v1 — a d-row exact-integer collect (bounded by the
+    # dimension, never the data; the codebook discipline). Each pass
+    # is one scan + one groupBy(i) with map-side partials (shuffle =
+    # partitions x d rows); the trace shares the first aggregation.
+    # All arithmetic is the same exact integer/DECIMAL(38,0) chain.
     d38 = "decimal(38,0)"
-    s = ex.groupBy("_rid").agg(F.sum("x").alias("s"))
-    v1 = (
-        ex.join(s, "_rid")
-        .groupBy("i")
-        .agg(F.sum((F.col("x") * F.col("s")).cast(d38)).alias("w"))
-        .localCheckpoint()
+    q = vectors.select(quantized(F.col(vec_col), quantize).alias("v"))
+    p1 = q.select(
+        "v",
+        F.aggregate("v", F.lit(0).cast("long"), lambda a, b: a + b).alias("_s"),
     )
-    dots = (
-        ex.join(v1, "i")
-        .groupBy("_rid")
-        .agg(F.sum(F.col("x").cast(d38) * F.col("w")).alias("d2"))
+    ex1 = p1.select("_s", F.posexplode_outer("v").alias("i", "x")).where(
+        F.col("x").isNotNull()
+    )
+    agg1 = (
+        ex1.groupBy("i")
+        .agg(
+            F.sum((F.col("x") * F.col("_s")).cast(d38)).alias("w"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .collect()
+    )
+    w_by_i = {int(r["i"]): int(r["w"]) for r in agg1}
+    tr = sum(int(r["sxx"]) for r in agg1)
+    dims = sorted(w_by_i)
+    wlit = F.array(*[F.lit(str(w_by_i[i])).cast(d38) for i in dims])
+    dot11 = sum(w * w for w in w_by_i.values())
+    p2 = q.select(
+        "v",
+        F.aggregate(
+            F.zip_with(F.col("v"), wlit, lambda x, w: x.cast(d38) * w),
+            F.lit(0).cast(d38),
+            lambda a, b: a + b,
+        ).alias("_d2"),
+    )
+    ex2 = p2.select("_d2", F.posexplode_outer("v").alias("i", "x")).where(
+        F.col("x").isNotNull()
     )
     v2 = (
-        ex.join(dots, "_rid")
-        .groupBy("i")
-        .agg(F.sum(F.col("x").cast(d38) * F.col("d2")).alias("w2"))
+        ex2.groupBy("i")
+        .agg(F.sum(F.col("x").cast(d38) * F.col("_d2")).alias("w2"))
         .localCheckpoint()
     )
-    scal = (
-        v1.join(v2, "i")
-        .agg(
-            F.max(F.abs(F.col("w2"))).alias("maxabs"),
-            F.sum(F.col("w") * F.col("w2")).alias("dot12"),
-            F.sum(F.col("w") * F.col("w")).alias("dot11"),
-        )
+    scal = v2.agg(
+        F.max(F.abs(F.col("w2"))).alias("maxabs"),
+        F.sum(F.element_at(wlit, F.col("i") + 1) * F.col("w2")).alias("dot12"),
     )
-    trace = ex.agg(F.sum(F.col("x") * F.col("x")).alias("tr"))
     return (
         v2.crossJoin(F.broadcast(scal))
-        .crossJoin(F.broadcast(trace))
         .select(
             (F.col("i") + 1).cast("int").alias("dim"),
             F.round(
@@ -1579,8 +1596,8 @@ def pca_power_direction(
             ).alias("v_share"),
             F.round(
                 F.col("dot12").cast("double")
-                / F.col("dot11").cast("double")
-                / F.col("tr").cast("double"),
+                / F.lit(str(dot11)).cast(d38).cast("double")
+                / F.lit(str(tr)).cast(d38).cast("double"),
                 6,
             ).alias("explained_share"),
         )
