@@ -6707,6 +6707,71 @@ def _quality_report_sql() -> str:
         FROM j2"""
 
 
+_QR_LEGS: dict = {}
+
+
+def _qr_leg_cols(spark):
+    """Build (once per SparkContext) the quality report's static
+    per-row leg Columns — heuristic keep, Gopher keep, (prev, cur)
+    pair structs. The expressions reference only F.col('text') and
+    literals, so the py4j trees are reusable across calls; rebuilding
+    them cost ~0.3 s of driver round-trips per invocation (the LSH
+    builders' round-12 finding, applied to the report card)."""
+    from orestes_spark.operators.dedup import bind, normalize_text
+
+    key = spark.sparkContext
+    legs = _QR_LEGS.get("legs")
+    if legs is not None and _QR_LEGS.get("ctx") is key:
+        return legs
+    toks_h = F.split(F.trim(F.col("text")), r"\s+")  # doc_quality: trim only
+    stop = F.array([F.lit(s) for s in ["the", "a", "and", "of", "to", "in"]])
+    kh = (
+        F.round(
+            F.size(F.filter(toks_h, lambda x: F.array_contains(stop, x)))
+            * 1.0
+            / F.size(toks_h),
+            6,
+        )
+        >= 0.04
+    )
+
+    def _gopher_keep(tk):
+        n = F.size(tk)
+        chars = F.length(F.concat_ws("", tk))
+        n_symbol = F.size(F.filter(tk, lambda x: ~x.rlike("[a-z0-9]")))
+        n_alpha = F.size(F.filter(tk, lambda x: x.rlike("[a-z]")))
+        max_len = F.array_max(F.transform(tk, F.length))
+        fails = F.array(
+            F.when((n < 10) | (n > 100_000), F.lit("word_count")),
+            F.when((chars < 3 * n) | (chars > 10 * n), F.lit("mean_word_len")),
+            F.when(10 * n_symbol >= n, F.lit("symbol_ratio")),
+            F.when(5 * n_alpha < 4 * n, F.lit("alpha_frac")),
+            F.when(max_len > 30, F.lit("max_word_len")),
+        )
+        return F.size(F.filter(fails, lambda x: x.isNotNull())) == 0
+
+    toks = F.split(normalize_text(F.col("text")), r"\s+")
+    kg = bind(toks, _gopher_keep)
+
+    # --- one (prev, cur) token stream for the three codebook legs ---
+    # (NOT fused with kg into one bound struct: the two GetStructField
+    # reads re-evaluate the struct — measured 0.89 s vs 0.77 s split.)
+    pair_structs = bind(
+        toks,
+        lambda tk: F.transform(
+            F.sequence(F.lit(1), F.size(tk)),
+            lambda i: F.struct(
+                F.element_at(tk, i).alias("cur"),
+                F.when(i > 1, F.element_at(tk, i - 1)).alias("prv"),
+            ),
+        ),
+    )
+    legs = (kh, kg, pair_structs)
+    _QR_LEGS["ctx"] = key
+    _QR_LEGS["legs"] = legs
+    return legs
+
+
 @register("doc_quality_report", _quality_report_sql())
 def doc_quality_report(spark, sf_dir):
     """The per-document quality REPORT CARD: all five quality
@@ -6751,51 +6816,7 @@ def doc_quality_report(spark, sf_dir):
     model = _nb_model_for(spark, sf_dir).select("bucket", F.col("wq").alias("_wqm"))
     wdf = _dsir_wq_for(spark, sf_dir).select("bucket", F.col("wq").alias("_wds"))
     vocab, pairs_df, fb_df = _bigram_lm_for(spark, sf_dir)
-
-    # --- per-row legs (doc_quality + gopher_rules expressions) ---
-    toks_h = F.split(F.trim(F.col("text")), r"\s+")  # doc_quality: trim only
-    stop = F.array([F.lit(s) for s in ["the", "a", "and", "of", "to", "in"]])
-    kh = (
-        F.round(
-            F.size(F.filter(toks_h, lambda x: F.array_contains(stop, x)))
-            * 1.0
-            / F.size(toks_h),
-            6,
-        )
-        >= 0.04
-    )
-
-    def _gopher_keep(tk):
-        n = F.size(tk)
-        chars = F.length(F.concat_ws("", tk))
-        n_symbol = F.size(F.filter(tk, lambda x: ~x.rlike("[a-z0-9]")))
-        n_alpha = F.size(F.filter(tk, lambda x: x.rlike("[a-z]")))
-        max_len = F.array_max(F.transform(tk, F.length))
-        fails = F.array(
-            F.when((n < 10) | (n > 100_000), F.lit("word_count")),
-            F.when((chars < 3 * n) | (chars > 10 * n), F.lit("mean_word_len")),
-            F.when(10 * n_symbol >= n, F.lit("symbol_ratio")),
-            F.when(5 * n_alpha < 4 * n, F.lit("alpha_frac")),
-            F.when(max_len > 30, F.lit("max_word_len")),
-        )
-        return F.size(F.filter(fails, lambda x: x.isNotNull())) == 0
-
-    toks = F.split(normalize_text(F.col("text")), r"\s+")
-    kg = bind(toks, _gopher_keep)
-
-    # --- one (prev, cur) token stream for the three codebook legs ---
-    # (NOT fused with kg into one bound struct: the two GetStructField
-    # reads re-evaluate the struct — measured 0.89 s vs 0.77 s split.)
-    pair_structs = bind(
-        toks,
-        lambda tk: F.transform(
-            F.sequence(F.lit(1), F.size(tk)),
-            lambda i: F.struct(
-                F.element_at(tk, i).alias("cur"),
-                F.when(i > 1, F.element_at(tk, i - 1)).alias("prv"),
-            ),
-        ),
-    )
+    kh, kg, pair_structs = _qr_leg_cols(spark)
     # Round-12 opt (guide §1.3 plan shape): the per-DOC legs must be
     # projected BELOW the explode. `select(kh, kg, explode(ps))` plans
     # as Project[kh, kg, pr] ABOVE Generate — both array expressions
