@@ -2434,6 +2434,111 @@ def semantic_decontaminate(
     )
 
 
+def semantic_decontaminate_arrow(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    quantize: int | None = 1000,
+    eval_is_subset: bool = False,
+) -> DataFrame:
+    """Production fast path for ``semantic_decontaminate``: the
+    |corpus| × |eval| scoring runs as ONE numpy GEMM per Arrow batch
+    via ``mapInPandas`` instead of the interpreted per-element
+    zip_with/aggregate dot — the ``semantic_dedup_arrow`` /
+    ``cosine_topk_arrow`` discipline applied to the decontamination
+    scan. The eval matrix is collected once (an eval set is
+    fixed-size by contract — the same bound that justifies the
+    expression path's broadcast) and ships to executors as one
+    broadcast; each corpus batch emits only its ≥-threshold rows.
+    Same output contract and tie-break (raw cosine desc, eval id asc
+    among hits) as the expression twin.
+
+    Exactness: with ``quantize`` the GEMM runs on integer-valued
+    float64 (dot and norms < 2⁵³ — exact) and cosine =
+    dot / (√n2_c · √n2_q), the identical correctly-rounded IEEE ops
+    of ``_cos_expr``; the threshold test applies ``np.round(·, 6)``
+    exactly as ``semantic_dedup_arrow`` does (same theoretical
+    .5e-7-boundary caveat, same oracle + path-equivalence pinning),
+    while the OUTPUT cosine is rounded by Spark's own ``F.round`` on
+    the raw kernel value, so emitted values are bit-identical to the
+    expression path. Zero-norm vectors score NULL there (try_divide)
+    and thus never hit — the kernel masks them out of the hit set.
+    Ids must be integer-castable (the kernel carries them as int64);
+    non-numeric ids raise loudly, as in ``cosine_topk_arrow``."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    erows = eval_set.select(
+        F.col(id_col).try_cast("long"), quantized(F.col(vec_col), quantize)
+    ).collect()
+    if any(r[0] is None for r in erows):
+        raise ValueError(
+            f"semantic_decontaminate_arrow requires integer-castable"
+            f" {id_col!r} eval ids (the Arrow kernel carries ids as"
+            " int64); use semantic_decontaminate for arbitrary id types"
+        )
+    order = sorted(range(len(erows)), key=lambda i: erows[i][0])
+    qids = np.array([erows[i][0] for i in order], dtype=np.int64)
+    qmat = np.array([erows[i][1] for i in order], dtype=np.float64)
+    qn2 = (qmat * qmat).sum(axis=1) if len(qmat) else np.zeros((0,))
+    b = spark.sparkContext.broadcast((qids, qmat, qn2))
+    subset = bool(eval_is_subset)
+    thr = float(threshold)
+
+    def score(batches):
+        import pandas as pd
+
+        bq_ids, bq, bqn2 = b.value
+        bqz = bqn2 == 0
+        for pdf in batches:
+            if pdf.empty or len(bq_ids) == 0:
+                continue
+            if pdf[id_col].isnull().any():
+                raise ValueError(
+                    "semantic_decontaminate_arrow requires integer-castable"
+                    f" {id_col!r} values on the corpus side"
+                )
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cn2 = (cmat * cmat).sum(axis=1)
+            scores = (cmat @ bq.T) / np.maximum(
+                np.sqrt(cn2)[:, None] * np.sqrt(bqn2)[None, :], 1e-300
+            )
+            hit = np.round(scores, 6) >= thr
+            hit &= (cn2 > 0)[:, None] & ~bqz[None, :]
+            if subset:
+                hit &= cids[:, None] != bq_ids[None, :]
+            n_hits = hit.sum(axis=1)
+            rows = np.nonzero(n_hits > 0)[0]
+            if not len(rows):
+                continue
+            masked = np.where(hit[rows], scores[rows], -np.inf)
+            # eval columns are qid-ascending, argmax takes the FIRST
+            # max → smallest eval id among raw-score ties, matching
+            # row_number() OVER (ORDER BY _cos DESC, qid)
+            best = np.argmax(masked, axis=1)
+            yield pd.DataFrame(
+                {
+                    "cid": cids[rows],
+                    "n_eval_hits": n_hits[rows].astype(np.int64),
+                    "qid": bq_ids[best],
+                    "_cos": masked[np.arange(len(rows)), best],
+                }
+            )
+
+    local = corpus.select(
+        F.col(id_col), quantized(F.col(vec_col), quantize).alias(vec_col)
+    ).mapInPandas(score, "cid long, n_eval_hits long, qid long, _cos double")
+    return local.select(
+        F.col("cid").alias(id_col),
+        "n_eval_hits",
+        F.col("qid").alias("eval_id"),
+        F.round("_cos", 6).alias("cosine"),
+    )
+
+
 def semantic_decontaminate_ivf(
     corpus: DataFrame,
     eval_set: DataFrame,

@@ -6360,11 +6360,16 @@ def emb_decontaminate(spark, sf_dir):
     any vec_id % 97 eval vector, with hit count and best-matching
     eval id. Broadcast eval side (an eval set doesn't grow with the
     corpus), integer-quantized dots, one threshold-pruned per-id
-    window — similarity.semantic_decontaminate."""
+    window — similarity.semantic_decontaminate (round-12: routed to
+    the semantic_decontaminate_arrow GEMM kernel, integer-exact under
+    quantize and path-equivalence-tested against the expression
+    twin)."""
     e = load_table(spark, sf_dir, "embeddings")
     eval_set = e.where(F.col("vec_id") % 97 == 0)
     corpus = e.where(F.col("vec_id") % 97 != 0)
-    return similarity.semantic_decontaminate(corpus, eval_set, threshold=0.3, quantize=1000)
+    return similarity.semantic_decontaminate_arrow(
+        corpus, eval_set, threshold=0.3, quantize=1000
+    )
 
 
 @register("doc_decontam_report", oracles.decontam_report_sql())
@@ -6398,7 +6403,7 @@ def doc_decontam_report(spark, sf_dir):
     )
     corpus = d.where(F.col("doc_id") % 20 != 0)
     verbatim = dedup.substring_contamination(corpus, "doc_id", "text", needles)
-    emb = similarity.semantic_decontaminate(
+    emb = similarity.semantic_decontaminate_arrow(
         e.where(F.col("vec_id") % 20 != 0),
         e.where(F.col("vec_id") % 20 == 0),
         threshold=0.3,

@@ -786,6 +786,75 @@ def test_semantic_decontaminate_id_collision_is_not_exempt(spark):
     )
 
 
+def test_semantic_decontaminate_arrow_equals_expression_path(spark):
+    """Round-12 optimization: the GEMM kernel must reproduce the
+    expression path row for row — hit set, hit counts, best-match
+    eval id (raw-cosine tie broken by smallest eval id) and the
+    emitted rounded cosine — including zero-norm corpus/eval vectors
+    (NULL cosine ⇒ never a hit), id collisions (scanned by default,
+    exempt under eval_is_subset) and multi-hit counting."""
+    from orestes_spark.operators.similarity import (
+        semantic_decontaminate,
+        semantic_decontaminate_arrow,
+    )
+
+    ddl = "vec_id LONG, embedding ARRAY<FLOAT>"
+    eval_set = spark.createDataFrame(
+        [
+            (100, [1.0, 0.0, 0.0, 0.0]),
+            (101, [0.8, 0.6, 0.0, 0.0]),
+            (102, [0.0, 0.0, 0.0, 0.0]),  # zero-norm eval: never hits
+            (3, [0.0, 1.0, 0.0, 0.0]),    # id collides with corpus 3
+        ],
+        ddl,
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0, 0.0]),    # colinear with 100; ties 100 vs...
+            (2, [0.0, 0.0, 0.0, 3.0]),    # orthogonal: clean
+            (3, [0.0, 1.0, 0.0, 0.0]),    # exact match of eval 3 (collision)
+            (4, [0.0, 0.0, 0.0, 0.0]),    # zero-norm corpus: never hits
+            (5, [1.0, 0.0, 0.0, 0.0]),    # colinear with 100 AND eval 3? no
+        ],
+        ddl,
+    )
+    for subset in (False, True):
+        expr = sorted(
+            tuple(r) for r in semantic_decontaminate(
+                corpus, eval_set, threshold=0.5, quantize=1000,
+                eval_is_subset=subset,
+            ).collect()
+        )
+        arrow = sorted(
+            tuple(r) for r in semantic_decontaminate_arrow(
+                corpus, eval_set, threshold=0.5, quantize=1000,
+                eval_is_subset=subset,
+            ).collect()
+        )
+        assert expr == arrow, (subset, expr, arrow)
+    # raw-score tie → smallest eval id: vector equidistant from two evals
+    tie_eval = spark.createDataFrame(
+        [(200, [1.0, 0.0, 0.0, 0.0]), (150, [0.0, 1.0, 0.0, 0.0])], ddl
+    )
+    tie_corpus = spark.createDataFrame([(9, [1.0, 1.0, 0.0, 0.0])], ddl)
+    for fn in (semantic_decontaminate, semantic_decontaminate_arrow):
+        row = fn(tie_corpus, tie_eval, threshold=0.5, quantize=1000).collect()
+        assert [(r["vec_id"], r["n_eval_hits"], r["eval_id"]) for r in row] == [
+            (9, 2, 150)
+        ]
+
+
+def test_semantic_decontaminate_arrow_rejects_non_integer_ids(spark):
+    from orestes_spark.operators.similarity import semantic_decontaminate_arrow
+
+    ddl = "vec_id STRING, embedding ARRAY<FLOAT>"
+    df = spark.createDataFrame([("a", [1.0, 0.0])], ddl)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="integer-castable"):
+        semantic_decontaminate_arrow(df, df, threshold=0.5, quantize=1000)
+
+
 def test_semantic_decontaminate_ivf_id_collision_is_not_exempt(spark):
     from orestes_spark.operators.similarity import semantic_decontaminate_ivf
 
