@@ -2247,30 +2247,63 @@ def _bloom_prefilter(kg_hashes: DataFrame, bloom: DataFrame, expect_nb: int | No
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    meta = bloom.select("nb", "mbits", "kh").distinct().collect()
-    if len(meta) != 1:
-        raise ValueError(
-            "bloom sidecar mixes layouts (distinct nb/mbits/kh rows) — "
-            "rebuild it in one span_bloom pass"
-        )
-    bnb, m, kk = int(meta[0]["nb"]), int(meta[0]["mbits"]), int(meta[0]["kh"])
-    if expect_nb is not None and bnb != expect_nb:
-        raise ValueError(
-            f"bloom sidecar was built over buckets={bnb} but the index"
-            f" has buckets={expect_nb}: a mismatched modulus routes hashes"
-            " to the wrong blob and silently drops genuine repeats"
-        )
     spark = kg_hashes.sparkSession
-    touched = [
-        r[0]
-        for r in kg_hashes.select(
-            F.pmod(F.col("h"), F.lit(bnb)).cast("int").alias("hb")
-        ).distinct().collect()
-    ]
-    blobs = {
-        int(r["hb"]): bytes(r["blob"])
-        for r in bloom.where(F.col("hb").isin(touched)).select("hb", "blob").collect()
-    }
+    if expect_nb is not None:
+        # Round-12 (guide §1.2 — remove passes): when the index has
+        # already established the modulus, layout validation and the
+        # touched-blob fetch ride ONE collect — every sidecar row
+        # ships its 3 scalar layout columns (bounded by nb, the same
+        # bound as the touched list itself), only TOUCHED rows ship
+        # their blob. The touched list is computed with the index's
+        # modulus; if the sidecar's own nb disagrees we raise before
+        # any pruning decision is acted on.
+        touched = [
+            r[0]
+            for r in kg_hashes.select(
+                F.pmod(F.col("h"), F.lit(int(expect_nb))).cast("int").alias("hb")
+            ).distinct().collect()
+        ]
+        rows = bloom.select(
+            "nb",
+            "mbits",
+            "kh",
+            "hb",
+            F.when(F.col("hb").isin(touched), F.col("blob")).alias("blob"),
+        ).collect()
+        meta_vals = {(int(r["nb"]), int(r["mbits"]), int(r["kh"])) for r in rows}
+        if len(meta_vals) != 1:
+            raise ValueError(
+                "bloom sidecar mixes layouts (distinct nb/mbits/kh rows) — "
+                "rebuild it in one span_bloom pass"
+            )
+        bnb, m, kk = meta_vals.pop()
+        if bnb != expect_nb:
+            raise ValueError(
+                f"bloom sidecar was built over buckets={bnb} but the index"
+                f" has buckets={expect_nb}: a mismatched modulus routes hashes"
+                " to the wrong blob and silently drops genuine repeats"
+            )
+        blobs = {
+            int(r["hb"]): bytes(r["blob"]) for r in rows if r["blob"] is not None
+        }
+    else:
+        meta = bloom.select("nb", "mbits", "kh").distinct().collect()
+        if len(meta) != 1:
+            raise ValueError(
+                "bloom sidecar mixes layouts (distinct nb/mbits/kh rows) — "
+                "rebuild it in one span_bloom pass"
+            )
+        bnb, m, kk = int(meta[0]["nb"]), int(meta[0]["mbits"]), int(meta[0]["kh"])
+        touched = [
+            r[0]
+            for r in kg_hashes.select(
+                F.pmod(F.col("h"), F.lit(bnb)).cast("int").alias("hb")
+            ).distinct().collect()
+        ]
+        blobs = {
+            int(r["hb"]): bytes(r["blob"])
+            for r in bloom.where(F.col("hb").isin(touched)).select("hb", "blob").collect()
+        }
     blobs_bc = spark.sparkContext.broadcast(blobs)
 
     # no type hints: the module's `from __future__ import annotations`
@@ -2366,12 +2399,18 @@ def incremental_repeated_spans(
     elif buckets and "hb" in index.columns:
         prune_nb = int(buckets)  # pre-nb index: trust the caller
     if prune_nb or bloom is not None:
-        kg = kg.localCheckpoint(eager=True)  # one pass feeds collect + joins
+        # one tokenize pass feeds the touched-bucket collect AND both
+        # joins. Round-12: LAZY — the first collect below materializes
+        # it as part of its own job instead of a dedicated eager job
+        # (the doc_bpe_trained piggyback discipline, guide §1.2).
+        kg = kg.localCheckpoint(eager=False)
     batch_hashes = kg.select("h").distinct()
     if bloom is not None:
         batch_hashes, bnb = _bloom_prefilter(batch_hashes, bloom, prune_nb)
-        # the surviving set feeds a bucket re-collect AND the semi-join
-        batch_hashes = batch_hashes.localCheckpoint(eager=True)
+        # the surviving set feeds a bucket re-collect AND the semi-join;
+        # lazy again: the re-collect below runs the Bloom-test pass and
+        # pins its output in the same job
+        batch_hashes = batch_hashes.localCheckpoint(eager=False)
         # prune_nb stays as established from the index/caller only —
         # never adopted from the sidecar (see incremental_neardup)
     if prune_nb:
