@@ -427,9 +427,16 @@ def minhash_lsh_dedup(
     near-dup pipeline. Output (id_a, id_b, jaccard)."""
     # the arrays feed the signature path AND both verify sides —
     # checkpoint once instead of recomputing the scan per use.
-    arrays = token_shingle_arrays(docs, id_col, text_col, shingle_size).localCheckpoint()
+    # Round-12: LAZY — all consumers live in the one verify job, which
+    # materializes both checkpoints via block-level locking; two
+    # dedicated eager jobs gone (guide §1.2).
+    arrays = token_shingle_arrays(docs, id_col, text_col, shingle_size).localCheckpoint(
+        eager=False
+    )
     sig = minhash_signatures(arrays, num_hashes)
-    cands = minhash_band_candidates(sig, num_hashes, rows_per_band).localCheckpoint()
+    cands = minhash_band_candidates(sig, num_hashes, rows_per_band).localCheckpoint(
+        eager=False
+    )
     return verify_jaccard(arrays, cands, threshold, "shingles")
 
 
@@ -618,7 +625,13 @@ def incremental_neardup(
     mismatched moduli raise) and neither can drop a genuine pair —
     the Bloom has no false negatives and the exact-Jaccard verify
     still decides everything."""
-    new_arrays = token_shingle_arrays(new_docs, id_col, text_col, shingle_size).localCheckpoint()
+    # Round-12: every checkpoint in this probe is LAZY — the touched-
+    # bucket collects materialize them inside their own jobs instead
+    # of paying a dedicated eager job each (guide §1.2; the
+    # doc_bpe_trained piggyback discipline).
+    new_arrays = token_shingle_arrays(
+        new_docs, id_col, text_col, shingle_size
+    ).localCheckpoint(eager=False)
     new_banded = minhash_band_rows(
         minhash_signatures(new_arrays, num_hashes), num_hashes, rows_per_band
     )
@@ -628,11 +641,11 @@ def incremental_neardup(
     elif buckets and "hb" in index.columns:
         prune_nb = int(buckets)  # pre-nb index: trust the caller
     if prune_nb or bloom is not None:
-        new_banded = new_banded.localCheckpoint(eager=True)
+        new_banded = new_banded.localCheckpoint(eager=False)
     keys = new_banded.select(_band_key_hash().alias("h"), "band", "bval").distinct()
     if bloom is not None:
         surviving, bnb = _bloom_prefilter(keys, bloom, prune_nb)
-        surviving = surviving.localCheckpoint(eager=True)
+        surviving = surviving.localCheckpoint(eager=False)
         new_banded = new_banded.join(
             F.broadcast(surviving.select("band", "bval")), ["band", "bval"], "left_semi"
         )
@@ -656,7 +669,7 @@ def incremental_neardup(
         .where(F.col("n._id") != F.col("i._id"))
         .select(F.col("n._id").alias("id_a"), F.col("i._id").alias("id_b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cand_ids = cands.select(F.col("id_b").alias(id_col)).distinct()
     corpus_arrays = token_shingle_arrays(
@@ -706,7 +719,7 @@ def ngram_jaccard_dedup(
     # path and both verify sides.
     hashed = arrays.select(
         "_id", F.transform("grams", lambda g: F.xxhash64(g)).alias("grams")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # round-12: one final job materializes it
     exploded = hashed.select("_id", F.explode("grams").alias("sh"))
     # Count-first document frequencies, THEN pair up only rare grams:
     # the self-join fan-out is bounded by max_df by construction —
@@ -1002,38 +1015,47 @@ def incremental_simhash_pairs(
             f"pigeonhole needs more than max_hamming={max_hamming} bands; "
             f"got {bands} ({bits} bits / {band_bits}-bit bands)"
         )
-    banded = simhash_band_index(new_sig, bits, band_bits).localCheckpoint()
+    # Round-12: the cap is a count WINDOW over the batch's banding
+    # (the simhash_near_pairs shape) instead of a groupBy-checkpoint +
+    # top-5 collect + semi-join — 4 jobs/3 passes down to the one
+    # checkpoint job, which for media consumers is the only run of the
+    # decode+dHash upstream. Drops are still LOGGED (ADVICE r11) via
+    # the same CollectMetrics observation simhash_near_pairs uses; a
+    # pair is only missed if EVERY band of a true near-pair is over
+    # the cap in this batch. Unlike the self-join cap there is no
+    # `_bn > 1` prune: a singleton batch bucket still matches the
+    # index.
+    banded = simhash_band_index(new_sig, bits, band_bits)
+    obs = None
     if max_bucket is not None:
-        # Size, LOG any drops (ADVICE r11 — the cut was silent here
-        # while simhash_near_pairs logged it, and downstream prose
-        # claimed no false negatives unconditionally), then semi-join
-        # the survivors. The histogram is one aggregate over the
-        # BATCH's band rows — batch-sized, so the extra materialize is
-        # cheap; a pair is only missed if EVERY band of a true
-        # near-pair is over the cap in this batch.
-        sizes = (
-            banded.groupBy("band", "bval")
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .localCheckpoint()
-        )
-        hot_rows = (
-            sizes.where(F.col("_bn") > max_bucket)
-            .orderBy(F.col("_bn").desc())
-            .limit(5)
-            .collect()
-        )
-        if hot_rows:
-            import logging
+        from uuid import uuid4
 
-            logging.getLogger(__name__).warning(
-                "incremental_simhash_pairs: dropping batch band buckets over "
-                "max_bucket=%d (largest: %s) — near-pairs whose every band "
-                "is over the cap are missed this batch",
-                max_bucket,
-                [(r["band"], r["_bn"]) for r in hot_rows],
+        from pyspark.sql import Observation
+
+        obs = Observation(f"inc_simhash_cap_{uuid4().hex}")
+        w = Window.partitionBy("band", "bval")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .observe(
+                obs,
+                F.max("_bn").alias("max_bucket_seen"),
+                F.sum((F.col("_bn") > max_bucket).cast("long")).alias("rows_dropped"),
             )
-        keep = sizes.where(F.col("_bn") <= max_bucket).select("band", "bval")
-        banded = banded.join(keep, ["band", "bval"], "left_semi")
+            .where(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    banded = banded.localCheckpoint()
+    if obs is not None and (obs.get.get("max_bucket_seen") or 0) > max_bucket:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "incremental_simhash_pairs: dropped batch band buckets over "
+            "max_bucket=%d (largest: %d, %d banded rows cut) — near-pairs "
+            "whose every band is over the cap are missed this batch",
+            max_bucket,
+            obs.get["max_bucket_seen"],
+            obs.get["rows_dropped"],
+        )
     n, i = banded.alias("n"), index.alias("i")
     return (
         n.join(i, ["band", "bval"])
@@ -1081,20 +1103,33 @@ def benchmark_overlap(
     # (the common "doc_id % k" eval split) that re-scans the corpus
     # once per consumer. It is small by contract (an eval set), so one
     # localCheckpoint caps that at a single id-only pass.
-    bench = bench_ids.select(F.col(bench_ids.columns[0]).alias("_id")).localCheckpoint()
+    # round-12: lazy — the final job materializes it once for all four
+    bench = bench_ids.select(F.col(bench_ids.columns[0]).alias("_id")).localCheckpoint(
+        eager=False
+    )
     # parallelism-guard ONCE on the scan: guarding inside the shingle
     # call would probe partitions on the join output and make AQE
     # materialize the join as an extra job per side
     ids = ensure_min_parallelism(docs).select(
         F.col(id_col).alias("_id"), F.col(text_col)
     )
-    bench_grams = explode_col(
-        token_shingle_arrays(
-            ids.join(bench, "_id", "left_semi"), "_id", text_col, n, guard=False
-        ),
-        "shingles",
-        "sh",
-    ).distinct()
+    # Join on the shingle's xxhash64, not the string (round-12, guide
+    # §2.3 — the shingle_containment treatment): the equi-join only
+    # needs identity, and the 8-byte key cuts the shuffled/broadcast
+    # bytes of both sides severalfold vs n-token strings. Same 64-bit
+    # collision story as every hash-keyed operator here (a collision
+    # can only ADD an overlap count, ~2^-64 per corpus shingle).
+    bench_grams = (
+        explode_col(
+            token_shingle_arrays(
+                ids.join(bench, "_id", "left_semi"), "_id", text_col, n, guard=False
+            ),
+            "shingles",
+            "sh",
+        )
+        .select(F.xxhash64("sh").alias("h"))
+        .distinct()
+    )
     corpus = explode_col(
         token_shingle_arrays(
             ids.join(bench, "_id", "left_anti"), "_id", text_col, n, guard=False
@@ -1102,9 +1137,9 @@ def benchmark_overlap(
         "shingles",
         "sh",
         "_id",
-    )
+    ).select("_id", F.xxhash64("sh").alias("h"))
     return (
-        corpus.join(bench_grams, "sh")
+        corpus.join(bench_grams, "h")
         .groupBy(F.col("_id").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
@@ -1227,20 +1262,23 @@ def incremental_components(
     A corpus-sized recompute (the r9 ``neardup_components`` artifact)
     touches |corpus| rows per batch; this touches |batch edges| +
     |losing-component members|."""
+    # Round-12: all three probe checkpoints are LAZY — the rep.take(1)
+    # convergence probe below materializes the whole chain in ONE job
+    # instead of three dedicated eager jobs (guide §1.2).
     e = new_pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=False)
     touched = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
     known = labels.join(F.broadcast(touched), "node", "left_semi").localCheckpoint(
-        eager=True
+        eager=False
     )
     fresh = touched.join(F.broadcast(known), "node", "left_anti").select(
         "node", F.col("node").alias("component")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     cur = known.unionByName(fresh)
     rep = (
         e.join(
@@ -1430,7 +1468,8 @@ def shingle_containment(
     if index is not None:
         # probe shingles feed the touched-bucket collect AND the join:
         # checkpoint so the tokenize+explode runs once (batch-sized).
-        ph = p.select("_id", F.xxhash64("sh").alias("h")).localCheckpoint()
+        # round-12: lazy — the touched-bucket collect materializes it
+        ph = p.select("_id", F.xxhash64("sh").alias("h")).localCheckpoint(eager=False)
         nb = _validated_layout(index, "containment index", k=n)
         hits = index
         if nb:
@@ -1643,14 +1682,18 @@ def winnow_pairs(
     # reuse, so one explicit materialization replaces 2-3 recomputes
     # (prints are ~2/(w+1) of the token stream — far smaller than the
     # text they index).
-    fps = winnow_doc_prints(docs, id_col, text_col, k=k, w=w, salt=salt).localCheckpoint()
-    df_ok = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .where(F.col("_df") <= max_df)
-        .select("fp")
+    # Round-12: LAZY (one final job materializes it), and the df cut
+    # is a count WINDOW over partitionBy(fp) — the _span_flags shape —
+    # instead of a groupBy + join-back: the window's exchange is the
+    # fp-partitioning the self-join needs anyway.
+    fps = winnow_doc_prints(docs, id_col, text_col, k=k, w=w, salt=salt).localCheckpoint(
+        eager=False
     )
-    kept = fps.join(df_ok, "fp")
+    kept = (
+        fps.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .where(F.col("_df") <= max_df)
+        .drop("_df")
+    )
     a = kept.select(F.col("fp"), F.col("_id").alias("id_a"))
     b = kept.select(F.col("fp"), F.col("_id").alias("id_b"))
     return (
@@ -1705,15 +1748,15 @@ def winnow_index(
     # one materialization feeds the df cut and the index rows (see
     # winnow_pairs — the shuffle-free print build has no reusable
     # exchange)
-    fps = winnow_doc_prints(docs, id_col, text_col, k=k, w=w, salt=salt).localCheckpoint()
+    fps = winnow_doc_prints(docs, id_col, text_col, k=k, w=w, salt=salt)
     if max_df is not None:
-        df_ok = (
-            fps.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("_df"))
+        # round-12: count window instead of groupBy + join-back (see
+        # winnow_pairs); the build is a single linear pass either way
+        fps = (
+            fps.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
             .where(F.col("_df") <= max_df)
-            .select("fp")
+            .drop("_df")
         )
-        fps = fps.join(df_ok, "fp")
     idx = (
         fps.withColumn("kg", F.lit(int(k)))
         .withColumn("wn", F.lit(int(w)))
@@ -1791,7 +1834,8 @@ def incremental_winnow_pairs(
             .where(F.col("_df") <= max_df)
             .drop("_df")
         )
-    batch_fps = batch_fps.localCheckpoint(eager=True)
+    batch_fps = batch_fps.localCheckpoint(eager=False)  # round-12:
+    # the touched-bucket collect below materializes it in its own job
     idx = index
     if prune_nb:
         touched = [

@@ -746,7 +746,11 @@ def aligned_near_pairs(
     # simhash_near_pairs discipline) instead of a groupBy +
     # broadcast semi-join — one less aggregate pass and no broadcast;
     # _bn > 1 also drops singleton buckets before the join.
-    f = rows.select("media_id", idx_col, sig_col).localCheckpoint()
+    # Round-12: LAZY — the final job materializes the checkpoint once
+    # (block-level locking dedupes the two self-join sides) instead of
+    # paying a dedicated eager job; the decode kernel still runs
+    # exactly once.
+    f = rows.select("media_id", idx_col, sig_col).localCheckpoint(eager=False)
     if max_bucket is not None:
         w = Window.partitionBy(idx_col, sig_col)
         f = (
@@ -941,34 +945,43 @@ def incremental_aligned_pairs(
     id_new != id_corpus guard drops exact self-pairs from re-delivered
     ids; within-batch dups are ``aligned_near_pairs(new_units)``'s
     job, the module's standard incremental split."""
-    # Round-12 opt: the batch's bucket sizes are a count window over
-    # the checkpointed unit frame, not a second checkpointed groupBy —
-    # one eager materialization job less per probe; the hot-bucket
-    # log reads the same windowed frame (batch-sized collect).
-    f = new_units.select("media_id", idx_col, sig_col).localCheckpoint()
+    # Round-12 opt: the cap is a count window + a CollectMetrics
+    # observation baked into the ONE checkpoint materialization (the
+    # incremental_simhash_pairs shape) — the decode kernel runs once
+    # and the hot-bucket log costs no extra job. No `_bn > 1` prune:
+    # a singleton batch bucket still matches the index.
+    f = new_units.select("media_id", idx_col, sig_col)
+    obs = None
     if max_bucket is not None:
-        fw = f.withColumn(
-            "_bn", F.count(F.lit(1)).over(Window.partitionBy(idx_col, sig_col))
-        )
-        hot_rows = (
-            fw.where(F.col("_bn") > max_bucket)
-            .select(idx_col, sig_col, "_bn")
-            .distinct()
-            .orderBy(F.col("_bn").desc())
-            .limit(5)
-            .collect()
-        )
-        if hot_rows:
-            import logging
+        from uuid import uuid4
 
-            logging.getLogger(__name__).warning(
-                "incremental_aligned_pairs: dropping batch unit buckets over "
-                "max_bucket=%d (largest: %s) — matches confined to dropped "
-                "buckets are missed this batch",
-                max_bucket,
-                [(r[idx_col], r["_bn"]) for r in hot_rows],
+        from pyspark.sql import Observation
+
+        obs = Observation(f"inc_aligned_cap_{uuid4().hex}")
+        f = (
+            f.withColumn(
+                "_bn", F.count(F.lit(1)).over(Window.partitionBy(idx_col, sig_col))
             )
-        f = fw.where(F.col("_bn") <= max_bucket).drop("_bn")
+            .observe(
+                obs,
+                F.max("_bn").alias("max_bucket_seen"),
+                F.sum((F.col("_bn") > max_bucket).cast("long")).alias("rows_dropped"),
+            )
+            .where(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    f = f.localCheckpoint()
+    if obs is not None and (obs.get.get("max_bucket_seen") or 0) > max_bucket:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "incremental_aligned_pairs: dropped batch unit buckets over "
+            "max_bucket=%d (largest: %d, %d unit rows cut) — matches "
+            "confined to dropped buckets are missed this batch",
+            max_bucket,
+            obs.get["max_bucket_seen"],
+            obs.get["rows_dropped"],
+        )
     n, i = f.alias("n"), index.select("media_id", idx_col, sig_col).alias("i")
     return (
         n.join(i, [idx_col, sig_col])
@@ -1026,12 +1039,17 @@ def cross_modal_pair_matches(
     broadcast-sized hamming attach — no all-pairs anywhere."""
     from orestes_spark.operators import dedup as _d
 
+    # Round-12: LAZY checkpoints — each feeds two subtrees of the ONE
+    # final job (union + verdict join; banding + verify), which
+    # materializes them once via block-level locking instead of two
+    # dedicated eager jobs. simhash_near_pairs' own checkpoint stays
+    # eager (its drop log reads a CollectMetrics observation).
     img_pairs = _d.simhash_near_pairs(
         sig, max_hamming, bits, band_bits
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     arrays = _d.token_shingle_arrays(
         captions, id_col, text_col, shingle_size
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     txt_cands = _d.minhash_band_candidates(
         _d.minhash_signatures(arrays, num_hashes), num_hashes, rows_per_band
     )

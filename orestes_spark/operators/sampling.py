@@ -160,7 +160,7 @@ def stratified_topk(
         tcol = F.when(F.col(strata_col) == s, F.lit(t)).otherwise(tcol)
     picked = ranked(
         df.where(hash_prefix_long(F.col(id_col), salt) < tcol)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # round-12: the got collect materializes it
     got = {
         r["_stratum"]: r["_got"]
         for r in picked.groupBy(F.col(strata_col).alias("_stratum"))

@@ -1581,7 +1581,8 @@ def pca_power_direction(
     v2 = (
         ex2.groupBy("i")
         .agg(F.sum(F.col("x").cast(d38) * F.col("_d2")).alias("w2"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # round-12: the scal broadcast
+        # build inside the final action materializes it
     )
     scal = v2.agg(
         F.max(F.abs(F.col("w2"))).alias("maxabs"),

@@ -691,7 +691,8 @@ def train_bpe(
         # 12 rounds × 32 near-empty tasks is pure scheduler overhead,
         # so shrink it once before the round loop
         .coalesce(4)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # round-12: round 1's pair-count
+        # aggregate materializes it (the per-round piggyback below)
     )
     merges: list[tuple[int, str, str, str]] = []
     for rank in range(int(num_merges)):
@@ -818,7 +819,9 @@ def train_quality_model(
     # one compute for three consumers (two class splits feed
     # dsir_weight_table, plus the class counts — review round-10: the
     # join otherwise re-executes per action)
-    seed = docs.join(lab, F.col(id_col) == F.col("_lid")).localCheckpoint(eager=True)
+    seed = docs.join(lab, F.col(id_col) == F.col("_lid")).localCheckpoint(
+        eager=False
+    )  # round-12: the class-count collect below materializes it
     by_class = {r["_lab"]: r["n"] for r in seed.groupBy("_lab").agg(F.count(F.lit(1)).alias("n")).collect()}
     n_pos, n_neg = by_class.get(True, 0), by_class.get(False, 0)
     if n_pos == 0 or n_neg == 0:

@@ -831,7 +831,8 @@ def tpch_q15(spark, sf_dir):
     rev = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("total_rev"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # round-12: the mx broadcast
+        # build inside the final action materializes it
     )
     mx = rev.agg(F.max("total_rev").alias("mx"))
     s = load_table(spark, sf_dir, "supplier")
@@ -1068,7 +1069,8 @@ def tpch_q11(spark, sf_dir):
         .join(F.broadcast(sn), F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("ps_partkey")
         .agg(F.sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # round-12: the tot broadcast
+        # build inside the final action materializes it
     )
     tot = val.agg(F.sum("v").alias("t"))
     return (
@@ -2471,7 +2473,8 @@ def emb_pq_recall(spark, sf_dir):
     ≤ Q×k rows."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    exact = similarity.cosine_topk(e, q, k=5, quantize=1000).select(
+    # round-12: exact leg on the GEMM kernel (test-pinned == expression)
+    exact = similarity.cosine_topk_arrow(e, q, k=5, quantize=1000).select(
         F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
     )
     approx = similarity.pq_topk_quantized(e, q, k=5, m=4, ks=16).select(
@@ -2519,7 +2522,8 @@ def emb_lsh_recall(spark, sf_dir):
     exists to catch."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 10)
-    exact = similarity.cosine_topk(e, queries, k=5, quantize=1000).select(
+    # round-12: exact leg on the GEMM kernel (test-pinned == expression)
+    exact = similarity.cosine_topk_arrow(e, queries, k=5, quantize=1000).select(
         F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
     )
     approx = similarity.cosine_topk_lsh(
@@ -5102,7 +5106,7 @@ def events_rolling_wau(spark, sf_dir):
     # single-row scalar frame, checkpointed so the main plan carries a
     # broadcast value, not a single-partition exchange (tpch_q11 house
     # style for scalar subqueries)
-    hi = active.agg(F.max("day").alias("hi")).localCheckpoint()
+    hi = active.agg(F.max("day").alias("hi")).localCheckpoint(eager=False)
     expanded = active.select(
         "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day")
     ).distinct()
@@ -7116,11 +7120,14 @@ def emb_ivf_recall(spark, sf_dir):
     quantized cosine ranking — the nprobe dial on label-free corpora
     measured the same way emb_pq_recall measures the m/ks dial. Both
     sides run integer-deterministic tiers, so the instrumentation row
-    itself is oracle-checked."""
+    itself is oracle-checked. Round-12: the exact leg runs the
+    cosine_topk_arrow GEMM kernel (integer-exact under quantize,
+    test-pinned equal to the expression path) instead of the
+    interpreted |corpus|x|queries| zip_with dot."""
     e = load_table(spark, sf_dir, "embeddings")
-    exact = similarity.cosine_topk(e, e.where(F.col("vec_id") < 10), k=5, quantize=1000).select(
-        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
-    )
+    exact = similarity.cosine_topk_arrow(
+        e, e.where(F.col("vec_id") < 10), k=5, quantize=1000
+    ).select(F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid"))
     corpus = e.join(_kmeans_cells_for(spark, sf_dir), "vec_id")
     approx = similarity.ivf_topk(
         corpus, e.where(F.col("vec_id") < 10), label_col="cluster", k=5, quantize=1000
