@@ -539,9 +539,6 @@ def dsir_weight_table(
     growing corpus per batch. Driver-side ln + integer quantization
     per the module's cross-engine recipe; the collected state is two
     ``buckets``-bounded count maps, never corpus rows."""
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
-
     bucket = _hash_bucket(F.col("tok"), salt, buckets).alias("bucket")
     t_counts = {
         r["bucket"]: r["c"]
@@ -559,6 +556,16 @@ def dsir_weight_table(
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     }
+    return _wq_table(target.sparkSession, t_counts, c_counts, buckets)
+
+
+def _wq_table(spark, t_counts: dict, c_counts: dict, buckets: int) -> DataFrame:
+    """The driver-side ln + nano-quantization step of
+    ``dsir_weight_table``, factored out (round-12) so the one-pass
+    dual-codebook trainer below shares it verbatim."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
     d_t, d_c = sum(t_counts.values()), sum(c_counts.values())
 
     def wq(b: int) -> int:
@@ -569,8 +576,55 @@ def dsir_weight_table(
             Decimal(math.log(p_t / p_c) * 1e9).quantize(Decimal(1), rounding=ROUND_HALF_UP)
         )
 
-    return target.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         [(b, wq(b)) for b in range(buckets)], "bucket LONG, wq LONG"
+    )
+
+
+def dsir_weight_tables(
+    target: DataFrame,
+    raw: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 4096,
+    salt: str = "dsir",
+) -> tuple[DataFrame, DataFrame]:
+    """BOTH DSIR codebooks — (unigram, unigram+bigram feature sets) —
+    from ONE tokenize pass per side (round-12, guide §1.2: don't
+    re-read what one pass computes). The bigram feature stream is a
+    strict superset of the unigram stream (``_dsir_toks`` concats
+    unigrams ++ bigrams), and the two codebooks hash with the SAME
+    salt/buckets, so one (bucket, is_unigram) count per side yields
+    both count maps: unigram = the is_unigram slice, bigram = the
+    whole thing. is_unigram = the feature contains no space —
+    whitespace-split unigrams can never contain one, concat_ws
+    bigrams always do. Counts (and therefore every wq) are
+    byte-identical to two separate ``dsir_weight_table`` calls, which
+    remains the single-codebook reference path."""
+    bucket = _hash_bucket(F.col("tok"), salt, buckets).alias("bucket")
+    is_uni = (~F.col("tok").contains(" ")).alias("u")
+
+    def counts(df: DataFrame) -> tuple[dict, dict]:
+        uni: dict[int, int] = {}
+        bi: dict[int, int] = {}
+        for r in (
+            _dsir_toks(df, id_col, text_col, bigrams=True)
+            .select(bucket, is_uni)
+            .groupBy("bucket", "u")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ):
+            bi[r["bucket"]] = bi.get(r["bucket"], 0) + r["c"]
+            if r["u"]:
+                uni[r["bucket"]] = uni.get(r["bucket"], 0) + r["c"]
+        return uni, bi
+
+    t_uni, t_bi = counts(target)
+    c_uni, c_bi = counts(raw)
+    spark = target.sparkSession
+    return (
+        _wq_table(spark, t_uni, c_uni, buckets),
+        _wq_table(spark, t_bi, c_bi, buckets),
     )
 
 

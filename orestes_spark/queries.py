@@ -1484,14 +1484,18 @@ def _dsir_wq_for(spark, sf_dir, bigrams: bool = False):
         from orestes_spark.operators import sampling
 
         d = load_table(spark, sf_dir, "documents")
-        w = sampling.dsir_weight_table(
+        # round-12: BOTH codebooks from one tokenize pass per side
+        # (sampling.dsir_weight_tables — counts byte-identical to two
+        # dsir_weight_table calls); 4 token-count jobs → 2.
+        uni, bi = sampling.dsir_weight_tables(
             d.where(F.col("doc_id") % 20 == 0),
             d.where(F.col("doc_id") % 20 != 0),
             "doc_id",
             "text",
-            bigrams=bigrams,
-        ).localCheckpoint(eager=True)
-        _DSIR_WQS[key] = w
+        )
+        _DSIR_WQS[(sf_dir, False)] = uni.localCheckpoint(eager=True)
+        _DSIR_WQS[(sf_dir, True)] = bi.localCheckpoint(eager=True)
+        w = _DSIR_WQS[key]
     return w
 
 

@@ -209,6 +209,33 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
     assert rows[1]["dsir_logratio"] > 0 > rows[2]["dsir_logratio"]
 
 
+def test_dsir_weight_tables_match_single_codebook_trainer(spark):
+    """Round-12: the one-pass dual-codebook trainer must reproduce
+    BOTH dsir_weight_table codebooks wq-for-wq (unigram slice from
+    the tagged bigram stream == the standalone unigram count),
+    including null-text and single-token docs."""
+    from orestes_spark.operators.sampling import (
+        dsir_weight_table,
+        dsir_weight_tables,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha"), (3, None)],
+        "doc_id LONG, text STRING",
+    )
+    raw = spark.createDataFrame(
+        [(10, "alpha beta beta gamma delta"), (11, "zulu"), (12, "x y")],
+        "doc_id LONG, text STRING",
+    )
+    uni, bi = dsir_weight_tables(target, raw, "doc_id", "text", buckets=64)
+    ref_uni = dsir_weight_table(target, raw, "doc_id", "text", buckets=64, bigrams=False)
+    ref_bi = dsir_weight_table(target, raw, "doc_id", "text", buckets=64, bigrams=True)
+    for got, ref in ((uni, ref_uni), (bi, ref_bi)):
+        g = {r["bucket"]: r["wq"] for r in got.collect()}
+        e = {r["bucket"]: r["wq"] for r in ref.collect()}
+        assert g == e
+
+
 def test_dsir_bigram_features_counted_and_phrase_sensitive(spark):
     """bigrams=True emits n_feats = 2*tokens - 1 and separates docs
     that share the target's unigrams but scramble its phrases."""
