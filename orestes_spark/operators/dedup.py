@@ -828,10 +828,74 @@ def simhash_column(text_col: F.Column | str, bits: int = 32, hash_fn: str = "md5
             " else cast(0 as bigint) end)"
         )
     tosig_sql = " + ".join(terms)
+
+    # Round-12 fast path (guide §1.2 step 2 — per-task work): the
+    # per-bit vote fold evaluated ~3·bits interpreted lambda nodes PER
+    # TOKEN (sequence + transform + zip_with over `bits` elements —
+    # higher-order functions run on Catalyst's interpreted path). The
+    # lane fold packs the same counts into 16 byte-lane accumulators:
+    # lane (8h + l) holds, in each of its 4 low bytes j, the count of
+    # tokens with mask bit (32h + 8j + l) set — ~45 interpreted ops
+    # per token instead of ~3·bits. (4-byte counters, not 8: a full
+    # 8-byte lane's top counter would overflow the SIGNED bigint sum
+    # at 128 tokens, which ANSI mode turns into a runtime error; the
+    # 4-byte form peaks at 255·0x01010101 ≈ 4.3e9.) Signature bit i
+    # then tests 2·ones_p >= n (⟺ vote sum 2·ones_p − n >= 0, exact
+    # integers) with ones_p unpacked from the lane array once per
+    # DOC. Byte counters saturate at 255 tokens, so docs with >= 256
+    # tokens take the reference fold — same signature, bounded cost;
+    # a NULL token array falls there too and flows NULL exactly as
+    # before. shiftrightunsigned keeps the xxhash64 path's sign bit a
+    # plain bit.
+    lane_mask = 0x01010101
+    if hash_fn == "xxhash64":
+        hv64 = "hs"  # already one signed 64-bit hash per token
+
+        def mask_pos(i: int) -> int:
+            return i
+    elif bits <= 32:
+        hv64 = "hs"  # < 2^32, non-negative
+
+        def mask_pos(i: int) -> int:
+            return 31 - i
+    else:
+        # two 32-bit md5 masks -> one 64-bit lane value (shiftleft
+        # wraps two's-complement; the BIT PATTERN is what lanes read)
+        hv64 = "transform(hs, m -> (element_at(m, 1) | shiftleft(element_at(m, 2), 32)))"
+
+        def mask_pos(i: int) -> int:
+            return 32 * (i // 32) + (31 - i % 32)
+
+    n_lanes = 16 if bits > 32 or hash_fn == "xxhash64" else 8
+    lane_terms = ", ".join(
+        f"(shiftrightunsigned(m, {32 * (q // 8) + q % 8}) & {lane_mask})"
+        for q in range(n_lanes)
+    )
+    lanes_sql = (
+        f"aggregate({hv64}, array_repeat(cast(0 as bigint), {n_lanes}), "
+        f"(acc, m) -> zip_with(acc, array({lane_terms}), (a, b) -> a + b))"
+    )
+    fast_terms = ["cast(0 as bigint)"]
+    for i in range(bits):
+        weight = -(2**63) if i == 63 else 2**i
+        p = mask_pos(i)
+        h, lp = p // 32, p % 32
+        q = 8 * h + lp % 8
+        ones = f"(shiftrightunsigned(ls[{q}], {8 * (lp // 8)}) & 255)"
+        fast_terms.append(
+            f"(case when 2 * {ones} >= cardinality(hs) then cast({weight} as bigint)"
+            " else cast(0 as bigint) end)"
+        )
+    tosig_fast_sql = " + ".join(fast_terms)
     # double bind: tokens once, then the hash array once, then the
-    # votes array once (each downstream lambda references its bound
-    # variable; a select alias would be re-inlined by CollapseProject).
-    sig_sql = f"element_at(transform(array({votes_sql}), vs -> {tosig_sql}), 1)"
+    # votes/lanes array once (each downstream lambda references its
+    # bound variable; a select alias would be re-inlined by
+    # CollapseProject).
+    sig_sql = (
+        f"case when cardinality(hs) < 256 then "
+        f"element_at(transform(array({lanes_sql}), ls -> {tosig_fast_sql}), 1) "
+        f"else element_at(transform(array({votes_sql}), vs -> {tosig_sql}), 1) end"
+    )
     hs_sql = f"element_at(transform(array({split_sql}), tk -> {hs_body}), 1)"
     return F.expr(
         f"element_at(transform(array({hs_sql}), hs -> {sig_sql}), 1)"

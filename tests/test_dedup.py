@@ -58,6 +58,69 @@ def test_ngram_max_df_drops_stop_shingles(spark):
     assert out.count() == 0
 
 
+def test_simhash_lane_fast_path_matches_reference_model(spark):
+    """Round-12: the byte-lane vote fold must reproduce the reference
+    SimHash bit for bit — md5 paths (both widths) pinned against an
+    independent Python model of the hex-digit-parity votes, on short
+    docs (fast path), a 300-token doc (>=256 fallback path), a
+    single-token doc, and an empty string; and the xxhash64 path must
+    give one signature for exact-dup texts regardless of which fold
+    branch ran."""
+    import hashlib
+
+    def ref_sig(text, bits):
+        import re as _re
+
+        # mirror split(trim(lower(.)), '\s+') exactly: Spark's split
+        # of an empty string yields [''], one empty token
+        toks = _re.split(r"\s+", text.strip().lower())
+        votes = [0] * bits
+        for t in toks:
+            digits = hashlib.md5(f"sh:{t}".encode()).hexdigest()
+            if bits > 32:
+                digits += hashlib.md5(f"sh2:{t}".encode()).hexdigest()
+            for i in range(bits):
+                votes[i] += 1 if int(digits[i], 16) % 2 == 1 else -1
+        sig = 0
+        for i in range(bits):
+            if votes[i] >= 0:
+                w = -(2**63) if i == 63 else 2**i
+                sig += w
+        return sig
+
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "one",
+        " ".join(f"tok{i % 17}" for i in range(300)),  # >=256: slow branch
+        "x " * 255,  # 255 tokens: largest fast-branch doc
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    for bits in (32, 64):
+        got = {
+            r["_id"]: r["simhash"]
+            for r in dedup.simhash_signatures(df, "doc_id", "text", bits=bits).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == ref_sig(t, bits), (bits, i, got[i], ref_sig(t, bits))
+    # xxhash64 path: exact dups agree across branch boundary lengths
+    long_dup = " ".join(f"w{i % 5}" for i in range(300))
+    short_dup = "w0 w1 w2 w3 w4"
+    df2 = spark.createDataFrame(
+        [(0, long_dup), (1, long_dup), (2, short_dup), (3, short_dup)],
+        "doc_id LONG, text STRING",
+    )
+    xs = {
+        r["_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(
+            df2, "doc_id", "text", bits=64, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert xs[0] == xs[1] and xs[2] == xs[3]
+
+
 def test_simhash_exact_dup_distance_zero(docs):
     sig = dedup.simhash_signatures(docs, "doc_id", "text")
     sigs = {r["_id"]: r["simhash"] for r in sig.collect()}
