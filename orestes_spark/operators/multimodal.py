@@ -231,34 +231,86 @@ def attach_wav_binary(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return src.mapInPandas(batches, MEDIA_SCHEMA)
 
 
+_WAV_META_SCHEMA = (
+    "media_id LONG, n_bytes LONG, channels INT, sampwidth INT, "
+    "framerate INT, n_frames LONG, duration_ms LONG, peak LONG, rms LONG"
+)
+
+
+def _wav_meta_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """wav_metadata's per-batch transform over (media_id, content)
+    rows — shared verbatim by the attached-frame operator and the
+    fused synth+decode path (round-12)."""
+    metas = pdf["content"].map(decode_audio)
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"].astype("int64"),
+            "n_bytes": pdf["content"].map(len).astype("int64"),
+            "channels": metas.map(lambda m: m["channels"]).astype("int32"),
+            "sampwidth": metas.map(lambda m: m["sampwidth"]).astype("int32"),
+            "framerate": metas.map(lambda m: m["framerate"]).astype("int32"),
+            "n_frames": metas.map(lambda m: m["n_frames"]).astype("int64"),
+            "duration_ms": metas.map(lambda m: m["duration_ms"]).astype("int64"),
+            "peak": metas.map(lambda m: m["peak"]).astype("int64"),
+            "rms": metas.map(lambda m: m["rms"]).astype("int64"),
+        }
+    )
+
+
 def wav_metadata(media: DataFrame) -> DataFrame:
     """Audio metadata from REAL decode: every output column comes out
     of ``decode_audio`` running on the actual payload bytes (header
     fields AND sample-derived peak/rms). Binary column dropped from
     the output, per the module convention."""
-    schema = (
-        "media_id LONG, n_bytes LONG, channels INT, sampwidth INT, "
-        "framerate INT, n_frames LONG, duration_ms LONG, peak LONG, rms LONG"
-    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            metas = pdf["content"].map(decode_audio)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "n_bytes": pdf["content"].map(len).astype("int64"),
-                    "channels": metas.map(lambda m: m["channels"]).astype("int32"),
-                    "sampwidth": metas.map(lambda m: m["sampwidth"]).astype("int32"),
-                    "framerate": metas.map(lambda m: m["framerate"]).astype("int32"),
-                    "n_frames": metas.map(lambda m: m["n_frames"]).astype("int64"),
-                    "duration_ms": metas.map(lambda m: m["duration_ms"]).astype("int64"),
-                    "peak": metas.map(lambda m: m["peak"]).astype("int64"),
-                    "rms": metas.map(lambda m: m["rms"]).astype("int64"),
-                }
+            yield _wav_meta_pdf(pdf)
+
+    return media.mapInPandas(batches, _WAV_META_SCHEMA)
+
+
+def _fused_synth(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    synth_fn,
+    consume_pdf,
+    schema: str,
+) -> DataFrame:
+    """ONE kernel that synthesizes a payload per doc and immediately
+    consumes it (round-12, guide §4 — the Python boundary): the
+    attach_* → decode-operator composition shipped every synthetic
+    binary Python → JVM → Python just to hand it back to the next
+    kernel; fused, the payload never crosses the boundary and the
+    plan holds one MapInPandas instead of two. The decode still runs
+    on the REAL bytes the synth produced — only the transport is
+    gone. ``consume_pdf`` is the decode operator's own per-batch
+    transform, shared verbatim, so fused == composed row for row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield consume_pdf(
+                pd.DataFrame(
+                    {
+                        "media_id": pdf["_mid"].astype("int64"),
+                        "content": pdf["_txt"].map(synth_fn),
+                    }
+                )
             )
 
-    return media.mapInPandas(batches, schema)
+    src = ensure_min_parallelism(docs).select(
+        F.col(id_col).cast("long").alias("_mid"), F.col(text_col).alias("_txt")
+    )
+    return src.mapInPandas(batches, schema)
+
+
+def wav_metadata_synth(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """wav_metadata(attach_wav_binary(docs)) fused into one kernel —
+    see ``_fused_synth``."""
+    return _fused_synth(
+        docs, id_col, text_col, synth_wav, _wav_meta_pdf, _WAV_META_SCHEMA
+    )
 
 
 def _wavq_params(text: str) -> tuple[int, int, int, int, int, int]:
@@ -376,22 +428,50 @@ def audio_quality(
     trail_ms) — audio-quality gates computed from ACTUAL decoded
     samples inside mapInPandas; per-row independent, no shuffle,
     binary column dropped from the output per the module convention."""
-    schema = (
-        "media_id LONG, n_samples LONG, clipped LONG, clip_ppm LONG, "
-        "rms LONG, lead_ms LONG, trail_ms LONG"
-    )
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            metas = pdf["content"].map(
-                lambda b: audio_quality_metrics(b, clip_thresh, silence_thresh)
-            )
-            out = {"media_id": pdf["media_id"].astype("int64")}
-            for k in ("n_samples", "clipped", "clip_ppm", "rms", "lead_ms", "trail_ms"):
-                out[k] = metas.map(lambda m, k=k: m[k]).astype("int64")
-            yield pd.DataFrame(out)
+            yield _audio_quality_pdf(pdf, clip_thresh, silence_thresh)
 
-    return media.mapInPandas(batches, schema)
+    return media.mapInPandas(batches, _AUDIO_QUALITY_SCHEMA)
+
+
+_AUDIO_QUALITY_SCHEMA = (
+    "media_id LONG, n_samples LONG, clipped LONG, clip_ppm LONG, "
+    "rms LONG, lead_ms LONG, trail_ms LONG"
+)
+
+
+def _audio_quality_pdf(
+    pdf: pd.DataFrame, clip_thresh: int, silence_thresh: int
+) -> pd.DataFrame:
+    """audio_quality's per-batch transform — shared by the
+    attached-frame operator and the fused synth+decode path."""
+    metas = pdf["content"].map(
+        lambda b: audio_quality_metrics(b, clip_thresh, silence_thresh)
+    )
+    out = {"media_id": pdf["media_id"].astype("int64")}
+    for k in ("n_samples", "clipped", "clip_ppm", "rms", "lead_ms", "trail_ms"):
+        out[k] = metas.map(lambda m, k=k: m[k]).astype("int64")
+    return pd.DataFrame(out)
+
+
+def audio_quality_synth(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    clip_thresh: int = 30000,
+    silence_thresh: int = 100,
+) -> DataFrame:
+    """audio_quality(attach_wav_quality_binary(docs)) fused into one
+    kernel — see ``_fused_synth``."""
+    return _fused_synth(
+        docs,
+        id_col,
+        text_col,
+        synth_wav_q,
+        lambda pdf: _audio_quality_pdf(pdf, clip_thresh, silence_thresh),
+        _AUDIO_QUALITY_SCHEMA,
+    )
 
 
 def _ppm_params(text: str) -> tuple[int, int, bytes]:
@@ -435,29 +515,45 @@ def attach_ppm_binary(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return src.mapInPandas(batches, MEDIA_SCHEMA)
 
 
+_PPM_META_SCHEMA = (
+    "media_id LONG, n_bytes LONG, width INT, height INT, "
+    "maxval INT, pixel_sum LONG"
+)
+
+
+def _ppm_meta_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """ppm_metadata's per-batch transform — shared by the
+    attached-frame operator and the fused synth+decode path."""
+    metas = pdf["content"].map(decode_image)
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"].astype("int64"),
+            "n_bytes": pdf["content"].map(len).astype("int64"),
+            "width": metas.map(lambda m: m["width"]).astype("int32"),
+            "height": metas.map(lambda m: m["height"]).astype("int32"),
+            "maxval": metas.map(lambda m: m["maxval"]).astype("int32"),
+            "pixel_sum": metas.map(lambda m: sum(m["pixels"])).astype("int64"),
+        }
+    )
+
+
 def ppm_metadata(media: DataFrame) -> DataFrame:
     """Image metadata from REAL decode: dimensions from the parsed P6
     header, pixel_sum summed over the ACTUAL decoded RGB plane."""
-    schema = (
-        "media_id LONG, n_bytes LONG, width INT, height INT, "
-        "maxval INT, pixel_sum LONG"
-    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            metas = pdf["content"].map(decode_image)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "n_bytes": pdf["content"].map(len).astype("int64"),
-                    "width": metas.map(lambda m: m["width"]).astype("int32"),
-                    "height": metas.map(lambda m: m["height"]).astype("int32"),
-                    "maxval": metas.map(lambda m: m["maxval"]).astype("int32"),
-                    "pixel_sum": metas.map(lambda m: sum(m["pixels"])).astype("int64"),
-                }
-            )
+            yield _ppm_meta_pdf(pdf)
 
-    return media.mapInPandas(batches, schema)
+    return media.mapInPandas(batches, _PPM_META_SCHEMA)
+
+
+def ppm_metadata_synth(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """ppm_metadata(attach_ppm_binary(docs)) fused into one kernel —
+    see ``_fused_synth``."""
+    return _fused_synth(
+        docs, id_col, text_col, synth_ppm, _ppm_meta_pdf, _PPM_META_SCHEMA
+    )
 
 
 def resize_ppm(content: bytes, width: int, height: int) -> bytes:

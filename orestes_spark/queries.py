@@ -2590,8 +2590,9 @@ def multimodal_wav_meta(spark, sf_dir):
     closed form from the md5, so the hash match certifies the
     synthesize→decode round-trip — multimodal.wav_metadata."""
     d = load_table(spark, sf_dir, "documents")
-    media = multimodal.attach_wav_binary(d, "doc_id", "text")
-    return multimodal.wav_metadata(media)
+    # round-12: synth+decode fused into ONE kernel (the payload never
+    # crosses the JVM boundary) — multimodal.wav_metadata_synth
+    return multimodal.wav_metadata_synth(d, "doc_id", "text")
 
 
 @register("multimodal_ppm_meta", oracles.ppm_meta_sql())
@@ -2602,8 +2603,8 @@ def multimodal_ppm_meta(spark, sf_dir):
     (md5-pattern-tiled, so the oracle states it in closed form) —
     multimodal.ppm_metadata."""
     d = load_table(spark, sf_dir, "documents")
-    media = multimodal.attach_ppm_binary(d, "doc_id", "text")
-    return multimodal.ppm_metadata(media)
+    # round-12: synth+decode fused into ONE kernel
+    return multimodal.ppm_metadata_synth(d, "doc_id", "text")
 
 
 @register("multimodal_phash_pairs", oracles.phash_pairs_sql())
@@ -2882,8 +2883,8 @@ def multimodal_audio_quality(spark, sf_dir):
     of the Gopher text rules, all-integer so the oracle hash
     certifies the decode."""
     d = load_table(spark, sf_dir, "documents")
-    media = multimodal.attach_wav_quality_binary(d, "doc_id", "text")
-    return multimodal.audio_quality(media)
+    # round-12: synth+decode fused into ONE kernel
+    return multimodal.audio_quality_synth(d, "doc_id", "text")
 
 
 @register(
