@@ -32,6 +32,9 @@ TABLES = [
 ]
 
 
+_TABLE_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, pinning oracle-parity session confs.
 
@@ -66,11 +69,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # it at runtime (it is a session-settable SQL conf) so the nanos
         # column never hard-fails the scan.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Round-12 (guide §7.3 — driver-side work): every call re-ran file
+    # listing + parquet schema inference on the driver (~tens of ms),
+    # and a bench pass makes ~400 such calls. The analyzed relation is
+    # immutable and the testdata directories are static by contract,
+    # so cache the DataFrame per (session, dir, table); the conf sets
+    # above stay per-call — they are the documented side effect.
+    key = (sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # Integer division: `/` would go through double and lose
         # precision at ~1.7e18 ns (53-bit mantissa < epoch-nanos).
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _TABLE_CACHE[key] = (spark, df)
     return df
 
 
