@@ -1248,13 +1248,14 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # round-12: iteration 1's
+        # convergence count materializes both seed frames
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
         neigh = (
@@ -1282,7 +1283,8 @@ def connected_components(
                 F.col("_new_label").alias("label"),
                 (F.col("_new_label") != F.col("label")).alias("_chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # round-12: the count below
+            # materializes it -- one job per iteration instead of two
         )
         changed = new_labels.where(F.col("_chg")).count()
         labels = new_labels.select("node", "label")

@@ -2354,7 +2354,11 @@ def kmeans_cosine(
         assigned = _assign_to_centroids(v, cents)
         cents = semantic_index_centroids(
             v.join(assigned, "_id").select(F.col("cluster").alias("label"), "vec")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
+        # round-12: lazy — the k×d table still truncates lineage, but
+        # its materialization rides the NEXT iteration's (or the final
+        # assignment's) centroid-broadcast build instead of a
+        # dedicated eager job per iteration (guide §1.2)
     return _assign_to_centroids(v, cents).select(F.col("_id").alias(id_col), "cluster")
 
 

@@ -1841,9 +1841,14 @@ def doc_neardup_recall(spark, sf_dir):
     the decontamination scans), while the banded route it certifies
     stays the corpus-scale path."""
     d = load_table(spark, sf_dir, "documents")
-    arrays = dedup.token_shingle_arrays(d, "doc_id", "text", 3).localCheckpoint()
+    # round-12: both checkpoints lazy — every consumer lives in the
+    # one final aggregation job, which materializes arrays then cands
+    # via block-level locking (two dedicated eager jobs gone)
+    arrays = dedup.token_shingle_arrays(d, "doc_id", "text", 3).localCheckpoint(
+        eager=False
+    )
     sig = dedup.minhash_signatures(arrays, 8)
-    cands = dedup.minhash_band_candidates(sig, 8, 2).localCheckpoint(eager=True)
+    cands = dedup.minhash_band_candidates(sig, 8, 2).localCheckpoint(eager=False)
     # Round-12 opt (guide §2.3 — shuffle narrower types, §1.2 — don't
     # re-aggregate what a projection already knows): the exact-truth
     # inverted index joins on the 64-bit shingle hash instead of the
