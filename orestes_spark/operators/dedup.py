@@ -727,6 +727,14 @@ def ngram_jaccard_dedup(
     # OOM at corpus scale) just to throw the junk away. The count
     # aggregate is map-side partial; the semi-join and both self-join
     # sides reuse the same hash partitioning on sh.
+    # Round-12 NOTE: converting this df cut to a count window (the
+    # winnow_pairs/_span_flags shape) was MEASURED WORSE here
+    # (min-of-5 1.77 → 2.09 s with flat controls): the exploded
+    # char-gram stream is ~token-scale, and WindowExec's sort on sh
+    # costs more than the hash-aggregate + tiny broadcast semi-join
+    # it would replace. The window shape wins only when the windowed
+    # frame is small (winnow prints) or the exchange+sort is needed
+    # anyway (_span_flags); keep the agg + semi-join here.
     rare = (
         exploded.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1222,6 +1230,9 @@ def dedup_keep_list(docs: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame
 # ------------------------------------------- duplicate-cluster closure ---
 
 
+_DRIVER_CC_MAX_EDGES = 200_000  # ~3 MB of (long, long) pair rows
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -1243,7 +1254,59 @@ def connected_components(
     near-dup clusters is tiny (near-dup similarity is
     near-transitive). Frames are localCheckpoint()ed per iteration so
     lineage stays flat. Raises if the cap is hit without convergence
-    rather than returning silently-partial clusters."""
+    rather than returning silently-partial clusters.
+
+    Round-12 small-graph fast path: a near-dup pair graph is usually
+    FAR smaller than its corpus (it holds only duplicates), and the
+    distributed loop costs 2 + iterations jobs of pure scheduling on
+    such graphs. When a limit-probe shows at most
+    ``_DRIVER_CC_MAX_EDGES`` pair rows (~3 MB of id pairs — the
+    codebook bounded-driver-state discipline, NEVER corpus-scale),
+    the transitive closure runs as a driver-side union-find with
+    min-label resolution — by definition the same
+    component = min-reachable-id labeling, pinned by a test against
+    the distributed path — in ONE job. Larger graphs take the
+    distributed loop unchanged; the probe costs one early-stopping
+    limit job."""
+    probe = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).limit(_DRIVER_CC_MAX_EDGES + 1).collect()
+    if len(probe) <= _DRIVER_CC_MAX_EDGES:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in probe:
+            a_, b_ = row[0], row[1]
+            if a_ not in parent:
+                parent[a_] = a_
+            if b_ not in parent:
+                parent[b_] = b_
+            ra, rb = find(a_), find(b_)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for n in parent:
+            r = find(n)
+            m = comp_min.get(r)
+            if m is None or n < m:
+                comp_min[r] = n
+        spark = pairs.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        typ = pairs.schema[id_a].dataType
+        schema = StructType(
+            [StructField("node", typ), StructField("component", typ)]
+        )
+        return spark.createDataFrame(
+            [(n, comp_min[find(n)]) for n in parent], schema
+        )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

@@ -211,7 +211,7 @@ def test_connected_components_chains_transitively(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
-def test_connected_components_long_path_and_cap(spark):
+def test_connected_components_long_path_and_cap(spark, monkeypatch):
     from orestes_spark.operators import dedup
 
     path = spark.createDataFrame([(i, i + 1) for i in range(8)], "id_a LONG, id_b LONG")
@@ -219,8 +219,31 @@ def test_connected_components_long_path_and_cap(spark):
     assert set(got.values()) == {0} and len(got) == 9
     import pytest
 
+    # the convergence cap is the DISTRIBUTED loop's contract (the
+    # round-12 driver fast path always converges); force that path
+    monkeypatch.setattr(dedup, "_DRIVER_CC_MAX_EDGES", 0)
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(path, max_iterations=2)
+
+
+def test_connected_components_driver_path_matches_distributed(spark, monkeypatch):
+    """Round-12: the size-guarded driver union-find must label
+    exactly like the distributed min-label loop — chains, merging
+    branches, duplicate and reversed edges, self-pairs, isolates."""
+    from orestes_spark.operators import dedup
+
+    edges = [
+        (5, 2), (2, 9), (9, 5),        # cycle, min 2
+        (1, 7), (7, 1), (1, 1),        # dup + reversed + self, min 1
+        (20, 21), (22, 21),            # V-merge, min 20
+        (30, 31),
+    ]
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    fast = {r["node"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    monkeypatch.setattr(dedup, "_DRIVER_CC_MAX_EDGES", 0)
+    slow = {r["node"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert fast == slow
+    assert fast[9] == 2 and fast[22] == 20 and fast[31] == 30
 
 
 def test_simhash_hot_bucket_cap_bounds_pair_fanout(spark):
