@@ -906,7 +906,10 @@ def semantic_dedup(
     # assignment feeds three consumers (size probe, pair join, final
     # output); un-materialized each would recompute the centroid
     # shuffle + per-id argmax window. One row per vector — cheap to pin.
-    assigned = assign_clusters(vectors, id_col, vec_col, label_col, quantize).localCheckpoint()
+    assigned = assign_clusters(vectors, id_col, vec_col, label_col, quantize).localCheckpoint(
+        eager=False
+    )  # round-12: the hot-cell size probe (or the final action)
+    # materializes it -- no dedicated eager job
     v = with_norm(
         vectors.select(F.col(id_col).alias("_id"), quantized(F.col(vec_col), quantize).alias("vec")),
         "vec",
@@ -979,7 +982,10 @@ def semantic_dedup_arrow(
     unsplittable cells skip the pair stage, kept=True, logged)."""
     import numpy as np
 
-    assigned = assign_clusters(vectors, id_col, vec_col, label_col, quantize).localCheckpoint()
+    assigned = assign_clusters(vectors, id_col, vec_col, label_col, quantize).localCheckpoint(
+        eager=False
+    )  # round-12: the hot-cell size probe (or the final action)
+    # materializes it -- no dedicated eager job
     v = vectors.select(
         F.col(id_col).alias("_id"), quantized(F.col(vec_col), quantize).alias("vec")
     ).join(assigned.withColumnRenamed(id_col, "_id"), "_id")
