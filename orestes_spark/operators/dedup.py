@@ -410,8 +410,21 @@ def minhash_band_rows(sig: DataFrame, num_hashes: int, rows_per_band: int) -> Da
 def minhash_band_candidates(sig: DataFrame, num_hashes: int, rows_per_band: int) -> DataFrame:
     """LSH banding: docs sharing any band become a candidate pair —
     bands stacked into rows, pairs from the band-key self-join
-    (see candidate_pairs)."""
-    return candidate_pairs(minhash_band_rows(sig, num_hashes, rows_per_band), ["band", "bval"])
+    (see candidate_pairs).
+
+    Round-13 (guide §1.2/§4.1): the band rows are LAZILY checkpointed
+    before the self-join. In the broadcast regime the planner
+    otherwise rebuilds the ENTIRE signature chain — 8 md5s per shingle
+    per doc — a second time inside the BroadcastExchange (there is no
+    exchange to reuse when one side broadcasts; the r12 plans showed
+    the duplicated minhash Project on both sides). Band rows are 4
+    narrow rows per doc, far cheaper to materialize than the md5 pass
+    they save; in the shuffle regime the reused exchange made this
+    free already, so the checkpoint costs only the block write."""
+    banded = minhash_band_rows(sig, num_hashes, rows_per_band).localCheckpoint(
+        eager=False
+    )
+    return candidate_pairs(banded, ["band", "bval"])
 
 
 def minhash_lsh_dedup(
@@ -675,7 +688,15 @@ def incremental_neardup(
     corpus_arrays = token_shingle_arrays(
         corpus_docs.join(cand_ids, id_col, "left_semi"), id_col, text_col, shingle_size
     )
-    arrays = new_arrays.unionByName(corpus_arrays)
+    # Round-13 (guide §1.2/§7.2): verify_jaccard consumes `arrays`
+    # FOUR times (two size sides + two array sides) and the planner
+    # duplicates the whole union subtree per consumer — the r12 plan
+    # showed 4 copies of [corpus parquet scan → semi-join vs cand ids
+    # → tokenize+shingle]. One LAZY checkpoint collapses them: all
+    # four consumers live in the one verify job, which materializes
+    # the union once via block-level locking. Batch + candidate docs
+    # only — never corpus-sized.
+    arrays = new_arrays.unionByName(corpus_arrays).localCheckpoint(eager=False)
     out = verify_jaccard(arrays, cands, threshold, "shingles")
     return out.select(
         F.col("id_a").alias("id_new"), F.col("id_b").alias("id_corpus"), "jaccard"
