@@ -573,6 +573,33 @@ def _validated_layout(
     return nb
 
 
+def _probe_nb_and_touched(
+    keys: DataFrame, index: DataFrame, what: str
+) -> tuple[int | None, list[int] | None]:
+    """Probe-side layout read for the simhash/aligned incremental
+    probes (round-13): validates the index's self-described bucket
+    modulus (``_validated_nb`` — a mixed-modulus index raises; pruning
+    with the wrong modulus silently drops genuine hits, the one
+    failure a dedup gate must never have) and collects the hash-range
+    buckets the batch's probe keys land in. ``keys`` is a one-column
+    long frame of the batch's key hashes over ALREADY-CHECKPOINTED
+    batch data, so the touched collect reads cached blocks; the pmod
+    runs executor-side and at most ``nb`` bucket ids ever reach the
+    driver — bounded by the layout, never by the batch (guide §5)."""
+    nb = _validated_nb(index, what)
+    if not nb:
+        return None, None
+    touched = [
+        r[0]
+        for r in keys.select(
+            F.pmod(F.col(keys.columns[0]), F.lit(nb)).cast("int").alias("hb")
+        )
+        .distinct()
+        .collect()
+    ]
+    return nb, touched
+
+
 def _band_key_hash() -> Column:
     """ONE home for the LSH index's bucket/Bloom key: the 64-bit hash
     of the (band, bval) composite. Build and probe must agree on it
@@ -1062,7 +1089,7 @@ def simhash_near_pairs(
 
 
 def simhash_band_index(
-    sig: DataFrame, bits: int = 64, band_bits: int = 16
+    sig: DataFrame, bits: int = 64, band_bits: int = 16, buckets: int | None = None
 ) -> DataFrame:
     """(band, bval, _id, simhash) — the persistable banded index of a
     simhash-family signature frame (text SimHash or image/video dHash:
@@ -1070,16 +1097,27 @@ def simhash_band_index(
     split simhash_near_pairs computes inline. Build once over the
     accepted corpus, write to parquet, probe per ingest batch with
     ``incremental_simhash_pairs`` — the signature twin of
-    minhash_band_index."""
+    minhash_band_index.
+
+    ``buckets`` (round-13, VERDICT r12 #1 — the LAST index family
+    without the hb discipline): adds ``hb = pmod(xxhash64(band, bval),
+    buckets)`` plus the self-describing modulus ``nb`` (band_bucketize
+    — the same key hash the LSH index uses). Write the index
+    ``partitionBy("hb")``; ``incremental_simhash_pairs`` then
+    partition-prunes its scan to the buckets the batch's band keys
+    land in instead of scanning the full corpus index per batch."""
     bands = bits // band_bits
     mask = (1 << band_bits) - 1
     stack_args = ", ".join(
         f"{b}, cast(shiftrightunsigned(simhash, {b * band_bits}) & {mask} as long)"
         for b in range(bands)
     )
-    return sig.select(
+    idx = sig.select(
         "_id", "simhash", F.expr(f"stack({bands}, {stack_args}) as (band, bval)")
     )
+    if buckets:
+        idx = band_bucketize(idx, buckets)
+    return idx
 
 
 def incremental_simhash_pairs(
@@ -1137,7 +1175,27 @@ def incremental_simhash_pairs(
             .where(F.col("_bn") <= max_bucket)
             .drop("_bn")
         )
+    # Round-13 (VERDICT r12 #1, guide §6/§3.2): when the index
+    # self-describes a bucket layout (simhash_band_index's ``buckets``,
+    # written partitionBy("hb")), prune the scan to the hash-range
+    # buckets the batch's band keys actually land in — the span/
+    # minhash probes' partition-pruning discipline applied to the last
+    # index family that scanned corpus-sized bytes per batch. The
+    # The probe (_probe_nb_and_touched) validates the layout and
+    # collects the touched buckets over the checkpointed banding. The
+    # checkpoint stays EAGER: the cap observation only reports through
+    # the checkpoint's own SQL action (a lazy checkpoint truncates the
+    # plan, so no later query carries the CollectMetrics node — pinned
+    # by the drop-log test); the probe then reads cached blocks.
     banded = banded.localCheckpoint()
+    prune_nb = touched = None
+    if "nb" in index.columns:  # unbucketed index: no probe job at all
+        prune_nb, touched = _probe_nb_and_touched(
+            banded.select(_band_key_hash().alias("h")), index, "simhash band index"
+        )
+    if prune_nb:
+        index = index.where(F.col("hb").isin(touched))
+    index = index.drop("hb", "nb")
     if obs is not None and (obs.get.get("max_bucket_seen") or 0) > max_bucket:
         import logging
 
@@ -1169,8 +1227,9 @@ def benchmark_overlap(
     docs: DataFrame,
     id_col: str,
     text_col: str,
-    bench_ids: DataFrame,
+    bench_ids: DataFrame | None = None,
     n: int = 4,
+    bench_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Decontamination: flag corpus documents sharing any n-token
     shingle with a benchmark/eval set — the published training-data
@@ -1189,23 +1248,48 @@ def benchmark_overlap(
     full tokenization passes; the r3 bench measured that shape at
     1.5× the steady-state cost). The join carries no hint: AQE
     broadcasts the benchmark side while it is small and degrades to
-    shuffle if someone feeds a corpus-sized 'benchmark'."""
-    # The bench id list feeds FOUR plan subtrees (semi probe, anti
-    # probe, and each join's broadcast build); un-materialized it is
-    # recomputed per consumer — when bench_ids derives from the corpus
-    # (the common "doc_id % k" eval split) that re-scans the corpus
-    # once per consumer. It is small by contract (an eval set), so one
-    # localCheckpoint caps that at a single id-only pass.
-    # round-12: lazy — the final job materializes it once for all four
-    bench = bench_ids.select(F.col(bench_ids.columns[0]).alias("_id")).localCheckpoint(
-        eager=False
-    )
-    # parallelism-guard ONCE on the scan: guarding inside the shingle
-    # call would probe partitions on the join output and make AQE
-    # materialize the join as an extra job per side
-    ids = ensure_min_parallelism(docs).select(
-        F.col(id_col).alias("_id"), F.col(text_col)
-    )
+    shuffle if someone feeds a corpus-sized 'benchmark'.
+
+    ``bench_docs`` (round-13, VERDICT r12 #5): callers that ALREADY
+    hold the two sides as frames — e.g. a ``doc_id % 20`` eval
+    convention, where each side is a pushed-down scan FILTER — pass
+    the benchmark documents here and ``docs`` as the corpus side
+    alone; the semi/anti id-joins (and the bench_ids subtree they
+    re-evaluate per side) disappear from the plan. Exactly one of
+    ``bench_ids`` / ``bench_docs`` must be given; output and the
+    tokenize-once-per-side property are identical either way."""
+    if (bench_ids is None) == (bench_docs is None):
+        raise ValueError(
+            "benchmark_overlap needs exactly one of bench_ids (docs ="
+            " corpus + benchmark, split by id) or bench_docs (docs ="
+            " corpus side only)"
+        )
+    if bench_docs is not None:
+        bench_side = ensure_min_parallelism(bench_docs).select(
+            F.col(id_col).alias("_id"), F.col(text_col)
+        )
+        corpus_side = ensure_min_parallelism(docs).select(
+            F.col(id_col).alias("_id"), F.col(text_col)
+        )
+    else:
+        # The bench id list feeds FOUR plan subtrees (semi probe, anti
+        # probe, and each join's broadcast build); un-materialized it is
+        # recomputed per consumer — when bench_ids derives from the corpus
+        # (the common "doc_id % k" eval split) that re-scans the corpus
+        # once per consumer. It is small by contract (an eval set), so one
+        # localCheckpoint caps that at a single id-only pass.
+        # round-12: lazy — the final job materializes it once for all four
+        bench = bench_ids.select(
+            F.col(bench_ids.columns[0]).alias("_id")
+        ).localCheckpoint(eager=False)
+        # parallelism-guard ONCE on the scan: guarding inside the shingle
+        # call would probe partitions on the join output and make AQE
+        # materialize the join as an extra job per side
+        ids = ensure_min_parallelism(docs).select(
+            F.col(id_col).alias("_id"), F.col(text_col)
+        )
+        bench_side = ids.join(bench, "_id", "left_semi")
+        corpus_side = ids.join(bench, "_id", "left_anti")
     # Join on the shingle's xxhash64, not the string (round-12, guide
     # §2.3 — the shingle_containment treatment): the equi-join only
     # needs identity, and the 8-byte key cuts the shuffled/broadcast
@@ -1214,9 +1298,7 @@ def benchmark_overlap(
     # can only ADD an overlap count, ~2^-64 per corpus shingle).
     bench_grams = (
         explode_col(
-            token_shingle_arrays(
-                ids.join(bench, "_id", "left_semi"), "_id", text_col, n, guard=False
-            ),
+            token_shingle_arrays(bench_side, "_id", text_col, n, guard=False),
             "shingles",
             "sh",
         )
@@ -1224,9 +1306,7 @@ def benchmark_overlap(
         .distinct()
     )
     corpus = explode_col(
-        token_shingle_arrays(
-            ids.join(bench, "_id", "left_anti"), "_id", text_col, n, guard=False
-        ),
+        token_shingle_arrays(corpus_side, "_id", text_col, n, guard=False),
         "shingles",
         "sh",
         "_id",

@@ -1013,6 +1013,32 @@ def audio_near_pairs(
     return aligned_near_pairs(env, "win_idx", "rms", min_windows, max_bucket)
 
 
+def _unit_key_hash(idx_col: str, sig_col: str) -> F.Column:
+    """ONE home for the aligned-unit index's bucket key: the 64-bit
+    hash of the (idx, sig) composite — build (unit_bucketize) and
+    probe (incremental_aligned_pairs) must agree on it exactly, or
+    pruning would silently drop genuine matches (the dedup module's
+    _band_key_hash contract, applied to the unit families)."""
+    return F.xxhash64(F.col(idx_col), F.col(sig_col))
+
+
+def unit_bucketize(
+    units: DataFrame, idx_col: str, sig_col: str, buckets: int
+) -> DataFrame:
+    """Hash-range bucket contract of a persisted aligned-unit index
+    (video frame dHashes, audio envelope windows) — dedup's
+    band_bucketize over the (idx, sig) composite key: adds ``hb =
+    pmod(xxhash64(idx, sig), buckets)`` plus the self-describing
+    modulus ``nb``. Write the index ``partitionBy("hb")`` and
+    ``incremental_aligned_pairs`` partition-prunes each batch's probe
+    to the buckets the batch's unit keys land in (round-13, VERDICT
+    r12 #1 — the last per-modality index family that scanned the full
+    corpus index per batch)."""
+    return units.withColumn(
+        "hb", F.pmod(_unit_key_hash(idx_col, sig_col), F.lit(int(buckets))).cast("int")
+    ).withColumn("nb", F.lit(int(buckets)))
+
+
 def incremental_aligned_pairs(
     new_units: DataFrame,
     index: DataFrame,
@@ -1066,7 +1092,26 @@ def incremental_aligned_pairs(
             .where(F.col("_bn") <= max_bucket)
             .drop("_bn")
         )
+    # Round-13: partition-prune a unit_bucketize'd index (written
+    # partitionBy("hb")) to the batch's touched hash-range buckets.
+    # The probe (dedup._probe_nb_and_touched) validates the layout and
+    # collects the touched buckets over the checkpointed units; the
+    # checkpoint stays EAGER — the cap observation only reports
+    # through the checkpoint's own SQL action (a lazy checkpoint
+    # truncates the plan away from the CollectMetrics node); a
+    # mixed-modulus index raises.
+    from orestes_spark.operators.dedup import _probe_nb_and_touched
+
     f = f.localCheckpoint()
+    prune_nb = touched = None
+    if "nb" in index.columns:  # unbucketed index: no probe job at all
+        prune_nb, touched = _probe_nb_and_touched(
+            f.select(_unit_key_hash(idx_col, sig_col).alias("h")),
+            index,
+            "aligned unit index",
+        )
+    if prune_nb:
+        index = index.where(F.col("hb").isin(touched))
     if obs is not None and (obs.get.get("max_bucket_seen") or 0) > max_bucket:
         import logging
 

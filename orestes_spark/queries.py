@@ -1594,7 +1594,13 @@ def _band_index_for(spark, sf_dir) -> str:
         d = load_table(spark, sf_dir, "documents")
         corpus = d.where(F.col("doc_id") % 5 != 0)
         path = tempfile.mkdtemp(prefix="orestes_lsh_idx_") + "/bands"
-        dedup.minhash_band_index(corpus, "doc_id", "text").write.parquet(path)
+        # Round-13: bucketized + partitionBy("hb") (the span index's
+        # round-9 treatment) — incremental_neardup detects the
+        # self-described nb and partition-prunes its candidate scan to
+        # the batch's touched buckets.
+        dedup.minhash_band_index(
+            corpus, "doc_id", "text", buckets=_SPAN_BUCKETS
+        ).repartition(F.col("hb")).write.partitionBy("hb").parquet(path)
         _BAND_INDEXES[sf_dir] = path
     return path
 
@@ -1619,7 +1625,7 @@ def _span_index_for(spark, sf_dir) -> str:
         path = tempfile.mkdtemp(prefix="orestes_span_idx_") + "/kgrams"
         dedup.span_index(
             corpus, "doc_id", "text", k=8, buckets=_SPAN_BUCKETS
-        ).write.partitionBy("hb").parquet(path)
+        ).repartition(F.col("hb")).write.partitionBy("hb").parquet(path)
         _SPAN_INDEXES[sf_dir] = path
     return path
 
@@ -2266,8 +2272,16 @@ def doc_decontaminate(spark, sf_dir):
     calibrated equivalent on this synthetic shared-vocab corpus).
     Output (doc_id, n_overlap)."""
     d = load_table(spark, sf_dir, "documents")
-    bench = d.where(F.col("doc_id") % 20 == 0).select("doc_id")
-    return dedup.benchmark_overlap(d, "doc_id", "text", bench, n=4)
+    # Round-13: pre-split frames (the id%20 convention is a pushed-down
+    # filter on each side) — benchmark_overlap skips its semi/anti
+    # id-joins and the per-side bench_ids re-evaluation.
+    return dedup.benchmark_overlap(
+        d.where(F.col("doc_id") % 20 != 0),
+        "doc_id",
+        "text",
+        n=4,
+        bench_docs=d.where(F.col("doc_id") % 20 == 0),
+    )
 
 
 @register("doc_simhash", oracles.simhash_sql())
@@ -2671,7 +2685,12 @@ def _phash_index_for(spark, sf_dir) -> str:
         d = load_table(spark, sf_dir, "documents")
         sig = multimodal.synth_ppm_dhash(d, "doc_id", "text")
         path = tempfile.mkdtemp(prefix="orestes_phash_idx_") + "/bands"
-        dedup.simhash_band_index(sig, bits=64, band_bits=16).write.parquet(path)
+        # Round-13 (VERDICT r12 #1): hb-bucketized + partitionBy so the
+        # per-batch probe partition-prunes instead of scanning the full
+        # signature index.
+        dedup.simhash_band_index(
+            sig, bits=64, band_bits=16, buckets=_SPAN_BUCKETS
+        ).repartition(F.col("hb")).write.partitionBy("hb").parquet(path)
         _PHASH_INDEXES[sf_dir] = path
     return path
 
@@ -2733,7 +2752,11 @@ def _video_sig_index_for(spark, sf_dir) -> str:
         d = load_table(spark, sf_dir, "documents")
         units = multimodal.synth_video_frame_dhash(d, "doc_id", "text")
         path = tempfile.mkdtemp(prefix="orestes_video_idx_") + "/units"
-        units.write.parquet(path)
+        # Round-13 (VERDICT r12 #1): unit-bucketized + partitionBy so
+        # the per-batch probe partition-prunes its index scan.
+        multimodal.unit_bucketize(
+            units, "frame_idx", "simhash", _SPAN_BUCKETS
+        ).repartition(F.col("hb")).write.partitionBy("hb").parquet(path)
         _VIDEO_SIG_INDEXES[sf_dir] = path
     return path
 
@@ -2749,7 +2772,10 @@ def _audio_env_index_for(spark, sf_dir) -> str:
         d = load_table(spark, sf_dir, "documents")
         units = multimodal.synth_wav_envelope(d, "doc_id", "text", half_salt="h1")
         path = tempfile.mkdtemp(prefix="orestes_audio_idx_") + "/units"
-        units.write.parquet(path)
+        # Round-13: the video index's bucket treatment, (win_idx, rms).
+        multimodal.unit_bucketize(
+            units, "win_idx", "rms", _SPAN_BUCKETS
+        ).repartition(F.col("hb")).write.partitionBy("hb").parquet(path)
         _AUDIO_ENV_INDEXES[sf_dir] = path
     return path
 
@@ -5932,7 +5958,7 @@ def _winnow_index_for(spark, sf_dir) -> str:
         path = tempfile.mkdtemp(prefix="orestes_winnow_idx_") + "/prints"
         dedup.winnow_index(
             corpus, "doc_id", "text", k=5, w=4, max_df=50, buckets=_SPAN_BUCKETS
-        ).write.partitionBy("hb").parquet(path)
+        ).repartition(F.col("hb")).write.partitionBy("hb").parquet(path)
         _WINNOW_INDEXES[sf_dir] = path
     return path
 
@@ -6031,7 +6057,7 @@ def _containment_index_for(spark, sf_dir) -> str:
         path = tempfile.mkdtemp(prefix="orestes_containment_idx_") + "/kgrams"
         dedup.span_index(
             base, "doc_id", "text", k=5, buckets=_SPAN_BUCKETS
-        ).write.partitionBy("hb").parquet(path)
+        ).repartition(F.col("hb")).write.partitionBy("hb").parquet(path)
         _CONTAINMENT_INDEXES[sf_dir] = path
     return path
 
@@ -6412,11 +6438,24 @@ def doc_decontam_report(spark, sf_dir):
     joins; no pair stage anywhere."""
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
-    bench_ids = d.where(F.col("doc_id") % 20 == 0).select("doc_id")
-    overlap = dedup.benchmark_overlap(d, "doc_id", "text", bench_ids, n=4)
-    needles = (
+    # Round-13 (VERDICT r12 #5, guide §1.2/§2.4): the eval side is ONE
+    # scan. The id%20 convention makes both sides pushed-down filters,
+    # so benchmark_overlap's semi/anti id-joins (and the bench_ids
+    # subtree each side re-evaluated) are gone; the eval docs feed the
+    # overlap's gram set AND the verbatim needles from one lazily
+    # checkpointed frame — eval-bounded by contract, so the
+    # materialization never grows with the corpus.
+    eval_docs = (
         d.where(F.col("doc_id") % 20 == 0)
-        .select(
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    overlap = dedup.benchmark_overlap(
+        corpus, "doc_id", "text", n=4, bench_docs=eval_docs
+    )
+    needles = (
+        eval_docs.select(
             F.col("doc_id").alias("eval_id"),
             F.array_join(
                 F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 3), " "
@@ -6424,7 +6463,6 @@ def doc_decontam_report(spark, sf_dir):
         )
         .where(F.length("needle") >= 9)
     )
-    corpus = d.where(F.col("doc_id") % 20 != 0)
     verbatim = dedup.substring_contamination(corpus, "doc_id", "text", needles)
     emb = similarity.semantic_decontaminate_arrow(
         e.where(F.col("vec_id") % 20 != 0),

@@ -1209,6 +1209,7 @@ def make_media_batch_processor(
     band_bits: int = 16,
     modality: str = "image",
     min_matched: int = 2,
+    index_buckets: int | None = None,
 ):
     """foreachBatch processor for continuous MEDIA ingest with
     cross-batch PERCEPTUAL dedup (round-11) — the dHash twin of the
@@ -1250,10 +1251,21 @@ def make_media_batch_processor(
     media never re-enters; >= ``min_matched`` aligned units = a
     match, so 1-unit files never match anything). Replay/re-delivery
     contract identical; max_hamming/bits/band_bits apply to the image
-    path only."""
+    path only.
+
+    ``index_buckets`` (round-13, VERDICT r12 #1 — the streaming twin
+    of the batch span/minhash index bucket discipline): hash-range
+    buckets the durable index on its probe key (xxhash64 of
+    (band, bval) for images, (idx, sig) for aligned units) and writes
+    each epoch ``partitionBy("hb")``; the per-batch probe then
+    partition-prunes its index scan to the buckets the batch touches
+    instead of reading the whole index per batch — the last
+    O(corpus)-per-batch path in the streaming story. The layout must
+    stay consistent per store (a mixed tree is unprunable and raises),
+    like the corpus gate's ``span_buckets``."""
     if modality in ("video", "audio"):
         return _make_aligned_media_processor(
-            store, id_col, content_col, modality, min_matched
+            store, id_col, content_col, modality, min_matched, index_buckets
         )
     if modality != "image":
         raise ValueError(
@@ -1285,6 +1297,13 @@ def make_media_batch_processor(
         fs, base = _fs_and_path(spark, bands_path)
         if fs.exists(base):
             index = spark.read.parquet(bands_path).filter(F.col("epoch") != epoch_id)
+            if bool(index_buckets) != ("hb" in index.columns):
+                raise ValueError(
+                    f"phash band index at {bands_path} is"
+                    f" {'un' if 'hb' not in index.columns else ''}bucketed"
+                    f" but index_buckets={index_buckets}: a mixed layout is"
+                    " unprunable — keep the setting stable per store"
+                )
             # same-id re-delivery first (at-least-once upstream)
             kept_sig = kept_sig.join(
                 index.select("_id").distinct(), "_id", "left_anti"
@@ -1303,8 +1322,9 @@ def make_media_batch_processor(
         )
         _write_epoch_atomic(kept_media, f"{media_path}/epoch={epoch_id}")
         _write_epoch_atomic(
-            _d.simhash_band_index(kept_sig, bits, band_bits),
+            _d.simhash_band_index(kept_sig, bits, band_bits, buckets=index_buckets),
             f"{bands_path}/epoch={epoch_id}",
+            partition_by="hb" if index_buckets else None,
         )
 
     return process
@@ -1316,6 +1336,7 @@ def _make_aligned_media_processor(
     content_col: str,
     modality: str,
     min_matched: int,
+    index_buckets: int | None = None,
 ):
     """The aligned-unit media gate behind make_media_batch_processor's
     video/audio modalities (round-12): unit signatures — per-frame
@@ -1364,6 +1385,13 @@ def _make_aligned_media_processor(
             index = spark.read.parquet(units_path).filter(
                 F.col("epoch") != epoch_id
             )
+            if bool(index_buckets) != ("hb" in index.columns):
+                raise ValueError(
+                    f"unit index at {units_path} is"
+                    f" {'un' if 'hb' not in index.columns else ''}bucketed"
+                    f" but index_buckets={index_buckets}: a mixed layout is"
+                    " unprunable — keep the setting stable per store"
+                )
             # same-id re-delivery first (at-least-once upstream)
             kept_units = kept_units.join(
                 index.select("media_id").distinct(), "media_id", "left_anti"
@@ -1381,7 +1409,13 @@ def _make_aligned_media_processor(
             kept_units.select("media_id").distinct(), "media_id", "left_semi"
         )
         _write_epoch_atomic(kept_media, f"{media_path}/epoch={epoch_id}")
-        _write_epoch_atomic(kept_units, f"{units_path}/epoch={epoch_id}")
+        _write_epoch_atomic(
+            _mm.unit_bucketize(kept_units, idx_col, sig_col, index_buckets)
+            if index_buckets
+            else kept_units,
+            f"{units_path}/epoch={epoch_id}",
+            partition_by="hb" if index_buckets else None,
+        )
 
     return process
 

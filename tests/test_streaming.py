@@ -2357,3 +2357,69 @@ def test_corpus_rejects_manifest_replay_idempotent_and_gate_reasons(spark, tmp_p
     process(batch, 0)  # replay: same epoch re-offered
     rows = spark.read.parquet(f"{store}/rejects").collect()
     assert [(r["doc_id"], r["reason"], r["epoch"]) for r in rows] == [(2, "dsir", 0)]
+
+
+def test_media_ingest_bucketized_index_same_decisions(spark, tmp_path):
+    """Round-13 (VERDICT r12 #1): arming ``index_buckets`` on the
+    media gates changes the durable index LAYOUT (hb-partitioned
+    epochs, partition-pruned probes), never the DECISIONS — video
+    aligned-unit gate and image banded-dHash gate both make the
+    bucketed store's keep set identical to the plain store's, across
+    cross-batch dedup, re-delivery and replay; and a mixed layout
+    (re-opening the store with a different setting) raises."""
+    import pytest
+
+    from orestes_spark.operators import multimodal as mm
+    from orestes_spark.streaming.ingest import make_media_batch_processor
+
+    ddl = "media_id LONG, content BINARY"
+
+    def upv(payload):
+        frames = mm.decode_video(payload)
+        outs = []
+        for fr in frames:
+            m = mm.decode_image(fr)
+            outs.append(mm.resize_ppm(fr, 2 * m["width"], 2 * m["height"]))
+        return f"PV{len(outs)}\n".encode() + b"".join(outs)
+
+    a, b, c = (
+        mm.synth_video("first clip"),
+        mm.synth_video("second clip"),
+        mm.synth_video("third, novel clip"),
+    )
+    kept_by_mode = {}
+    for buckets in (None, 8):
+        store = str(tmp_path / f"video_store_{buckets}")
+        process = make_media_batch_processor(
+            store, modality="video", index_buckets=buckets
+        )
+        process(spark.createDataFrame([(1, a), (2, b), (3, upv(a))], ddl), 0)
+        process(spark.createDataFrame([(10, upv(b)), (1, a), (11, c)], ddl), 1)
+        process(spark.createDataFrame([(10, upv(b)), (1, a), (11, c)], ddl), 1)
+        kept_by_mode[buckets] = sorted(
+            r["media_id"]
+            for r in spark.read.parquet(f"{store}/media").collect()
+        )
+        if buckets:
+            idx = spark.read.parquet(f"{store}/unit_sigs")
+            assert "hb" in idx.columns and "nb" in idx.columns
+            # layout flip on an existing store must refuse, not scan wrong
+            bad = make_media_batch_processor(store, modality="video")
+            with pytest.raises(ValueError, match="mixed layout"):
+                bad(spark.createDataFrame([(99, c)], ddl), 2)
+    assert kept_by_mode[None] == kept_by_mode[8] == [1, 2, 11]
+
+    # image gate: same parity on the banded-dHash store
+    ia, ib = mm.synth_ppm_img("image one"), mm.synth_ppm_img("image two")
+    iup = mm.resize_ppm(ia, 2 * mm.decode_image(ia)["width"], 2 * mm.decode_image(ia)["height"])
+    kept_by_mode = {}
+    for buckets in (None, 8):
+        store = str(tmp_path / f"img_store_{buckets}")
+        process = make_media_batch_processor(store, index_buckets=buckets)
+        process(spark.createDataFrame([(1, ia), (2, ib)], ddl), 0)
+        process(spark.createDataFrame([(10, iup), (1, ia)], ddl), 1)
+        kept_by_mode[buckets] = sorted(
+            r["media_id"]
+            for r in spark.read.parquet(f"{store}/media").collect()
+        )
+    assert kept_by_mode[None] == kept_by_mode[8] == [1, 2]

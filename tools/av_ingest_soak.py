@@ -47,12 +47,16 @@ def _upv(mm, payload: bytes) -> bytes:
     return f"PV{len(outs)}\n".encode() + b"".join(outs)
 
 
-def run_modality(spark, modality: str, n_batches: int) -> None:
+def run_modality(
+    spark, modality: str, n_batches: int, index_buckets: int | None = None
+) -> None:
     from orestes_spark.operators import multimodal as mm
     from orestes_spark.streaming.ingest import make_media_batch_processor
 
     store = tempfile.mkdtemp(prefix=f"av_soak_{modality}_") + "/store"
-    process = make_media_batch_processor(store, modality=modality)
+    process = make_media_batch_processor(
+        store, modality=modality, index_buckets=index_buckets
+    )
     ddl = "media_id LONG, content BINARY"
 
     def synth(txt: str) -> bytes:
@@ -105,15 +109,18 @@ def run_modality(spark, modality: str, n_batches: int) -> None:
     print(f"gate exact at every epoch ({modality}); per-batch wall vs index growth above")
 
 
-def main(n_batches: int = 10, which: str = "both") -> None:
+def main(
+    n_batches: int = 10, which: str = "both", index_buckets: int | None = None
+) -> None:
     spark = get_spark("av-ingest-soak")
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
     for modality in ("video", "audio") if which == "both" else (which,):
-        run_modality(spark, modality, n_batches)
+        run_modality(spark, modality, n_batches, index_buckets)
 
 
 if __name__ == "__main__":
     main(
         int(sys.argv[1]) if len(sys.argv) > 1 else 10,
         sys.argv[2] if len(sys.argv) > 2 else "both",
+        int(sys.argv[3]) if len(sys.argv) > 3 else None,
     )
