@@ -1185,12 +1185,30 @@ def cross_modal_pair_matches(
     # materializes them once via block-level locking instead of two
     # dedicated eager jobs. simhash_near_pairs' own checkpoint stays
     # eager (its drop log reads a CollectMetrics observation).
-    img_pairs = _d.simhash_near_pairs(
-        sig, max_hamming, bits, band_bits
-    ).localCheckpoint(eager=False)
+    # Round-13 (guide §2.6 — overlap independent jobs): the caption
+    # tokenize is materialized by a BACKGROUND thread while the image
+    # leg's eager banding checkpoint job (decode kernel + band window)
+    # runs on the main thread — the two legs share nothing until the
+    # candidate union, and FIFO scheduling back-fills the banding
+    # job's tail with tokenize tasks. Best-effort: a warm failure just
+    # leaves the final job to compute arrays itself, as before.
     arrays = _d.token_shingle_arrays(
         captions, id_col, text_col, shingle_size
     ).localCheckpoint(eager=False)
+    import threading
+
+    def _warm_arrays() -> None:
+        try:
+            arrays.count()
+        except Exception:  # pragma: no cover - warming is best-effort
+            pass
+
+    warm = threading.Thread(target=_warm_arrays, daemon=True)
+    warm.start()
+    img_pairs = _d.simhash_near_pairs(
+        sig, max_hamming, bits, band_bits
+    ).localCheckpoint(eager=False)
+    warm.join()
     txt_cands = _d.minhash_band_candidates(
         _d.minhash_signatures(arrays, num_hashes), num_hashes, rows_per_band
     )

@@ -2847,15 +2847,26 @@ def _cross_modal_captions(d):
         F.lit("zz"),
         F.md5(F.concat(F.lit("unrel:"), F.col("text")).cast("binary")),
     )
-    base = d.select(
-        (F.col("doc_id") * 2).cast("long").alias("rid"),
-        F.col("text").alias("caption"),
+    # Round-13 (guide §2.4/§6): ONE scan emitting both records per doc
+    # via inline(array(struct, struct)) — the union form scanned (and
+    # tokenized the variant CASE over) the documents parquet twice.
+    # Same rows, same values, half the input passes.
+    return d.select(
+        F.inline(
+            F.array(
+                F.struct(
+                    (F.col("doc_id") * 2).cast("long").alias("rid"),
+                    F.col("text").alias("caption"),
+                ),
+                F.struct(
+                    (F.col("doc_id") * 2 + 1).cast("long").alias("rid"),
+                    F.when(F.col("doc_id") % 3 == 0, unrel)
+                    .otherwise(tail)
+                    .alias("caption"),
+                ),
+            )
+        )
     )
-    var = d.select(
-        (F.col("doc_id") * 2 + 1).cast("long").alias("rid"),
-        F.when(F.col("doc_id") % 3 == 0, unrel).otherwise(tail).alias("caption"),
-    )
-    return base.unionByName(var)
 
 
 _CROSS_MODAL_MATCHES: dict[str, DataFrame] = {}
