@@ -1912,18 +1912,28 @@ def winnow_pairs(
     # reuse, so one explicit materialization replaces 2-3 recomputes
     # (prints are ~2/(w+1) of the token stream — far smaller than the
     # text they index).
-    # Round-12: LAZY (one final job materializes it), and the df cut
-    # is a count WINDOW over partitionBy(fp) — the _span_flags shape —
-    # instead of a groupBy + join-back: the window's exchange is the
-    # fp-partitioning the self-join needs anyway.
+    # Round-12: LAZY (one final job materializes it). Round-13 (guide
+    # §2.5, VERDICT r12 #2): the df cut is a partial-aggregated
+    # over-limit set anti-joined back, NOT a count window. The window
+    # put every occurrence of a hot print (licence-header boilerplate
+    # in 30% of docs) into ONE WindowExec task and sorted it — an
+    # unbounded single-task straggler at corpus scale. The groupBy's
+    # map-side partial aggregation squashes a hot fp to one row per
+    # map task, the over-limit set is bounded by |prints|/max_df and
+    # in practice tiny (only boilerplate exceeds max_df), and the
+    # anti-join drops hot occurrences MAP-SIDE (AQE broadcasts the
+    # small build) — so no hot fp ever reaches the self-join's
+    # exchange at all. Semantics identical: drop fp with df > max_df.
     fps = winnow_doc_prints(docs, id_col, text_col, k=k, w=w, salt=salt).localCheckpoint(
         eager=False
     )
-    kept = (
-        fps.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
-        .where(F.col("_df") <= max_df)
-        .drop("_df")
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_df)
+        .select("fp")
     )
+    kept = fps.join(hot, "fp", "left_anti")
     a = kept.select(F.col("fp"), F.col("_id").alias("id_a"))
     b = kept.select(F.col("fp"), F.col("_id").alias("id_b"))
     return (
@@ -1980,13 +1990,18 @@ def winnow_index(
     # exchange)
     fps = winnow_doc_prints(docs, id_col, text_col, k=k, w=w, salt=salt)
     if max_df is not None:
-        # round-12: count window instead of groupBy + join-back (see
-        # winnow_pairs); the build is a single linear pass either way
-        fps = (
-            fps.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
-            .where(F.col("_df") <= max_df)
-            .drop("_df")
+        # round-13: partial-agg over-limit set + map-side anti-join
+        # (see winnow_pairs — the count window sorted every hot
+        # print's occurrences in one task); the lazy checkpoint feeds
+        # the df sketch and the surviving rows from one print pass
+        fps = fps.localCheckpoint(eager=False)
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("fp")
         )
+        fps = fps.join(hot, "fp", "left_anti")
     idx = (
         fps.withColumn("kg", F.lit(int(k)))
         .withColumn("wn", F.lit(int(w)))
@@ -2134,6 +2149,26 @@ def _kgram_starts(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFr
     )
 
 
+def _span_hot_default() -> int | None:
+    """Scale knob for the span family's hot-key tier (round-13,
+    VERDICT r12 #2 / guide §2.5): k-gram hashes with at least this
+    many occurrences are counted by a partial-aggregated sketch and
+    flagged via a map-side broadcast join instead of riding the count
+    window — whose WindowExec otherwise buffers and sorts EVERY
+    occurrence of a boilerplate k-gram (a licence header in 30% of a
+    100 TB corpus) in one task. None (the local default) keeps the
+    r12 single-window plan: at bench scale the hardened path's extra
+    k-gram checkpoint + sketch pass cost more than any local skew,
+    and the driver's bench must stay comparable; production sets
+    ORESTES_SPAN_HOT_THRESHOLD to the occurrence count one task sorts
+    comfortably (~100k) — the A/B and the hot-fixture test pin that
+    both paths are row-identical."""
+    import os
+
+    v = int(os.environ.get("ORESTES_SPAN_HOT_THRESHOLD", "0") or "0")
+    return v or None
+
+
 def _span_flags(
     docs: DataFrame,
     id_col: str,
@@ -2142,6 +2177,7 @@ def _span_flags(
     min_count: int,
     max_count: int | None,
     keep_first: bool,
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Duplicated window starts (_id, pos, _canon) for the span-dedup
     family. ``_canon`` is True only under ``keep_first`` and only on
@@ -2160,22 +2196,62 @@ def _span_flags(
     per-hash count in the one token-scale exchange the flags need
     anyway — one explode, one shuffle, no join, no broadcast; flagged
     and canonical rows ride one frame so consumers that need both
-    never re-derive the window."""
+    never re-derive the window.
+
+    ``hot_threshold`` (round-13, VERDICT r12 #2 / guide §2.5 —
+    defaults to ``_span_hot_default()``): the window's one weakness
+    is that EVERY occurrence of one k-gram lands in ONE WindowExec
+    task, which buffers and sorts it — unbounded for corpus-wide
+    boilerplate at 100 TB. With a threshold set, a partial-aggregated
+    sketch (map-side combine: a hot hash is ~one row per map task on
+    the wire) finds hashes with >= hot_threshold occurrences; their
+    flags attach MAP-SIDE via a broadcast join of the (tiny, by the
+    threshold's own arithmetic: <= corpus_windows/threshold rows) hot
+    table, and the window runs only on the remaining occurrences —
+    every window partition provably < hot_threshold rows. The k-gram
+    stream is lazily checkpointed so the sketch and the flags read
+    one tokenize pass. Row-identical to the plain path by
+    construction (hot/cold split on whole h-groups; same dup/canon
+    arithmetic on both legs — pinned by the hot-fixture test); the
+    local default stays None because the checkpoint + sketch pass
+    cost more than any skew sf0.1 can produce."""
+    if hot_threshold is None:
+        hot_threshold = _span_hot_default()
     kg = _kgram_starts(docs, id_col, text_col, k)
+    dup_of = lambda c: (  # noqa: E731 - one home for the dup test
+        (c >= min_count) & (c <= max_count) if max_count is not None else c >= min_count
+    )
+    hot_flags = None
+    if hot_threshold:
+        kg = kg.localCheckpoint(eager=False)
+        aggs = [F.count(F.lit(1)).alias("_c")]
+        if keep_first:
+            aggs.append(F.min(F.struct("_id", "pos")).alias("_first"))
+        hot = (
+            kg.groupBy("h").agg(*aggs).where(F.col("_c") >= int(hot_threshold))
+        )
+        hot_occ = kg.join(F.broadcast(hot), "h").where(dup_of(F.col("_c")))
+        if keep_first:
+            hf = (F.col("_id") == F.col("_first._id")) & (
+                F.col("pos") == F.col("_first.pos")
+            )
+            hot_flags = hot_occ.select("_id", "pos", hf.alias("_canon"))
+        else:
+            hot_flags = hot_occ.select("_id", "pos", F.lit(False).alias("_canon"))
+        kg = kg.join(F.broadcast(hot.select("h")), "h", "left_anti")
     w = Window.partitionBy("h")
     cols = [F.col("_id"), F.col("pos"), F.count(F.lit(1)).over(w).alias("_c")]
     if keep_first:
         cols.append(F.min(F.struct("_id", "pos")).over(w).alias("_first"))
-    dup = F.col("_c") >= min_count
-    if max_count is not None:
-        dup = dup & (F.col("_c") <= max_count)
-    occ = kg.select(*cols).where(dup)
+    occ = kg.select(*cols).where(dup_of(F.col("_c")))
     if keep_first:
         is_first = (F.col("_id") == F.col("_first._id")) & (
             F.col("pos") == F.col("_first.pos")
         )
-        return occ.select("_id", "pos", is_first.alias("_canon"))
-    return occ.select("_id", "pos", F.lit(False).alias("_canon"))
+        out = occ.select("_id", "pos", is_first.alias("_canon"))
+    else:
+        out = occ.select("_id", "pos", F.lit(False).alias("_canon"))
+    return out.unionByName(hot_flags) if hot_flags is not None else out
 
 
 def _merge_flagged_spans(
