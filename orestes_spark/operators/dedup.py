@@ -1236,7 +1236,11 @@ def benchmark_overlap(
     hygiene step (eval-overlap n-gram matching). ``bench_ids`` is a
     one-column (_id) frame naming the benchmark documents; output is
     (doc_id, n_overlap) for every non-benchmark document with ≥ 1
-    overlapping shingle.
+    overlapping shingle. Counts are HASH-KEYED (xxhash64 of the
+    shingle, round-12): a 64-bit collision can inflate a doc's
+    n_overlap (odds ~2⁻⁶⁴ per corpus shingle) — the report contract
+    is hash-keyed, not exact-string, like every hash-keyed operator
+    here.
 
     Scale shape: the benchmark shingle set is bounded by the eval
     corpus (small in practice), the corpus side streams through one
@@ -1368,11 +1372,22 @@ def connected_components(
     component = min-reachable-id labeling, pinned by a test against
     the distributed path — in ONE job. Larger graphs take the
     distributed loop unchanged; the probe costs one early-stopping
-    limit job."""
-    probe = pairs.select(
+    limit job.
+
+    Round-13 (ADVICE r12): the pair frame is lazily checkpointed
+    BEFORE the probe, so when the graph turns out large the
+    distributed loop reuses the probe's computed partitions instead
+    of re-executing the upstream pair pipeline (the expensive case
+    paid the probe twice); and a NULL id routes to the distributed
+    path — the driver union-find's min-label resolution would raise
+    on None < int where the joins degrade defined."""
+    directed = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).limit(_DRIVER_CC_MAX_EDGES + 1).collect()
-    if len(probe) <= _DRIVER_CC_MAX_EDGES:
+    ).localCheckpoint(eager=False)
+    probe = directed.limit(_DRIVER_CC_MAX_EDGES + 1).collect()
+    if len(probe) <= _DRIVER_CC_MAX_EDGES and not any(
+        row[0] is None or row[1] is None for row in probe
+    ):
         parent: dict = {}
 
         def find(x):
@@ -1409,8 +1424,8 @@ def connected_components(
             [(n, comp_min[find(n)]) for n in parent], schema
         )
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        directed  # the probe's checkpoint: no second pair-pipeline run
+        .union(directed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint(eager=False)  # round-12: iteration 1's
         # convergence count materializes both seed frames

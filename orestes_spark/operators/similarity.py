@@ -2477,8 +2477,27 @@ def semantic_decontaminate_arrow(
     expression path. Zero-norm vectors score NULL there (try_divide)
     and thus never hit — the kernel masks them out of the hit set.
     Ids must be integer-castable (the kernel carries them as int64);
-    non-numeric ids raise loudly, as in ``cosine_topk_arrow``."""
+    non-numeric ids raise loudly, as in ``cosine_topk_arrow``.
+
+    ``quantize=None`` is accepted but loses the bit-equality contract
+    with the expression twin (ADVICE r12): on unquantized floats the
+    numpy pairwise-summed dot and Catalyst's left-fold dot can differ
+    in the last ulp, which can flip the round(·,6) >= threshold hit
+    test or the raw-score tie-break on adversarial inputs. Every
+    caller in this repo passes an integer quantize; unquantized use
+    logs a warning and is exactness-best-effort."""
     import numpy as np
+
+    if quantize is None:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "semantic_decontaminate_arrow: quantize=None — the kernel's"
+            " pairwise-summed GEMM is not bit-equal to the expression"
+            " path's left-fold dot on raw floats; hit/tie-break flips in"
+            " the last ulp are possible. Pass an integer quantize for"
+            " the path-equivalence contract."
+        )
 
     spark = corpus.sparkSession
     erows = eval_set.select(

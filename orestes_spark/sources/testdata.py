@@ -75,10 +75,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # immutable and the testdata directories are static by contract,
     # so cache the DataFrame per (session, dir, table); the conf sets
     # above stay per-call — they are the documented side effect.
+    # The static-files assumption is load-bearing: an on-disk change to
+    # a testdata parquet is invisible within a process (the analyzed
+    # relation pins the old footer). Testdata dirs are immutable by
+    # contract; anything mutable (the engine warehouse) never goes
+    # through this cache.
     key = (sf_dir, name)
     hit = _TABLE_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
+    if hit is not None:
+        # Round-13 (ADVICE r12): a session mismatch on ANY key means a
+        # session was replaced — drop every entry of dead sessions
+        # instead of pinning their plans for the process lifetime
+        # (entries were only evicted on same-key re-request before).
+        for k, (s, _) in list(_TABLE_CACHE.items()):
+            if s is not spark:
+                del _TABLE_CACHE[k]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # Integer division: `/` would go through double and lose
